@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §0.3/§7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` the DuckDB-equivalent SQL for each (omitted only for
+  * engine-specific ops like HLL sketches, per the contract). Column names
+  * and types are aligned on both sides — the driver sorts columns by name
+  * and hash-compares values, and every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 (driver smoke-checks rows>0): the 4-way
+    * join→agg→sort plan of q_join_inner. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_join_inner")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Windows.queries ++ Scalars.queries ++
+      StreamingTwins.queries ++ LlmOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
+      StreamingTwins.oracle ++ LlmOps.oracle
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md, FIXTURES.md).
+  *
+  * Schema normalization (SURVEY.md §1.2):
+  *
+  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+  *    rejects outright (PARQUET_TYPE_ILLEGAL, verified on Spark 4.1.2). We
+  *    read it as a raw long via `spark.sql.legacy.parquet.nanosAsLong` and
+  *    convert to a microsecond TimestampType with *integer* division — ns
+  *    epoch values (~1.7e18) exceed double's 53-bit mantissa, so `DIV`,
+  *    never `/`. DuckDB truncates ns→µs identically on cast, and the
+  *    generator only emits µs-grained values (FIXTURES.md), so both engines
+  *    see bit-identical timestamps.
+  *
+  *  - Timestamp columns are cast to TimestampType so behavior is identical
+  *    whether the reader infers TIMESTAMP_NTZ (Spark ≥3.4 default for
+  *    isAdjustedToUTC=false parquet) or not; the session timezone is pinned
+  *    UTC (build.sbt, Verify.scala) which makes the NTZ→LTZ cast
+  *    value-preserving.
+  *
+  * At 100 TB these loaders would take partitioned table roots instead of
+  * single files; everything downstream is partition-agnostic (no
+  * single-partition assumptions except the harness's final coalesce(1)).
+  */
+object Tables {
+
+  /** Idempotent session configs every query path depends on. */
+  def ensure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+
+  /** ns→µs conversion; see class doc. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Register every table as a temp view (for spark.sql-expressed queries —
+    * scalar/correlated subqueries exercise Catalyst's subquery machinery
+    * best through the SQL frontend). */
+  def views(spark: SparkSession, dir: String): Unit = {
+    region(spark, dir).createOrReplaceTempView("region")
+    nation(spark, dir).createOrReplaceTempView("nation")
+    customer(spark, dir).createOrReplaceTempView("customer")
+    supplier(spark, dir).createOrReplaceTempView("supplier")
+    part(spark, dir).createOrReplaceTempView("part")
+    orders(spark, dir).createOrReplaceTempView("orders")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
+}

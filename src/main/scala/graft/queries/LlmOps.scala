@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators — SURVEY.md §2.9 + the north-star
+  * extensions (dedup, similarity search, text analysis).
+  *
+  * Float discipline (§2.10): vectors are L2-normalized float32
+  * (FIXTURES.md), float→double casts are exact, dot products use a
+  * *sequential* left-to-right double fold on both engines
+  * (`aggregate(zip_with(…))` ↔ `list_sum(list_transform(list_zip(…)))` —
+  * validated bit-identical at 4 dp), and similarity thresholds are applied
+  * to the *rounded* value on both sides.
+  */
+object LlmOps {
+
+  /** Exact-dup detection: per source, docs vs distinct md5(text). At 100 TB
+    * the same plan holds with xxhash64 pre-shuffle (cheaper) + md5 confirm;
+    * md5 is used here because both engines emit identical lowercase hex. */
+  def q_dedup_exact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Word-set Jaccard near-dup pairs (j ≥ 0.8 on the rounded value).
+    * Bounded to doc_id < 1000: the word–word self-join is quadratic in
+    * docs-per-word (measured 448M candidate pairs unbounded at sf0.1 vs
+    * 18M bounded) — the unbounded scale path is MinHash-LSH
+    * ([[q_dedup_minhash]]), for which this query is the correctness twin. */
+  def q_sim_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val j = round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 4)
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Brute-force cosine top-k for query vectors vec_id < 10 (dot == cosine
+    * on L2-normalized inputs). The 10-row query side broadcasts; ranking is
+    * on the rounded similarity with vec_id tiebreak so both engines rank
+    * identical keys. Scale path: [[q_ann_ivf]] (bucketed) replaces the full
+    * scan. */
+  def q_knn_cosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.filter(col("vec_id") < 10).select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val dot = expr(
+      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), round(dot, 4).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> q_dedup_exact _,
+    "q_sim_jaccard" -> q_sim_jaccard _,
+    "q_knn_cosine" -> q_knn_cosine _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_sim_jaccard" ->
+      """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE doc_id < 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH d AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+        |SELECT a_id, b_id, sim, rn FROM (
+        |  SELECT a_id, b_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rn
+        |  FROM d)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,495 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Core relational operators — SURVEY.md §2.1–2.4, §2.6.
+  *
+  * Each query is a declarative DataFrame plan (Catalyst handles pushdown,
+  * pruning, join strategy selection, AQE); the paired DuckDB oracle SQL
+  * lives in [[oracle]] keyed by the same id. Determinism per §2.10: total
+  * ORDER BY on a candidate key, decimal-cast before any SUM, explicit
+  * result-type casts on both sides.
+  */
+object Relational {
+
+  // ---- §2.1 scan / projection ------------------------------------------
+
+  /** Parquet scan + projection + computed decimal column; exercises column
+    * pruning + TakeOrderedAndProject. */
+  def q_scan_project(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        outDec4(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .as("disc_price"))
+      // (l_orderkey, l_linenumber) is NOT unique in this data (verified:
+      // ~20% dup keys) — order by every emitted column for a total order;
+      // any remaining ties are identical output rows.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .limit(500)
+  }
+
+  // ---- §2.2 filter / project --------------------------------------------
+
+  /** Compound predicate: range + IN-list + comparison + LIKE prefix; all
+    * residual-free and pushed to the parquet scan. */
+  def q_filter_pred(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").isin(0.02, 0.04, 0.06, 0.08) &&
+        col("l_quantity") < 24 &&
+        col("l_returnflag").startsWith("A"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+  }
+
+  /** CASE buckets + COALESCE(NULLIF(…)) + decimal arithmetic. */
+  def q_project_case(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("big").as("size_bucket"),
+        coalesce(expr("NULLIF(o_orderstatus, 'P')"), lit("PEND")).as("status_adj"),
+        outDec2(dec2(col("o_totalprice")) * lit(2) - lit(100)).as("price_adj"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---- §2.3 joins -------------------------------------------------------
+
+  private def orders4way(spark: SparkSession, dir: String, useBroadcast: Boolean): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n0 = Tables.nation(spark, dir)
+    val r0 = Tables.region(spark, dir)
+    val (n, r) = if (useBroadcast) (broadcast(n0), broadcast(r0)) else (n0, r0)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDec2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** 4-way equi chain; Catalyst picks build sides / join order (CBO + AQE). */
+  def q_join_inner(spark: SparkSession, dir: String): DataFrame =
+    orders4way(spark, dir, useBroadcast = false)
+
+  /** Same, with explicit broadcast of the dims → BroadcastHashJoinExec; the
+    * physical hint does not change the result, so the oracle is identical. */
+  def q_join_broadcast(spark: SparkSession, dir: String): DataFrame =
+    orders4way(spark, dir, useBroadcast = true)
+
+  /** LEFT OUTER with filtered build side; count(col) gives 0 for no-match. */
+  def q_join_left(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000)
+    c.join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FULL OUTER reconcile of two per-(user,day) metric streams; sparse at
+    * sf0.01 ⇒ genuinely one-sided rows (SURVEY §2.3). */
+  def q_join_full(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** LEFT SEMI (EXISTS): customers with ≥1 purchase event. */
+  def q_join_semi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val purchases = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    c.join(purchases, col("c_custkey") === col("user_id"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** LEFT ANTI (NOT EXISTS): silent customers — events.user_id domain is a
+    * strict subset of c_custkey (FIXTURES.md), so this is non-empty. */
+  def q_join_anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val ev = Tables.events(spark, dir)
+    c.join(ev, col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Band self-join: event pairs of the same user within (0, 30min]. Equi
+    * key user_id carries the shuffle; the range condition is a post-filter
+    * on the sort-merge join — at 100 TB the time axis would be bucketed so
+    * the band predicate prunes partitions. */
+  def q_join_range(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = ev.select(col("event_id").as("b_id"), col("user_id").as("user_id_b"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("user_id_b") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** AS-OF join, windowed formulation: for each purchase, the latest
+    * strictly-prior event of the same user — the counter→rate
+    * previous-sample lookup at the heart of a network-metrics collector
+    * (SURVEY §1.1). lag over (ts, event_id) is tie-safe. */
+  def q_join_asof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_event_id"), col("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CROSS join of the two tiny dims (5×25 rows). */
+  def q_join_cross(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    r.crossJoin(n)
+      .select(col("r_name"), col("n_name"),
+        concat(col("r_name"), lit("-"), col("n_name")).as("combo"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // ---- §2.4 aggregations ------------------------------------------------
+
+  /** TPC-H Q1 clone: partial+final HashAggregate with map-side combine;
+    * decimal sums per §2.10, avg via the sum/count recipe. */
+  def q_agg_hash(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val discPrice = outDec4(dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .withColumn("disc_price", discPrice)
+      .withColumn("charge",
+        outDec6(col("disc_price") * (lit(1).cast("decimal(18,2)") + dec2(col("l_tax")))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        outDec2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        outDec2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        outDec4(sum(col("disc_price"))).as("sum_disc_price"),
+        outDec6(sum(col("charge"))).as("sum_charge"),
+        count(lit(1)).as("n_rows"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** COUNT(DISTINCT …) — Expand + two-phase aggregate. */
+  def q_agg_distinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-nation min/max/count/decimal-sum gauges. */
+  def q_agg_stats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(lit(1)).as("n_cust"),
+        outDec2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** ROLLUP(r_name, n_name) + GROUPING() flags (Expand-based). */
+  def q_agg_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
+      .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE(event_type, day-of-month). */
+  def q_agg_cube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"), dayofmonth(col("ts")).as("dom"))
+      .cube(col("event_type"), col("dom"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("event_type")).cast("int").as("g_t"),
+        grouping(col("dom")).cast("int").as("g_d"))
+      .orderBy(col("g_t"), col("g_d"), col("event_type").asc_nulls_first, col("dom").asc_nulls_first)
+  }
+
+  /** GROUPING SETS ((lang),(source),()) over documents. */
+  def q_agg_gsets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq.empty), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        grouping(col("lang")).cast("int").as("g_l"),
+        grouping(col("source")).cast("int").as("g_s"))
+      .orderBy(col("g_l"), col("g_s"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  /** HLL++ approximate distinct — declared WITHOUT oracle (sketch values
+    * are engine-specific; SURVEY §2.4). Driver records a rows-only check. */
+  def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- §2.6 sort / limit / top-k / set ops ------------------------------
+
+  /** Multi-key sort + LIMIT → TakeOrderedAndProjectExec (no global sort). */
+  def q_sort_multi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Per-group top-k via ranking window (the distributed top-k pattern). */
+  def q_topk_group(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** UNION DISTINCT of customer vs supplier nation keys. */
+  def q_set_union(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct().orderBy(col("nationkey"))
+  }
+
+  /** INTERSECT: customer keys that appear as event users (non-empty:
+    * user_id ⊂ custkey, FIXTURES.md). */
+  def q_set_intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+    val u = Tables.events(spark, dir).select(col("user_id").as("id"))
+    c.intersect(u).orderBy(col("id"))
+  }
+
+  /** EXCEPT: customer keys with no events. (Nations-with-customers EXCEPT
+    * nations-with-suppliers is EMPTY in this data — verified — so the id
+    * domains are used instead, per SURVEY §2.10(7).) */
+  def q_set_except(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+    val u = Tables.events(spark, dir).select(col("user_id").as("id"))
+    c.except(u).orderBy(col("id"))
+  }
+
+  // ----------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> q_scan_project _,
+    "q_filter_pred" -> q_filter_pred _,
+    "q_project_case" -> q_project_case _,
+    "q_join_inner" -> q_join_inner _,
+    "q_join_broadcast" -> q_join_broadcast _,
+    "q_join_left" -> q_join_left _,
+    "q_join_full" -> q_join_full _,
+    "q_join_semi" -> q_join_semi _,
+    "q_join_anti" -> q_join_anti _,
+    "q_join_range" -> q_join_range _,
+    "q_join_asof" -> q_join_asof _,
+    "q_join_cross" -> q_join_cross _,
+    "q_agg_hash" -> q_agg_hash _,
+    "q_agg_distinct" -> q_agg_distinct _,
+    "q_agg_stats" -> q_agg_stats _,
+    "q_agg_rollup" -> q_agg_rollup _,
+    "q_agg_cube" -> q_agg_cube _,
+    "q_agg_gsets" -> q_agg_gsets _,
+    "q_agg_approx" -> q_agg_approx _,
+    "q_sort_multi" -> q_sort_multi _,
+    "q_topk_group" -> q_topk_group _,
+    "q_set_union" -> q_set_union _,
+    "q_set_intersect" -> q_set_intersect _,
+    "q_set_except" -> q_set_except _,
+  )
+
+  /** DuckDB-dialect oracles. NULLS FIRST is spelled out wherever a sort key
+    * can be NULL (Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST);
+    * integer aggregates are cast ::BIGINT (DuckDB SUM(BIGINT)→HUGEINT) and
+    * function results ::INT where DuckDB widens to BIGINT. */
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS disc_price
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |LIMIT 500""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount IN (0.02, 0.04, 0.06, 0.08) AND l_quantity < 24 AND l_returnflag LIKE 'A%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+    "q_project_case" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'big' END AS size_bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PEND') AS status_adj,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 - 100 AS DECIMAL(18,2)) AS price_adj
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_join_inner" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |     p AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id, COALESCE(c.day, p.day) AS day,
+        |  CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+        |  CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM c FULL JOIN p ON c.user_id = p.user_id AND c.day = p.day
+        |ORDER BY user_id, day""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id, prev_event_id, prev_value FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+        |    lag("value") OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name, r_name || '-' || n_name AS combo
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "q_agg_hash" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS disc_price,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+        |l2 AS (
+        |  SELECT l_returnflag, l_linestatus, qty, price, disc_price,
+        |    CAST(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax) AS DECIMAL(18,6)) AS charge
+        |  FROM l)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(price) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(disc_price) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(charge) AS DECIMAL(18,6)) AS sum_charge,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price
+        |FROM l2 GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT n_name, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT event_type, dom, count(*) AS n,
+        |  CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(dom) AS INT) AS g_d
+        |FROM (SELECT event_type, CAST(day(ts) AS INT) AS dom FROM events)
+        |GROUP BY CUBE(event_type, dom)
+        |ORDER BY g_t, g_d, event_type NULLS FIRST, dom NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(GROUPING(lang) AS INT) AS g_l, CAST(GROUPING(source) AS INT) AS g_s
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_l, g_s, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // q_agg_approx intentionally has no oracle (engine-specific sketch).
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_topk_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+        |  FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT SELECT user_id FROM events ORDER BY id""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT SELECT user_id FROM events ORDER BY id""".stripMargin,
+  )
+}

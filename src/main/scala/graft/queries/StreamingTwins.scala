@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Batch twins of the Structured Streaming operators — SURVEY.md §2.8.
+  *
+  * `window`, `session_window` and first-per-key dedup produce identical
+  * results in batch GROUP BY mode, which is what makes them oracle-checkable;
+  * the streaming execution path (watermarks, state store, triggers) lives in
+  * [[graft.streaming.StreamOps]] and is covered by batch↔stream equivalence
+  * tests instead of the DuckDB oracle.
+  *
+  * Window starts are emitted as epoch seconds / DATE, never raw timestamps,
+  * so parquet logical types match DuckDB's output exactly.
+  */
+object StreamingTwins {
+
+  /** 1-day tumbling window per event_type (epoch-aligned both engines). */
+  def q_stream_tumble(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        outDec4(sum(dec4(col("value")))).as("sum_value"))
+      .select(
+        to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("sum_value"),
+        round(col("sum_value").cast("double") / col("n"), 4).as("avg_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** 1-hour window sliding every 15 min: each event lands in exactly 4
+    * epoch-aligned windows (window/slide = 4; starts are multiples of 900s,
+    * and any start > ts-3600 qualifies). The oracle reproduces the window
+    * set with a 4-row offsets unnest. */
+  def q_stream_slide(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("w.start")).as("ws_s"), col("n"))
+      .orderBy(col("ws_s"))
+  }
+
+  /** Session windows, 30-min gap, per user. Emitted as epoch-µs; session
+    * end = last event + gap (Spark semantics; the oracle's gaps-and-islands
+    * formulation reproduces it exactly — boundary rule verified by
+    * SessionBoundarySpec). */
+  def q_stream_session(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** First event per (user, type, day) — duplicate-sample suppression;
+    * streaming twin is dropDuplicatesWithinWatermark. */
+  def q_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), day)
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("day", day)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumble" -> q_stream_tumble _,
+    "q_stream_slide" -> q_stream_slide _,
+    "q_stream_session" -> q_stream_session _,
+    "q_stream_dedup" -> q_stream_dedup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_stream_slide" ->
+      """SELECT ws_s, count(*) AS n FROM (
+        |  SELECT (epoch_us(ts) // 1000000 // 900) * 900 - k.k * 900 AS ws_s
+        |  FROM events, (VALUES (0), (1), (2), (3)) AS k(k))
+        |GROUP BY ws_s ORDER BY ws_s""".stripMargin,
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 1800000000 THEN 1 ELSE 0 END AS new_s,
+        |    event_id
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id, "value"
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE) ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type, day""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Window functions — SURVEY.md §2.5.
+  *
+  * All window orderings include a unique tiebreaker (event_id / orderkey /
+  * custkey) so ranks and frames are total-order deterministic. Timestamp
+  * deltas are emitted as epoch-µs BIGINTs (`unix_micros` ↔ DuckDB
+  * `epoch_us`) — exact integers on both engines, no truncation ambiguity.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank, top-5 per nation. */
+  def q_win_rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Running decimal sum per customer — cumulative traffic per host in the
+    * reference's terms (SURVEY §2.5). */
+  def q_win_running(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_date"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        dec2(col("o_totalprice")).as("price_dec"))
+      .withColumn("running_total", outDec2(sum(col("price_dec")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_date"), col("o_orderkey"))
+  }
+
+  /** Counter→rate: per-key delta vs previous sample — the operation a
+    * network-metrics collector exists to compute (SURVEY §1.1, §2.5).
+    * Streaming twin: transformWithState keeping last (ts,value) per key
+    * (graft.streaming). */
+  def q_win_lag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("delta"), col("dt_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** 3-row moving window (ROWS 2 PRECEDING): exact decimal frame-sum +
+    * count + avg recipe. */
+  def q_win_frame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), dec4(col("value")).as("v"))
+      .withColumn("mv_sum", outDec4(sum(col("v")).over(w)))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .withColumn("mv_avg", round(col("mv_sum").cast("double") / col("mv_n"), 4))
+      .select(col("user_id"), col("event_id"), col("mv_sum"), col("mv_n"), col("mv_avg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> q_win_rank _,
+    "q_win_running" -> q_win_running _,
+    "q_win_lag" -> q_win_lag _,
+    "q_win_frame" -> q_win_frame _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+        |    CAST(rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk,
+        |    CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS drk
+        |  FROM customer)
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, o_date,
+        |  CAST(sum(price_dec) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders)
+        |ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
+    "q_win_lag" ->
+      """SELECT user_id, event_id,
+        |  "value" - lag("value") OVER w AS delta,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_frame" ->
+      """SELECT user_id, event_id, mv_sum, mv_n,
+        |  round(CAST(mv_sum AS DOUBLE) / mv_n, 4) AS mv_avg
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS mv_sum,
+        |    count(*) OVER w AS mv_n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |ORDER BY user_id, event_id""".stripMargin,
+  )
+}
