@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended training-data pipeline operators beyond SURVEY §2.9: text
+  * analysis (language-ID, quality scoring, token counting, fingerprinting),
+  * n-gram and embedding near-dup, bucketed ANN, MinHash-LSH and SimHash
+  * dedup, and multimodal byte-column plumbing.
+  *
+  * Ratio outputs are quantized with `floor(10000.0 * a / b)` ("basis
+  * points") instead of `round(double, n)` — multiply/divide/floor of
+  * identical doubles are IEEE-exact on both engines, whereas round()
+  * diverges on repr boundaries (see q_case_null history). Thresholds are
+  * applied to the quantized value on both sides.
+  *
+  * DuckDB lambda indexes are 1-based where Spark's are 0-based — the only
+  * index-using pair here (fingerprint) avoids indexes entirely by folding.
+  */
+object LlmExt {
+
+  private val stopEn = "('the','and','of','a','to')"
+
+  /** Heuristic language-ID: marker-word hit counts per candidate language,
+    * argmax with a fixed tie order. (The synthetic corpus is a shared word
+    * soup, so the value is the operator shape: per-row set-membership
+    * counting over tokenized text — embarrassingly parallel, no shuffle.) */
+  def q_text_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))").as("n_en"),
+        expr("size(filter(split(text, ' '), w -> w IN ('der','die','und','das')))").as("n_de"),
+        expr("size(filter(split(text, ' '), w -> w IN ('el','la','los','y')))").as("n_es"),
+        expr("size(filter(split(text, ' '), w -> w IN ('le','les','et','un')))").as("n_fr"))
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_es") >= col("n_fr") && col("n_es") > 0, "es")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token/unique/stopword ratios in exact basis points +
+    * a categorical verdict. */
+  def q_text_quality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_uniq"),
+        expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))").as("n_stop"))
+      .withColumn("uniq_bp", floor(lit(10000.0) * col("n_uniq") / expr("NULLIF(n_words, 0)")))
+      .withColumn("stop_bp", floor(lit(10000.0) * col("n_stop") / expr("NULLIF(n_words, 0)")))
+      .withColumn("cpw_bp", floor(lit(10000.0) * col("n_chars") / expr("NULLIF(n_words, 0)")))
+      .withColumn("verdict",
+        when(col("uniq_bp") > 3000 && col("stop_bp") < 3000, "good").otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace split vs regex tokenizer vs long-token
+    * filter — the three tokenization shapes a BPE-ish pipeline needs. */
+  def q_text_tokens(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_ws"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_re"),
+        expr("size(filter(split(text, ' '), w -> length(w) > 5))").as("n_long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: order-sensitive polynomial rolling hash over
+    * tokens (exact BIGINT fold, mod 1e9+7 keeps products overflow-free on
+    * both engines) + md5 prefix. DuckDB twin: list_reduce over a
+    * 0-prepended list. */
+  def q_text_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(text, ' '), w -> CAST(ascii(w) + length(w) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("fp"),
+        substring(md5(col("text")), 1, 16).as("md5_pfx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-3-gram Jaccard near-dup (doc_id < 200 keeps the gram
+    * self-join bounded: 3.4M candidate rows measured at sf0.01; the scale
+    * path is MinHash over grams, same shape as q_dedup_minhash). Safe only
+    * because min(n_chars)=48 — Spark's sequence(1, n) would count *down*
+    * for n<1 where DuckDB's range() returns empty. */
+  def q_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        floor(lit(10000.0) * col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jacc_bp"))
+      .filter(col("jacc_bp") >= 5000)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private def dotExpr =
+    expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Embedding-cosine near-dup: all pairs with sim ≥ 0.30 (dot == cosine on
+    * L2-normalized vectors; this corpus's max inter-vector sim is ~0.37 so
+    * a production 0.95 threshold would be vacuous here). Quadratic by
+    * construction — the scale path buckets first (q_ann_ivf / LSH). */
+  def q_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("da"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("db"), col("embedding").as("vb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), floor(lit(10000.0) * dotExpr).as("sim_bp"))
+      .filter(col("sim_bp") >= 3000)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** IVF-style bucketed ANN: `label` stands in for the coarse-quantizer
+    * cell; each query probes only its own cell (1/10th of the corpus) —
+    * the join is equi on label so it shuffles/broadcasts instead of the
+    * brute-force nested loop of q_knn_cosine. */
+  def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("label").as("la"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
+    broadcast(a).join(b, col("la") === col("lb") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), floor(lit(10000.0) * dotExpr).as("sim_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** MinHash-LSH near-dup at scale (SURVEY §2.9 design op, here as a real
+    * runnable pipeline): 32 per-word xxhash64 min-signatures → 8 bands of
+    * 4 → band-hash bucket join for candidates → exact Jaccard confirm.
+    * No oracle (xxhash64 is engine-specific); q_sim_jaccard is the
+    * correctness twin for the confirm stage. */
+  def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val seeds = typedLit((0 until 32).toArray)
+    val mins = words
+      .withColumn("seed", explode(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(xxhash64(col("word"), col("seed"))).as("mh"))
+    val bands = mins
+      .withColumn("band", expr("seed DIV 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh"))))).as("band_sig"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // exact-Jaccard confirm on candidates only
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(words.as("wa"), col("da") === col("wa.doc_id"))
+      .join(words.as("wb"), col("db") === col("wb.doc_id") && col("wa.word") === col("wb.word"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        floor(lit(10000.0) * col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jacc_bp"))
+      .filter(col("jacc_bp") >= 7000)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash dedup: 64-bit signature from signed bit votes of per-word
+    * hashes; candidate pairs via 16-bit chunk equality (pigeonhole:
+    * hamming ≤ 3 ⇒ some chunk of 4 equal — recall-complete for the ≤3
+    * filter), confirmed by bit_count(xor). No oracle (xxhash64). */
+  def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val sig = words
+      .withColumn("j", explode(typedLit((0 until 64).toArray)))
+      .withColumn("vote", when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash"))
+    val chunks = sig.withColumn("c", explode(typedLit((0 until 4).toArray)))
+      .withColumn("chunk", expr("(simhash >> (16 * c)) & 65535"))
+    val pairs = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Multimodal byte-column plumbing: text-as-bytes stands in for an opaque
+    * media blob; octet length, header byte, fixed-stride byte sampling —
+    * the schema/partitioning shape of a decode stage (the real decoder is
+    * stubbed in [[graft.operators.Multimodal]]; codec libs aren't in this
+    * container). */
+  def q_mm_bytes(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("octet_length(CAST(text AS BINARY))").as("n_bytes"),
+        ascii(col("text")).as("first_byte"),
+        expr("transform(sequence(1, 8), i -> ascii(substring(text, i, 1)))").as("byte_sample"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lang_id" -> q_text_lang_id _,
+    "q_text_quality" -> q_text_quality _,
+    "q_text_tokens" -> q_text_tokens _,
+    "q_text_fingerprint" -> q_text_fingerprint _,
+    "q_ngram_jaccard" -> q_ngram_jaccard _,
+    "q_embed_neardup" -> q_embed_neardup _,
+    "q_ann_ivf" -> q_ann_ivf _,
+    "q_dedup_minhash" -> q_dedup_minhash _,
+    "q_dedup_simhash" -> q_dedup_simhash _,
+    "q_mm_bytes" -> q_mm_bytes _,
+  )
+
+  // q_dedup_minhash / q_dedup_simhash: no oracle (xxhash64 engine-specific).
+  val oracle: Map[String, String] = Map(
+    "q_text_lang_id" ->
+      """SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
+        |  CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+        |       WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+        |       WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+        |       WHEN n_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS pred_lang
+        |FROM (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','a','to'))) AS INT) AS n_en,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) AS INT) AS n_de,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y'))) AS INT) AS n_es,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','un'))) AS INT) AS n_fr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars, n_words, n_uniq, n_stop,
+        |  CAST(floor(10000.0 * n_uniq / NULLIF(n_words, 0)) AS BIGINT) AS uniq_bp,
+        |  CAST(floor(10000.0 * n_stop / NULLIF(n_words, 0)) AS BIGINT) AS stop_bp,
+        |  CAST(floor(10000.0 * n_chars / NULLIF(n_words, 0)) AS BIGINT) AS cpw_bp,
+        |  CASE WHEN floor(10000.0 * n_uniq / NULLIF(n_words, 0)) > 3000
+        |        AND floor(10000.0 * n_stop / NULLIF(n_words, 0)) < 3000
+        |       THEN 'good' ELSE 'low' END AS verdict
+        |FROM (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','a','to'))) AS INT) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_re,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), w -> CAST(ascii(w) + length(w) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+        |  substr(md5(text), 1, 16) AS md5_pfx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))) AS g
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jacc_bp
+        |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |WHERE floor(10000.0 * i / (sa.n + sb.n - i)) >= 5000
+        |ORDER BY da, db""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS da, b.vec_id AS db,
+        |  CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 3000
+        |ORDER BY da, db""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH d AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |         t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT a_id, b_id, sim_bp, rn FROM (
+        |  SELECT a_id, b_id, sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
+        |  FROM d)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_mm_bytes" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(ascii(text) AS INT) AS first_byte,
+        |  list_transform(range(1, 9), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS INT)) AS byte_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
