@@ -197,8 +197,11 @@ object Relational {
         outDec4(sum(col("disc_price"))).as("sum_disc_price"),
         outDec6(sum(col("charge"))).as("sum_charge"),
         count(lit(1)).as("n_rows"),
-        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
-        round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"))
+        // averages as floor-quantized basis points: round(sum/count, 4)
+        // diverges across engines when count is a power of two and the
+        // quotient's shortest repr lands on the half (e.g. 307.03/8)
+        floor(lit(10000.0) * sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty_bp"),
+        floor(lit(10000.0) * sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price_bp"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -440,8 +443,8 @@ object Relational {
         |  CAST(sum(disc_price) AS DECIMAL(18,4)) AS sum_disc_price,
         |  CAST(sum(charge) AS DECIMAL(18,6)) AS sum_charge,
         |  count(*) AS n_rows,
-        |  round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price
+        |  CAST(floor(10000.0 * CAST(sum(qty) AS DOUBLE) / count(*)) AS BIGINT) AS avg_qty_bp,
+        |  CAST(floor(10000.0 * CAST(sum(price) AS DOUBLE) / count(*)) AS BIGINT) AS avg_price_bp
         |FROM l2 GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_distinct" ->

@@ -147,9 +147,11 @@ object Scalars {
     * compare against the identical double. */
   def q_subq_scalar(spark: SparkSession, dir: String): DataFrame = {
     Tables.views(spark, dir)
+    // threshold floor-quantized to basis points: round(double, 4) is not
+    // engine-portable on repr-half boundaries
     spark.sql(
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) FROM customer)
+        |WHERE c_acctbal * 10000 > (SELECT floor(10000.0 * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)) FROM customer)
         |ORDER BY c_custkey""".stripMargin)
   }
 
@@ -258,7 +260,7 @@ object Scalars {
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_subq_scalar" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) FROM customer)
+        |WHERE c_acctbal * 10000 > (SELECT floor(10000.0 * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)) FROM customer)
         |ORDER BY c_custkey""".stripMargin,
     "q_subq_corr" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o

@@ -27,7 +27,7 @@ object StreamingTwins {
         outDec4(sum(dec4(col("value")))).as("sum_value"))
       .select(
         to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("sum_value"),
-        round(col("sum_value").cast("double") / col("n"), 4).as("avg_value"))
+        floor(lit(10000.0) * col("sum_value").cast("double") / col("n")).as("avg_value_bp"))
       .orderBy(col("day"), col("event_type"))
   }
 
@@ -44,9 +44,10 @@ object StreamingTwins {
   }
 
   /** Session windows, 30-min gap, per user. Emitted as epoch-µs; session
-    * end = last event + gap (Spark semantics; the oracle's gaps-and-islands
-    * formulation reproduces it exactly — boundary rule verified by
-    * SessionBoundarySpec). */
+    * end = last event + gap. Boundary rule verified by SessionBoundarySpec:
+    * Spark MERGES an event arriving at exactly prev_ts + gap, so the
+    * oracle's gaps-and-islands formulation opens a new session only on
+    * gap STRICTLY greater than 30 min. */
   def q_stream_session(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -84,7 +85,7 @@ object StreamingTwins {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+        |  CAST(floor(10000.0 * CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS BIGINT) AS avg_value_bp
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_stream_slide" ->
       """SELECT ws_s, count(*) AS n FROM (
@@ -95,7 +96,7 @@ object StreamingTwins {
       """WITH flagged AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= 1800000000 THEN 1 ELSE 0 END AS new_s,
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_s,
         |    event_id
         |  FROM events),
         |sess AS (

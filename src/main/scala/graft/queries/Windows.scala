@@ -63,8 +63,8 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("ts"), dec4(col("value")).as("v"))
       .withColumn("mv_sum", outDec4(sum(col("v")).over(w)))
       .withColumn("mv_n", count(lit(1)).over(w))
-      .withColumn("mv_avg", round(col("mv_sum").cast("double") / col("mv_n"), 4))
-      .select(col("user_id"), col("event_id"), col("mv_sum"), col("mv_n"), col("mv_avg"))
+      .withColumn("mv_avg_bp", floor(lit(10000.0) * col("mv_sum").cast("double") / col("mv_n")))
+      .select(col("user_id"), col("event_id"), col("mv_sum"), col("mv_n"), col("mv_avg_bp"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
@@ -100,7 +100,7 @@ object Windows {
         |ORDER BY user_id, event_id""".stripMargin,
     "q_win_frame" ->
       """SELECT user_id, event_id, mv_sum, mv_n,
-        |  round(CAST(mv_sum AS DOUBLE) / mv_n, 4) AS mv_avg
+        |  CAST(floor(10000.0 * CAST(mv_sum AS DOUBLE) / mv_n) AS BIGINT) AS mv_avg_bp
         |FROM (
         |  SELECT user_id, event_id,
         |    CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS mv_sum,

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — SURVEY.md §2.8's design-only operators.
+  *
+  * The reference is a Storm stream processor: periodic counter samples →
+  * per-key Δ/Δt → windowed aggregation → report sink (SURVEY §1.1). Here
+  * that pipeline is Structured Streaming: file source → watermarked
+  * event-time windows / sessions / dedup → stateful counter→rate →
+  * foreachBatch sink. Each op's *batch twin* in
+  * [[graft.queries.StreamingTwins]] / q_win_lag carries the DuckDB oracle;
+  * StreamEquivalenceSpec pins stream == batch on the same input.
+  *
+  * Scale notes: state is keyed by user (hash-partitioned by the engine);
+  * watermarks bound state size; at 100 TB/day the same topology runs with
+  * a Kafka source and RocksDB state store — nothing here assumes a single
+  * partition.
+  */
+object StreamOps {
+
+  /** events replayed as an unbounded stream. The parquet is TIMESTAMP(NANOS)
+    * so the declared schema reads ts as long (nanosAsLong) and converts —
+    * same normalization as the batch loader. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // glob, not bare dir and not bare file: the sf dir holds every table's
+    // parquet (null-padded rows if globbed whole), and FileStreamSource
+    // rejects a plain file as basePath
+    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-day window with a 10-minute watermark (late samples beyond
+    * the watermark are dropped — Storm had no equivalent; reorder buffers
+    * were hand-rolled bolt state). */
+  def tumbleStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"))
+
+  /** Session windows (30-min gap) per user under watermark. */
+  def sessionStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n"))
+
+  /** Streaming duplicate suppression within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class Sample(user_id: Long, event_id: Long, ts_us: Long, value: Double)
+  final case class RateState(lastTsUs: Long, lastValue: Double)
+  final case class Rate(user_id: Long, event_id: Long, delta: Double, dt_us: Long)
+
+  /** Stateful counter→rate: keeps the previous sample per key and emits
+    * (Δvalue, Δt) for each new one — the reference's reason to exist
+    * (SURVEY §2.5 q_win_lag is the batch twin). Samples are sorted within
+    * each micro-batch so replays are deterministic; across batches the
+    * previous sample survives in GroupState. */
+  def counterToRate(events: DataFrame): Dataset[Rate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Sample], state: GroupState[RateState]) =>
+          val sorted = it.toSeq.sortBy(s => (s.ts_us, s.event_id))
+          val out = Seq.newBuilder[Rate]
+          var prev = state.getOption
+          for (s <- sorted) {
+            prev.foreach { p =>
+              out += Rate(user, s.event_id, s.value - p.lastValue, s.ts_us - p.lastTsUs)
+            }
+            prev = Some(RateState(s.ts_us, s.value))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Report sink: per-batch parquet append — the streaming analogue of the
+    * reference's report-writer bolt. exactly-once via batchId-named dirs
+    * would be the production shape; append suffices for the demo sink. */
+  def writeReport(df: DataFrame, outDir: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch_$batchId")
+      }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** THE determinism property (SURVEY §2.10 / §5.2): a query's collected
+  * result must be identical under different shuffle partitionings — if it
+  * isn't, the driver's hash compare is a coin flip. Covers one query per
+  * operator family plus every float-sensitive query. */
+class DeterminismSpec extends AnyFunSuite with SparkFixture {
+
+  private val sensitive = Seq(
+    "q_agg_hash", "q_join_inner", "q_join_full", "q_join_asof",
+    "q_win_lag", "q_win_frame", "q_win_running",
+    "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_dedup",
+    "q_knn_cosine", "q_sim_jaccard", "q_embed_neardup", "q_ann_ivf",
+    "q_text_fingerprint", "q_text_quality", "q_dedup_minhash", "q_dedup_simhash",
+    "q_subq_scalar", "q_topk_group", "q_agg_rollup", "q_pivot")
+
+  for (name <- sensitive) {
+    test(s"$name is invariant under shuffle partitioning") {
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = fn(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a.nonEmpty, s"$name returned an empty result (masks bugs)")
+      assert(a == b, s"$name differs across partitionings")
+    }
+  }
+
+  test("every declared oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch↔streaming equivalence (SURVEY §5.2(4)): the streaming operators
+  * replayed over the same events file must equal their oracle-checked batch
+  * twins — this covers the streaming surface the DuckDB gate can't see. */
+class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
+
+  private var n = 0
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    n += 1
+    val name = s"memsink_$n"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def sorted(df: DataFrame) =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("stateful counter->rate == batch q_win_lag") {
+    val streamed = runToMemory(
+      StreamOps.counterToRate(StreamOps.eventsStream(spark, sf)).toDF(), "append")
+      .select("user_id", "event_id", "delta", "dt_us")
+    val batch = SparkEntry.queries("q_win_lag")(spark, sf)
+      .filter(col("delta").isNotNull)
+      .select("user_id", "event_id", "delta", "dt_us")
+    assert(sorted(streamed) == sorted(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming tumbling window == batch tumble counts") {
+    val streamed = runToMemory(
+      StreamOps.eventsStream(spark, sf)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(to_date(col("w.start")).as("day"), col("event_type"), col("n")),
+      "complete")
+    val batch = SparkEntry.queries("q_stream_tumble")(spark, sf)
+      .select("day", "event_type", "n")
+    assert(sorted(streamed) == sorted(batch))
+  }
+
+  test("streaming session windows == batch q_stream_session") {
+    val streamed = runToMemory(StreamOps.sessionStream(StreamOps.eventsStream(spark, sf)), "complete")
+    val batch = SparkEntry.queries("q_stream_session")(spark, sf)
+    assert(sorted(streamed.select("user_id", "start_us", "end_us", "n")) ==
+      sorted(batch.select("user_id", "start_us", "end_us", "n")))
+  }
+
+  test("streaming dedup keeps exactly one row per key") {
+    val streamed = runToMemory(StreamOps.dedupStream(StreamOps.eventsStream(spark, sf)), "append")
+    val keys = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
+    assert(streamed.count() == keys)
+  }
+
+  test("watermarked tumble stream starts and processes (production shape)") {
+    val streamed = runToMemory(StreamOps.tumbleStream(StreamOps.eventsStream(spark, sf)), "update")
+    assert(streamed.columns.toSeq == Seq("day", "event_type", "n"))
+    assert(streamed.count() > 0)
+  }
+}
