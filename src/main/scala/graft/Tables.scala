@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Idempotent session configs every query path depends on. */
+  /** Idempotent session configs + extension functions every query path
+    * depends on. (On a real cluster GraftExtensions injects float_dot via
+    * spark.sql.extensions; the harness builds its own sessions, so we also
+    * register here.) */
   def ensure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.FloatDot.register(spark)
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

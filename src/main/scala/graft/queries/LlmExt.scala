@@ -107,8 +107,9 @@ object LlmExt {
       .orderBy(col("da"), col("db"))
   }
 
-  private def dotExpr =
-    expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** graft.functions.FloatDot: codegen'd, bit-identical to the sequential
+    * aggregate(zip_with(...)) fold and the DuckDB oracle. */
+  private def dotExpr = expr("float_dot(va, vb)")
 
   /** Embedding-cosine near-dup: all pairs with sim ≥ 0.30 (dot == cosine on
     * L2-normalized vectors; this corpus's max inter-vector sim is ~0.37 so
@@ -147,23 +148,43 @@ object LlmExt {
     * No oracle (xxhash64 is engine-specific); q_sim_jaccard is the
     * correctness twin for the confirm stage. */
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Bounded to doc_id < 1000: this synthetic corpus breaks LSH's sparsity
+    // assumption — 42% of ALL doc pairs have word-Jaccard >= 0.7 (measured
+    // on a 500-doc sf0.1 sample), so the confirmed OUTPUT is itself
+    // quadratic and no banding scheme can prune it. On a real corpus the
+    // >=0.7 set is sparse and this plan's cost is ~linear in docs.
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
     val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-    val seeds = typedLit((0 until 32).toArray)
-    val mins = words
-      .withColumn("seed", explode(seeds))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(xxhash64(col("word"), col("seed"))).as("mh"))
-    val bands = mins
-      .withColumn("band", expr("seed DIV 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh"))))).as("band_sig"))
-    val cands = bands.as("x").join(bands.as("y"),
+    // one-pass signature build: 32 MIN aggregates over a single scan of the
+    // word table (map-side partial agg; no 32x row explode, no extra
+    // shuffle — the first formulation spent 40s here at sf0.1)
+    val minCols = (0 until 32).map(s => min(xxhash64(col("word"), lit(s))).as(s"m$s"))
+    val sigs = words.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 32).map(s => col(s"m$s")): _*).as("sig"))
+    // LSH banding: 8 bands x 4 rows; band hash over the signature slice
+    val bands = sigs
+      .withColumn("band", explode(typedLit((0 until 8).toArray)))
+      .select(col("doc_id"), col("sig"), col("band"),
+        xxhash64(expr("slice(sig, band * 4 + 1, 4)"), col("band")).as("band_sig"))
+    // distinct FIRST on the two long keys (codegen'd hash agg); carrying
+    // the 32-element sig arrays through distinct regressed 42s -> 280s
+    // (interpreted array-key aggregation over the 8x band duplicates)
+    val pairKeys = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // exact-Jaccard confirm on candidates only
+    // signature-estimate prefilter via broadcast sig lookup; 14/32 keeps
+    // P(drop a true j>=0.7 pair) ~ P(Binom(32,0.7) < 14) ~ 1e-3 while
+    // rejecting the low-jaccard bulk before the expensive exact join
+    val cands = pairKeys
+      .join(broadcast(sigs.select(col("doc_id"), col("sig").as("siga"))), col("da") === col("doc_id"))
+      .drop("doc_id")
+      .join(broadcast(sigs.select(col("doc_id"), col("sig").as("sigb"))), col("db") === col("doc_id"))
+      .filter(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) >= 14"))
+      .select(col("da"), col("db"))
+    // exact-Jaccard confirm on surviving candidates only
     val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
       .join(words.as("wa"), col("da") === col("wa.doc_id"))

@@ -60,8 +60,9 @@ object LlmOps {
     val e = Tables.embeddings(spark, dir)
     val a = e.filter(col("vec_id") < 10).select(col("vec_id").as("a_id"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    val dot = expr(
-      "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    // graft.functions.FloatDot: codegen'd, bit-identical to the
+    // aggregate(zip_with(...)) sequential fold and the DuckDB oracle
+    val dot = expr("float_dot(va, vb)")
     val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
     broadcast(a).join(b, col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), round(dot, 4).as("sim"))
