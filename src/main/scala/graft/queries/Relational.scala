@@ -320,6 +320,36 @@ object Relational {
     c.except(u).orderBy(col("id"))
   }
 
+  /** UNION ALL (bag semantics) + re-aggregate — the merge-two-metric-
+    * streams shape without the dedup of q_set_union. */
+  def q_set_unionall(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.unionAll(s).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Ordered string aggregation (report formatting): deterministic via
+    * sort_array before the join — collect_list order is not defined. */
+  def q_agg_strjoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Fixed-width histogram over the metric value (floor-bucketed — exact
+    * IEEE both engines; a gauge-distribution report). */
+  def q_agg_histogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 20).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   // ----------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -347,6 +377,9 @@ object Relational {
     "q_set_union" -> q_set_union _,
     "q_set_intersect" -> q_set_intersect _,
     "q_set_except" -> q_set_except _,
+    "q_set_unionall" -> q_set_unionall _,
+    "q_agg_strjoin" -> q_agg_strjoin _,
+    "q_agg_histogram" -> q_agg_histogram _,
   )
 
   /** DuckDB-dialect oracles. NULLS FIRST is spelled out wherever a sort key
@@ -494,5 +527,17 @@ object Relational {
     "q_set_except" ->
       """SELECT c_custkey AS id FROM customer
         |EXCEPT SELECT user_id FROM events ORDER BY id""".stripMargin,
+    "q_set_unionall" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_agg_strjoin" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor("value" / 20) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }
