@@ -49,6 +49,15 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"))
 
+  /** Sliding 1-hour/15-min windows (each event in 4 epoch-aligned
+    * windows), watermarked. */
+  def slideStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("w.start")).as("ws_s"), col("n"))
+
   /** Session windows (30-min gap) per user under watermark. */
   def sessionStream(events: DataFrame): DataFrame =
     events

@@ -54,6 +54,17 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
       sorted(batch.select("user_id", "start_us", "end_us", "n")))
   }
 
+  test("streaming sliding windows == batch q_stream_slide") {
+    val streamed = runToMemory(
+      StreamOps.eventsStream(spark, sf)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_seconds(col("w.start")).as("ws_s"), col("n")),
+      "complete")
+    val batch = SparkEntry.queries("q_stream_slide")(spark, sf)
+    assert(sorted(streamed) == sorted(batch.select("ws_s", "n")))
+  }
+
   test("streaming dedup keeps exactly one row per key") {
     val streamed = runToMemory(StreamOps.dedupStream(StreamOps.eventsStream(spark, sf)), "append")
     val keys = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
