@@ -17,6 +17,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# Output-type convention the driver's pandas comparator imposes (round-1
+# lesson: 11 queries red on it while this gate was green): DECIMAL columns
+# hash-mismatch (DuckDB result → float64, Spark parquet → Decimal objects)
+# and LIST/STRUCT/MAP/BLOB columns crash pandas sorting ("unhashable type").
+# Reject them HERE so the gap between this gate and the driver's cannot
+# recur. Serialize arrays to strings and cast final decimals to DOUBLE.
+def unsafe_types(rel):
+    bad = []
+    for c, t in zip(rel.columns, rel.types):
+        s = str(t).upper()
+        if s.startswith("DECIMAL") or s.endswith("[]") or \
+           s.startswith(("STRUCT", "MAP", "UNION")) or s == "BLOB":
+            bad.append(f"{c}:{s}")
+    return bad
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -50,6 +66,12 @@ def main():
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        bad_types = [f"oracle {b}" for b in unsafe_types(want)] + \
+                    [f"spark {b}" for b in unsafe_types(got)]
+        if bad_types:
+            print(f"FAIL {name}: driver-unsafe output types: {', '.join(bad_types)}")
             n_fail += 1
             continue
         if sorted(want_cols) != sorted(got_cols):

@@ -14,12 +14,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Semantically identical to the built-in higher-order chain
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, (s,v) -> s+v)`
-  * — a strict left-to-right double fold, so results stay bit-identical to
-  * the DuckDB oracle's `list_sum(list_transform(list_zip(...)))` — but
-  * compiles into the whole-stage-codegen pipeline instead of interpreting
-  * two lambda closures per row. On the all-pairs similarity queries
-  * (2000² pairs × 64 dims at bench scale) this removes the dominant cost:
-  * measured 26.8s → ~3s for q_embed_neardup at sf0.1.
+  * for ALL inputs: a strict left-to-right double fold on equal-length
+  * arrays of non-null floats, and NULL whenever the lengths differ
+  * (zip_with null-pads the shorter side, nulling the whole sum) or any
+  * element is NULL (null propagates through the product and fold). Results
+  * therefore stay bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(...)))` — but compile into the
+  * whole-stage-codegen pipeline instead of interpreting two lambda
+  * closures per row. On the all-pairs similarity queries (2000² pairs ×
+  * 64 dims at bench scale) this removes the dominant cost: measured
+  * 26.8s → ~3s for q_embed_neardup at sf0.1.
   */
 case class FloatDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -27,22 +31,27 @@ case class FloatDot(left: Expression, right: Expression)
   // (ExpectsInputTypes is unavailable outside org.apache.spark.sql —
   // AbstractDataType is private[sql] — so types are checked directly)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(FloatType) && right.dataType == ArrayType(FloatType) ||
-        left.dataType == ArrayType(FloatType, containsNull = false) &&
-          right.dataType == ArrayType(FloatType, containsNull = false))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"float_dot expects two array<float> arguments, got ${left.dataType} / ${right.dataType}")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"float_dot expects two array<float> arguments, got ${left.dataType} / ${right.dataType}")
+    }
   override def dataType: DataType = DoubleType
+  // NULL is produced for length mismatch / null elements even when the
+  // array columns themselves are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -55,12 +64,17 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

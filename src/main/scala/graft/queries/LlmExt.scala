@@ -234,13 +234,15 @@ object LlmExt {
     * media blob; octet length, header byte, fixed-stride byte sampling —
     * the schema/partitioning shape of a decode stage (the real decoder is
     * stubbed in [[graft.operators.Multimodal]]; codec libs aren't in this
-    * container). */
+    * container). The byte sample is emitted as a csv string — the driver's
+    * comparator cannot hash list-typed output columns (round-1 err). */
   def q_mm_bytes(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("octet_length(CAST(text AS BINARY))").as("n_bytes"),
         ascii(col("text")).as("first_byte"),
-        expr("transform(sequence(1, 8), i -> ascii(substring(text, i, 1)))").as("byte_sample"))
+        expr("array_join(transform(sequence(1, 8), i -> CAST(ascii(substring(text, i, 1)) AS STRING)), ',')")
+          .as("byte_sample"))
       .orderBy(col("doc_id"))
   }
 
@@ -337,7 +339,7 @@ object LlmExt {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(ascii(text) AS INT) AS first_byte,
-        |  list_transform(range(1, 9), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS INT)) AS byte_sample
+        |  array_to_string(list_transform(range(1, 9), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS VARCHAR)), ',') AS byte_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -53,9 +53,10 @@ object LlmOps {
 
   /** Brute-force cosine top-k for query vectors vec_id < 10 (dot == cosine
     * on L2-normalized inputs). The 10-row query side broadcasts; ranking is
-    * on the rounded similarity with vec_id tiebreak so both engines rank
-    * identical keys. Scale path: [[q_ann_ivf]] (bucketed) replaces the full
-    * scan. */
+    * on the basis-point-quantized similarity (floor(10000·dot) — exact IEEE
+    * on both engines, unlike round(double, 4)) with vec_id tiebreak so both
+    * engines rank identical keys. Scale path: [[q_ann_ivf]] (bucketed)
+    * replaces the full scan. */
   def q_knn_cosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val a = e.filter(col("vec_id") < 10).select(col("vec_id").as("a_id"), col("embedding").as("va"))
@@ -63,9 +64,9 @@ object LlmOps {
     // graft.functions.FloatDot: codegen'd, bit-identical to the
     // aggregate(zip_with(...)) sequential fold and the DuckDB oracle
     val dot = expr("float_dot(va, vb)")
-    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
     broadcast(a).join(b, col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), round(dot, 4).as("sim"))
+      .select(col("a_id"), col("b_id"), floor(lit(10000.0) * dot).as("sim_bp"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("a_id"), col("rn"))
@@ -95,12 +96,12 @@ object LlmOps {
     "q_knn_cosine" ->
       """WITH d AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), 4) AS sim
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
-        |SELECT a_id, b_id, sim, rn FROM (
-        |  SELECT a_id, b_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rn
+        |SELECT a_id, b_id, sim_bp, rn FROM (
+        |  SELECT a_id, b_id, sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
   )

@@ -1,26 +1,32 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Shared determinism helpers (SURVEY.md §2.10).
   *
   * The driver hash-compares parquet output against DuckDB, so every emitted
-  * value must be bit-identical across engines:
+  * value must be bit-identical across engines AND representation-compatible
+  * with the driver's pandas comparator:
   *  - never SUM/AVG raw doubles — cast to decimal first (exact,
-  *    order-independent addition), and cast the aggregate back to an
-  *    explicit decimal type so the Spark result schema (dec(28,2) after
-  *    sum) matches DuckDB's (dec(38,2)).
-  *  - ratios: exact decimal sum → one double division of identical inputs
-  *    → round(…,4). IEEE division and away-from-zero rounding of
-  *    non-negative doubles agree across engines.
+  *    order-independent addition). `dec2/dec4/dec6` pin intermediate
+  *    precision so products/sums stay exact on both engines.
+  *  - NEVER emit a DECIMAL (or array/binary) column in the FINAL output:
+  *    DuckDB materializes result decimals as float64 while Spark-written
+  *    parquet decimals surface as Python Decimal objects — equal values,
+  *    unequal dtype/hash (all 11 round-1 driver reds). Wrap every final
+  *    decimal in [[outDbl]]: decimal→double of the same exact value is
+  *    round-to-nearest on both engines, hence bit-identical.
+  *  - ratios/avgs: floor(10000.0 * x) basis-point quantization, never
+  *    round(double, n) (engines round different representations).
   */
 object Q {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  /** Final-output cast for a decimal SUM: pins precision so both engines
-    * emit the same parquet decimal type. */
-  def outDec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  def outDec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  def outDec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  /** Final-output cast: exact decimal → DOUBLE (driver-comparator-safe).
+    * Apply to every emitted decimal column; mirror `CAST(… AS DOUBLE)` in
+    * the oracle. Keep the decimal math *inside* — only the output
+    * representation changes. */
+  def outDbl(c: Column): Column = c.cast(DoubleType)
 }

@@ -24,7 +24,7 @@ object Relational {
     l.select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"),
-        outDec4(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        outDbl(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
           .as("disc_price"))
       // (l_orderkey, l_linenumber) is NOT unique in this data (verified:
       // ~20% dup keys) — order by every emitted column for a total order;
@@ -61,7 +61,7 @@ object Relational {
           .when(col("o_totalprice") < 150000, "mid")
           .otherwise("big").as("size_bucket"),
         coalesce(expr("NULLIF(o_orderstatus, 'P')"), lit("PEND")).as("status_adj"),
-        outDec2(dec2(col("o_totalprice")) * lit(2) - lit(100)).as("price_adj"))
+        outDbl(dec2(col("o_totalprice")) * lit(2) - lit(100)).as("price_adj"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -78,7 +78,7 @@ object Relational {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        outDec2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        outDbl(sum(dec2(col("o_totalprice")))).as("sum_price"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -184,18 +184,18 @@ object Relational {
     * decimal sums per §2.10, avg via the sum/count recipe. */
   def q_agg_hash(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
-    val discPrice = outDec4(dec2(col("l_extendedprice")) *
+    val discPrice = dec4(dec2(col("l_extendedprice")) *
       (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .withColumn("disc_price", discPrice)
       .withColumn("charge",
-        outDec6(col("disc_price") * (lit(1).cast("decimal(18,2)") + dec2(col("l_tax")))))
+        dec6(col("disc_price") * (lit(1).cast("decimal(18,2)") + dec2(col("l_tax")))))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        outDec2(sum(dec2(col("l_quantity")))).as("sum_qty"),
-        outDec2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
-        outDec4(sum(col("disc_price"))).as("sum_disc_price"),
-        outDec6(sum(col("charge"))).as("sum_charge"),
+        outDbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        outDbl(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        outDbl(sum(col("disc_price"))).as("sum_disc_price"),
+        outDbl(sum(col("charge"))).as("sum_charge"),
         count(lit(1)).as("n_rows"),
         // averages as floor-quantized basis points: round(sum/count, 4)
         // diverges across engines when count is a power of two and the
@@ -226,7 +226,7 @@ object Relational {
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"),
         count(lit(1)).as("n_cust"),
-        outDec2(sum(dec2(col("c_acctbal")))).as("sum_bal"))
+        outDbl(sum(dec2(col("c_acctbal")))).as("sum_bal"))
       .orderBy(col("n_name"))
   }
 
@@ -389,7 +389,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS disc_price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |LIMIT 500""".stripMargin,
@@ -403,18 +403,18 @@ object Relational {
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice < 50000 THEN 'small' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'big' END AS size_bucket,
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PEND') AS status_adj,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 - 100 AS DECIMAL(18,2)) AS price_adj
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 - 100 AS DOUBLE) AS price_adj
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_join_inner" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
@@ -471,10 +471,10 @@ object Relational {
         |    CAST(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax) AS DECIMAL(18,6)) AS charge
         |  FROM l)
         |SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(qty) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(price) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(disc_price) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(sum(charge) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(price) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(charge) AS DOUBLE) AS sum_charge,
         |  count(*) AS n_rows,
         |  CAST(floor(10000.0 * CAST(sum(qty) AS DOUBLE) / count(*)) AS BIGINT) AS avg_qty_bp,
         |  CAST(floor(10000.0 * CAST(sum(price) AS DOUBLE) / count(*)) AS BIGINT) AS avg_price_bp
@@ -486,7 +486,7 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_stats" ->
       """SELECT n_name, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-        |  count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+        |  count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_agg_rollup" ->

@@ -57,16 +57,20 @@ object Scalars {
         abs(col("l_quantity") - 25.0).as("q_abs"),
         ceil(col("l_extendedprice")).as("p_ceil"),
         floor(col("l_extendedprice")).as("p_floor"),
-        round(col("l_tax") * 100, 0).as("t_round"),
+        // exact cents via decimal, not round(double, 0): engines round
+        // different representations of the same double (§2.10)
+        (dec2(col("l_tax")) * 100).cast("long").as("t_round"),
         (col("l_orderkey") % 7).as("m7"),
         signum(col("l_discount") - 0.05).cast("int").as("sgn"),
         greatest(col("l_quantity"), col("l_discount") * 100, lit(10.0)).as("gl"),
         least(col("l_quantity"), col("l_extendedprice") / 1000).as("ll"),
         sqrt(col("l_quantity")).as("sq"))
-      // (l_orderkey, l_linenumber) is not unique — total-order on all
-      // emitted columns (ll is price-derived, sq quantity-derived).
+      // (l_orderkey, l_linenumber) is not unique — total-order needs every
+      // independent source column represented: sq (quantity), p_floor +
+      // p_ceil (extendedprice; floor alone leaves integer-boundary ties),
+      // gl/sgn (discount), t_round (tax). Remaining ties are identical rows.
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("sq"), col("ll"),
-        col("t_round"), col("sgn"))
+        col("p_floor"), col("p_ceil"), col("gl"), col("t_round"), col("sgn"))
   }
 
   /** CASE buckets + NULLIF division guard + COALESCE + null flags. */
@@ -110,11 +114,12 @@ object Scalars {
   }
 
   /** collect_list wrapped in sort_array (collect order is nondeterministic
-    * — §2.10(6)). */
+    * — §2.10(6)), then serialized to a csv string: the driver's comparator
+    * cannot hash list-typed output columns (round-1 q_arr_agg err). */
   def q_arr_agg(spark: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(spark, dir)
       .groupBy(col("label"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"),
+      .agg(array_join(sort_array(collect_list(col("vec_id"))).cast("array<string>"), ",").as("ids"),
         count(lit(1)).as("n"))
       .orderBy(col("label"))
   }
@@ -216,13 +221,13 @@ object Scalars {
         |  abs(l_quantity - 25.0) AS q_abs,
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS p_ceil,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS p_floor,
-        |  round(l_tax * 100, 0) AS t_round,
+        |  CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_round,
         |  l_orderkey % 7 AS m7,
         |  CAST(sign(l_discount - 0.05) AS INT) AS sgn,
         |  greatest(l_quantity, l_discount * 100, 10.0) AS gl,
         |  least(l_quantity, l_extendedprice / 1000) AS ll,
         |  sqrt(l_quantity) AS sq
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ll, t_round, sgn""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, ll, p_floor, p_ceil, gl, t_round, sgn""".stripMargin,
     "q_case_null" ->
       """SELECT event_id,
         |  CASE WHEN "value" < 50 THEN 'low' WHEN "value" < 200 THEN 'mid' ELSE 'high' END AS bucket,
@@ -243,7 +248,7 @@ object Scalars {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
     "q_arr_agg" ->
-      """SELECT label, list_sort(list(vec_id)) AS ids, count(*) AS n
+      """SELECT label, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS ids, count(*) AS n
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q_map_json" ->
       """SELECT event_type,

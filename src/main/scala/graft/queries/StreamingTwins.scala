@@ -24,10 +24,10 @@ object StreamingTwins {
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        outDec4(sum(dec4(col("value")))).as("sum_value"))
+        outDbl(sum(dec4(col("value")))).as("sum_value"))
       .select(
         to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("sum_value"),
-        floor(lit(10000.0) * col("sum_value").cast("double") / col("n")).as("avg_value_bp"))
+        floor(lit(10000.0) * col("sum_value") / col("n")).as("avg_value_bp"))
       .orderBy(col("day"), col("event_type"))
   }
 
@@ -84,7 +84,7 @@ object StreamingTwins {
     "q_stream_tumble" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  CAST(floor(10000.0 * CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS BIGINT) AS avg_value_bp
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_stream_slide" ->

@@ -35,7 +35,7 @@ object Windows {
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
         dec2(col("o_totalprice")).as("price_dec"))
-      .withColumn("running_total", outDec2(sum(col("price_dec")).over(w)))
+      .withColumn("running_total", outDbl(sum(col("price_dec")).over(w)))
       .select(col("o_custkey"), col("o_orderkey"), col("o_date"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_date"), col("o_orderkey"))
   }
@@ -61,9 +61,9 @@ object Windows {
       .rowsBetween(-2, 0)
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), dec4(col("value")).as("v"))
-      .withColumn("mv_sum", outDec4(sum(col("v")).over(w)))
+      .withColumn("mv_sum", outDbl(sum(col("v")).over(w)))
       .withColumn("mv_n", count(lit(1)).over(w))
-      .withColumn("mv_avg_bp", floor(lit(10000.0) * col("mv_sum").cast("double") / col("mv_n")))
+      .withColumn("mv_avg_bp", floor(lit(10000.0) * col("mv_sum") / col("mv_n")))
       .select(col("user_id"), col("event_id"), col("mv_sum"), col("mv_n"), col("mv_avg_bp"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -87,7 +87,7 @@ object Windows {
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey, o_date,
         |  CAST(sum(price_dec) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         |        CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders)
         |ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
@@ -100,10 +100,10 @@ object Windows {
         |ORDER BY user_id, event_id""".stripMargin,
     "q_win_frame" ->
       """SELECT user_id, event_id, mv_sum, mv_n,
-        |  CAST(floor(10000.0 * CAST(mv_sum AS DOUBLE) / mv_n) AS BIGINT) AS mv_avg_bp
+        |  CAST(floor(10000.0 * mv_sum / mv_n) AS BIGINT) AS mv_avg_bp
         |FROM (
         |  SELECT user_id, event_id,
-        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS mv_sum,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mv_sum,
         |    count(*) OVER w AS mv_n
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))

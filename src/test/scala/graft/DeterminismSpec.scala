@@ -10,7 +10,7 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
 
   private val sensitive = Seq(
     "q_agg_hash", "q_join_inner", "q_join_full", "q_join_asof",
-    "q_win_lag", "q_win_frame", "q_win_running",
+    "q_win_lag", "q_win_frame", "q_win_running", "q_math_funcs",
     "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_dedup",
     "q_knn_cosine", "q_sim_jaccard", "q_embed_neardup", "q_ann_ivf",
     "q_text_fingerprint", "q_text_quality", "q_dedup_minhash", "q_dedup_simhash",

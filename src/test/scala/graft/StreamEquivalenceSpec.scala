@@ -17,7 +17,7 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     val name = s"memsink_$n"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), s"stream $name did not finish within 120s")
     spark.table(name)
   }
 
