@@ -36,6 +36,9 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.FloatDot.register(spark)
+    graft.functions.SortedIntersectSize.register(spark)
+    graft.functions.SortedJaccardBp.register(spark)
+    graft.functions.CharNgramHashes.register(spark)
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -97,8 +97,15 @@ object FloatDot {
 }
 
 /** Production entry point: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * injects the function at session build time on any cluster. */
+  * injects the engine's functions at session build time on any cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder _))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      SortedIntersectSize.info, SortedIntersectSize.builder _))
+    ext.injectFunction((FunctionIdentifier("sorted_jaccard_bp"),
+      SortedJaccardBp.info, SortedJaccardBp.builder _))
+    ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
+      CharNgramHashes.info, CharNgramHashes.builder _))
+  }
 }

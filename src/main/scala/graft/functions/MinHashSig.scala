@@ -3,31 +3,33 @@ package graft.functions
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import net.jpountz.xxhash.XXHashFactory
 
 /** MinHash signature as a reusable typed Aggregator (SURVEY §4 custom-work
   * item 2): folds a stream of tokens into a k-permutation min-signature in
   * a single mutable buffer — one pass, map-side combinable via merge(), no
   * row explosion.
   *
-  * The per-seed hash is xxhash64 over the token's UTF-8 bytes (the same
-  * public algorithm Spark's built-in `xxhash64` uses via lz4-java, though
-  * over raw bytes rather than Spark's typed encoding, so signatures from
-  * this aggregator are self-consistent but intentionally not byte-equal to
-  * the expression form used in q_dedup_minhash).
+  * The per-(token, seed) hash is [[XxHash64Chain.hashStringInt]], which is
+  * byte-equal to the SQL expression `xxhash64(token, lit(seed))` (pinned by
+  * HashCompatSpec on the real corpus): the token's UTF-8 xxhash64 under
+  * Spark's seed 42 seeds one standard xxHash64 int round over the seed
+  * value. Signatures from this aggregator are therefore drop-in identical
+  * to the 32-MIN-aggregate expression formulation q_dedup_minhash first
+  * shipped with — same bands, same candidates, same confirmed pairs — while
+  * hashing each token's bytes ONCE for all k permutations instead of k
+  * times.
   *
-  * Usage: `df.groupBy($"doc_id").agg(MinHashSig.minhash32($"word"))`.
+  * Usage: `words.groupBy($"doc_id").agg(MinHashSig.minhash32($"word"))`.
   */
 class MinHashSig(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
-  @transient private lazy val hasher = XXHashFactory.fastestInstance().hash64()
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], token: String): Array[Long] = {
-    val bytes = token.getBytes("UTF-8")
+    val base = XxHash64Chain.hashString(token)
     var s = 0
     while (s < k) {
-      val h = hasher.hash(bytes, 0, bytes.length, s)
+      val h = XxHash64Chain.hashInt(s, base)
       if (h < buf(s)) buf(s) = h
       s += 1
     }

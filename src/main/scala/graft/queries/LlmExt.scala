@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{MinHashSig, SimHashSig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -83,27 +84,18 @@ object LlmExt {
       .orderBy(col("doc_id"))
   }
 
-  /** Character-3-gram Jaccard near-dup (doc_id < 200 keeps the gram
-    * self-join bounded: 3.4M candidate rows measured at sf0.01; the scale
-    * path is MinHash over grams, same shape as q_dedup_minhash). Safe only
-    * because min(n_chars)=48 — Spark's sequence(1, n) would count *down*
-    * for n<1 where DuckDB's range() returns empty. */
+  /** Character-3-gram Jaccard near-dup (exact, ≥ 5000 bp) over the FULL
+    * corpus via [[graft.operators.SetSimilarity]] — the round-1 gram
+    * self-join needed a doc_id < 200 bound (3.4M candidate rows at sf0.01
+    * on 1/25th of the docs); the set-collapse + size-ratio-pruned pair
+    * join covers everything. Gram-hash extraction is one custom-expression
+    * pass per document ([[graft.functions.CharNgramHashes]] — the
+    * interpreted higher-order-function chain it replaces measured 780µs
+    * per doc and dominated the whole query). */
   def q_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 200)
-      .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")).as("g"))
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        floor(lit(10000.0) * col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jacc_bp"))
-      .filter(col("jacc_bp") >= 5000)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("char_ngram_hashes(text, 3)").as("ws"))
+    graft.operators.SetSimilarity.exactJaccardPairs(sets, minBp = 5000L)
       .orderBy(col("da"), col("db"))
   }
 
@@ -111,15 +103,19 @@ object LlmExt {
     * aggregate(zip_with(...)) fold and the DuckDB oracle. */
   private def dotExpr = expr("float_dot(va, vb)")
 
-  /** Embedding-cosine near-dup: all pairs with sim ≥ 0.30 (dot == cosine on
-    * L2-normalized vectors; this corpus's max inter-vector sim is ~0.37 so
-    * a production 0.95 threshold would be vacuous here). Quadratic by
-    * construction — the scale path buckets first (q_ann_ivf / LSH). */
+  /** Embedding-cosine near-dup within coarse-quantizer cells: pairs of
+    * SAME-LABEL vectors with sim ≥ 0.30 (dot == cosine on L2-normalized
+    * vectors; this corpus's max inter-vector sim is ~0.37 so a production
+    * 0.95 threshold would be vacuous here). Round 1 ran this as an
+    * UNBOUNDED all-pairs non-equi join — the one remaining quadratic op;
+    * bucketing by cell label (the q_ann_ivf IVF shape: near-dups live in
+    * the same cell by the quantizer's construction) makes the join equi on
+    * label, so it shuffles by cell instead of replicating the corpus. */
   def q_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("da"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("db"), col("embedding").as("vb"))
-    a.join(b, col("da") < col("db"))
+    val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
+    a.join(b, col("la") === col("lb") && col("da") < col("db"))
       .select(col("da"), col("db"), floor(lit(10000.0) * dotExpr).as("sim_bp"))
       .filter(col("sim_bp") >= 3000)
       .orderBy(col("da"), col("db"))
@@ -155,13 +151,12 @@ object LlmExt {
     // >=0.7 set is sparse and this plan's cost is ~linear in docs.
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
     val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-    // one-pass signature build: 32 MIN aggregates over a single scan of the
-    // word table (map-side partial agg; no 32x row explode, no extra
-    // shuffle — the first formulation spent 40s here at sf0.1)
-    val minCols = (0 until 32).map(s => min(xxhash64(col("word"), lit(s))).as(s"m$s"))
+    // one-pass signature build via the typed MinHashSig Aggregator
+    // (map-side combinable, hashes each token's bytes ONCE for all 32
+    // permutations; byte-equal to the 32-MIN xxhash64(word, lit(s))
+    // expression form — HashCompatSpec — so outputs are unchanged)
     val sigs = words.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until 32).map(s => col(s"m$s")): _*).as("sig"))
+      .agg(MinHashSig.minhash32(col("word")).as("sig"))
     // LSH banding: 8 bands x 4 rows; band hash over the signature slice
     val bands = sigs
       .withColumn("band", explode(typedLit((0 until 8).toArray)))
@@ -175,13 +170,17 @@ object LlmExt {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // signature-estimate prefilter via broadcast sig lookup; 14/32 keeps
-    // P(drop a true j>=0.7 pair) ~ P(Binom(32,0.7) < 14) ~ 1e-3 while
-    // rejecting the low-jaccard bulk before the expensive exact join
+    // signature-estimate prefilter: 14/32 keeps P(drop a true j>=0.7 pair)
+    // ~ P(Binom(32,0.7) < 14) ~ 1e-3 while rejecting the low-jaccard bulk
+    // before the expensive exact join. The sig attach is a plain equi join
+    // on doc_id: sigs is O(corpus), so an explicit broadcast hint would cap
+    // the operator at executor memory (~1e8 docs x 256 B). Locally AQE may
+    // still elect a broadcast from the observed size — the right call at
+    // either scale, made from data instead of a hard-coded hint.
     val cands = pairKeys
-      .join(broadcast(sigs.select(col("doc_id"), col("sig").as("siga"))), col("da") === col("doc_id"))
+      .join(sigs.select(col("doc_id"), col("sig").as("siga")), col("da") === col("doc_id"))
       .drop("doc_id")
-      .join(broadcast(sigs.select(col("doc_id"), col("sig").as("sigb"))), col("db") === col("doc_id"))
+      .join(sigs.select(col("doc_id"), col("sig").as("sigb")), col("db") === col("doc_id"))
       .filter(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) >= 14"))
       .select(col("da"), col("db"))
     // exact-Jaccard confirm on surviving candidates only
@@ -202,19 +201,18 @@ object LlmExt {
   /** SimHash dedup: 64-bit signature from signed bit votes of per-word
     * hashes; candidate pairs via 16-bit chunk equality (pigeonhole:
     * hamming ≤ 3 ⇒ some chunk of 4 equal — recall-complete for the ≤3
-    * filter), confirmed by bit_count(xor). No oracle (xxhash64). */
+    * filter), confirmed by bit_count(xor). No oracle (xxhash64).
+    *
+    * Signatures come from the typed SimHashSig Aggregator: one pass, 64
+    * counters in one buffer, map-side combinable — replacing the first
+    * formulation's 64× per-word row explode (a 64× shuffle-input blowup at
+    * scale) while emitting bit-identical signatures (HashCompatSpec). */
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
     val sig = words
-      .withColumn("j", explode(typedLit((0 until 64).toArray)))
-      .withColumn("vote", when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("s"))
-      .withColumn("bit", when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
       .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("simhash"))
+      .agg(SimHashSig.simhash64(col("word")).as("simhash"))
     val chunks = sig.withColumn("c", explode(typedLit((0 until 4).toArray)))
       .withColumn("chunk", expr("(simhash >> (16 * c)) & 65535"))
     val pairs = chunks.as("x").join(chunks.as("y"),
@@ -307,7 +305,7 @@ object LlmExt {
       """WITH g AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))) AS g
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -319,7 +317,7 @@ object LlmExt {
       """SELECT a.vec_id AS da, b.vec_id AS db,
         |  CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
         |WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |       t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 3000
         |ORDER BY da, db""".stripMargin,

@@ -28,26 +28,22 @@ object LlmOps {
       .orderBy(col("source"))
   }
 
-  /** Word-set Jaccard near-dup pairs (j ≥ 0.8 on the rounded value).
-    * Bounded to doc_id < 1000: the word–word self-join is quadratic in
-    * docs-per-word (measured 448M candidate pairs unbounded at sf0.1 vs
-    * 18M bounded) — the unbounded scale path is MinHash-LSH
-    * ([[q_dedup_minhash]]), for which this query is the correctness twin. */
+  /** Word-set Jaccard near-dup pairs (exact, jacc ≥ 8000 bp) over the FULL
+    * corpus — the contract's ≤5k-doc brute-force domain (SURVEY §2.9) with
+    * no doc_id bound. The round-1 inverted-index formulation self-joined
+    * word lists on the word, which is quadratic in docs-per-hot-word
+    * (448M candidate pairs at sf0.1) and had to be bounded to 1/5th of the
+    * corpus; [[graft.operators.SetSimilarity]] replaces it with
+    * dictionary-hashed set collapse + size-ratio-pruned distinct-set pairs
+    * + a codegen'd merge-pass intersection, covering all 5k docs faster
+    * than the old bounded join. Unbounded scale path: MinHash-LSH
+    * ([[graft.queries.LlmExt.q_dedup_minhash]]), for which this query is
+    * the correctness twin. */
   def q_sim_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 1000)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = words.as("a").join(words.as("b"),
-        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    val j = round(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")), 4)
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), j.as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
+    graft.operators.SetSimilarity.exactJaccardPairs(sets, minBp = 8000L)
       .orderBy(col("da"), col("db"))
   }
 
@@ -84,14 +80,14 @@ object LlmOps {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_sim_jaccard" ->
       """WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-        |           FROM documents WHERE doc_id < 1000),
+        |           FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
-        |SELECT da, db, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |SELECT da, db, CAST(floor(10000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jacc_bp
         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.8
+        |WHERE floor(10000.0 * i / (sa.n + sb.n - i)) >= 8000
         |ORDER BY da, db""".stripMargin,
     "q_knn_cosine" ->
       """WITH d AS (

@@ -56,6 +56,41 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(df.agg(count(lit(1))).head.getLong(0) == 0L)
   }
 
+  test("sorted_intersect_size / sorted_jaccard_bp: merge pass vs built-ins") {
+    Tables.ensure(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),   // overlap 2, union 4 -> 5000 bp
+      (Seq(1L, 2L), Seq(3L, 4L)),           // disjoint -> 0
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),   // identical -> 10000
+      (Seq.empty[Long], Seq(1L)),           // one empty -> 0
+      (Seq.empty[Long], Seq.empty[Long]))   // both empty -> 10000 by convention
+      .toDF("a", "b")
+    val got = df.selectExpr("sorted_intersect_size(a, b)", "sorted_jaccard_bp(a, b)")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((2, 5000L), (0, 0L), (3, 10000L), (0, 0L), (0, 10000L)))
+    // cross-check against the built-in formulation on the same rows
+    val builtin = df.filter(size($"a") + size($"b") > 0).selectExpr(
+      "size(array_intersect(a, b)) AS i",
+      "CAST(floor(10000.0 * size(array_intersect(a, b)) / (size(a) + size(b) - size(array_intersect(a, b)))) AS BIGINT) AS bp")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.take(4).map(t => (t._1, t._2)) == builtin)
+  }
+
+  test("char_ngram_hashes == higher-order-function chain on corpus docs") {
+    Tables.ensure(spark)
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = docs.select($"doc_id", expr("char_ngram_hashes(text, 3)").as("ws"))
+    val viaChain = docs.select($"doc_id", expr(
+      "array_sort(transform(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))), g -> xxhash64(g)))").as("ws"))
+    val a = viaExpr.as[(Long, Seq[Long])].collect().toMap
+    val b = viaChain.as[(Long, Seq[Long])].collect().toMap
+    assert(a.nonEmpty && a == b)
+    // short-string edge: len < n yields empty (not Spark's descending sequence)
+    val short = Seq("ab").toDF("text").selectExpr("char_ngram_hashes(text, 3)")
+      .as[Seq[Long]].head
+    assert(short.isEmpty)
+  }
+
   test("rolling-hash fingerprint fold matches a reference implementation") {
     val df = Seq("scan merge table").toDF("text")
     val got = df.select(expr(
