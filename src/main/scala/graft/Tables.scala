@@ -68,6 +68,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** Date-partitioned materialization of events (`.../day=2024-01-07/...`)
+    * — the layout a 100 TB events table actually ships with, which is what
+    * lets a day filter prune partitions at PLANNING time and a join
+    * against a filtered dim prune them at RUNTIME (DPP). The driver's
+    * testdata is a single file (read-only), so the partitioned copy is
+    * written once per (JVM, sf) under java.io.tmpdir; everything
+    * downstream would point at the partitioned root directly in
+    * production. PartitionPruningSpec asserts both pruning modes on it. */
+  def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_events_byday_${Integer.toHexString(dir.hashCode)}")
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(out.getAbsolutePath)
+    }
+    ensure(spark)
+    spark.read.parquet(out.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   /** Register every table as a temp view (for spark.sql-expressed queries —
     * scalar/correlated subqueries exercise Catalyst's subquery machinery
     * best through the SQL frontend). */

@@ -34,6 +34,23 @@ object Relational {
       .limit(500)
   }
 
+  /** Day-range metric rollup over the DATE-PARTITIONED events layout
+    * ([[Tables.eventsByDay]]): the filter on the partition column reaches
+    * the scan as a PartitionFilter, so only 5 of ~31 day directories are
+    * read — the planning-time pruning a 100 TB events table lives or dies
+    * by (PartitionPruningSpec asserts it in the plan, plus runtime DPP on
+    * a dim join). The oracle reads the same rows from the unpartitioned
+    * file — identical values prove layout-independence. */
+  def q_part_prune(spark: SparkSession, dir: String): DataFrame = {
+    Tables.eventsByDay(spark, dir)
+      .filter(col("day") >= lit("2024-01-10").cast("date") &&
+        col("day") <= lit("2024-01-14").cast("date"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        outDbl(sum(dec4(col("value")))).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   // ---- §2.2 filter / project --------------------------------------------
 
   /** Compound predicate: range + IN-list + comparison + LIKE prefix; all
@@ -354,6 +371,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> q_scan_project _,
+    "q_part_prune" -> q_part_prune _,
     "q_filter_pred" -> q_filter_pred _,
     "q_project_case" -> q_project_case _,
     "q_join_inner" -> q_join_inner _,
@@ -393,6 +411,12 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |LIMIT 500""".stripMargin,
+    "q_part_prune" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
         |FROM lineitem
