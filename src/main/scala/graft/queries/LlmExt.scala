@@ -228,6 +228,40 @@ object LlmExt {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Deterministic train/val/test assignment by content-stable hash
+    * bucketing — the split primitive of a training-data pipeline: md5 of
+    * the document key → 16-bit bucket → 80/10/10 ranges. Hash-based (not
+    * random) so the split is reproducible across runs, engines and
+    * backfills, and any doc's assignment is computable without a lookup
+    * table. Pure map-side + one tiny aggregation — trivially 100 TB-safe. */
+  def q_sample_split(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < 52429, "train")   // 0.80 * 65536
+          .when(col("bucket") < 58982, "val")  // 0.90 * 65536
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+
+  /** Text normalization battery: strip non-letters, vowel-case translate,
+    * head-N-token truncation — the per-row cleanup stage before tokenizing
+    * (no shuffle; regexp_replace is global-by-default in Spark, 'g' flag
+    * spelled out in the DuckDB twin). */
+  def q_text_norm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^a-z ]", "").as("letters"),
+        translate(col("text"), "aeiou", "AEIOU").as("tr"),
+        expr("array_join(slice(split(text, ' '), 1, 5), ' ')").as("head5"),
+        length(col("text")).as("len_raw"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal byte-column plumbing: text-as-bytes stands in for an opaque
     * media blob; octet length, header byte, fixed-stride byte sampling —
     * the schema/partitioning shape of a decode stage (the real decoder is
@@ -254,6 +288,8 @@ object LlmExt {
     "q_ann_ivf" -> q_ann_ivf _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
+    "q_sample_split" -> q_sample_split _,
+    "q_text_norm" -> q_text_norm _,
     "q_mm_bytes" -> q_mm_bytes _,
   )
 
@@ -333,6 +369,23 @@ object LlmExt {
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_sample_split" ->
+      """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT n_chars, doc_id,
+        |    CASE WHEN b < 52429 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, n_chars,
+        |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS b
+        |        FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_text_norm" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[^a-z ]', '', 'g') AS letters,
+        |  translate(text, 'aeiou', 'AEIOU') AS tr,
+        |  array_to_string((string_split(text, ' '))[1:5], ' ') AS head5,
+        |  CAST(length(text) AS INT) AS len_raw
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_bytes" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -282,6 +282,28 @@ object Relational {
       .orderBy(col("g_l"), col("g_s"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  /** Exact discrete quantiles (median / p90 of the metric value per type)
+    * via the rank-window formulation — identical on both engines because
+    * the quantile is an actual data value picked at rank
+    * floor((n-1)·q)+1, no interpolation. The per-group sort is the cost; at
+    * 100 TB the approximate sibling ([[q_agg_approx]]'s sketch family /
+    * approx_percentile) replaces it where exactness isn't contractual. */
+  def q_agg_quantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === floor((col("cnt") - 1) * 0.5) + 1, col("value"))).as("median"),
+        max(when(col("rn") === floor((col("cnt") - 1) * 0.9) + 1, col("value"))).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** HLL++ approximate distinct — declared WITHOUT oracle (sketch values
     * are engine-specific; SURVEY §2.4). Driver records a rows-only check. */
   def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
@@ -389,6 +411,7 @@ object Relational {
     "q_agg_rollup" -> q_agg_rollup _,
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_gsets" -> q_agg_gsets _,
+    "q_agg_quantile" -> q_agg_quantile _,
     "q_agg_approx" -> q_agg_approx _,
     "q_sort_multi" -> q_sort_multi _,
     "q_topk_group" -> q_topk_group _,
@@ -532,6 +555,17 @@ object Relational {
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY g_l, g_s, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q_agg_quantile" ->
+      """WITH r AS (
+        |  SELECT event_type, "value",
+        |    row_number() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1 THEN "value" END) AS median,
+        |  max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) + 1 THEN "value" END) AS p90,
+        |  count(*) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q_agg_approx intentionally has no oracle (engine-specific sketch).
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
