@@ -1,10 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev tool: time `.count()` of named queries at a scale-factor dir —
+  * `runMain graft.CountQ /root/testdata/sf0.1 q_dedup_minhash ...`.
+  * Complements Bench (full suite) when iterating on one operator. */
 object CountQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
