@@ -228,6 +228,33 @@ object LlmExt {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Dedup clustering: near-dup pairs (the exact ≥ 0.8-Jaccard graph of
+    * [[graft.queries.LlmOps.q_sim_jaccard]]) → connected components →
+    * every doc labeled with its cluster's canonical (smallest) doc_id —
+    * the step that turns pairwise similarity into the keep/drop decision
+    * of a dedup pipeline ([[graft.operators.ConnectedComponents]],
+    * iterative min-label propagation). Oracle: DuckDB recursive-CTE
+    * reachability over the same brute-force pair set.
+    *
+    * Bounded to doc_id < 1000 for the same reason as q_dedup_minhash: on
+    * this synthetic corpus 24% of ALL doc pairs are ≥ 0.8-similar, so the
+    * edge set itself is O(docs²) and no component algorithm beats its
+    * input size (measured: 5.9M symmetric edges at sf0.1 unbounded). On a
+    * real corpus near-dup edges are ~O(docs) and the same plan runs
+    * unbounded; the bound covers 100% of the t2 correctness domain
+    * (500 docs at sf0.01). */
+  def q_dedup_cluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+    val sets = docs.select(col("doc_id"),
+      expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
+    val pairs = graft.operators.SetSimilarity.exactJaccardPairs(sets, minBp = 8000L)
+      .select(col("da"), col("db"))
+    graft.operators.ConnectedComponents
+      .minLabel(docs.select(col("doc_id")), "doc_id", pairs, "da", "db")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test assignment by content-stable hash
     * bucketing — the split primitive of a training-data pipeline: md5 of
     * the document key → 16-bit bucket → 80/10/10 ranges. Hash-based (not
@@ -288,6 +315,7 @@ object LlmExt {
     "q_ann_ivf" -> q_ann_ivf _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
+    "q_dedup_cluster" -> q_dedup_cluster _,
     "q_sample_split" -> q_sample_split _,
     "q_text_norm" -> q_text_norm _,
     "q_mm_bytes" -> q_mm_bytes _,
@@ -369,6 +397,23 @@ object LlmExt {
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |  WHERE floor(10000.0 * i / (sa.n + sb.n - i)) >= 8000),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE rr(a, b) AS (
+        |    SELECT doc_id, doc_id FROM d
+        |    UNION
+        |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a)
+        |  SELECT * FROM rr)
+        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_sample_split" ->
       """SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
