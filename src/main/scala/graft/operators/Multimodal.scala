@@ -19,6 +19,8 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Int,
     header: Array[Byte], features: Array[Float])
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  final case class ResizedFeatures(doc_id: Long, features: Array[Float])
 
   /** The decode seam. Real implementation intentionally absent (???);
     * [[fakeDecode]] is the deterministic stand-in used by the pipeline. */
@@ -49,6 +51,49 @@ object Multimodal {
     documents
       .select(col("doc_id"), col("text").cast("binary").as("media"), lit("utf8").as("format"))
       .as[MediaRow]
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size window of the blob — the
+    * video-frame-extraction shape. One input row fans out to ⌈n/stride⌉
+    * frame rows but stays a NARROW transform (flatMap, no shuffle): frame
+    * parallelism comes from the upstream partitioning of the media table,
+    * which is how a 100 TB video corpus keeps decode embarrassingly
+    * parallel. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(frameSize > 0 && stride > 0)
+    media.flatMap { r =>
+      val n = r.media.length
+      (0 until n by stride).iterator.map { off =>
+        MediaFrame(r.doc_id, off / stride,
+          java.util.Arrays.copyOfRange(r.media, off, math.min(off + frameSize, n)))
+      }
+    }
+  }
+
+  /** Resize: deterministic average-pool of a feature vector down to k
+    * dims — the image-thumbnail / embedding-downsample stand-in (pure
+    * float math over equal inputs ⇒ stable across partitionings). */
+  def resizeFeatures(feats: Dataset[MediaFeatures], k: Int): Dataset[ResizedFeatures] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    require(k > 0)
+    feats.map { f =>
+      val n = f.features.length
+      val out = new Array[Float](k)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * k / math.max(n, 1)).toInt.min(k - 1)
+        out(b) += f.features(i)
+        counts(b) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      ResizedFeatures(f.doc_id, out)
+    }
   }
 
   /** Decode/feature-extract as a partition-preserving narrow transform: no

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts (SURVEY §4): the properties that decide whether
+  * a plan survives a 100× scale-up are asserted here, not just eyeballed —
+  * predicate pushdown reaching the parquet scan, column pruning in
+  * ReadSchema, broadcast joins on dims, TakeOrderedAndProject for
+  * sort+limit, and two-phase (partial/final) aggregation inside
+  * whole-stage codegen. */
+class PlanQualitySpec extends AnyFunSuite with SparkFixture {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so assertions see the real plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pred: predicates and pruning reach the parquet scan") {
+    val plan = executedPlan("q_filter_pred")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_ship"), "range not pushed")
+    // column pruning: the scan reads only the 6 referenced columns
+    assert(!plan.contains("l_suppkey"), "scan reads unreferenced columns")
+  }
+
+  test("q_join_broadcast: all three dim joins are broadcast hash joins") {
+    val plan = executedPlan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, s"expected 3 BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("q_sort_multi: sort+limit fuses into TakeOrderedAndProject") {
+    val plan = executedPlan("q_sort_multi")
+    assert(plan.contains("TakeOrderedAndProject(limit=100"), s"no TOAP:\n$plan")
+  }
+
+  test("q_agg_hash: two-phase hash aggregation inside whole-stage codegen") {
+    val plan = executedPlan("q_agg_hash")
+    assert(plan.contains("partial_sum"), "no map-side partial aggregation")
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined,
+      s"aggregate outside whole-stage codegen:\n$plan")
+  }
+
+  test("q_part_prune: day range appears as PartitionFilters, not a row filter") {
+    val plan = executedPlan("q_part_prune")
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), s"no partition filter:\n$plan")
+    assert(plan.contains("(day"), "day bounds missing from partition filters")
+  }
+
+  test("q_knn_cosine / q_ann_ivf: the query side broadcasts, never the corpus") {
+    for (name <- Seq("q_knn_cosine", "q_ann_ivf")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+        s"$name: no broadcast of the 10-row query side:\n$plan")
+    }
+  }
+}
