@@ -15,7 +15,8 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "q_knn_cosine", "q_sim_jaccard", "q_embed_neardup", "q_ann_ivf",
     "q_text_fingerprint", "q_text_quality", "q_dedup_minhash", "q_dedup_simhash",
     "q_subq_scalar", "q_topk_group", "q_agg_rollup", "q_pivot",
-    "q_ngram_jaccard", "q_agg_quantile", "q_sample_split", "q_part_prune")
+    "q_ngram_jaccard", "q_agg_quantile", "q_sample_split", "q_part_prune",
+    "q_dedup_cluster", "q_text_norm")
 
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {

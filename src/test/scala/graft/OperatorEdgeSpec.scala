@@ -76,6 +76,23 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(got.take(4).map(t => (t._1, t._2)) == builtin)
   }
 
+  test("float_dot: NULL on length mismatch / null elements, == builtin fold") {
+    Tables.ensure(spark)
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))))
+      .toDF("a", "b")
+      .selectExpr("cast(a as array<float>) AS a", "cast(b as array<float>) AS b")
+    val viaExpr = df.selectExpr("float_dot(a, b)").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    val viaChain = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (s, v) -> s + v)")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(viaExpr == Seq(Some(11.0), None, None))
+    assert(viaExpr == viaChain) // the documented equivalence, incl. null cases
+  }
+
   test("char_ngram_hashes == higher-order-function chain on corpus docs") {
     Tables.ensure(spark)
     val docs = Tables.documents(spark, sf)

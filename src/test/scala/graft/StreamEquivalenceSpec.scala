@@ -85,6 +85,21 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(streamed) == sorted(batch.select("ws_s", "n")))
   }
 
+  test("foreachBatch report sink writes per-batch parquet == batch result") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val q = StreamOps.writeReport(
+      StreamOps.eventsStream(spark, sf)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      s"$out/data", s"$out/ckpt")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "sink stream did not finish")
+    val written = spark.read.parquet(s"$out/data/batch_*")
+    val batch = Tables.events(spark, sf).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(sorted(written) == sorted(batch))
+  }
+
   test("streaming dedup keeps exactly one row per key") {
     val streamed = runToMemory(StreamOps.dedupStream(StreamOps.eventsStream(spark, sf)), "append")
     val keys = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
