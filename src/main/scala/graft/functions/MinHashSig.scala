@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** MinHash signature as a reusable typed Aggregator (SURVEY §4 custom-work
-  * item 2): folds a stream of tokens into a k-permutation min-signature in
+  * item 2; Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997): folds a stream of tokens into a k-permutation min-signature in
   * a single mutable buffer — one pass, map-side combinable via merge(), no
   * row explosion.
   *

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** 64-bit SimHash signature as a typed Aggregator: folds each token's
+/** 64-bit SimHash signature as a typed Aggregator (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002): folds each token's
   * xxhash64 into 64 signed bit-vote counters in one mutable buffer — one
   * pass, map-side combinable via merge(), no row explosion.
   *

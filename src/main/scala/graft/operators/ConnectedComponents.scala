@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * cut per iteration with localCheckpoint so plans don't grow with the
   * iteration count (on a cluster, prefer a reliable checkpoint dir). The
   * GraphX/Pregel formulation is the same computation; this one stays in
-  * DataFrames so Catalyst/AQE plan each step.
+  * DataFrames so Catalyst/AQE plan each step. The star-contraction
+  * variants of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" (SoCC 2014) trade fewer rounds for more complex steps — worth
+  * it only when graph diameter is large, which near-dup graphs aren't.
   */
 object ConnectedComponents {
 
