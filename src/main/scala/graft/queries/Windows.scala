@@ -68,7 +68,25 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Distribution window battery: ntile quartiles, percent_rank, cume_dist
+    * (both emitted in exact basis points — they are ratios of BIGINT
+    * counts, so floor-quantization is engine-portable), and
+    * first/last value over a running frame. */
+  def q_win_dist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr_bp", floor(lit(10000.0) * percent_rank().over(w)))
+      .withColumn("cd_bp", floor(lit(10000.0) * cume_dist().over(w)))
+      .withColumn("first_bal", first(col("c_acctbal")).over(wRun))
+      .withColumn("last_bal", last(col("c_acctbal")).over(wRun))
+      .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_dist" -> q_win_dist _,
     "q_win_rank" -> q_win_rank _,
     "q_win_running" -> q_win_running _,
     "q_win_lag" -> q_win_lag _,
@@ -76,6 +94,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_dist" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  CAST(floor(10000.0 * percent_rank() OVER w) AS BIGINT) AS pr_bp,
+        |  CAST(floor(10000.0 * cume_dist() OVER w) AS BIGINT) AS cd_bp,
+        |  first_value(c_acctbal) OVER wr AS first_bal,
+        |  last_value(c_acctbal) OVER wr AS last_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+        |       wr AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
     "q_win_rank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,

@@ -106,6 +106,25 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream self-join: pairs of events of the same user within
+    * (0, 30 min] — the streaming twin of the batch band join
+    * (graft.queries.Relational.q_join_range, which carries the DuckDB
+    * oracle). Both sides are watermarked and the time-range condition
+    * upper-bounds how long a row must be retained in join state, so state
+    * stays bounded regardless of stream length — the property that makes
+    * stream-stream joins viable at all in production. */
+  def rangeJoinStream(events: DataFrame): DataFrame = {
+    val a = events.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = events.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("user_id_b"), col("ts").as("b_ts"))
+    a.join(b, col("user_id") === col("user_id_b") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Spark 4's production state API (successor of flatMapGroupsWithState,
     * SURVEY §4): the same previous-sample-per-key state as
     * [[counterToRate]], held in a named ValueState on the RocksDB state

@@ -85,6 +85,16 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(streamed) == sorted(batch.select("ws_s", "n")))
   }
 
+  test("stream-stream range self-join == batch q_join_range") {
+    val streamed = runToMemory(
+      StreamOps.rangeJoinStream(StreamOps.eventsStream(spark, sf)), "append")
+      .select("a_id", "b_id", "gap_us")
+    val batch = SparkEntry.queries("q_join_range")(spark, sf)
+      .select("a_id", "b_id", "gap_us")
+    assert(sorted(streamed) == sorted(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("foreachBatch report sink writes per-batch parquet == batch result") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     val q = StreamOps.writeReport(
