@@ -60,6 +60,40 @@ object LlmExt {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition / boilerplate scoring (the Gopher-rule family — Rae et
+    * al., "Scaling Language Models: ... Gopher", 2021): duplicate-word
+    * fraction and top-word dominance in exact basis points + a
+    * keep/drop verdict. Pure per-row array math, no shuffle. */
+  def q_text_repetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_uniq"),
+        expr("array_max(transform(array_distinct(split(text, ' ')), w -> size(filter(split(text, ' '), x -> x = w))))")
+          .as("top_word_n"))
+      .withColumn("dup_bp",
+        floor(lit(10000.0) * (col("n_words") - col("n_uniq")) / expr("NULLIF(n_words, 0)")))
+      .withColumn("top_bp",
+        floor(lit(10000.0) * col("top_word_n") / expr("NULLIF(n_words, 0)")))
+      .withColumn("verdict",
+        when(col("dup_bp") > 5000 || col("top_bp") > 2000, "repetitive").otherwise("ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination screen: documents containing any probe phrase
+    * from an eval set, with the matched probes as a csv — the
+    * decontamination step of a training pipeline. Substring containment
+    * per row; at scale the probe set broadcasts (here it is a literal
+    * array). */
+  def q_text_contam(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("array_join(filter(array('slow join', 'fast scan', 'window merge'), p -> contains(text, p)), ',')")
+          .as("hits"))
+      .filter(length(col("hits")) > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace split vs regex tokenizer vs long-token
     * filter — the three tokenization shapes a BPE-ish pipeline needs. */
   def q_text_tokens(spark: SparkSession, dir: String): DataFrame = {
@@ -309,6 +343,8 @@ object LlmExt {
     "q_text_lang_id" -> q_text_lang_id _,
     "q_text_quality" -> q_text_quality _,
     "q_text_tokens" -> q_text_tokens _,
+    "q_text_repetition" -> q_text_repetition _,
+    "q_text_contam" -> q_text_contam _,
     "q_text_fingerprint" -> q_text_fingerprint _,
     "q_ngram_jaccard" -> q_ngram_jaccard _,
     "q_embed_neardup" -> q_embed_neardup _,
@@ -357,6 +393,29 @@ object LlmExt {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_re,
         |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS INT) AS n_long
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """SELECT doc_id, n_words, n_uniq, top_word_n,
+        |  CAST(floor(10000.0 * (n_words - n_uniq) / NULLIF(n_words, 0)) AS BIGINT) AS dup_bp,
+        |  CAST(floor(10000.0 * top_word_n / NULLIF(n_words, 0)) AS BIGINT) AS top_bp,
+        |  CASE WHEN floor(10000.0 * (n_words - n_uniq) / NULLIF(n_words, 0)) > 5000
+        |         OR floor(10000.0 * top_word_n / NULLIF(n_words, 0)) > 2000
+        |       THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+        |    CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |         w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS INT) AS top_word_n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_contam" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(['slow join', 'fast scan', 'window merge'],
+        |    p -> contains(text, p)), ',') AS hits
+        |FROM documents
+        |WHERE len(list_filter(['slow join', 'fast scan', 'window merge'],
+        |    p -> contains(text, p))) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
