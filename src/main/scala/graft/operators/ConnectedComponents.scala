@@ -44,7 +44,11 @@ object ConnectedComponents {
     try {
       var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum(col("component"))).head.getLong(0)
+      // sum() of zero rows is NULL — coalesce so an empty vertex set
+      // converges immediately instead of NPE-ing
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -53,7 +57,7 @@ object ConnectedComponents {
         val next = labels.unionByName(propagated)
           .groupBy(col("id")).agg(min(col("component")).as("component"))
           .localCheckpoint()
-        val s = next.agg(sum(col("component"))).head.getLong(0)
+        val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
         labels = next
