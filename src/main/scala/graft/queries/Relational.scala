@@ -195,6 +195,33 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** CDC merge/upsert: apply a change set (inserts, updates, deletes —
+    * here deterministically derived from the base by key residue) to a
+    * base table in ONE full-outer join + CASE pass — the MERGE INTO shape
+    * every warehouse ingest pipeline runs. At 100 TB both sides shuffle on
+    * the merge key only; with a bucketed/partitioned base the join
+    * co-locates and the rewrite touches only matched partitions. */
+  def q_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+    val changes = base
+      .filter(col("k") % 100 === 0)
+      .select(
+        when(col("k") % 500 === 0, lit("D"))
+          .when(col("k") % 300 === 0, lit("I")).otherwise(lit("U")).as("op"),
+        when(col("k") % 300 === 0 && col("k") % 500 =!= 0, col("k") + 10000000L)
+          .otherwise(col("k")).as("ck"),
+        outDbl(dec2(col("price")) * 2).as("new_price"))
+    base.join(changes, col("k") === col("ck"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("k"), col("ck")).as("key"),
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(outDbl(col("price"))).as("price"),
+        coalesce(col("op"), lit("keep")).as("op"))
+      .orderBy(col("key"))
+  }
+
   // ---- §2.4 aggregations ------------------------------------------------
 
   /** TPC-H Q1 clone: partial+final HashAggregate with map-side combine;
@@ -405,6 +432,7 @@ object Relational {
     "q_join_range" -> q_join_range _,
     "q_join_asof" -> q_join_asof _,
     "q_join_cross" -> q_join_cross _,
+    "q_merge_upsert" -> q_merge_upsert _,
     "q_agg_hash" -> q_agg_hash _,
     "q_agg_distinct" -> q_agg_distinct _,
     "q_agg_stats" -> q_agg_stats _,
@@ -505,6 +533,19 @@ object Relational {
     "q_join_cross" ->
       """SELECT r_name, n_name, r_name || '-' || n_name AS combo
         |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |changes AS (
+        |  SELECT CASE WHEN k % 500 = 0 THEN 'D' WHEN k % 300 = 0 THEN 'I' ELSE 'U' END AS op,
+        |    CASE WHEN k % 300 = 0 AND k % 500 <> 0 THEN k + 10000000 ELSE k END AS ck,
+        |    CAST(CAST(price AS DECIMAL(18,2)) * 2 AS DOUBLE) AS new_price
+        |  FROM base WHERE k % 100 = 0)
+        |SELECT COALESCE(k, ck) AS "key",
+        |  CASE WHEN op IN ('U', 'I') THEN new_price ELSE CAST(price AS DOUBLE) END AS price,
+        |  COALESCE(op, 'keep') AS op
+        |FROM base FULL JOIN changes ON k = ck
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY "key"""".stripMargin,
     "q_agg_hash" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus,
