@@ -1,22 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev tool: time `.count()` of named queries at a scale-factor dir —
+  * `runMain graft.CountQ /root/testdata/sf0.1 q_dedup_minhash ...`.
+  * Set EXPLAIN=1 to dump the executed plan first. Complements Bench
+  * (full suite) when iterating on one operator. */
 object CountQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"==== $n")
-      println(plan.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("Join") ||
-        l.contains("TakeOrdered") || l.contains("ReadSchema") || l.contains("WholeStageCodegen") ||
-        l.contains("HashAggregate")).take(8).mkString("\n"))
+      if (sys.env.contains("EXPLAIN")) println(df.queryExecution.executedPlan.toString.take(6000))
+      val t0 = System.nanoTime()
+      val c = df.count()
+      println(f"COUNT $n = $c (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
     spark.stop()
   }

@@ -39,6 +39,9 @@ object Tables {
     graft.functions.SortedIntersectSize.register(spark)
     graft.functions.SortedJaccardBp.register(spark)
     graft.functions.CharNgramHashes.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.InferJaccardSizeBound))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.InferJaccardSizeBound
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedJaccardBp.info, SortedJaccardBp.builder _))
     ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
       CharNgramHashes.info, CharNgramHashes.builder _))
+    ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeBound)
   }
 }

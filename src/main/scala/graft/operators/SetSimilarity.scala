@@ -71,13 +71,15 @@ object SetSimilarity {
       col("n").as("na"), col("members").as("ma"))
     val right = distinctSets.select(col("sk").as("kb"), col("ws").as("wb"),
       col("n").as("nb"), col("members").as("mb"))
-    // size-ratio bound: jacc >= t ⇒ t·nb ≤ na·10000 and t·na ≤ nb·10000
-    val sizeOk = col("na") * lit(10000L) >= col("nb") * lit(minBp) &&
-      col("nb") * lit(10000L) >= col("na") * lit(minBp)
     // sorted_jaccard_bp fuses merge-pass intersection + quantization so the
     // filter costs ONE pass per pair even once Catalyst pushes it into the
-    // join condition (join conditions get no CSE; the unfused form paid 2×)
-    val qual = left.join(right, col("ka") < col("kb") && sizeOk)
+    // join condition (join conditions get no CSE; the unfused form paid 2×).
+    // The Bayardo size-ratio prune is NOT written here: the
+    // graft.plans.InferJaccardSizeBound optimizer rule derives it from the
+    // jacc_bp threshold and prepends it to the condition, short-circuiting
+    // the merge pass on size-incompatible pairs (PlanQualitySpec asserts
+    // the injected bound).
+    val qual = left.join(right, col("ka") < col("kb"))
       .withColumn("jacc_bp", expr("sorted_jaccard_bp(wa, wb)"))
       .filter(col("jacc_bp") >= minBp)
     // cross-set expansion: every member pair across the two sets

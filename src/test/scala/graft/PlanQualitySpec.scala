@@ -49,6 +49,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("(day"), "day bounds missing from partition filters")
   }
 
+  test("InferJaccardSizeBound: optimizer injects the size-ratio prune from the threshold") {
+    val df = SparkEntry.queries("q_sim_jaccard")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the bound is derived, not hand-written in SetSimilarity anymore
+    assert(optimized.contains("(cast(size("),
+      s"no injected size bound in optimized plan:\n$optimized")
+    assert(optimized.contains("* 10000)") && optimized.contains("* 8000)"),
+      s"bound terms missing:\n$optimized")
+    assert(df.count() > 0)
+  }
+
   test("q_knn_cosine / q_ann_ivf: the query side broadcasts, never the corpus") {
     for (name <- Seq("q_knn_cosine", "q_ann_ivf")) {
       val plan = executedPlan(name)
