@@ -39,9 +39,11 @@ object Tables {
     graft.functions.SortedIntersectSize.register(spark)
     graft.functions.SortedJaccardBp.register(spark)
     graft.functions.CharNgramHashes.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.InferJaccardSizeBound))
+    val rules = Seq(graft.plans.InferJaccardSizeBound, graft.plans.OrderCostlyPredicatesLast)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.InferJaccardSizeBound
+        spark.experimental.extraOptimizations ++ missing
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

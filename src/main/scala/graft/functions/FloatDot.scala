@@ -108,5 +108,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
       CharNgramHashes.info, CharNgramHashes.builder _))
     ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeBound)
+    ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)
   }
 }

@@ -60,6 +60,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("OrderCostlyPredicatesLast: pair-dedup comparison precedes the dot product") {
+    val df = SparkEntry.queries("q_embed_neardup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cond = plan.linesIterator.find(_.contains("float_dot")).getOrElse("")
+    val cheapAt = cond.indexOf("da")
+    val costlyAt = cond.indexOf("float_dot")
+    assert(cheapAt >= 0 && costlyAt > cheapAt,
+      s"da<db does not precede float_dot in: $cond")
+    assert(df.count() > 0)
+  }
+
   test("q_knn_cosine / q_ann_ivf: the query side broadcasts, never the corpus") {
     for (name <- Seq("q_knn_cosine", "q_ann_ivf")) {
       val plan = executedPlan(name)
