@@ -172,6 +172,24 @@ object LlmExt {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Per-cell centroid accumulation — the k-means/IVF TRAINING step that
+    * produces the coarse quantizer [[q_ann_ivf]] probes: per (label, dim),
+    * the exact sum of micro-quantized components and the member count
+    * (the centroid is their ratio; emitting the integer accumulators keeps
+    * every value engine-exact — float sums are order-dependent, integer
+    * sums are not). posexplode → two-phase hash aggregation: map-side
+    * combine makes this one shuffle of |labels|·dims rows regardless of
+    * corpus size. */
+  def q_vec_centroid(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        floor(lit(1000000.0) * col("v").cast("double")).as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   /** MinHash-LSH near-dup at scale (SURVEY §2.9 design op, here as a real
     * runnable pipeline): 32 per-word xxhash64 min-signatures → 8 bands of
     * 4 → band-hash bucket join for candidates → exact Jaccard confirm.
@@ -349,6 +367,7 @@ object LlmExt {
     "q_ngram_jaccard" -> q_ngram_jaccard _,
     "q_embed_neardup" -> q_embed_neardup _,
     "q_ann_ivf" -> q_ann_ivf _,
+    "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
     "q_dedup_cluster" -> q_dedup_cluster _,
@@ -490,6 +509,13 @@ object LlmExt {
         |  array_to_string((string_split(text, ' '))[1:5], ' ') AS head5,
         |  CAST(length(text) AS INT) AS len_raw
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vec_centroid" ->
+      """SELECT label, CAST(ord AS INT) AS dim,
+        |  CAST(sum(CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+        |      FROM embeddings)
+        |GROUP BY label, ord ORDER BY label, dim""".stripMargin,
     "q_mm_bytes" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
