@@ -108,6 +108,21 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(short.isEmpty)
   }
 
+  test("q_agg_approx: HLL estimates land within error bounds of exact counts") {
+    // the one oracle-less relational query gets a quantitative check:
+    // approx_count_distinct's default rsd is 5%, so 3σ ≈ 15%
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.15, s"$k: approx ${approx(k)} vs exact $n (err $err)")
+    }
+  }
+
   test("rolling-hash fingerprint fold matches a reference implementation") {
     val df = Seq("scan merge table").toDF("text")
     val got = df.select(expr(
