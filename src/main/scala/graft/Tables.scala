@@ -78,18 +78,43 @@ object Tables {
     * lets a day filter prune partitions at PLANNING time and a join
     * against a filtered dim prune them at RUNTIME (DPP). The driver's
     * testdata is a single file (read-only), so the partitioned copy is
-    * written once per (JVM, sf) under java.io.tmpdir; everything
-    * downstream would point at the partitioned root directly in
-    * production. PartitionPruningSpec asserts both pruning modes on it. */
+    * written once per source fingerprint under java.io.tmpdir (atomic
+    * rename publish, safe under concurrent JVMs); everything downstream
+    * would point at the partitioned root directly in production.
+    * PartitionPruningSpec asserts both pruning modes on it. */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_events_byday_${Integer.toHexString(dir.hashCode)}")
+    // Cache key = md5(path) + source (size, mtime): path hashing alone
+    // (round-2 form) served a STALE copy if the testdata regenerated in
+    // place, and String.hashCode collisions across sf dirs could silently
+    // serve wrong data. The fingerprint makes both impossible without
+    // reading a byte.
+    val src = new java.io.File(dir, "events.parquet")
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString +
+        s"_${src.length()}_${src.lastModified()}"
+    }
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val out = new java.io.File(tmpRoot, s"graft_events_byday_$key")
     val marker = new java.io.File(out, "_SUCCESS")
     if (!marker.exists()) {
+      // Concurrent JVMs (Bench warm-up vs Verify vs tests) each write a
+      // private dir, then publish with an atomic rename; losers discard.
+      val tmp = new java.io.File(tmpRoot,
+        s".graft_events_byday_${key}_${java.util.UUID.randomUUID()}")
       events(spark, dir)
         .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(out.getAbsolutePath)
+        .write.mode("overwrite").partitionBy("day").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+        if (!marker.exists())
+          throw new IllegalStateException(
+            s"could not publish partitioned events cache at $out and no " +
+              "complete copy exists")
+      }
     }
     ensure(spark)
     spark.read.parquet(out.getAbsolutePath)

@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * one closure call, UTF8String allocation and boxed comparison per
   * element — which measured 780µs per 200-char document at sf0.1, making
   * the SET BUILD (not the pair join) the dominant cost of the n-gram
-  * similarity query. This expression windows the decoded chars once,
-  * hashes each n-gram's UTF-8 bytes ([[XxHash64Chain]], byte-equal to SQL
-  * `xxhash64`), then sorts and dedupes a primitive long[] in place.
+  * similarity query. This expression windows the decoded string once BY
+  * CODE POINT (matching SQL length/substring semantics on non-BMP text —
+  * surrogate pairs are never split), hashes each n-gram's UTF-8 bytes
+  * ([[XxHash64Chain]], byte-equal to SQL `xxhash64`), then sorts and
+  * dedupes a primitive long[] in place.
   *
   * Evaluated once per document row (never inside a pair loop), so
   * interpreted eval is plenty — CodegenFallback keeps the surrounding
@@ -47,12 +49,35 @@ case class CharNgramHashes(left: Expression, right: Expression)
     val s = str.asInstanceOf[UTF8String].toString
     val n = nAny.asInstanceOf[Int]
     val len = s.length
-    if (len < n) return new GenericArrayData(Array.emptyLongArray)
-    val hashes = new Array[Long](len - n + 1)
-    var i = 0
-    while (i + n <= len) {
-      hashes(i) = XxHash64Chain.hashString(s.substring(i, i + n))
-      i += 1
+    // SQL length/substring count CODE POINTS; windowing UTF-16 chars would
+    // diverge on non-BMP text and split surrogate pairs into invalid
+    // n-grams. Window by code point; the char loop is the (dominant)
+    // surrogate-free fast path where the two units coincide.
+    val cpCount = s.codePointCount(0, len)
+    if (cpCount < n) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](cpCount - n + 1)
+    if (cpCount == len) {
+      var i = 0
+      while (i + n <= len) {
+        hashes(i) = XxHash64Chain.hashString(s.substring(i, i + n))
+        i += 1
+      }
+    } else {
+      // char offset of each code point start (+ end sentinel)
+      val starts = new Array[Int](cpCount + 1)
+      var ci = 0
+      var off = 0
+      while (off < len) {
+        starts(ci) = off
+        off += Character.charCount(s.codePointAt(off))
+        ci += 1
+      }
+      starts(cpCount) = len
+      var i = 0
+      while (i + n <= cpCount) {
+        hashes(i) = XxHash64Chain.hashString(s.substring(starts(i), starts(i + n)))
+        i += 1
+      }
     }
     java.util.Arrays.sort(hashes)
     // in-place dedupe of the sorted array

@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Inputs with unsorted arrays produce an undercount (garbage-in); the
   * operator always feeds it `array_sort`ed dictionary hashes. NULL if
-  * either array or any element is NULL.
+  * either array is NULL.
+  *
+  * CONTRACT: array elements must be non-null (dictionary hashes cannot
+  * be). A null element yields NULL only if the merge cursor reaches it
+  * before the shorter array is exhausted — best-effort detection, not a
+  * guarantee.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -18,9 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * twice and join conditions get no common-subexpression elimination
   * (measured 2× on the all-pairs similarity join). The arithmetic is the
   * same double multiply/divide/floor as the SQL form, so results are
-  * bit-identical to the DuckDB oracle's. NULL on NULL input/elements;
-  * 10000 for two empty arrays (both empty ⇒ identical sets, matching the
+  * bit-identical to the DuckDB oracle's. NULL on NULL input; 10000 for
+  * two empty arrays (both empty ⇒ identical sets, matching the
   * within-set-expansion convention).
+  *
+  * CONTRACT: array elements must be non-null (operators always feed
+  * `array_sort`ed xxhash64 values, which cannot be null). A null element
+  * yields NULL only if the merge cursor reaches it before the shorter
+  * array is exhausted — e.g. a=[1], b=[2, null] returns a numeric result
+  * — so null detection is best-effort, not a guarantee.
   */
 case class SortedJaccardBp(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -31,10 +31,24 @@ object ConnectedComponents {
 
   /** Component label (smallest reachable vertex id) for every vertex.
     *
+    * Cost shape: exactly ONE Spark job per iteration — `next` is a LAZY
+    * localCheckpoint whose first (and only) materialization is driven by
+    * the convergence aggregate itself, so the fixpoint check rides the
+    * same job that builds the labels instead of paying a second pass.
+    * Only vertices incident to an edge enter the loop (isolated vertices
+    * can never change label — they rejoin at the end), so iteration cost
+    * tracks the EDGE set, not the vertex set: on a 100 TB corpus where
+    * near-dups are a small fraction, the loop runs over that fraction
+    * while the untouched majority is a single final join away.
+    *
     * @param vertices one row per vertex
     * @param idCol    vertex id column (numeric; min must be meaningful)
     * @param edges    undirected edges, one row per pair
     * @return (id, component) — component = min id of the vertex's component
+    * @throws IllegalStateException if the fixpoint is not reached within
+    *         maxIter — unconverged labels are WRONG labels and must never
+    *         be mistaken for a result (near-dup graphs have diameter 2-3;
+    *         hitting 25 means the input is not the graph this is for)
     */
   def minLabel(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
@@ -42,28 +56,44 @@ object ConnectedComponents {
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist()
     try {
-      var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
-        .localCheckpoint()
-      // sum() of zero rows is NULL — coalesce so an empty vertex set
+      // sum() of zero rows is NULL — coalesce so an empty active set
       // converges immediately instead of NPE-ing
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+      // Round 1 fused with initialization: each active vertex's first label
+      // is min(self, neighbors), computed directly from the edge list — no
+      // separate distinct-vertices pass (the min-agg dedups endpoint
+      // repetition for free, so a distinct would be a wasted shuffle).
+      var labels = sym.select(col("b").as("id"), col("a").as("component"))
+        .unionByName(sym.select(col("a").as("id"), col("a").as("component")))
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(eager = false) // materialized by labelSum below
       var prevSum = labelSum(labels)
       var converged = false
-      var iter = 0
+      var iter = 1
       while (!converged && iter < maxIter) {
-        val propagated = sym.join(labels, col("a") === col("id"))
+        val next = sym.join(labels, col("a") === col("id"))
           .select(col("b").as("id"), col("component"))
-        val next = labels.unionByName(propagated)
+          .unionByName(labels)
           .groupBy(col("id")).agg(min(col("component")).as("component"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
         labels = next
         iter += 1
       }
-      labels
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter iterations — " +
+            "labels are not a fixpoint; raise maxIter only if the graph " +
+            "genuinely has that diameter")
+      // isolated vertices: own id is the component; edge-incident vertices
+      // take the converged label (left join: labels ⊆ vertices)
+      vertices.select(col(idCol).as("id")).as("v")
+        .join(labels.as("l"), col("v.id") === col("l.id"), "left")
+        .select(col("v.id").as("id"),
+          coalesce(col("l.component"), col("v.id")).as("component"))
     } finally sym.unpersist()
   }
 }

@@ -50,10 +50,14 @@ object InferJaccardSizeBound extends Rule[LogicalPlan] {
     // re-added) as INDIVIDUAL conjuncts, because a previously-added
     // And(b1, b2) is already split apart by the time the rule sees the
     // condition again
+    // duplicating a/b into the Size() bounds re-evaluates them — only
+    // sound when both argument expressions are deterministic
     val implied = conjuncts.flatMap {
-      case GreaterThanOrEqual(SortedJaccardBp(a, b), lit) =>
+      case GreaterThanOrEqual(SortedJaccardBp(a, b), lit)
+          if a.deterministic && b.deterministic =>
         bp(lit).toSeq.flatMap(t => bound(a, b, t))
-      case GreaterThan(SortedJaccardBp(a, b), lit) =>
+      case GreaterThan(SortedJaccardBp(a, b), lit)
+          if a.deterministic && b.deterministic =>
         bp(lit).toSeq.flatMap(t => bound(a, b, t))
       case _ => Nil
     }.filterNot(bnd => conjuncts.exists(_.semanticEquals(bnd)))

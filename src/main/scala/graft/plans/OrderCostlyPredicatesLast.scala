@@ -31,6 +31,10 @@ object OrderCostlyPredicatesLast extends Rule[LogicalPlan] {
   }
 
   private def reorder(cond: Expression): Expression = {
+    // reordering changes conjunct evaluation order/count — unsound for
+    // non-deterministic conjuncts (e.g. rand()-based sampling predicates),
+    // matching Catalyst's own predicate-reorder convention
+    if (!cond.deterministic) return cond
     val cs = split(cond)
     val (cheap, costly) = cs.partition(c => !isCostly(c))
     if (cheap.isEmpty || costly.isEmpty) cond

@@ -206,9 +206,13 @@ object LlmExt {
     // one-pass signature build via the typed MinHashSig Aggregator
     // (map-side combinable, hashes each token's bytes ONCE for all 32
     // permutations; byte-equal to the 32-MIN xxhash64(word, lit(s))
-    // expression form — HashCompatSpec — so outputs are unchanged)
+    // expression form — HashCompatSpec — so outputs are unchanged).
+    // persist: sigs feeds the band build AND both candidate sig-attach
+    // joins — without it the explode+agg pipeline re-runs per consumer
+    // (round-2 defect: the corpus was tokenized three times)
     val sigs = words.groupBy(col("doc_id"))
       .agg(MinHashSig.minhash32(col("word")).as("sig"))
+      .persist()
     // LSH banding: 8 bands x 4 rows; band hash over the signature slice
     val bands = sigs
       .withColumn("band", explode(typedLit((0 until 8).toArray)))
@@ -235,17 +239,20 @@ object LlmExt {
       .join(sigs.select(col("doc_id"), col("sig").as("sigb")), col("db") === col("doc_id"))
       .filter(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) >= 14"))
       .select(col("da"), col("db"))
-    // exact-Jaccard confirm on surviving candidates only
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(words.as("wa"), col("da") === col("wa.doc_id"))
-      .join(words.as("wb"), col("db") === col("wb.doc_id") && col("wa.word") === col("wb.word"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        floor(lit(10000.0) * col("i") / (col("sa.n") + col("sb.n") - col("i"))).as("jacc_bp"))
+    // exact-Jaccard confirm on surviving candidates only, via the same
+    // sorted-hash-set merge pass as q_sim_jaccard (sorted_jaccard_bp):
+    // two equi joins + one codegen'd pass per candidate, replacing the
+    // round-2 word-level re-join (explode + 2 joins + groupBy + 2 size
+    // joins, re-tokenizing the corpus). Identical jacc_bp up to 64-bit
+    // hash collisions (P ≈ vocab²/2⁶⁴).
+    val sets = docs.select(col("doc_id"),
+      expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
+    cands
+      .join(sets.select(col("doc_id"), col("ws").as("wsa")), col("da") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("ws").as("wsb")), col("db") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("da"), col("db"), expr("sorted_jaccard_bp(wsa, wsb)").as("jacc_bp"))
       .filter(col("jacc_bp") >= 7000)
       .orderBy(col("da"), col("db"))
   }

@@ -106,6 +106,18 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     val short = Seq("ab").toDF("text").selectExpr("char_ngram_hashes(text, 3)")
       .as[Seq[Long]].head
     assert(short.isEmpty)
+    // non-BMP: SQL length/substring count code points; the expression must
+    // window identically and never split a surrogate pair ("𝕏" and "😀"
+    // are each 2 UTF-16 chars / 1 code point)
+    val nonBmp = Seq("a𝕏b😀c", "😀😀😀😀", "𝕏").toDF("text")
+    val e = nonBmp.selectExpr("char_ngram_hashes(text, 3)").as[Seq[Long]].collect().toSeq
+    val c = nonBmp.selectExpr(
+      "array_sort(transform(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))), g -> xxhash64(g)))")
+      .as[Seq[Long]].collect().toSeq
+    // guard: length(text)-2 < 1 makes sequence() count DOWN in Spark; the
+    // 1-code-point row exercises the expression's empty path directly
+    assert(e.last.isEmpty)
+    assert(e.take(2) == c.take(2))
   }
 
   test("q_agg_approx: HLL estimates land within error bounds of exact counts") {
