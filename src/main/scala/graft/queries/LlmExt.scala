@@ -190,70 +190,22 @@ object LlmExt {
       .orderBy(col("label"), col("dim"))
   }
 
-  /** MinHash-LSH near-dup at scale (SURVEY §2.9 design op, here as a real
-    * runnable pipeline): 32 per-word xxhash64 min-signatures → 8 bands of
-    * 4 → band-hash bucket join for candidates → exact Jaccard confirm.
-    * No oracle (xxhash64 is engine-specific); q_sim_jaccard is the
-    * correctness twin for the confirm stage. */
+  /** MinHash-LSH near-dup at scale (SURVEY §2.9 design op, as a real
+    * runnable pipeline): [[graft.operators.MinHashLsh]] — 32 per-word
+    * xxhash64 min-signatures → 8 bands of 4 → band-hash bucket join →
+    * signature prefilter → exact sorted-hash confirm. No oracle (xxhash64
+    * is engine-specific); q_sim_jaccard is the correctness twin for the
+    * confirm stage, and SparseLshSpec demonstrates the linear-cost claim
+    * on a generated sparse corpus with planted near-dups.
+    *
+    * Bounded to doc_id < 1000: this synthetic corpus breaks LSH's sparsity
+    * assumption — 42% of ALL doc pairs have word-Jaccard >= 0.7 (measured
+    * on a 500-doc sf0.1 sample), so the confirmed OUTPUT is itself
+    * quadratic and no banding scheme can prune it. On a real corpus the
+    * >=0.7 set is sparse and this plan's cost is ~linear in docs. */
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
-    // Bounded to doc_id < 1000: this synthetic corpus breaks LSH's sparsity
-    // assumption — 42% of ALL doc pairs have word-Jaccard >= 0.7 (measured
-    // on a 500-doc sf0.1 sample), so the confirmed OUTPUT is itself
-    // quadratic and no banding scheme can prune it. On a real corpus the
-    // >=0.7 set is sparse and this plan's cost is ~linear in docs.
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-    val words = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
-    // one-pass signature build via the typed MinHashSig Aggregator
-    // (map-side combinable, hashes each token's bytes ONCE for all 32
-    // permutations; byte-equal to the 32-MIN xxhash64(word, lit(s))
-    // expression form — HashCompatSpec — so outputs are unchanged).
-    // persist: sigs feeds the band build AND both candidate sig-attach
-    // joins — without it the explode+agg pipeline re-runs per consumer
-    // (round-2 defect: the corpus was tokenized three times)
-    val sigs = words.groupBy(col("doc_id"))
-      .agg(MinHashSig.minhash32(col("word")).as("sig"))
-      .persist()
-    // LSH banding: 8 bands x 4 rows; band hash over the signature slice
-    val bands = sigs
-      .withColumn("band", explode(typedLit((0 until 8).toArray)))
-      .select(col("doc_id"), col("sig"), col("band"),
-        xxhash64(expr("slice(sig, band * 4 + 1, 4)"), col("band")).as("band_sig"))
-    // distinct FIRST on the two long keys (codegen'd hash agg); carrying
-    // the 32-element sig arrays through distinct regressed 42s -> 280s
-    // (interpreted array-key aggregation over the 8x band duplicates)
-    val pairKeys = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    // signature-estimate prefilter: 14/32 keeps P(drop a true j>=0.7 pair)
-    // ~ P(Binom(32,0.7) < 14) ~ 1e-3 while rejecting the low-jaccard bulk
-    // before the expensive exact join. The sig attach is a plain equi join
-    // on doc_id: sigs is O(corpus), so an explicit broadcast hint would cap
-    // the operator at executor memory (~1e8 docs x 256 B). Locally AQE may
-    // still elect a broadcast from the observed size — the right call at
-    // either scale, made from data instead of a hard-coded hint.
-    val cands = pairKeys
-      .join(sigs.select(col("doc_id"), col("sig").as("siga")), col("da") === col("doc_id"))
-      .drop("doc_id")
-      .join(sigs.select(col("doc_id"), col("sig").as("sigb")), col("db") === col("doc_id"))
-      .filter(expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) >= 14"))
-      .select(col("da"), col("db"))
-    // exact-Jaccard confirm on surviving candidates only, via the same
-    // sorted-hash-set merge pass as q_sim_jaccard (sorted_jaccard_bp):
-    // two equi joins + one codegen'd pass per candidate, replacing the
-    // round-2 word-level re-join (explode + 2 joins + groupBy + 2 size
-    // joins, re-tokenizing the corpus). Identical jacc_bp up to 64-bit
-    // hash collisions (P ≈ vocab²/2⁶⁴).
-    val sets = docs.select(col("doc_id"),
-      expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
-    cands
-      .join(sets.select(col("doc_id"), col("ws").as("wsa")), col("da") === col("doc_id"))
-      .drop("doc_id")
-      .join(sets.select(col("doc_id"), col("ws").as("wsb")), col("db") === col("doc_id"))
-      .drop("doc_id")
-      .select(col("da"), col("db"), expr("sorted_jaccard_bp(wsa, wsb)").as("jacc_bp"))
-      .filter(col("jacc_bp") >= 7000)
+    graft.operators.MinHashLsh.nearDupPairs(docs, minBp = 7000L)
       .orderBy(col("da"), col("db"))
   }
 

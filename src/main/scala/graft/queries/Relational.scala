@@ -331,6 +331,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch-based quantiles — the 100 TB sibling of [[q_agg_quantile]]:
+    * approx_percentile's KLL/GK-style summary is mergeable, so each
+    * partition builds a bounded-size sketch and the shuffle moves sketches,
+    * not rows — no per-group sort anywhere. Declared WITHOUT oracle (the
+    * sketch's picked values are engine-specific); correctness is pinned by
+    * the exact twin: ApproxQuantileBoundSpec asserts every approximate
+    * quantile's RANK lands within the accuracy guarantee of the exact
+    * rank-window answer. */
+  def q_agg_quantile_approx(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("median"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** HLL++ approximate distinct — declared WITHOUT oracle (sketch values
     * are engine-specific; SURVEY §2.4). Driver records a rows-only check. */
   def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
@@ -440,6 +458,7 @@ object Relational {
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_gsets" -> q_agg_gsets _,
     "q_agg_quantile" -> q_agg_quantile _,
+    "q_agg_quantile_approx" -> q_agg_quantile_approx _,
     "q_agg_approx" -> q_agg_approx _,
     "q_sort_multi" -> q_sort_multi _,
     "q_topk_group" -> q_topk_group _,
@@ -607,7 +626,9 @@ object Relational {
         |  max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) + 1 THEN "value" END) AS p90,
         |  count(*) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q_agg_approx intentionally has no oracle (engine-specific sketch).
+    // q_agg_approx and q_agg_quantile_approx intentionally have no oracle
+    // (engine-specific sketches); each is bound-tested against its exact
+    // twin (OperatorEdgeSpec / ApproxQuantileBoundSpec).
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,

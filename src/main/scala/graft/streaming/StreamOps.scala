@@ -23,6 +23,16 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Raw→normalized events, shared by every SOURCE implementation: ns
+    * epoch longs → µs timestamps (the batch loader's normalization). The
+    * operators below take the normalized DataFrame and never see the
+    * source — file replay here, an in-memory queue in MemorySourceSpec
+    * (the broker-shaped stand-in in a zero-egress container), a Kafka
+    * consumer in production: each deserializes to the raw columns and
+    * calls this. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
   /** events replayed as an unbounded stream. The parquet is TIMESTAMP(NANOS)
     * so the declared schema reads ts as long (nanosAsLong) and converts —
     * same normalization as the batch loader. */
@@ -35,8 +45,7 @@ object StreamOps {
     // glob, not bare dir and not bare file: the sf dir holds every table's
     // parquet (null-padded rows if globbed whole), and FileStreamSource
     // rejects a plain file as basePath
-    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEvents(spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]"))
   }
 
   /** Tumbling 1-day window with a 10-minute watermark (late samples beyond
