@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{ConnectedComponents, MinHashLsh, SetSimilarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded-random differential tests: the distributed operators vs
+  * straightforward driver-side reference implementations on corpora the
+  * hand-written edge cases would never enumerate. Fixed seeds keep every
+  * trial deterministic (a failure always reproduces), while the random
+  * structure — self-loops, duplicate edges, isolated vertices, dense
+  * token overlap — probes shapes no fixture was designed around. */
+class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** Reference union-find; returns vertex -> min id of its component. */
+  private def unionFindMinLabel(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+  }
+
+  test("ConnectedComponents == union-find on random graphs (self-loops, dups, isolates)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(40)
+      val m = rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = unionFindMinLabel(n, edges)
+      val v = (0L until n.toLong).toDF("id")
+      val e = edges.toDF("s", "d")
+      val got = ConnectedComponents.minLabel(v, "id", e, "s", "d")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial=$trial n=$n edges=$edges")
+    }
+  }
+
+  /** floor-quantized basis-point Jaccard of two token sets, as the engine
+    * defines it. */
+  private def jaccBp(a: Set[String], b: Set[String]): Long = {
+    val i = (a & b).size
+    val u = a.size + b.size - i
+    if (u == 0) 10000L else math.floor(10000.0 * i / u).toLong
+  }
+
+  /** Random corpora with a SMALL vocabulary so pair similarities densely
+    * cover the threshold region (near-misses included), plus planted
+    * exact duplicates (the set-collapse path). */
+  private def randomCorpus(rnd: scala.util.Random): Seq[(Long, Seq[String])] = {
+    val nDocs = 30 + rnd.nextInt(30)
+    val base = (0L until nDocs.toLong).map { d =>
+      d -> Seq.fill(4 + rnd.nextInt(10))("t" + rnd.nextInt(12)).distinct
+    }
+    // ~1 in 5 docs is an exact duplicate of an earlier one
+    base.map { case (d, toks) =>
+      if (d > 0 && rnd.nextInt(5) == 0) d -> base(rnd.nextInt(d.toInt))._2
+      else d -> toks
+    }
+  }
+
+  test("SetSimilarity.exactJaccardPairs == brute force on random corpora") {
+    Tables.ensure(spark)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val corpus = randomCorpus(rnd)
+      val expected = (for {
+        (da, ta) <- corpus; (db, tb) <- corpus if da < db
+        bp = jaccBp(ta.toSet, tb.toSet) if bp >= 5000L
+      } yield (da, db) -> bp).toMap
+      val sets = corpus.toDF("doc_id", "toks")
+        .select(col("doc_id"),
+          expr("array_sort(transform(array_distinct(toks), w -> xxhash64(w)))").as("ws"))
+      val got = SetSimilarity.exactJaccardPairs(sets, minBp = 5000L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == expected, s"trial=$trial docs=${corpus.size} " +
+        s"spurious=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missed=${(expected.keySet -- got.keySet).take(3)}")
+    }
+  }
+
+  test("MinHashLsh: exact precision; complete recall on very-high-sim pairs") {
+    Tables.ensure(spark)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val corpus = randomCorpus(rnd)
+      val exact = (for {
+        (da, ta) <- corpus; (db, tb) <- corpus if da < db
+      } yield (da, db) -> jaccBp(ta.toSet, tb.toSet)).toMap
+      val docs = corpus.map { case (d, t) => (d, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = MinHashLsh.nearDupPairs(docs, minBp = 7000L)
+        .as[(Long, Long, Long)].collect()
+      // precision is exact: the confirm stage computes true Jaccard, so
+      // every emitted pair must carry the brute-force value and clear the
+      // threshold
+      for ((da, db, bp) <- got) {
+        assert(exact((da, db)) == bp && bp >= 7000L, s"trial=$trial pair=($da,$db)")
+      }
+      // recall: banding is probabilistic near the threshold (by design —
+      // that IS the S-curve), but pairs at >= 0.9 Jaccard have miss
+      // probability ~1e-4 per pair; with fixed seeds this either always
+      // passes or flags a real recall bug
+      val gotKeys = got.map(p => (p._1, p._2)).toSet
+      val mustFind = exact.collect { case (k, bp) if bp >= 9000L => k }
+      assert(mustFind.forall(gotKeys), s"trial=$trial missed high-sim: " +
+        s"${mustFind.filterNot(gotKeys).take(3)}")
+    }
+  }
+}
