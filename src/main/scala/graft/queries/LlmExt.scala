@@ -316,7 +316,41 @@ object LlmExt {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction — the scrub step of a training-data pipeline: mask
+    * digit runs with a placeholder token and count what was removed, so
+    * downstream audits can reconcile redaction volume. Pure per-row regex
+    * (embarrassingly parallel, no shuffle); patterns stay inside the
+    * RE2 ∩ java.util.regex common subset (no lookaround — DuckDB's RE2
+    * has none) so the oracle is portable. */
+  def q_text_pii(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted"),
+        length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Stratified fixed-k sampling: at most k=50 docs per stratum (lang),
+    * picked by content-stable hash order (md5 of the key) — every stratum
+    * is represented regardless of its size, and any doc's membership is
+    * recomputable without a lookup table (the per-stratum analogue of
+    * [[q_sample_split]]). The rank window shuffles by stratum only; with
+    * heavy strata at 100 TB the same selection runs as a per-partition
+    * top-k (sort within partitions, keep k, re-rank the ≤ k·partitions
+    * survivors) — the TakeOrderedAndProject shape per group. */
+  def q_sample_stratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pii" -> q_text_pii _,
+    "q_sample_stratified" -> q_sample_stratified _,
     "q_text_lang_id" -> q_text_lang_id _,
     "q_text_quality" -> q_text_quality _,
     "q_text_tokens" -> q_text_tokens _,
@@ -337,6 +371,17 @@ object LlmExt {
 
   // q_dedup_minhash / q_dedup_simhash: no oracle (xxhash64 engine-specific).
   val oracle: Map[String, String] = Map(
+    "q_text_pii" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+        |  CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "q_text_lang_id" ->
       """SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
         |  CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'

@@ -331,6 +331,22 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Skew-safe two-phase aggregation via [[graft.operators.Salting]] —
+    * the hot-key remedy as an end-to-end oracle-checked query: salting is
+    * pure execution strategy, so the oracle is the PLAIN GROUP BY (the
+    * salted plan must be semantically invisible). Decimal sums make the
+    * two-phase re-aggregation order-independent and engine-exact (double
+    * addition is not associative; a salted double sum could differ in the
+    * last bits from any single-pass sum). events.value is exactly
+    * 2-decimal in this data, so the DECIMAL(18,2) cast is lossless. */
+  def q_agg_salted(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Salting
+      .saltedAgg(Tables.events(spark, dir), col("event_type"), col("event_id"),
+        salts = 8, sumExpr = col("value").cast("decimal(18,2)"))
+      .select(col("k"), col("n"), col("s").cast("double").as("s"))
+      .orderBy(col("k"))
+  }
+
   /** Sketch-based quantiles — the 100 TB sibling of [[q_agg_quantile]]:
     * approx_percentile's KLL/GK-style summary is mergeable, so each
     * partition builds a bounded-size sketch and the shuffle moves sketches,
@@ -458,6 +474,7 @@ object Relational {
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_gsets" -> q_agg_gsets _,
     "q_agg_quantile" -> q_agg_quantile _,
+    "q_agg_salted" -> q_agg_salted _,
     "q_agg_quantile_approx" -> q_agg_quantile_approx _,
     "q_agg_approx" -> q_agg_approx _,
     "q_sort_multi" -> q_sort_multi _,
@@ -626,6 +643,10 @@ object Relational {
         |  max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) + 1 THEN "value" END) AS p90,
         |  count(*) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT event_type AS k, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events GROUP BY event_type ORDER BY k""".stripMargin,
     // q_agg_approx and q_agg_quantile_approx intentionally have no oracle
     // (engine-specific sketches); each is bound-tested against its exact
     // twin (OperatorEdgeSpec / ApproxQuantileBoundSpec).
