@@ -79,4 +79,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
         s"$name: no broadcast of the 10-row query side:\n$plan")
     }
   }
+
+  test("q_agg_salted: both phases keep map-side partial aggregation") {
+    // four HashAggregates (partial+final per phase): the salted phase
+    // shuffles on (key, salt) and the re-aggregation on key alone — the
+    // hot key never lands whole on one reducer
+    val plan = executedPlan("q_agg_salted")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected 2 two-phase aggregates:\n$plan")
+    assert(plan.contains("partial_sum"), "no map-side combine")
+    assert("_salt".r.findAllIn(plan).nonEmpty, "salt column absent from plan")
+  }
+
+  test("q_agg_quantile_approx: sketches aggregate partially map-side") {
+    // the whole point of the sketch path: partitions ship mergeable
+    // summaries (partial_percentile_approx), never sorted row groups
+    val plan = executedPlan("q_agg_quantile_approx")
+    assert(plan.contains("partial_percentile_approx"),
+      s"no partial sketch aggregation:\n$plan")
+    assert(!plan.contains("Window"), "sketch path must not sort per group")
+  }
+
+  test("q_sample_stratified: scan reads only the three referenced columns") {
+    val plan = executedPlan("q_sample_stratified")
+    assert(!plan.contains("text") && !plan.contains("n_chars"),
+      s"stratified sample reads unreferenced document columns:\n$plan")
+  }
 }
