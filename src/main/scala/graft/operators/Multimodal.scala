@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * distributed execution (SURVEY §2.9 design op).
   *
   * The Spark-side contract is real and tested (schema, partition-preserving
-  * mapPartitions, batch shape); the actual codec is STUBBED —
-  * image/audio libraries are not in this container — behind
-  * [[MediaDecoder.decode]], which ships a deterministic fake so the
-  * pipeline is end-to-end runnable. Swap the fake for a real decoder
-  * (JNI/FFmpeg/ImageIO) without touching the plan shape.
+  * mapPartitions, batch shape). [[MediaDecoder.decode]] is REAL for the
+  * codec-free P6/PPM format (header parse, raw RGB pixels, nearest-
+  * neighbor resize, channel statistics — plain JVM, no image library);
+  * formats whose codecs are absent from this container (jpeg/png/audio)
+  * fail loudly at the same seam — swap in a real codec (JNI/FFmpeg/
+  * ImageIO) without touching the plan shape. [[MediaDecoder.fakeDecode]]
+  * remains the deterministic stand-in for the text-bytes demo pipeline.
   */
 object Multimodal {
 
@@ -22,11 +24,98 @@ object Multimodal {
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   final case class ResizedFeatures(doc_id: Long, features: Array[Float])
 
-  /** The decode seam. Real implementation intentionally absent (???);
-    * [[fakeDecode]] is the deterministic stand-in used by the pipeline. */
+  /** The decode seam. REAL for the codec-free P6/PPM raster format
+    * (netpbm: ASCII header + raw RGB bytes — decodable in plain JVM, no
+    * image library required); formats whose codecs are genuinely absent
+    * from this container (jpeg/png/audio/video) fail loudly instead of
+    * silently faking, keeping the seam visible. [[fakeDecode]] remains
+    * the deterministic stand-in for the text-bytes demo pipeline. */
   object MediaDecoder {
-    /** Real codec hook — NOT implemented in this container. */
-    def decode(media: Array[Byte], format: String): Array[Float] = ???
+
+    final case class PpmImage(width: Int, height: Int, rgb: Array[Byte])
+
+    /** P6 parser: `P6 <ws> width <ws> height <ws> 255 <one ws> raster`,
+      * with `#` comments allowed in the header per the netpbm spec. */
+    def decodePpm(bytes: Array[Byte]): PpmImage = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "not a P6 PPM")
+      var pos = 2
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && pos < bytes.length) {
+          val b = bytes(pos)
+          if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+          else if (b == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWsAndComments()
+        var v = 0
+        var any = false
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        }
+        require(any, "malformed PPM header")
+        v
+      }
+      val w = readInt()
+      val h = readInt()
+      val maxv = readInt()
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(maxv == 255, "only 8-bit-per-channel PPM supported")
+      pos += 1 // exactly one whitespace byte separates maxval from raster
+      val need = w * h * 3
+      require(bytes.length >= pos + need, "truncated raster")
+      PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+    }
+
+    /** Nearest-neighbor resize over real pixels — the thumbnail stage. */
+    def resizePpm(img: PpmImage, outW: Int, outH: Int): PpmImage = {
+      require(outW > 0 && outH > 0)
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * img.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * img.width / outW).toInt
+          val s = (sy * img.width + sx) * 3
+          val d = (y * outW + x) * 3
+          out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      PpmImage(outW, outH, out)
+    }
+
+    /** Features from decoded pixels: [w, h, meanR, meanG, meanB, grayMean]
+      * — integer accumulation with one divide at the end, so the result
+      * is partitioning-stable. */
+    def ppmFeatures(img: PpmImage): Array[Float] = {
+      val n = img.width.toLong * img.height
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < n) {
+        r += img.rgb(3 * i) & 0xff
+        g += img.rgb(3 * i + 1) & 0xff
+        b += img.rgb(3 * i + 2) & 0xff
+        i += 1
+      }
+      Array(img.width.toFloat, img.height.toFloat,
+        r.toFloat / n, g.toFloat / n, b.toFloat / n,
+        (r + g + b).toFloat / (3L * n))
+    }
+
+    /** Format-dispatched decode: real for ppm; loud failure for codecs
+      * absent from this container. */
+    def decode(media: Array[Byte], format: String): Array[Float] = format match {
+      case "ppm" => ppmFeatures(decodePpm(media))
+      case other => throw new NotImplementedError(
+        s"no '$other' codec in this container (jpeg/png/audio need native libs); ppm is decoded natively")
+    }
 
     /** Deterministic fake: 8 features from byte statistics. Stable across
       * partitionings and engines (pure integer math until the final cast). */
@@ -108,6 +197,22 @@ object Multimodal {
       rows.map { r =>
         MediaFeatures(r.doc_id, r.format, r.media.length,
           r.media.take(4), MediaDecoder.fakeDecode(r.media))
+      }
+    }
+  }
+
+  /** Same stage, REAL format-dispatched decode ([[MediaDecoder.decode]]):
+    * ppm rows produce actual pixel statistics; rows of a codec-less
+    * format fail the task loudly. MultimodalSpec drives generated P6
+    * images through this distributed path and checks the features against
+    * a driver-side reference. */
+  def extractRealFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.format, r.media.length,
+          r.media.take(4), MediaDecoder.decode(r.media, r.format))
       }
     }
   }

@@ -54,7 +54,58 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(all.nonEmpty && all.forall(_.features.length == 4))
   }
 
-  test("real decoder seam is explicitly unimplemented") {
+  /** Deterministic P6 image: pixel (x,y) channel c = (x*7 + y*13 + id + c) mod 256. */
+  private def ppmBytes(id: Long, w: Int, h: Int, comment: Boolean = false): Array[Byte] = {
+    val header = if (comment) s"P6\n# doc $id\n$w $h\n255\n" else s"P6\n$w $h\n255\n"
+    val raster = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      raster((y * w + x) * 3 + c) = ((x * 7 + y * 13 + id + c) % 256).toByte
+    header.getBytes("US-ASCII") ++ raster
+  }
+
+  test("real P6 decode: distributed features match a driver-side reference") {
+    import spark.implicits._
+    val imgs = (0L until 40L).map(id =>
+      Multimodal.MediaRow(id, ppmBytes(id, 8 + (id % 5).toInt, 6 + (id % 3).toInt,
+        comment = id % 4 == 0), "ppm"))
+    val got = Multimodal.extractRealFeatures(imgs.toDS().repartition(5))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    for (r <- imgs) {
+      val img = Multimodal.MediaDecoder.decodePpm(r.media)
+      val n = img.width * img.height
+      val sums = Array(0L, 0L, 0L)
+      for (i <- 0 until n; c <- 0 until 3) sums(c) += img.rgb(3 * i + c) & 0xff
+      val expect = Seq(img.width.toFloat, img.height.toFloat,
+        sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n,
+        sums.sum.toFloat / (3L * n))
+      assert(got(r.doc_id) == expect, s"doc ${r.doc_id}")
+    }
+  }
+
+  test("P6 resize: nearest-neighbor picks exact source pixels") {
+    val img = Multimodal.MediaDecoder.decodePpm(ppmBytes(3L, 4, 4))
+    val small = Multimodal.MediaDecoder.resizePpm(img, 2, 2)
+    assert(small.width == 2 && small.height == 2 && small.rgb.length == 12)
+    // output (x,y) samples source (x*4/2, y*4/2) = (2x, 2y)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val s = ((2 * y) * 4 + 2 * x) * 3 + c
+      assert(small.rgb((y * 2 + x) * 3 + c) == img.rgb(s), s"px ($x,$y,$c)")
+    }
+    // upscale is total too (no divide-by-zero / index drift)
+    val big = Multimodal.MediaDecoder.resizePpm(img, 7, 5)
+    assert(big.rgb.length == 7 * 5 * 3)
+  }
+
+  test("P6 parser rejects malformed input; codec-less formats fail loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.decodePpm("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.MediaDecoder.decodePpm("P6\n4 4\n255\n".getBytes ++ new Array[Byte](5))
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      Multimodal.MediaDecoder.decodePpm("P6\n1 1\n65535\n".getBytes ++ new Array[Byte](6))
+    }
     intercept[NotImplementedError] {
       Multimodal.MediaDecoder.decode(Array[Byte](1, 2), "jpeg")
     }
