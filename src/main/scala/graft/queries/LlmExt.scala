@@ -348,9 +348,106 @@ object LlmExt {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** 6 deterministic random-ish hyperplanes over 64 dims with components
+    * in EXACT 1/16 steps ((mix % 17 − 8)/16 ∈ [−0.5, 0.5]): every value
+    * is an exact binary fraction, so the float array (Spark), its decimal
+    * rendering (this source), and the double the oracle parses are all
+    * the SAME number — the property that makes the sign bits, and hence
+    * the whole LSH bucket, engine-portable. */
+  private val hplanes: IndexedSeq[Array[Float]] = (0 until 6).map { p =>
+    Array.tabulate(64) { d =>
+      (((p * 1000003 + d * 7919) % 17 - 8) / 16.0).toFloat
+    }
+  }
+
+  /** Spark-side bucket expression: 6 sign bits of float_dot against the
+    * literal hyperplanes, packed into an integer. */
+  private def bucketExpr: String = {
+    def arr(p: Int) =
+      "array(" + hplanes(p).map(v => s"CAST($v AS FLOAT)").mkString(",") + ")"
+    (0 until 6).map { p =>
+      s"(CASE WHEN float_dot(embedding, ${arr(p)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) multi-probe LSH ANN — the
+    * second bucketed ANN scheme next to [[q_ann_ivf]]'s IVF cells, and
+    * the one that needs NO trained quantizer: 6 sign-bit hyperplane
+    * projections → 64 buckets; each query probes its own bucket plus the
+    * 6 Hamming-1 neighbors (multi-probe LSH, Lv et al., VLDB 2007), and
+    * only probed-bucket candidates pay the exact-cosine re-rank. Cost at
+    * scale: bucketing is one map-side pass (6 codegen'd dot products per
+    * row), the probe join is equi on the bucket int (shuffles by bucket,
+    * never all-pairs), and the re-rank touches ~7/64 of the corpus per
+    * query. Fully oracle-checked — the hyperplanes' exact-binary-fraction
+    * components make both engines compute identical buckets. */
+  def q_ann_hplsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val a = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("va"))
+      .withColumn("probe", explode(expr(
+        "array(bucket, bucket ^ 1, bucket ^ 2, bucket ^ 4, bucket ^ 8, bucket ^ 16, bucket ^ 32)")))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket").as("bb"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
+    broadcast(a).join(b, col("probe") === col("bb") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(lit(10000.0) * expr("float_dot(va, vb)")).as("sim_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** Shard packing — the webdataset-creation step of a training pipeline:
+    * documents in a stable order are greedily packed into shards of a
+    * fixed character budget (a doc's shard = its START offset ÷ budget,
+    * from a running total), then summarized per shard. The single global
+    * running sum is the cost: at 100 TB it runs as range-partition by the
+    * sort key → per-partition sums → driver prefix of P partials →
+    * per-partition rescan with the prefix offset (two passes, no global
+    * sort on one node); the window formulation here states the same
+    * semantics declaratively. */
+  def q_shard_pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("end_off", sum(col("n_chars")).over(w))
+      .withColumn("shard", floor((col("end_off") - col("n_chars")) / 20000L))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard"))
+  }
+
+  /** TF-IDF-style term scoring without log (ln/exp are banned by the
+    * determinism rules — libm variance): per-(doc, term) tf, corpus df,
+    * and the rarity-weighted score floor(10000·tf/df) in basis points;
+    * top-3 terms per doc with a total tie order. The shape is the real
+    * pipeline's: tokenize → per-doc aggregate → corpus-wide df join →
+    * per-doc top-k window — tf is map-side combinable, df shuffles once
+    * by term, and the top-k window shuffles by doc. */
+  def q_text_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "word")
+      .withColumn("score_bp", floor(lit(10000.0) * col("tf") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_bp").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score_bp"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii" -> q_text_pii _,
     "q_sample_stratified" -> q_sample_stratified _,
+    "q_shard_pack" -> q_shard_pack _,
+    "q_text_tfidf" -> q_text_tfidf _,
+    "q_ann_hplsh" -> q_ann_hplsh _,
     "q_text_lang_id" -> q_text_lang_id _,
     "q_text_quality" -> q_text_quality _,
     "q_text_tokens" -> q_text_tokens _,
@@ -382,6 +479,50 @@ object LlmExt {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "q_shard_pack" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |  FROM documents)
+        |SELECT CAST(floor((end_off - n_chars) / 20000) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q_ann_hplsh" -> {
+      // generated from the SAME hyperplane constants as the Spark side;
+      // the 1/16-step components parse to identical doubles in DuckDB
+      def fold(p: Int) = {
+        val lits = hplanes(p).map(v => f"$v%s").mkString("[", ",", "]")
+        s"list_sum(list_transform(list_zip(embedding, $lits), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+      }
+      val bucket = (0 until 6)
+        .map(p => s"(CASE WHEN ${fold(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH hb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |p AS (SELECT vec_id AS a_id, embedding AS va,
+         |        unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+         |                xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS probe
+         |      FROM hb WHERE vec_id < 10),
+         |c AS (SELECT p.a_id, b.vec_id AS b_id,
+         |        CAST(floor(10000.0 * list_sum(list_transform(list_zip(p.va, b.embedding),
+         |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+         |      FROM p JOIN hb b ON b.bucket = p.probe AND b.vec_id <> p.a_id)
+         |SELECT a_id, b_id, sim_bp, rn FROM (
+         |  SELECT a_id, b_id, sim_bp,
+         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
+         |  FROM c)
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin
+    },
+    "q_text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        CAST(floor(10000.0 * tf.tf / df.df) AS BIGINT) AS score_bp
+        |      FROM tf JOIN df USING (word)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, word ASC) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tf, df, score_bp
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_text_lang_id" ->
       """SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
         |  CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
