@@ -430,8 +430,10 @@ object LlmExt {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = words.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df derived FROM tf (one row per (doc, word) ⇒ count per word = df):
+    // a separate countDistinct over `words` would re-tokenize the corpus —
+    // the differential-column-pruning trap that defeats ReuseExchange
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "word")
       .withColumn("score_bp", floor(lit(10000.0) * col("tf") / col("df")))
     val w = Window.partitionBy(col("doc_id"))

@@ -105,4 +105,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("text") && !plan.contains("n_chars"),
       s"stratified sample reads unreferenced document columns:\n$plan")
   }
+
+  test("runtime bloom filter: selective dim filter prunes the fact side of an SMJ") {
+    // the semi-join-pushdown shape that matters at 100 TB: when the dim
+    // side of a shuffle join is selectively filtered, the engine builds a
+    // bloom filter from its keys at runtime and applies might_contain on
+    // the fact scan, cutting shuffle input before the join. Thresholds are
+    // sized for TBs; scope them down so the tiny fixture triggers the
+    // same plan rewrite.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+      assert(plan.contains("partial_bloom_filter_agg"),
+        "bloom build is not map-side combined")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
