@@ -331,6 +331,46 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** UNPIVOT/melt: four lineitem measures into (metric, value) rows via
+    * `stack` (the generator form — no shuffle; each input row fans out to
+    * 4 narrow rows), then re-aggregated per metric with exact decimal
+    * sums. The inverse shape of [[graft.queries.Scalars.q_pivot]]. */
+  def q_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .selectExpr("""stack(4,
+          'discount', l_discount,
+          'extendedprice', l_extendedprice,
+          'quantity', l_quantity,
+          'tax', l_tax) AS (metric, v)""")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+      .orderBy(col("metric"))
+  }
+
+  /** Time-series gap-fill: the dense (event_type × hour) grid over the
+    * data's own hour range, with zero-filled counts for empty buckets —
+    * the resample/densify step before any rate or anomaly computation.
+    * The grid is generated (sequence + cross join with the tiny type dim)
+    * and the left join runs grid-broadcast: counts shuffle once by
+    * (type, hour) no matter how large events is. */
+  def q_ts_gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("ts"))
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val counts = ev
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(hours)
+      .join(counts, col("event_type") === col("et") && col("h") === col("hh"), "left")
+      .select(col("event_type"), unix_seconds(col("h")).as("hour_s"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour_s"))
+  }
+
   /** Skew-safe two-phase aggregation via [[graft.operators.Salting]] —
     * the hot-key remedy as an end-to-end oracle-checked query: salting is
     * pure execution strategy, so the oracle is the PLAIN GROUP BY (the
@@ -475,6 +515,8 @@ object Relational {
     "q_agg_gsets" -> q_agg_gsets _,
     "q_agg_quantile" -> q_agg_quantile _,
     "q_agg_salted" -> q_agg_salted _,
+    "q_unpivot" -> q_unpivot _,
+    "q_ts_gapfill" -> q_ts_gapfill _,
     "q_agg_quantile_approx" -> q_agg_quantile_approx _,
     "q_agg_approx" -> q_agg_approx _,
     "q_sort_multi" -> q_sort_multi _,
@@ -647,6 +689,25 @@ object Relational {
       """SELECT event_type AS k, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events GROUP BY event_type ORDER BY k""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'discount' AS metric, l_discount AS v FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+    "q_ts_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hh FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT event_type AS et, date_trunc('hour', ts) AS chh, count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, CAST(epoch(h.hh) AS BIGINT) AS hour_s,
+        |  COALESCE(c.cnt, 0) AS n
+        |FROM t CROSS JOIN h LEFT JOIN c ON c.et = t.event_type AND c.chh = h.hh
+        |ORDER BY event_type, hour_s""".stripMargin,
     // q_agg_approx and q_agg_quantile_approx intentionally have no oracle
     // (engine-specific sketches); each is bound-tested against its exact
     // twin (OperatorEdgeSpec / ApproxQuantileBoundSpec).

@@ -169,6 +169,22 @@ object Scalars {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** EXISTS predicate subquery — exercises RewritePredicateSubquery (the
+    * decorrelation into a left-semi join: a THIRD subquery path next to
+    * q_subq_scalar's scalar subquery and q_subq_corr's correlated
+    * scalar-agg; q_join_semi writes the same semantics as an explicit
+    * join). NOT EXISTS on the same predicate rides along as a flag so one
+    * result covers both rewrite directions without the empty-result trap
+    * (every customer has ≥1 order in this data — FIXTURES.md). */
+  def q_subq_exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Text-analysis summary per language. */
   def q_doc_stats(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
@@ -191,6 +207,7 @@ object Scalars {
     "q_pivot" -> q_pivot _,
     "q_subq_scalar" -> q_subq_scalar _,
     "q_subq_corr" -> q_subq_corr _,
+    "q_subq_exists" -> q_subq_exists _,
     "q_doc_stats" -> q_doc_stats _,
   )
 
@@ -271,6 +288,11 @@ object Scalars {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
