@@ -24,7 +24,13 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop per-query persisted frames (e.g. LSH signatures) so block-
+      // manager residue from early queries doesn't tax late ones — the
+      // ngram pair join measured 2.9→15s purely from suite-accumulated
+      // heap pressure, with identical plans
+      spark.catalog.clearCache()
+      (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
