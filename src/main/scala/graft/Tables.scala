@@ -38,8 +38,10 @@ object Tables {
     graft.functions.FloatDot.register(spark)
     graft.functions.SortedIntersectSize.register(spark)
     graft.functions.SortedJaccardBp.register(spark)
+    graft.functions.SortedJaccardGeBp.register(spark)
     graft.functions.CharNgramHashes.register(spark)
-    val rules = Seq(graft.plans.InferJaccardSizeBound, graft.plans.OrderCostlyPredicatesLast)
+    val rules = Seq(graft.plans.InferJaccardSizeBound,
+      graft.plans.FuseJaccardThreshold, graft.plans.OrderCostlyPredicatesLast)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =

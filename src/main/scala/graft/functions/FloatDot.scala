@@ -105,9 +105,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectSize.info, SortedIntersectSize.builder _))
     ext.injectFunction((FunctionIdentifier("sorted_jaccard_bp"),
       SortedJaccardBp.info, SortedJaccardBp.builder _))
+    ext.injectFunction((FunctionIdentifier("sorted_jaccard_ge_bp"),
+      SortedJaccardGeBp.info, SortedJaccardGeBp.builder _))
     ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
       CharNgramHashes.info, CharNgramHashes.builder _))
     ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeBound)
+    ext.injectOptimizerRule(_ => graft.plans.FuseJaccardThreshold)
     ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)
   }
 }

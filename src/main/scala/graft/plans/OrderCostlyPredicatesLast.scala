@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatDot, SortedIntersectSize, SortedJaccardBp}
+import graft.functions.{FloatDot, SortedIntersectSize, SortedJaccardBp, SortedJaccardGeBp}
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,7 +21,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object OrderCostlyPredicatesLast extends Rule[LogicalPlan] {
 
   private def isCostly(e: Expression): Boolean = e.exists {
-    case _: SortedJaccardBp | _: SortedIntersectSize | _: FloatDot => true
+    case _: SortedJaccardBp | _: SortedJaccardGeBp | _: SortedIntersectSize | _: FloatDot => true
     case _ => false
   }
 

@@ -106,6 +106,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"stratified sample reads unreferenced document columns:\n$plan")
   }
 
+  test("FuseJaccardThreshold: similarity join conditions use the early-exit form") {
+    // the condition (where most pairs fail) gets the aborting boolean
+    // test; the projection (survivors only) still computes the value
+    val df = SparkEntry.queries("q_sim_jaccard")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("sorted_jaccard_ge_bp"),
+      s"comparison form not fused in condition:\n$optimized")
+    assert(df.count() > 0)
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact side of an SMJ") {
     // the semi-join-pushdown shape that matters at 100 TB: when the dim
     // side of a shuffle join is selectively filtered, the engine builds a

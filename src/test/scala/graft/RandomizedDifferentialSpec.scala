@@ -83,6 +83,25 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sorted_jaccard_ge_bp == (sorted_jaccard_bp >= t) on random arrays + edges") {
+    Tables.ensure(spark)
+    val rnd = new scala.util.Random(99)
+    def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(15).toLong).distinct.sorted
+    val thresholds = Seq(0L, 1L, 2500L, 5000L, 8000L, 10000L, 10001L)
+    val rows = (1 to 400).map(i => (i.toLong, arr(), arr())) ++
+      Seq((900L, Seq.empty[Long], Seq.empty[Long]), // both empty ⇒ jacc 10000
+        (901L, Seq.empty[Long], Seq(1L, 2L)),       // one empty ⇒ jacc 0
+        (902L, Seq(1L, 2L), Seq(1L, 2L)))           // identical ⇒ jacc 10000
+    val df = rows.toDF("id", "a", "b")
+    for (t <- thresholds) {
+      val bad = df.selectExpr("id",
+          s"sorted_jaccard_ge_bp(a, b, ${t}L) AS ge",
+          s"(sorted_jaccard_bp(a, b) >= ${t}L) AS cmp")
+        .filter(col("ge") =!= col("cmp")).count()
+      assert(bad == 0, s"early-exit form diverges at t=$t")
+    }
+  }
+
   test("MinHashLsh: exact precision; complete recall on very-high-sim pairs") {
     Tables.ensure(spark)
     val rnd = new scala.util.Random(13)
