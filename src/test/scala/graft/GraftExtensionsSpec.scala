@@ -49,6 +49,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       assert(s.sql(
         "SELECT sorted_jaccard_bp(array(1L, 2L), array(1L, 2L))")
         .head.getLong(0) == 10000L)
+      assert(s.sql(
+        "SELECT sorted_jaccard_ge_bp(array(1L, 2L), array(1L, 2L), 8000L)")
+        .head.getBoolean(0))
       assert(s.sql("SELECT size(char_ngram_hashes('abcd', 3))")
         .head.getInt(0) == 2)
     }
