@@ -16,7 +16,13 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "q_text_fingerprint", "q_text_quality", "q_dedup_minhash", "q_dedup_simhash",
     "q_subq_scalar", "q_topk_group", "q_agg_rollup", "q_pivot",
     "q_ngram_jaccard", "q_agg_quantile", "q_sample_split", "q_part_prune",
-    "q_dedup_cluster", "q_text_norm")
+    "q_dedup_cluster", "q_text_norm",
+    // round-3 additions: the salted two-phase sum (decimal ⇒ order-free),
+    // the sketch quantiles (mergeable summary — invariance is the CLAIM),
+    // the hyperplane buckets, and the window/grid/top-k newcomers
+    "q_agg_salted", "q_agg_quantile_approx", "q_ann_hplsh", "q_shard_pack",
+    "q_ts_gapfill", "q_text_tfidf", "q_sample_stratified", "q_unpivot",
+    "q_subq_exists", "q_text_pii")
 
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {
