@@ -125,8 +125,16 @@ object Tables {
 
   /** Register every table as a temp view (for spark.sql-expressed queries —
     * scalar/correlated subqueries exercise Catalyst's subquery machinery
-    * best through the SQL frontend). */
+    * best through the SQL frontend). Memoized per (session, dir): each
+    * registration re-reads 10 parquet footers at plan-build time, which
+    * taxed every SQL-frontend query in the bench; re-registration happens
+    * only when the same session switches scale-factor dirs. */
+  private val viewsLastDir =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
   def views(spark: SparkSession, dir: String): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (dir == viewsLastDir.put(key, dir)) return
     region(spark, dir).createOrReplaceTempView("region")
     nation(spark, dir).createOrReplaceTempView("nation")
     customer(spark, dir).createOrReplaceTempView("customer")
