@@ -59,7 +59,7 @@ object ConnectedComponents {
       // sum() of zero rows is NULL — coalesce so an empty active set
       // converges immediately instead of NPE-ing
       def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("component")), lit(0L))).head.getLong(0)
+        df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
       // Round 1 fused with initialization: each active vertex's first label
       // is min(self, neighbors), computed directly from the edge list — no
       // separate distinct-vertices pass (the min-agg dedups endpoint
