@@ -331,6 +331,23 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** LATERAL join — per-outer-row correlated subquery with ORDER BY +
+    * LIMIT (top-2 nations per region): the tenth join flavor, exercising
+    * Catalyst's lateral-join decorrelation (DomainJoin rewrite), which
+    * none of the window-based top-k formulations touch. At scale the
+    * rewrite becomes a partitioned rank, so the declarative form carries
+    * no per-row-subquery cost. */
+  def q_join_lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM region r, LATERAL (
+        |  SELECT n_name, n_nationkey FROM nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name DESC, n_nationkey LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name DESC, t.n_nationkey""".stripMargin)
+  }
+
   /** UNPIVOT/melt: four lineitem measures into (metric, value) rows via
     * `stack` (the generator form — no shuffle; each input row fans out to
     * 4 narrow rows), then re-aggregated per metric with exact decimal
@@ -517,6 +534,7 @@ object Relational {
     "q_agg_salted" -> q_agg_salted _,
     "q_unpivot" -> q_unpivot _,
     "q_ts_gapfill" -> q_ts_gapfill _,
+    "q_join_lateral" -> q_join_lateral _,
     "q_agg_quantile_approx" -> q_agg_quantile_approx _,
     "q_agg_approx" -> q_agg_approx _,
     "q_sort_multi" -> q_sort_multi _,
@@ -689,6 +707,13 @@ object Relational {
       """SELECT event_type AS k, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events GROUP BY event_type ORDER BY k""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT r.r_name, t.n_name, t.n_nationkey
+        |FROM region r, LATERAL (
+        |  SELECT n_name, n_nationkey FROM nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name DESC, n_nationkey LIMIT 2) t
+        |ORDER BY r.r_name, t.n_name DESC, t.n_nationkey""".stripMargin,
     "q_unpivot" ->
       """WITH m AS (
         |  SELECT 'discount' AS metric, l_discount AS v FROM lineitem

@@ -85,7 +85,26 @@ object Windows {
       .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
   }
 
+  /** RANGE frame over event time: per-type moving 1-hour count and decimal
+    * sum — the time-window frame (peers by VALUE distance, not row
+    * count), which a rows-frame cannot express when event density varies.
+    * Tie-safe by construction: all rows sharing a ts_s are peers of the
+    * frame regardless of intra-second order, so the result is
+    * partitioning-invariant without a tiebreaker in the frame ordering. */
+  def q_win_range(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_s"))
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_seconds(col("ts")).as("ts_s"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("event_type"), col("ts_s"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_range" -> q_win_range _,
     "q_win_dist" -> q_win_dist _,
     "q_win_rank" -> q_win_rank _,
     "q_win_running" -> q_win_running _,
@@ -94,6 +113,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_range" ->
+      // epoch_us // 1000000, NOT CAST(epoch(ts) AS BIGINT): epoch() is a
+      // DOUBLE with the sub-second fraction and DuckDB ROUNDS double→int
+      // casts where Spark's unix_seconds truncates (§2.10 dialect trap) —
+      // integer floor-division matches exactly
+      """SELECT event_id, event_type, epoch_us(ts) // 1000000 AS ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_win_dist" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
