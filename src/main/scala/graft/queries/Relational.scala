@@ -159,10 +159,25 @@ object Relational {
     * on the sort-merge join — at 100 TB the time axis would be bucketed so
     * the band predicate prunes partitions. */
   def q_join_range(spark: SparkSession, dir: String): DataFrame = {
+    // TIME-BUCKETED band join (round-2 verdict's named scale fix): a pair
+    // with 0 < b_ts − a_ts ≤ 30 min has bucket(b) ∈ {bucket(a),
+    // bucket(a)+1} for 30-min buckets, so the left side probes exactly
+    // those two buckets and the join is EQUI on (user_id, bucket) —
+    // bounding every reducer's pairs to one user×bucket instead of one
+    // user's entire history (the round-2 formulation went quadratic on a
+    // hot user: the band predicate was a post-filter on a user_id-only
+    // shuffle). Each qualifying pair matches exactly one probe, so no
+    // dedup is needed; the exact band condition stays as the filter.
+    val bucketUs = 30L * 60 * 1000000
     val ev = Tables.events(spark, dir)
     val a = ev.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withColumn("probe",
+        explode(array(expr(s"unix_micros(a_ts) DIV $bucketUs"),
+          expr(s"unix_micros(a_ts) DIV $bucketUs + 1"))))
     val b = ev.select(col("event_id").as("b_id"), col("user_id").as("user_id_b"), col("ts").as("b_ts"))
+      .withColumn("bkt_b", expr(s"unix_micros(b_ts) DIV $bucketUs"))
     a.join(b, col("user_id") === col("user_id_b") &&
+        col("probe") === col("bkt_b") &&
         col("b_ts") > col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTE"))
       .select(col("a_id"), col("b_id"),

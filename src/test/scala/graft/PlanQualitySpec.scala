@@ -106,6 +106,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"stratified sample reads unreferenced document columns:\n$plan")
   }
 
+  test("q_join_range: the band join is equi on (user, time bucket), not user alone") {
+    // verdict-flagged 100× skew risk: with user_id as the only equi key a
+    // hot user's whole history lands on one reducer and the band predicate
+    // filters quadratically; the bucketed form bounds pairs per reducer
+    val plan = executedPlan("q_join_range")
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("user_id")).getOrElse("")
+    assert(joinLine.contains("probe") && joinLine.contains("bkt_b"),
+      s"time bucket missing from join keys: $joinLine")
+  }
+
   test("FuseJaccardThreshold: similarity join conditions use the early-exit form") {
     // the condition (where most pairs fail) gets the aborting boolean
     // test; the projection (survivors only) still computes the value
