@@ -58,4 +58,24 @@ class PartitionPruningSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("eventsByDay cache invalidates when the source file regenerates") {
+    // round-2 defect: the partitioned copy was keyed by path hash alone,
+    // so in-place testdata regeneration silently served STALE data. The
+    // key now fingerprints (size, mtime); changing the source must route
+    // to a fresh partitioned copy.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ebd_src_").toFile
+    val srcFile = new java.io.File(tmp, "events.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), srcFile.toPath)
+    def cacheDir(): String = {
+      val f = Tables.eventsByDay(spark, tmp.getAbsolutePath).inputFiles.head
+      f.substring(0, f.indexOf("/day="))
+    }
+    val first = cacheDir()
+    assert(srcFile.setLastModified(srcFile.lastModified() + 120000))
+    val second = cacheDir()
+    assert(first != second,
+      s"regenerated source still served from stale cache $first")
+  }
 }
