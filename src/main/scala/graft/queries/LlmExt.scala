@@ -429,10 +429,14 @@ object LlmExt {
   def q_text_tfidf(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // df derives FROM tf (one row per (doc, word) ⇒ count per word = df),
+    // and tf is persisted: its two consumers prune DIFFERENT columns (the
+    // join needs the count, the df branch only the keys), which makes the
+    // subplans canonically unequal and defeats ReuseExchange — without the
+    // persist the corpus is tokenized once per consumer (verified: 3
+    // Generate nodes in the executed plan, 1 with the persist)
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    // df derived FROM tf (one row per (doc, word) ⇒ count per word = df):
-    // a separate countDistinct over `words` would re-tokenize the corpus —
-    // the differential-column-pruning trap that defeats ReuseExchange
+      .persist()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "word")
       .withColumn("score_bp", floor(lit(10000.0) * col("tf") / col("df")))
