@@ -58,10 +58,16 @@ object SetSimilarity {
     // to downstream COMPUTE cost). An explicit numbered repartition is
     // exempt from AQE coalescing, keeping the quadratic loop spread over
     // every core; the extra exchange moves only M tiny rows.
+    // persist: three consumers (pair-join left, pair-join right via
+    // broadcast, within-set expansion) prune different columns, so the
+    // subplans canonicalize unequal and ReuseExchange never fires —
+    // without the cache the whole tokenize+collapse pipeline runs 3×
+    // (verified: 3 parquet scans in the executed plan)
     val distinctSets = sets
       .groupBy(col("ws")).agg(collect_list(col("doc_id")).as("members"))
       .select(xxhash64(col("ws")).as("sk"), col("ws"), size(col("ws")).as("n"), col("members"))
       .repartition(sets.sparkSession.sessionState.conf.numShufflePartitions)
+      .persist()
     // members ride through the pair join instead of being re-joined after
     // it: every distinctSets consumer prunes a different column set, which
     // defeats ReuseExchange (canonically-unequal subplans) and re-runs the
