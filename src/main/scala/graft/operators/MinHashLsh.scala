@@ -78,9 +78,12 @@ object MinHashLsh {
       .filter(expr(s"size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)) >= $prefilter"))
       .select(col("da"), col("db"))
     // exact confirm via the sorted-hash-set merge pass (two equi joins +
-    // one codegen'd pass per candidate; no corpus re-tokenization)
+    // one codegen'd pass per candidate; no corpus re-tokenization).
+    // persist: both attach joins consume sets but prune different aliases,
+    // so without the cache the HOF tokenize+sort pipeline runs twice
     val sets = docs.select(col("doc_id"),
       expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
+      .persist()
     cands
       .join(sets.select(col("doc_id"), col("ws").as("wsa")), col("da") === col("doc_id"))
       .drop("doc_id")

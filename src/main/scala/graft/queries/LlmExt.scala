@@ -221,9 +221,13 @@ object LlmExt {
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    // persist: the chunk self-join consumes the signature build on both
+    // sides and ReuseExchange does not bridge them — without the cache the
+    // explode+Aggregator pipeline runs per side
     val sig = words
       .groupBy(col("doc_id"))
       .agg(SimHashSig.simhash64(col("word")).as("simhash"))
+      .persist()
     val chunks = sig.withColumn("c", explode(typedLit((0 until 4).toArray)))
       .withColumn("chunk", expr("(simhash >> (16 * c)) & 65535"))
     val pairs = chunks.as("x").join(chunks.as("y"),
