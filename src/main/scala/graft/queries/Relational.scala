@@ -154,10 +154,11 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Band self-join: event pairs of the same user within (0, 30min]. Equi
-    * key user_id carries the shuffle; the range condition is a post-filter
-    * on the sort-merge join — at 100 TB the time axis would be bucketed so
-    * the band predicate prunes partitions. */
+  /** Band self-join: event pairs of the same user within (0, 30min],
+    * joined EQUI on (user_id, 30-min time bucket) via a 2-bucket probe —
+    * the time axis is part of the shuffle key, so a hot user's pairs are
+    * bounded per reducer (see in-method comment; PlanQualitySpec asserts
+    * the bucket key). */
   def q_join_range(spark: SparkSession, dir: String): DataFrame = {
     // TIME-BUCKETED band join (round-2 verdict's named scale fix): a pair
     // with 0 < b_ts − a_ts ≤ 30 min has bucket(b) ∈ {bucket(a),
@@ -437,6 +438,26 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** MERGEABLE distinct sketches (Datasketches HLL) — the capability
+    * [[q_agg_approx]]'s approx_count_distinct lacks: per-DAY sketches of
+    * user_id are built once (the incremental precompute a 100 TB pipeline
+    * materializes alongside each day's ingest) and UNION-MERGED per type
+    * for the full-range estimate — re-aggregation over any date range
+    * without re-reading raw data. Union is lossless: the merged estimate
+    * EQUALS the single-pass estimate, which is exactly what
+    * OperatorEdgeSpec pins (plus a 3σ bound against the exact count).
+    * No oracle (sketch internals engine-specific; q_agg_approx
+    * precedent). */
+  def q_agg_hll_merge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   /** HLL++ approximate distinct — declared WITHOUT oracle (sketch values
     * are engine-specific; SURVEY §2.4). Driver records a rows-only check. */
   def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
@@ -552,6 +573,7 @@ object Relational {
     "q_join_lateral" -> q_join_lateral _,
     "q_agg_quantile_approx" -> q_agg_quantile_approx _,
     "q_agg_approx" -> q_agg_approx _,
+    "q_agg_hll_merge" -> q_agg_hll_merge _,
     "q_sort_multi" -> q_sort_multi _,
     "q_topk_group" -> q_topk_group _,
     "q_set_union" -> q_set_union _,
@@ -748,9 +770,9 @@ object Relational {
         |  COALESCE(c.cnt, 0) AS n
         |FROM t CROSS JOIN h LEFT JOIN c ON c.et = t.event_type AND c.chh = h.hh
         |ORDER BY event_type, hour_s""".stripMargin,
-    // q_agg_approx and q_agg_quantile_approx intentionally have no oracle
-    // (engine-specific sketches); each is bound-tested against its exact
-    // twin (OperatorEdgeSpec / ApproxQuantileBoundSpec).
+    // q_agg_approx, q_agg_hll_merge and q_agg_quantile_approx intentionally
+    // have no oracle (engine-specific sketches); each is bound-tested
+    // against its exact twin (OperatorEdgeSpec / ApproxQuantileBoundSpec).
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,

@@ -120,6 +120,28 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(e.take(2) == c.take(2))
   }
 
+  test("q_agg_hll_merge: union of daily sketches == single-pass sketch, within bounds of exact") {
+    Tables.ensure(spark)
+    val merged = SparkEntry.queries("q_agg_hll_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mergeability is the CLAIM: union of per-day sketches must equal the
+    // sketch built in one pass over the same rows
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    // and the estimate itself within sketch error of the exact count
+    // (lgConfigK=12 default ⇒ rsd ≈ 1.6%; allow 3σ ≈ 5%, min slack 3)
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, est) <- merged) {
+      val e = exact(k)
+      assert(math.abs(est - e) <= math.max(3.0, 0.05 * e), s"$k est=$est exact=$e")
+    }
+  }
+
   test("q_agg_approx: HLL estimates land within error bounds of exact counts") {
     // the one oracle-less relational query gets a quantitative check:
     // approx_count_distinct's default rsd is 5%, so 3σ ≈ 15%
