@@ -45,7 +45,9 @@ case class SortedJaccardGeBp(first: Expression, second: Expression, third: Expre
   override def nullable: Boolean = true
   override def prettyName: String = "sorted_jaccard_ge_bp"
 
-  private def thresholdBp: Long = third.eval() match {
+  // literal by the type check; cache so the interpreted path doesn't
+  // re-eval the Literal per row
+  private lazy val thresholdBp: Long = third.eval() match {
     case i: Int  => i.toLong
     case l: Long => l
   }

@@ -31,13 +31,18 @@ object FuseJaccardThreshold extends Rule[LogicalPlan] {
     case _                           => None
   }
 
+  // only fuse in-range thresholds: jacc_bp ∈ [0, 10000], so anything
+  // outside is a degenerate comparison we leave alone (also avoids the
+  // t+1 overflow edge on Long.MaxValue)
+  private def inRange(t: Long): Boolean = t >= 0L && t <= 10000L
+
   private def fuse(cond: Expression): Expression = cond match {
     case And(l, r) => And(fuse(l), fuse(r))
     case GreaterThanOrEqual(j @ SortedJaccardBp(a, b), lit)
-        if bp(lit).isDefined && j.deterministic =>
+        if bp(lit).exists(inRange) && j.deterministic =>
       SortedJaccardGeBp(a, b, Literal(bp(lit).get, LongType))
     case GreaterThan(j @ SortedJaccardBp(a, b), lit)
-        if bp(lit).isDefined && j.deterministic =>
+        if bp(lit).exists(inRange) && j.deterministic =>
       SortedJaccardGeBp(a, b, Literal(bp(lit).get + 1L, LongType))
     case other => other
   }
