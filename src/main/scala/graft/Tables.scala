@@ -111,11 +111,19 @@ object Tables {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(tmp)
-        if (!marker.exists())
-          throw new IllegalStateException(
-            s"could not publish partitioned events cache at $out and no " +
-              "complete copy exists")
+        if (marker.exists()) rm(tmp) // lost the race to a complete copy
+        else {
+          // a stale INCOMPLETE dir (crashed writer) blocks the rename:
+          // clear it and retry once before giving up
+          rm(out)
+          if (!tmp.renameTo(out)) {
+            rm(tmp)
+            if (!marker.exists())
+              throw new IllegalStateException(
+                s"could not publish partitioned events cache at $out and " +
+                  "no complete copy exists")
+          }
+        }
       }
     }
     ensure(spark)
