@@ -109,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedJaccardGeBp.info, SortedJaccardGeBp.builder _))
     ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
       CharNgramHashes.info, CharNgramHashes.builder _))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      MightContain.info, MightContain.builder _))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      MightContain.aggInfo, MightContain.aggBuilder _))
     ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeBound)
     ext.injectOptimizerRule(_ => graft.plans.FuseJaccardThreshold)
     ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)

@@ -270,6 +270,64 @@ object LlmExt {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC dedup clustering — [[q_dedup_cluster]]'s lexical pipeline
+    * with embeddings as the similarity signal: same-cell cosine near-dup
+    * pairs (the [[q_embed_neardup]] candidate generation — IVF-cell
+    * bucketing keeps the pair join equi on label) feed
+    * [[graft.operators.ConnectedComponents]], labeling every vector with
+    * its duplicate-group's minimum vec_id. This is the dedup tier lexical
+    * methods cannot reach (paraphrases hash differently but embed
+    * nearby); at 100 TB the cell bucketing bounds candidate pairs per
+    * reducer exactly as in q_embed_neardup, and the CC loop runs over the
+    * near-dup fraction only. Oracle: DuckDB recursive-CTE reachability
+    * over the same pair predicate. */
+  def q_dedup_semantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("la") === col("lb") && col("da") < col("db"))
+      .filter(floor(lit(10000.0) * dotExpr) >= 3000)
+      .select(col("da"), col("db"))
+    graft.operators.ConnectedComponents
+      .minLabel(e.select(col("vec_id")), "vec_id", pairs, "da", "db")
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Asymmetric n-gram CONTAINMENT — |A∩B| / |A| ≥ 0.9 over char-3-gram
+    * sets: the quote/subset-duplicate detector Jaccard misses by
+    * construction (a doc embedded verbatim in a 10× larger one has
+    * Jaccard ≤ 0.1 but containment 1.0 — the common shape of boilerplate
+    * wrappers and quotation chains in web corpora). Same machinery as
+    * [[q_ngram_jaccard]] ([[graft.functions.CharNgramHashes]] sets, one
+    * codegen'd merge pass per surviving pair) with the one-sided size
+    * prune containment admits: c ≤ |B|, so |B| ≥ t·|A| — cheap integer
+    * conjunct ahead of the merge pass. Exact all-pairs is contract-bounded
+    * (doc_id < 500) like the other exact-tier ops; the scale path is the
+    * same LSH banding with containment re-scoring at confirm. */
+  def q_text_containment(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), expr("char_ngram_hashes(text, 3)").as("gs"))
+      .withColumn("n", size(col("gs")))
+      // explicit repartition: AQE would coalesce the tiny set frame to one
+      // partition and the quadratic pair join would inherit it (the
+      // SetSimilarity lesson); persist: both join sides prune different
+      // columns, so without a cache ReuseExchange misses and the gram
+      // pipeline runs twice
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .persist()
+    val a = sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na"))
+    val b = sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb"))
+    a.join(b, col("da") =!= col("db") &&
+        col("nb").cast("long") * 10000L >= col("na").cast("long") * 9000L)
+      .withColumn("cont_bp",
+        floor(lit(10000.0) * expr("sorted_intersect_size(ga, gb)") / col("na")))
+      .filter(col("cont_bp") >= 9000)
+      .select(col("da"), col("db"), col("cont_bp"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Deterministic train/val/test assignment by content-stable hash
     * bucketing — the split primitive of a training-data pipeline: md5 of
     * the document key → 16-bit bucket → 80/10/10 ranges. Hash-based (not
@@ -471,6 +529,8 @@ object LlmExt {
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
     "q_dedup_cluster" -> q_dedup_cluster _,
+    "q_dedup_semantic" -> q_dedup_semantic _,
+    "q_text_containment" -> q_text_containment _,
     "q_sample_split" -> q_sample_split _,
     "q_text_norm" -> q_text_norm _,
     "q_mm_bytes" -> q_mm_bytes _,
@@ -630,6 +690,32 @@ object LlmExt {
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 3000),
+        |edges AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+        |reach AS (
+        |  WITH RECURSIVE rr(a, b) AS (
+        |    SELECT vec_id, vec_id FROM embeddings
+        |    UNION
+        |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a)
+        |  SELECT * FROM rr)
+        |SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+    "q_text_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)))) AS g
+        |      FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, CAST(floor(10000.0 * c / sa.n) AS BIGINT) AS cont_bp
+        |FROM inter JOIN sz sa ON da = sa.doc_id
+        |WHERE floor(10000.0 * c / sa.n) >= 9000
+        |ORDER BY da, db""".stripMargin,
     "q_dedup_cluster" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
         |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),

@@ -543,6 +543,95 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Skew-safe salted inner join via [[graft.operators.Salting.saltedJoin]]
+    * end-to-end: the large (events) side is salted on a per-row column and
+    * the small (customer) side replicated across the salt domain, so a hot
+    * user's rows spread over 8 reducers instead of one. Like
+    * [[q_agg_salted]], salting is pure execution strategy — the oracle is
+    * the PLAIN join, which the salted plan must reproduce exactly (decimal
+    * sums make re-aggregation order-independent). This is the remedy for
+    * skewed joins AQE won't rewrite (broadcast-ineligible build sides,
+    * pre-AQE shuffles reused across stages). */
+  def q_join_salted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.Salting
+      .saltedJoin(ev, cust, col("user_id"), col("c_custkey"),
+        saltFrom = col("event_id"), salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s"))
+      .select(col("c_nationkey"), col("n"), col("s").cast("double").as("s"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Bloom-prefiltered semi join — the explicit form of Spark's own
+    * runtime-filter optimization, built from Spark's two halves:
+    * `bloom_filter_agg` (registered by Spark) builds a bloom over the
+    * small side's keys in an uncorrelated scalar subquery, and
+    * `might_contain` ([[graft.functions.MightContain]] registers the
+    * probe Spark keeps internal) drops non-matching big-side rows
+    * MAP-SIDE, before any shuffle. The exact IN-subquery confirm keeps
+    * the result identical to the plain semi join (bloom false positives
+    * are re-checked), so the oracle is the unfiltered formulation. At
+    * 100 TB this is the difference between shuffling the full fact table
+    * and shuffling the ~matching fraction; the bloom itself is a few KB
+    * broadcast to every task. */
+  def q_join_bloom(spark: SparkSession, dir: String): DataFrame = {
+    Tables.views(spark, dir)
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events
+        |WHERE might_contain(
+        |    (SELECT bloom_filter_agg(xxhash64(c_custkey),
+        |                             CAST(512 AS BIGINT), CAST(8192 AS BIGINT))
+        |     FROM customer WHERE c_acctbal > 5000),
+        |    xxhash64(user_id))
+        |  AND user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Statistical mode per group via Spark 4's native `mode(expr, true)`
+    * aggregate (deterministic tie-break: lowest value) — a
+    * TypedImperativeAggregate building a per-group frequency map, the
+    * built-in answer to "most common value" that would otherwise cost a
+    * count-then-rank window over the whole group. Map-side partial maps
+    * merge across partitions, so the shuffle moves |distinct values per
+    * group| entries, not rows. */
+  def q_agg_mode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("mode(event_type, true)").as("mode_type"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Z-order (Morton) clustering key — the multi-dimensional data-layout
+    * primitive: interleaving the bits of two dimensions gives a 1-D sort
+    * key under which ranges of EITHER dimension map to few contiguous key
+    * ranges, so a sort-by-z write clusters files for 2-D predicate pruning
+    * (the layout strategy behind Delta/Iceberg Z-ORDER compaction). Pure
+    * bit arithmetic per row (16 codegen'd shift/mask terms per dimension,
+    * no shuffle until the tile rollup); the per-tile min/max spans this
+    * emits are exactly the file-skipping statistics a 100 TB writer would
+    * store. Tile = z >> 8, a 16×16 box in (user, value) space. */
+  def q_zorder(spark: SparkSession, dir: String): DataFrame = {
+    val z = (0 until 16).map { k =>
+      shiftleft(shiftright(col("x"), k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(col("y"), k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id").as("x"), floor(col("value")).cast("long").as("y"))
+      .withColumn("tile", shiftright(z, 8))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("tile"))
+  }
+
   // ----------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -582,6 +671,10 @@ object Relational {
     "q_set_unionall" -> q_set_unionall _,
     "q_agg_strjoin" -> q_agg_strjoin _,
     "q_agg_histogram" -> q_agg_histogram _,
+    "q_join_salted" -> q_join_salted _,
+    "q_join_bloom" -> q_join_bloom _,
+    "q_agg_mode" -> q_agg_mode _,
+    "q_zorder" -> q_zorder _,
   )
 
   /** DuckDB-dialect oracles. NULLS FIRST is spelled out wherever a sort key
@@ -803,5 +896,38 @@ object Relational {
     "q_agg_histogram" ->
       """SELECT CAST(floor("value" / 20) AS BIGINT) AS bucket, count(*) AS n
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_join_salted" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT user_id, mode_type, n FROM (
+        |  SELECT user_id, event_type AS mode_type,
+        |    CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM (SELECT user_id, event_type, count(*) AS cnt
+        |        FROM events GROUP BY user_id, event_type))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_zorder" ->
+      s"""WITH b AS (SELECT user_id AS x, CAST(floor("value") AS BIGINT) AS y FROM events),
+         |z AS (SELECT x, y, ($zorderTermsSql) AS zv FROM b)
+         |SELECT zv >> 8 AS tile, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
   )
+
+  /** The Morton interleave as portable integer arithmetic — generated once
+    * and shared in spirit with the Column-API form in [[q_zorder]]: bit k
+    * of x lands at 2k, bit k of y at 2k+1 (multiplication by a power of
+    * two == shift in both engines' BIGINT semantics). */
+  private lazy val zorderTermsSql: String = (0 until 16).map { k =>
+    s"(((x >> $k) & 1) * ${1L << (2 * k)}) + (((y >> $k) & 1) * ${1L << (2 * k + 1)})"
+  }.mkString(" + ")
 }

@@ -54,6 +54,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
         .head.getBoolean(0))
       assert(s.sql("SELECT size(char_ngram_hashes('abcd', 3))")
         .head.getInt(0) == 2)
+      // bloom build + probe round-trip through the registered pair
+      assert(s.sql(
+        """SELECT might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(id), CAST(8 AS BIGINT), CAST(128 AS BIGINT))
+          |   FROM range(8)), xxhash64(3L))""".stripMargin)
+        .head.getBoolean(0))
     }
   }
 

@@ -157,6 +157,22 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_zorder: every tile's min/max span stays inside its 16x16 box") {
+    // the point of the Morton key: tile = z >> 8 confines each tile to a
+    // 16-aligned 16x16 box in (x, y) space, which is what makes per-tile
+    // min/max statistics selective for 2-D predicate file-skipping
+    val rows = SparkEntry.queries("q_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"))
+      val (minY, maxY) = (r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))
+      assert(maxX - minX <= 15 && maxX / 16 == minX / 16,
+        s"tile ${r.get(0)} x-span [$minX,$maxX] crosses a 16-box")
+      assert(maxY - minY <= 15 && maxY / 16 == minY / 16,
+        s"tile ${r.get(0)} y-span [$minY,$maxY] crosses a 16-box")
+    }
+  }
+
   test("rolling-hash fingerprint fold matches a reference implementation") {
     val df = Seq("scan merge table").toDF("text")
     val got = df.select(expr(

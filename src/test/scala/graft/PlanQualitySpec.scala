@@ -127,6 +127,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("q_join_bloom: explicit bloom probe sits on the events side before the join") {
+    val plan = executedPlan("q_join_bloom")
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // the probe must be a Filter conjunct on the fact scan (map-side,
+    // pre-shuffle), not a post-join residual: in the executed plan string
+    // the might_contain filter appears below the join, directly over the
+    // events columns
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not on the scan side of the join:\n$plan")
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact side of an SMJ") {
     // the semi-join-pushdown shape that matters at 100 TB: when the dim
     // side of a shuffle join is selectively filtered, the engine builds a
