@@ -52,8 +52,14 @@ object ConnectedComponents {
     */
   def minLabel(vertices: DataFrame, idCol: String, edges: DataFrame,
       srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // Edge GENERATION is usually the expensive part (a similarity pair
+    // join); the symmetrized view scans it twice, and concurrent branch
+    // tasks race the cache, so persist + materialize the directed edges
+    // ONCE before fanning out — the pair pipeline then runs exactly once
+    // regardless of how many times the loop re-reads sym.
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).persist()
+    e.count()
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .persist()
     try {
       // sum() of zero rows is NULL — coalesce so an empty active set
@@ -94,6 +100,6 @@ object ConnectedComponents {
         .join(labels.as("l"), col("v.id") === col("l.id"), "left")
         .select(col("v.id").as("id"),
           coalesce(col("l.component"), col("v.id")).as("component"))
-    } finally sym.unpersist()
+    } finally { sym.unpersist(); e.unpersist() }
   }
 }

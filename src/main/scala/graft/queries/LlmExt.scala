@@ -328,6 +328,48 @@ object LlmExt {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Lloyd's k-means, two unrolled iterations in EXACT integer arithmetic —
+    * the iterative refinement loop behind the [[q_vec_centroid]] training
+    * step and the [[q_ann_ivf]] quantizer, engine-portable because every
+    * step is integer math: vectors are micro-quantized once
+    * (floor(1e6·x), exact for L2-normalized floats), dot products are
+    * BIGINT folds (≤ 64·1e12 per vector — no overflow, no float
+    * order-dependence), and centroid updates divide exact integer sums
+    * (floor of a correctly-rounded double division — identical in both
+    * engines). Assignment ties break on centroid id.
+    *
+    * The Spark shape is the 100 TB shape: k centroid rows BROADCAST to a
+    * map-side assignment (crossJoin of 8 rows), centroid update as
+    * posexplode + two-phase hash agg (one shuffle of k·dims rows per
+    * iteration regardless of corpus size) — the same loop structure
+    * MLlib's KMeans runs, here in pure DataFrame ops with a generated
+    * unrolled DuckDB twin as the oracle. */
+  def q_kmeans_lloyd(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(1000000 * CAST(x AS DOUBLE)) AS BIGINT))").as("qv"))
+      .persist() // consumed by every assignment round with different pruning
+    var cents = q.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cid"))
+      q.crossJoin(broadcast(c))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, qc, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("qv"))
+    }
+    val a1 = assign(cents)
+    cents = a1.select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), t -> t.c)").as("qc"))
+    assign(cents).select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
+  }
+
   /** Deterministic train/val/test assignment by content-stable hash
     * bucketing — the split primitive of a training-data pipeline: md5 of
     * the document key → 16-bit bucket → 80/10/10 ranges. Hash-based (not
@@ -530,6 +572,7 @@ object LlmExt {
     "q_dedup_simhash" -> q_dedup_simhash _,
     "q_dedup_cluster" -> q_dedup_cluster _,
     "q_dedup_semantic" -> q_dedup_semantic _,
+    "q_kmeans_lloyd" -> q_kmeans_lloyd _,
     "q_text_containment" -> q_text_containment _,
     "q_sample_split" -> q_sample_split _,
     "q_text_norm" -> q_text_norm _,
@@ -690,6 +733,27 @@ object LlmExt {
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_kmeans_lloyd" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, qv FROM (
+        |    SELECT q.vec_id, c.cid, q.qv,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.qc), t -> t[1] * t[2])) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT cid, ord,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM (SELECT cid, unnest(qv) AS v, generate_subscripts(qv, 1) AS ord FROM a1)
+        |  GROUP BY cid, ord),
+        |c1 AS (SELECT cid, list(c ORDER BY ord) AS qc FROM u1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.qc), t -> t[1] * t[2])) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c1 c) WHERE rn = 1)
+        |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH p AS (
         |  SELECT a.vec_id AS da, b.vec_id AS db
