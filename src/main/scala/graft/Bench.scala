@@ -30,6 +30,13 @@ object Bench {
       // ngram pair join measured 2.9→15s purely from suite-accumulated
       // heap pressure, with identical plans
       spark.catalog.clearCache()
+      // clearCache only drops CacheManager entries; localCheckpoint blocks
+      // (the CC/k-means loops' lineage cuts) live as persisted RDDs outside
+      // it and otherwise accumulate across the suite until GC pressure
+      // taxes whichever queries run late (measured: identical plans 0.3 s
+      // in a fresh JVM vs 5+ s late in the suite)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

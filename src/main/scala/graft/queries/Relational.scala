@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -404,6 +405,54 @@ object Relational {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Linear-interpolation RESAMPLE onto each user's hourly grid — the
+    * align step that turns irregular samples into a fixed-rate series
+    * (the gauge/counter alignment every monitoring pipeline runs before
+    * cross-series math; [[q_ts_gapfill]] densifies counts, this
+    * interpolates VALUES). One union + one window pass: grid points and
+    * events interleave in (t, kind, event_id) order, `last(ignoreNulls)`
+    * over the preceding frame carries the previous sample, `first` over
+    * the strictly-following frame finds the next; interpolation is
+    * straight-line between them (carry-forward past the last sample).
+    * All arithmetic is IEEE double in the identical operation order on
+    * both engines, quantized to basis points at the edge. Windows
+    * partition by user — embarrassingly parallel across series, no
+    * cross-partition state, the 100 TB-safe shape. */
+  def q_ts_interp(spark: SparkSession, dir: String): DataFrame = {
+    // user_id < 100: the dense hourly grid is O(users × hours) output —
+    // bound the demo corpus slice so harness dumps stay small; the plan
+    // shape (per-user windows) is slice-independent
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 100)
+      .select(col("user_id"), unix_seconds(col("ts")).as("t"),
+        col("value").as("v"), col("event_id").as("eid"), lit(0).as("kind"))
+    val grid = Tables.events(spark, dir).filter(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(floor(min(unix_seconds(col("ts"))) / 3600).cast("long").as("lo"),
+        floor(max(unix_seconds(col("ts"))) / 3600).cast("long").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("h"))
+      .select(col("user_id"), (col("h") * 3600).as("t"),
+        lit(null).cast("double").as("v"), lit(-1L).as("eid"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("eid"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    ev.unionByName(grid)
+      .withColumn("va", last(col("v"), ignoreNulls = true).over(prevW))
+      .withColumn("ta",
+        last(when(col("kind") === 0, col("t")), ignoreNulls = true).over(prevW))
+      .withColumn("vb", first(col("v"), ignoreNulls = true).over(nextW))
+      .withColumn("tb",
+        first(when(col("kind") === 0, col("t")), ignoreNulls = true).over(nextW))
+      .filter(col("kind") === 1 && col("va").isNotNull)
+      .withColumn("interp", when(col("vb").isNull, col("va"))
+        .otherwise(col("va") + (col("vb") - col("va")) *
+          ((col("t") - col("ta")).cast("double") /
+            (col("tb") - col("ta")).cast("double"))))
+      .select(col("user_id"), col("t").as("t_s"),
+        floor(lit(10000.0) * col("interp")).as("interp_bp"))
+      .orderBy(col("user_id"), col("t_s"))
+  }
+
   /** Skew-safe two-phase aggregation via [[graft.operators.Salting]] —
     * the hot-key remedy as an end-to-end oracle-checked query: salting is
     * pure execution strategy, so the oracle is the PLAIN GROUP BY (the
@@ -672,6 +721,7 @@ object Relational {
     "q_agg_strjoin" -> q_agg_strjoin _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_join_salted" -> q_join_salted _,
+    "q_ts_interp" -> q_ts_interp _,
     "q_join_bloom" -> q_join_bloom _,
     "q_agg_mode" -> q_agg_mode _,
     "q_zorder" -> q_zorder _,
@@ -901,6 +951,29 @@ object Relational {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_ts_interp" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, "value" AS v,
+        |             event_id AS eid, 0 AS kind FROM events WHERE user_id < 100),
+        |b AS (SELECT user_id, CAST(floor(min(t) / 3600) AS BIGINT) AS lo,
+        |             CAST(floor(max(t) / 3600) AS BIGINT) AS hi FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(lo, hi + 1)) * 3600 AS t,
+        |             CAST(NULL AS DOUBLE) AS v, CAST(-1 AS BIGINT) AS eid, 1 AS kind FROM b),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM g),
+        |w AS (SELECT user_id, t, kind,
+        |    last_value(v IGNORE NULLS) OVER win_prev AS va,
+        |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER win_prev AS ta,
+        |    first_value(v IGNORE NULLS) OVER win_next AS vb,
+        |    first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER win_next AS tb
+        |  FROM u
+        |  WINDOW win_prev AS (PARTITION BY user_id ORDER BY t, kind, eid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         win_next AS (PARTITION BY user_id ORDER BY t, kind, eid
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, t AS t_s,
+        |  CAST(floor(10000.0 * (CASE WHEN vb IS NULL THEN va
+        |    ELSE va + (vb - va) * (CAST(t - ta AS DOUBLE) / CAST(tb - ta AS DOUBLE)) END)) AS BIGINT) AS interp_bp
+        |FROM w WHERE kind = 1 AND va IS NOT NULL
+        |ORDER BY user_id, t_s""".stripMargin,
     "q_join_bloom" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
