@@ -32,5 +32,53 @@ class SourceFormatSpec extends AnyFunSuite with SparkFixture {
     val schema = flat.schema
     assert(agg(spark.read.schema(schema).json(s"$tmp/json")) == base)
     assert(agg(spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")) == base)
+    // ORC is the second binary columnar format Spark bundles: unlike
+    // JSON/CSV it carries its own schema and types, so the round-trip
+    // needs no schema hint — a true second source implementation
+    flat.write.mode("overwrite").orc(s"$tmp/orc")
+    assert(agg(spark.read.orc(s"$tmp/orc")) == base)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // THE 100 TB join strategy for repeated joins on a stable key: both
+    // sides pre-hashed into the same bucket count on the join key at
+    // write time means every join on that key is Exchange-free forever —
+    // the shuffle is paid once at ingest, not per query. (File-source
+    // bucketing needs the catalog, hence saveAsTable; broadcast is
+    // disabled so the test proves bucketing, not small-table luck.)
+    Tables.ensure(spark)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      Tables.customer(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      j.collect()
+      // AQE's toString echoes the Initial Plan below the Final Plan —
+      // count exchanges in the final section only
+      val plan = j.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // the only hash exchange allowed is the post-join aggregation one —
+      // the join itself must read both sides bucket-aligned
+      assert(exchanges <= 1, s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      // and the result equals the plain (unbucketed) join
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey")).collect().toSeq
+      assert(j.orderBy(col("c_nationkey")).collect().toSeq == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
   }
 }
