@@ -405,6 +405,53 @@ object Relational {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase within a user-day):
+    * each stage's timestamp is the MIN event time STRICTLY AFTER the
+    * previous stage's — three chained conditional-min window passes over
+    * the same (user, day) partition (one shuffle; the chain cannot
+    * collapse into one aggregate because each stage's predicate depends
+    * on the previous stage's result). Per-day funnel counts fall out of a
+    * conditional distinct count. The sequence-matching shape behind
+    * conversion/drop-off reporting; partitions by user-day, so it scales
+    * with no cross-key state. */
+  def q_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"), col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"), col("ts"))).over(w))
+      .groupBy(col("day"))
+      .agg(
+        countDistinct(when(col("tv").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("tc").isNotNull, col("user_id"))).as("n_click"),
+        countDistinct(when(col("tp").isNotNull, col("user_id"))).as("n_purchase"))
+      .orderBy(col("day"))
+  }
+
+  /** Next-day cohort retention: distinct (user, day) activity self-joined
+    * one day forward — per day, how many active users return tomorrow,
+    * as exact counts + a bp ratio. The distinct collapse happens BEFORE
+    * the self-join (the join moves |user-days| rows, not |events|), and
+    * the join is equi on (user, day+1) — shuffle-partitioned, no range
+    * scan. The cohort primitive behind DAU-retention matrices. */
+  def q_retention(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val nxt = d.select(col("user_id").as("u2"), col("day").as("d2"))
+    d.join(nxt, col("u2") === col("user_id") &&
+        col("d2") === date_add(col("day"), 1), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"), count(col("u2")).as("n_retained"))
+      .withColumn("retention_bp",
+        floor(lit(10000.0) * col("n_retained") / col("n_active")))
+      .orderBy(col("day"))
+  }
+
   /** Linear-interpolation RESAMPLE onto each user's hourly grid — the
     * align step that turns irregular samples into a fixed-rate series
     * (the gauge/counter alignment every monitoring pipeline runs before
@@ -722,6 +769,8 @@ object Relational {
     "q_agg_histogram" -> q_agg_histogram _,
     "q_join_salted" -> q_join_salted _,
     "q_ts_interp" -> q_ts_interp _,
+    "q_funnel" -> q_funnel _,
+    "q_retention" -> q_retention _,
     "q_join_bloom" -> q_join_bloom _,
     "q_agg_mode" -> q_agg_mode _,
     "q_zorder" -> q_zorder _,
@@ -951,6 +1000,25 @@ object Relational {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id, day) AS tv FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |         OVER (PARTITION BY user_id, day) AS tc FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |         OVER (PARTITION BY user_id, day) AS tp FROM s2)
+        |SELECT day,
+        |  CAST(count(DISTINCT CASE WHEN tv IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+        |  CAST(count(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END) AS BIGINT) AS n_click,
+        |  CAST(count(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase
+        |FROM s3 GROUP BY day ORDER BY day""".stripMargin,
+    "q_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT a.day, count(*) AS n_active, count(b.user_id) AS n_retained,
+        |  CAST(floor(10000.0 * count(b.user_id) / count(*)) AS BIGINT) AS retention_bp
+        |FROM d a LEFT JOIN d b ON b.user_id = a.user_id AND b.day = a.day + 1
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
     "q_ts_interp" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, "value" AS v,
         |             event_id AS eid, 0 AS kind FROM events WHERE user_id < 100),
