@@ -405,6 +405,59 @@ object Relational {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Pearson correlation per group in EXACT integer arithmetic — the
+    * built-in `corr()` accumulates raw doubles and is therefore
+    * partition-order-dependent; this formulation quantizes both series
+    * (hour-of-day × value cents), keeps all five accumulators as exact
+    * BIGINT sums (one two-phase agg, map-side combinable), widens to
+    * DECIMAL(38)/HUGEINT only for the final cross products, and touches
+    * floating point exactly three times (two correctly-rounded sqrts and
+    * one division) in the same order on both engines. The pattern for
+    * ANY order-independent moment statistic at 100 TB: ship integer
+    * partials, do the float math once at the end. */
+  def q_agg_corr(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("event_type"), col("n"),
+        floor(lit(10000.0) *
+          ((col("n").cast(d38) * col("sxy").cast(d38) -
+            col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+            (sqrt((col("n").cast(d38) * col("sx2").cast(d38) -
+              col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
+              sqrt((col("n").cast(d38) * col("sy2").cast(d38) -
+                col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
+        ).as("corr_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exponentially-weighted moving average (α = 1/2) per user — a
+    * RECURSIVE statistic no window frame can express (each state depends
+    * on the previous state, not a fixed row set). Expressed as a
+    * higher-order fold over the time-ordered value array: collect_list +
+    * array_sort(struct) pins a deterministic order, and halving keeps
+    * every step bit-identical across engines (division by two is exact;
+    * the adds round identically in identical order). At scale the
+    * per-user array is the bound — EWMA state is O(1), so the streaming
+    * twin would be flatMapGroupsWithState; this is its batch shape. */
+  def q_win_ewma(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("""aggregate(
+          transform(array_sort(collect_list(struct(ts, event_id, value))), t -> t.value),
+          CAST(0.0 AS DOUBLE), (s, x) -> (s + x) / 2)""").as("ewma"))
+      .select(col("user_id"), col("n"),
+        floor(lit(100.0) * col("ewma")).as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Ordered funnel analysis (view → click → purchase within a user-day):
     * each stage's timestamp is the MIN event time STRICTLY AFTER the
     * previous stage's — three chained conditional-min window passes over
@@ -771,6 +824,8 @@ object Relational {
     "q_ts_interp" -> q_ts_interp _,
     "q_funnel" -> q_funnel _,
     "q_retention" -> q_retention _,
+    "q_agg_corr" -> q_agg_corr _,
+    "q_win_ewma" -> q_win_ewma _,
     "q_join_bloom" -> q_join_bloom _,
     "q_agg_mode" -> q_agg_mode _,
     "q_zorder" -> q_zorder _,
@@ -1000,6 +1055,24 @@ object Relational {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_corr" ->
+      """WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |             CAST(floor("value" * 100) AS BIGINT) AS y FROM events),
+        |a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+        |      FROM q GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(10000.0 * (
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * sy2 - sy * sy AS DOUBLE))))) AS BIGINT) AS corr_bp
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_win_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(100.0 * list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list("value" ORDER BY ts, event_id)),
+        |    (s, x) -> (s + x) / 2)) AS BIGINT) AS ewma_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
