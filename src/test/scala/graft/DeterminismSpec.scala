@@ -22,7 +22,14 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     // the hyperplane buckets, and the window/grid/top-k newcomers
     "q_agg_salted", "q_agg_quantile_approx", "q_ann_hplsh", "q_shard_pack",
     "q_ts_gapfill", "q_text_tfidf", "q_sample_stratified", "q_unpivot",
-    "q_subq_exists", "q_text_pii")
+    "q_subq_exists", "q_text_pii",
+    // round-3 continuation: salted/bloom joins (must equal their plain
+    // twins under any partitioning), integer k-means and correlation
+    // (exactness IS the claim), the CC clusterings, the interpolation and
+    // EWMA folds (float order pinned by construction), and the rest
+    "q_join_salted", "q_join_bloom", "q_agg_mode", "q_zorder",
+    "q_dedup_semantic", "q_text_containment", "q_kmeans_lloyd",
+    "q_ts_interp", "q_funnel", "q_retention", "q_agg_corr", "q_win_ewma")
 
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {
