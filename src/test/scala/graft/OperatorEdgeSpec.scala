@@ -173,6 +173,49 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("count_min_sketch: one-sided error bound vs exact counts, partition-order-free bytes") {
+    // the mergeable heavy-hitter summary: per-partition sketches sum
+    // cell-wise (two-phase agg), so the SQL aggregate ships bounded bytes
+    // per partition at any scale. CMS guarantees est >= true and
+    // est <= true + eps*N (w.h.p.); cells are plain counters, so the
+    // serialized sketch is identical under ANY partitioning — asserted by
+    // byte equality across repartitions (the determinism contract that
+    // would let this ship as a query if the harness compared binaries)
+    val ev = Tables.events(spark, sf)
+    def sketchBytes(parts: Int): Array[Byte] = ev.repartition(parts)
+      .selectExpr("count_min_sketch(user_id, CAST(0.01 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+      .head.getAs[Array[Byte]](0)
+    val bytes = sketchBytes(3)
+    assert(java.util.Arrays.equals(bytes, sketchBytes(7)),
+      "CMS bytes differ across partitionings")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val total = ev.count()
+    val slack = math.ceil(0.01 * total).toLong
+    val exact = ev.groupBy(col("user_id")).count().collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (u, c) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(java.lang.Long.valueOf(u))
+      assert(est >= c && est <= c + slack,
+        s"user $u: exact $c, estimate $est outside [+0, +$slack]")
+    }
+  }
+
+  test("approx_top_k: exact when tracked items cover the domain") {
+    // Spark 4's sketch-based top-k: with maxItemsTracked >= |domain| the
+    // summary degrades to exact counts — pin that boundary so the sketch
+    // path can be confirmed against the exact aggregation it replaces
+    val got = Tables.events(spark, sf)
+      .selectExpr("explode(approx_top_k(event_type, 5, 100)) AS e")
+      .selectExpr("e.item AS event_type", "e.count AS n")
+      .orderBy(col("event_type")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
   test("rolling-hash fingerprint fold matches a reference implementation") {
     val df = Seq("scan merge table").toDF("text")
     val got = df.select(expr(
