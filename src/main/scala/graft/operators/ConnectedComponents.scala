@@ -47,18 +47,27 @@ object ConnectedComponents {
     * @return (id, component) — component = min id of the vertex's component
     * @throws IllegalStateException if the fixpoint is not reached within
     *         maxIter — unconverged labels are WRONG labels and must never
-    *         be mistaken for a result (near-dup graphs have diameter 2-3;
-    *         hitting 25 means the input is not the graph this is for)
+    *         be mistaken for a result (tight near-dup graphs have diameter
+    *         2-3; loose-threshold similarity graphs measure ~17 at sf0.1,
+    *         hence the 64 default; hitting it means the input is not a
+    *         similarity graph at all)
     */
   def minLabel(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+      srcCol: String, dstCol: String, maxIter: Int = 64): DataFrame = {
     // Edge GENERATION is usually the expensive part (a similarity pair
     // join); the symmetrized view scans it twice, and concurrent branch
     // tasks race the cache, so persist + materialize the directed edges
     // ONCE before fanning out — the pair pipeline then runs exactly once
     // regardless of how many times the loop re-reads sym.
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (debug) {
+      println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).persist()
     e.count()
+    lap("edges-materialize")
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .persist()
     try {
@@ -75,8 +84,22 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(eager = false) // materialized by labelSum below
       var prevSum = labelSum(labels)
+      lap("init-labels")
       var converged = false
       var iter = 1
+      // Per-round cost notes (measured at sf0.1, GRAFT_CC_DEBUG=1):
+      // ~0.25 s/round with AQE ON — AQE coalesces the tiny label shuffles
+      // and converts the edge join to broadcast at runtime; forcing AQE
+      // off TRIPLES the round cost (32-partition SMJ on 2k-row frames).
+      // A label-only pointer jump (min(own, label(label))) was tried and
+      // reverted: it cannot cross plateau minima (the local best vertex's
+      // label is itself), so it saved zero rounds and paid one extra
+      // shuffle per round. Round count IS the graph's min-flooding
+      // distance; loose-threshold geometric graphs (cosine ≥ 0.30) have
+      // honest diameters in the tens. The sub-O(diameter) alternative is
+      // Kiveris-style star contraction, which rewrites the EDGE set per
+      // round — graph-diameter-proof, but strictly more shuffles per
+      // round; not worth it below diameters in the hundreds.
       while (!converged && iter < maxIter) {
         val next = sym.join(labels, col("a") === col("id"))
           .select(col("b").as("id"), col("component"))
@@ -84,6 +107,7 @@ object ConnectedComponents {
           .groupBy(col("id")).agg(min(col("component")).as("component"))
           .localCheckpoint(eager = false)
         val s = labelSum(next)
+        lap(s"iter-$iter sum=$s")
         converged = s == prevSum
         prevSum = s
         labels = next

@@ -282,7 +282,10 @@ object LlmExt {
     * near-dup fraction only. Oracle: DuckDB recursive-CTE reachability
     * over the same pair predicate. */
   def q_dedup_semantic(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // vec_id < 1000: same demo-slice contract as q_dedup_cluster's
+    // doc_id bound — the 0.30 threshold makes a loose geometric graph
+    // whose min-label rounds track its diameter (~17 at 2000 vectors)
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
     val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
     val pairs = a.join(b, col("la") === col("lb") && col("da") < col("db"))
@@ -755,15 +758,16 @@ object LlmExt {
         |    FROM q CROSS JOIN c1 c) WHERE rn = 1)
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
     "q_dedup_semantic" ->
-      """WITH p AS (
+      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
+        |p AS (
         |  SELECT a.vec_id AS da, b.vec_id AS db
-        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 3000),
         |edges AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
         |reach AS (
         |  WITH RECURSIVE rr(a, b) AS (
-        |    SELECT vec_id, vec_id FROM embeddings
+        |    SELECT vec_id, vec_id FROM v
         |    UNION
         |    SELECT rr.a, e.b FROM rr JOIN edges e ON rr.b = e.a)
         |  SELECT * FROM rr)
