@@ -297,6 +297,34 @@ object LlmExt {
       .orderBy(col("vec_id"))
   }
 
+  /** Distributed triangle counting over the similarity graph — the local
+    * clustering-structure probe (a near-dup cluster that is a clique is a
+    * true duplicate group; a chain of pairwise-similars with no triangles
+    * is threshold drift). Orientation by vertex id (a<b<c) makes each
+    * triangle appear exactly once, as in Cohen's MapReduce formulation
+    * (at web scale one orients by DEGREE so hub vertices don't own
+    * quadratic wedge sets — same plan shape, different order key). Two
+    * equi-joins: wedges a−b−c from edges sharing the middle vertex, then
+    * a semi-check that the closing edge (a,c) exists; both shuffle by
+    * vertex key, map-side combinable counts fall out of the final agg. */
+  def q_graph_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+    val l = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
+    val r = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
+    val p = l.join(r, col("la") === col("lb") && col("da") < col("db"))
+      .filter(floor(lit(10000.0) * dotExpr) >= 2000)
+      .select(col("da"), col("db"))
+      .persist() // three consumers with different key roles
+    val tri = p.select(col("da").as("a"), col("db").as("b"))
+      .join(p.select(col("da").as("b2"), col("db").as("c")), col("b") === col("b2"))
+      .join(p.select(col("da").as("a3"), col("db").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT — |A∩B| / |A| ≥ 0.9 over char-3-gram
     * sets: the quote/subset-duplicate detector Jaccard misses by
     * construction (a doc embedded verbatim in a 10× larger one has
@@ -576,6 +604,7 @@ object LlmExt {
     "q_dedup_cluster" -> q_dedup_cluster _,
     "q_dedup_semantic" -> q_dedup_semantic _,
     "q_kmeans_lloyd" -> q_kmeans_lloyd _,
+    "q_graph_triangles" -> q_graph_triangles _,
     "q_text_containment" -> q_text_containment _,
     "q_sample_split" -> q_sample_split _,
     "q_text_norm" -> q_text_norm _,
@@ -757,6 +786,20 @@ object LlmExt {
         |        list_sum(list_transform(list_zip(q.qv, c.qc), t -> t[1] * t[2])) DESC, c.cid) AS rn
         |    FROM q CROSS JOIN c1 c) WHERE rn = 1)
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
+        |p AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 2000),
+        |tri AS (
+        |  SELECT e1.da AS a, e1.db AS b, e2.db AS c
+        |  FROM p e1 JOIN p e2 ON e1.db = e2.da
+        |       JOIN p e3 ON e3.da = e1.da AND e3.db = e2.db)
+        |SELECT vec_id, count(*) AS n_tri FROM (
+        |  SELECT unnest([a, b, c]) AS vec_id FROM tri)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_dedup_semantic" ->
       """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
         |p AS (
