@@ -109,12 +109,77 @@ object Multimodal {
         (r + g + b).toFloat / (3L * n))
     }
 
-    /** Format-dispatched decode: real for ppm; loud failure for codecs
-      * absent from this container. */
+    final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** RIFF/WAVE parser for 16-bit PCM — like P6, a codec-free container
+      * decodable in plain JVM: walk the chunk list, read `fmt ` (must be
+      * PCM, 16-bit), then the `data` payload as little-endian shorts.
+      * Unknown chunks are skipped by their declared size (LIST/INFO
+      * metadata is common in real files). */
+    def decodeWav(bytes: Array[Byte]): WavAudio = {
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+      require(bytes.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        "not a RIFF/WAVE file")
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (pos + 8 <= bytes.length && (samples == null || sampleRate == 0)) {
+        val id = ascii(pos, 4)
+        val sz = le32(pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= bytes.length, s"truncated '$id' chunk")
+        id match {
+          case "fmt " =>
+            require(sz >= 16, "short fmt chunk")
+            require(le16(pos + 8) == 1, "only PCM (format tag 1) supported")
+            channels = le16(pos + 10)
+            sampleRate = le32(pos + 12)
+            bits = le16(pos + 22)
+            require(bits == 16, "only 16-bit PCM supported")
+          case "data" =>
+            val n = sz / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = le16(pos + 8 + 2 * i).toShort; i += 1 }
+            samples = out
+          case _ => () // skip LIST/INFO/fact/...
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0 && channels > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      WavAudio(sampleRate, channels, samples)
+    }
+
+    /** Features from decoded samples: [sampleRate, channels, nSamples,
+      * durationMs, meanAbs, rms] — exact integer accumulation (|s| and s²
+      * sums), float only at the final divides/sqrt, so the result is
+      * partitioning-stable like [[ppmFeatures]]. */
+    def wavFeatures(a: WavAudio): Array[Float] = {
+      val n = a.samples.length
+      var sumAbs = 0L; var sumSq = 0L
+      var i = 0
+      while (i < n) {
+        val s = a.samples(i).toLong
+        sumAbs += math.abs(s); sumSq += s * s
+        i += 1
+      }
+      val frames = n / math.max(a.channels, 1)
+      Array(a.sampleRate.toFloat, a.channels.toFloat, n.toFloat,
+        (frames * 1000L).toFloat / a.sampleRate,
+        if (n == 0) 0f else sumAbs.toFloat / n,
+        if (n == 0) 0f else math.sqrt(sumSq.toDouble / n).toFloat)
+    }
+
+    /** Format-dispatched decode: real for the codec-free formats (P6
+      * raster, PCM WAV); loud failure for codecs absent from this
+      * container. */
     def decode(media: Array[Byte], format: String): Array[Float] = format match {
       case "ppm" => ppmFeatures(decodePpm(media))
+      case "wav" => wavFeatures(decodeWav(media))
       case other => throw new NotImplementedError(
-        s"no '$other' codec in this container (jpeg/png/audio need native libs); ppm is decoded natively")
+        s"no '$other' codec in this container (jpeg/png/video need native libs); ppm and wav decode natively")
     }
 
     /** Deterministic fake: 8 features from byte statistics. Stable across

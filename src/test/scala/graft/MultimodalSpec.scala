@@ -96,6 +96,61 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(big.rgb.length == 7 * 5 * 3)
   }
 
+  private def wavBytes(id: Long, nFrames: Int, channels: Int = 1,
+      rate: Int = 8000, withListChunk: Boolean = false): Array[Byte] = {
+    val n = nFrames * channels
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (((i * 31 + id * 17) % 4001) - 2000).toShort // deterministic, signed
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >>> 16) & 0xffff)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val list = if (withListChunk)
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+    else Array.emptyByteArray
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ dataChunk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("real WAV decode: distributed features match a driver-side reference") {
+    import spark.implicits._
+    val clips = (0L until 30L).map(id =>
+      Multimodal.MediaRow(id, wavBytes(id, 50 + (id % 7).toInt,
+        channels = 1 + (id % 2).toInt, withListChunk = id % 3 == 0), "wav"))
+    val got = Multimodal.extractRealFeatures(clips.toDS().repartition(5))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    for (r <- clips) {
+      val a = Multimodal.MediaDecoder.decodeWav(r.media)
+      val n = a.samples.length
+      val sumAbs = a.samples.map(s => math.abs(s.toLong)).sum
+      val sumSq = a.samples.map(s => s.toLong * s.toLong).sum
+      val expect = Seq(a.sampleRate.toFloat, a.channels.toFloat, n.toFloat,
+        ((n / a.channels) * 1000L).toFloat / a.sampleRate,
+        sumAbs.toFloat / n, math.sqrt(sumSq.toDouble / n).toFloat)
+      assert(got(r.doc_id) == expect, s"clip ${r.doc_id}")
+    }
+  }
+
+  test("WAV parser rejects malformed input") {
+    intercept[IllegalArgumentException] { // not RIFF
+      Multimodal.MediaDecoder.decodeWav("JUNK".getBytes ++ new Array[Byte](20))
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      val full = wavBytes(1L, 10)
+      Multimodal.MediaDecoder.decodeWav(full.take(full.length - 5))
+    }
+    intercept[IllegalArgumentException] { // non-PCM format tag
+      val b = wavBytes(1L, 4)
+      b(20) = 3 // fmt tag offset in this fixed layout: IEEE float
+      Multimodal.MediaDecoder.decodeWav(b)
+    }
+  }
+
   test("P6 parser rejects malformed input; codec-less formats fail loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.MediaDecoder.decodePpm("P5\n2 2\n255\n".getBytes ++ new Array[Byte](12))
