@@ -127,6 +127,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("q_kmeans_lloyd: the k centroid rows broadcast, never the corpus") {
+    val plan = executedPlan("q_kmeans_lloyd")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"assignment crossJoin not broadcast:\n$plan")
+    // the corpus side must stream: no exchange materializing embeddings
+    // into a broadcast relation (mirrors the q_knn_cosine contract)
+    assert(!"BroadcastExchange[^\\n]*embedding".r.findFirstIn(plan).isDefined,
+      s"corpus broadcast:\n$plan")
+  }
+
+  test("q_retention: distinct user-day collapse happens below the self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q_retention")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no join in plan:\n$plan")
+    // both join inputs must already be aggregated (distinct) — the join
+    // moves |user-days| rows, not |events|
+    assert(joins.exists(j =>
+      j.left.collectFirst { case a: Aggregate => a }.nonEmpty &&
+        j.right.collectFirst { case a: Aggregate => a }.nonEmpty),
+      s"distinct not pushed below the join:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q_join_bloom: explicit bloom probe sits on the events side before the join") {
     val plan = executedPlan("q_join_bloom")
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
