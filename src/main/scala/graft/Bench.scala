@@ -22,7 +22,14 @@ object Bench {
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite
     // conditions (isolates whether a slow reading is the query or the
     // suite tail); the driver never sets it, so default behavior is whole-suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, // a typo'd subset must fail loudly, never time zero queries
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -66,11 +66,13 @@ object ConnectedComponents {
       t0 = System.nanoTime()
     }
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).persist()
-    e.count()
-    lap("edges-materialize")
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .persist()
     try {
+      // inside the try: if the (expensive) pair-generation join throws
+      // during materialization, the finally still unregisters both caches
+      e.count()
+      lap("edges-materialize")
       // sum() of zero rows is NULL — coalesce so an empty active set
       // converges immediately instead of NPE-ing
       def labelSum(df: DataFrame): Long =

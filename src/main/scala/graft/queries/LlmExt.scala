@@ -146,13 +146,22 @@ object LlmExt {
     * the same cell by the quantizer's construction) makes the join equi on
     * label, so it shuffles by cell instead of replicating the corpus. */
   def q_embed_neardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    cellCosinePairs(Tables.embeddings(spark, dir), minBp = 3000)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Shared candidate generation for the cosine family: same-cell (label)
+    * vector pairs with `sim_bp = floor(10000·dot)` at or above `minBp`,
+    * `da < db`. Equi on the cell label, so the join shuffles by cell
+    * instead of replicating the corpus — the one construction behind
+    * q_embed_neardup, q_dedup_semantic, and q_graph_triangles. */
+  private def cellCosinePairs(e: DataFrame, minBp: Long): DataFrame = {
     val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
     a.join(b, col("la") === col("lb") && col("da") < col("db"))
       .select(col("da"), col("db"), floor(lit(10000.0) * dotExpr).as("sim_bp"))
-      .filter(col("sim_bp") >= 3000)
-      .orderBy(col("da"), col("db"))
+      .filter(col("sim_bp") >= minBp)
+      .select(col("da"), col("db"), col("sim_bp"))
   }
 
   /** IVF-style bucketed ANN: `label` stands in for the coarse-quantizer
@@ -286,11 +295,7 @@ object LlmExt {
     // doc_id bound — the 0.30 threshold makes a loose geometric graph
     // whose min-label rounds track its diameter (~17 at 2000 vectors)
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
-    val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
-    val pairs = a.join(b, col("la") === col("lb") && col("da") < col("db"))
-      .filter(floor(lit(10000.0) * dotExpr) >= 3000)
-      .select(col("da"), col("db"))
+    val pairs = cellCosinePairs(e, minBp = 3000).select(col("da"), col("db"))
     graft.operators.ConnectedComponents
       .minLabel(e.select(col("vec_id")), "vec_id", pairs, "da", "db")
       .select(col("id").as("vec_id"), col("component").as("cluster_id"))
@@ -309,10 +314,7 @@ object LlmExt {
     * vertex key, map-side combinable counts fall out of the final agg. */
   def q_graph_triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
-    val l = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
-    val r = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
-    val p = l.join(r, col("la") === col("lb") && col("da") < col("db"))
-      .filter(floor(lit(10000.0) * dotExpr) >= 2000)
+    val p = cellCosinePairs(e, minBp = 2000)
       .select(col("da"), col("db"))
       .persist() // three consumers with different key roles
     val tri = p.select(col("da").as("a"), col("db").as("b"))

@@ -425,14 +425,20 @@ object Relational {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sx2"),
         sum(col("y") * col("y")).as("sy2"))
+      .withColumn("da", (col("n").cast(d38) * col("sx2").cast(d38) -
+        col("sx").cast(d38) * col("sx").cast(d38)).cast("double"))
+      .withColumn("db", (col("n").cast(d38) * col("sy2").cast(d38) -
+        col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))
+      // zero-variance guard: a degenerate group (one row, or a constant
+      // series) has denominator 0 — Spark's non-ANSI divide would yield
+      // NULL while DuckDB's IEEE division yields NaN that CAST refuses;
+      // an explicit NULL on BOTH sides keeps the engines aligned
       .select(col("event_type"), col("n"),
-        floor(lit(10000.0) *
-          ((col("n").cast(d38) * col("sxy").cast(d38) -
-            col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
-            (sqrt((col("n").cast(d38) * col("sx2").cast(d38) -
-              col("sx").cast(d38) * col("sx").cast(d38)).cast("double")) *
-              sqrt((col("n").cast(d38) * col("sy2").cast(d38) -
-                col("sy").cast(d38) * col("sy").cast(d38)).cast("double"))))
+        when(col("da") > 0 && col("db") > 0,
+          floor(lit(10000.0) *
+            ((col("n").cast(d38) * col("sxy").cast(d38) -
+              col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+              (sqrt(col("da")) * sqrt(col("db")))))
         ).as("corr_bp"))
       .orderBy(col("event_type"))
   }
@@ -771,8 +777,14 @@ object Relational {
       shiftleft(shiftright(col("x"), k).bitwiseAND(lit(1L)), 2 * k) +
         shiftleft(shiftright(col("y"), k).bitwiseAND(lit(1L)), 2 * k + 1)
     }.reduce(_ + _)
+    // & 65535: the interleave covers 16 bits per dimension BY CONTRACT —
+    // masking makes the domain explicit and total (out-of-range or
+    // negative inputs wrap instead of silently aliasing distant points
+    // with intact-looking tile stats; a wider key interleaves 32 bits
+    // into two z-levels, same construction)
     Tables.events(spark, dir)
-      .select(col("user_id").as("x"), floor(col("value")).cast("long").as("y"))
+      .select(col("user_id").bitwiseAND(lit(65535L)).as("x"),
+        floor(col("value")).cast("long").bitwiseAND(lit(65535L)).as("y"))
       .withColumn("tile", shiftright(z, 8))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n"),
@@ -1060,13 +1072,18 @@ object Relational {
         |             CAST(floor("value" * 100) AS BIGINT) AS y FROM events),
         |a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
         |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
-        |      FROM q GROUP BY event_type)
+        |      FROM q GROUP BY event_type),
+        |d AS (SELECT *,
+        |        CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE) AS da,
+        |        CAST(CAST(n AS HUGEINT) * sy2 - sy * sy AS DOUBLE) AS db
+        |      FROM a)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(floor(10000.0 * (
-        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(CAST(n AS HUGEINT) * sx2 - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(CAST(n AS HUGEINT) * sy2 - sy * sy AS DOUBLE))))) AS BIGINT) AS corr_bp
-        |FROM a ORDER BY event_type""".stripMargin,
+        |  CASE WHEN da > 0 AND db > 0 THEN
+        |    CAST(floor(10000.0 * (
+        |      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(da) * sqrt(db)))) AS BIGINT)
+        |  END AS corr_bp
+        |FROM d ORDER BY event_type""".stripMargin,
     "q_win_ewma" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
         |  CAST(floor(100.0 * list_reduce(
@@ -1130,7 +1147,7 @@ object Relational {
         |        FROM events GROUP BY user_id, event_type))
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_zorder" ->
-      s"""WITH b AS (SELECT user_id AS x, CAST(floor("value") AS BIGINT) AS y FROM events),
+      s"""WITH b AS (SELECT user_id & 65535 AS x, CAST(floor("value") AS BIGINT) & 65535 AS y FROM events),
          |z AS (SELECT x, y, ($zorderTermsSql) AS zv FROM b)
          |SELECT zv >> 8 AS tile, count(*) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y

@@ -35,13 +35,29 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {
       val fn = SparkEntry.queries(name)
-      spark.conf.set("spark.sql.shuffle.partitions", "3")
-      val a = fn(spark, sf).collect().toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val b = fn(spark, sf).collect().toSeq
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      assert(a.nonEmpty, s"$name returned an empty result (masks bugs)")
-      assert(a == b, s"$name differs across partitionings")
+      // clear both cache layers between runs: queries that persist()
+      // internal frames (SetSimilarity sets, LSH signatures, pair joins)
+      // would otherwise serve run 2 from run 1's cache, making the
+      // invariance check vacuous exactly on the float-sensitive stages;
+      // cleared after too so caches don't accumulate across the suite
+      def cleanCaches(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      try {
+        cleanCaches()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = fn(spark, sf).collect().toSeq
+        cleanCaches()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = fn(spark, sf).collect().toSeq
+        assert(a.nonEmpty, s"$name returned an empty result (masks bugs)")
+        assert(a == b, s"$name differs across partitionings")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        cleanCaches()
+      }
     }
   }
 
