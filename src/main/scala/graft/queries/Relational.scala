@@ -405,6 +405,29 @@ object Relational {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Incremental aggregate MAINTENANCE — the materialized-view merge law
+    * that makes 100 TB pipelines incremental: partial aggregates (count +
+    * decimal sum per key) computed over disjoint slices merge by
+    * re-aggregation into EXACTLY the full recompute, so each ingest batch
+    * folds into the running state without re-reading history. The oracle
+    * IS the full recompute — the merge must be semantically invisible
+    * (same contract family as q_agg_salted: decimal sums make the
+    * re-aggregation order-independent). The even/odd day split stands in
+    * for base-vs-new-batch; both partials are two-phase hash aggs. */
+  def q_agg_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def partial(slice: DataFrame): DataFrame = slice
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("s"))
+    val base = partial(ev.filter(pmod(dayofmonth(col("ts")), lit(2)) === 0))
+    val delta = partial(ev.filter(pmod(dayofmonth(col("ts")), lit(2)) === 1))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .select(col("event_type"), col("n"), col("s").cast("double").as("s"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pearson correlation per group in EXACT integer arithmetic — the
     * built-in `corr()` accumulates raw doubles and is therefore
     * partition-order-dependent; this formulation quantizes both series
@@ -838,6 +861,7 @@ object Relational {
     "q_retention" -> q_retention _,
     "q_agg_corr" -> q_agg_corr _,
     "q_win_ewma" -> q_win_ewma _,
+    "q_agg_incremental" -> q_agg_incremental _,
     "q_join_bloom" -> q_join_bloom _,
     "q_agg_mode" -> q_agg_mode _,
     "q_zorder" -> q_zorder _,
@@ -1067,6 +1091,10 @@ object Relational {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_corr" ->
       """WITH q AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
         |             CAST(floor("value" * 100) AS BIGINT) AS y FROM events),

@@ -115,6 +115,46 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, day: String, event_type: String,
+    ts_us: Long, event_id: Long)
+  final case class FunnelState(tv: Long, tc: Long, tp: Long)
+  final case class FunnelRow(user_id: Long, day: String, tv_us: Long,
+    tc_us: Long, tp_us: Long)
+
+  /** Stateful ONLINE funnel: per (user, day), the view → click → purchase
+    * stage timestamps maintained incrementally — the streaming face of
+    * the batch [[graft.queries.Relational.q_funnel]] (which carries the
+    * oracle). Within a micro-batch events are sorted by (ts, event_id) so
+    * replays are deterministic; across batches the stage state survives
+    * in GroupState, and each batch emits the key's updated state (Update
+    * mode). The chained-stage rule matches the batch windows exactly:
+    * a stage is set by the FIRST event of its type STRICTLY after the
+    * previous stage's time (ascending processing order makes first ==
+    * min). -1 encodes "stage not reached". */
+  def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[FunnelEvent]
+      .groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          for (e <- it.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+            if (e.event_type == "view" && s.tv < 0)
+              s = s.copy(tv = e.ts_us)
+            else if (e.event_type == "click" && s.tv >= 0 && e.ts_us > s.tv && s.tc < 0)
+              s = s.copy(tc = e.ts_us)
+            else if (e.event_type == "purchase" && s.tc >= 0 && e.ts_us > s.tc && s.tp < 0)
+              s = s.copy(tp = e.ts_us)
+          }
+          state.update(s)
+          Iterator.single(FunnelRow(key._1, key._2, s.tv, s.tc, s.tp))
+      }
+  }
+
   /** Stream-stream self-join: pairs of events of the same user within
     * (0, 30 min] — the streaming twin of the batch band join
     * (graft.queries.Relational.q_join_range, which carries the DuckDB

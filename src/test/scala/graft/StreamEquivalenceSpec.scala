@@ -55,6 +55,23 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stateful streaming funnel == batch q_funnel counts") {
+    val streamed = runToMemory(
+      StreamOps.funnelStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
+    // last emitted state per key (stage times only ever get SET, so max
+    // is the final state even if the replay split into several batches)
+    val fin = streamed.groupBy(col("user_id"), col("day"))
+      .agg(max(col("tv_us")).as("tv"), max(col("tc_us")).as("tc"),
+        max(col("tp_us")).as("tp"))
+    val counts = fin.groupBy(to_date(col("day")).as("day"))
+      .agg(count(when(col("tv") >= 0, 1)).as("n_view"),
+        count(when(col("tc") >= 0, 1)).as("n_click"),
+        count(when(col("tp") >= 0, 1)).as("n_purchase"))
+    val batch = SparkEntry.queries("q_funnel")(spark, sf)
+    assert(sorted(counts) == sorted(batch))
+    assert(counts.count() > 0)
+  }
+
   test("streaming tumbling window == batch tumble counts") {
     val streamed = runToMemory(
       StreamOps.eventsStream(spark, sf)
