@@ -405,6 +405,43 @@ object Relational {
       .orderBy(col("event_type"), col("hour_s"))
   }
 
+  /** Key-skew profile — the diagnostic that DECIDES when the Salting
+    * remedies apply: per-key counts in one two-phase agg, then the top-5
+    * heaviest keys with their share of all rows (bp) and the global
+    * max-to-mean skew ratio. At 100 TB this runs as a cheap pre-pass over
+    * a sample or the previous day's partition to pick salt factors; the
+    * profile itself shuffles |keys| rows, never |events|. */
+  def q_profile_skew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .crossJoin(tot)
+      .select(col("rk"), col("user_id"), col("n"),
+        floor(lit(10000.0) * col("n") / col("total")).as("share_bp"),
+        floor(lit(10000.0) * col("max_n") * col("n_keys") / col("total")).as("skew_bp"))
+      .orderBy(col("rk"))
+  }
+
+  /** Per-column data-quality profile (the `describe` of a quality gate):
+    * row count, null count, distinct count per column, assembled from
+    * per-column aggregates under one union — each column's profile is an
+    * independent two-phase agg, so the pass parallelizes per column and
+    * never widens a shuffle beyond one column's distinct set. */
+  def q_profile_stats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def prof(c: String): DataFrame = ev.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"))
+    prof("user_id").unionByName(prof("event_type")).unionByName(prof("value"))
+      .unionByName(prof("props"))
+      .orderBy(col("col_name"))
+  }
+
   /** Incremental aggregate MAINTENANCE — the materialized-view merge law
     * that makes 100 TB pipelines incremental: partial aggregates (count +
     * decimal sum per key) computed over disjoint slices merge by
@@ -862,6 +899,8 @@ object Relational {
     "q_agg_corr" -> q_agg_corr _,
     "q_win_ewma" -> q_win_ewma _,
     "q_agg_incremental" -> q_agg_incremental _,
+    "q_profile_skew" -> q_profile_skew _,
+    "q_profile_stats" -> q_profile_stats _,
     "q_join_bloom" -> q_join_bloom _,
     "q_agg_mode" -> q_agg_mode _,
     "q_zorder" -> q_zorder _,
@@ -1091,6 +1130,32 @@ object Relational {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_profile_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys,
+        |             CAST(max(n) AS BIGINT) AS max_n FROM c),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT CAST(rk AS INT) AS rk, user_id, n,
+        |  CAST(floor(10000.0 * n / total) AS BIGINT) AS share_bp,
+        |  CAST(floor(10000.0 * max_n * n_keys / total) AS BIGINT) AS skew_bp
+        |FROM r, t WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    "q_profile_stats" ->
+      """SELECT 'user_id' AS col_name, count(*) AS n,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*),
+        |  CAST(sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT "value") AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*),
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT props) AS BIGINT) FROM events
+        |ORDER BY col_name""".stripMargin,
     "q_agg_incremental" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
