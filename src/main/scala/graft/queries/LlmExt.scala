@@ -403,6 +403,44 @@ object LlmExt {
     assign(cents).select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
   }
 
+  /** END-TO-END training-data preparation — the capstone composition of
+    * the pipeline stages this engine exists for, as ONE declarative plan
+    * Catalyst optimizes jointly: (1) quality gate (the q_text_quality
+    * rules inline: unique-word and stopword ratios), (2) exact-dedup
+    * SURVIVOR SELECTION (min doc_id per md5(text) group via a window —
+    * canonical-document choice, not just counting), (3) content-stable
+    * train/val/test hash split (the q_sample_split buckets), then
+    * per-split accounting. Every stage is engine-portable, so the WHOLE
+    * pipeline is oracle-checked end to end — the property that lets a
+    * 100 TB run validate any slice of itself against a single-node
+    * engine. All stages are map-side except one hash shuffle (dedup
+    * window) and the final tiny agg. */
+  def q_pipeline_prepare(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("n_words", expr("size(split(text, ' '))"))
+      .withColumn("uniq_bp", floor(lit(10000.0) *
+        expr("size(array_distinct(split(text, ' ')))") / expr("NULLIF(n_words, 0)")))
+      .withColumn("stop_bp", floor(lit(10000.0) *
+        expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))") / expr("NULLIF(n_words, 0)")))
+      .filter(col("uniq_bp") > 3000 && col("stop_bp") < 3000)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val survivors = scored
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    survivors
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < 52429, "train")
+          .when(col("bucket") < 58982, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_words").cast("long")).as("sum_words"))
+      .orderBy(col("split"))
+  }
+
   /** Deterministic train/val/test assignment by content-stable hash
     * bucketing — the split primitive of a training-data pipeline: md5 of
     * the document key → 16-bit bucket → 80/10/10 ranges. Hash-based (not
@@ -609,6 +647,7 @@ object LlmExt {
     "q_graph_triangles" -> q_graph_triangles _,
     "q_text_containment" -> q_text_containment _,
     "q_sample_split" -> q_sample_split _,
+    "q_pipeline_prepare" -> q_pipeline_prepare _,
     "q_text_norm" -> q_text_norm _,
     "q_mm_bytes" -> q_mm_bytes _,
   )
@@ -788,6 +827,25 @@ object LlmExt {
         |        list_sum(list_transform(list_zip(q.qv, c.qc), t -> t[1] * t[2])) DESC, c.cid) AS rn
         |    FROM q CROSS JOIN c1 c) WHERE rn = 1)
         |SELECT vec_id, cid FROM a2 ORDER BY vec_id""".stripMargin,
+    "q_pipeline_prepare" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(floor(10000.0 * len(list_distinct(string_split(text, ' ')))
+        |         / NULLIF(len(string_split(text, ' ')), 0)) AS BIGINT) AS uniq_bp,
+        |    CAST(floor(10000.0 * len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the','and','of','a','to')))
+        |         / NULLIF(len(string_split(text, ' ')), 0)) AS BIGINT) AS stop_bp
+        |  FROM documents),
+        |f AS (SELECT * FROM s WHERE uniq_bp > 3000 AND stop_bp < 3000),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f),
+        |sv AS (SELECT * FROM d WHERE rn = 1),
+        |b AS (SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket FROM sv)
+        |SELECT CASE WHEN bucket < 52429 THEN 'train'
+        |            WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "q_graph_triangles" ->
       """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
         |p AS (
