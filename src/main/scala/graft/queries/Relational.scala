@@ -427,18 +427,21 @@ object Relational {
   }
 
   /** Per-column data-quality profile (the `describe` of a quality gate):
-    * row count, null count, distinct count per column, assembled from
-    * per-column aggregates under one union — each column's profile is an
-    * independent two-phase agg, so the pass parallelizes per column and
-    * never widens a shuffle beyond one column's distinct set. */
+    * row count, null count, distinct count per column — computed in ONE
+    * scan: all twelve aggregates ride a single pass (Catalyst plans the
+    * multiple distincts via one Expand + two-phase agg), then `stack`
+    * unpivots the 1-row result to per-column rows. A union of per-column
+    * aggregates would read the table once PER COLUMN — at 100 TB the I/O
+    * passes, not the agg width, are the cost. */
   def q_profile_stats(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    def prof(c: String): DataFrame = ev.agg(
-      lit(c).as("col_name"), count(lit(1)).as("n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"))
-    prof("user_id").unionByName(prof("event_type")).unionByName(prof("value"))
-      .unionByName(prof("props"))
+    val cols = Seq("event_type", "props", "user_id", "value")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")) }
+    val stackArgs = cols.map(c => s"'$c', n, nn_$c, nd_$c").mkString(", ")
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS (col_name, n, n_null, n_distinct)")
       .orderBy(col("col_name"))
   }
 
