@@ -47,16 +47,12 @@ object LlmExt {
   /** Quality scoring: token/unique/stopword ratios in exact basis points +
     * a categorical verdict. */
   def q_text_quality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        expr("size(split(text, ' '))").as("n_words"),
-        expr("size(array_distinct(split(text, ' ')))").as("n_uniq"),
-        expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))").as("n_stop"))
-      .withColumn("uniq_bp", floor(lit(10000.0) * col("n_uniq") / expr("NULLIF(n_words, 0)")))
-      .withColumn("stop_bp", floor(lit(10000.0) * col("n_stop") / expr("NULLIF(n_words, 0)")))
+    withQualityScores(Tables.documents(spark, dir))
       .withColumn("cpw_bp", floor(lit(10000.0) * col("n_chars") / expr("NULLIF(n_words, 0)")))
       .withColumn("verdict",
         when(col("uniq_bp") > 3000 && col("stop_bp") < 3000, "good").otherwise("low"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_uniq"),
+        col("n_stop"), col("uniq_bp"), col("stop_bp"), col("cpw_bp"), col("verdict"))
       .orderBy(col("doc_id"))
   }
 
@@ -416,25 +412,9 @@ object LlmExt {
     * engine. All stages are map-side except one hash shuffle (dedup
     * window) and the final tiny agg. */
   def q_pipeline_prepare(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
-      .withColumn("n_words", expr("size(split(text, ' '))"))
-      .withColumn("uniq_bp", floor(lit(10000.0) *
-        expr("size(array_distinct(split(text, ' ')))") / expr("NULLIF(n_words, 0)")))
-      .withColumn("stop_bp", floor(lit(10000.0) *
-        expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))") / expr("NULLIF(n_words, 0)")))
+    val gated = withQualityScores(Tables.documents(spark, dir))
       .filter(col("uniq_bp") > 3000 && col("stop_bp") < 3000)
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val survivors = scored
-      .withColumn("fp", md5(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    survivors
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"))
-      .withColumn("split",
-        when(col("bucket") < 52429, "train")
-          .when(col("bucket") < 58982, "val")
-          .otherwise("test"))
+    withSplit(dedupSurvivors(gated))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         sum(col("n_words").cast("long")).as("sum_words"))
@@ -447,14 +427,42 @@ object LlmExt {
     * random) so the split is reproducible across runs, engines and
     * backfills, and any doc's assignment is computable without a lookup
     * table. Pure map-side + one tiny aggregation — trivially 100 TB-safe. */
+  /** Content-stable split assignment shared by [[q_sample_split]] and
+    * [[q_pipeline_prepare]]: md5 of the doc key → 16-bit bucket →
+    * 80/10/10 ranges. ONE definition of the boundaries, so the capstone
+    * pipeline and the stage query cannot drift. */
+  private[graft] def withSplit(df: DataFrame): DataFrame = df
+    .withColumn("bucket",
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"))
+    .withColumn("split",
+      when(col("bucket") < 52429, "train")   // 0.80 * 65536
+        .when(col("bucket") < 58982, "val")  // 0.90 * 65536
+        .otherwise("test"))
+
+  /** Quality-gate scores shared by [[q_text_quality]] and
+    * [[q_pipeline_prepare]]: word counts and the unique-word / stopword
+    * ratios in basis points. */
+  private[graft] def withQualityScores(df: DataFrame): DataFrame = df
+    .withColumn("n_words", expr("size(split(text, ' '))"))
+    .withColumn("n_uniq", expr("size(array_distinct(split(text, ' ')))"))
+    .withColumn("n_stop", expr(s"size(filter(split(text, ' '), w -> w IN $stopEn))"))
+    .withColumn("uniq_bp", floor(lit(10000.0) * col("n_uniq") / expr("NULLIF(n_words, 0)")))
+    .withColumn("stop_bp", floor(lit(10000.0) * col("n_stop") / expr("NULLIF(n_words, 0)")))
+
+  /** Exact-dedup SURVIVOR selection shared by [[q_pipeline_prepare]] (and
+    * unit-tested directly on synthetic duplicates — the driver corpus has
+    * none at the oracle scale factors, so the gate alone cannot exercise
+    * the rule): canonical document = MIN doc_id per md5(text) group. */
+  private[graft] def dedupSurvivors(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    df.withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
   def q_sample_split(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT)"))
-      .withColumn("split",
-        when(col("bucket") < 52429, "train")   // 0.80 * 65536
-          .when(col("bucket") < 58982, "val")  // 0.90 * 65536
-          .otherwise("test"))
+    withSplit(Tables.documents(spark, dir))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))

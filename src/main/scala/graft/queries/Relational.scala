@@ -428,7 +428,7 @@ object Relational {
 
   /** Per-column data-quality profile (the `describe` of a quality gate):
     * row count, null count, distinct count per column — computed in ONE
-    * scan: all twelve aggregates ride a single pass (Catalyst plans the
+    * scan: all nine aggregates ride a single pass (Catalyst plans the
     * multiple distincts via one Expand + two-phase agg), then `stack`
     * unpivots the 1-row result to per-column rows. A union of per-column
     * aggregates would read the table once PER COLUMN — at 100 TB the I/O

@@ -115,8 +115,10 @@ object StreamOps {
       }
   }
 
+  // ts carries the watermark tag into the stateful operator (EventTimeTimeout
+  // requires an event-time column to reach it; a unix_micros LONG sheds the tag)
   final case class FunnelEvent(user_id: Long, day: String, event_type: String,
-    ts_us: Long, event_id: Long)
+    ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
   final case class FunnelState(tv: Long, tc: Long, tp: Long)
   final case class FunnelRow(user_id: Long, day: String, tv_us: Long,
     tc_us: Long, tp_us: Long)
@@ -130,28 +132,53 @@ object StreamOps {
     * mode). The chained-stage rule matches the batch windows exactly:
     * a stage is set by the FIRST event of its type STRICTLY after the
     * previous stage's time (ascending processing order makes first ==
-    * min). -1 encodes "stage not reached". */
+    * min). -1 encodes "stage not reached".
+    *
+    * State is BOUNDED: keys live on a (user, day) domain that grows with
+    * time, so each key sets an event-time timeout at its day's end plus
+    * one watermark delay and is removed when it fires — without this the
+    * store grows by |daily active users| per day forever. Exactness
+    * contract: equal to the batch windows under per-key ts-ordered
+    * arrival (any partitioned log preserving per-key order); if a later
+    * micro-batch delivers an event older than an already-set stage, the
+    * set-once rule keeps the earlier decision — the bounded divergence
+    * every online funnel accepts instead of buffering a day of events
+    * until the watermark closes. */
   def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", "1 hour")
       .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
       .as[FunnelEvent]
       .groupByKey(e => (e.user_id, e.day))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          for (e <- it.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
-            if (e.event_type == "view" && s.tv < 0)
-              s = s.copy(tv = e.ts_us)
-            else if (e.event_type == "click" && s.tv >= 0 && e.ts_us > s.tv && s.tc < 0)
-              s = s.copy(tc = e.ts_us)
-            else if (e.event_type == "purchase" && s.tc >= 0 && e.ts_us > s.tc && s.tp < 0)
-              s = s.copy(tp = e.ts_us)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            for (e <- it.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+              if (e.event_type == "view" && s.tv < 0)
+                s = s.copy(tv = e.ts_us)
+              else if (e.event_type == "click" && s.tv >= 0 && e.ts_us > s.tv && s.tc < 0)
+                s = s.copy(tc = e.ts_us)
+              else if (e.event_type == "purchase" && s.tc >= 0 && e.ts_us > s.tc && s.tp < 0)
+                s = s.copy(tp = e.ts_us)
+            }
+            state.update(s)
+            // evict once the watermark passes the day boundary + delay;
+            // clamp above the current watermark (a timeout at or below it
+            // is rejected by the state API)
+            val dayEndMs = java.time.LocalDate.parse(key._2).plusDays(1)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            state.setTimeoutTimestamp(
+              math.max(dayEndMs + 3600000L, state.getCurrentWatermarkMs + 60000L))
+            Iterator.single(FunnelRow(key._1, key._2, s.tv, s.tc, s.tp))
           }
-          state.update(s)
-          Iterator.single(FunnelRow(key._1, key._2, s.tv, s.tc, s.tp))
       }
   }
 

@@ -216,6 +216,18 @@ class OperatorEdgeSpec extends AnyFunSuite with SparkFixture {
     assert(got == exact)
   }
 
+  test("pipeline dedup survivor selection keeps MIN doc_id per duplicate group") {
+    // the driver corpus has no duplicate texts at the oracle scale
+    // factors, so q_pipeline_prepare's dedup stage filters nothing there —
+    // synthetic duplicates exercise the survivor rule directly
+    import spark.implicits._
+    val docs = Seq((5L, "alpha beta"), (2L, "alpha beta"), (9L, "alpha beta"),
+      (3L, "gamma"), (7L, "delta")).toDF("doc_id", "text")
+    val out = graft.queries.LlmExt.dedupSurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 3L, 7L))
+  }
+
   test("rolling-hash fingerprint fold matches a reference implementation") {
     val df = Seq("scan merge table").toDF("text")
     val got = df.select(expr(
