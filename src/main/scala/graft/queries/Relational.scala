@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Q._
@@ -445,6 +445,16 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** 16-bit-per-dimension Morton (Z-order) interleave: bit k of x lands
+    * at 2k, of y at 2k+1. Inputs must already be masked to 16 bits.
+    * Differentially tested against a driver-side reference
+    * (RandomizedDifferentialSpec). */
+  private[graft] def mortonInterleave(x: Column, y: Column): Column =
+    (0 until 16).map { k =>
+      shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+
   /** Incremental aggregate MAINTENANCE — the materialized-view merge law
     * that makes 100 TB pipelines incremental: partial aggregates (count +
     * decimal sum per key) computed over disjoint slices merge by
@@ -836,10 +846,7 @@ object Relational {
     * emits are exactly the file-skipping statistics a 100 TB writer would
     * store. Tile = z >> 8, a 16×16 box in (user, value) space. */
   def q_zorder(spark: SparkSession, dir: String): DataFrame = {
-    val z = (0 until 16).map { k =>
-      shiftleft(shiftright(col("x"), k).bitwiseAND(lit(1L)), 2 * k) +
-        shiftleft(shiftright(col("y"), k).bitwiseAND(lit(1L)), 2 * k + 1)
-    }.reduce(_ + _)
+    val z = mortonInterleave(col("x"), col("y"))
     // & 65535: the interleave covers 16 bits per dimension BY CONTRACT —
     // masking makes the domain explicit and total (out-of-range or
     // negative inputs wrap instead of silently aliasing distant points

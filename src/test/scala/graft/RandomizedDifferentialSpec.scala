@@ -24,6 +24,22 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
     (0 until n).map(v => v.toLong -> find(v).toLong).toMap
   }
 
+  test("Morton interleave == reference bit-interleave on random 16-bit pairs") {
+    def refMorton(x: Long, y: Long): Long =
+      (0 until 16).map { k =>
+        (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", graft.queries.Relational.mortonInterleave(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == refMorton(x, y), s"($x, $y)")
+    }
+  }
+
   test("ConnectedComponents == union-find on random graphs (self-loops, dups, isolates)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
