@@ -17,6 +17,8 @@ object Bench {
     // one-time write.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     try { Tables.eventsByDay(spark, sfDir).count() } catch { case _: Throwable => () }
+    // bucketed catalog tables are likewise one-time layout work, not query work
+    try { Tables.bucketedOrdersCustomer(spark, sfDir) } catch { case _: Throwable => () }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite

@@ -132,6 +132,51 @@ object Tables {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  private val bucketedDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Bucketed catalog tables for the co-located join (q_join_bucketed):
+    * orders and customer written `bucketBy(8, custkey)` through the
+    * catalog — the pay-the-shuffle-once-at-ingest layout that makes every
+    * later join on the key Exchange-free. File-source bucketing only
+    * exists through the catalog, so this is also the engine's
+    * saveAsTable/warehouse SOURCE exercised in the oracle-checked path.
+    * Table names carry an md5(dir) suffix (no cross-scale-factor
+    * collisions); writes are memoized per (session, dir) and use
+    * mode(overwrite) because the default in-memory catalog forgets tables
+    * across JVMs while the warehouse directory persists. */
+  def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
+    ensure(spark)
+    val sfx = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    }
+    val (ot, ct) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
+    val key = System.identityHashCode(spark) + "|" + sfx
+    if (bucketedDone.add(key)) {
+      // the default in-memory catalog forgets tables across JVMs while the
+      // warehouse DIRECTORY persists — a fresh JVM's saveAsTable would then
+      // fail with "location already exists"; clear any orphaned location
+      // (DROP TABLE alone is a no-op for a table the catalog never saw)
+      def clearStale(table: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val wh = new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(wh, table))
+      }
+      clearStale(ot)
+      clearStale(ct)
+      orders(spark, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      customer(spark, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    }
+    (ot, ct)
+  }
+
   /** Register every table as a temp view (for spark.sql-expressed queries —
     * scalar/correlated subqueries exercise Catalyst's subquery machinery
     * best through the SQL frontend). Memoized per (session, dir): each

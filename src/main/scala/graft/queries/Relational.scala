@@ -821,6 +821,26 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Co-located join over bucketed CATALOG tables — the layout strategy
+    * behind repeated 100 TB joins on a stable key: both sides are written
+    * `bucketBy(8, custkey)` through the warehouse once
+    * ([[Tables.bucketedOrdersCustomer]]), after which every join on that
+    * key reads bucket-aligned files and needs no Exchange (the
+    * SourceFormatSpec contract test pins the Exchange-free plan with
+    * broadcast disabled; at this fixture size the optimizer may still
+    * pick broadcast — the ROWS must equal the plain parquet join either
+    * way, which is what the oracle checks). Also the engine's
+    * saveAsTable/warehouse source in the oracle-checked path. */
+  def q_join_bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = Tables.bucketedOrdersCustomer(spark, dir)
+    spark.table(ot).join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .select(col("c_nationkey"), col("n"), col("s").cast("double").as("s"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Statistical mode per group via Spark 4's native `mode(expr, true)`
     * aggregate (deterministic tie-break: lowest value) — a
     * TypedImperativeAggregate building a per-group frequency map, the
@@ -903,6 +923,7 @@ object Relational {
     "q_agg_strjoin" -> q_agg_strjoin _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_join_salted" -> q_join_salted _,
+    "q_join_bucketed" -> q_join_bucketed _,
     "q_ts_interp" -> q_ts_interp _,
     "q_funnel" -> q_funnel _,
     "q_retention" -> q_retention _,
@@ -1235,6 +1256,11 @@ object Relational {
         |    ELSE va + (vb - va) * (CAST(t - ta AS DOUBLE) / CAST(tb - ta AS DOUBLE)) END)) AS BIGINT) AS interp_bp
         |FROM w WHERE kind = 1 AND va IS NOT NULL
         |ORDER BY user_id, t_s""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_join_bloom" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s
