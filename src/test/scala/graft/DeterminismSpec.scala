@@ -31,7 +31,8 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "q_dedup_semantic", "q_text_containment", "q_kmeans_lloyd",
     "q_ts_interp", "q_funnel", "q_retention", "q_agg_corr", "q_win_ewma",
     "q_graph_triangles", "q_agg_incremental", "q_profile_skew",
-    "q_profile_stats", "q_pipeline_prepare", "q_join_bucketed")
+    "q_profile_stats", "q_pipeline_prepare", "q_join_bucketed",
+    "q_text_editdist")
 
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {
