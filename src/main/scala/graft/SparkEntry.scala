@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
-      StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries
+      StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
-      StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle
+      StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle ++
+      Analytics.oracle
 }
