@@ -201,6 +201,30 @@ object StreamOps {
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase, matched to the same
+    * user's error events in the following 30 minutes — or emitted
+    * null-extended once the watermark PROVES no match can arrive. The
+    * outer side is what hand-rolled stream processors need timeout state
+    * for: a result row for an unmatched purchase exists only because the
+    * watermark bounds the wait. Join state is bounded exactly as in
+    * [[rangeJoinStream]]; null-extended emission lags event time by
+    * range + watermark (30 + 10 min), which the equivalence spec pins as
+    * the precise stream==batch horizon. */
+  def leftJoinStream(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = events.filter(col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("e_id"), col("user_id").as("user_id_e"), col("ts").as("e_ts"))
+    p.join(e, col("user_id") === col("user_id_e") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTE"),
+      "left_outer")
+      .select(col("p_id"), unix_micros(col("p_ts")).as("p_ts_us"), col("e_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
   /** Spark 4's production state API (successor of flatMapGroupsWithState,
     * SURVEY §4): the same previous-sample-per-key state as
     * [[counterToRate]], held in a named ValueState on the RocksDB state

@@ -112,6 +112,36 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.count() > 0)
   }
 
+  test("left-outer stream-stream join == batch, null rows within the watermark horizon") {
+    val streamed = runToMemory(
+      StreamOps.leftJoinStream(StreamOps.eventsStream(spark, sf)), "append")
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("user_id_e"), col("ts").as("e_ts"))
+    val batch = p.join(e, col("user_id") === col("user_id_e") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTE"),
+      "left_outer")
+      .select(col("p_id"), unix_micros(col("p_ts")).as("p_ts_us"), col("e_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+    // matched pairs: exact equality, no horizon caveat
+    assert(sorted(streamed.filter(col("e_id").isNotNull)) ==
+      sorted(batch.filter(col("e_id").isNotNull)))
+    // null-extended rows are emitted once the watermark passes p_ts +
+    // range. The global watermark is the MIN across both input streams
+    // (each side advances on its own filtered rows), so in a finite replay
+    // emission is guaranteed only for p_ts < min(max_p_ts, max_e_ts) -
+    // (30 min range + 10 min watermark) — the documented outer-join horizon
+    val maxP = p.agg(max(unix_micros(col("p_ts")))).head.getLong(0)
+    val maxE = e.agg(max(unix_micros(col("e_ts")))).head.getLong(0)
+    val cutoff = math.min(maxP, maxE) - (30L + 10L) * 60L * 1000000L
+    assert(sorted(streamed.filter(col("e_id").isNull && col("p_ts_us") < cutoff)) ==
+      sorted(batch.filter(col("e_id").isNull && col("p_ts_us") < cutoff)))
+    assert(streamed.filter(col("e_id").isNull).count() > 0, "no null-extended rows emitted")
+  }
+
   test("foreachBatch report sink writes per-batch parquet == batch result") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
     val q = StreamOps.writeReport(
