@@ -196,4 +196,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  // AQE's toString prints final AND initial plans — shuffle counting must
+  // look at the final section only or every Exchange double-counts
+  private def finalPlan(name: String): String =
+    executedPlan(name).split("== Initial Plan ==")(0)
+
+  test("q_anomaly_zscore: the 5-row stats side broadcasts, the scan side never shuffles pre-join") {
+    val plan = finalPlan("q_anomaly_zscore")
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$plan")
+    // the only hash shuffle is the stats partial/final agg (the output
+    // sort is a range exchange) — the scan side flows into the join unshuffled
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"events side shuffled before the broadcast join:\n$plan")
+  }
+
+  test("q_scd2 / q_sessionize: one user_id shuffle serves every window and the aggregate") {
+    for (q <- Seq("q_scd2", "q_sessionize")) {
+      val plan = finalPlan(q)
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+      assert(hashEx == 1, s"$q: expected exactly 1 user_id shuffle, got $hashEx:\n$plan")
+    }
+  }
+
+  test("q_join_interval: grid-cell equi join, never a cartesian/nested-loop product") {
+    val plan = executedPlan("q_join_interval")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a product:\n$plan")
+    assert(plan.contains("bkt"), s"join keys missing the grid cell:\n$plan")
+  }
 }
