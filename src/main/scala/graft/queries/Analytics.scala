@@ -228,7 +228,41 @@ object Analytics {
       .orderBy(col("df").desc, col("shingle"))
   }
 
+  /** PageRank, two unrolled iterations in EXACT integer arithmetic over
+    * the symmetrized part↔supplier co-occurrence graph (supplier ids
+    * offset into a disjoint range). Per-node rank starts at SCALE; each
+    * pass is contrib(u) = r(u) div deg(u) summed over in-edges, then
+    * r' = (15·SCALE + 85·Σcontrib) div 100 — BIGINT floor-division only,
+    * so both engines agree bit-for-bit (the q_kmeans_lloyd recipe applied
+    * to an iterative graph op). Symmetrization removes dangling mass by
+    * construction. Plan shape per iteration: one edges⋈ranks shuffle on
+    * src + one dst aggregation — the standard distributed PageRank round;
+    * unrolling two rounds keeps lineage finite (the looped form would add
+    * the ConnectedComponents-style checkpoint cut). Output: top-20 nodes. */
+  def q_graph_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000L
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // `div`, never `/`: the Column `/` is DOUBLE division even on BIGINTs
+    val r1 = edges.join(deg, "src")
+      .groupBy(col("dst")).agg(sum(expr(s"${scale}L div deg")).as("c"))
+      .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r"))
+    val r2 = edges.join(deg, "src")
+      .join(r1.withColumnRenamed("id", "src"), "src")
+      .groupBy(col("dst")).agg(sum(expr("r div deg")).as("c"))
+      .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r2"))
+    val w = Window.orderBy(col("r2").desc, col("id"))
+    r2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("id"), col("r2"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> q_graph_pagerank _,
     "q_agg_bitmap" -> q_agg_bitmap _,
     "q_topk_approx" -> q_topk_approx _,
     "q_anomaly_zscore" -> q_anomaly_zscore _,
@@ -325,6 +359,17 @@ object Analytics {
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, word) AS INT) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_graph_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r1 AS (SELECT e.dst AS id, (15000000 + 85 * sum(1000000 // deg)) // 100 AS r
+        |       FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS id, (15000000 + 85 * sum(r1.r // deg.deg)) // 100 AS r2
+        |       FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY e.dst)
+        |SELECT id, r2, rk FROM (
+        |  SELECT id, r2, CAST(row_number() OVER (ORDER BY r2 DESC, id) AS INT) AS rk FROM r2)
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_text_boilerplate" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |            WHERE len(string_split(text, ' ')) >= 2),
