@@ -21,14 +21,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # lesson: 11 queries red on it while this gate was green): DECIMAL columns
 # hash-mismatch (DuckDB result → float64, Spark parquet → Decimal objects)
 # and LIST/STRUCT/MAP/BLOB columns crash pandas sorting ("unhashable type").
-# Reject them HERE so the gap between this gate and the driver's cannot
-# recur. Serialize arrays to strings and cast final decimals to DOUBLE.
+# Round-4 lesson: DuckDB window/aggregate sums over integers yield HUGEINT,
+# which fetches as Python int and compares equal here but hash-mismatches in
+# the driver (int128 vs int64 dtype) — reject it too. Reject them HERE so
+# the gap between this gate and the driver's cannot recur. Serialize arrays
+# to strings, cast final decimals to DOUBLE, CAST integer sums to BIGINT.
 def unsafe_types(rel):
     bad = []
     for c, t in zip(rel.columns, rel.types):
         s = str(t).upper()
         if s.startswith("DECIMAL") or s.endswith("[]") or \
-           s.startswith(("STRUCT", "MAP", "UNION")) or s == "BLOB":
+           s.startswith(("STRUCT", "MAP", "UNION")) or s == "BLOB" or \
+           s in ("HUGEINT", "UHUGEINT"):
             bad.append(f"{c}:{s}")
     return bad
 

@@ -76,7 +76,11 @@ object Analytics {
     ev.join(broadcast(stats), "event_type")
       .withColumn("mean_d", col("s_d") / col("n"))
       .withColumn("var_d", col("q_d") / col("n") - col("mean_d") * col("mean_d"))
-      .withColumn("z_bp", floor(lit(10000.0) * (col("value") - col("mean_d")) / sqrt(col("var_d"))))
+      // zero-variance guard: a constant-valued group yields var = 0 and the
+      // raw chain would produce NaN/Inf (Spark nulls the floor, DuckDB errors
+      // the whole CAST) — gate the z computation identically on both engines
+      .withColumn("z_bp", when(col("var_d") > 0,
+        floor(lit(10000.0) * (col("value") - col("mean_d")) / sqrt(col("var_d")))))
       .filter(abs(col("z_bp")) >= 25000)
       .select(col("event_id"), col("event_type"), col("value"), col("z_bp"))
       .orderBy(col("event_id"))
@@ -246,11 +250,15 @@ object Analytics {
       .distinct()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Persist the degree-annotated edge list: BOTH unrolled iterations scan
+    // it (r1's contribution pass and r2's), and without the cache each one
+    // re-runs the lineitem scan + distinct + symmetrize + degree join.
+    val contrib = edges.join(deg, "src").persist()
     // `div`, never `/`: the Column `/` is DOUBLE division even on BIGINTs
-    val r1 = edges.join(deg, "src")
+    val r1 = contrib
       .groupBy(col("dst")).agg(sum(expr(s"${scale}L div deg")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r"))
-    val r2 = edges.join(deg, "src")
+    val r2 = contrib
       .join(r1.withColumnRenamed("id", "src"), "src")
       .groupBy(col("dst")).agg(sum(expr("r div deg")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r2"))
@@ -291,7 +299,9 @@ object Analytics {
         |  FROM events GROUP BY event_type),
         |z AS (
         |  SELECT e.event_id, e.event_type, e."value",
-        |    CAST(floor(10000.0 * (e."value" - s_d / n) / sqrt(q_d / n - (s_d / n) * (s_d / n))) AS BIGINT) AS z_bp
+        |    CASE WHEN q_d / n - (s_d / n) * (s_d / n) > 0
+        |         THEN CAST(floor(10000.0 * (e."value" - s_d / n) / sqrt(q_d / n - (s_d / n) * (s_d / n))) AS BIGINT)
+        |         ELSE NULL END AS z_bp
         |  FROM events e JOIN st ON e.event_type = st.event_type)
         |SELECT event_id, event_type, "value", z_bp FROM z
         |WHERE abs(z_bp) >= 25000 ORDER BY event_id""".stripMargin,
@@ -316,8 +326,8 @@ object Analytics {
         |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
         |      FROM g),
         |s AS (SELECT user_id, ts_us,
-        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |      FROM f)
         |SELECT user_id, session_no, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -363,9 +373,9 @@ object Analytics {
       """WITH e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem),
         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        |r1 AS (SELECT e.dst AS id, (15000000 + 85 * sum(1000000 // deg)) // 100 AS r
+        |r1 AS (SELECT e.dst AS id, CAST((15000000 + 85 * sum(1000000 // deg)) // 100 AS BIGINT) AS r
         |       FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst),
-        |r2 AS (SELECT e.dst AS id, (15000000 + 85 * sum(r1.r // deg.deg)) // 100 AS r2
+        |r2 AS (SELECT e.dst AS id, CAST((15000000 + 85 * sum(r1.r // deg.deg)) // 100 AS BIGINT) AS r2
         |       FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY e.dst)
         |SELECT id, r2, rk FROM (
         |  SELECT id, r2, CAST(row_number() OVER (ORDER BY r2 DESC, id) AS INT) AS rk FROM r2)
