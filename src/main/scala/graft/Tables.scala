@@ -47,6 +47,7 @@ object Tables {
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations ++ missing
+    graft.plans.AsofJoin.ensureStrategy(spark)
   }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

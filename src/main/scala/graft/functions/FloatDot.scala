@@ -116,5 +116,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.InferJaccardSizeBound)
     ext.injectOptimizerRule(_ => graft.plans.FuseJaccardThreshold)
     ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -186,6 +186,30 @@ object Analytics2 {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** The native as-of join ([[graft.plans.AsofJoin]] — custom LogicalPlan +
+    * Strategy + SparkPlan, the §2 custom-op tier (c)) on q_join_asof's exact
+    * semantics: for each purchase, the same user's latest strictly-prior
+    * event in (ts, event_id) order. Shares q_join_asof's oracle — the
+    * lag-window formulation and the native operator must agree row for row,
+    * so the gate cross-checks the custom exec against both DuckDB AND the
+    * window twin. One ClusteredDistribution shuffle per side, single-pass
+    * merge with one buffered candidate row (no window buffer). */
+  def q_join_asof_native(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val hist = ev.select(col("user_id").as("r_user"), col("event_id").as("r_event_id"),
+      col("value").as("r_value"), col("ts_us").as("r_ts_us"))
+    graft.plans.AsofJoin.join(purchases, hist,
+      keys = Seq("user_id" -> "r_user"),
+      order = Seq("ts_us" -> "r_ts_us", "event_id" -> "r_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("prev_event_id"), col("r_value").as("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freq_pairs" -> q_freq_pairs _,
     "q_attribution" -> q_attribution _,
@@ -193,9 +217,19 @@ object Analytics2 {
     "q_text_dupline" -> q_text_dupline _,
     "q_join_spatial" -> q_join_spatial _,
     "q_ann_sq8" -> q_ann_sq8 _,
+    "q_join_asof_native" -> q_join_asof_native _,
   )
 
   val oracle: Map[String, String] = Map(
+    // identical to q_join_asof's oracle: the native operator must reproduce
+    // the lag-window semantics exactly
+    "q_join_asof_native" ->
+      """SELECT event_id, user_id, prev_event_id, prev_value FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+        |    lag("value") OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_freq_pairs" ->
       """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
         |n AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY event_type),
