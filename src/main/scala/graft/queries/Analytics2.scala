@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import Q._
 
 /** Round-5 battery: market-basket co-occurrence, last-touch attribution,
   * changelog compaction, chunk-level corpus dedup with document
@@ -210,6 +211,80 @@ object Analytics2 {
       .orderBy(col("event_id"))
   }
 
+  /** Winnowing document fingerprints (the MOSS local-similarity primitive;
+    * Schleimer et al., SIGMOD'03): hash every char 5-gram, slide an 8-gram
+    * window, select each window's minimal hash with RIGHTMOST tie-break,
+    * and fingerprint the doc with the distinct selected (hash, position)
+    * pairs — guaranteeing any ≥12-char match between docs shares a
+    * fingerprint, which plain k-gram sampling cannot promise. The argmin
+    * with tie-break is ONE window min over a packed BIGINT key
+    * (hash·2²⁰ + (2²⁰−1−pos): minimal hash first, then maximal position
+    * — no struct comparators, engine-portable). Hashes are 40-bit md5
+    * prefixes (identical hex on both engines). One doc_id shuffle serves
+    * the window; the gram explode is linear in corpus chars; the
+    * CharNgramHashes-style codegen expression is the in-repo path to
+    * skipping the explode at 100 TB. */
+  def q_text_winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(expr("sel div 1048576")).as("fp_sum"))
+      .orderBy(col("doc_id"))
+
+  /** The winnowing selection itself: distinct packed (hash·2²⁰ + 2²⁰−1−pos)
+    * keys per doc (k=5, w=8). Exposed so the spec can pin the algorithm's
+    * GUARANTEE — docs sharing a ≥ k+w−1 = 12-char substring share a
+    * fingerprint hash — on constructed corpora. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-7, 0)
+    docs
+      .filter(length(col("text")) >= 12)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        (expr("CAST(conv(substring(md5(gram), 1, 10), 16, 10) AS BIGINT)") * lit(1048576L) +
+          (lit(1048575L) - (col("p0") + 1))).as("key"))
+      .withColumn("sel", min(col("key")).over(w))
+      .filter(col("pos") >= 8) // full windows only
+      .select(col("doc_id"), col("sel")).distinct()
+  }
+
+  /** TPC-H Q3-style composite (segment-filtered shipping-priority
+    * revenue): the canonical selective-dim → fact join pyramid. The plan
+    * Catalyst should pick and AQE confirm: customer filter broadcast into
+    * orders, that result broadcast into lineitem (or shuffled at real
+    * scale), exact decimal revenue (l_extendedprice·(1−l_discount) in
+    * DECIMAL — order-independent sums), top-10 by revenue. Demonstrates
+    * the engine runs the reference workload SHAPE end to end, not just
+    * isolated operators. */
+  def q_tpch_q3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-15"
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // rank on the EXACT decimal (two distinct decimals can collapse to one
+    // double, and then the engines would tie-break differently); the double
+    // cast happens only at emission
+    val wTop = Window.orderBy(col("rev_dec").desc, col("l_orderkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .as("rev_dec"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("odate_us"),
+        col("o_orderpriority"), outDbl(col("rev_dec")).as("revenue"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freq_pairs" -> q_freq_pairs _,
     "q_attribution" -> q_attribution _,
@@ -218,6 +293,8 @@ object Analytics2 {
     "q_join_spatial" -> q_join_spatial _,
     "q_ann_sq8" -> q_ann_sq8 _,
     "q_join_asof_native" -> q_join_asof_native _,
+    "q_text_winnow" -> q_text_winnow _,
+    "q_tpch_q3" -> q_tpch_q3 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,6 +307,37 @@ object Analytics2 {
         |    lag("value") OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST('0x' || substr(md5(substr(text, i, 5)), 1, 10) AS BIGINT) * 1048576
+        |      + (1048575 - i) AS key
+        |  FROM documents, unnest(range(1, len(text) - 3)) AS t(i)
+        |  WHERE len(text) >= 12),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g),
+        |d AS (SELECT DISTINCT doc_id, sel FROM s WHERE pos >= 8)
+        |SELECT doc_id, count(*) AS n_fp, CAST(sum(sel // 1048576) AS BIGINT) AS fp_sum
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, odate_us, o_orderpriority, revenue, rk FROM (
+        |  SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |    CAST(row_number() OVER (
+        |      ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+        |      l_orderkey) AS INT) AS rk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q_freq_pairs" ->
       """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
         |n AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY event_type),

@@ -109,4 +109,34 @@ class Analytics2Spec extends AnyFunSuite with SparkFixture {
       assert(d >= 0L && d <= 64L * 255 * 255, s"idot $d out of byte-code range")
     }
   }
+
+  test("q_text_winnow: docs sharing a >=12-char substring share a fingerprint hash") {
+    // Schleimer et al.'s guarantee: a common substring of length >= k+w-1
+    // (= 12 here) forces at least one common selected hash
+    val shared = "XXSHAREDRUNYY" // 13 chars
+    val docs = Seq(
+      (1L, "abcdefghijklmnop" + shared + "qrstuvwx"),
+      (2L, "zzzzyyyyxxxxwwww2222" + shared + "0000"),
+      (3L, "entirely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val fp = queries.Analytics2.winnowFingerprints(docs)
+      .select(col("doc_id"), expr("sel div 1048576").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared substring produced no shared fingerprint")
+    // determinism: identical text => identical hash set regardless of doc_id
+    val dup = Seq((7L, docs.head.getString(1)), (8L, docs.head.getString(1))).toDF("doc_id", "text")
+    val dupFp = queries.Analytics2.winnowFingerprints(dup)
+      .select(col("doc_id"), expr("sel div 1048576").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(dupFp(7L) == dupFp(8L))
+  }
+
+  test("q_tpch_q3: dim filters broadcast into the fact join") {
+    val df = queries.Analytics2.q_tpch_q3(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected both dim joins broadcast:\n$plan")
+    assert(plan.contains("PushedFilters"), "no filter pushdown in the scan")
+  }
 }
