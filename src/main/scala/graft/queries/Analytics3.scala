@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 continuation battery: sequence-pattern matching
+  * (MATCH_RECOGNIZE-lite), sliding-window count-distinct, multi-source BFS
+  * over the part↔supplier graph, and a two-phase distributed skyline
+  * (Pareto frontier).
+  *
+  * Determinism follows SURVEY.md §2.10 / [[Q]]: exact integer arithmetic
+  * everywhere the driver hashes, explicit total ORDER BY, INT/BIGINT
+  * output types pinned on both engines.
+  */
+object Analytics3 {
+
+  /** Sequence-pattern matching over per-user event streams — the
+    * MATCH_RECOGNIZE tier: encode each user's (ts, event_id)-ordered
+    * events as a code string (c/e/p/s/v = first letter of the type) and
+    * count non-overlapping `c[^ep]*p` matches — a click converting to a
+    * purchase with no intervening error or earlier purchase. The regex has
+    * a unique match end per start ([^ep]* cannot cross the terminating p),
+    * so Java (Spark) and RE2 (DuckDB) leftmost semantics provably agree.
+    * One user_id shuffle builds the sequences; per-user strings stay
+    * bounded because real pipelines sessionize first (q_sessionize) — the
+    * same plan over session_id keys is the unbounded-user remedy. */
+  def q_seq_pattern(spark: SparkSession, dir: String): DataFrame =
+    seqPattern(Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("code")))
+
+  /** The sequence build + match count on (user_id, ts_us, event_id, code)
+    * rows. Exposed so the spec can pin hand-computed match counts on
+    * constructed sequences. */
+  def seqPattern(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(ts_us, event_id, code))), s -> s.code)"))
+        .as("seq"))
+      .select(col("user_id"), length(col("seq")).as("seq_len"),
+        expr("size(regexp_extract_all(seq, 'c[^ep]*p', 0))").as("n_conv"))
+      .orderBy(col("user_id"))
+
+  /** Sliding count-distinct: distinct event types in each row's trailing
+    * 10-row window — the "how diverse was recent activity" feature.
+    * Spark has no DISTINCT aggregate over a window frame; the supported
+    * formulation is size(array_distinct(collect_list over frame)) — a
+    * bounded 10-element buffer per row, one user_id shuffle, no
+    * re-aggregation. The oracle mirrors the identical list formulation
+    * (len(list_distinct(list() OVER w))) rather than a DISTINCT window
+    * aggregate, so both engines walk the same frame. */
+  def q_win_countd(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .withColumn("n_dist", size(array_distinct(collect_list(col("event_type")).over(w))))
+      .select(col("user_id"), col("event_id"), col("n_dist"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Multi-source BFS shortest hops (≤ 3) from the low-key part nodes over
+    * the symmetrized part↔supplier co-occurrence graph (q_graph_pagerank's
+    * graph): the frontier-expansion primitive under shortest-path /
+    * reachability queries. Each round is ONE frontier⋈edges equi-join
+    * (the frontier side is small and broadcasts under AQE) plus an
+    * anti-join against the visited set — level-synchronous BFS, the
+    * textbook distributed formulation; rounds = O(diameter), here capped.
+    * The oracle walks the same graph via a recursive CTE with UNION
+    * dedup and takes min(dist) per node. */
+  def q_graph_bfs(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000000L).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist() // scanned once per BFS round
+    val sources = edges.select(col("src").as("id")).filter(col("id") < 10).distinct()
+    bfs(edges, sources, maxHops = 3).orderBy(col("dist"), col("id"))
+  }
+
+  /** Level-synchronous BFS: returns (id, dist) for every node within
+    * maxHops of a source. Exposed so the spec can pin exact levels on
+    * constructed graphs. */
+  def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0L))
+    var frontier = dist.select(col("id"))
+    for (k <- 1 to maxHops) {
+      val next = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(k.toLong))
+      dist = dist.union(next).persist() // each round joins against the full visited set
+      frontier = next.select(col("id"))
+    }
+    dist
+  }
+
+  /** Group-wise skyline (Pareto frontier): per brand, the distinct
+    * (price, size) points not dominated on (min, min) — the
+    * multi-criteria optimization operator. Two-phase distributed plan:
+    * (1) range-partition on the full sort key and drop points dominated
+    * WITHIN each (group, partition) slice via one window pass — local
+    * skylines are tiny, and true skyline points always survive a local
+    * pass; (2) exact skyline over the merged survivors, windowed by
+    * group — never a single-partition window. Dominance under (x, y)
+    * ascending order reduces to ONE running min: a distinct point is
+    * dominated iff some preceding same-group point has y ≤ its y — no
+    * quadratic self-join anywhere, versus the oracle's deliberate
+    * NOT EXISTS dominance formulation. */
+  def q_skyline(spark: SparkSession, dir: String): DataFrame =
+    skyline(Tables.part(spark, dir)
+      .select(col("p_brand").as("g"),
+        (Q.dec2(col("p_retailprice")) * 100).cast("long").as("x"),
+        col("p_size").cast("long").as("y")))
+      .select(col("g").as("brand"), col("x").as("price_c"), col("y").as("sz"))
+      .orderBy(col("brand"), col("price_c"), col("sz"))
+
+  /** The two-phase group-wise skyline itself over (g, x, y) points,
+    * minimizing (x, y) within each g. Exposed so the spec can pin it
+    * against a brute-force dominance join. */
+  def skyline(points: DataFrame): DataFrame = {
+    val pts = points.select(col("g"), col("x"), col("y")).distinct()
+    val local = pts.repartitionByRange(8, col("g"), col("x"), col("y"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("g"), col("pid")).orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = local.withColumn("mny", min(col("y")).over(wLocal))
+      .filter(col("mny").isNull || col("mny") > col("y"))
+      .select(col("g"), col("x"), col("y"))
+    val wGroup = Window.partitionBy(col("g")).orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors.withColumn("mny", min(col("y")).over(wGroup))
+      .filter(col("mny").isNull || col("mny") > col("y"))
+      .select(col("g"), col("x"), col("y"))
+  }
+
+  /** OHLC downsampling (the financial-candle / time-series rollup tier
+    * next to q_ts_gapfill/q_ts_interp): per (event_type, hour bucket),
+    * open = value at the earliest (ts, event_id), close = at the latest,
+    * high/low = max/min, plus the count. open/close are ONE map-combinable
+    * min/max over struct(ts_us, event_id, value) — (ts_us, event_id) is a
+    * unique total order, so the comparison never reaches the value field
+    * and the argmin needs no window sort; the whole query is a single
+    * two-phase aggregation. Values pass through unchanged (no float
+    * arithmetic, NaN-free column), so doubles hash bit-identical. The
+    * oracle deliberately uses the window first/last_value formulation. */
+  def q_ts_ohlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("bucket_us", expr("(ts_us div 3600000000) * 3600000000"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket_us"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pattern" -> q_seq_pattern _,
+    "q_win_countd" -> q_win_countd _,
+    "q_graph_bfs" -> q_graph_bfs _,
+    "q_skyline" -> q_skyline _,
+    "q_ts_ohlc" -> q_ts_ohlc _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(seq) AS INT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'c[^ep]*p')) AS INT) AS n_conv
+        |FROM s ORDER BY user_id""".stripMargin,
+    "q_win_countd" ->
+      """SELECT user_id, event_id,
+        |  CAST(len(list_distinct(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS INT) AS n_dist
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |walk(id, dist) AS (
+        |  SELECT DISTINCT src AS id, 0 AS dist FROM e WHERE src < 10
+        |  UNION
+        |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dist < 3)
+        |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
+        |GROUP BY id ORDER BY dist, id""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT p_brand AS g,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS y FROM part)
+        |SELECT g AS brand, x AS price_c, y AS sz FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.g = a.g AND b.x <= a.x AND b.y <= a.y
+        |    AND (b.x < a.x OR b.y < a.y))
+        |ORDER BY brand, price_c, sz""".stripMargin,
+    "q_ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bk,
+        |    epoch_us(ts) AS ts_us, event_id, "value" AS v FROM events),
+        |o AS (
+        |  SELECT event_type, bk,
+        |    first_value(v) OVER w AS open, last_value(v) OVER w AS close
+        |  FROM b WINDOW w AS (PARTITION BY event_type, bk ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |a AS (SELECT event_type, bk, max(v) AS high, min(v) AS low,
+        |        count(*) AS n FROM b GROUP BY event_type, bk),
+        |d AS (SELECT DISTINCT event_type, bk, open, close FROM o)
+        |SELECT a.event_type, a.bk * 3600000000 AS bucket_us,
+        |  d.open, a.high, a.low, d.close, a.n
+        |FROM a JOIN d USING (event_type, bk)
+        |ORDER BY event_type, bucket_us""".stripMargin,
+  )
+}
