@@ -245,22 +245,27 @@ object Analytics {
     * the ConnectedComponents-style checkpoint cut). Output: top-20 nodes. */
   def q_graph_pagerank(spark: SparkSession, dir: String): DataFrame = {
     val scale = 1000000L
+    // Persist only the HALF-size directed edge set; the symmetrized view
+    // is two map-side scans of the cache (union shuffles nothing). The
+    // per-source rank/degree state is NODE-count-bounded (50× smaller
+    // than edges here), so each iteration is one broadcast join over the
+    // cached edges + one dst aggregation — no edge-sized intermediate is
+    // ever materialized (the prior degree-annotated edge cache cost more
+    // to build than both iterations together).
     val e0 = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("src"), (col("l_suppkey") + lit(1000000000L)).as("dst"))
-      .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      .distinct().persist()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // Persist the degree-annotated edge list: BOTH unrolled iterations scan
-    // it (r1's contribution pass and r2's), and without the cache each one
-    // re-runs the lineitem scan + distinct + symmetrize + degree join.
-    val contrib = edges.join(deg, "src").persist()
     // `div`, never `/`: the Column `/` is DOUBLE division even on BIGINTs
-    val r1 = contrib
-      .groupBy(col("dst")).agg(sum(expr(s"${scale}L div deg")).as("c"))
+    val c1 = deg.select(col("src"), expr(s"${scale}L div deg").as("c"))
+    val r1 = edges.join(broadcast(c1), "src")
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r"))
-    val r2 = contrib
-      .join(r1.withColumnRenamed("id", "src"), "src")
-      .groupBy(col("dst")).agg(sum(expr("r div deg")).as("c"))
+    val c2 = r1.withColumnRenamed("id", "src").join(deg, "src")
+      .select(col("src"), expr("r div deg").as("c"))
+    val r2 = edges.join(broadcast(c2), "src")
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r2"))
     val w = Window.orderBy(col("r2").desc, col("id"))
     r2.withColumn("rk", row_number().over(w))

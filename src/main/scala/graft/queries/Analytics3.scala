@@ -66,37 +66,45 @@ object Analytics3 {
   /** Multi-source BFS shortest hops (≤ 3) from the low-key part nodes over
     * the symmetrized part↔supplier co-occurrence graph (q_graph_pagerank's
     * graph): the frontier-expansion primitive under shortest-path /
-    * reachability queries. Each round is ONE frontier⋈edges equi-join
-    * (the frontier side is small and broadcasts under AQE) plus an
-    * anti-join against the visited set — level-synchronous BFS, the
-    * textbook distributed formulation; rounds = O(diameter), here capped.
-    * The oracle walks the same graph via a recursive CTE with UNION
-    * dedup and takes min(dist) per node. */
+    * reachability queries. Each round is ONE broadcast frontier⋈edges
+    * equi-join (map-side over the cached edge list — frontier and visited
+    * sets are NODE-count-bounded, 50× smaller than edges here) plus a
+    * broadcast anti-join against the visited set, so a round costs one
+    * small distinct shuffle — level-synchronous BFS, O(diameter) rounds.
+    * At billion-node scale the same loop swaps the broadcast hints for
+    * hash-partitioned joins (the ConnectedComponents shape); the
+    * algorithm is unchanged. The oracle walks the same graph via a
+    * recursive CTE with UNION dedup and takes min(dist) per node. */
   def q_graph_bfs(spark: SparkSession, dir: String): DataFrame = {
+    // persist the half-size directed set; the symmetrized view is two
+    // map-side scans of the cache per round (q_graph_pagerank's layout)
     val e0 = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000000L).as("dst"))
-      .distinct()
+      .distinct().persist()
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist() // scanned once per BFS round
     val sources = edges.select(col("src").as("id")).filter(col("id") < 10).distinct()
     bfs(edges, sources, maxHops = 3).orderBy(col("dist"), col("id"))
   }
 
   /** Level-synchronous BFS: returns (id, dist) for every node within
     * maxHops of a source. Exposed so the spec can pin exact levels on
-    * constructed graphs. */
+    * constructed graphs. Each round's newly-found level is persisted (it
+    * is re-read as the next frontier, inside the visited union, and in
+    * the final result); levels are node-bounded, so the broadcasts hold. */
   def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    var dist = sources.select(col("id")).distinct().withColumn("dist", lit(0L))
-    var frontier = dist.select(col("id"))
+    var levels = List(sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L)).persist())
+    var frontier = levels.head.select(col("id"))
     for (k <- 1 to maxHops) {
-      val next = frontier.join(edges, frontier("id") === edges("src"))
+      val visited = levels.map(_.select(col("id"))).reduce(_ union _)
+      val next = broadcast(frontier).join(edges, frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("dist", lit(k.toLong))
-      dist = dist.union(next).persist() // each round joins against the full visited set
+        .join(broadcast(visited), Seq("id"), "left_anti")
+        .withColumn("dist", lit(k.toLong)).persist()
+      levels ::= next
       frontier = next.select(col("id"))
     }
-    dist
+    levels.reduce(_ union _)
   }
 
   /** Group-wise skyline (Pareto frontier): per brand, the distinct

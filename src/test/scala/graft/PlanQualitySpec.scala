@@ -225,4 +225,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"interval join fell back to a product:\n$plan")
     assert(plan.contains("bkt"), s"join keys missing the grid cell:\n$plan")
   }
+
+  test("q_ts_ohlc: single two-phase aggregation, no window sort anywhere") {
+    val plan = executedPlan("q_ts_ohlc")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"OHLC argmin/argmax not map-combinable:\n$plan")
+    assert(!plan.contains("Window"), s"OHLC plan fell back to a window sort:\n$plan")
+    // one agg shuffle + the output range exchange, nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan("q_ts_ohlc")).size == 1,
+      s"expected exactly 1 hash shuffle:\n$plan")
+  }
+
+  test("q_skyline: no quadratic self-join; windows are partitioned, never global") {
+    val plan = executedPlan("q_skyline")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"skyline plan contains a join (dominance must be window-derived):\n$plan")
+    // both window passes carry partition keys: no single-partition bottleneck
+    assert(!plan.contains("SinglePartition"),
+      s"skyline has a single-partition exchange:\n$plan")
+  }
+
+  test("q_seq_pattern: one user_id shuffle builds the sequences") {
+    val plan = finalPlan("q_seq_pattern")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 user_id shuffle, got $hashEx:\n$plan")
+  }
 }
