@@ -50,9 +50,20 @@ object Tables {
     graft.plans.AsofJoin.ensureStrategy(spark)
   }
 
+  // Metadata cache (the catalog tier a real deployment gets from the
+  // metastore): spark.read.parquet re-lists the path and re-reads footers
+  // on EVERY call, and with 120+ bench queries × several tables each that
+  // fixed cost dominates the suite tail. The resolved LogicalRelation is
+  // immutable and the testdata is static for a round, so reuse it per
+  // (session, dir, table). Keyed by session identity — a new session
+  // (fresh JVM or test) resolves its own.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val key = System.identityHashCode(spark) + "|" + dir + "|" + name
+    tableCache.computeIfAbsent(key, _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")

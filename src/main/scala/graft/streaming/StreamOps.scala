@@ -77,6 +77,28 @@ object StreamOps {
         unix_micros(col("w.start")).as("start_us"),
         unix_micros(col("w.end")).as("end_us"), col("n"))
 
+  /** Streaming OHLC candles (batch twin: q_ts_ohlc): tumbling 1-hour
+    * windows per event_type with the same map-combinable struct
+    * argmin/argmax — candle state is ONE partial row per (type, window),
+    * mergeable across micro-batches, so late data inside the watermark
+    * folds into the open/close/high/low exactly rather than forcing a
+    * window re-sort. */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Streaming duplicate suppression within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events

@@ -84,6 +84,15 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(streamed) == sorted(batch))
   }
 
+  test("streaming OHLC candles == batch q_ts_ohlc") {
+    val streamed = runToMemory(
+      StreamOps.ohlcStream(StreamOps.eventsStream(spark, sf)), "complete")
+      .select("bucket_us", "event_type", "open", "high", "low", "close", "n")
+    val batch = SparkEntry.queries("q_ts_ohlc")(spark, sf)
+      .select("bucket_us", "event_type", "open", "high", "low", "close", "n")
+    assert(sorted(streamed) == sorted(batch))
+  }
+
   test("streaming session windows == batch q_stream_session") {
     val streamed = runToMemory(StreamOps.sessionStream(StreamOps.eventsStream(spark, sf)), "complete")
     val batch = SparkEntry.queries("q_stream_session")(spark, sf)
