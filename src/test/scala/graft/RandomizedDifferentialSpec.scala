@@ -146,4 +146,71 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
         s"${mustFind.filterNot(gotKeys).take(3)}")
     }
   }
+
+  test("skyline == driver-side dominance filter on random point sets") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // small coordinate domain forces heavy ties and duplicate points —
+      // exactly where the strict/non-strict dominance cases live
+      val raw = Seq.fill(400)((s"g${rnd.nextInt(3)}",
+        rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val want = raw.distinct.groupBy(_._1).flatMap { case (_, grp) =>
+        grp.filterNot { p =>
+          grp.exists(q => q != p && q._2 <= p._2 && q._3 <= p._3 &&
+            (q._2 < p._2 || q._3 < p._3))
+        }
+      }.toSet
+      val got = queries.Analytics3.skyline(raw.toDF("g", "x", "y"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"trial=$trial: got ${got.size}, want ${want.size}, " +
+        s"diff=${((got diff want) ++ (want diff got)).take(3)}")
+    }
+  }
+
+  test("bfs == driver-side BFS levels on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val maxHops = 4
+      // reference: level-synchronous BFS from vertex 0 over the
+      // symmetrized adjacency (self-loops and duplicate edges included)
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      var level = Set(0L)
+      var want = Map(0L -> 0L)
+      for (k <- 1 to maxHops) {
+        level = level.flatMap(adj.getOrElse(_, Set.empty)) -- want.keySet
+        want = want ++ level.map(_ -> k.toLong)
+      }
+      val sym = edges.toDF("src", "dst")
+      val symEdges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      val got = queries.Analytics3.bfs(symEdges, Seq(0L).toDF("id"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial=$trial: diff=" +
+        s"${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
+  test("winnowing guarantee holds on random docs with planted shared runs") {
+    val rnd = new scala.util.Random(17)
+    def randStr(len: Int) =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    for (trial <- 1 to 3) {
+      val shared = randStr(12) // exactly k+w-1: the guarantee's boundary
+      val docs = (1L to 6L).map { i =>
+        val pre = randStr(5 + rnd.nextInt(30))
+        val post = randStr(5 + rnd.nextInt(30))
+        (i, pre + shared + post)
+      }
+      val fp = queries.Analytics2.winnowFingerprints(docs.toDF("doc_id", "text"))
+        .select(col("doc_id"), expr("sel div 1048576").as("h"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+        assert((fp(a) & fp(b)).nonEmpty,
+          s"trial=$trial: docs $a,$b share a 12-char run but no fingerprint")
+      }
+    }
+  }
 }
