@@ -179,12 +179,39 @@ object Analytics3 {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket_us"))
 
+  /** Threshold alerting with hysteresis — the metric-alerting tier of a
+    * network monitor: per user, an alert RAISES when value crosses ≥ 90
+    * and CLEARS only when it falls ≤ 30 (the dead band suppresses
+    * flapping around a single threshold); emitted rows are the state
+    * TOGGLES. The state machine is two window passes over ONE user_id
+    * shuffle: classify each sample (raise/clear/hold-as-null), then the
+    * carry-forward state is last(ignoreNulls) over the preceding frame —
+    * no join, no iteration, no driver loop. [[graft.streaming.StreamOps
+    * .alertStream]] is the same machine as GroupState streaming; the
+    * equivalence spec pins them equal. */
+  def q_alert_hysteresis(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wPrec = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("raw",
+        when(col("value") >= 90.0, 1).when(col("value") <= 30.0, 0))
+      .withColumn("state",
+        coalesce(last(col("raw"), ignoreNulls = true).over(wPrec), lit(0)))
+      .withColumn("prev", coalesce(lag(col("state"), 1).over(w), lit(0)))
+      .filter(col("state") =!= col("prev"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("state"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pattern" -> q_seq_pattern _,
     "q_win_countd" -> q_win_countd _,
     "q_graph_bfs" -> q_graph_bfs _,
     "q_skyline" -> q_skyline _,
     "q_ts_ohlc" -> q_ts_ohlc _,
+    "q_alert_hysteresis" -> q_alert_hysteresis _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,5 +267,22 @@ object Analytics3 {
         |  d.open, a.high, a.low, d.close, a.n
         |FROM a JOIN d USING (event_type, bk)
         |ORDER BY event_type, bucket_us""".stripMargin,
+    "q_alert_hysteresis" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN "value" >= 90.0 THEN 1 WHEN "value" <= 30.0 THEN 0 END AS raw
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    coalesce(last_value(raw IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |  FROM b),
+        |t AS (
+        |  SELECT user_id, event_id, ts_us, state,
+        |    coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), 0) AS prev
+        |  FROM s)
+        |SELECT user_id, event_id, ts_us, state FROM t WHERE state <> prev
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
   )
 }

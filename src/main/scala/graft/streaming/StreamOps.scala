@@ -137,6 +137,38 @@ object StreamOps {
       }
   }
 
+  final case class AlertRow(user_id: Long, event_id: Long, ts_us: Long, state: Int)
+
+  /** Stateful threshold alerting with hysteresis (batch twin:
+    * [[graft.queries.Analytics3.q_alert_hysteresis]], which carries the
+    * oracle): per user, raise at value ≥ 90, clear at ≤ 30, emit only the
+    * state TOGGLES — the alerting loop a network monitor runs online.
+    * State per key is ONE int (the last alert state); samples are sorted
+    * within each micro-batch so replays are deterministic, and across
+    * batches the state survives in GroupState. */
+  def alertStream(events: DataFrame): Dataset[AlertRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Sample], state: GroupState[Int]) =>
+          val sorted = it.toSeq.sortBy(s => (s.ts_us, s.event_id))
+          val out = Seq.newBuilder[AlertRow]
+          var cur = state.getOption.getOrElse(0)
+          for (s <- sorted) {
+            val next = if (s.value >= 90.0) 1 else if (s.value <= 30.0) 0 else cur
+            if (next != cur) out += AlertRow(user, s.event_id, s.ts_us, next)
+            cur = next
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
   // ts carries the watermark tag into the stateful operator (EventTimeTimeout
   // requires an event-time column to reach it; a unix_micros LONG sheds the tag)
   final case class FunnelEvent(user_id: Long, day: String, event_type: String,

@@ -93,6 +93,21 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(sorted(streamed) == sorted(batch))
   }
 
+  test("stateful alert hysteresis == batch q_alert_hysteresis") {
+    val streamed = runToMemory(
+      StreamOps.alertStream(StreamOps.eventsStream(spark, sf)).toDF(), "append")
+      .select("user_id", "event_id", "ts_us", "state")
+    val batch = SparkEntry.queries("q_alert_hysteresis")(spark, sf)
+    assert(sorted(streamed) == sorted(batch))
+    // toggles alternate per user starting with a raise
+    val byUser = batch.collect().groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      rows.map(_.getInt(3)).zipWithIndex.foreach { case (s, i) =>
+        assert(s == (if (i % 2 == 0) 1 else 0), s"toggle sequence broken: ${rows.toSeq}")
+      }
+    }
+  }
+
   test("streaming session windows == batch q_stream_session") {
     val streamed = runToMemory(StreamOps.sessionStream(StreamOps.eventsStream(spark, sf)), "complete")
     val batch = SparkEntry.queries("q_stream_session")(spark, sf)
