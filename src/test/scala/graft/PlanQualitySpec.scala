@@ -251,4 +251,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
     assert(hashEx == 1, s"expected exactly 1 user_id shuffle, got $hashEx:\n$plan")
   }
+
+  test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
+    // The one quadratic-blowup physical operator nothing here should ever
+    // need: every pair-producing query buckets, broadcasts, or windows
+    // instead. (BroadcastNestedLoopJoin with a tiny broadcast side — the
+    // 1-row stats frames, 10-row query sides — is fine and NOT flagged.)
+    // Runs every registered query at sf0.001, so any future addition that
+    // regresses into a cartesian fails here without needing its own test.
+    val declared = Set("q_join_cross")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !declared(name) =>
+        val df = fn(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
