@@ -205,6 +205,33 @@ object Analytics3 {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Counter-reset-aware rate (the SNMP/ifInOctets semantics at the core
+    * of a network-metrics collector, and the batch face of
+    * [[graft.streaming.StreamOps.counterToRate]]): per user, the
+    * per-second rate between consecutive samples — except when the
+    * counter DROPS, which means the device restarted and the new reading
+    * counts from zero, so the rate basis is the new value itself, flagged
+    * as a reset. One lag window over one user_id shuffle; the rate is a
+    * single IEEE chain written in identical operation order on both
+    * engines, quantized with floor(10000·x), NULL when Δt = 0 (tied
+    * timestamps divide by zero identically nowhere). */
+  def q_counter_rate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("pts", lag(col("ts_us"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .withColumn("reset", when(col("v") < col("pv"), 1).otherwise(0))
+      .withColumn("rate_bp", when(col("ts_us") > col("pts"),
+        floor(lit(10000.0) *
+          when(col("v") < col("pv"), col("v")).otherwise(col("v") - col("pv")) /
+          ((col("ts_us") - col("pts")) / lit(1000000.0)))))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("reset"), col("rate_bp"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pattern" -> q_seq_pattern _,
     "q_win_countd" -> q_win_countd _,
@@ -212,6 +239,7 @@ object Analytics3 {
     "q_skyline" -> q_skyline _,
     "q_ts_ohlc" -> q_ts_ohlc _,
     "q_alert_hysteresis" -> q_alert_hysteresis _,
+    "q_counter_rate" -> q_counter_rate _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -283,6 +311,18 @@ object Analytics3 {
         |    coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), 0) AS prev
         |  FROM s)
         |SELECT user_id, event_id, ts_us, state FROM t WHERE state <> prev
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_counter_rate" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, "value" AS v,
+        |    lag("value") OVER w AS pv, lag(epoch_us(ts)) OVER w AS pts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN v < pv THEN 1 ELSE 0 END AS reset,
+        |  CASE WHEN ts_us > pts THEN
+        |    CAST(floor(10000.0 * (CASE WHEN v < pv THEN v ELSE v - pv END)
+        |      / ((ts_us - pts) / 1000000.0)) AS BIGINT) END AS rate_bp
+        |FROM b WHERE pv IS NOT NULL
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
   )
 }

@@ -121,6 +121,29 @@ class Analytics3Spec extends AnyFunSuite with SparkFixture {
     assert(bad == 0, s"$bad candles violate low<=open,close<=high")
   }
 
+  test("q_counter_rate: matches a driver-side recomputation with reset semantics") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val want = rows.toSeq.flatMap { case (u, es) =>
+      es.sliding(2).collect { case Array(p, c) =>
+        val reset = if (c._4 < p._4) 1 else 0
+        val basis = if (reset == 1) c._4 else c._4 - p._4
+        val rate = if (c._3 > p._3)
+          Some(math.floor(10000.0 * basis / ((c._3 - p._3) / 1000000.0)).toLong)
+        else None
+        ((u, c._2), (reset, rate))
+      }
+    }.toMap
+    val got = queries.Analytics3.q_counter_rate(spark, sf)
+      .as[(Long, Long, Long, Int, Option[Long])].collect()
+      .map { case (u, eid, _, r, bp) => ((u, eid), (r, bp)) }.toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, v) => assert(got(k) == v, s"rate differs at $k") }
+  }
+
   test("q_skyline: equals brute-force dominance filter; mutual non-dominance") {
     val pts = Tables.part(spark, sf)
       .select(col("p_brand").as("g"),
