@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries ++
-      Analytics.queries ++ Analytics2.queries ++ Analytics3.queries
+      Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
+      Analytics4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle ++
-      Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle
+      Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle ++
+      Analytics4.oracle
 }

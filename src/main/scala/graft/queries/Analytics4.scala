@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 second continuation: the typed-cogroup per-key merge tier and
+  * deterministic probability-proportional-to-size sampling.
+  *
+  * Determinism follows SURVEY.md §2.10 / [[Q]]: integer arithmetic in every
+  * hashed column, explicit total ORDER BY, types pinned on both engines.
+  */
+object Analytics4 {
+
+  /** Per-key sorted-merge pair counting via typed cogroup — the
+    * `KeyValueGroupedDataset.cogroup` tier of §2's preference order,
+    * previously undemonstrated: q_join_range's interval semantics (clicks
+    * within the 30 minutes before each same-user purchase) computed WITHOUT
+    * materializing a single pair row. Both sides shuffle once, co-partitioned
+    * on user_id (Catalyst plans one CoGroup over two hash-partitioned
+    * children — the same execution a native merge-cogroup picks), then a
+    * two-pointer walk over the per-key sorted lists counts window hits in
+    * O(N+M) with O(1) extra state beyond the buffers. The join formulation
+    * must emit and re-aggregate every qualifying pair; this one never does —
+    * the right shape when only per-key statistics of the pairing are needed.
+    * Per-key buffers are bounded by per-user event counts; at unbounded-user
+    * scale the same remedy as q_join_range applies (sessionize or bucket the
+    * time axis first). The oracle is the deliberate opposite: a correlated
+    * BETWEEN count + full outer aggregate join in plain SQL. */
+  def q_cogroup_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    def side(t: String): Dataset[(Long, Long)] =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+    cogroupPairs(spark, side("purchase"), side("click"), windowUs = 1800000000L)
+      .orderBy(col("user_id"))
+  }
+
+  /** The merge itself: for each key, counts of left rows, right rows,
+    * (left, right) pairs with right.ts in [left.ts − windowUs, left.ts], and
+    * left rows with ≥ 1 such pair. Exposed so the spec can pin it against a
+    * brute-force pair join on constructed data. Emits a row for every key
+    * present on either side (zeros on the absent side). */
+  def cogroupPairs(spark: SparkSession, left: Dataset[(Long, Long)],
+                   right: Dataset[(Long, Long)], windowUs: Long): DataFrame = {
+    import spark.implicits._
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (k, ls, rs) =>
+      val l = ls.map(_._2).toArray; java.util.Arrays.sort(l)
+      val r = rs.map(_._2).toArray; java.util.Arrays.sort(r)
+      // Two monotone pointers over r as l ascends: hi = #{r ≤ lt},
+      // lo = #{r < lt − window} — both bounds are nondecreasing in lt, so
+      // the whole key costs one pass over each side after the sorts.
+      var lo = 0; var hi = 0; var pairs = 0L; var hit = 0L
+      l.foreach { lt =>
+        while (hi < r.length && r(hi) <= lt) hi += 1
+        while (lo < r.length && r(lo) < lt - windowUs) lo += 1
+        val c = (hi - lo).toLong
+        pairs += c
+        if (c > 0) hit += 1
+      }
+      Iterator((k, l.length.toLong, r.length.toLong, pairs, hit))
+    }.toDF("user_id", "n_purch", "n_click", "n_pairs", "n_hit")
+  }
+
+  /** Deterministic probability-proportional-to-size sampling — the
+    * weighted tier next to q_sample_split/q_sample_stratified: per language,
+    * systematic PPS over the doc_id order with weight = n_chars, so a
+    * document's selection probability is proportional to its token mass
+    * (how training-mix subsampling weights corpora). Pure BIGINT
+    * arithmetic: running weight W, stride s = total div 20, a document is
+    * selected iff a stride boundary falls inside its weight interval
+    * (W div s > (W − w) div s) — ≈ 20 docs per group, bit-identical on
+    * both engines, no RNG and no libm. One per-group window shuffle; at
+    * unbounded group size the running sum becomes the standard two-phase
+    * cumsum (per-partition totals broadcast as offsets) — the selection
+    * rule is unchanged. */
+  def q_sample_weighted(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(wCum))
+      .withColumn("s", greatest(sum(col("n_chars")).over(wAll).divide(lit(20)).cast("long"), lit(1L)))
+      .filter(expr("(cum div s) > ((cum - n_chars) div s)"))
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("cum"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cogroup_pairs" -> q_cogroup_pairs _,
+    "q_sample_weighted" -> q_sample_weighted _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cogroup_pairs" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'click'),
+        |pp AS (SELECT p.user_id, p.event_id,
+        |         (SELECT count(*) FROM c WHERE c.user_id = p.user_id
+        |            AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us) AS k
+        |       FROM p),
+        |pa AS (SELECT user_id, count(*) AS n_purch, CAST(sum(k) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |       FROM pp GROUP BY user_id),
+        |ca AS (SELECT user_id, count(*) AS n_click FROM c GROUP BY user_id)
+        |SELECT coalesce(pa.user_id, ca.user_id) AS user_id,
+        |  coalesce(pa.n_purch, 0) AS n_purch, coalesce(ca.n_click, 0) AS n_click,
+        |  coalesce(pa.n_pairs, 0) AS n_pairs, coalesce(pa.n_hit, 0) AS n_hit
+        |FROM pa FULL OUTER JOIN ca ON pa.user_id = ca.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    greatest(sum(n_chars) OVER (PARTITION BY lang) // 20, 1) AS s
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+        |FROM b WHERE cum // s > (cum - n_chars) // s
+        |ORDER BY lang, doc_id""".stripMargin,
+  )
+}

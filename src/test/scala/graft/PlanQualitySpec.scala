@@ -252,6 +252,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(hashEx == 1, s"expected exactly 1 user_id shuffle, got $hashEx:\n$plan")
   }
 
+  test("q_cogroup_pairs: one CoGroup over co-partitioned children, no join operator") {
+    val plan = executedPlan("q_cogroup_pairs")
+    assert(plan.contains("CoGroup"), s"typed cogroup not planned as CoGroup:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"cogroup plan contains a join (pairs must never materialize):\n$plan")
+    // exactly one hash shuffle per side feeds the CoGroup (the output sort
+    // is a range exchange)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan("q_cogroup_pairs")).size
+    assert(hashEx == 2, s"expected exactly 2 co-partitioning shuffles, got $hashEx:\n$plan")
+  }
+
+  test("q_sample_weighted: one lang shuffle serves both windows") {
+    val plan = finalPlan("q_sample_weighted")
+    val hashEx = "Exchange hashpartitioning\\(lang".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 lang shuffle, got $hashEx:\n$plan")
+  }
+
   test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
     // The one quadratic-blowup physical operator nothing here should ever
     // need: every pair-producing query buckets, broadcasts, or windows
