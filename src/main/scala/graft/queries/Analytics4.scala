@@ -90,9 +90,55 @@ object Analytics4 {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Content-checksum table diff — the migration/compaction audit tier:
+    * verify two table versions hold the same rows WITHOUT moving either
+    * (the 100 TB answer to "did the rewrite lose data?"). Each side folds
+    * to 128 bucket signatures: row hash = 60-bit md5 prefix of a canonical
+    * key string (integer/string columns only — §2.10 keeps doubles out of
+    * hashed text), bucket = hash mod 128, signature = count + BIT_XOR of
+    * hashes (order-independent, overflow-free, map-combinable — each side
+    * is one two-phase aggregation shuffling 128 partial rows regardless of
+    * table size; the final compare joins 128-row frames, broadcast under
+    * AQE). Buckets bound the re-scan when a mismatch IS found. Side B
+    * simulates a migration that dropped rows (l_orderkey ≡ 0 mod 997,
+    * line 1), so drifted buckets report same = 0 with their row delta. */
+  def q_table_diff(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
+    checksumDiff(li, li.filter(!(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1)),
+      key, buckets = 128)
+      .orderBy(col("bucket"))
+  }
+
+  /** The diff itself: per hash bucket, row counts and XOR signatures of
+    * both sides plus a same flag. Exposed so the spec can pin identity
+    * (diff of a frame with itself is all-same) and single-row drift
+    * localization on constructed data. */
+  def checksumDiff(a: DataFrame, b: DataFrame, rowKey: org.apache.spark.sql.Column,
+                   buckets: Int): DataFrame = {
+    def sig(df: DataFrame) = df
+      .select(expr(s"CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("bucket", col("h") % buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"))
+    val sa = sig(a.select(rowKey.as("k")))
+      .select(col("bucket"), col("n").as("n_a"), col("sig").as("sig_a"))
+    val sb = sig(b.select(rowKey.as("k")))
+      .select(col("bucket"), col("n").as("n_b"), col("sig").as("sig_b"))
+    sa.join(sb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("sig_a"), lit(0L)) === coalesce(col("sig_b"), lit(0L)))
+          .cast("int").as("same"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cogroup_pairs" -> q_cogroup_pairs _,
     "q_sample_weighted" -> q_sample_weighted _,
+    "q_table_diff" -> q_table_diff _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +160,23 @@ object Analytics4 {
         |  coalesce(pa.n_pairs, 0) AS n_pairs, coalesce(pa.n_hit, 0) AS n_hit
         |FROM pa FULL OUTER JOIN ca ON pa.user_id = ca.user_id
         |ORDER BY user_id""".stripMargin,
+    "q_table_diff" ->
+      """WITH r AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |           l_partkey, l_suppkey, l_returnflag)), 1, 15)) AS BIGINT) AS h,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |a AS (SELECT h % 128 AS bucket, count(*) AS n_a, bit_xor(h) AS sig_a
+        |      FROM r GROUP BY 1),
+        |b AS (SELECT h % 128 AS bucket, count(*) AS n_b, bit_xor(h) AS sig_b
+        |      FROM r WHERE NOT (l_orderkey % 997 = 0 AND l_linenumber = 1) GROUP BY 1)
+        |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  CAST(CASE WHEN coalesce(n_a, 0) = coalesce(n_b, 0)
+        |             AND coalesce(sig_a, 0) = coalesce(sig_b, 0)
+        |       THEN 1 ELSE 0 END AS INT) AS same
+        |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_sample_weighted" ->
       """WITH b AS (
         |  SELECT lang, doc_id, n_chars,

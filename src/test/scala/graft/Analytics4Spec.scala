@@ -44,6 +44,35 @@ class Analytics4Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("checksumDiff: identity diff is all-same; a dropped row flips exactly its bucket") {
+    val rows = (1L to 400L).map(i => Tuple1(s"row-$i")).toSeq.toDF("k")
+    val idCol = col("k")
+    val same = queries.Analytics4.checksumDiff(rows, rows, idCol, buckets = 32)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(same.nonEmpty && same.forall(_._4 == 1), s"identity diff not all-same")
+    assert(same.map(_._2).sum == 400L, "identity diff lost rows")
+    val dropped = rows.filter(col("k") =!= "row-17")
+    val diff = queries.Analytics4.checksumDiff(rows, dropped, idCol, buckets = 32)
+      .as[(Long, Long, Long, Int)].collect()
+    val bad = diff.filter(_._4 == 0)
+    assert(bad.length == 1, s"expected exactly 1 drifted bucket, got ${bad.toList}")
+    assert(bad.head._2 - bad.head._3 == 1L, s"drifted bucket delta wrong: ${bad.head}")
+  }
+
+  test("q_table_diff: drifted buckets account exactly for the simulated drop") {
+    val df = queries.Analytics4.q_table_diff(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val nDropped = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1).count()
+    val delta = df.map(r => r._2 - r._3).sum
+    assert(delta == nDropped, s"bucket deltas $delta != dropped rows $nDropped")
+    df.filter(_._4 == 1).foreach { r =>
+      assert(r._2 == r._3, s"same bucket with unequal counts: $r")
+    }
+    assert(df.filter(_._4 == 0).forall(r => r._2 != r._3 || r._2 > 0),
+      "drift flagged on an empty bucket")
+  }
+
   test("q_sample_weighted: matches a driver-side recomputation of the stride rule") {
     val df = queries.Analytics4.q_sample_weighted(spark, sf)
     val got = df.select(col("lang"), col("doc_id"), col("cum"))
