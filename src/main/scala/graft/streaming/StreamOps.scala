@@ -48,6 +48,17 @@ object StreamOps {
     normalizeEvents(spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]"))
   }
 
+  /** Stream-static enrichment — the dimension-lookup tier of a streaming
+    * pipeline: a static (batch) dimension broadcast-joined into every
+    * micro-batch. No state store and no stream-side shuffle: Spark
+    * re-resolves the static side per batch and, with the dim under the
+    * broadcast threshold, plans a map-side hash join — the streaming face
+    * of q_join_broadcast. The dim carries one attribute column to prove
+    * the lookup (any static table works; callers pass their own). */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("type_rank"))
+
   /** Tumbling 1-day window with a 10-minute watermark (late samples beyond
     * the watermark are dropped — Storm had no equivalent; reorder buffers
     * were hand-rolled bolt state). */

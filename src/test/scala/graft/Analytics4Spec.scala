@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -71,6 +72,22 @@ class Analytics4Spec extends AnyFunSuite with SparkFixture {
     }
     assert(df.filter(_._4 == 0).forall(r => r._2 != r._3 || r._2 > 0),
       "drift flagged on an empty bucket")
+  }
+
+  test("q_global_rownum: equals the naive global-window rank, contiguous 1..N") {
+    val df = queries.Analytics4.q_global_rownum(spark, sf)
+      .withColumnRenamed("rn", "rn_fast")
+    val naive = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("rn_naive",
+        row_number().over(Window.orderBy(col("ts_us"), col("event_id"))).cast("long"))
+    val joined = df.join(naive, Seq("ts_us", "event_id"))
+    assert(joined.filter(col("rn_fast") =!= col("rn_naive")).count() == 0,
+      "two-phase numbering diverges from the global window")
+    val n = df.count()
+    assert(df.agg(min(col("rn_fast")), max(col("rn_fast"))).as[(Long, Long)].head() == ((1L, n)),
+      s"rn not contiguous 1..$n")
+    assert(df.select(col("rn_fast")).distinct().count() == n, "rn has duplicates")
   }
 
   test("q_sample_weighted: matches a driver-side recomputation of the stride rule") {

@@ -270,6 +270,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(hashEx == 1, s"expected exactly 1 lang shuffle, got $hashEx:\n$plan")
   }
 
+  test("q_global_rownum: numbering never plans a data-sized global window") {
+    val plan = executedPlan("q_global_rownum")
+    // the whole point: no row_number window anywhere — numbering is
+    // mapPartitions over range-partitioned sorted data + broadcast offsets
+    assert(!plan.contains("row_number"), s"fell back to a window row_number:\n$plan")
+    assert(plan.contains("MapPartitions"), s"partition-local numbering missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastQueryStage"),
+      s"offsets join not broadcast:\n$plan")
+  }
+
   test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
     // The one quadratic-blowup physical operator nothing here should ever
     // need: every pair-producing query buckets, broadcasts, or windows

@@ -72,6 +72,20 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(counts.count() > 0)
   }
 
+  test("stream-static broadcast enrichment == batch join, no state store") {
+    import org.apache.spark.sql.expressions.Window
+    val dim = Tables.events(spark, sf).select(col("event_type")).distinct()
+      .withColumn("type_rank",
+        row_number().over(Window.orderBy(col("event_type"))).cast("long"))
+    val streamed = runToMemory(
+      StreamOps.enrichStream(StreamOps.eventsStream(spark, sf), dim), "append")
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("type_rank"))
+    assert(sorted(streamed) == sorted(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming tumbling window == batch tumble counts") {
     val streamed = runToMemory(
       StreamOps.eventsStream(spark, sf)
