@@ -106,8 +106,13 @@ object Analytics4 {
     val li = Tables.lineitem(spark, dir)
     val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"), col("l_returnflag"))
-    checksumDiff(li, li.filter(!(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1)),
-      key, buckets = 128)
+    // Side B is a filter of side A here, so hash ONCE and derive both
+    // sides from the persisted hashed frame (the oracle's WITH r) — the
+    // generic two-independent-tables path pays two scans by necessity.
+    val r = li.select(hashCol(key).as("h"), col("l_orderkey"), col("l_linenumber"))
+      .persist()
+    diffHashed(r, r.filter(!(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1)),
+      buckets = 128)
       .orderBy(col("bucket"))
   }
 
@@ -115,17 +120,23 @@ object Analytics4 {
     * both sides plus a same flag. Exposed so the spec can pin identity
     * (diff of a frame with itself is all-same) and single-row drift
     * localization on constructed data. */
+  private def hashCol(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(k.cast("binary")), 1, 15), 16, 10).cast("long")
+
   def checksumDiff(a: DataFrame, b: DataFrame, rowKey: org.apache.spark.sql.Column,
-                   buckets: Int): DataFrame = {
+                   buckets: Int): DataFrame =
+    diffHashed(a.select(hashCol(rowKey).as("h")),
+      b.select(hashCol(rowKey).as("h")), buckets)
+
+  /** The compare over pre-hashed sides (column `h`): lets callers hash one
+    * shared frame once when B derives from A. */
+  def diffHashed(a: DataFrame, b: DataFrame, buckets: Int): DataFrame = {
     def sig(df: DataFrame) = df
-      .select(expr(s"CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .withColumn("bucket", col("h") % buckets)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"))
-    val sa = sig(a.select(rowKey.as("k")))
-      .select(col("bucket"), col("n").as("n_a"), col("sig").as("sig_a"))
-    val sb = sig(b.select(rowKey.as("k")))
-      .select(col("bucket"), col("n").as("n_b"), col("sig").as("sig_b"))
+    val sa = sig(a).select(col("bucket"), col("n").as("n_a"), col("sig").as("sig_a"))
+    val sb = sig(b).select(col("bucket"), col("n").as("n_b"), col("sig").as("sig_b"))
     sa.join(sb, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -172,7 +183,26 @@ object Analytics4 {
       .orderBy(col("rn"))
   }
 
+  /** Equi-depth binning via ntile — the quantile-bucketing window next to
+    * q_win_rank's rank family: per event_type, assign each sample to one of
+    * 4 equal-count value buckets (feature discretization / decile reports).
+    * ntile is SQL-standard on both engines (first n mod k buckets take the
+    * extra row), and the ORDER BY includes event_id so tied values have a
+    * deterministic bucket. One event_type shuffle; per-group sort is the
+    * inherent cost of exact equi-depth — the approximate sibling at scale
+    * is q_agg_quantile_approx's percentile boundaries as a map-side
+    * bucketizer. */
+  def q_win_ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .select(col("event_type"), col("event_id"), col("tile"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_ntile" -> q_win_ntile _,
     "q_cogroup_pairs" -> q_cogroup_pairs _,
     "q_sample_weighted" -> q_sample_weighted _,
     "q_table_diff" -> q_table_diff _,
@@ -215,6 +245,10 @@ object Analytics4 {
         |       THEN 1 ELSE 0 END AS INT) AS same
         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
         |ORDER BY bucket""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT event_type, event_id,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS tile
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
     "q_global_rownum" ->
       """SELECT epoch_us(ts) AS ts_us, event_id,
         |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn

@@ -90,6 +90,27 @@ class Analytics4Spec extends AnyFunSuite with SparkFixture {
     assert(df.select(col("rn_fast")).distinct().count() == n, "rn has duplicates")
   }
 
+  test("q_win_ntile: SQL-standard bucket sizes, tiles monotone in the order key") {
+    val df = queries.Analytics4.q_win_ntile(spark, sf)
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(r => (r._3, r._2)) }
+    val got = df.as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => r._2 -> r._3).toMap }
+    assert(vals.keySet == got.keySet)
+    vals.foreach { case (g, sortedRows) =>
+      val n = sortedRows.length; val k = 4
+      val big = n % k; val small = n / k
+      sortedRows.zipWithIndex.foreach { case ((_, id, _), i) =>
+        // SQL-standard ntile: the first n mod k buckets hold one extra row
+        val expect = if (i < big * (small + 1)) i / (small + 1) + 1
+                     else big + (i - big * (small + 1)) / small + 1
+        assert(got(g)(id) == expect.toLong, s"group $g row $i: got ${got(g)(id)}, want $expect")
+      }
+    }
+  }
+
   test("q_sample_weighted: matches a driver-side recomputation of the stride rule") {
     val df = queries.Analytics4.q_sample_weighted(spark, sf)
     val got = df.select(col("lang"), col("doc_id"), col("cum"))
