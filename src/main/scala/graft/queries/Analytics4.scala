@@ -201,7 +201,28 @@ object Analytics4 {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Overlapping sliding-window chunking — the RAG/context-window prep
+    * tier next to q_text_dupline's non-overlapping dedup chunks: each doc
+    * splits into 50-word windows at stride 25 (adjacent chunks share 25
+    * words, so no retrieval boundary loses context). One codegen'd
+    * explode over a per-doc start sequence, no shuffle before the output
+    * sort — embarrassingly parallel at any corpus size. Emits the chunk's
+    * word count and a 64-bit md5 fingerprint rather than the text (the
+    * downstream contract is (doc, chunk) → stable id; both engines build
+    * the identical chunk string from the shared split convention). */
+  def q_text_chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, greatest(size(ws) - 1, 0), 25)")).as("st"))
+      .select(col("doc_id"),
+        expr("CAST(st div 25 + 1 AS BIGINT)").as("chunk_no"),
+        expr("CAST(size(slice(ws, st + 1, 50)) AS BIGINT)").as("n_words"),
+        expr("substring(md5(concat_ws(' ', slice(ws, st + 1, 50))), 1, 16)").as("fp"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> q_text_chunk _,
     "q_win_ntile" -> q_win_ntile _,
     "q_cogroup_pairs" -> q_cogroup_pairs _,
     "q_sample_weighted" -> q_sample_weighted _,
@@ -245,6 +266,15 @@ object Analytics4 {
         |       THEN 1 ELSE 0 END AS INT) AS same
         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
         |ORDER BY bucket""".stripMargin,
+    "q_text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws,
+        |        unnest(generate_series(0, greatest(len(ws) - 1, 0), 25)) AS st
+        |      FROM w)
+        |SELECT doc_id, CAST(st // 25 + 1 AS BIGINT) AS chunk_no,
+        |  CAST(len(list_slice(ws, st + 1, st + 50)) AS BIGINT) AS n_words,
+        |  substr(md5(array_to_string(list_slice(ws, st + 1, st + 50), ' ')), 1, 16) AS fp
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
     "q_win_ntile" ->
       """SELECT event_type, event_id,
         |  ntile(4) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS tile

@@ -90,6 +90,28 @@ class Analytics4Spec extends AnyFunSuite with SparkFixture {
     assert(df.select(col("rn_fast")).distinct().count() == n, "rn has duplicates")
   }
 
+  test("q_text_chunk: matches a driver-side recomputation (windows, stride, fingerprints)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    val got = queries.Analytics4.q_text_chunk(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1).toVector }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(docs.nonEmpty && got.keySet == docs.keySet)
+    docs.foreach { case (d, text) =>
+      val ws = text.split(" ", -1)
+      val expect = (0 to math.max(ws.length - 1, 0) by 25).map { st =>
+        val chunk = ws.slice(st, st + 50)
+        ((st / 25 + 1).toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+      assert(got(d) == expect, s"doc $d: got ${got(d).take(3)}... want ${expect.take(3)}...")
+    }
+    // overlap invariant: consecutive full chunks share stride words
+    got.values.flatten.foreach { case (_, n, _) => assert(n >= 1 && n <= 50) }
+  }
+
   test("q_win_ntile: SQL-standard bucket sizes, tiles monotone in the order key") {
     val df = queries.Analytics4.q_win_ntile(spark, sf)
     val vals = Tables.events(spark, sf)
