@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 third continuation: pipeline-validation, the map-side quantile
+  * bucketizer that q_win_ntile's doc names as its scale sibling, and
+  * tokenizer-vocabulary prep.
+  *
+  * Determinism follows SURVEY.md §2.10 / [[Q]]: integer or exact-stored
+  * values in every hashed column, explicit total ORDER BY, types pinned on
+  * both engines.
+  */
+object Analytics5 {
+
+  /** Declared-constraint audit (the Deequ/Great-Expectations tier next to
+    * q_profile_stats's column profiling — that one DESCRIBES columns, this
+    * one CHECKS contracts a pipeline declares before training on a drop):
+    * range, null, and key-uniqueness constraints ride ONE scan of lineitem
+    * (every violation counter is a map-combinable conditional sum; the
+    * uniqueness check is count − countDistinct over the same pass, planned
+    * via one Expand), and the referential check is a broadcast anti-join
+    * against orders keys — no second lineitem scan, no per-constraint
+    * union of full passes. At 100 TB the audit costs exactly one read.
+    * (l_orderkey, l_linenumber) is genuinely non-unique in this data
+    * (~20% dup keys), so the uniqueness constraint demonstrably FAILS —
+    * the audit proves it reports, not rubber-stamps. */
+  def q_quality_audit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val scanned = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("l_quantity").between(1.0, 50.0) || col("l_quantity").isNull, 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(!col("l_discount").between(0.0, 1.0) || col("l_discount").isNull, 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
+    val orphan = li.join(
+        Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    scanned.crossJoin(orphan)
+      .selectExpr(
+        """stack(5,
+          |  'fk_orderkey_exists',    n, v_fk,
+          |  'l_discount_in_0_1',     n, v_disc,
+          |  'l_quantity_in_1_50',    n, v_qty,
+          |  'l_shipdate_not_null',   n, v_ship,
+          |  'pk_orderkey_linenumber_unique', n, v_uniq
+          |) AS (check_name, n_checked, n_violations)""".stripMargin)
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Map-side quantile bucketizing — the scale sibling q_win_ntile's own
+    * doc names: exact equi-depth via ntile sorts EVERY row per group, but
+    * bucket ASSIGNMENT only needs the 3 boundary values. Stage 1 derives
+    * per-type quartile boundaries (value at rank ⌊kn/4⌋ in (value,
+    * event_id) order — a discrete quantile of exact stored doubles, no
+    * interpolation arithmetic to diverge between engines) on a frame that
+    * collapses to |types|×3 rows; stage 2 broadcast-joins those 15 rows
+    * and assigns bucket = 1 + Σ(value > bₖ) as pure map-side comparisons.
+    * At 100 TB stage 1 is the piece you swap for an approx_percentile
+    * sketch (one map-combinable pass, no sort) while stage 2 — the part
+    * that touches every row — is already shuffle-free. The oracle mirrors
+    * the same rank-boundary definition. */
+  def q_bucketize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val bounds = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("n div 4") || col("rn") === expr("n * 2 div 4") ||
+        col("rn") === expr("n * 3 div 4"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === expr("n div 4"), col("value"))).as("b1"),
+        min(when(col("rn") === expr("n * 2 div 4"), col("value"))).as("b2"),
+        min(when(col("rn") === expr("n * 3 div 4"), col("value"))).as("b3"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        (lit(1L) + (col("value") > col("b1")).cast("long")
+          + (col("value") > col("b2")).cast("long")
+          + (col("value") > col("b3")).cast("long")).as("bucket"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Corpus vocabulary build — tokenizer prep (the id-assignment step
+    * between q_text_tokens's counting and any embedding lookup): corpus
+    * word frequencies via one explode + two-phase hash agg (map-side
+    * combine collapses each partition to its distinct words before the
+    * shuffle), then the top 200 by (count DESC, word) with vocab_id =
+    * rank. The ranking window runs AFTER the limit, on a 200-row frame —
+    * never on the vocabulary, never on the corpus (the SinglePartition
+    * window stays O(k)); at 100 TB the only data-sized costs are the
+    * scan and one |vocab|-keyed shuffle. Empty tokens from the shared
+    * split convention are dropped on both engines. */
+  def q_vocab_topk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    counts
+      .orderBy(col("n").desc, col("word"))
+      .limit(200)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))).cast("long"))
+      .select(col("vocab_id"), col("word"), col("n"))
+      .orderBy(col("vocab_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_audit" -> q_quality_audit _,
+    "q_bucketize" -> q_bucketize _,
+    "q_vocab_topk" -> q_vocab_topk _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_audit" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+        |                    OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+        |                    OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) AS v_fk FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |u AS (
+        |  SELECT 'fk_orderkey_exists' AS check_name, n AS n_checked, v_fk AS n_violations
+        |    FROM s, fk
+        |  UNION ALL SELECT 'l_discount_in_0_1', n, v_disc FROM s
+        |  UNION ALL SELECT 'l_quantity_in_1_50', n, v_qty FROM s
+        |  UNION ALL SELECT 'l_shipdate_not_null', n, v_ship FROM s
+        |  UNION ALL SELECT 'pk_orderkey_linenumber_unique', n, v_uniq FROM s)
+        |SELECT check_name, n_checked, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
+    "q_bucketize" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY "value", event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = n // 4 THEN "value" END) AS b1,
+        |    min(CASE WHEN rn = n * 2 // 4 THEN "value" END) AS b2,
+        |    min(CASE WHEN rn = n * 3 // 4 THEN "value" END) AS b3
+        |  FROM r WHERE rn = n // 4 OR rn = n * 2 // 4 OR rn = n * 3 // 4
+        |  GROUP BY event_type)
+        |SELECT e.event_type, e.event_id,
+        |  CAST(1 + CASE WHEN e."value" > b.b1 THEN 1 ELSE 0 END
+        |         + CASE WHEN e."value" > b.b2 THEN 1 ELSE 0 END
+        |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH c AS (
+        |  SELECT w AS word, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |t AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS vocab_id
+        |      FROM c)
+        |SELECT CAST(vocab_id AS BIGINT) AS vocab_id, word, n
+        |FROM t WHERE vocab_id <= 200 ORDER BY vocab_id""".stripMargin,
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the constraint-audit, map-side-bucketizer, and vocabulary-build
+  * semantics: audit counters equal independently computed filters (and the
+  * known-bad uniqueness constraint actually reports), bucketize matches the
+  * exact ntile partition wherever the boundary definitions agree and is
+  * equi-depth within ±1 off-boundary, vocab ids are a contiguous frequency
+  * ranking consistent with a brute-force recount. */
+class Analytics5Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("q_quality_audit: counters equal independent recomputation; known-bad check reports") {
+    val got = queries.Analytics5.q_quality_audit(spark, sf)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(got.keySet == Set("fk_orderkey_exists", "l_discount_in_0_1",
+      "l_quantity_in_1_50", "l_shipdate_not_null", "pk_orderkey_linenumber_unique"))
+    got.values.foreach { case (checked, _, _) => assert(checked == n) }
+    val dupViol = n - li.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(got("pk_orderkey_linenumber_unique") == ((n, dupViol, if (dupViol == 0) 1 else 0)))
+    // FIXTURES: (l_orderkey, l_linenumber) has substantial dup keys — the
+    // audit must FAIL this constraint, proving it reports rather than
+    // rubber-stamps.
+    assert(dupViol > 0 && got("pk_orderkey_linenumber_unique")._3 == 0)
+    val qtyViol = li.filter(col("l_quantity").isNull ||
+      col("l_quantity") < 1.0 || col("l_quantity") > 50.0).count()
+    assert(got("l_quantity_in_1_50")._2 == qtyViol)
+    assert(got("l_shipdate_not_null")._2 ==
+      li.filter(col("l_shipdate").isNull).count())
+    // every lineitem key exists in orders in this data
+    assert(got("fk_orderkey_exists") == ((n, 0L, 1)))
+  }
+
+  test("q_bucketize: equi-depth within one row per group; monotone in value") {
+    val df = queries.Analytics5.q_bucketize(spark, sf).persist()
+    val sizes = df.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    assert(sizes.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    // rank-⌊kn/4⌋ boundaries give bucket sizes within 1 of n/4, up to
+    // value ties at a boundary (the strict > rule keeps ties low)
+    val maxDup = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type")).agg(max(col("c")).as("m"))
+      .as[(String, Long)].collect().toMap
+    sizes.groupBy(_._1).foreach { case (t, rs) =>
+      val total = rs.map(_._3).sum.toDouble
+      rs.foreach { case (_, b, c) =>
+        assert(math.abs(c - total / 4) <= maxDup(t).toDouble,
+          s"$t bucket $b size $c of $total")
+      }
+    }
+    // buckets are monotone in value: the max value in bucket k never
+    // exceeds the min value in bucket k+1 (ties at boundaries excluded
+    // by the strict > assignment rule)
+    val stats = df.join(
+        Tables.events(spark, sf).select(col("event_id"), col("value")), Seq("event_id"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1)
+    stats.foreach { case (t, rs) =>
+      val byB = rs.sortBy(_._2)
+      byB.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3, s"$t: bucket ${a._2} hi ${a._4} > bucket ${b._2} lo ${b._3}")
+        case _ =>
+      }
+    }
+    df.unpersist()
+  }
+
+  test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
+    val got = queries.Analytics5.q_vocab_topk(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // the synthetic corpus vocabulary is tiny at small SF — the cap only
+    // bites when the vocabulary exceeds it
+    assert(got.length == math.min(200, counts.size) && got.nonEmpty)
+    assert(got.map(_._1).toSeq == (1L to got.length.toLong))
+    got.foreach { case (_, w, n) => assert(counts(w) == n, s"word $w") }
+    // ids follow (n DESC, word ASC) total order
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"$a !< $b")
+      case _ =>
+    }
+    // nothing outside the returned set beats the last entry
+    val cutoff = got.last
+    val better = counts.count { case (w, n) =>
+      n > cutoff._3 || (n == cutoff._3 && w < cutoff._2)
+    }
+    assert(better == got.length - 1,
+      s"expected exactly ${got.length - 1} entries strictly above the cutoff, got $better")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Restart-from-checkpoint semantics — the fault-tolerance contract the
+  * equivalence tests can't see: a stateful query killed after half the
+  * input must, on restart against the SAME checkpoint, (a) restore its
+  * GroupState (the first post-restart sample per key pairs with the last
+  * pre-restart one — rates across the boundary are exact, not reset),
+  * (b) never reprocess the files the checkpoint already committed
+  * (exactly-once sink: no duplicate rows), and (c) end bit-equal to the
+  * oracle-checked batch twin over the full input. This is the recovery
+  * path a production run exercises on every executor loss or deploy. */
+class StreamRestartSpec extends AnyFunSuite with SparkFixture {
+
+  test("counter->rate restart: state restored, no reprocessing, union == batch twin") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .persist()
+    // global time cut: every user's pre-cut samples land in file A, so the
+    // restart boundary splits each user's series mid-stream (ties in ts_us
+    // can't straddle the cut)
+    val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    def half(pred: org.apache.spark.sql.Column) =
+      ev.filter(pred).drop("ts_us").coalesce(1).write.mode("append").parquet(src)
+    half(col("ts_us") <= cut)
+
+    def run(): Unit = {
+      val q = StreamOps.counterToRate(spark.readStream.schema(sch).parquet(src))
+        .toDF()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish within 120s")
+    }
+    run()
+    val afterA = spark.read.parquet(out).count()
+    assert(afterA > 0, "first run emitted nothing")
+
+    half(col("ts_us") > cut) // the data that arrives while the query is down
+    run() // SAME checkpoint: resumes from committed offsets
+
+    val streamed = spark.read.parquet(out)
+      .select(col("user_id"), col("event_id"), col("delta"), col("dt_us"))
+    val batch = SparkEntry.queries("q_win_lag")(spark, sf)
+      .filter(col("delta").isNotNull)
+      .select(col("user_id"), col("event_id"), col("delta"), col("dt_us"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    // (c) full equality — which requires (a): the cross-boundary rate rows
+    // exist ONLY if the last-sample state survived the restart
+    assert(sorted(streamed) == sorted(batch))
+    // (b) exactly-once: count equality means run 2 added only new rows
+    assert(afterA < batch.count(), "run 1 unexpectedly saw everything")
+    ev.unpersist()
+  }
+}
