@@ -112,10 +112,28 @@ object Analytics5 {
       .orderBy(col("vocab_id"))
   }
 
+  /** Reads the custom DataSource V2 connector ([[graft.sources.GenSource]])
+    * end to end: id-range filter pushed INTO the source (splits outside the
+    * bounds are never planned — GenSourceSpec pins the partition count),
+    * column pruning reaches the reader, and the aggregate rides the usual
+    * two-phase plan. The source is deterministic integer arithmetic, so a
+    * from-thin-air table is still hash-checked against DuckDB's range()
+    * reconstruction. `dir` is unused — this query's table does not live on
+    * disk, which is the point. */
+  def q_source_gen(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", "60000").option("parts", "8").load()
+      .filter(col("id") >= 10000L && col("id") < 50000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_audit" -> q_quality_audit _,
     "q_bucketize" -> q_bucketize _,
     "q_vocab_topk" -> q_vocab_topk _,
+    "q_source_gen" -> q_source_gen _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +179,17 @@ object Analytics5 {
         |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM events e JOIN b ON e.event_type = b.event_type
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q_source_gen" ->
+      """WITH g AS (SELECT range AS id FROM range(0, 60000)),
+        |f AS (SELECT id, id % 997 AS user_id,
+        |        CASE CAST(id % 5 AS INT)
+        |          WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+        |          WHEN 3 THEN 'error' ELSE 'scroll' END AS event_type,
+        |        (id * 1103515245 + 12345) % 2147483648 AS v
+        |      FROM g WHERE id >= 10000 AND id < 50000)
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_vocab_topk" ->
       """WITH c AS (
         |  SELECT w AS word, count(*) AS n

@@ -280,6 +280,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"offsets join not broadcast:\n$plan")
   }
 
+  test("q_bucketize: assignment stage is a broadcast join — the data-sized side never sorts") {
+    val plan = executedPlan("q_bucketize")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastQueryStage"),
+      s"boundary frame not broadcast:\n$plan")
+    // window passes exist only in the boundary derivation (rank + group
+    // count, distinct frames); the assignment side joins and compares with
+    // no window of its own — ntile would put one on the full data here.
+    // (AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // the final plan only.)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(finalPlan).size <= 2,
+      s"unexpected extra window passes:\n$finalPlan")
+    assert(!finalPlan.contains("ntile"), s"fell back to ntile:\n$finalPlan")
+  }
+
+  test("q_quality_audit: FK check is a broadcast anti-join, no second lineitem sort") {
+    val plan = executedPlan("q_quality_audit")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"FK anti-join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"audit fell back to SMJ:\n$plan")
+  }
+
+  test("q_vocab_topk: top-k via TakeOrderedAndProject, never a vocab-sized window") {
+    val plan = executedPlan("q_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject(limit=200"), s"no TOAP:\n$plan")
+  }
+
+  test("q_source_gen: DSv2 scan carries pushed bounds and pruned columns") {
+    val plan = executedPlan("q_source_gen")
+    assert(plan.contains("bounds=[10000,49999]"), s"bounds not pushed:\n$plan")
+    assert(plan.contains("cols=id,event_type,v"), s"columns not pruned:\n$plan")
+    // pushed filters are exact: no post-scan Filter on id remains
+    assert(!plan.contains("Filter (id#"), s"redundant re-filter:\n$plan")
+  }
+
   test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
     // The one quadratic-blowup physical operator nothing here should ever
     // need: every pair-producing query buckets, broadcasts, or windows
