@@ -66,10 +66,27 @@ object Analytics5 {
     * sketch (one map-combinable pass, no sort) while stage 2 — the part
     * that touches every row — is already shuffle-free. The oracle mirrors
     * the same rank-boundary definition. */
-  def q_bucketize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+  def q_bucketize(spark: SparkSession, dir: String): DataFrame =
+    bucketize(Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value")))
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** The bucketizer over a pre-projected (event_type, event_id, value)
+    * frame — exposed so the spec can drive the degenerate cases. Pinned
+    * semantics, identical on both engines: in a tiny group some boundary
+    * ranks ⌊kn/4⌋ are 0, so those boundaries are NULL (n = 1 has none and
+    * the group drops); `when(value > b, 1).otherwise(0)` treats a NULL
+    * comparison as not-crossed, exactly DuckDB's `CASE WHEN value > b
+    * THEN 1 ELSE 0 END` — a bare `(value > b).cast("long")` would instead
+    * propagate NULL into the bucket and the engines would diverge. NULL
+    * values rank NULLS LAST (pinned — the engines' ASC defaults differ)
+    * and land in bucket 1. */
+  def bucketize(ev: DataFrame): DataFrame = {
+    // NULLS LAST pinned explicitly: Spark's ASC defaults to NULLS FIRST,
+    // DuckDB's to NULLS LAST — unpinned, a NULL value would take rank 1 on
+    // one engine and rank n on the other and shift every boundary
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc_nulls_last, col("event_id"))
     val bounds = ev
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
@@ -80,12 +97,10 @@ object Analytics5 {
         min(when(col("rn") === expr("n div 4"), col("value"))).as("b1"),
         min(when(col("rn") === expr("n * 2 div 4"), col("value"))).as("b2"),
         min(when(col("rn") === expr("n * 3 div 4"), col("value"))).as("b3"))
+    def crossed(b: String) = when(col("value") > col(b), 1L).otherwise(0L)
     ev.join(broadcast(bounds), Seq("event_type"))
       .select(col("event_type"), col("event_id"),
-        (lit(1L) + (col("value") > col("b1")).cast("long")
-          + (col("value") > col("b2")).cast("long")
-          + (col("value") > col("b3")).cast("long")).as("bucket"))
-      .orderBy(col("event_type"), col("event_id"))
+        (lit(1L) + crossed("b1") + crossed("b2") + crossed("b3")).as("bucket"))
   }
 
   /** Corpus vocabulary build — tokenizer prep (the id-assignment step
@@ -163,7 +178,7 @@ object Analytics5 {
       """WITH r AS (
         |  SELECT event_type, event_id, "value",
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY "value", event_id) AS rn,
+        |      ORDER BY "value" ASC NULLS LAST, event_id) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM events),
         |b AS (

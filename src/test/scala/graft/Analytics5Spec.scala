@@ -74,6 +74,27 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
     df.unpersist()
   }
 
+  test("bucketize degenerate cases: NULL low boundaries, 1-row group drops, NULL value in bucket 1") {
+    val ev = Seq[(String, Long, Option[Double])](
+      ("one", 0L, Some(9.0)),
+      ("tiny", 1L, Some(5.0)), ("tiny", 2L, Some(6.0)), ("tiny", 3L, Some(7.0)),
+      ("big", 10L, Some(1.0)), ("big", 11L, Some(2.0)), ("big", 12L, Some(3.0)),
+      ("big", 13L, Some(4.0)), ("big", 14L, None))
+      .toDF("event_type", "event_id", "value")
+    val got = queries.Analytics5.bucketize(ev)
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val byId = got.map(r => r._2 -> r._3).toMap
+    // n=1: every boundary rank is 0 — the group drops on both engines
+    assert(!byId.contains(0L), s"1-row group leaked: ${got.toSeq}")
+    // n=3: b1's rank is 0 ⇒ b1 = NULL, which when() treats as not-crossed;
+    // b2 = value@1 = 5.0, b3 = value@2 = 6.0 ⇒ buckets 1, 2, 3
+    assert(byId(1L) == 1L && byId(2L) == 2L && byId(3L) == 3L, s"got ${got.toSeq}")
+    // n=5 with NULLS LAST pinned: ranks 1,2,3,4,NULL; b=(1.0, 2.0, 3.0);
+    // the NULL value compares NULL everywhere and lands in bucket 1
+    assert(byId(10L) == 1L && byId(11L) == 2L && byId(12L) == 3L &&
+      byId(13L) == 4L && byId(14L) == 1L, s"got ${got.toSeq}")
+  }
+
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
     val got = queries.Analytics5.q_vocab_topk(spark, sf)
       .as[(Long, String, Long)].collect()
