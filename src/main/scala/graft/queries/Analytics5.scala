@@ -127,6 +127,41 @@ object Analytics5 {
       .orderBy(col("vocab_id"))
   }
 
+  /** Incremental JOIN maintenance — the join face of q_agg_incremental's
+    * materialized-view merge law (A⋈B where A = A_old ∪ ΔA, B = B_old ∪ ΔB):
+    * R_new = (A_old⋈B_old) ∪ (ΔA⋈B_old) ∪ (A_old⋈ΔB) ∪ (ΔA⋈ΔB), each
+    * partial pre-aggregated, the union re-aggregated — and the result must
+    * equal the full recompute EXACTLY (the oracle IS the full join;
+    * decimal revenue sums make re-aggregation order-independent). The
+    * even/odd ship-day split stands in for stored-state-vs-ingest-batch;
+    * the three Δ-touching joins broadcast the batch side, so at 100 TB
+    * only A_old⋈B_old's pre-aggregated state is ever stored and each new
+    * batch costs two broadcast joins plus a 5-row merge — history is
+    * never re-joined. */
+  def q_join_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import Q.{dec2, outDbl}
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (dayofmonth(col("o_orderdate")) % 2).as("od"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        (dayofmonth(col("l_shipdate")) % 2).as("ld"))
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    def part(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(rev).as("rev_dec"))
+    val (oOld, oNew) = (o.filter(col("od") === 0), o.filter(col("od") === 1))
+    val (lOld, lNew) = (l.filter(col("ld") === 0), l.filter(col("ld") === 1))
+    Seq(part(oOld, lOld), part(broadcast(oNew), lOld),
+        part(oOld, broadcast(lNew)), part(broadcast(oNew), lNew))
+      .reduce(_ unionAll _)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), outDbl(sum(col("rev_dec"))).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Reads the custom DataSource V2 connector ([[graft.sources.GenSource]])
     * end to end: id-range filter pushed INTO the source (splits outside the
     * bounds are never planned — GenSourceSpec pins the partition count),
@@ -149,6 +184,7 @@ object Analytics5 {
     "q_bucketize" -> q_bucketize _,
     "q_vocab_topk" -> q_vocab_topk _,
     "q_source_gen" -> q_source_gen _,
+    "q_join_incremental" -> q_join_incremental _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +230,15 @@ object Analytics5 {
         |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM events e JOIN b ON e.event_type = b.event_type
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    // the oracle IS the full recompute: the incremental merge must be
+    // semantically invisible (same contract as q_agg_incremental)
+    "q_join_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS rev
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_source_gen" ->
       """WITH g AS (SELECT range AS id FROM range(0, 60000)),
         |f AS (SELECT id, id % 997 AS user_id,

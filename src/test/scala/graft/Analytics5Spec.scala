@@ -95,6 +95,22 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
       byId(13L) == 4L && byId(14L) == 1L, s"got ${got.toSeq}")
   }
 
+  test("q_join_incremental: delta-form merge equals the direct join, bit-exact") {
+    val got = queries.Analytics5.q_join_incremental(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    val direct = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("rev"))
+      .orderBy(col("o_orderpriority"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == direct) // incl. bit-equal doubles: decimal sums commute
+    assert(got.map(_._2).sum == l.join(o, col("o_orderkey") === col("l_orderkey")).count())
+  }
+
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
     val got = queries.Analytics5.q_vocab_topk(spark, sf)
       .as[(Long, String, Long)].collect()

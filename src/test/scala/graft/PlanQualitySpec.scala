@@ -315,6 +315,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Filter (id#"), s"redundant re-filter:\n$plan")
   }
 
+  test("q_join_incremental: every delta-touching join broadcasts the batch side") {
+    val plan = executedPlan("q_join_incremental")
+    // old⋈old may sort-merge (both sides are state-sized); the three
+    // Δ-touching partials must broadcast — at scale the batch is small
+    // and history is never reshuffled for it
+    assert("BroadcastHashJoin".r.findAllIn(plan.split("== Initial Plan ==").head).size >= 3,
+      s"delta joins not broadcast:\n$plan")
+  }
+
   test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
     // The one quadratic-blowup physical operator nothing here should ever
     // need: every pair-producing query buckets, broadcasts, or windows
