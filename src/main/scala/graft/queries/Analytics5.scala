@@ -18,30 +18,30 @@ object Analytics5 {
   /** Declared-constraint audit (the Deequ/Great-Expectations tier next to
     * q_profile_stats's column profiling — that one DESCRIBES columns, this
     * one CHECKS contracts a pipeline declares before training on a drop):
-    * range, null, and key-uniqueness constraints ride ONE scan of lineitem
-    * (every violation counter is a map-combinable conditional sum; the
-    * uniqueness check is count − countDistinct over the same pass, planned
-    * via one Expand), and the referential check is a broadcast anti-join
-    * against orders keys — no second lineitem scan, no per-constraint
-    * union of full passes. At 100 TB the audit costs exactly one read.
+    * EVERY constraint — range, null, key-uniqueness, AND referential —
+    * rides ONE scan of lineitem: violation counters are map-combinable
+    * conditional sums, uniqueness is count − countDistinct in the same
+    * pass (planned via one Expand), and the FK check LEFT-joins the
+    * broadcast orders-key dim so "no match" is just another conditional
+    * sum in the same aggregate — never a second read, never a
+    * per-constraint union of full passes. At 100 TB the audit costs
+    * exactly one pass over the fact table plus a dim broadcast.
     * (l_orderkey, l_linenumber) is genuinely non-unique in this data
     * (~20% dup keys), so the uniqueness constraint demonstrably FAILS —
     * the audit proves it reports, not rubber-stamps. */
   def q_quality_audit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val scanned = li.agg(
-      count(lit(1)).as("n"),
-      sum(when(!col("l_quantity").between(1.0, 50.0) || col("l_quantity").isNull, 1L)
-        .otherwise(0L)).as("v_qty"),
-      sum(when(!col("l_discount").between(0.0, 1.0) || col("l_discount").isNull, 1L)
-        .otherwise(0L)).as("v_disc"),
-      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"))
-    val orphan = li.join(
-        Tables.orders(spark, dir).select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("v_fk"))
-    scanned.crossJoin(orphan)
+    val ok = Tables.orders(spark, dir).select(col("o_orderkey"))
+    li.join(broadcast(ok), col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1.0, 50.0) || col("l_quantity").isNull, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(!col("l_discount").between(0.0, 1.0) || col("l_discount").isNull, 1L)
+          .otherwise(0L)).as("v_disc"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"))
       .selectExpr(
         """stack(5,
           |  'fk_orderkey_exists',    n, v_fk,
@@ -189,20 +189,22 @@ object Analytics5 {
 
   val oracle: Map[String, String] = Map(
     "q_quality_audit" ->
-      """WITH s AS (
+      """WITH j AS (
+        |  SELECT l.*, o.o_orderkey AS ok FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s AS (
         |  SELECT count(*) AS n,
         |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
         |                    OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
         |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
         |                    OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
         |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
-        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq
-        |  FROM lineitem),
-        |fk AS (SELECT count(*) AS v_fk FROM lineitem
-        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq,
+        |    CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+        |  FROM j),
         |u AS (
         |  SELECT 'fk_orderkey_exists' AS check_name, n AS n_checked, v_fk AS n_violations
-        |    FROM s, fk
+        |    FROM s
         |  UNION ALL SELECT 'l_discount_in_0_1', n, v_disc FROM s
         |  UNION ALL SELECT 'l_quantity_in_1_50', n, v_qty FROM s
         |  UNION ALL SELECT 'l_shipdate_not_null', n, v_ship FROM s

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — SURVEY.md §2.8's design-only operators.
@@ -331,6 +331,59 @@ object StreamOps {
       .as[Sample]
       .groupByKey(_.user_id)
       .transformWithState(new CounterToRateProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class TopKRow(event_type: String, version: Long, user_id: Long, cnt: Long)
+
+  /** Streaming heavy hitters per event_type on transformWithState's
+    * **MapState** — the keyed-collection state tier (ValueState holds one
+    * record; real online analytics hold a map per key: per-user counters,
+    * per-device last-seen, …). Each micro-batch folds its rows into the
+    * user→count MapState (point get/update — the state store touches only
+    * the users present in the batch, never the whole map), then one
+    * iterator() pass emits that batch's current top-k tagged with a
+    * per-key version from a ValueState counter, so a consumer (and the
+    * equivalence spec) keeps the latest emission per key. Ties break on
+    * user_id ascending — same rule as the batch twin. State is
+    * RocksDB-backed (the only provider the API supports); at scale the
+    * per-key map is the bounded per-entity cardinality, not the stream. */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), TopKRow] {
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var ver: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(eventType: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[TopKRow] = {
+      rows.foreach { case (_, user) =>
+        val c = if (counts.containsKey(user)) counts.getValue(user) else 0L
+        counts.updateValue(user, c + 1L)
+      }
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v)
+      counts.iterator().toSeq
+        .sortBy { case (user, c) => (-c, user) }
+        .take(k)
+        .map { case (user, c) => TopKRow(eventType, v, user, c) }
+        .iterator
+    }
+  }
+
+  /** Heavy hitters per event_type (top-k users by event count), MapState
+    * per type. Batch twin: groupBy(type, user).count + rank ≤ k. */
+  def heavyHittersStream(events: DataFrame, k: Int): Dataset[TopKRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
   /** Report sink: per-batch parquet append — the streaming analogue of the

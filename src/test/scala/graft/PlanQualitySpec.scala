@@ -295,11 +295,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!finalPlan.contains("ntile"), s"fell back to ntile:\n$finalPlan")
   }
 
-  test("q_quality_audit: FK check is a broadcast anti-join, no second lineitem sort") {
+  test("q_quality_audit: ONE lineitem scan serves every constraint, FK via broadcast left join") {
     val plan = executedPlan("q_quality_audit")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"FK anti-join not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"audit fell back to SMJ:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin") && finalPlan.contains("LeftOuter"),
+      s"FK check not a broadcast left join:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"), s"audit fell back to SMJ:\n$finalPlan")
+    // the whole audit is one pass: exactly one lineitem parquet scan
+    assert("Scan parquet .*lineitem|FileScan parquet.*lineitem".r
+      .findAllIn(finalPlan).size == 1, s"audit scans lineitem twice:\n$finalPlan")
   }
 
   test("q_vocab_topk: top-k via TakeOrderedAndProject, never a vocab-sized window") {

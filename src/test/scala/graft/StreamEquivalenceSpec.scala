@@ -55,6 +55,43 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("MapState heavy hitters across micro-batches == batch top-k per type") {
+    import spark.implicits._
+    // 4 source files + maxFilesPerTrigger=1 force 4 micro-batches, so the
+    // per-user MapState genuinely accumulates ACROSS batches
+    val src = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted = runToMemory(StreamOps.heavyHittersStream(stream, 3).toDF(), "append")
+        .as[(String, Long, Long, Long)].collect()
+      // versions prove multiple batches actually ran
+      assert(emitted.map(_._2).max >= 2, "stream collapsed to one micro-batch")
+      // keep the LAST emission per type: that is the final top-k
+      val last = emitted.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val v = rs.map(_._2).max
+        rs.filter(_._2 == v).toSeq
+      }.map(r => (r._1, r._3, r._4)).toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+            .orderBy(col("cnt").desc, col("user_id"))))
+        .filter(col("rk") <= 3).drop("rk")
+        .as[(String, Long, Long)].collect().toSet
+      assert(last == batch, s"stream top-k != batch top-k\nstream: $last\nbatch: $batch")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful streaming funnel == batch q_funnel counts") {
     val streamed = runToMemory(
       StreamOps.funnelStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
