@@ -386,6 +386,60 @@ object StreamOps {
       .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
+  final case class Beat(user_id: Long, ts_us: Long)
+  final case class Offline(user_id: Long, last_seen_us: Long, declared_at_ms: Long)
+
+  /** Device-offline detection on **event-time timers** — the alerting
+    * primitive a network monitor runs continuously ("this device stopped
+    * reporting"), and the one streaming-state API tier the other operators
+    * don't touch: each heartbeat re-arms a per-key timer at
+    * last_seen + gap (delete + register — listTimers() keeps the state
+    * store authoritative, no timer leaks); when the WATERMARK crosses an
+    * armed timer with no newer heartbeat, `handleExpiredTimer` emits the
+    * offline row with the deterministic expiry instant. Polling ("scan
+    * all keys every batch") would touch every device per micro-batch;
+    * timers are pushed by the state store and cost only the keys that
+    * actually expire. Semantics are event-time-deterministic: a device
+    * goes offline iff the final watermark passes its last heartbeat + gap
+    * (TimerSpec pins exact rows on constructed multi-batch input). */
+  class OfflineDetector(gapUs: Long)
+      extends StatefulProcessor[Long, Beat, Offline] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Beat],
+        timerValues: TimerValues): Iterator[Offline] = {
+      val maxTs = rows.map(_.ts_us).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      if (maxTs > prev) {
+        lastSeen.update(maxTs)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((maxTs + gapUs) / 1000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Offline] =
+      Iterator(Offline(user, lastSeen.get(), expired.getExpiryTimeInMs))
+  }
+
+  /** Offline alerts over a heartbeat stream: watermarked event time, gap
+    * in µs. Columns required: user_id, ts (timestamp). */
+  def offlineStream(events: DataFrame, gapUs: Long, watermark: String): Dataset[Offline] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Beat]
+      .groupByKey(_.user_id)
+      .transformWithState(new OfflineDetector(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Report sink: per-batch parquet append — the streaming analogue of the
     * reference's report-writer bolt. exactly-once via batchId-named dirs
     * would be the production shape; append suffices for the demo sink. */
