@@ -179,7 +179,27 @@ object Analytics5 {
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  /** Semi-structured JSON through Spark 4's VARIANT type — the modern
+    * open-schema tier next to q_map_json's string-path extraction: one
+    * `parse_json` into a binary variant column (parsed ONCE, however many
+    * paths are read — get_json_object re-parses per path), then typed
+    * `variant_get` extraction and `try_variant_get` for a path that does
+    * not exist (NULL, not an error — schema drift must not kill the
+    * pipeline). The oracle reads the same paths with DuckDB's JSON
+    * functions; outputs are exact integers. */
+  def q_json_variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'bigint')").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"),
+        count(col("missing")).as("n_absent"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_variant" -> q_json_variant _,
     "q_quality_audit" -> q_quality_audit _,
     "q_bucketize" -> q_bucketize _,
     "q_vocab_topk" -> q_vocab_topk _,
@@ -232,6 +252,14 @@ object Analytics5 {
         |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM events e JOIN b ON e.event_type = b.event_type
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.absent') IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle IS the full recompute: the incremental merge must be
     // semantically invisible (same contract as q_agg_incremental)
     "q_join_incremental" ->

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface — SURVEY.md §2.8's design-only operators.
@@ -384,6 +384,55 @@ object StreamOps {
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new HeavyHittersProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class MovAvg(user_id: Long, event_id: Long, avg_bp: Long)
+
+  /** Online trailing moving average per device on transformWithState's
+    * **ListState** — the sliding-buffer state tier (last-N readings per
+    * key: the smoothing a monitor applies before thresholding a noisy
+    * gauge). The buffer holds AT MOST window samples — `put` truncates on
+    * every row, so state size is O(keys × window) forever, independent of
+    * stream length. Emits per input row, so the batch twin is exactly
+    * `avg(value) OVER (... ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    * ROW)`; both sides fold the ≤window doubles in (ts, event_id) order
+    * and quantize to basis points. */
+  class MovingAvgProcessor(window: Int)
+      extends StatefulProcessor[Long, Sample, MovAvg] {
+    @transient private var buf: ListState[Sample] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Sample](
+        "recent", Encoders.product[Sample], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[MovAvg] = {
+      val sorted = rows.toSeq.sortBy(s => (s.ts_us, s.event_id))
+      val out = Seq.newBuilder[MovAvg]
+      var recent = if (buf.exists()) buf.get().toVector else Vector.empty[Sample]
+      for (s <- sorted) {
+        recent = (recent :+ s).takeRight(window)
+        var sum = 0.0
+        recent.foreach(r => sum += r.value) // left-to-right, frame order
+        out += MovAvg(user, s.event_id, // (sum / n) FIRST — the twin is
+          math.floor(10000.0 * (sum / recent.size)).toLong) // 10000·avg
+
+      }
+      buf.put(recent.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Trailing moving average (window samples) per user over the event
+    * stream; batch twin q_win_frame-style ROWS window. */
+  def movingAvgStream(events: DataFrame, window: Int): Dataset[MovAvg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new MovingAvgProcessor(window), TimeMode.None(), OutputMode.Append())
   }
 
   final case class Beat(user_id: Long, ts_us: Long)

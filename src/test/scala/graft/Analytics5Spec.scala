@@ -111,6 +111,23 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._2).sum == l.join(o, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("q_json_variant: variant extraction equals the string-path recount; absent path is NULL") {
+    val got = queries.Analytics5.q_json_variant(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, kSum, kMax, nAbsent, n) =>
+      assert((kSum, kMax, n) == ((want(t)._2, want(t)._3, want(t)._4)), s"type $t")
+      assert(nAbsent == 0L, "try_variant_get of a missing path must be NULL")
+    }
+  }
+
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
     val got = queries.Analytics5.q_vocab_topk(spark, sf)
       .as[(Long, String, Long)].collect()

@@ -92,6 +92,57 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ListState moving average across micro-batches == batch ROWS-window twin") {
+    import spark.implicits._
+    // three TIME-SLICED files in mtime order: order matters for a sliding
+    // buffer, so each later batch must hold only later timestamps — the
+    // buffer then provably carries the last 5 samples ACROSS batches
+    val src = java.nio.file.Files.createTempDirectory("graft_mavg").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ts_us", unix_micros(col("ts"))).persist()
+    val Array(c1, c2) = ev.stat.approxQuantile("ts_us", Array(1.0 / 3, 2.0 / 3), 0.0)
+    Seq(col("ts_us") <= c1, col("ts_us") > c1 && col("ts_us") <= c2, col("ts_us") > c2)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft_mavg_s$i").toString
+        ev.filter(pred).drop("ts_us").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, java.nio.file.Paths.get(src, f"b$i%02d.parquet"))
+            moved = true
+          }
+        }
+        assert(moved)
+      }
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runToMemory(StreamOps.movingAvgStream(stream, 5).toDF(), "append")
+        .as[(Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-4, 0)
+      val batch = ev
+        .withColumn("avg_bp", floor(lit(10000.0) * avg(col("value")).over(w)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("avg_bp"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally {
+      ev.unpersist()
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("stateful streaming funnel == batch q_funnel counts") {
     val streamed = runToMemory(
       StreamOps.funnelStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
