@@ -185,11 +185,13 @@ object Analytics5 {
     * paths are read — get_json_object re-parses per path), then typed
     * `variant_get` extraction and `try_variant_get` for a path that does
     * not exist (NULL, not an error — schema drift must not kill the
-    * pipeline). The oracle reads the same paths with DuckDB's JSON
-    * functions; outputs are exact integers. */
+    * pipeline). `try_parse_json` likewise nulls a malformed document
+    * instead of failing the job (spec-pinned on constructed garbage) —
+    * a 100 TB crawl WILL contain broken JSON. The oracle reads the same
+    * paths with DuckDB's JSON functions; outputs are exact integers. */
   def q_json_variant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"), expr("try_parse_json(props)").as("v"))
       .select(col("event_type"),
         expr("variant_get(v, '$.k', 'bigint')").as("k"),
         expr("try_variant_get(v, '$.absent', 'bigint')").as("missing"))

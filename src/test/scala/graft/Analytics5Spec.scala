@@ -126,6 +126,12 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
       assert((kSum, kMax, n) == ((want(t)._2, want(t)._3, want(t)._4)), s"type $t")
       assert(nAbsent == 0L, "try_variant_get of a missing path must be NULL")
     }
+    // malformed documents null out instead of failing the job
+    val dirty = Seq("""{"k": 7}""", """not json at all""", """{"k": """)
+      .toDF("props")
+      .selectExpr("try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k")
+      .as[Option[Long]].collect()
+    assert(dirty.toSeq == Seq(Some(7L), None, None))
   }
 
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
