@@ -53,6 +53,30 @@ class GenSourceSpec extends AnyFunSuite with SparkFixture {
       (0L until 1000L).map(id => (id * 1103515245L + 12345L) % 2147483648L).sum)
   }
 
+  test("seeded property: random bounds give closed-form row and split counts") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 25) {
+      val rows = 1000L + rnd.nextInt(9000)
+      val parts = 1 + rnd.nextInt(7)
+      val a = rnd.nextLong(rows + 200) - 100 // bounds may fall outside [0, rows)
+      val b = rnd.nextLong(rows + 200) - 100
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val df = gen(rows, parts).filter(col("id") >= lo && col("id") <= hi)
+      val want = math.max(0L, math.min(hi, rows - 1) - math.max(lo, 0L) + 1)
+      assert(df.count() == want, s"rows=$rows parts=$parts [$lo,$hi]")
+      // surviving splits = those whose id range intersects the clamped bounds
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      val wantSplits = (0 until parts).count { k =>
+        math.max(k * per, math.max(lo, 0L)) <=
+          math.min((k + 1) * per - 1, math.min(hi, rows - 1))
+      }
+      if (wantSplits > 0)
+        assert(df.rdd.getNumPartitions == wantSplits,
+          s"rows=$rows parts=$parts [$lo,$hi]: " +
+            s"got ${df.rdd.getNumPartitions}, want $wantSplits")
+    }
+  }
+
   test("q_source_gen: groups cover all five types with exact band bounds") {
     val rows = queries.Analytics5.q_source_gen(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
