@@ -39,6 +39,30 @@ class SourceFormatSpec extends AnyFunSuite with SparkFixture {
     assert(agg(spark.read.orc(s"$tmp/orc")) == base)
   }
 
+  test("schema evolution: mergeSchema unions file schemas, null-fills, keeps pushdown") {
+    import spark.implicits._
+    // a table written over months gains a column mid-history — readers
+    // must see one unioned schema with NULLs where old files predate it,
+    // and predicate pushdown must survive the merged footer read
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    val rows = df.select(col("id"), col("v1"), col("v2"))
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // filtering on the NEW column prunes old files entirely (v2 IS NULL
+    // there) and the predicate still reaches the scan
+    val newOnly = df.filter(col("v2") === 30L)
+    assert(newOnly.count() == 1)
+    val plan = newOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v2), EqualTo(v2,30)"),
+      s"pushdown lost under mergeSchema:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // THE 100 TB join strategy for repeated joins on a stable key: both
     // sides pre-hashed into the same bucket count on the join key at
