@@ -200,7 +200,39 @@ object Analytics5 {
         count(col("missing")).as("n_absent"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Sequence packing into fixed token-budget training examples — the
+    * pretraining batch-prep op q_shard_pack deliberately is NOT (shards
+    * never split a document; GPT-style packing concatenates the token
+    * stream and CUTS at exact example boundaries, so a document spans
+    * examples): ntok = n_chars div 4 (integer chars-per-token heuristic),
+    * global running offset gives each doc [start, end) in the stream,
+    * and one codegen'd `sequence` explode emits a span row per example
+    * the doc crosses — example_id = offset div 512, span = the clipped
+    * overlap. Pure integer arithmetic; the doc-order window is the same
+    * declarative statement q_shard_pack pins (the scale path is
+    * q_global_rownum's two-phase offsets — selection rule unchanged).
+    * Invariants pinned by spec: every example except the last holds
+    * exactly 512 tokens, and each doc's spans partition its tokens. */
+  def q_seq_pack(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), greatest(expr("n_chars div 4"), lit(1L)).as("ntok"))
+      .withColumn("end", sum(col("ntok")).over(w))
+      .withColumn("start", col("end") - col("ntok"))
+      .select(col("doc_id"), col("start"), col("end"),
+        explode(expr(s"sequence(start div $B, (end - 1) div $B)")).as("example_id"))
+      .select(col("example_id"), col("doc_id"),
+        (least(col("end"), (col("example_id") + 1) * B) -
+          greatest(col("start"), col("example_id") * B)).as("n_tok"),
+        (greatest(col("start"), col("example_id") * B) === col("start"))
+          .cast("int").as("is_head"))
+      .orderBy(col("example_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pack" -> q_seq_pack _,
     "q_json_variant" -> q_json_variant _,
     "q_quality_audit" -> q_quality_audit _,
     "q_bucketize" -> q_bucketize _,
@@ -254,6 +286,25 @@ object Analytics5 {
         |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM events e JOIN b ON e.event_type = b.event_type
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, greatest(n_chars // 4, 1) AS ntok FROM documents),
+        |o AS (
+        |  SELECT doc_id, ntok,
+        |    CAST(sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "end"
+        |  FROM t),
+        |s AS (SELECT doc_id, "end" - ntok AS "start", "end" FROM o),
+        |x AS (
+        |  SELECT doc_id, "start", "end",
+        |    unnest(generate_series("start" // 512, ("end" - 1) // 512)) AS example_id
+        |  FROM s)
+        |SELECT CAST(example_id AS BIGINT) AS example_id, doc_id,
+        |  CAST(least("end", (example_id + 1) * 512)
+        |     - greatest("start", example_id * 512) AS BIGINT) AS n_tok,
+        |  CAST(CASE WHEN greatest("start", example_id * 512) = "start"
+        |       THEN 1 ELSE 0 END AS INT) AS is_head
+        |FROM x ORDER BY example_id, doc_id""".stripMargin,
     "q_json_variant" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

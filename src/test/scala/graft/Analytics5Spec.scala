@@ -134,6 +134,31 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
     assert(dirty.toSeq == Seq(Some(7L), None, None))
   }
 
+  test("q_seq_pack: full examples hold exactly 512 tokens; spans partition each doc") {
+    val got = queries.Analytics5.q_seq_pack(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val lastEx = got.map(_._1).max
+    // every example but the last is exactly full
+    got.groupBy(_._1).foreach { case (ex, rs) =>
+      val tot = rs.map(_._3).sum
+      if (ex < lastEx) assert(tot == 512L, s"example $ex holds $tot tokens")
+      else assert(tot >= 1L && tot <= 512L)
+    }
+    // per doc: spans partition ntok, exactly one head span
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), greatest(expr("n_chars div 4"), lit(1L)).as("ntok"))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (d, rs) =>
+      assert(rs.map(_._3).sum == ntok(d), s"doc $d spans != ntok")
+      assert(rs.count(_._4 == 1) == 1, s"doc $d head count")
+      // spans cover consecutive examples
+      val exs = rs.map(_._1).sorted
+      assert(exs.zip(exs.tail).forall { case (a, b) => b == a + 1 }, s"doc $d gaps")
+    }
+    assert(got.count(_._4 == 1) == ntok.size)
+  }
+
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
     val got = queries.Analytics5.q_vocab_topk(spark, sf)
       .as[(Long, String, Long)].collect()
