@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-5 third continuation: pipeline-validation, the map-side quantile
-  * bucketizer that q_win_ntile's doc names as its scale sibling, and
-  * tokenizer-vocabulary prep.
+/** Round-5 third continuation: pipeline validation (constraint audit),
+  * the map-side quantile bucketizer that q_win_ntile's doc names as its
+  * scale sibling, tokenizer-vocabulary prep, incremental join
+  * maintenance, the DSv2-connector query, Spark-4 VARIANT extraction,
+  * and GPT-style sequence packing.
   *
   * Determinism follows SURVEY.md §2.10 / [[Q]]: integer or exact-stored
   * values in every hashed column, explicit total ORDER BY, types pinned on
