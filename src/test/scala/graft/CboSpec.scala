@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cost-based-optimizer statistics actually driving a plan choice — the
+  * static sibling of the AQE runtime re-plans asserted elsewhere: a dim
+  * table whose RAW size exceeds the broadcast threshold but whose
+  * FILTERED cardinality is tiny plans a SortMergeJoin when the optimizer
+  * only knows bytes, and flips to a static BroadcastHashJoin once
+  * `ANALYZE TABLE ... FOR COLUMNS` gives CBO the ndv to estimate the
+  * equality filter's selectivity. On a cluster this is the difference
+  * between shuffling the fact table and not — and it is stats hygiene
+  * (ANALYZE after load), not query changes, that buys it. AQE is
+  * disabled inside the test so the decision is provably the static
+  * estimator's; runtime re-planning would eventually make the same call
+  * from observed sizes. */
+class CboSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("ANALYZE column stats flip the filtered-dim join from SMJ to static BHJ") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    // dim: 5,000 rows, 100 distinct keys, a padding column so raw bytes
+    // exceed the broadcast threshold; fact: lineitem-shaped keys
+    spark.range(0, 5000).toDF("id")
+      .select((col("id") % 100L).as("key"),
+        concat_ws("", (1 to 8).map(_ => md5(col("id").cast("string"))): _*).as("pad"))
+      .write.option("path", s"$loc/dim").saveAsTable("cbo_dim")
+    spark.range(0, 20000).toDF("fid")
+      .select(col("fid"), (col("fid") % 100L).as("key"))
+      .write.option("path", s"$loc/fact").saveAsTable("cbo_fact")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def plan(): String = spark.sql(
+        """SELECT f.fid, d.pad FROM cbo_fact f
+          |JOIN cbo_dim d ON f.key = d.key WHERE d.key = 7""".stripMargin)
+        .queryExecution.executedPlan.toString
+
+      // table-level stats only: the filter's output is estimated at full
+      // size (no ndv -> no selectivity), dim stays over the threshold
+      val before = plan()
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected SMJ without column stats:\n$before")
+
+      spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS key")
+      val after = plan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not flip the join to broadcast:\n$after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    }
+  }
+}
