@@ -233,7 +233,28 @@ object Analytics5 {
       .orderBy(col("example_id"), col("doc_id"))
   }
 
+  /** Case-insensitive semantics through Spark 4's collation engine — the
+    * second flagship Spark-4 surface next to q_json_variant's VARIANT:
+    * the same column counted distinct under binary vs `COLLATE
+    * UTF8_LCASE` comparison. Collation pushes the equivalence into the
+    * comparator (hash agg keys, codegen'd) instead of wrapping every
+    * reference in lower() — at 100 TB that is the difference between a
+    * collation-aware grouping key and materializing a second string per
+    * row. Mixed case is synthesized deterministically from real rows
+    * (even event_ids uppercase); the oracle states the same two counts
+    * with lower(). */
+  def q_str_collate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("t")).as("n_binary"),
+        countDistinct(expr("t COLLATE UTF8_LCASE")).as("n_ci"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_collate" -> q_str_collate _,
     "q_seq_pack" -> q_seq_pack _,
     "q_json_variant" -> q_json_variant _,
     "q_quality_audit" -> q_quality_audit _,
@@ -288,6 +309,16 @@ object Analytics5 {
         |         + CASE WHEN e."value" > b.b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
         |FROM events e JOIN b ON e.event_type = b.event_type
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q_str_collate" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |         ELSE event_type END AS t
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(DISTINCT t) AS BIGINT) AS n_binary,
+        |  CAST(count(DISTINCT lower(t)) AS BIGINT) AS n_ci
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, greatest(n_chars // 4, 1) AS ntok FROM documents),

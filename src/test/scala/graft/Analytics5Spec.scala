@@ -159,6 +159,25 @@ class Analytics5Spec extends AnyFunSuite with SparkFixture {
     assert(got.count(_._4 == 1) == ntok.size)
   }
 
+  test("q_str_collate: collated distinct equals lower() recount, binary >= ci") {
+    val got = queries.Analytics5.q_str_collate(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("t"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("t")).as("nb"), countDistinct(lower(col("t"))).as("nc"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (u, nb, nc) =>
+      assert((nb, nc) == want(u), s"user $u")
+      assert(nb >= nc && nc >= 1, s"user $u: binary $nb < ci $nc")
+    }
+    // the synthesis actually produces case variants somewhere
+    assert(got.exists { case (_, nb, nc) => nb > nc })
+  }
+
   test("q_vocab_topk: contiguous ids ranked by an independent frequency recount") {
     val got = queries.Analytics5.q_vocab_topk(spark, sf)
       .as[(Long, String, Long)].collect()
