@@ -267,9 +267,14 @@ object Analytics {
     val r2 = edges.join(broadcast(c2), "src")
       .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r2"))
-    val w = Window.orderBy(col("r2").desc, col("id"))
-    r2.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
+    // Top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-20, driver merge of 20·P candidates) — never a SinglePartition
+    // row_number window over the node frame (node-count-sized here, the
+    // whole id domain at 100×). rk derives on the 20-row frame
+    // (Q.rankTopK); persist() keeps both rank branches from re-running
+    // the two PageRank iterations.
+    val top = r2.orderBy(col("r2").desc, col("id")).limit(20).persist()
+    Q.rankTopK(top, "r2", "id")
       .select(col("id"), col("r2"), col("rk"))
       .orderBy(col("rk"))
   }

@@ -271,15 +271,20 @@ object Analytics2 {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     // rank on the EXACT decimal (two distinct decimals can collapse to one
     // double, and then the engines would tie-break differently); the double
-    // cast happens only at emission
-    val wTop = Window.orderBy(col("rev_dec").desc, col("l_orderkey"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // cast happens only at emission. Top-10 via orderBy+limit — planned as
+    // TakeOrderedAndProject (per-partition top-10, driver merge), never the
+    // SinglePartition row_number window the naive form plans: at 100× that
+    // window moves EVERY qualifying order to one partition. rk is then
+    // derived on the 10-row frame (Q.rankTopK); persist() keeps the join
+    // pyramid from re-executing for the rank's second branch.
+    val top = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
         .as("rev_dec"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 10)
+      .orderBy(col("rev_dec").desc, col("l_orderkey")).limit(10)
+      .persist()
+    Q.rankTopK(top, "rev_dec", "l_orderkey")
       .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("odate_us"),
         col("o_orderpriority"), outDbl(col("rev_dec")).as("revenue"), col("rk"))
       .orderBy(col("rk"))

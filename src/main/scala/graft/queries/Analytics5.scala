@@ -210,18 +210,19 @@ object Analytics5 {
     * global running offset gives each doc [start, end) in the stream,
     * and one codegen'd `sequence` explode emits a span row per example
     * the doc crosses — example_id = offset div 512, span = the clipped
-    * overlap. Pure integer arithmetic; the doc-order window is the same
-    * declarative statement q_shard_pack pins (the scale path is
-    * q_global_rownum's two-phase offsets — selection rule unchanged).
+    * overlap. Pure integer arithmetic; the doc-order running offset
+    * EXECUTES as Q.runningSumById's two-phase prefix pattern
+    * (q_global_rownum's recipe — range-partition, partition-local fold,
+    * P-row offset prefix broadcast back), never a SinglePartition
+    * `sum() OVER (ORDER BY doc_id)` window over the corpus.
     * Invariants pinned by spec: every example except the last holds
     * exactly 512 tokens, and each doc's spans partition its tokens. */
   def q_seq_pack(spark: SparkSession, dir: String): DataFrame = {
     val B = 512L
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), greatest(expr("n_chars div 4"), lit(1L)).as("ntok"))
-      .withColumn("end", sum(col("ntok")).over(w))
+    Q.runningSumById(spark,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), greatest(expr("n_chars div 4"), lit(1L)).as("ntok")),
+        "doc_id", "ntok", "end")
       .withColumn("start", col("end") - col("ntok"))
       .select(col("doc_id"), col("start"), col("end"),
         explode(expr(s"sequence(start div $B, (end - 1) div $B)")).as("example_id"))

@@ -624,18 +624,15 @@ object LlmExt {
   /** Shard packing — the webdataset-creation step of a training pipeline:
     * documents in a stable order are greedily packed into shards of a
     * fixed character budget (a doc's shard = its START offset ÷ budget,
-    * from a running total), then summarized per shard. The single global
-    * running sum is the cost: at 100 TB it runs as range-partition by the
-    * sort key → per-partition sums → driver prefix of P partials →
-    * per-partition rescan with the prefix offset (two passes, no global
-    * sort on one node); the window formulation here states the same
-    * semantics declaratively. */
+    * from a running total), then summarized per shard. The global running
+    * sum EXECUTES as Q.runningSumById's two-phase prefix offsets
+    * (range-partition by doc_id → partition-local fold → P-row offset
+    * prefix broadcast back) — never the `sum() OVER (ORDER BY doc_id)`
+    * window, whose plan moves the whole corpus to ONE partition. */
   def q_shard_pack(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("end_off", sum(col("n_chars")).over(w))
+    Q.runningSumById(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", "end_off")
       .withColumn("shard", floor((col("end_off") - col("n_chars")) / 20000L))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),

@@ -1,6 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Shared determinism helpers (SURVEY.md §2.10).
@@ -29,4 +32,57 @@ object Q {
     * the oracle. Keep the decimal math *inside* — only the output
     * representation changes. */
   def outDbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Rank a TOP-K frame without a window. `top` must already be the
+    * ≤k-row result of `orderBy(valueCol.desc, tieCol).limit(k)` (which
+    * plans TakeOrderedAndProject — per-partition top-k, driver merge of
+    * k·P candidates: the 100 TB shape). rk = 1 + |rows strictly before
+    * this one under (valueCol DESC, tieCol ASC)|, computed as a broadcast
+    * self-join over the k-row frame (O(k²) comparisons on ≤k rows — never
+    * a SinglePartition WindowExec over the data). `tieCol` must be unique
+    * within `top`, so this IS row_number under that total order. The
+    * caller should `.persist()` `top` if its lineage is expensive: both
+    * join sides re-evaluate it otherwise. */
+  def rankTopK(top: DataFrame, valueCol: String, tieCol: String): DataFrame = {
+    val b = top.select(col(valueCol).as("_rb_v"), col(tieCol).as("_rb_t"))
+    top.join(broadcast(b),
+        col("_rb_v") > col(valueCol) ||
+          (col("_rb_v") === col(valueCol) && col("_rb_t") < col(tieCol)),
+        "left")
+      .groupBy(top.columns.map(col): _*)
+      .agg((count(col("_rb_t")) + lit(1)).cast("int").as("rk"))
+  }
+
+  /** Global inclusive running sum of `vCol` in `idCol` order — the
+    * two-phase prefix-offset pattern (q_global_rownum's recipe applied to
+    * a SUM): range-partition on the total order + partition-local sort
+    * (one shuffle, the cost of any global sort), fold the prefix inside
+    * each partition via mapPartitions (tier (d): the running value is a
+    * property of the physical iterator), lift local sums to global with
+    * per-partition totals — a map-combinable P-row aggregate whose prefix
+    * window runs on the #partitions frame, NEVER the data — broadcast
+    * back. Boundary-independent: range partitions are non-overlapping, so
+    * offset + local prefix IS the global prefix wherever the sampled
+    * boundaries land. Replaces `sum() OVER (ORDER BY id ROWS UNBOUNDED
+    * PRECEDING)`, whose plan moves every row to ONE partition. `idCol`
+    * must be unique; both columns are folded as BIGINT. */
+  def runningSumById(spark: SparkSession, df: DataFrame, idCol: String,
+      vCol: String, endCol: String, parts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val sorted = df.select(col(idCol).cast("long"), col(vCol).cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val local = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var acc = 0L
+      it.map { case (id, v) => acc += v; (pid, id, v, acc) }
+    }.toDF("pid", idCol, vCol, endCol)
+    val offsets = local.groupBy(col("pid")).agg(sum(col(vCol)).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col(idCol), col(vCol), (col(endCol) + col("_off")).as(endCol))
+  }
 }

@@ -414,11 +414,13 @@ object Relational {
   def q_profile_skew(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
     val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"),
       max(col("n")).as("max_n"))
-    counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    // top-5 via orderBy+limit → TakeOrderedAndProject, never a
+    // SinglePartition row_number window over the |keys| frame (the whole
+    // user-id domain at 100 TB); rk derives on the 5-row result
+    val top = counts.orderBy(col("n").desc, col("user_id")).limit(5).persist()
+    Q.rankTopK(top, "n", "user_id")
       .crossJoin(tot)
       .select(col("rk"), col("user_id"), col("n"),
         floor(lit(10000.0) * col("n") / col("total")).as("share_bp"),

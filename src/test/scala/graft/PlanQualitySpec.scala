@@ -328,6 +328,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"delta joins not broadcast:\n$plan")
   }
 
+  test("top-k queries: TakeOrderedAndProject + tiny-frame rank, never a data-sized global window") {
+    // round-5 verdict's scale-killers: the naive row_number() OVER
+    // (ORDER BY …) moves the whole frame (qualifying orders / node ids /
+    // the user-id key domain) to ONE partition. The contract: sort+limit
+    // fuses into TakeOrderedAndProject (per-partition top-k, driver merge)
+    // and NO window operator exists anywhere in the plan — rank derives
+    // from a broadcast self-join over the ≤k-row result (Q.rankTopK).
+    for (name <- Seq("q_tpch_q3", "q_graph_pagerank", "q_profile_skew")) {
+      val plan = finalPlan(name)
+      assert(plan.contains("TakeOrderedAndProject"), s"$name: no TOAP:\n$plan")
+      assert(!plan.contains("row_number"), s"$name: window row_number remains:\n$plan")
+      assert(!plan.contains("Window ["), s"$name: window operator in plan:\n$plan")
+    }
+  }
+
+  test("q_shard_pack / q_seq_pack: running offsets are two-phase, never a corpus-sized window") {
+    // same verdict class for the running SUM: the only Window allowed in
+    // the plan is the #partitions-row offset prefix (keyed by pid); the
+    // corpus itself is range-partitioned, folded per-partition via
+    // MapPartitions, and lifted with broadcast offsets (Q.runningSumById)
+    for (name <- Seq("q_shard_pack", "q_seq_pack")) {
+      val plan = finalPlan(name)
+      assert(plan.contains("MapPartitions"), s"$name: partition-local fold missing:\n$plan")
+      assert(plan.contains("Exchange rangepartitioning"),
+        s"$name: no range partitioning on the total order:\n$plan")
+      val winLines = plan.linesIterator.filter(_.contains("Window [")).toList
+      assert(winLines.nonEmpty && winLines.forall(_.contains("pid")),
+        s"$name: a window runs on more than the pid offset frame:\n${winLines.mkString("\n")}")
+    }
+  }
+
   test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
     // The one quadratic-blowup physical operator nothing here should ever
     // need: every pair-producing query buckets, broadcasts, or windows
