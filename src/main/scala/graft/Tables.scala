@@ -55,15 +55,33 @@ object Tables {
   // on EVERY call, and with 120+ bench queries × several tables each that
   // fixed cost dominates the suite tail. The resolved LogicalRelation is
   // immutable and the testdata is static for a round, so reuse it per
-  // (session, dir, table). Keyed by session identity — a new session
-  // (fresh JVM or test) resolves its own.
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // (session, dir, table). The per-session map is held WEAKLY on the live
+  // session object: identityHashCode keys (round-5 form) could collide
+  // between a stopped session and a new one — handing the new session a
+  // DataFrame bound to the dead one — and pinned every cached plan for the
+  // JVM lifetime. A WeakHashMap entry dies with its session, so neither
+  // cross-session collision nor unbounded growth is possible.
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private def sessionMap(
+      spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+    perSession.synchronized {
+      var m = perSession.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        perSession.put(spark, m)
+      }
+      m
+    }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensure(spark)
-    val key = System.identityHashCode(spark) + "|" + dir + "|" + name
-    tableCache.computeIfAbsent(key, _ => spark.read.parquet(s"$dir/$name.parquet"))
+    sessionMap(spark)
+      .computeIfAbsent(s"tbl|$dir|$name",
+        _ => spark.read.parquet(s"$dir/$name.parquet"))
+      .asInstanceOf[DataFrame]
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
@@ -144,9 +162,6 @@ object Tables {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
-  private val bucketedDone =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Bucketed catalog tables for the co-located join (q_join_bucketed):
     * orders and customer written `bucketBy(8, custkey)` through the
     * catalog — the pay-the-shuffle-once-at-ingest layout that makes every
@@ -164,8 +179,7 @@ object Tables {
       md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     }
     val (ot, ct) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
-    val key = System.identityHashCode(spark) + "|" + sfx
-    if (bucketedDone.add(key)) {
+    if (sessionMap(spark).putIfAbsent(s"bkt|$sfx", java.lang.Boolean.TRUE) == null) {
       // the default in-memory catalog forgets tables across JVMs while the
       // warehouse DIRECTORY persists — a fresh JVM's saveAsTable would then
       // fail with "location already exists"; clear any orphaned location
@@ -195,12 +209,8 @@ object Tables {
     * registration re-reads 10 parquet footers at plan-build time, which
     * taxed every SQL-frontend query in the bench; re-registration happens
     * only when the same session switches scale-factor dirs. */
-  private val viewsLastDir =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-
   def views(spark: SparkSession, dir: String): Unit = {
-    val key = Integer.valueOf(System.identityHashCode(spark))
-    if (dir == viewsLastDir.put(key, dir)) return
+    if (dir == sessionMap(spark).put("views", dir)) return
     region(spark, dir).createOrReplaceTempView("region")
     nation(spark, dir).createOrReplaceTempView("nation")
     customer(spark, dir).createOrReplaceTempView("customer")

@@ -84,21 +84,29 @@ object Analytics3 {
     val e0 = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("src"), (col("l_suppkey") + 1000000000L).as("dst"))
       .persist()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val sources = edges.select(col("src").as("id")).filter(col("id") < 10).distinct()
-    bfs(edges, sources, maxHops = 3).orderBy(col("dist"), col("id"))
+    val sources = e0.select(col("src").as("id")).filter(col("id") < 10).distinct()
+    bfs(e0, sources, maxHops = 3).orderBy(col("dist"), col("id"))
   }
 
   /** Level-synchronous BFS: returns (id, dist) for every node within
     * maxHops of a source. Exposed so the spec can pin exact levels on
-    * constructed graphs. Each round's newly-found level is persisted (it
+    * constructed graphs. `edges` is treated as UNDIRECTED and is
+    * symmetrized HERE — the last-two-levels visited optimization below is
+    * only sound on symmetric edge sets, so the precondition is enforced at
+    * the one place that depends on it rather than trusted to every caller
+    * (a directed list would re-discover old nodes with inflated dist).
+    * The symmetrized view is two map-side scans of the caller's frame —
+    * callers that cache pass the raw half-size pair list.
+    * Each round's newly-found level is persisted (it
     * is re-read as the next frontier, in later visited checks, and in
     * the final result); levels are node-bounded, so the broadcasts hold.
     * The visited anti-join needs only the LAST TWO levels: a neighbor of
     * a level-(k−1) node has true level in {k−2, k−1, k} — anything
     * older cannot be adjacent to the frontier, or the frontier node
     * would have been found earlier. */
-  def bfs(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(rawEdges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val edges = rawEdges.union(
+      rawEdges.select(col("dst").as("src"), col("src").as("dst")))
     var levels = List(sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L)).persist())
     var frontier = levels.head.select(col("id"))

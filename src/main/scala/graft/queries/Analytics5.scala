@@ -42,7 +42,12 @@ object Analytics5 {
         sum(when(!col("l_discount").between(0.0, 1.0) || col("l_discount").isNull, 1L)
           .otherwise(0L)).as("v_disc"),
         sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq"),
+        // keys are coalesced on BOTH engines: Spark's countDistinct SKIPS
+        // tuples containing a NULL while DuckDB's count(DISTINCT (a,b))
+        // counts null-field row-structs — pinning a sentinel makes the
+        // uniqueness metric engine-independent even if a key is ever NULL
+        (count(lit(1)) - countDistinct(coalesce(col("l_orderkey"), lit(-1L)),
+          coalesce(col("l_linenumber"), lit(-1L)))).as("v_uniq"),
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"))
       .selectExpr(
         """stack(5,
@@ -277,7 +282,8 @@ object Analytics5 {
         |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
         |                    OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
         |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
-        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq,
+        |    count(*) - count(DISTINCT (coalesce(l_orderkey, -1),
+        |                               coalesce(l_linenumber, -1))) AS v_uniq,
         |    CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
         |  FROM j),
         |u AS (

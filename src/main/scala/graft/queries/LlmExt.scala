@@ -366,35 +366,43 @@ object LlmExt {
     * assignment step of entity resolution, exact-integer so the oracle
     * matches bit-for-bit.
     *
-    * Spark shape: the probe side (200 rows) is tiny and explicitly
-    * `broadcast()`: the pair generation is a broadcast nested-loop join
-    * that streams the catalog side once with no shuffle, then one
-    * hash-partitioned window picks the argmin per probe. Exact all-pairs
-    * linkage is contract-bounded (probe < 200, catalog < 2000) like the
-    * other exact-tier ops; the scale paths are (a) length-band blocking —
+    * Spark shape: ONE parquet scan builds the 2000-row key frame (the
+    * probe rows are a subset of the catalog, so re-scanning the wide
+    * `text` column for them is pure waste — `persist()` pins the 40-char
+    * keys and both branches read the cache). The probe side (200 rows) is
+    * explicitly `broadcast()`: pair generation is a broadcast nested-loop
+    * join that streams the catalog side once with no shuffle. The argmin
+    * per probe is `min(struct(dist, db))` — a map-combinable hash
+    * aggregate whose partial state is one struct per probe per task
+    * (200·P rows through the shuffle), not the row_number window
+    * formulation that would sort all 400k pairs. Exact all-pairs linkage
+    * is contract-bounded (probe < 200, catalog < 2000) like the other
+    * exact-tier ops; the scale paths are (a) length-band blocking —
     * dist ≥ |len(a)−len(b)| makes bands EXACT for thresholded variants —
     * and (b) Spark's 3-arg `levenshtein(a, b, threshold)` whose DP
     * early-exits past the bound (not used here: DuckDB has no 3-arg form,
     * and parity is the point of the exact tier). */
   def q_text_editdist(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
-    val probe = broadcast(
-      docs.filter(col("doc_id") < 200)
-        .select(col("doc_id").as("da"), col("k").as("ka")))
     // explicit repartition (the SetSimilarity lesson): the catalog side is
     // one small parquet split, so the BNLJ would run its 400k DP
     // evaluations on a single task — spread the compute-heavy side over
     // every core (measured 34.7s single-task at sf0.1)
-    val catalog = docs.filter(col("doc_id") < 2000)
-      .select(col("doc_id").as("db"), col("k").as("kb"))
+    val keys = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val w = Window.partitionBy(col("da")).orderBy(col("dist"), col("db"))
+      .persist()
+    val probe = broadcast(
+      keys.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("da"), col("k").as("ka")))
+    val catalog = keys.select(col("doc_id").as("db"), col("k").as("kb"))
     catalog.join(probe, col("da") =!= col("db"))
-      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("da"), col("db").as("nn"), col("dist"))
+      .select(col("da"),
+        struct(levenshtein(col("ka"), col("kb")).cast("long").as("dist"),
+          col("db").as("nn")).as("cand"))
+      .groupBy(col("da"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("da"), col("best.nn").as("nn"), col("best.dist").as("dist"))
       .orderBy(col("da"))
   }
 

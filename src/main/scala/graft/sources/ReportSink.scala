@@ -47,11 +47,17 @@ private class ReportTable(schema0: StructType, path: String)
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  // SupportsTruncate backs the advertised TRUNCATE capability: a
+  // mode("overwrite") write plans as truncate-then-append, which here means
+  // the commit clears previously-published part files before publishing the
+  // new set — still behind the same all-or-nothing manifest rewrite.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new ReportBatchWrite(path, info.schema())
+          new ReportBatchWrite(path, info.schema(), doTruncate)
       }
     }
 }
@@ -59,13 +65,17 @@ private class ReportTable(schema0: StructType, path: String)
 private final case class StagedFile(partition: Int, staged: String)
   extends WriterCommitMessage
 
-private class ReportBatchWrite(path: String, schema: StructType)
+private class ReportBatchWrite(path: String, schema: StructType,
+                               truncate: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ReportWriterFactory(path, schema)
 
   // The publish point: only the winning attempts' files move into place,
-  // then the manifest makes the directory visible as a unit.
+  // then the manifest makes the directory visible as a unit. Under
+  // truncate (overwrite mode) any previously-published part files not
+  // re-written by this job are removed BEFORE the manifest rewrite, so the
+  // manifest never names a deleted file.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
@@ -75,11 +85,24 @@ private class ReportBatchWrite(path: String, schema: StructType)
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       name
     }
+    if (truncate) {
+      val keep = names.toSet
+      val stale = Files.list(dir).iterator()
+      while (stale.hasNext) {
+        val f = stale.next()
+        val n = f.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".txt") && !keep.contains(n))
+          Files.deleteIfExists(f)
+      }
+    }
     Files.write(dir.resolve("_MANIFEST"),
       names.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
+  // Spark's contract allows null slots for tasks that failed before
+  // committing — a MatchError on one would mask the original job failure
+  // and strand the other attempts' staged files.
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case StagedFile(_, staged) =>
+    messages.iterator.filter(_ != null).foreach { case StagedFile(_, staged) =>
       Files.deleteIfExists(Paths.get(staged))
     }
 }

@@ -67,10 +67,10 @@ class Analytics3Spec extends AnyFunSuite with SparkFixture {
 
   test("q_graph_bfs: exact levels on a constructed graph") {
     // path 1-2-3-4-5 plus an unreachable island 8-9; source = node 1
+    // bfs symmetrizes internally — pass the raw directed pair list
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("src", "dst")
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val sources = Seq(1L).toDF("id")
-    val got = queries.Analytics3.bfs(edges, sources, maxHops = 3)
+    val got = queries.Analytics3.bfs(e0, sources, maxHops = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
       s"BFS levels wrong: $got") // 5 is 4 hops away, 8/9 unreachable

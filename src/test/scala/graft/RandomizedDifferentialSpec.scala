@@ -183,9 +183,8 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
         level = level.flatMap(adj.getOrElse(_, Set.empty)) -- want.keySet
         want = want ++ level.map(_ -> k.toLong)
       }
-      val sym = edges.toDF("src", "dst")
-      val symEdges = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      val got = queries.Analytics3.bfs(symEdges, Seq(0L).toDF("id"), maxHops)
+      // bfs symmetrizes internally — hand it the raw directed pairs
+      val got = queries.Analytics3.bfs(edges.toDF("src", "dst"), Seq(0L).toDF("id"), maxHops)
         .as[(Long, Long)].collect().toMap
       assert(got == want, s"trial=$trial: diff=" +
         s"${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
