@@ -106,6 +106,56 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** md5(dir) + source (size, mtime) fingerprint for derived-data cache
+    * keys: path hashing alone (round-2 form) served a STALE copy if the
+    * testdata regenerated in place, and String.hashCode collisions across
+    * sf dirs could silently serve wrong data. The fingerprint makes both
+    * impossible without reading a byte. */
+  private[graft] def sourceFingerprint(dir: String, files: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val stats = files.map { f =>
+      val s = new java.io.File(dir, f)
+      s"${s.length()}_${s.lastModified()}"
+    }.mkString("_")
+    s"${h}_$stats"
+  }
+
+  /** Write-once publish of a derived directory under java.io.tmpdir:
+    * concurrent JVMs (Bench warm-up vs Verify vs tests) each write a
+    * private dir, then publish with an atomic rename; losers discard.
+    * `write` must leave a `_SUCCESS` marker in its output (Spark's
+    * parquet writer does). Returns the published path. */
+  private[graft] def publishOnce(name: String)(write: String => Unit): String = {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val out = new java.io.File(tmpRoot, name)
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      val tmp = new java.io.File(tmpRoot,
+        s".${name}_${java.util.UUID.randomUUID()}")
+      write(tmp.getAbsolutePath)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (!tmp.renameTo(out)) {
+        if (marker.exists()) rm(tmp) // lost the race to a complete copy
+        else {
+          // a stale INCOMPLETE dir (crashed writer) blocks the rename:
+          // clear it and retry once before giving up
+          rm(out)
+          if (!tmp.renameTo(out)) {
+            rm(tmp)
+            if (!marker.exists())
+              throw new IllegalStateException(
+                s"could not publish derived cache at $out and no complete " +
+                  "copy exists")
+          }
+        }
+      }
+    }
+    out.getAbsolutePath
+  }
+
   /** Date-partitioned materialization of events (`.../day=2024-01-07/...`)
     * — the layout a 100 TB events table actually ships with, which is what
     * lets a day filter prune partitions at PLANNING time and a join
@@ -116,49 +166,14 @@ object Tables {
     * would point at the partitioned root directly in production.
     * PartitionPruningSpec asserts both pruning modes on it. */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
-    // Cache key = md5(path) + source (size, mtime): path hashing alone
-    // (round-2 form) served a STALE copy if the testdata regenerated in
-    // place, and String.hashCode collisions across sf dirs could silently
-    // serve wrong data. The fingerprint makes both impossible without
-    // reading a byte.
-    val src = new java.io.File(dir, "events.parquet")
-    val key = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString +
-        s"_${src.length()}_${src.lastModified()}"
-    }
-    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
-    val out = new java.io.File(tmpRoot, s"graft_events_byday_$key")
-    val marker = new java.io.File(out, "_SUCCESS")
-    if (!marker.exists()) {
-      // Concurrent JVMs (Bench warm-up vs Verify vs tests) each write a
-      // private dir, then publish with an atomic rename; losers discard.
-      val tmp = new java.io.File(tmpRoot,
-        s".graft_events_byday_${key}_${java.util.UUID.randomUUID()}")
+    val key = sourceFingerprint(dir, "events.parquet")
+    val out = publishOnce(s"graft_events_byday_$key") { tmp =>
       events(spark, dir)
         .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(tmp.getAbsolutePath)
-      if (!tmp.renameTo(out)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        if (marker.exists()) rm(tmp) // lost the race to a complete copy
-        else {
-          // a stale INCOMPLETE dir (crashed writer) blocks the rename:
-          // clear it and retry once before giving up
-          rm(out)
-          if (!tmp.renameTo(out)) {
-            rm(tmp)
-            if (!marker.exists())
-              throw new IllegalStateException(
-                s"could not publish partitioned events cache at $out and " +
-                  "no complete copy exists")
-          }
-        }
-      }
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
     }
     ensure(spark)
-    spark.read.parquet(out.getAbsolutePath)
+    spark.read.parquet(out)
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 

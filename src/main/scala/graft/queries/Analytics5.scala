@@ -169,6 +169,48 @@ object Analytics5 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Stored-state incremental join — q_join_incremental's merge law with
+    * the old-state partial PERSISTED TO PARQUET and read back before the
+    * batch folds in, i.e. the shape a nightly 100 TB materialized view
+    * actually runs: job 1 (here the write-once publish) joins history once
+    * and stores the pre-aggregated partials (|priorities| rows, decimal
+    * sums — doubles would NOT survive this round-trip bit-exact, which is
+    * why the engine's money sums are decimal); job 2 reads the state table
+    * back and folds one batch with two broadcast joins plus a 5-row merge.
+    * History is never re-joined, and the oracle is the FULL RECOMPUTE, so
+    * the gate proves storage fidelity, not just the in-memory plan.
+    * State is keyed by source fingerprint (stale-proof) and published via
+    * atomic rename (concurrent-JVM-proof) — the same discipline as the
+    * partitioned events cache. */
+  def q_join_stored(spark: SparkSession, dir: String): DataFrame = {
+    import Q.{dec2, outDbl}
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (dayofmonth(col("o_orderdate")) % 2).as("od"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        (dayofmonth(col("l_shipdate")) % 2).as("ld"))
+    val rev = dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+    def part(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(rev).as("rev_dec"))
+    val (oOld, oNew) = (o.filter(col("od") === 0), o.filter(col("od") === 1))
+    val (lOld, lNew) = (l.filter(col("ld") === 0), l.filter(col("ld") === 1))
+    val fp = Tables.sourceFingerprint(dir, "orders.parquet", "lineitem.parquet")
+    val statePath = Tables.publishOnce(s"graft_joinstate_$fp") { tmp =>
+      part(oOld, lOld).write.parquet(tmp)
+    }
+    spark.read.parquet(statePath)
+      .unionByName(part(broadcast(oNew), lOld))
+      .unionByName(part(oOld, broadcast(lNew)))
+      .unionByName(part(broadcast(oNew), lNew))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), outDbl(sum(col("rev_dec"))).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Reads the custom DataSource V2 connector ([[graft.sources.GenSource]])
     * end to end: id-range filter pushed INTO the source (splits outside the
     * bounds are never planned — GenSourceSpec pins the partition count),
@@ -268,6 +310,7 @@ object Analytics5 {
     "q_vocab_topk" -> q_vocab_topk _,
     "q_source_gen" -> q_source_gen _,
     "q_join_incremental" -> q_join_incremental _,
+    "q_join_stored" -> q_join_stored _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +398,14 @@ object Analytics5 {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle IS the full recompute: the incremental merge must be
     // semantically invisible (same contract as q_agg_incremental)
+    // full recompute: the stored-state fold must equal joining everything
+    "q_join_stored" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS rev
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_incremental" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -42,4 +42,27 @@ class StateRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(merged == full) // incl. bit-equal doubles at emission
     assert(merged.nonEmpty && merged.map(_._2).sum == ev.count())
   }
+
+  test("q_join_stored: parquet-stored join partials + one batch fold == full join") {
+    val got = queries.Analytics5.q_join_stored(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+
+    // independent full recompute (the oracle's formulation, in-engine)
+    val full = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("rev"))
+      .orderBy(col("o_orderpriority"))
+      .as[(String, Long, Double)].collect().toSeq
+
+    assert(got == full) // incl. bit-equal doubles: decimal state survived disk
+    // and the state table really was published to (and read from) parquet
+    val fp = Tables.sourceFingerprint(sf, "orders.parquet", "lineitem.parquet")
+    val marker = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_joinstate_$fp/_SUCCESS")
+    assert(marker.exists(), s"stored-state marker missing: $marker")
+  }
 }
