@@ -521,19 +521,32 @@ object Relational {
   /** Exponentially-weighted moving average (α = 1/2) per user — a
     * RECURSIVE statistic no window frame can express (each state depends
     * on the previous state, not a fixed row set). Expressed as a
-    * higher-order fold over the time-ordered value array: collect_list +
-    * array_sort(struct) pins a deterministic order, and halving keeps
-    * every step bit-identical across engines (division by two is exact;
-    * the adds round identically in identical order). At scale the
-    * per-user array is the bound — EWMA state is O(1), so the streaming
-    * twin would be flatMapGroupsWithState; this is its batch shape. */
+    * SEGMENTED two-level fold so no collected array is ever
+    * user-lifetime-sized (a hot key would otherwise accumulate unbounded
+    * state — the round-5 advisory): level 1 folds each (user, day)
+    * segment from s=0 into `c` and records its decay `w = 2^-n` (an
+    * EWMA segment acts affinely on incoming state, s' = c + w·s, and
+    * powers of two are exact doubles); level 2 folds the day-ordered
+    * (c, w) pairs — so arrays are bounded by events-per-user-DAY and
+    * days-per-user, never total events. Both engines run the identical
+    * two-level recurrence (array_sort(struct)/list(ORDER BY) pin the
+    * order; halving and the affine step round identically in identical
+    * order), so the result is bit-stable across engines. EWMA state is
+    * O(1), so the streaming twin would be flatMapGroupsWithState; this
+    * is its batch shape. */
   def q_win_ewma(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"),
+    val seg = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_seg"),
         expr("""aggregate(
           transform(array_sort(collect_list(struct(ts, event_id, value))), t -> t.value),
-          CAST(0.0 AS DOUBLE), (s, x) -> (s + x) / 2)""").as("ewma"))
+          CAST(0.0 AS DOUBLE), (s, x) -> (s + x) / 2)""").as("c"))
+      .withColumn("w", pow(lit(0.5), col("n_seg")))
+    seg.groupBy(col("user_id"))
+      .agg(sum(col("n_seg")).as("n"),
+        expr("""aggregate(
+          array_sort(collect_list(struct(day, c, w))),
+          CAST(0.0 AS DOUBLE), (s, t) -> t.c + t.w * s)""").as("ewma"))
       .select(col("user_id"), col("n"),
         floor(lit(100.0) * col("ewma")).as("ewma_cents"))
       .orderBy(col("user_id"))
@@ -1211,11 +1224,20 @@ object Relational {
         |  END AS corr_bp
         |FROM d ORDER BY event_type""".stripMargin,
     "q_win_ewma" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      """WITH seg AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_seg,
+        |    list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE), list("value" ORDER BY ts, event_id)),
+        |      (s, x) -> (s + x) / 2) AS c,
+        |    pow(0.5, count(*)) AS w
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id, CAST(sum(n_seg) AS BIGINT) AS n,
         |  CAST(floor(100.0 * list_reduce(
-        |    list_prepend(CAST(0.0 AS DOUBLE), list("value" ORDER BY ts, event_id)),
-        |    (s, x) -> (s + x) / 2)) AS BIGINT) AS ewma_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |    list_prepend(struct_pack(c := CAST(0.0 AS DOUBLE), w := CAST(1.0 AS DOUBLE)),
+        |                 list(struct_pack(c := c, w := w) ORDER BY day)),
+        |    (s, t) -> struct_pack(c := t.c + t.w * s.c, w := t.w)).c) AS BIGINT) AS ewma_cents
+        |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)

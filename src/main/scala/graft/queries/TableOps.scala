@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.tables.TxTable
+
+/** Transactional-table queries (SURVEY §2.16): the Delta/Iceberg-style
+  * tier ([[graft.tables.TxTable]]) driven through the correctness gate.
+  * Each query BUILDS a table from the gate's parquet inputs, runs the
+  * table operation (manifest min/max skipping, copy-on-write merge), and
+  * returns a frame DuckDB can reproduce from the raw inputs — so the
+  * ACID layer is oracle-checked end to end, not just spec-pinned.
+  * Tables are built in fresh temp dirs per call: the build IS part of
+  * the measured operation, and no cross-JVM cache races exist.
+  */
+object TableOps {
+
+  /** Per-FILE min/max data skipping through the table layer: events land
+    * as 16 range-partitioned files (disjoint user_id ranges recorded in
+    * the manifest), then a selective `user_id BETWEEN 2 AND 4` probe
+    * plans a scan over ONLY the files whose [min,max] admit the range —
+    * at 100 TB this is the difference between reading 3 files and
+    * opening a million footers, decided from O(files) driver-side
+    * metadata before Spark ever plans the scan. The residual filter
+    * still runs (stats admit false positives, never false negatives), so
+    * the answer is exact; TxTableSpec pins that files really are
+    * dropped, the oracle pins the answer. */
+  def q_table_skip(spark: SparkSession, dir: String): DataFrame =
+    skipPruned(spark, dir).df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** The build + pruned read behind [[q_table_skip]], exposed so specs
+    * can assert `filesScanned < filesTotal` — the skip must actually
+    * happen, not just return the right rows. */
+  private[graft] def skipPruned(spark: SparkSession, dir: String): TxTable.PrunedRead = {
+    val root = Files.createTempDirectory("graft_q_table_skip").toString
+    val t = new TxTable(root, Seq("user_id"))
+    t.append(spark, Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(16, col("user_id")))
+    t.readWhere(spark, "user_id", 2, 4)
+  }
+
+  /** Copy-on-write MERGE through the table layer: orders become an
+    * 8-file table range-partitioned on o_orderkey, then one upsert batch
+    * applies updates (keys <= 300 move to priority '0-MERGED' — a
+    * key-clustered batch, the shape CDC feeds have) and inserts (ten
+    * fresh negative keys, '9-INSERTED'). Only files holding a source key
+    * are rewritten — candidates come from joining the batch keys against
+    * the broadcast manifest intervals, so at 100 TB the untouched
+    * history is carried BY NAME and never copied (TxTableSpec pins the
+    * kept-files invariant; this gate pins the upsert semantics against
+    * DuckDB's set-based restatement of MERGE). */
+  def q_table_merge(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_q_table_merge").toString
+    val t = new TxTable(root, Seq("o_orderkey"))
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    t.append(spark, base.repartitionByRange(8, col("o_orderkey")))
+    val updates = base.filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"))
+    val inserts = spark.range(10)
+      .select((-col("id") - 1).as("o_orderkey"),
+        lit("9-INSERTED").as("o_orderpriority"))
+    t.merge(spark, updates.unionByName(inserts), "o_orderkey")
+    t.read(spark)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_skip" -> q_table_skip _,
+    "q_table_merge" -> q_table_merge _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_table_skip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 2 AND 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, '0-MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT CAST(-(r + 1) AS BIGINT), '9-INSERTED' FROM range(10) t(r)),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.TxTable
+
+/** The transactional table layer's ACID/skipping contract
+  * ([[graft.tables.TxTable]], SURVEY §2.16):
+  * append/read equality, crash invisibility (data files without a
+  * manifest do not exist), optimistic-concurrency appends under a real
+  * race, time travel, copy-on-write merge that provably keeps untouched
+  * files, and manifest min/max skipping that provably drops files while
+  * returning the exact filtered answer. */
+class TxTableSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(statCols: Seq[String] = Seq("k")): TxTable = {
+    val root = Files.createTempDirectory("graft_txtable").toString
+    new TxTable(root, statCols)
+  }
+
+  /** n rows keyed [lo, hi), value = k * 10, range-partitioned into
+    * `parts` files so per-file key ranges are disjoint. */
+  private def keyed(lo: Long, hi: Long, parts: Int) = {
+    import spark.implicits._
+    spark.range(lo, hi).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .repartitionByRange(parts, col("k"))
+  }
+
+  test("append then read returns exactly the committed rows; versions advance") {
+    val t = freshTable()
+    assert(t.currentVersion == 0)
+    assert(t.append(spark, keyed(0, 100, 2)) == 1)
+    assert(t.append(spark, keyed(100, 150, 1)) == 2)
+    val got = t.read(spark).select(col("k"), col("v"))
+      .as[(Long, Long)](spark.implicits.newProductEncoder).collect().sorted
+    assert(got.toSeq == (0L until 150L).map(k => (k, k * 10)))
+  }
+
+  test("data files without a manifest are invisible (crashed writer leaves no trace)") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 50, 1))
+    // simulate a writer that died after staging data but before commit:
+    // drop a well-formed parquet file straight into data/
+    val orphanDir = Files.createTempDirectory("graft_orphan").resolve("out").toString
+    keyed(900, 950, 1).write.parquet(orphanDir)
+    val orphan = Option(Paths.get(orphanDir).toFile.listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(orphan.toPath,
+      Paths.get(t.root, "data", "deadbeef-orphan.parquet"))
+    assert(t.read(spark).count() == 50) // snapshot unchanged
+    assert(t.currentVersion == 1)
+  }
+
+  test("concurrent appends both commit via retry; result is the union") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 10, 1))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(lo: Long): java.util.concurrent.Future[Int] =
+      pool.submit { () =>
+        gate.await(10, TimeUnit.SECONDS)
+        t.append(spark, keyed(lo, lo + 10, 1))
+      }
+    val (a, b) = (racer(100), racer(200))
+    gate.countDown()
+    val versions = Set(a.get(120, TimeUnit.SECONDS), b.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions == Set(2, 3), "both racers must land distinct versions")
+    val keys = t.read(spark).select(col("k"))
+      .as[Long](spark.implicits.newLongEncoder).collect().sorted.toSeq
+    assert(keys == ((0L until 10L) ++ (100L until 110L) ++ (200L until 210L)))
+  }
+
+  test("time travel: versionAsOf reads the historical snapshot unchanged by later commits") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 20, 1))
+    t.overwrite(spark, keyed(50, 60, 1))
+    assert(t.read(spark).count() == 10)
+    val v1 = t.read(spark, versionAsOf = Some(1))
+      .select(col("k")).as[Long](spark.implicits.newLongEncoder).collect().sorted
+    assert(v1.toSeq == (0L until 20L))
+  }
+
+  test("merge is copy-on-write: untouched files survive by name, result is the exact upsert") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 400, 4)) // 4 disjoint key-range files
+    val before = t.snapshot().files.map(_.path).toSet
+    // updates hit only keys [0, 50); inserts land above the max key
+    import spark.implicits._
+    val src = spark.range(0, 50).toDF("k")
+      .withColumn("v", lit(-1L))
+      .unionByName(spark.range(1000, 1010).toDF("k").withColumn("v", lit(-2L)))
+    val res = t.merge(spark, src, "k")
+    assert(res.rewrittenFiles < 4, "merge must not rewrite every file")
+    assert(res.keptFiles + res.rewrittenFiles == 4)
+    val after = t.snapshot().files.map(_.path).toSet
+    assert((before & after).size == res.keptFiles,
+      "kept files must be carried into the new manifest by name")
+    val got = t.read(spark).select(col("k"), col("v"))
+      .as[(Long, Long)](spark.implicits.newProductEncoder).collect().toMap
+    assert(got.size == 410)
+    assert((0L until 50L).forall(got(_) == -1L))
+    assert((50L until 400L).forall(k => got(k) == k * 10))
+    assert((1000L until 1010L).forall(got(_) == -2L))
+  }
+
+  test("merge that loses the commit race aborts instead of clobbering") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 2))
+    import spark.implicits._
+    val src = spark.range(0, 5).toDF("k").withColumn("v", lit(-1L))
+    // deterministic interleaving via the mergeFrom seam: read the base
+    // snapshot, let a competing append land the next version, then try to
+    // publish the merge against the now-stale base — the put-if-absent
+    // commit must lose and surface the conflict instead of clobbering.
+    val stale = t.snapshot()
+    assert(stale.version == 1)
+    t.append(spark, keyed(500, 510, 1)) // version 2 lands first
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeFrom(spark, stale, src, "k")
+    }
+    // the table is untouched by the failed merge and still mergeable
+    assert(t.currentVersion == 2)
+    val ok = t.merge(spark, src, "k")
+    assert(ok.version == 3)
+    val got = t.read(spark).filter(col("k") < 5)
+      .select(col("v")).as[Long](spark.implicits.newLongEncoder).collect()
+    assert(got.length == 5 && got.forall(_ == -1L))
+  }
+
+  test("min/max skipping prunes files and still returns the exact filtered answer") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 1000, 10)) // 10 disjoint key-range files
+    val pr = t.readWhere(spark, "k", 250, 349)
+    assert(pr.filesTotal == 10)
+    assert(pr.filesScanned <= 2, s"expected <=2 files, scanned ${pr.filesScanned}")
+    val viaSkip = pr.df.select(col("k"), col("v"))
+      .as[(Long, Long)](spark.implicits.newProductEncoder).collect().sorted.toSeq
+    val viaFull = t.read(spark).filter(col("k") >= 250 && col("k") <= 349)
+      .select(col("k"), col("v"))
+      .as[(Long, Long)](spark.implicits.newProductEncoder).collect().sorted.toSeq
+    assert(viaSkip == viaFull)
+    assert(viaSkip.size == 100)
+    // an empty-range probe scans zero files but still answers
+    val none = t.readWhere(spark, "k", 5000, 6000)
+    assert(none.filesScanned == 0 && none.df.count() == 0)
+  }
+
+  test("q_table_skip's gate query really skips files, not just rows") {
+    val pr = graft.queries.TableOps.skipPruned(spark, "/root/testdata/sf0.001")
+    assert(pr.filesTotal >= 8, s"expected a many-file table, got ${pr.filesTotal}")
+    assert(pr.filesScanned < pr.filesTotal,
+      s"no files were skipped (${pr.filesScanned}/${pr.filesTotal})")
+    assert(pr.filesScanned <= 6,
+      s"user_id in [2,4] should hit a handful of range files, not ${pr.filesScanned}")
+  }
+}
