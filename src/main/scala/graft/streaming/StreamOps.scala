@@ -489,6 +489,151 @@ object StreamOps {
       .transformWithState(new OfflineDetector(gapUs), TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n: Long, sum_bp: Long)
+
+  /** Session STORE with expiry — the timer+state COMPOSITION the four
+    * individually-covered primitives (ValueState, MapState, ListState,
+    * timers) don't exercise together: a per-user ListState buffers the
+    * open session's events, an event-time timer re-arms at
+    * last_event + gap, and sessions are emitted ONLY once the watermark
+    * proves them closed (a successor event alone is not proof — a
+    * late-but-in-watermark event could still merge two apparent
+    * sessions; emission on watermark makes the result event-time
+    * deterministic, same discipline as session_window).
+    *
+    * State is bounded two ways: (1) each batch sweeps the buffer and
+    * emits-and-drops every session the CURRENT watermark already closes
+    * (an always-active key never accumulates its history — only the
+    * trailing open session stays buffered); (2) the timer at
+    * trailing_end + gap clears the buffer entirely for keys that go
+    * quiet — after it fires the state store holds NOTHING for that key,
+    * the "expiry" half of a session store (a later event starts a fresh
+    * session from empty state). Sessions still open when the stream ends
+    * (end + gap beyond the final watermark) are never emitted —
+    * exactly the open-session rows a restart would resume.
+    *
+    * Emission folds the buffered values in (ts_us, event_id) order, so
+    * the batch twin (gap-sessionize + fold in the same order, keep
+    * sessions closed by the final watermark) matches bit-for-bit
+    * (SessionStoreSpec). */
+  class SessionStoreProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Sample, SessionOut] {
+    @transient private var buf: ListState[Sample] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Sample](
+        "session", Encoders.product[Sample], TTLConfig.NONE)
+
+    /** Split the (ts, event_id)-sorted buffer into gap-delimited runs. */
+    private def sessionsOf(rows: Seq[Sample]): Seq[Seq[Sample]] = {
+      val out = Seq.newBuilder[Seq[Sample]]
+      var cur = Vector.empty[Sample]
+      for (r <- rows) {
+        if (cur.nonEmpty && r.ts_us - cur.last.ts_us > gapUs) {
+          out += cur; cur = Vector.empty
+        }
+        cur = cur :+ r
+      }
+      if (cur.nonEmpty) out += cur
+      out.result()
+    }
+
+    private def emit(s: Seq[Sample]): SessionOut = {
+      var sum = 0.0
+      s.foreach(r => sum += r.value) // (ts, event_id) order — twin folds identically
+      SessionOut(s.head.user_id, s.head.ts_us, s.last.ts_us,
+        s.size.toLong, math.floor(100.0 * sum).toLong)
+    }
+
+    /** Emit every buffered session `wmMs` closes; keep the rest. Re-arms
+      * the single per-key timer at trailing_end + gap (delete + register,
+      * so no timer leaks), or leaves none when the buffer empties. */
+    private def sweep(rows: Seq[Sample], wmMs: Long): Iterator[SessionOut] = {
+      val sorted = rows.sortBy(r => (r.ts_us, r.event_id))
+      val (closed, open) = sessionsOf(sorted)
+        .partition(s => (s.last.ts_us + gapUs) / 1000L <= wmMs)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.nonEmpty) {
+        buf.put(open.flatten.toArray)
+        getHandle.registerTimer((open.last.last.ts_us + gapUs) / 1000L)
+      } else buf.clear()
+      closed.iterator.map(emit)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val buffered = if (buf.exists()) buf.get().toVector else Vector.empty[Sample]
+      sweep(buffered ++ rows, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val buffered = if (buf.exists()) buf.get().toVector else Vector.empty[Sample]
+      if (buffered.isEmpty) Iterator.empty
+      else sweep(buffered, expired.getExpiryTimeInMs)
+    }
+  }
+
+  /** Gap-sessionization as a session store with expiry over the event
+    * stream. Columns required: user_id, event_id, ts, value. */
+  def sessionStoreStream(events: DataFrame, gapUs: Long, watermark: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStoreProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TtlProbe(user_id: Long, batch_seq: Long, n_carried: Long)
+
+  /** ListState TTL — the state-store-enforced expiry tier (vs the
+    * EXPLICIT timer-driven clear above): the buffer is declared with a
+    * processing-time [[TTLConfig]], and entries past their TTL are
+    * filtered on read and purged by the store itself, with no processor
+    * code running. Each batch reports how many buffered rows SURVIVED
+    * from previous batches before appending its own, so a spec can pin
+    * both faces deterministically: ttl=1 ms → a later batch (seconds
+    * apart in processing time) sees 0 carried rows; ttl=1 h → it sees
+    * all of them. At 100 TB this is how per-key state is bounded when
+    * there is no event-time signal to expire on (the timer composition
+    * needs one; TTL does not). */
+  class TtlBufferProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Sample, TtlProbe] {
+    @transient private var buf: ListState[Sample] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Sample](
+        "ttlBuf", Encoders.product[Sample], TTLConfig(ttl))
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[TtlProbe] = {
+      val carried = if (buf.exists()) buf.get().size.toLong else 0L
+      rows.foreach(buf.appendValue)
+      val s = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(s)
+      Iterator.single(TtlProbe(user, s, carried))
+    }
+  }
+
+  /** Per-batch carried-row probe for ListState TTL semantics. */
+  def ttlProbeStream(events: DataFrame, ttl: java.time.Duration): Dataset[TtlProbe] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      // TTL is clocked by processing time, and the API enforces the match
+      .transformWithState(new TtlBufferProcessor(ttl), TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Report sink: per-batch parquet append — the streaming analogue of the
     * reference's report-writer bolt. exactly-once via batchId-named dirs
     * would be the production shape; append suffices for the demo sink. */

@@ -65,4 +65,64 @@ class CboSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS cbo_fact")
     }
   }
+
+  test("ANALYZE row counts drive multi-join reorder: the selective dim joins first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val loc = java.nio.file.Files.createTempDirectory("graft_cbo_reorder").toString
+    Seq("cbo_fact2", "cbo_big", "cbo_small")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // fact: 100k rows with two FKs; big dim: 20k rows on ka; small dim:
+    // 10 rows on kb. The query's WRITTEN order joins big FIRST — the
+    // pessimal left-deep tree (fact⋈big ≈ 2M intermediate rows vs
+    // fact⋈small ≈ 1k). Only statistics can justify the swap.
+    spark.range(0, 100000).toDF("fid")
+      .select(col("fid"), (col("fid") % 1000L).as("ka"), (col("fid") % 1000L).as("kb"))
+      .write.option("path", s"$loc/fact2").saveAsTable("cbo_fact2")
+    spark.range(0, 20000).toDF("id")
+      .select((col("id") % 1000L).as("ka"), md5(col("id").cast("string")).as("pa"))
+      .write.option("path", s"$loc/big").saveAsTable("cbo_big")
+    spark.range(0, 10).toDF("id")
+      .select(col("id").as("kb"), md5(col("id").cast("string")).as("pb"))
+      .write.option("path", s"$loc/small").saveAsTable("cbo_small")
+    Seq("cbo_fact2", "cbo_big", "cbo_small").foreach { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    }
+    spark.sql("ANALYZE TABLE cbo_fact2 COMPUTE STATISTICS FOR COLUMNS ka, kb")
+    spark.sql("ANALYZE TABLE cbo_big COMPUTE STATISTICS FOR COLUMNS ka")
+    spark.sql("ANALYZE TABLE cbo_small COMPUTE STATISTICS FOR COLUMNS kb")
+
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false", // decision must be static CBO's
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // no BHJ shortcut: order is all that differs
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the innermost Join (no Join children) is the first executed pair
+      def innermost(reorder: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        val q = spark.sql(
+          """SELECT f.fid, a.pa, b.pb FROM cbo_fact2 f
+            |JOIN cbo_big a ON f.ka = a.ka
+            |JOIN cbo_small b ON f.kb = b.kb""".stripMargin)
+        q.queryExecution.optimizedPlan.collect {
+          case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j.toString
+        }.head
+      }
+      val asWritten = innermost(reorder = false)
+      assert(asWritten.contains("cbo_big") && !asWritten.contains("cbo_small"),
+        s"without reorder the written (pessimal) order must stand:\n$asWritten")
+      val reordered = innermost(reorder = true)
+      assert(reordered.contains("cbo_small") && !reordered.contains("cbo_big"),
+        s"stats did not move the selective dim into the innermost join:\n$reordered")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq("cbo_fact2", "cbo_big", "cbo_small")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
