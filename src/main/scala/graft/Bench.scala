@@ -22,6 +22,10 @@ object Bench {
     // q_join_stored's old-state parquet publish is one-time layout work too
     // (the PLAN-time publishOnce writes it); the timed run measures the fold
     try { queries.Analytics5.q_join_stored(spark, sfDir) } catch { case _: Throwable => () }
+    // the TxTable base-table builds are ingest (write-once published per
+    // source); the timed queries measure the skip / the merge, not the load
+    try { queries.TableOps.q_table_skip(spark, sfDir).count() } catch { case _: Throwable => () }
+    try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite
