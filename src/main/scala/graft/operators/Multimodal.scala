@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real and tested (schema, partition-preserving
   * mapPartitions, batch shape). [[MediaDecoder.decode]] is REAL for the
-  * codec-free P6/PPM format (header parse, raw RGB pixels, nearest-
-  * neighbor resize, channel statistics — plain JVM, no image library);
-  * formats whose codecs are absent from this container (jpeg/png/audio)
-  * fail loudly at the same seam — swap in a real codec (JNI/FFmpeg/
-  * ImageIO) without touching the plan shape. [[MediaDecoder.fakeDecode]]
-  * remains the deterministic stand-in for the text-bytes demo pipeline.
+  * codec-free P6/PPM and PCM WAV formats (hand-rolled plain-JVM parsers)
+  * and for JPEG/PNG/BMP/GIF via the JDK's own javax.imageio (java.desktop
+  * ships the codecs; headless-safe; zero added dependencies); formats
+  * whose codecs genuinely are absent (video, compressed audio) fail
+  * loudly at the same seam — swap in a codec (JNI/FFmpeg) without
+  * touching the plan shape. [[MediaDecoder.fakeDecode]] remains the
+  * deterministic stand-in for the text-bytes demo pipeline.
   */
 object Multimodal {
 
@@ -26,8 +27,9 @@ object Multimodal {
 
   /** The decode seam. REAL for the codec-free P6/PPM raster format
     * (netpbm: ASCII header + raw RGB bytes — decodable in plain JVM, no
-    * image library required); formats whose codecs are genuinely absent
-    * from this container (jpeg/png/audio/video) fail loudly instead of
+    * image library required), for 16-bit PCM WAV, and for the JDK's own
+    * javax.imageio rasters (JPEG/PNG/BMP/GIF); formats whose codecs are
+    * genuinely absent (video, compressed audio) fail loudly instead of
     * silently faking, keeping the seam visible. [[fakeDecode]] remains
     * the deterministic stand-in for the text-bytes demo pipeline. */
   object MediaDecoder {
@@ -109,6 +111,37 @@ object Multimodal {
         (r + g + b).toFloat / (3L * n))
     }
 
+    /** JDK-native compressed-raster decode: `javax.imageio` ships in the
+      * JDK's java.desktop module (headless-safe — no display needed), so
+      * JPEG/PNG/BMP/GIF decode with ZERO added dependencies. Decoded
+      * pixels land in the same [[PpmImage]] shape as the P6 path, so
+      * resize and feature extraction are codec-agnostic downstream; a
+      * byte stream no installed reader claims fails loudly (null from
+      * ImageIO.read), keeping the seam's no-silent-fakes rule. The JDK
+      * decoder is deterministic for given bytes, so features stay
+      * partitioning-stable like the hand-rolled parsers. */
+    def decodeImageIo(bytes: Array[Byte]): PpmImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO found no decoder for these bytes")
+      val w = img.getWidth; val h = img.getHeight
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) // sRGB regardless of the file's raster model
+          val d = (y * w + x) * 3
+          rgb(d) = ((p >> 16) & 0xff).toByte
+          rgb(d + 1) = ((p >> 8) & 0xff).toByte
+          rgb(d + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      PpmImage(w, h, rgb)
+    }
+
     final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
 
     /** RIFF/WAVE parser for 16-bit PCM — like P6, a codec-free container
@@ -173,13 +206,16 @@ object Multimodal {
     }
 
     /** Format-dispatched decode: real for the codec-free formats (P6
-      * raster, PCM WAV); loud failure for codecs absent from this
-      * container. */
+      * raster, PCM WAV) AND the JDK-decodable compressed rasters
+      * (JPEG/PNG/BMP/GIF via javax.imageio); loud failure for formats
+      * whose codecs genuinely are absent (video, compressed audio). */
     def decode(media: Array[Byte], format: String): Array[Float] = format match {
       case "ppm" => ppmFeatures(decodePpm(media))
+      case "jpeg" | "jpg" | "png" | "bmp" | "gif" => ppmFeatures(decodeImageIo(media))
       case "wav" => wavFeatures(decodeWav(media))
       case other => throw new NotImplementedError(
-        s"no '$other' codec in this container (jpeg/png/video need native libs); ppm and wav decode natively")
+        s"no '$other' codec in this container (video/compressed audio need native libs); " +
+          "ppm, jpeg, png, bmp, gif, and wav decode natively")
     }
 
     /** Deterministic fake: 8 features from byte statistics. Stable across

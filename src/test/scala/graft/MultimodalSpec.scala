@@ -161,8 +161,77 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] { // 16-bit maxval unsupported
       Multimodal.MediaDecoder.decodePpm("P6\n1 1\n65535\n".getBytes ++ new Array[Byte](6))
     }
-    intercept[NotImplementedError] {
-      Multimodal.MediaDecoder.decode(Array[Byte](1, 2), "jpeg")
+    intercept[NotImplementedError] { // video codecs really are absent
+      Multimodal.MediaDecoder.decode(Array[Byte](1, 2), "h264")
+    }
+    intercept[IllegalArgumentException] { // jpeg dispatches to ImageIO, which must reject garbage
+      Multimodal.MediaDecoder.decode(Array[Byte](1, 2, 3, 4), "jpeg")
+    }
+  }
+
+  /** Known-pattern image encoded by the JDK's own writer — PNG is
+    * lossless, so decoded pixels must equal the pattern exactly. */
+  private def imageBytes(id: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 7 + id.toInt) % 256) << 16) |
+        (((y * 13 + id.toInt) % 256) << 8) | ((x + y) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("real PNG decode via JDK ImageIO: distributed features equal exact pattern means") {
+    import spark.implicits._
+    val imgs = (0L until 30L).map(id =>
+      Multimodal.MediaRow(id, imageBytes(id, 8 + (id % 5).toInt, 6 + (id % 3).toInt, "png"), "png"))
+    val got = Multimodal.extractRealFeatures(imgs.toDS().repartition(4))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    for (r <- imgs) {
+      val id = r.doc_id
+      val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+      val sums = Array(0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sums(0) += (x * 7 + id.toInt) % 256
+        sums(1) += (y * 13 + id.toInt) % 256
+        sums(2) += (x + y) % 256
+      }
+      val n = w * h
+      val expect = Seq(w.toFloat, h.toFloat,
+        sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n,
+        sums.sum.toFloat / (3L * n))
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("real JPEG decode via JDK ImageIO: distributed features match a driver-side reference") {
+    import spark.implicits._
+    // JPEG is lossy: the reference is the SAME decoder on the same bytes,
+    // which is also the distributed-vs-driver determinism pin
+    val imgs = (0L until 20L).map(id =>
+      Multimodal.MediaRow(id, imageBytes(id, 16, 12, "jpeg"), "jpeg"))
+    val got = Multimodal.extractRealFeatures(imgs.toDS().repartition(4))
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    for (r <- imgs) {
+      val expect = Multimodal.MediaDecoder
+        .ppmFeatures(Multimodal.MediaDecoder.decodeImageIo(r.media)).toSeq
+      assert(got(r.doc_id) == expect, s"doc ${r.doc_id}")
+      assert(expect(0) == 16f && expect(1) == 12f)
+    }
+  }
+
+  test("ImageIO-decoded pixels feed the shared resize path") {
+    val img = Multimodal.MediaDecoder.decodeImageIo(imageBytes(5L, 8, 8, "png"))
+    val small = Multimodal.MediaDecoder.resizePpm(img, 4, 4)
+    assert(small.width == 4 && small.height == 4 && small.rgb.length == 48)
+    // nearest-neighbor: output (x,y) samples source (2x, 2y) — PNG is
+    // lossless so the sampled pixel is the constructed pattern value
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val d = (y * 4 + x) * 3
+      assert((small.rgb(d) & 0xff) == (2 * x * 7 + 5) % 256)
+      assert((small.rgb(d + 1) & 0xff) == (2 * y * 13 + 5) % 256)
+      assert((small.rgb(d + 2) & 0xff) == (2 * x + 2 * y) % 256)
     }
   }
 }
