@@ -634,6 +634,26 @@ object StreamOps {
       .transformWithState(new TtlBufferProcessor(ttl), TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** Exactly-once streaming sink into the transactional table layer
+    * ([[graft.tables.TxTable]]): each micro-batch lands as an idempotent
+    * `appendBatch` — data files stage invisibly, the commit records the
+    * (queryName → batchId) watermark in the manifest, and a
+    * crash-replayed batch (foreachBatch is at-least-once) is recognized
+    * and SKIPPED, so the table never holds duplicates. This is the
+    * production streaming-ingest shape the append-only report sink below
+    * is not: restart the query against the same checkpoint and the
+    * table converges to exactly the input. TxStreamSinkSpec pins the
+    * replay case by re-delivering a committed batchId directly. */
+  def txTableSink(df: DataFrame, table: graft.tables.TxTable,
+      queryName: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendBatch(batch.sparkSession, batch, queryName, batchId)
+        ()
+      }
+
   /** Report sink: per-batch parquet append — the streaming analogue of the
     * reference's report-writer bolt. exactly-once via batchId-named dirs
     * would be the production shape; append suffices for the demo sink. */

@@ -68,11 +68,12 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     * empty table. */
   def snapshot(versionAsOf: Option[Int] = None): Snapshot = {
     val v = versionAsOf.getOrElse(currentVersion)
-    if (v == 0) Snapshot(0, Nil)
+    if (v == 0) Snapshot(0, Nil, Map.empty)
     else {
       val p = logDir.resolve(manifestName(v))
       require(Files.exists(p), s"version $v does not exist (have $listVersions)")
-      Snapshot(v, parseManifest(Files.readAllLines(p)))
+      val (files, txns) = parseManifest(Files.readAllLines(p))
+      Snapshot(v, files, txns)
     }
   }
 
@@ -190,6 +191,102 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       keptFiles = kept.size, newFiles = entries.size)
   }
 
+  // -------------------------------------------------------------- maintenance
+
+  /** Compaction (OPTIMIZE): bin-pack files smaller than `smallRows` into
+    * combined files, leaving already-large files untouched BY NAME. A
+    * metadata-plus-rewrite operation: the manifest decides the candidate
+    * set from its own row counts (no data read to plan), only the small
+    * files' rows are rewritten, and the commit publishes like any other —
+    * losers of a race abort (a concurrent append must not be dropped by
+    * an optimizer that validated against the old file list). Historical
+    * snapshots keep naming the old small files, so time travel still
+    * works until [[vacuum]] reclaims them past the retention horizon.
+    * The 100 TB shape: the small-file problem is endemic to streaming
+    * ingest (each micro-batch lands a file per partition), and compaction
+    * cost is proportional to the SMALL fraction, never the table. */
+  def compact(spark: SparkSession, smallRows: Long): MergeResult = {
+    val base = snapshot()
+    require(base.version > 0, "compact an empty table?")
+    val (small, large) = base.files.partition(_.rows < smallRows)
+    if (small.size < 2) return MergeResult(base.version, 0, base.files.size, 0)
+    val packed = spark.read.parquet(
+        small.map(f => dataDir.resolve(f.path).toString): _*)
+      .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
+    val entries = writeDataFiles(spark, packed)
+    val version =
+      try commitOnce(base) { _ => large ++ entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"compaction of $root lost the commit race; re-run against the new snapshot")
+      }
+    MergeResult(version, rewrittenFiles = small.size,
+      keptFiles = large.size, newFiles = entries.size)
+  }
+
+  /** Z-order clustering (OPTIMIZE ZORDER BY): rewrite the table with
+    * files laid out along the Morton curve of two stat columns, so
+    * BOTH dimensions' per-file [min,max] become tight and `readWhere`
+    * prunes on either. A range-partitioned layout serves exactly one
+    * column — after ingest clustered by time, a user-id probe reads
+    * every file; one z-order rewrite fixes that forever after. Columns
+    * must be non-negative and < 2^16 (16 bits each interleave into one
+    * 32-bit z-value; wider domains would first quantile-bucket to 16
+    * bits — the standard trick, not needed for the demo domains).
+    * Content is unchanged (spec-pinned bit-equal), txn watermarks carry
+    * forward, historical snapshots still read the old layout, and a
+    * lost commit race aborts like merge/compact. */
+  def clusterZorder(spark: SparkSession, c1: String, c2: String, files: Int): MergeResult = {
+    require(statCols.contains(c1) && statCols.contains(c2),
+      s"z-order columns must be stat columns ($statCols)")
+    val base = snapshot()
+    require(base.version > 0, "cluster an empty table?")
+    val z = (0 until 16).map { k =>
+      shiftleft(shiftright(col(c1), k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftright(col(c2), k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+    val clustered = read(spark)
+      .withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z")) // tight row groups inside each file too
+      .drop("__z")
+    val entries = writeDataFiles(spark, clustered)
+    val version =
+      try commitOnce(base) { _ => entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"z-order rewrite of $root lost the commit race; re-run against the new snapshot")
+      }
+    MergeResult(version, rewrittenFiles = base.files.size,
+      keptFiles = 0, newFiles = entries.size)
+  }
+
+  /** Vacuum: delete data files referenced by NO manifest version newer
+    * than `retainVersions` back from current, then drop the expired
+    * manifests. Readers of retained versions are unaffected (their
+    * manifests' files all survive — a file is deleted only when every
+    * retained version omits it). Ordering is crash-safe: data files are
+    * deleted BEFORE their manifests, so an interrupted vacuum leaves
+    * dangling manifests naming missing files only for versions already
+    * declared expired, never for retained ones. Returns (filesDeleted,
+    * versionsDropped). */
+  def vacuum(retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val versions = listVersions
+    val cutoff = currentVersion - retainVersions + 1
+    val (expired, retained) = versions.partition(_ < cutoff)
+    if (expired.isEmpty) return (0, 0)
+    val live: Set[String] =
+      retained.flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet
+    val dead = expired.flatMap(v => snapshot(Some(v)).files.map(_.path))
+      .distinct.filterNot(live.contains)
+    dead.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
+    expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
+    (dead.size, expired.size)
+  }
+
   // --------------------------------------------------------------- internals
 
   /** Stage `df` as parquet, compute per-file stats with one distributed
@@ -226,12 +323,17 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       max(col(c)).cast("long").as(s"__max_$c")))
 
   /** One commit attempt on top of `base`: stage the manifest, publish it
-    * as v{base+1} via hard link (atomic put-if-absent). Throws
+    * as v{base+1} via hard link (atomic put-if-absent). The base's txn
+    * map is carried forward (overlaid with `txns`) so the LATEST manifest
+    * alone answers "what has stream X committed?" — vacuum can drop old
+    * manifests without losing exactly-once history. Throws
     * FileAlreadyExistsException if someone else committed base+1 first. */
-  private def commitOnce(base: Snapshot)(next: Snapshot => Seq[FileEntry]): Int = {
+  private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty)(
+      next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(next(base)).getBytes("UTF-8"))
+    Files.write(tmp,
+      renderManifest(next(base), base.txns ++ txns).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
       v
@@ -250,6 +352,41 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     }
     -1 // unreachable
   }
+
+  // ------------------------------------------------------- streaming ingest
+
+  /** Idempotent micro-batch append — the foreachBatch face of an
+    * exactly-once streaming sink: a batch commits only if `batchId` is
+    * NEWER than the stream's last recorded commit (micro-batch ids are
+    * monotonic per checkpoint), so the crash-replayed batch a restarted
+    * query re-delivers is recognized from the manifest and skipped —
+    * duplicates are impossible even though the engine's delivery is
+    * at-least-once. The (appId → batchId) watermark rides every
+    * manifest, so the check is O(1) on the CURRENT snapshot and survives
+    * vacuum. Returns true iff this call committed. */
+  def appendBatch(spark: SparkSession, df: DataFrame,
+      appId: String, batchId: Long): Boolean = {
+    if (snapshot().txns.get(appId).exists(_ >= batchId)) return false
+    val entries = writeDataFiles(spark, df)
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      if (base.txns.get(appId).exists(_ >= batchId)) {
+        // a concurrent worker landed this very batch between our staging
+        // and commit: discard our staged files, nothing to do
+        entries.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
+        return false
+      }
+      try {
+        commitOnce(base, Map(appId -> batchId)) { _ => base.files ++ entries }
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1 // rebase and re-check the txn watermark
+      }
+    }
+    false // unreachable
+  }
 }
 
 object TxTable {
@@ -258,7 +395,10 @@ object TxTable {
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long])
 
-  final case class Snapshot(version: Int, files: Seq[FileEntry])
+  /** A version's full state: its file list and the per-stream
+    * exactly-once watermarks (appId → last committed micro-batch id). */
+  final case class Snapshot(version: Int, files: Seq[FileEntry],
+      txns: Map[String, Long])
 
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
@@ -269,25 +409,34 @@ object TxTable {
 
   private def manifestName(v: Int): String = f"v$v%08d.txt"
 
-  /** Manifest line format (tab-separated, one file per line):
-    * `file <path> <rows> [<col> <min> <max>]...` — dependency-free and
-    * diff-readable; the manifest is metadata about file NAMES and stats,
-    * never data, so it stays O(files) tiny. */
-  private def renderManifest(files: Seq[FileEntry]): String = {
-    val lines = files.map { f =>
+  /** Manifest line format (tab-separated): `txn <appId> <batchId>` lines
+    * carry the per-stream exactly-once watermarks, `file <path> <rows>
+    * [<col> <min> <max>]...` lines the data files — dependency-free and
+    * diff-readable; the manifest is metadata about file NAMES, stats and
+    * stream watermarks, never data, so it stays O(files) tiny. */
+  private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long]): String = {
+    val txnLines = txns.toSeq.sortBy(_._1)
+      .map { case (app, b) => s"txn\t$app\t$b" }
+    val fileLines = files.map { f =>
       val stats = f.mins.keys.toSeq.sorted
         .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
       s"file\t${f.path}\t${f.rows}\t$stats"
     }
-    ("graft-txlog\t1" +: lines).mkString("\n")
+    ("graft-txlog\t1" +: (txnLines ++ fileLines)).mkString("\n")
   }
 
-  private def parseManifest(lines: java.util.List[String]): Seq[FileEntry] = {
+  private def parseManifest(
+      lines: java.util.List[String]): (Seq[FileEntry], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq
     require(all.headOption.exists(_.startsWith("graft-txlog\t")),
       "not a graft txlog manifest")
-    all.tail.filter(_.nonEmpty).map { line =>
+    val body = all.tail.filter(_.nonEmpty)
+    val txns = body.filter(_.startsWith("txn\t")).map { line =>
+      val Array(_, app, b) = line.split("\t")
+      app -> b.toLong
+    }.toMap
+    val files = body.filterNot(_.startsWith("txn\t")).map { line =>
       val parts = line.split("\t")
       require(parts(0) == "file", s"bad manifest line: $line")
       val stats = parts.drop(3).grouped(3).map {
@@ -296,5 +445,6 @@ object TxTable {
       FileEntry(parts(1), parts(2).toLong,
         stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap)
     }
+    (files, txns)
   }
 }

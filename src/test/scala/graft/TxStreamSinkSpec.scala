@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.streaming.StreamOps
+import graft.tables.TxTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transactional table layer's STREAMING and MAINTENANCE faces:
+  * exactly-once micro-batch ingest via manifest txn watermarks (replayed
+  * batches — foreachBatch is at-least-once — are recognized and skipped),
+  * small-file compaction that preserves content, time travel, and
+  * concurrent-commit safety, and vacuum that reclaims only files no
+  * retained version references. */
+class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val B = 1704067200000000L
+
+  private def freshTable(): TxTable =
+    new TxTable(Files.createTempDirectory("graft_txsink").toString, Seq("user_id"))
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).toDF("user_id")
+      .withColumn("v", col("user_id") * 3)
+
+  test("streaming ingest into the table is exactly-once end to end") {
+    val src = Files.createTempDirectory("graft_txsink_src").toString
+    val batches = Seq((0L, 40L), (40L, 70L), (70L, 100L))
+    batches.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val stage = Files.createTempDirectory(s"graft_txsink_stage$i").toString
+      spark.range(lo, hi).toDF("user_id")
+        .withColumn("ts", timestamp_micros(lit(B) + col("user_id") * 1000000L))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(src, f"b$i%02d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txsink_ckpt").toString
+    val q = StreamOps.txTableSink(
+        spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .select(col("user_id"), (col("user_id") * 3).as("v")),
+        t, "sink_q", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    // one committed version per micro-batch, watermark at the last batch
+    assert(t.currentVersion == 3)
+    assert(t.snapshot().txns == Map("sink_q" -> 2L))
+    val got = t.read(spark).select(col("user_id"), col("v"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (0L until 100L).map(u => (u, u * 3)))
+    // crash replay: the engine re-delivers an already-committed batchId —
+    // the manifest watermark must reject it with no new version
+    val replayed = t.appendBatch(spark, rows(70, 100), "sink_q", 2L)
+    assert(!replayed, "replayed batch must be skipped")
+    assert(t.currentVersion == 3)
+    assert(t.read(spark).count() == 100)
+    // a genuinely new batch still lands
+    assert(t.appendBatch(spark, rows(100, 110), "sink_q", 3L))
+    assert(t.read(spark).count() == 110)
+    // a different stream's ids are tracked independently
+    assert(t.appendBatch(spark, rows(500, 505), "other_q", 0L))
+    assert(t.snapshot().txns == Map("sink_q" -> 3L, "other_q" -> 0L))
+  }
+
+  test("compaction bin-packs small files, preserves content, keeps time travel; vacuum reclaims") {
+    val t = freshTable()
+    // streaming-shaped ingest: 6 tiny files (one per micro-batch)
+    (0 until 6).foreach { i =>
+      assert(t.appendBatch(spark, rows(i * 10L, i * 10L + 10L).coalesce(1), "q", i.toLong))
+    }
+    val before = t.snapshot()
+    assert(before.version == 6 && before.files.size == 6)
+    val res = t.compact(spark, smallRows = 100)
+    assert(res.version == 7)
+    assert(res.rewrittenFiles == 6, "all six 10-row files are small")
+    val after = t.snapshot()
+    assert(after.files.size < 6, s"expected fewer files, got ${after.files.size}")
+    assert(after.files.map(_.rows).sum == 60)
+    // content identical through the rewrite
+    val got = t.read(spark).select(col("user_id"), col("v"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (0L until 60L).map(u => (u, u * 3)))
+    // txn watermarks survive compaction (carried forward by every commit)
+    assert(after.txns == Map("q" -> 5L))
+    // historical snapshot still reads the pre-compaction small files
+    assert(t.read(spark, versionAsOf = Some(6)).count() == 60)
+    // a large file is left alone by a second compaction
+    val res2 = t.compact(spark, smallRows = 100)
+    assert(res2.rewrittenFiles == 0 && res2.version == 7, "nothing left to pack")
+
+    // vacuum: retain only the latest 1 version → versions 1-6 expire and
+    // the six small files (referenced by no retained manifest) die
+    val dataDir = Paths.get(t.root, "data")
+    val filesBefore = Option(dataDir.toFile.list()).get.count(_.endsWith(".parquet"))
+    val (deleted, dropped) = t.vacuum(retainVersions = 1)
+    assert(dropped == 6, s"six manifests must expire, got $dropped")
+    assert(deleted == 6, s"six unreferenced files must die, got $deleted")
+    val filesAfter = Option(dataDir.toFile.list()).get.count(_.endsWith(".parquet"))
+    assert(filesAfter == filesBefore - 6)
+    // current version unaffected; expired version now fails loudly
+    assert(t.read(spark).count() == 60)
+    intercept[IllegalArgumentException] { t.snapshot(Some(3)) }
+    // idempotent: nothing more to reclaim
+    assert(t.vacuum(retainVersions = 1) == ((0, 0)))
+  }
+
+  test("z-order rewrite makes BOTH dimensions prune files; content and history survive") {
+    val t = new TxTable(
+      Files.createTempDirectory("graft_txzorder").toString, Seq("x", "y"))
+    // 32x32 grid ingested clustered by x only — the time-clustered-ingest
+    // shape: a y-probe overlaps every file's [0,31] y-range
+    val grid = spark.range(0, 1024).toDF("id")
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"),
+        (col("id") * 7).as("payload"))
+    t.append(spark, grid.repartitionByRange(8, col("x")))
+    val yBefore = t.readWhere(spark, "y", 0, 3)
+    assert(yBefore.filesScanned == yBefore.filesTotal,
+      s"x-clustered layout cannot prune a y-probe (${yBefore.filesScanned}/${yBefore.filesTotal})")
+    val res = t.clusterZorder(spark, "x", "y", files = 8)
+    assert(res.rewrittenFiles == 8 && res.version == 2)
+    // both dimensions now prune
+    val yAfter = t.readWhere(spark, "y", 0, 3)
+    assert(yAfter.filesScanned < yAfter.filesTotal && yAfter.filesScanned <= 4,
+      s"y-probe must prune after z-order (${yAfter.filesScanned}/${yAfter.filesTotal})")
+    val xAfter = t.readWhere(spark, "x", 0, 3)
+    assert(xAfter.filesScanned < xAfter.filesTotal && xAfter.filesScanned <= 4,
+      s"x-probe must still prune after z-order (${xAfter.filesScanned}/${xAfter.filesTotal})")
+    // pruned answers are exact, content unchanged, history intact
+    val probe = yAfter.df.select(col("x"), col("y"), col("payload"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(probe == (0L until 1024L).filter(i => i / 32 <= 3)
+      .map(i => (i % 32, i / 32, i * 7)).sorted)
+    val all = t.read(spark).select(col("x"), col("y"), col("payload"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(all == (0L until 1024L).map(i => (i % 32, i / 32, i * 7)).sorted)
+    assert(t.read(spark, versionAsOf = Some(1)).count() == 1024)
+  }
+
+  test("vacuum never deletes a file any retained version references") {
+    val t = freshTable()
+    t.append(spark, rows(0, 10).coalesce(1))   // v1: file A
+    t.append(spark, rows(10, 20).coalesce(1))  // v2: A + B
+    t.append(spark, rows(20, 30).coalesce(1))  // v3: A + B + C
+    val (deleted, dropped) = t.vacuum(retainVersions = 2) // drop v1 only
+    assert(dropped == 1)
+    assert(deleted == 0, "v1's file is still referenced by v2 and v3")
+    assert(t.read(spark, versionAsOf = Some(2)).count() == 20)
+    assert(t.read(spark).count() == 30)
+  }
+}
