@@ -80,12 +80,17 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
   // ------------------------------------------------------------------- reads
 
   /** Snapshot-isolated read: the file list is fixed at manifest-read time,
-    * so a concurrent commit can never tear this scan. */
+    * so a concurrent commit can never tear this scan. `mergeSchema`
+    * unions the files' schemas — SCHEMA EVOLUTION: an append may carry
+    * new columns, old files' rows read as NULL there, and no rewrite of
+    * history is ever needed (add-column is a metadata-only operation,
+    * the table-format property ALTER TABLE costs nothing for). */
   def read(spark: SparkSession, versionAsOf: Option[Int] = None): DataFrame = {
     val s = snapshot(versionAsOf)
     if (s.files.isEmpty)
       throw new IllegalStateException(s"table $root is empty at version ${s.version}")
-    spark.read.parquet(s.files.map(f => dataDir.resolve(f.path).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s.files.map(f => dataDir.resolve(f.path).toString): _*)
   }
 
   /** Manifest-level min/max data skipping for `lo <= statCol <= hi`:
@@ -166,7 +171,7 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     val src = source
     val existing =
       if (candidates.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(spark.read.option("mergeSchema", "true").parquet(
         candidates.map(f => dataDir.resolve(f.path).toString): _*))
     // matched rows take the source version; unmatched candidate rows pass
     // through; source keys absent everywhere are inserts. The anti joins
@@ -176,7 +181,9 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       case None => src
       case Some(ex) =>
         val notMatched = ex.join(broadcast(src), ex(key) === src(key), "left_anti")
-        notMatched.unionByName(src)
+        // allowMissingColumns: a schema-evolved source (or table) merges
+        // cleanly — the absent side reads NULL, same rule as read()
+        notMatched.unionByName(src, allowMissingColumns = true)
     }
     val entries = writeDataFiles(spark, rewritten)
     val version =

@@ -150,6 +150,30 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark, versionAsOf = Some(1)).count() == 1024)
   }
 
+  test("schema evolution: new columns appear without rewriting history; merge crosses schemas") {
+    val t = freshTable()
+    t.append(spark, rows(0, 10).coalesce(1)) // old schema: (user_id, v)
+    t.append(spark, rows(10, 20).withColumn("w", col("user_id") + 1000L).coalesce(1))
+    val evolved = t.read(spark)
+    assert(evolved.columns.sorted.toSeq == Seq("user_id", "v", "w").sorted.toSeq)
+    val got = evolved.select(col("user_id"), col("w"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got == (0L until 10L).map(u => (u, None)) ++
+      (10L until 20L).map(u => (u, Some(u + 1000L))),
+      "old rows read NULL in the evolved column; no file was rewritten")
+    // merge with an evolved-schema source: matched rows get the new
+    // column, untouched old rows keep NULL
+    val src = spark.range(5, 8).toDF("user_id")
+      .select(col("user_id"), (col("user_id") * 3).as("v"),
+        lit(-5L).as("w"))
+    t.merge(spark, src, "user_id")
+    val after = t.read(spark).select(col("user_id"), col("w"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert((5L until 8L).forall(u => after(u).contains(-5L)))
+    assert((0L until 5L).forall(u => after(u).isEmpty))
+    assert((10L until 20L).forall(u => after(u).contains(u + 1000L)))
+  }
+
   test("vacuum never deletes a file any retained version references") {
     val t = freshTable()
     t.append(spark, rows(0, 10).coalesce(1))   // v1: file A
