@@ -26,6 +26,9 @@ object Bench {
     // source); the timed queries measure the skip / the merge, not the load
     try { queries.TableOps.q_table_skip(spark, sfDir).count() } catch { case _: Throwable => () }
     try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
+    // the log topic is produced once (pure-JVM writes, publishOnce); the
+    // timed query measures the DSv2 batch read, not the produce
+    try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite

@@ -104,9 +104,37 @@ object TableOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The broker-shaped source's BATCH face through the gate: a
+    * deterministic 6000-record topic (3 partitions, records dealt
+    * round-robin, several segments each — written once by the pure-JVM
+    * producer, no Spark involved) batch-read via
+    * `spark.read.format(LogSource)` and aggregated. Values are exact
+    * dyadics (id·0.5) so sums are order-independent without decimals,
+    * and DuckDB reconstructs the records from range() — a from-thin-air
+    * streaming source, hash-checked like q_source_gen. `dir` unused:
+    * this table does not live in the sf directory, which is the point. */
+  def q_source_log(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.publishOnce("graft_logtopic_v1") { tmp =>
+      (0 until 3).foreach { p =>
+        val ids = (0L until 6000L).filter(_ % 3 == p)
+        ids.grouped(800).foreach { chunk =>
+          graft.sources.LogSource.append(tmp, p,
+            chunk.map(id => (id, 1704067200000000L + id * 1000000L, id % 97, id * 0.5)))
+        }
+      }
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+    spark.read.format("graft.sources.LogSource").option("path", root).load()
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v_sum"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_skip" -> q_table_skip _,
     "q_table_merge" -> q_table_merge _,
+    "q_source_log" -> q_source_log _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,5 +158,12 @@ object TableOps {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_source_log" ->
+      """WITH recs AS (
+        |  SELECT r AS event_id, r % 97 AS user_id, CAST(r AS DOUBLE) * 0.5 AS "value"
+        |  FROM range(6000) t(r))
+        |SELECT user_id % 10 AS bucket, count(*) AS n, sum("value") AS v_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM recs GROUP BY user_id % 10 ORDER BY bucket""".stripMargin,
   )
 }

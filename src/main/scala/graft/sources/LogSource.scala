@@ -126,7 +126,7 @@ private class LogTable(root: String) extends Table with SupportsRead {
   override def name(): String = s"graft_log($root)"
   override def schema(): StructType = LogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxPerTrigger = options.getLong("maxRecordsPerTrigger", -1L)
     new ScanBuilder {
@@ -135,6 +135,19 @@ private class LogTable(root: String) extends Table with SupportsRead {
         override def description(): String = s"LogScan($root)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new LogMicroBatchStream(root, maxPerTrigger)
+        // batch face: the whole retained topic as one bounded table
+        // (backfill/replay jobs read the same partitioned splits)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            LogSource.partitionDirs(root).map { case (_, dir) =>
+              val segs = LogSource.segmentsOf(dir)
+              val end = if (segs.isEmpty) 0L
+                else LogSource.baseOf(segs.last) + LogSource.countLines(segs.last)
+              LogInputPartition(dir.toString, 0L, end): InputPartition
+            }.filter(_.asInstanceOf[LogInputPartition].end > 0).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new LogReaderFactory
+        }
       }
     }
   }

@@ -120,6 +120,23 @@ class LogSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got == twin, s"stream $got\nvs twin $twin")
   }
 
+  test("batch face reads the whole retained topic, one split per partition") {
+    val root = Files.createTempDirectory("graft_log_batch").toString
+    LogSource.append(root, 0, (0L until 12L).map(rec))
+    LogSource.append(root, 0, (12L until 20L).map(rec))
+    LogSource.append(root, 1, (50L until 65L).map(rec))
+    LogSource.append(root, 2, Seq.empty) // empty partition dir plans no split
+    val df = spark.read.format("graft.sources.LogSource")
+      .option("path", root).load()
+    assert(df.rdd.getNumPartitions == 2, "one non-empty split per topic partition")
+    val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val expect = ((0L until 20L) ++ (50L until 65L))
+      .map(id => (id, B + id * 1000000L, id % 7, id * 1.5)).sorted
+    assert(got == expect, "batch face must agree with the producer's records")
+  }
+
   test("offset JSON round-trips with sorted keys") {
     val o = LogOffset(Map(2 -> 7L, 0 -> 12L, 1 -> 0L))
     assert(o.json() == """{"0":12,"1":0,"2":7}""")
