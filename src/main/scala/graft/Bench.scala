@@ -26,6 +26,8 @@ object Bench {
     // source); the timed queries measure the skip / the merge, not the load
     try { queries.TableOps.q_table_skip(spark, sfDir).count() } catch { case _: Throwable => () }
     try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
+    // q_table_delete shares q_table_skip's published base build
+    try { queries.TableOps.q_table_delete(spark, sfDir).count() } catch { case _: Throwable => () }
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
     try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -56,17 +56,54 @@ object TableOps {
   /** The build + pruned read behind [[q_table_skip]], exposed so specs
     * can assert `filesScanned < filesTotal` — the skip must actually
     * happen, not just return the right rows. */
-  private[graft] def skipPruned(spark: SparkSession, dir: String): TxTable.PrunedRead = {
+  private[graft] def skipPruned(spark: SparkSession, dir: String): TxTable.PrunedRead =
+    // read-only: every caller shares the published table directly
+    new TxTable(eventsTableRoot(spark, dir), Seq("user_id"))
+      .readWhere(spark, "user_id", 2, 4)
+
+  /** The shared 16-file range-partitioned events table build behind
+    * [[q_table_skip]] and [[q_table_delete]] (write-once published per
+    * source fingerprint — the build is ingest, not the measured op). */
+  private def eventsTableRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
-    val root = Tables.publishOnce(s"graft_tableskip_$fp") { tmp =>
+    Tables.publishOnce(s"graft_tableskip_$fp") { tmp =>
       val t = new TxTable(tmp, Seq("user_id"))
       t.append(spark, Tables.events(spark, dir)
         .select(col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(16, col("user_id")))
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
     }
-    // read-only: every caller shares the published table directly
-    new TxTable(root, Seq("user_id")).readWhere(spark, "user_id", 2, 4)
+  }
+
+  /** Copy-on-write DELETE through the table layer: drop
+    * `user_id BETWEEN 3 AND 7` from the 16-file range-partitioned events
+    * table. The manifest stats classify every file WITHOUT reading it —
+    * files fully inside the range leave the manifest metadata-only (the
+    * 100 TB retention-delete path: truncating a time range costs zero
+    * data I/O), straddlers are rewritten minus the victims, disjoint
+    * files are carried by name. The aggregate over the survivors is
+    * DuckDB-checked against NOT BETWEEN on the raw parquet, so the
+    * delete's row-level semantics are oracle-pinned, not just
+    * file-accounting-pinned (TxTableSpec covers that). */
+  def q_table_delete(spark: SparkSession, dir: String): DataFrame =
+    deleteApplied(spark, dir)._2
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** The copy + delete + read behind [[q_table_delete]], exposed so the
+    * spec can assert files were dropped/kept, not just rows removed. */
+  private[graft] def deleteApplied(
+      spark: SparkSession, dir: String): (TxTable.DeleteResult, DataFrame) = {
+    val published = eventsTableRoot(spark, dir)
+    // delete MUTATES: work on a private copy so calls stay independent
+    val root = Files.createTempDirectory("graft_q_table_delete").toString
+    copyTree(published, root)
+    val t = new TxTable(root, Seq("user_id"))
+    val r = t.delete(spark, "user_id", 3, 7)
+    (r, t.read(spark))
   }
 
   /** Copy-on-write MERGE through the table layer: orders become an
@@ -134,6 +171,7 @@ object TableOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_skip" -> q_table_skip _,
     "q_table_merge" -> q_table_merge _,
+    "q_table_delete" -> q_table_delete _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -158,6 +196,12 @@ object TableOps {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_table_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (
         |  SELECT r AS event_id, r % 97 AS user_id, CAST(r AS DOUBLE) * 0.5 AS "value"

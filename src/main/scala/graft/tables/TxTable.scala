@@ -198,6 +198,58 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       keptFiles = kept.size, newFiles = entries.size)
   }
 
+  /** Copy-on-write DELETE of rows with `lo <= statCol <= hi`. The
+    * manifest stats split the file list three ways, and only one class
+    * costs a data read:
+    *  - DISJOINT files ([min,max] ∩ [lo,hi] = ∅): carried BY NAME —
+    *    stats prove no row matches;
+    *  - FULLY-COVERED files (lo ≤ min and max ≤ hi): DROPPED from the
+    *    new manifest without reading a byte — the metadata-only delete
+    *    (at 100 TB, retention deletes of whole time ranges are THIS
+    *    path: truncating a month costs zero data I/O);
+    *  - STRADDLING files: rewritten without the matching rows (each
+    *    keeps at least its min- or max-valued row, so rewrites are
+    *    never empty).
+    * Exact min/max make the classification sound both ways: a dropped
+    * file cannot hold a survivor, a kept file cannot hold a victim.
+    * Historical snapshots still read the dropped/rewritten files until
+    * [[vacuum]]; a lost commit race ABORTS like merge (the rewrite
+    * validated against a snapshot that no longer exists). */
+  def delete(spark: SparkSession, statCol: String, lo: Long, hi: Long): DeleteResult =
+    deleteFrom(spark, snapshot(), statCol, lo, hi)
+
+  /** Delete against an explicit base snapshot — the seam that lets a spec
+    * interleave a competing commit between base-read and publish
+    * (mergeFrom precedent). */
+  private[graft] def deleteFrom(spark: SparkSession, base: Snapshot,
+      statCol: String, lo: Long, hi: Long): DeleteResult = {
+    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
+    require(base.version > 0, "delete from an empty table?")
+    val (touched, kept) = base.files.partition { f =>
+      f.maxs(statCol) >= lo && f.mins(statCol) <= hi
+    }
+    val (covered, straddling) = touched.partition { f =>
+      lo <= f.mins(statCol) && f.maxs(statCol) <= hi
+    }
+    val entries =
+      if (straddling.isEmpty) Nil
+      else writeDataFiles(spark,
+        spark.read.option("mergeSchema", "true")
+          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
+          .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
+    val version =
+      try commitOnce(base) { _ => kept ++ entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"delete from $root lost the commit race for version ${base.version + 1}; " +
+              "re-run against the new snapshot")
+      }
+    DeleteResult(version, droppedFiles = covered.size,
+      rewrittenFiles = straddling.size, keptFiles = kept.size,
+      newFiles = entries.size)
+  }
+
   // -------------------------------------------------------------- maintenance
 
   /** Compaction (OPTIMIZE): bin-pack files smaller than `smallRows` into
@@ -411,6 +463,12 @@ object TxTable {
 
   final case class MergeResult(version: Int, rewrittenFiles: Int,
       keptFiles: Int, newFiles: Int)
+
+  /** delete() outcome: `droppedFiles` left the manifest without a data
+    * read (fully covered by the delete range), `rewrittenFiles` were
+    * filtered into `newFiles`, `keptFiles` were provably untouched. */
+  final case class DeleteResult(version: Int, droppedFiles: Int,
+      rewrittenFiles: Int, keptFiles: Int, newFiles: Int)
 
   private val ManifestName = """v(\d{8})\.txt""".r
 

@@ -151,6 +151,46 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(none.filesScanned == 0 && none.df.count() == 0)
   }
 
+  test("delete drops covered files metadata-only, rewrites straddlers, keeps the rest by name") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 1000, 10)) // files of 100 keys: [0,100), [100,200), ...
+    val before = t.snapshot().files.map(_.path).toSet
+    // [150, 449]: straddles the [100,200) and [400,500) files, fully
+    // covers [200,300) and [300,400)
+    val r = t.delete(spark, "k", 150, 449)
+    assert(r.droppedFiles == 2, s"expected 2 metadata-only drops, got $r")
+    assert(r.rewrittenFiles == 2, s"expected 2 straddler rewrites, got $r")
+    assert(r.keptFiles == 6, s"expected 6 untouched files, got $r")
+    val after = t.snapshot()
+    assert(after.version == 2)
+    // kept files are carried BY NAME — never copied
+    assert(after.files.map(_.path).toSet.intersect(before).size == 6)
+    val got = t.read(spark).select(col("k"))
+      .as[Long](spark.implicits.newLongEncoder).collect().sorted.toSeq
+    assert(got == ((0L until 150L) ++ (450L until 1000L)),
+      "survivors must be exactly the rows outside the delete range")
+    // time travel still sees the pre-delete content
+    assert(t.read(spark, versionAsOf = Some(1)).count() == 1000)
+    // a delete whose range is provably absent is a no-op commit: all kept
+    val r2 = t.delete(spark, "k", 5000, 6000)
+    assert(r2.droppedFiles == 0 && r2.rewrittenFiles == 0 && r2.keptFiles == 8)
+  }
+
+  test("delete that loses the commit race aborts instead of clobbering") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 2))
+    // competing append lands between our snapshot read and publish: the
+    // delete validated against a dead snapshot and must surface the race
+    val base = t.snapshot()
+    t.append(spark, keyed(100, 110, 1))
+    intercept[java.util.ConcurrentModificationException] {
+      t.deleteFrom(spark, base, "k", 0, 49)
+    }
+    // the failed delete left the table intact (its staged rewrite is
+    // invisible garbage, the competing append's rows all present)
+    assert(t.read(spark).count() == 110)
+  }
+
   test("q_table_skip's gate query really skips files, not just rows") {
     val pr = graft.queries.TableOps.skipPruned(spark, "/root/testdata/sf0.001")
     assert(pr.filesTotal >= 8, s"expected a many-file table, got ${pr.filesTotal}")
@@ -158,5 +198,16 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
       s"no files were skipped (${pr.filesScanned}/${pr.filesTotal})")
     assert(pr.filesScanned <= 6,
       s"user_id in [2,4] should hit a handful of range files, not ${pr.filesScanned}")
+  }
+
+  test("q_table_delete's gate query classifies files from stats, not a full rewrite") {
+    val (r, _) = graft.queries.TableOps.deleteApplied(spark, "/root/testdata/sf0.001")
+    val total = r.droppedFiles + r.rewrittenFiles + r.keptFiles
+    assert(total >= 8, s"expected a many-file table, got $r")
+    assert(r.keptFiles >= 1, s"disjoint files must be carried by name, got $r")
+    assert(r.droppedFiles + r.rewrittenFiles < total,
+      s"a 5-user delete must not touch every file, got $r")
+    assert(r.droppedFiles >= 1,
+      s"range files fully inside [3,7] should leave metadata-only, got $r")
   }
 }
