@@ -28,6 +28,8 @@ object Bench {
     try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
     // q_table_delete shares q_table_skip's published base build
     try { queries.TableOps.q_table_delete(spark, sfDir).count() } catch { case _: Throwable => () }
+    // q_table_changes' 3-append + compact build is likewise one-time ingest
+    try { queries.TableOps.q_table_changes(spark, sfDir).count() } catch { case _: Throwable => () }
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
     try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -141,6 +141,41 @@ object TableOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Change-data-feed read through the table layer: events land in
+    * THREE deterministic appends (batch k = `user_id % 3 == k`, commit
+    * versions 1..3), then a compaction rewrites the table (version 4 — a
+    * CHANGE commit whose added files are rewritten history, not new
+    * rows). `changesBetween(0, 4, skipChangeCommits = true)` must
+    * return exactly the appended rows tagged with their commit version —
+    * the compaction invisible to the incremental consumer, planned
+    * entirely from manifest diffs (an incremental consumer reads one
+    * batch's bytes at 100 TB, never the table). DuckDB reconstructs the
+    * version tag from the split rule itself. */
+  def q_table_changes(spark: SparkSession, dir: String): DataFrame =
+    changesApplied(spark, dir)
+      .groupBy(col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("commit_version"))
+
+  /** The build + CDC read behind [[q_table_changes]], exposed so the
+    * spec can pin row-level tags and the change-commit refusal. */
+  private[graft] def changesApplied(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    val root = Tables.publishOnce(s"graft_tablechanges_$fp") { tmp =>
+      val t = new TxTable(tmp, Seq("user_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(k => t.append(spark, ev.filter(col("user_id") % 3 === k)))
+      t.compact(spark, smallRows = Long.MaxValue / 2) // v4: a change commit
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+    // read-only: every caller shares the published table directly
+    new TxTable(root, Seq("user_id"))
+      .changesBetween(spark, 0, 4, skipChangeCommits = true)
+  }
+
   /** The broker-shaped source's BATCH face through the gate: a
     * deterministic 6000-record topic (3 partitions, records dealt
     * round-robin, several segments each — written once by the pure-JVM
@@ -172,6 +207,7 @@ object TableOps {
     "q_table_skip" -> q_table_skip _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
+    "q_table_changes" -> q_table_changes _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -202,6 +238,12 @@ object TableOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id NOT BETWEEN 3 AND 7
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_changes" ->
+      """SELECT CAST(user_id % 3 + 1 AS BIGINT) AS commit_version,
+        |  count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY user_id % 3 + 1 ORDER BY commit_version""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (
         |  SELECT r AS event_id, r % 97 AS user_id, CAST(r AS DOUBLE) * 0.5 AS "value"

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.GraftSqlInternal
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.tables.TxTable
+
+/** Streams a [[graft.tables.TxTable]] — the table-as-stream face that
+  * closes the ingest loop (`StreamOps.txTableSink` streams IN; this
+  * streams OUT), the Delta-source pattern: offsets are table VERSIONS,
+  * each micro-batch is the manifest DIFF of `(startV, endV]` read as a
+  * batch DataFrame, so an incremental consumer reads exactly the
+  * appended files — never the table. The version offset rides the
+  * checkpoint: a restarted query resumes at the committed version and
+  * sees appends made while it was down exactly once.
+  *
+  * Versions that REWROTE files (merge/compact/z-order/delete) hold
+  * rewritten history in their added files, not new rows: the default
+  * FAILS the stream loudly; `skipChangeCommits=true` skips those
+  * versions whole. Both behaviors — and that a skipped compaction
+  * causes neither loss nor duplication — are spec-pinned.
+  *
+  * V1 `Source` is deliberate (the same API Delta ships on): `getBatch`
+  * may plan its result with the full SQL parquet reader and re-wrap it
+  * as a streaming frame, where a DSv2 `PartitionReader` would have to
+  * decode parquet by hand. Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.TxTableSource")
+  *     .option("path", tableRoot)
+  *     .option("skipChangeCommits", "true")   // optional
+  *     .load()
+  * }}}
+  */
+class TxTableSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txtable"
+
+  private def tableOf(parameters: Map[String, String]): TxTable = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txtable source requires option 'path'"))
+    new TxTable(root, Seq.empty)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-txtable", schema.getOrElse {
+      val t = tableOf(parameters)
+      require(t.currentVersion > 0,
+        s"cannot infer a schema from empty table ${t.root}; pass .schema(...)")
+      t.read(sqlContext.sparkSession).schema
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new TxTableStreamSource(sqlContext, tableOf(parameters), declared,
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
+}
+
+private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
+    override val schema: StructType, skipChangeCommits: Boolean) extends Source {
+
+  private def version(o: OffsetV1): Int = o match {
+    case LongOffset(v) => v.toInt
+    case so: SerializedOffset => LongOffset(so).offset.toInt
+    case other => throw new IllegalStateException(s"unexpected offset $other")
+  }
+
+  /** Latest committed table version; None before the first commit (the
+    * engine polls again rather than planning an empty batch). */
+  override def getOffset: Option[OffsetV1] = {
+    val v = table.currentVersion
+    if (v == 0) None else Some(LongOffset(v.toLong))
+  }
+
+  /** The appended rows of versions (start, end], conformed to the
+    * declared schema (a later schema-evolved append may carry columns an
+    * early batch's files lack — those read NULL, the table's own read
+    * rule) and re-wrapped as a streaming frame. */
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val fromV = start.map(version).getOrElse(0)
+    val toV = version(end)
+    val changes = table
+      .changesBetween(sqlContext.sparkSession, fromV, toV, skipChangeCommits)
+    val conformed = changes.select(schema.fieldNames.map { name =>
+      if (changes.columns.contains(name)) col(name)
+      else lit(null).cast(schema(name).dataType).as(name)
+    }.toSeq: _*)
+    GraftSqlInternal.ofStreamingBatch(conformed)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -198,6 +198,55 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       keptFiles = kept.size, newFiles = entries.size)
   }
 
+  // -------------------------------------------------------- change data feed
+
+  /** The file-level delta of version `v` relative to `v-1`: the entries
+    * v ADDED and how many of v-1's files it REMOVED. An append-only
+    * commit removes nothing; merge/compact/z-order/delete remove files
+    * (a CHANGE commit — its added bytes are rewrites, not new rows). */
+  def versionDelta(v: Int): VersionDelta = {
+    require(v >= 1, s"version $v has no delta (version 0 is the empty table)")
+    val cur = snapshot(Some(v)).files
+    val prev = if (v == 1) Nil else snapshot(Some(v - 1)).files
+    val prevPaths = prev.map(_.path).toSet
+    val curPaths = cur.map(_.path).toSet
+    VersionDelta(v, cur.filterNot(f => prevPaths(f.path)),
+      removedFiles = prev.count(f => !curPaths(f.path)))
+  }
+
+  /** Change-data-feed read: the rows APPENDED in versions (fromV, toV],
+    * each tagged `_commit_version` — planned entirely from manifest
+    * diffs, reading only the added files (at 100 TB an incremental
+    * consumer reads one batch's bytes, never the table). A version that
+    * also removed files is a CHANGE commit — its added files hold
+    * rewritten history, not new rows, so appended-rows semantics cannot
+    * be reconstructed from the file level alone: the default REFUSES
+    * loudly; `skipChangeCommits = true` skips those versions whole
+    * (the Delta streaming-source contract). */
+  def changesBetween(spark: SparkSession, fromV: Int, toV: Int,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    require(0 <= fromV && fromV <= toV && toV <= currentVersion,
+      s"bad change range [$fromV, $toV] for table at version $currentVersion")
+    val deltas = ((fromV + 1) to toV).map(versionDelta)
+    val changed = deltas.filter(_.removedFiles > 0)
+    if (changed.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"versions ${changed.map(_.version).mkString(",")} of $root rewrote files " +
+          "(merge/compact/z-order/delete); their added files are not appended rows. " +
+          "Pass skipChangeCommits=true to skip them, or consume the full snapshot.")
+    val frames = deltas.filter(d => d.removedFiles == 0 && d.added.nonEmpty).map { d =>
+      spark.read.option("mergeSchema", "true")
+        .parquet(d.added.map(f => dataDir.resolve(f.path).toString): _*)
+        .withColumn("_commit_version", lit(d.version.toLong))
+    }
+    frames match {
+      case Seq() => // schema-bearing empty frame (a skip-only range)
+        read(spark, Some(toV)).filter(lit(false))
+          .withColumn("_commit_version", lit(0L))
+      case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** Copy-on-write DELETE of rows with `lo <= statCol <= hi`. The
     * manifest stats split the file list three ways, and only one class
     * costs a data read:
@@ -469,6 +518,11 @@ object TxTable {
     * filtered into `newFiles`, `keptFiles` were provably untouched. */
   final case class DeleteResult(version: Int, droppedFiles: Int,
       rewrittenFiles: Int, keptFiles: Int, newFiles: Int)
+
+  /** One version's file-level change: what it added, how many it removed.
+    * `removedFiles > 0` marks a change (rewrite) commit. */
+  final case class VersionDelta(version: Int, added: Seq[FileEntry],
+      removedFiles: Int)
 
   private val ManifestName = """v(\d{8})\.txt""".r
 
