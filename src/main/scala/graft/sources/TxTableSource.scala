@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.GraftSqlInternal
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
@@ -32,9 +33,15 @@ import graft.tables.TxTable
   * {{{
   *   spark.readStream.format("graft.sources.TxTableSource")
   *     .option("path", tableRoot)
-  *     .option("skipChangeCommits", "true")   // optional
+  *     .option("skipChangeCommits", "true")     // optional
+  *     .option("maxVersionsPerTrigger", "2")    // optional backpressure
   *     .load()
   * }}}
+  *
+  * Implements [[SupportsTriggerAvailableNow]] for real: AvailableNow pins
+  * the end version at query start and drains to it in
+  * admission-controlled batches (`maxVersionsPerTrigger` versions each)
+  * rather than the engine's single-uncontrolled-batch fallback.
   */
 class TxTableSource extends StreamSourceProvider with DataSourceRegister {
 
@@ -59,22 +66,63 @@ class TxTableSource extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxVersions.foreach(n => require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
     new TxTableStreamSource(sqlContext, tableOf(parameters), declared,
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      maxVersionsPerTrigger = maxVersions)
   }
 }
 
 private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
-    override val schema: StructType, skipChangeCommits: Boolean) extends Source {
+    override val schema: StructType, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int])
+  extends Source with SupportsTriggerAvailableNow {
 
-  private def version(o: OffsetV1): Int = o match {
+  private def version(o: AnyRef): Int = o match {
+    case null => 0
     case LongOffset(v) => v.toInt
     case so: SerializedOffset => LongOffset(so).offset.toInt
     case other => throw new IllegalStateException(s"unexpected offset $other")
   }
 
-  /** Latest committed table version; None before the first commit (the
-    * engine polls again rather than planning an empty batch). */
+  /** End version pinned at query start by [[prepareForTriggerAvailableNow]]:
+    * an AvailableNow run drains to the snapshot it saw when it started and
+    * terminates — a producer committing DURING the run is left, whole, for
+    * the next run's checkpointed restart (the FileStreamSource contract;
+    * without this the engine falls back to one uncontrolled batch). */
+  private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.currentVersion)
+
+  /** The admission unit is a table VERSION (= one commit's file set —
+    * capping versions caps files read per batch, Delta's maxFilesPerTrigger
+    * shape); `ReadMaxFiles` is the engine's carrier for that count. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Next batch's end version: the current snapshot (or the AvailableNow
+    * pin), held back to at most `maxVersionsPerTrigger` new versions; null
+    * when caught up, which ends an AvailableNow run. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = version(start)
+    val ceiling = availableNowEnd.getOrElse(table.currentVersion)
+    val to = limit match {
+      case f: ReadMaxFiles => math.min(ceiling, from + f.maxFiles())
+      case _ => ceiling
+    }
+    if (to <= from) null else LongOffset(to.toLong)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = table.currentVersion
+    if (v == 0) null else LongOffset(v.toLong)
+  }
+
+  /** Latest committed table version; None before the first commit. Kept
+    * for the V1 `Source` contract — the engine routes admission-control
+    * sources through [[latestOffset]] instead. */
   override def getOffset: Option[OffsetV1] = {
     val v = table.currentVersion
     if (v == 0) None else Some(LongOffset(v.toLong))

@@ -84,6 +84,29 @@ class TxTableSourceSpec extends AnyFunSuite with SparkFixture {
     assert(sinkKeys(out) == (0L until 60L))
   }
 
+  test("AvailableNow honors maxVersionsPerTrigger: capped batches, drains to the start snapshot") {
+    val root = Files.createTempDirectory("graft_txsrc_bp").toString
+    val ckpt = Files.createTempDirectory("graft_txsrc_bp_ckpt").toString
+    val out = Files.createTempDirectory("graft_txsrc_bp_out").toString
+    val t = new TxTable(root, Seq("k"))
+    (0 until 5).foreach(i => t.append(spark, keyed(i * 10L, i * 10L + 10L))) // v1..v5
+
+    val q = spark.readStream.format("graft.sources.TxTableSource")
+      .option("path", root).option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "capped AvailableNow run did not finish")
+
+    // all 5 pending versions arrive — but in ceil(5/2)=3 admission-controlled
+    // micro-batches, not the single uncontrolled fallback batch (the offsets
+    // log has one entry per planned batch)
+    assert(sinkKeys(out) == (0L until 50L))
+    val batches = new java.io.File(ckpt, "offsets").list().count(!_.contains("."))
+    assert(batches == 3, s"expected 3 capped batches, offsets log has $batches")
+  }
+
   test("changesBetween tags rows with their commit version and refuses change commits by default") {
     val root = Files.createTempDirectory("graft_txsrc_cdc").toString
     val t = new TxTable(root, Seq("k"))
