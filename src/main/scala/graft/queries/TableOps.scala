@@ -162,8 +162,17 @@ object TableOps {
   /** The build + CDC read behind [[q_table_changes]], exposed so the
     * spec can pin row-level tags and the change-commit refusal. */
   private[graft] def changesApplied(spark: SparkSession, dir: String): DataFrame = {
+    // read-only: every caller shares the published table directly
+    new TxTable(changesTableRoot(spark, dir), Seq("user_id"))
+      .changesBetween(spark, 0, 4, skipChangeCommits = true)
+  }
+
+  /** The shared 3-append + compaction table build behind
+    * [[q_table_changes]] and [[q_table_timetravel]] (write-once published
+    * per source fingerprint). */
+  private def changesTableRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
-    val root = Tables.publishOnce(s"graft_tablechanges_$fp") { tmp =>
+    Tables.publishOnce(s"graft_tablechanges_$fp") { tmp =>
       val t = new TxTable(tmp, Seq("user_id"))
       val ev = Tables.events(spark, dir)
         .select(col("user_id"), col("event_type"), col("value"))
@@ -171,10 +180,24 @@ object TableOps {
       t.compact(spark, smallRows = Long.MaxValue / 2) // v4: a change commit
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
     }
-    // read-only: every caller shares the published table directly
-    new TxTable(root, Seq("user_id"))
-      .changesBetween(spark, 0, 4, skipChangeCommits = true)
   }
+
+  /** Time travel through the gate: `versionAsOf = 2` on the same
+    * 3-append + compaction table reads the MID-HISTORY snapshot — exactly
+    * appends 1 and 2 (`user_id % 3 IN (0, 1)`) — even though version 4
+    * has since rewritten every live file. A snapshot IS its manifest, so
+    * the old version plans a scan over the original append files, still
+    * on disk until vacuum; DuckDB reconstructs the same content from the
+    * deterministic split rule. TxTableSpec pins the file accounting;
+    * this pins the row-level answer of the historical read. */
+  def q_table_timetravel(spark: SparkSession, dir: String): DataFrame =
+    new TxTable(changesTableRoot(spark, dir), Seq("user_id"))
+      .read(spark, versionAsOf = Some(2))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
 
   /** The broker-shaped source's BATCH face through the gate: a
     * deterministic 6000-record topic (3 partitions, records dealt
@@ -208,6 +231,7 @@ object TableOps {
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
+    "q_table_timetravel" -> q_table_timetravel _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -244,6 +268,12 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY user_id % 3 + 1 ORDER BY commit_version""".stripMargin,
+    "q_table_timetravel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 3 IN (0, 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (
         |  SELECT r AS event_id, r % 97 AS user_id, CAST(r AS DOUBLE) * 0.5 AS "value"
