@@ -83,5 +83,27 @@ class SilverAggSpec extends AnyFunSuite with SparkFixture {
     run()
     assert(silver.currentVersion == v, "an idle run must not commit")
     assert(landed() == full)
+
+    // and the silver table is itself a stream: a downstream consumer
+    // reads the finalized windows off the change feed — the full
+    // medallion loop (broker → watermarked agg → table → stream) with
+    // exactly-once at every hop. Appends are never change commits, so
+    // no skipChangeCommits is needed.
+    val gold = Files.createTempDirectory("graft_silver_gold").toString
+    val goldCkpt = Files.createTempDirectory("graft_silver_gold_ckpt").toString
+    def consume(): Unit = {
+      val q = spark.readStream.format("graft.sources.TxTableSource")
+        .option("path", silverRoot).load()
+        .writeStream.format("parquet").option("path", gold)
+        .option("checkpointLocation", goldCkpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "downstream consumer did not finish")
+    }
+    consume()
+    val downstream = spark.read.parquet(gold)
+      .select(col("ws_s"), col("n"), col("v_sum"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, (r._2, r._3))).toMap
+    assert(downstream == full,
+      "the change-feed consumer must see exactly the finalized windows, once")
   }
 }
