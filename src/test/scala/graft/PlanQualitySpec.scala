@@ -359,22 +359,39 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("SUITE-WIDE: no query plans a CartesianProduct except the declared cross join") {
-    // The one quadratic-blowup physical operator nothing here should ever
-    // need: every pair-producing query buckets, broadcasts, or windows
-    // instead. (BroadcastNestedLoopJoin with a tiny broadcast side — the
-    // 1-row stats frames, 10-row query sides — is fine and NOT flagged.)
-    // Runs every registered query at sf0.001, so any future addition that
-    // regresses into a cartesian fails here without needing its own test.
-    val declared = Set("q_join_cross")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !declared(name) =>
-        val df = fn(spark, sf)
-        df.collect()
-        val plan = df.queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
-      case _ => None
+  test("SUITE-WIDE: no CartesianProduct (save the declared cross join), no all-rows-to-one-partition window") {
+    // The two scale-killing physical shapes nothing here should ever need:
+    // a CartesianProduct (every pair-producing query buckets, broadcasts,
+    // or windows instead — BroadcastNestedLoopJoin with a tiny broadcast
+    // side is fine and NOT flagged), and a Window co-planned with an
+    // `Exchange SinglePartition` (ALL rows moved to one task to sort —
+    // the round-5 weak pattern; those five offenders now take top-k or
+    // two-phase-offset plans). The window check is a string co-occurrence
+    // over the AQE FINAL plan, so it over-approximates: queries where the
+    // single-partition exchange is a ≤O(parallelism)-row frame unrelated
+    // to (or deliberately under) the window are declared below, each
+    // pinned precisely by its own contract test above. Runs every
+    // registered query at sf0.001, so any future addition that regresses
+    // into either shape fails here without needing its own test.
+    val declaredCross = Set("q_join_cross")
+    val declaredSmallFrame = Set(
+      "q_ann_sq8",       // window partitioned by a_id; the exchange is the 1-row SQ8 scale agg
+      "q_topk_approx",   // window over a TakeOrderedAndProject 3-row frame; exchange is the sketch merge
+      "q_global_rownum", // two-phase offsets: the window reads the 32-row per-partition summary
+      "q_seq_pack",      // same two-phase offset pattern (contract-tested above)
+      "q_shard_pack")    // same two-phase offset pattern (contract-tested above)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect()
+      // AQE repeats the pre-adaptive plan under "== Initial Plan ==" —
+      // audit only the final plan
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val cartesian = !declaredCross(name) && plan.contains("CartesianProduct")
+      val globalWindow = !declaredSmallFrame(name) &&
+        plan.contains("Window") && plan.contains("Exchange SinglePartition")
+      (if (cartesian) Some(s"$name:cartesian") else None) ++
+        (if (globalWindow) Some(s"$name:global-window") else None)
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(offenders.isEmpty, s"scale-killing plans in: $offenders")
   }
 }
