@@ -81,6 +81,18 @@ object Bench {
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2000 chars of output, and the full
+    // per-query line above is ~4000 chars at 149 queries — it can never
+    // parse from that window (every prior round's BENCH artifact shows
+    // `parsed: null` with the line truncated mid-JSON). Emit a compact
+    // summary LAST, sized well inside the window: suite total, query
+    // count, any errors, and the slowest queries (the only per-query
+    // numbers that matter for regression triage). Locale-pinned so the
+    // decimal separator is always '.'.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

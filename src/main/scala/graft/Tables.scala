@@ -55,26 +55,27 @@ object Tables {
   // on EVERY call, and with 120+ bench queries × several tables each that
   // fixed cost dominates the suite tail. The resolved LogicalRelation is
   // immutable and the testdata is static for a round, so reuse it per
-  // (session, dir, table). The per-session map is held WEAKLY on the live
-  // session object: identityHashCode keys (round-5 form) could collide
-  // between a stopped session and a new one — handing the new session a
-  // DataFrame bound to the dead one — and pinned every cached plan for the
-  // JVM lifetime. A WeakHashMap entry dies with its session, so neither
-  // cross-session collision nor unbounded growth is possible.
+  // (session, dir, table). Keying by the live session object (not
+  // identityHashCode, the round-5 form) makes cross-session collisions
+  // impossible. A WeakHashMap (round-6 form) could NOT expire these
+  // entries: each value map holds DataFrames, a DataFrame strongly
+  // references its SparkSession, and a WeakHashMap key that is strongly
+  // reachable through its own value never clears — so stopped sessions'
+  // plans stayed pinned for the JVM lifetime anyway. Be explicit instead:
+  // a strong map, pruned of stopped-context sessions on every access.
+  // Release is deterministic (the access after `stop()` drops them), and
+  // live-session entries are exactly the ones worth keeping.
   private val perSession =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
 
   private def sessionMap(
-      spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
-    perSession.synchronized {
-      var m = perSession.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-        perSession.put(spark, m)
-      }
-      m
-    }
+      spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, AnyRef] = {
+    val it = perSession.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    perSession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+  }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensure(spark)

@@ -35,6 +35,38 @@ object TableOps {
     } finally walk.close()
   }
 
+  private def deleteTree(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  // Temp copies whose frames are still live (the spec-facing lazy path)
+  // are reclaimed at JVM exit — without this, every invocation leaked a
+  // table-sized tree for the tmpdir lifetime.
+  private val tempRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook(tempRoots.forEach(r => deleteTree(r)))
+
+  /** Run a mutating table op on a private temp copy of `published`,
+    * MATERIALIZE the (aggregate-sized) result, and delete the copy
+    * before returning. Calls stay independent — each gets its own copy —
+    * but no longer accumulate temp trees across Verify/Bench warm-up +
+    * timed runs. The collect is of a ≤ few-hundred-row aggregate, the
+    * same driver-side budget as the suite's broadcast-sized frames. */
+  private def mutatedAggregate(spark: SparkSession, published: String,
+      prefix: String)(build: String => DataFrame): DataFrame = {
+    val root = Files.createTempDirectory(prefix).toString
+    copyTree(published, root)
+    try {
+      val df = build(root)
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally deleteTree(root)
+  }
+
   /** Per-FILE min/max data skipping through the table layer: events land
     * as 16 range-partitioned files (disjoint user_id ranges recorded in
     * the manifest), then a selective `user_id BETWEEN 2 AND 4` probe
@@ -86,20 +118,28 @@ object TableOps {
     * delete's row-level semantics are oracle-pinned, not just
     * file-accounting-pinned (TxTableSpec covers that). */
   def q_table_delete(spark: SparkSession, dir: String): DataFrame =
-    deleteApplied(spark, dir)._2
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
-        countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("event_type"))
+    mutatedAggregate(spark, eventsTableRoot(spark, dir), "graft_q_table_delete") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.delete(spark, "user_id", 3, 7)
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
 
   /** The copy + delete + read behind [[q_table_delete]], exposed so the
-    * spec can assert files were dropped/kept, not just rows removed. */
+    * spec can assert files were dropped/kept, not just rows removed. The
+    * returned frame stays LAZY over the temp copy (the spec inspects
+    * file accounting), so the copy is reclaimed by the shutdown hook,
+    * not eagerly. */
   private[graft] def deleteApplied(
       spark: SparkSession, dir: String): (TxTable.DeleteResult, DataFrame) = {
     val published = eventsTableRoot(spark, dir)
     // delete MUTATES: work on a private copy so calls stay independent
     val root = Files.createTempDirectory("graft_q_table_delete").toString
+    tempRoots.add(root)
     copyTree(published, root)
     val t = new TxTable(root, Seq("user_id"))
     val r = t.delete(spark, "user_id", 3, 7)
@@ -126,19 +166,19 @@ object TableOps {
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
     }
     // merge MUTATES: work on a private copy so calls stay independent
-    val root = Files.createTempDirectory("graft_q_table_merge").toString
-    copyTree(published, root)
-    val t = new TxTable(root, Seq("o_orderkey"))
-    val updates = base.filter(col("o_orderkey") <= 300)
-      .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"))
-    val inserts = spark.range(10)
-      .select((-col("id") - 1).as("o_orderkey"),
-        lit("9-INSERTED").as("o_orderpriority"))
-    t.merge(spark, updates.unionByName(inserts), "o_orderkey")
-    t.read(spark)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-      .orderBy(col("o_orderpriority"))
+    mutatedAggregate(spark, published, "graft_q_table_merge") { root =>
+      val t = new TxTable(root, Seq("o_orderkey"))
+      val updates = base.filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"))
+      val inserts = spark.range(10)
+        .select((-col("id") - 1).as("o_orderkey"),
+          lit("9-INSERTED").as("o_orderpriority"))
+      t.merge(spark, updates.unionByName(inserts), "o_orderkey")
+      t.read(spark)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderpriority"))
+    }
   }
 
   /** Change-data-feed read through the table layer: events land in

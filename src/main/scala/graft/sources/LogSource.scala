@@ -59,25 +59,43 @@ object LogSource {
     StructField("value", DoubleType, nullable = false)))
 
   /** Producer face: publish records as ONE new immutable segment of
-    * `partition`, atomically (staged write + rename — a consumer lists
-    * either the whole segment or nothing). Segments are NAMED BY BASE
-    * OFFSET (Kafka's own layout): the next base is the last segment's
-    * base plus its record count, so discovering the partition's end
-    * offset counts exactly one file — ever. Returns the segment path. */
+    * `partition`, atomically (staged write + put-if-absent publish — a
+    * consumer lists either the whole segment or nothing). Segments are
+    * NAMED BY BASE OFFSET (Kafka's own layout): the next base is the
+    * last segment's base plus its record count, so discovering the
+    * partition's end offset counts exactly one file — ever.
+    *
+    * Publish is `Files.createLink` (hard link), NOT ATOMIC_MOVE: on
+    * Linux an atomic move silently REPLACES an existing target, so two
+    * concurrent producers that list the same segments compute the same
+    * base and one would overwrite the other, losing records. A hard
+    * link is POSIX put-if-absent (same hazard TxTable's commit guards
+    * against); the loser sees FileAlreadyExistsException, recomputes
+    * the base from the winner's now-visible segment, and retries.
+    * Returns the segment path. */
   def append(root: String, partition: Int,
       rows: Seq[(Long, Long, Long, Double)]): Path = {
     val dir = Paths.get(root, s"p=$partition")
     Files.createDirectories(dir)
-    val segs = segmentsOf(dir)
-    val base =
-      if (segs.isEmpty) 0L else baseOf(segs.last) + countLines(segs.last)
     val body = rows.map { case (id, tsUs, user, v) => s"$id\t$tsUs\t$user\t$v" }
       .mkString("", "\n", if (rows.isEmpty) "" else "\n")
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes("UTF-8"))
-    val seg = dir.resolve(f"seg-$base%016d.log")
-    Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
-    seg
+    try {
+      while (true) {
+        val segs = segmentsOf(dir)
+        val base =
+          if (segs.isEmpty) 0L else baseOf(segs.last) + countLines(segs.last)
+        val seg = dir.resolve(f"seg-$base%016d.log")
+        try {
+          Files.createLink(seg, tmp)
+          return seg
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // lost the race; recompute base
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally Files.deleteIfExists(tmp)
   }
 
   private[sources] def baseOf(seg: Path): Long =

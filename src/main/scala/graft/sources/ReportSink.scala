@@ -87,12 +87,13 @@ private class ReportBatchWrite(path: String, schema: StructType,
     }
     if (truncate) {
       val keep = names.toSet
-      val stale = Files.list(dir).iterator()
-      while (stale.hasNext) {
-        val f = stale.next()
-        val n = f.getFileName.toString
+      // listFiles(), not Files.list: the stream variant holds a directory
+      // fd until closed, and an unclosed one leaks a handle per overwrite
+      // commit for the JVM lifetime.
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
         if (n.startsWith("part-") && n.endsWith(".txt") && !keep.contains(n))
-          Files.deleteIfExists(f)
+          Files.deleteIfExists(f.toPath)
       }
     }
     Files.write(dir.resolve("_MANIFEST"),

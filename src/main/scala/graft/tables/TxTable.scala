@@ -350,6 +350,19 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       s"z-order columns must be stat columns ($statCols)")
     val base = snapshot()
     require(base.version > 0, "cluster an empty table?")
+    // The 16-bit interleave is only meaningful on [0, 2^16): a negative
+    // or wider value contributes just its low 16 bits (sign bits
+    // included), producing a useless Morton order — content would stay
+    // correct but the advertised readWhere pruning would silently
+    // vanish. The manifest stats already hold every file's min/max, so
+    // enforce the domain loudly here instead of degrading.
+    for (c <- Seq(c1, c2)) {
+      val mn = base.files.map(_.mins(c)).min
+      val mx = base.files.map(_.maxs(c)).max
+      require(mn >= 0L && mx < 65536L,
+        s"z-order column $c has range [$mn, $mx] outside [0, 65536); " +
+          "quantile-bucket it to 16 bits before clustering")
+    }
     val z = (0 until 16).map { k =>
       shiftleft(shiftright(col(c1), k).bitwiseAND(lit(1L)), 2 * k) +
         shiftleft(shiftright(col(c2), k).bitwiseAND(lit(1L)), 2 * k + 1)
