@@ -30,6 +30,9 @@ object Bench {
     try { queries.TableOps.q_table_delete(spark, sfDir).count() } catch { case _: Throwable => () }
     // q_table_changes' 3-append + compact build is likewise one-time ingest
     try { queries.TableOps.q_table_changes(spark, sfDir).count() } catch { case _: Throwable => () }
+    // q_table_evolve's 8-banded-append + evolveStats build too; the timed
+    // query measures the evolved pruned read
+    try { queries.TableOps.q_table_evolve(spark, sfDir).count() } catch { case _: Throwable => () }
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
     try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -239,6 +239,60 @@ object TableOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** STATS EVOLUTION through the gate (partition-layout re-key without
+    * rewriting history, manifest-only): events land in 8 sequential
+    * appends, each a narrow `event_id` band — the streaming-ingest shape
+    * where ingest-order ids cluster tightly per file — but the table
+    * declares stats ONLY on `user_id`, so an `event_id` probe must scan
+    * all 16 files. `evolveStats(event_id)` records per-file min/max for
+    * the new column in one distributed pass: zero bytes rewritten, every
+    * file carried by name, and the SAME probe now plans a scan over just
+    * the one append's files. At 100 TB this is ALTER TABLE for pruning:
+    * a retroactive skipping column for the cost of one read, no rewrite,
+    * no downtime. The probe window is the second band [n/8, 2·n/8), so
+    * the oracle is sf-independent; the answer is DuckDB-checked and the
+    * spec pins that files really were pruned post-evolution. */
+  def q_table_evolve(spark: SparkSession, dir: String): DataFrame =
+    evolvePruned(spark, dir).df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** The build + evolved pruned read behind [[q_table_evolve]], exposed
+    * so the spec can assert `filesScanned < filesTotal` on the NEW stat
+    * column — the evolution must actually enable the skip. */
+  private[graft] def evolvePruned(spark: SparkSession, dir: String): TxTable.PrunedRead = {
+    // post-evolution readers declare the widened stat columns
+    val t = new TxTable(evolveTableRoot(spark, dir), Seq("user_id", "event_id"))
+    val n = t.snapshot().files.map(_.rows).sum // O(files) driver metadata, no job
+    val band = n / 8
+    t.readWhere(spark, "event_id", band, 2 * band - 1)
+  }
+
+  /** The shared 8-banded-append + evolveStats build behind
+    * [[q_table_evolve]] (write-once published per source fingerprint).
+    * Appends declare stats only on user_id; version 9 is the evolution. */
+  private def evolveTableRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    Tables.publishOnce(s"graft_tableevolve_$fp") { tmp =>
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val n = ev.count()
+      val band = n / 8
+      val t = new TxTable(tmp, Seq("user_id"))
+      (0 until 8).foreach { k =>
+        val lo = k * band
+        val hi = if (k == 7) n else (k + 1) * band
+        t.append(spark,
+          ev.filter(col("event_id") >= lo && col("event_id") < hi).repartition(2))
+      }
+      t.evolveStats(spark, Seq("event_id"))
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+  }
+
   /** The broker-shaped source's BATCH face through the gate: a
     * deterministic 6000-record topic (3 partitions, records dealt
     * round-robin, several segments each — written once by the pure-JVM
@@ -272,6 +326,7 @@ object TableOps {
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
     "q_table_timetravel" -> q_table_timetravel _,
+    "q_table_evolve" -> q_table_evolve _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -313,6 +368,14 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 3 IN (0, 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_evolve" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE event_id >= (SELECT count(*) // 8 FROM events)
+        |  AND event_id < 2 * (SELECT count(*) // 8 FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (

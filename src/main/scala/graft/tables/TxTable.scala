@@ -102,9 +102,10 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
   def readWhere(spark: SparkSession, statCol: String, lo: Long, hi: Long): PrunedRead = {
     require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
     val s = snapshot()
+    // A file with no recorded stats for this column (appended by a writer
+    // declared before a stats evolution) cannot be pruned soundly — scan it.
     val keep = s.files.filter { f =>
-      val mn = f.mins(statCol); val mx = f.maxs(statCol)
-      mx >= lo && mn <= hi
+      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
@@ -157,15 +158,20 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       source: DataFrame, key: String): MergeResult = {
     require(statCols.contains(key), s"merge key $key must be a stat column")
     require(base.version > 0, "merge into an empty table: use append")
+    // Files without recorded stats for the key (possible after a stats
+    // evolution widened the column set mid-history) are unconditional
+    // rewrite candidates — no interval can prove them key-free.
+    val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
     val hitPaths: Set[String] = {
       import spark.implicits._
-      val intervals = base.files
+      val intervals = statful
         .map(f => (f.path, f.mins(key), f.maxs(key)))
         .toDF("__path", "__mn", "__mx")
       source.select(col(key).cast("long").as("__k"))
         .join(broadcast(intervals),
           col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-        .select("__path").distinct().as[String].collect().toSet
+        .select("__path").distinct().as[String].collect().toSet ++
+        statless.map(_.path)
     }
     val (candidates, kept) = base.files.partition(f => hitPaths.contains(f.path))
     val src = source
@@ -274,11 +280,14 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       statCol: String, lo: Long, hi: Long): DeleteResult = {
     require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
     require(base.version > 0, "delete from an empty table?")
+    // Missing stats (a narrow-writer append after a stats evolution):
+    // the file MAY hold victims (touched) but can never be proven fully
+    // covered — it lands in the rewrite class, which is always sound.
     val (touched, kept) = base.files.partition { f =>
-      f.maxs(statCol) >= lo && f.mins(statCol) <= hi
+      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
     }
     val (covered, straddling) = touched.partition { f =>
-      lo <= f.mins(statCol) && f.maxs(statCol) <= hi
+      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
     }
     val entries =
       if (straddling.isEmpty) Nil
@@ -357,8 +366,11 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     // vanish. The manifest stats already hold every file's min/max, so
     // enforce the domain loudly here instead of degrading.
     for (c <- Seq(c1, c2)) {
-      val mn = base.files.map(_.mins(c)).min
-      val mx = base.files.map(_.maxs(c)).max
+      val mns = base.files.flatMap(_.mins.get(c))
+      val mxs = base.files.flatMap(_.maxs.get(c))
+      require(mns.size == base.files.size,
+        s"some files carry no stats for $c; run evolveStats(Seq($c)) first")
+      val mn = mns.min; val mx = mxs.max
       require(mn >= 0L && mx < 65536L,
         s"z-order column $c has range [$mn, $mx] outside [0, 65536); " +
           "quantile-bucket it to 16 bits before clustering")
@@ -382,6 +394,55 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       }
     MergeResult(version, rewrittenFiles = base.files.size,
       keptFiles = 0, newFiles = entries.size)
+  }
+
+  /** STATS EVOLUTION — the manifest-only half of partition evolution
+    * (clusterZorder is the data-moving half): record min/max of `cols`
+    * for every CURRENT file in a new manifest version. ONE distributed
+    * stats pass over the existing files, zero bytes rewritten, every
+    * file carried BY NAME. The production story: a table ingested with
+    * stats only on its partition key cannot prune probes on a second,
+    * naturally-clustered column — yet streaming/batched ingest clusters
+    * ingest-order ids tightly per file whether or not anyone declared
+    * them. Evolving stats turns that latent clustering into manifest
+    * skipping retroactively, for the cost of one read — no rewrite, no
+    * downtime, history intact. Readers that want the new pruning
+    * construct the table with the widened statCols; files appended
+    * later by not-yet-widened writers simply carry no stats for the new
+    * columns and are conservatively scanned (readWhere/delete/merge all
+    * treat missing stats as "cannot prune"). A lost commit race ABORTS
+    * like merge — the stats were computed against a snapshot that no
+    * longer exists. */
+  def evolveStats(spark: SparkSession, cols: Seq[String]): Int = {
+    val base = snapshot()
+    require(base.version > 0, "evolve an empty table?")
+    require(cols.nonEmpty, "no columns to evolve")
+    val statAggs = count(lit(1)).as("__rows") +: flatStats(cols)
+    val byFile = spark.read.option("mergeSchema", "true")
+      .parquet(base.files.map(f => dataDir.resolve(f.path).toString): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .collect()
+      .map { r =>
+        Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
+          .getFileName.toString -> r
+      }.toMap
+    val evolved = base.files.map { f =>
+      val r = byFile.getOrElse(f.path, throw new IllegalStateException(
+        s"stats pass saw no rows for ${f.path} — manifest names a missing or empty file"))
+      // integrity cross-check: the pass must see exactly the manifest's rows
+      require(r.getAs[Long]("__rows") == f.rows,
+        s"stats pass counted ${r.getAs[Long]("__rows")} rows in ${f.path}; manifest says ${f.rows}")
+      f.copy(
+        mins = f.mins ++ cols.map(c => c -> r.getAs[Long](s"__min_$c")),
+        maxs = f.maxs ++ cols.map(c => c -> r.getAs[Long](s"__max_$c")))
+    }
+    try commitOnce(base) { _ => evolved }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"stats evolution of $root lost the commit race; re-run against the new snapshot")
+    }
   }
 
   /** Vacuum: delete data files referenced by NO manifest version newer

@@ -153,4 +153,32 @@ class LogSourceSpec extends AnyFunSuite with SparkFixture {
     val stream = new graft.sources.LogSourceTestHook(root)
     assert(stream.latest() == Map(0 -> 9L))
   }
+
+  test("concurrent producers to one partition never overwrite each other's segment") {
+    // Both racers list the same (empty) segment set, compute base 0, and
+    // publish: put-if-absent hard-link makes one win seg-0; the loser
+    // must recompute the base from the winner's now-visible segment and
+    // land at the next offset — an ATOMIC_MOVE publish silently REPLACED
+    // the first segment here, losing its records.
+    val root = Files.createTempDirectory("graft_log_race").toString
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def racer(lo: Long): java.util.concurrent.Future[java.nio.file.Path] =
+      pool.submit { () =>
+        gate.await(10, TimeUnit.SECONDS)
+        LogSource.append(root, 0, (lo until lo + 10L).map(rec))
+      }
+    val (a, b) = (racer(0), racer(100))
+    gate.countDown()
+    a.get(60, TimeUnit.SECONDS); b.get(60, TimeUnit.SECONDS)
+    pool.shutdown()
+    val names = Option(Paths.get(root, "p=0").toFile.list()).get.sorted.toSeq
+    assert(names == Seq("seg-0000000000000000.log", "seg-0000000000000010.log"),
+      s"expected two contiguous segments, got $names")
+    // all 20 records present exactly once, whatever the race order
+    val ids = spark.read.format("graft.sources.LogSource").option("path", root)
+      .load().select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 10L) ++ (100L until 110L)).sorted)
+  }
 }

@@ -210,4 +210,82 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(r.droppedFiles >= 1,
       s"range files fully inside [3,7] should leave metadata-only, got $r")
   }
+
+  /** One file per append; `j` is banded per append (the ingest-order
+    * column nobody declared stats on), `k` scattered. */
+  private def banded(lo: Long, hi: Long) = {
+    import spark.implicits._
+    spark.range(lo, hi).toDF("j")
+      .withColumn("k", col("j") % 7)
+      .repartition(1)
+  }
+
+  test("evolveStats is manifest-only: files kept by name, new-column pruning enabled, history intact") {
+    val t = freshTable(Seq("k"))
+    (0 until 4).foreach(b => t.append(spark, banded(b * 100L, b * 100L + 100L)))
+    val before = t.snapshot()
+    val wide = new TxTable(t.root, Seq("k", "j"))
+    // pre-evolution: no file carries j stats, so a j probe must
+    // conservatively scan everything — and still answer exactly
+    val pre = wide.readWhere(spark, "j", 150, 249)
+    assert(pre.filesScanned == pre.filesTotal && pre.filesTotal == 4)
+    assert(pre.df.count() == 100)
+    assert(wide.evolveStats(spark, Seq("j")) == before.version + 1)
+    val after = wide.snapshot()
+    assert(after.files.map(_.path).sorted == before.files.map(_.path).sorted,
+      "evolution must not rewrite or rename a single data file")
+    // the same probe now prunes to the two bands it intersects
+    val post = wide.readWhere(spark, "j", 150, 249)
+    assert(post.filesScanned == 2 && post.filesTotal == 4)
+    assert(post.df.select(col("j")).as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == (150L to 249L))
+    // pre-evolution snapshot still time-travels
+    assert(wide.read(spark, Some(before.version)).count() == 400)
+  }
+
+  test("files appended after evolution by a narrow writer are conservatively scanned; delete/merge stay sound") {
+    val narrow = freshTable(Seq("k"))
+    narrow.append(spark, banded(0, 100))
+    val wide = new TxTable(narrow.root, Seq("k", "j"))
+    wide.evolveStats(spark, Seq("j"))
+    narrow.append(spark, banded(100, 200)) // carries NO j stats
+    // probe disjoint from the evolved file's j range: that file is
+    // pruned, the stat-less file must be scanned (no stats = no proof)
+    val pr = wide.readWhere(spark, "j", 150, 199)
+    assert(pr.filesScanned == 1 && pr.filesTotal == 2)
+    assert(pr.df.count() == 50)
+    // delete in the stat-less file's range: evolved file provably kept,
+    // stat-less file lands in the rewrite class (never metadata-dropped)
+    val d = wide.delete(spark, "j", 150, 199)
+    assert(d.keptFiles == 1 && d.droppedFiles == 0 && d.rewrittenFiles == 1)
+    assert(wide.read(spark).count() == 150)
+    // merge keyed on j: the remaining stat-less rewrite output has stats
+    // (written by the wide instance)... rebuild the mixed state first
+    narrow.append(spark, banded(200, 300)) // stat-less again
+    import spark.implicits._
+    val src = Seq((250L, 999L)).toDF("j", "k")
+    val m = wide.merge(spark, src, "j")
+    assert(m.rewrittenFiles >= 1, "the stat-less file must be a merge candidate")
+    val got = wide.read(spark).filter(col("j") === 250)
+      .select(col("k")).as[Long](spark.implicits.newLongEncoder).collect().toSeq
+    assert(got == Seq(999L))
+  }
+
+  test("clusterZorder refuses columns outside [0, 2^16) instead of silently degrading") {
+    val t = freshTable(Seq("k", "v"))
+    t.append(spark, keyed(-50, 50, 2)) // v = k*10 spans [-500, 490]
+    val e = intercept[IllegalArgumentException] {
+      t.clusterZorder(spark, "k", "v", 2)
+    }
+    assert(e.getMessage.contains("outside [0, 65536)"))
+  }
+
+  test("q_table_evolve's gate query prunes on the evolved column, not just rows") {
+    val pr = graft.queries.TableOps.evolvePruned(spark, "/root/testdata/sf0.001")
+    assert(pr.filesTotal >= 8, s"expected a many-file table, got ${pr.filesTotal}")
+    assert(pr.filesScanned < pr.filesTotal,
+      s"evolution enabled no skipping (${pr.filesScanned}/${pr.filesTotal})")
+    assert(pr.filesScanned <= 4,
+      s"one event_id band should hit one append's files, not ${pr.filesScanned}")
+  }
 }
