@@ -33,6 +33,9 @@ object Bench {
     // q_table_evolve's 8-banded-append + evolveStats build too; the timed
     // query measures the evolved pruned read
     try { queries.TableOps.q_table_evolve(spark, sfDir).count() } catch { case _: Throwable => () }
+    // q_table_multi's two-table split + atomic move build likewise; the
+    // timed query measures the group-consistent two-member read
+    try { queries.TableOps.q_table_multi(spark, sfDir).count() } catch { case _: Throwable => () }
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
     try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }

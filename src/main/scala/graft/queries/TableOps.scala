@@ -293,6 +293,58 @@ object TableOps {
     }
   }
 
+  /** MULTI-TABLE ATOMIC TRANSACTION through the gate
+    * ([[graft.tables.TxGroup]]): events split into a `hot` table (even
+    * users) and a `cold` table (odd users), group-committed together;
+    * then ONE transaction MOVES users 2 and 4 from hot to cold — a
+    * delete on one member plus an append on the other, made visible by
+    * a single group-manifest publish. No group reader ever sees the
+    * moved rows in both tables or in neither: the group pins (hot v,
+    * cold v) pairs, and the put-if-absent link that publishes the pair
+    * is the all-or-nothing point. The query reads BOTH members through
+    * the group's consistent cut and aggregates per (table, event_type);
+    * DuckDB reconstructs the post-move partition from the split rule.
+    * TxGroupSpec pins atomicity itself (crash window, race, conserved
+    * row total across every group version). */
+  def q_table_multi(spark: SparkSession, dir: String): DataFrame = {
+    val g = new graft.tables.TxGroup(multiTableRoot(spark, dir))
+    val hot = g.read(spark, "hot", Seq("user_id")).withColumn("tbl", lit("hot"))
+    val cold = g.read(spark, "cold", Seq("user_id")).withColumn("tbl", lit("cold"))
+    hot.unionByName(cold)
+      .groupBy(col("tbl"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("tbl"), col("event_type"))
+  }
+
+  /** The shared two-table build + atomic move behind [[q_table_multi]]
+    * (write-once published per source fingerprint). Group v1 = the
+    * even/odd split; group v2 = the move transaction. */
+  private def multiTableRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    Tables.publishOnce(s"graft_tablemulti_$fp") { tmp =>
+      val g = new graft.tables.TxGroup(tmp)
+      val hot = g.table("hot", Seq("user_id"))
+      val cold = g.table("cold", Seq("user_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val vH1 = hot.append(spark, ev.filter(col("user_id") % 2 === 0)
+        .repartitionByRange(4, col("user_id")))
+      val vC1 = cold.append(spark, ev.filter(col("user_id") % 2 =!= 0)
+        .repartitionByRange(4, col("user_id")))
+      g.commit(Map("hot" -> vH1, "cold" -> vC1)) // group v1: the split
+      // the MOVE: append the band to cold FIRST (reads hot's current
+      // files), then copy-on-write delete it from hot, then publish both
+      // member versions in one group commit
+      val moved = hot.read(spark).filter(col("user_id") >= 2 && col("user_id") <= 4)
+      val vC2 = cold.append(spark, moved)
+      val dH = hot.delete(spark, "user_id", 2, 4)
+      g.commit(Map("hot" -> dH.version, "cold" -> vC2)) // group v2: the move
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+  }
+
   /** The broker-shaped source's BATCH face through the gate: a
     * deterministic 6000-record topic (3 partitions, records dealt
     * round-robin, several segments each — written once by the pure-JVM
@@ -327,6 +379,7 @@ object TableOps {
     "q_table_changes" -> q_table_changes _,
     "q_table_timetravel" -> q_table_timetravel _,
     "q_table_evolve" -> q_table_evolve _,
+    "q_table_multi" -> q_table_multi _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -377,6 +430,14 @@ object TableOps {
         |WHERE event_id >= (SELECT count(*) // 8 FROM events)
         |  AND event_id < 2 * (SELECT count(*) // 8 FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_multi" ->
+      """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4
+        |            THEN 'hot' ELSE 'cold' END AS tbl,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, event_type ORDER BY tbl, event_type""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (
         |  SELECT r AS event_id, r % 97 AS user_id, CAST(r AS DOUBLE) * 0.5 AS "value"

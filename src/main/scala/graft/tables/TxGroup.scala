@@ -1,0 +1,156 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table ATOMIC transaction coordinator — the lakehouse gap after
+  * single-table ACID (SURVEY §2.17): several [[TxTable]]s whose commits
+  * must become visible TOGETHER or not at all (the classic shape: move
+  * rows from one table to another without any reader ever seeing the
+  * rows in both places or neither).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_grouplog/v00000001.txt   group manifest: member -> pinned version
+  *   <root>/tables/<name>/...         each member is a full TxTable
+  * }}}
+  *
+  * The protocol is two-layer, like every production multi-table design
+  * (a catalog commit over per-table logs):
+  *
+  *  1. each member table commits its OWN new version first — data files,
+  *     stats, manifest, all durable but *unreferenced by the group*;
+  *  2. ONE put-if-absent hard link publishes the group manifest naming
+  *     the member versions jointly visible. That single link is the
+  *     all-or-nothing point: a crash before it leaves the group view
+  *     unchanged (the members' new versions are invisible-to-group
+  *     garbage — exactly the crashed-writer story TxTable already tells
+  *     at the file level, lifted one level up); a crash after it has
+  *     committed everything.
+  *
+  * Readers who want cross-table consistency read THROUGH the group
+  * ([[read]]): the group manifest pins one version per member, so a
+  * multi-table scan is snapshot-isolated against concurrent group
+  * commits. Reading a member table directly is still fine — it just
+  * opts out of the cross-table guarantee, seeing that table's own
+  * latest (the same contract Delta gives you when you bypass a
+  * catalog-level transaction).
+  *
+  * A lost group-commit race ABORTS (the merge/delete precedent): the
+  * loser's member versions were validated against a group snapshot that
+  * no longer exists, and silently overlaying them could interleave two
+  * transactions' pins. Group time travel falls out of the manifest
+  * numbering for free: `snapshot(versionAsOf)` replays any historical
+  * consistent cut.
+  */
+final class TxGroup(val root: String) {
+
+  import TxGroup._
+
+  private val logDir: Path = Paths.get(root, "_grouplog")
+  Files.createDirectories(logDir)
+
+  /** Member accessor (creates the member's directories on first use).
+    * Member tables are ordinary TxTables — every single-table operation
+    * (append, merge, delete, compact, evolveStats, vacuum) works
+    * unchanged; only VISIBILITY of the results is group-gated. */
+  def table(name: String, statCols: Seq[String]): TxTable = {
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '\t' || c == '\n'),
+      s"bad member name '$name'")
+    new TxTable(Paths.get(root, "tables", name).toString, statCols)
+  }
+
+  /** Highest committed group version, 0 if none. */
+  def currentVersion: Int = listVersions.lastOption.getOrElse(0)
+
+  private def listVersions: Seq[Int] = {
+    val vs = Option(logDir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case ManifestName(v) => v.toInt }
+    vs.sorted.toSeq
+  }
+
+  /** The consistent cut at group version `versionAsOf` (default latest):
+    * member name → pinned member version. Version 0 is the empty group. */
+  def snapshot(versionAsOf: Option[Int] = None): Map[String, Int] = {
+    val v = versionAsOf.getOrElse(currentVersion)
+    if (v == 0) Map.empty
+    else {
+      val p = logDir.resolve(manifestName(v))
+      require(Files.exists(p), s"group version $v does not exist (have $listVersions)")
+      parseManifest(Files.readAllLines(p))
+    }
+  }
+
+  /** Read member `name` at the GROUP-consistent snapshot — the pinned
+    * member version, never the member's own (possibly newer) latest. */
+  def read(spark: SparkSession, name: String, statCols: Seq[String],
+      versionAsOf: Option[Int] = None): DataFrame = {
+    val pinned = snapshot(versionAsOf).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"group at $root does not pin a version of member '$name'"))
+    table(name, statCols).read(spark, Some(pinned))
+  }
+
+  /** Atomically publish `updates` (member → freshly committed member
+    * version) overlaid on the current pins. The single put-if-absent
+    * link is the all-or-nothing point; a lost race ABORTS. Member
+    * versions must already exist — this publishes visibility, it never
+    * writes data. Returns the new group version. */
+  def commit(updates: Map[String, Int]): Int = commitFrom(currentVersion, updates)
+
+  /** Commit against an explicit base group version — the seam that lets
+    * a spec interleave a competing group commit between base-read and
+    * publish (TxTable.mergeFrom precedent). */
+  private[graft] def commitFrom(base: Int, updates: Map[String, Int]): Int = {
+    require(updates.nonEmpty, "empty group commit")
+    updates.foreach { case (n, v) =>
+      require(v >= 1 &&
+        Files.exists(Paths.get(root, "tables", n, "_txlog", memberManifestName(v))),
+        s"member '$n' has no committed version $v to pin")
+    }
+    val pinned = snapshot(Some(base)) ++ updates
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, renderManifest(pinned).getBytes("UTF-8"))
+    try {
+      Files.createLink(logDir.resolve(manifestName(base + 1)), tmp)
+      base + 1
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"group commit at $root lost the race for version ${base + 1}; " +
+            "re-validate the member commits against the new group snapshot")
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+object TxGroup {
+
+  private val ManifestName = """v(\d{8})\.txt""".r
+
+  private def manifestName(v: Int): String = f"v$v%08d.txt"
+
+  // TxTable's manifest naming, needed to existence-check member versions
+  private def memberManifestName(v: Int): String = f"v$v%08d.txt"
+
+  /** Group manifest line format (tab-separated, the TxTable discipline):
+    * `table <name> <version>` per member — O(members) tiny, diff-readable. */
+  private def renderManifest(pins: Map[String, Int]): String =
+    ("graft-grouplog\t1" +:
+      pins.toSeq.sortBy(_._1).map { case (n, v) => s"table\t$n\t$v" })
+      .mkString("\n")
+
+  private def parseManifest(lines: java.util.List[String]): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    val all = lines.asScala.toSeq
+    require(all.headOption.exists(_.startsWith("graft-grouplog\t")),
+      "not a graft grouplog manifest")
+    all.tail.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t")
+      require(parts(0) == "table" && parts.length == 3, s"bad group manifest line: $line")
+      parts(1) -> parts(2).toInt
+    }.toMap
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.TxGroup
+
+/** Pins the multi-table transaction coordinator ([[graft.tables.TxGroup]],
+  * SURVEY §2.17): member commits invisible until the group publish,
+  * crash-window consistency, the conserved-total invariant of an atomic
+  * move across EVERY group version, loser-aborts on a group commit race,
+  * and group time travel. */
+class TxGroupSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshGroup(): TxGroup =
+    new TxGroup(Files.createTempDirectory("graft_txgroup").toString)
+
+  private def keyed(lo: Long, hi: Long) = {
+    import spark.implicits._
+    spark.range(lo, hi).toDF("k").withColumn("v", col("k") * 10).repartition(1)
+  }
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("k")).as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq
+
+  test("member commits become visible together at the group publish, never before") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    val vA = a.append(spark, keyed(0, 50))
+    val vB = b.append(spark, keyed(100, 150))
+    // both members durably committed in their OWN logs, group still empty
+    assert(a.currentVersion == 1 && b.currentVersion == 1)
+    assert(g.currentVersion == 0)
+    intercept[IllegalArgumentException] { g.read(spark, "a", Seq("k")) }
+    assert(g.commit(Map("a" -> vA, "b" -> vB)) == 1)
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 50L))
+    assert(keysOf(g.read(spark, "b", Seq("k"))) == (100L until 150L))
+  }
+
+  test("a crash between member commits and the group publish leaves the group view unchanged; re-publish recovers") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map(
+      "a" -> a.append(spark, keyed(0, 50)),
+      "b" -> b.append(spark, keyed(100, 150))))
+    // the transaction: move k < 25 from a to b... and "crash" before the
+    // group publish (both member commits land, the group link does not)
+    val moved = a.read(spark).filter(col("k") < 25)
+    val vB2 = b.append(spark, moved)
+    val dA = a.delete(spark, "k", 0, 24)
+    // group readers still see the ORIGINAL cut — neither duplicated nor
+    // lost rows, even though both member tables have moved on
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 50L))
+    assert(keysOf(g.read(spark, "b", Seq("k"))) == (100L until 150L))
+    // recovery: the coordinator re-publishes the already-durable member
+    // versions; the transaction completes exactly once
+    g.commit(Map("a" -> dA.version, "b" -> vB2))
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (25L until 50L))
+    assert(keysOf(g.read(spark, "b", Seq("k"))) ==
+      ((0L until 25L) ++ (100L until 150L)))
+  }
+
+  test("every group version is a consistent cut: the moved total is conserved, no dup, no loss") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 80)),
+      "b" -> b.append(spark, keyed(100, 120))))
+    def move(lo: Long, hi: Long): Unit = {
+      val moved = a.read(spark).filter(col("k") >= lo && col("k") <= hi)
+      val vB = b.append(spark, moved)
+      val dA = a.delete(spark, "k", lo, hi)
+      g.commit(Map("a" -> dA.version, "b" -> vB))
+    }
+    move(0, 19)  // group v2
+    move(40, 49) // group v3
+    val expected = ((0L until 80L) ++ (100L until 120L)).sorted
+    (1 to g.currentVersion).foreach { v =>
+      val cut = keysOf(g.read(spark, "a", Seq("k"), Some(v))) ++
+        keysOf(g.read(spark, "b", Seq("k"), Some(v)))
+      assert(cut.sorted == expected,
+        s"group version $v is not a consistent cut")
+    }
+    // and the final cut really moved the bands
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == ((20L until 40L) ++ (50L until 80L)))
+  }
+
+  test("a group commit that loses the race aborts instead of interleaving pins") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 10))))
+    val base = g.currentVersion
+    // competing transaction lands group v2 between our base-read and publish
+    val vA2 = a.append(spark, keyed(10, 20))
+    g.commit(Map("a" -> vA2))
+    val vA3 = a.append(spark, keyed(20, 30))
+    intercept[java.util.ConcurrentModificationException] {
+      g.commitFrom(base, Map("a" -> vA3))
+    }
+    // the losing transaction published nothing: the group still pins v2's cut
+    assert(g.currentVersion == base + 1)
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 20L))
+  }
+
+  test("group time travel replays a historical cut even after members moved on") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 30)),
+      "b" -> b.append(spark, keyed(100, 110))))
+    val moved = a.read(spark).filter(col("k") < 10)
+    val vB2 = b.append(spark, moved)
+    val dA = a.delete(spark, "k", 0, 9)
+    g.commit(Map("a" -> dA.version, "b" -> vB2))
+    // v1's cut is intact although member a's own latest is the post-delete
+    assert(keysOf(g.read(spark, "a", Seq("k"), Some(1))) == (0L until 30L))
+    assert(keysOf(g.read(spark, "b", Seq("k"), Some(1))) == (100L until 110L))
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (10L until 30L))
+  }
+
+  test("q_table_multi's gate build: the group pins exactly two versions, the move is visible only at v2") {
+    val root = Files.createTempDirectory("graft_txgroup_gate").toString
+    // replicate the gate build shape on constructed data: split then move
+    val g = new TxGroup(root)
+    val hot = g.table("hot", Seq("k"))
+    val cold = g.table("cold", Seq("k"))
+    g.commit(Map("hot" -> hot.append(spark, keyed(0, 10)),
+      "cold" -> cold.append(spark, keyed(10, 20))))
+    val moved = hot.read(spark).filter(col("k") >= 2 && col("k") <= 4)
+    val vC = cold.append(spark, moved)
+    val dH = hot.delete(spark, "k", 2, 4)
+    g.commit(Map("hot" -> dH.version, "cold" -> vC))
+    assert(g.currentVersion == 2)
+    assert(keysOf(g.read(spark, "hot", Seq("k"), Some(1))) == (0L until 10L))
+    assert(keysOf(g.read(spark, "hot", Seq("k"))) ==
+      (0L until 10L).filterNot(k => k >= 2 && k <= 4))
+    assert(keysOf(g.read(spark, "cold", Seq("k"))) ==
+      ((2L to 4L) ++ (10L until 20L)))
+  }
+}
