@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries ++
       Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
-      Analytics4.queries ++ Analytics5.queries ++ TableOps.queries
+      Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
+      TableOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle ++
       Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle ++
-      Analytics4.oracle ++ Analytics5.oracle ++ TableOps.oracle
+      Analytics4.oracle ++ Analytics5.oracle ++ Analytics6.oracle ++
+      TableOps.oracle
 }

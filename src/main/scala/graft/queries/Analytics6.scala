@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 query additions (SURVEY §2.17): the bigram-LM quality filter
+  * (the CCNet perplexity-filter tier), the point-in-time join against a
+  * versioned dimension (feature-store correctness), and recency-decayed
+  * aggregation in exact dyadic arithmetic. */
+object Analytics6 {
+
+  /** Bigram-LM predictability scoring — the perplexity-style quality
+    * filter every pretraining pipeline runs (CCNet's KenLM tier), with
+    * the LM trained ON the corpus itself: per document, each word
+    * bigram scores its MLE conditional probability c(w₁w₂)/c(w₁·),
+    * and the document aggregates basis-point terms. Gibberish and
+    * boilerplate-free text score low (rare continuations); templated
+    * text scores high.
+    *
+    * All arithmetic is exact integers: term = (10000·c₂) div c₁ — no
+    * logs, no libm, no float-order sensitivity (a log-perplexity would
+    * hash-diverge in the last ulp; the rational surrogate ranks docs
+    * identically for filtering purposes). Plan shape: one posexplode,
+    * one doc_id window for adjacency, then two two-phase hash
+    * aggregations (the corpus LM) joined back on word keys — equi
+    * shuffles all the way, map-combinable counts, no windows over
+    * unbounded frames. At 100 TB the LM tables are vocabulary-sized
+    * (Zipf-bounded); they shuffle-join here and would broadcast once a
+    * frequency cutoff caps them, leaving the per-token stream one
+    * map-side join from scored. */
+  def q_text_lm_score(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = words
+      .withColumn("w_prev", lag(col("w"), 1).over(wDoc))
+      .filter(col("w_prev").isNotNull)
+      .select(col("doc_id"), col("w_prev"), col("w"))
+    val c2 = bi.groupBy(col("w_prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w_prev")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w_prev", "w"))
+      .join(c1, Seq("w_prev"))
+      .withColumn("term", expr("(10000 * c2) div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lm_sum"))
+      .withColumn("lm_avg", expr("lm_sum div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** POINT-IN-TIME join — feature-store correctness: each fact row
+    * joins the dimension VERSION that was valid at the fact's own
+    * timestamp, never a later one (training-serving skew is exactly
+    * this join done wrong). The dimension is q_scd2's versioned
+    * [valid_from, valid_to) history inlined; purchases probe it with
+    * `valid_from ≤ ts < valid_to` — the validity intervals partition
+    * each key's timeline, so every fact matches EXACTLY one version
+    * (the gate's row count pins that: |purchases| rows out).
+    *
+    * Plan shape: the dimension build is two window passes over ONE
+    * user_id shuffle; the probe is an equi-join on user_id with the
+    * interval residual — Catalyst plans a hash join on the key and
+    * evaluates the range as a filter, and both sides arrive partitioned
+    * by user_id, so no extra data-sized shuffle appears. Per-key
+    * version counts are change-bounded (SCD2's point), so the residual
+    * scan per fact is a handful of rows at any scale. */
+  def q_join_pointintime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val dim = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wOrd))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wOrd))
+      .select(col("user_id").as("d_user"), col("version"),
+        col("event_type").as("dim_type"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    purchases.join(dim,
+        purchases("user_id") === dim("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("dim_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Recency-DECAYED aggregation (half-life leaderboards, decayed
+    * feature counts): each event weighs 2^(−age_days), summed per type
+    * as of the corpus's own max timestamp. The whole computation is
+    * EXACT BIGINT arithmetic: age in whole days by integer division,
+    * weight 2^(20−d) by bit shift (ages past 20 days excluded — their
+    * sub-ppm weights are the clamp every production decay applies),
+    * value quantized to cents by the suite's floor discipline. Terms
+    * stay under 2^35 and sums under 2^52, so the one final double
+    * division (by 2^20·100) is exact-input and engine-identical — no
+    * float sum ordering anywhere. Plan: broadcast 1-row max, map-side
+    * terms, one map-combinable aggregation; the decay costs nothing
+    * over a plain sum at any scale. */
+  def q_agg_decay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("ts_us"))
+    val tmax = ev.agg(max(col("ts_us")).as("t_max"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("age_d", expr("(t_max - ts_us) div 86400000000"))
+      .filter(col("age_d") <= 20)
+      .withColumn("term",
+        expr("CAST(floor(value * 100) AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST(20 - age_d AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("decayed_scaled"))
+      .withColumn("decayed", col("decayed_scaled") / lit(104857600.0)) // 2^20 * 100
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lm_score" -> q_text_lm_score _,
+    "q_join_pointintime" -> q_join_pointintime _,
+    "q_agg_decay" -> q_agg_decay _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos FROM toks),
+        |wf AS (SELECT * FROM words WHERE len(w) > 0),
+        |bif AS (SELECT * FROM (
+        |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev, w
+        |    FROM wf)
+        |  WHERE w_prev IS NOT NULL),
+        |c2 AS (SELECT w_prev, w, count(*) AS c2 FROM bif GROUP BY 1, 2),
+        |c1 AS (SELECT w_prev, count(*) AS c1 FROM bif GROUP BY 1),
+        |terms AS (
+        |  SELECT b.doc_id, (10000 * c2.c2) // c1.c1 AS term
+        |  FROM bif b JOIN c2 USING (w_prev, w) JOIN c1 USING (w_prev))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(term) AS BIGINT) AS lm_sum,
+        |  CAST(CAST(sum(term) AS BIGINT) // count(*) AS BIGINT) AS lm_avg
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_join_pointintime" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, event_type, ts_us FROM base
+        |        WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+        |    event_type AS dim_type, ts_us AS valid_from_us,
+        |    lead(ts_us) OVER w AS valid_to_us
+        |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us, d.version, d.dim_type
+        |FROM p JOIN dim d ON p.user_id = d.user_id
+        |  AND d.valid_from_us <= p.ts_us
+        |  AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_agg_decay" ->
+      """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    CAST(floor("value" * 100) AS BIGINT)
+        |      * (CAST(1 AS BIGINT) << CAST(20 - (t_max - epoch_us(ts)) // 86400000000 AS INT)) AS term
+        |  FROM events, t
+        |  WHERE (t_max - epoch_us(ts)) // 86400000000 <= 20)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(term) AS BIGINT) AS decayed_scaled,
+        |  CAST(sum(term) AS BIGINT) / 104857600.0 AS decayed
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
