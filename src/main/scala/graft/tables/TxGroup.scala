@@ -94,6 +94,38 @@ final class TxGroup(val root: String) {
     table(name, statCols).read(spark, Some(pinned))
   }
 
+  /** Group-aware VACUUM: reclaim member data past the group's retention
+    * horizon without ever breaking a retained group cut. Member-level
+    * `TxTable.vacuum` counts retention from the member's OWN latest
+    * version — run naively it can drop a manifest an old GROUP version
+    * still pins, stranding group time travel (the composition hazard of
+    * two-layer logs). This computes, per member, the oldest version any
+    * retained group manifest pins, and vacuums that member retaining at
+    * least back to it; then drops the expired group manifests. Members
+    * never pinned by a retained cut are left untouched (conservative).
+    * Returns (dataFilesDeleted, groupVersionsDropped). */
+  def vacuum(retainGroupVersions: Int): (Int, Int) = {
+    require(retainGroupVersions >= 1, "must retain at least the current group version")
+    val versions = listVersions
+    val cutoff = currentVersion - retainGroupVersions + 1
+    val (expired, retained) = versions.partition(_ < cutoff)
+    if (expired.isEmpty) return (0, 0)
+    // oldest pin per member across every RETAINED group cut
+    val oldestPinned: Map[String, Int] = retained
+      .flatMap(v => snapshot(Some(v)).toSeq)
+      .groupBy(_._1).map { case (n, pins) => n -> pins.map(_._2).min }
+    var deleted = 0
+    oldestPinned.foreach { case (name, oldest) =>
+      // retain the member's versions [oldest, memberCurrent] — vacuum
+      // counts from the member's own latest, so translate
+      val member = table(name, Nil)
+      val keep = member.currentVersion - oldest + 1
+      deleted += member.vacuum(keep)._1
+    }
+    expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
+    (deleted, expired.size)
+  }
+
   /** Atomically publish `updates` (member → freshly committed member
     * version) overlaid on the current pins. The single put-if-absent
     * link is the all-or-nothing point; a lost race ABORTS. Member

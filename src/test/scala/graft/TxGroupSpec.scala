@@ -123,6 +123,48 @@ class TxGroupSpec extends AnyFunSuite with SparkFixture {
     assert(keysOf(g.read(spark, "a", Seq("k"))) == (10L until 30L))
   }
 
+  test("group vacuum reclaims past the horizon without breaking any retained cut") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 80)),
+      "b" -> b.append(spark, keyed(100, 120))))
+    def move(lo: Long, hi: Long): Unit = {
+      val moved = a.read(spark).filter(col("k") >= lo && col("k") <= hi)
+      val vB = b.append(spark, moved)
+      val dA = a.delete(spark, "k", lo, hi)
+      g.commit(Map("a" -> dA.version, "b" -> vB))
+    }
+    move(0, 19); move(40, 49) // group v2, v3
+    val (deleted, dropped) = g.vacuum(retainGroupVersions = 2)
+    assert(dropped == 1, "exactly group v1 expires")
+    assert(deleted >= 1, "v1's superseded member data should be reclaimed")
+    // the expired cut is gone...
+    intercept[IllegalArgumentException] { g.read(spark, "a", Seq("k"), Some(1)) }
+    // ...but every RETAINED cut is fully readable, members included
+    val expected = ((0L until 80L) ++ (100L until 120L)).sorted
+    (2 to 3).foreach { v =>
+      val cut = keysOf(g.read(spark, "a", Seq("k"), Some(v))) ++
+        keysOf(g.read(spark, "b", Seq("k"), Some(v)))
+      assert(cut.sorted == expected, s"retained group cut $v broke")
+    }
+    // idempotent: nothing left to reclaim at the same horizon
+    assert(g.vacuum(2) == (0, 0))
+  }
+
+  test("the hazard group vacuum exists for: a naive member-level vacuum strands a pinned group cut") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 10))))
+    g.commit(Map("a" -> a.append(spark, keyed(10, 20))))
+    // member-level retention ignores the group's pins entirely
+    a.vacuum(retainVersions = 1)
+    // group v1 pins member version 1, whose manifest is now gone
+    intercept[IllegalArgumentException] { g.read(spark, "a", Seq("k"), Some(1)) }
+    // the latest cut still works — only history was stranded
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 20L))
+  }
+
   test("q_table_multi's gate build: the group pins exactly two versions, the move is visible only at v2") {
     val root = Files.createTempDirectory("graft_txgroup_gate").toString
     // replicate the gate build shape on constructed data: split then move
