@@ -654,6 +654,53 @@ object StreamOps {
         ()
       }
 
+  /** One micro-batch of the MULTI-TABLE exactly-once sink: each member
+    * transform's output lands via the member's idempotent `appendBatch`
+    * (per-member (queryName/member → batchId) watermarks, so a replayed
+    * batch is recognized per member even if the crash split them), then
+    * ONE group commit publishes the member versions atomically — a group
+    * reader never sees the batch in one member but not the other. The
+    * group publish is itself idempotent: if the current group pins
+    * already cover this batch's member versions (the replay-after-
+    * publish case), no new group version is minted. Exposed separately
+    * so the spec can re-deliver committed batchIds directly. */
+  private[graft] def txGroupBatch(group: graft.tables.TxGroup,
+      members: Seq[(String, Seq[String], DataFrame => DataFrame)],
+      queryName: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val pins = members.map { case (name, statCols, f) =>
+        val t = group.table(name, statCols)
+        t.appendBatch(spark, f(batch), s"$queryName/$name", batchId)
+        name -> t.currentVersion
+      }.toMap
+      val cur = group.snapshot()
+      if (pins.exists { case (n, v) => !cur.get(n).contains(v) })
+        group.commit(pins)
+      ()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Exactly-once streaming ingest into SEVERAL transactional tables at
+    * once ([[graft.tables.TxGroup]]) — the medallion fan-out done
+    * atomically: one micro-batch lands raw rows in one member and a
+    * derived frame (an aggregate, an index, a projection) in another,
+    * and the single group publish makes them visible TOGETHER. Readers
+    * who consume through the group can therefore join members without
+    * ever observing a half-applied batch — the invariant per-table
+    * exactly-once cannot give you (each member alone converges, but
+    * between their commits a cross-table read tears). Crash anywhere:
+    * member watermarks skip what landed, the group publish is re-issued
+    * if missing — at-least-once delivery, exactly-once visibility. */
+  def txGroupSink(df: DataFrame, group: graft.tables.TxGroup,
+      members: Seq[(String, Seq[String], DataFrame => DataFrame)],
+      queryName: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(txGroupBatch(group, members, queryName) _)
+
   /** Report sink: per-batch parquet append — the streaming analogue of the
     * reference's report-writer bolt. exactly-once via batchId-named dirs
     * would be the production shape; append suffices for the demo sink. */
