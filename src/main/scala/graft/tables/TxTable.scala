@@ -72,8 +72,8 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     else {
       val p = logDir.resolve(manifestName(v))
       require(Files.exists(p), s"version $v does not exist (have $listVersions)")
-      val (files, txns) = parseManifest(Files.readAllLines(p))
-      Snapshot(v, files, txns)
+      val (files, txns, constraints) = parseManifest(Files.readAllLines(p))
+      Snapshot(v, files, txns, constraints)
     }
   }
 
@@ -396,6 +396,32 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       keptFiles = 0, newFiles = entries.size)
   }
 
+  /** Declare a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * tier): `predicate` is a boolean SQL expression every CURRENT and
+    * FUTURE row must satisfy. Existing data is validated first with one
+    * scan (a constraint the table already violates must not be
+    * declarable — it would make every later writer the messenger for
+    * old bad data); the constraint then rides the manifest, carried
+    * forward by every commit, so a NEW writer process on the same root
+    * enforces it with no out-of-band coordination. Enforcement itself
+    * is free: the violation counters ride the per-file stats pass every
+    * write already runs. Manifest-only commit; lost races abort. */
+  def addConstraint(spark: SparkSession, predicate: String): Int = {
+    val base = snapshot()
+    require(!base.constraints.contains(predicate), s"constraint already declared: $predicate")
+    if (base.files.nonEmpty) {
+      val bad = read(spark).filter(!expr(predicate)).count()
+      require(bad == 0,
+        s"cannot declare CHECK ($predicate): existing data violates it in $bad row(s)")
+    }
+    try commitOnce(base, constraints = Some(base.constraints :+ predicate)) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"constraint declaration on $root lost the commit race; re-run")
+    }
+  }
+
   /** STATS EVOLUTION — the manifest-only half of partition evolution
     * (clusterZorder is the data-moving half): record min/max of `cols`
     * for every CURRENT file in a new manifest version. ONE distributed
@@ -474,15 +500,42 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
   /** Stage `df` as parquet, compute per-file stats with one distributed
     * pass, promote each staged file into `data/` under a fresh UUID name.
     * Promotion is same-volume rename (cheap) and the files stay invisible
-    * until a manifest names them. */
+    * until a manifest names them.
+    *
+    * Declared CHECK constraints are validated in the SAME pass — one
+    * violation counter per constraint rides the stats aggregation, so
+    * enforcement costs no extra job. A violating write deletes its
+    * staged files and throws BEFORE anything is promoted: nothing
+    * becomes visible, the table stays whole (the crashed-writer story,
+    * applied to bad data). Every write path funnels through here, so
+    * rewrites and schema-evolved merges are held to the constraints
+    * too — a merge whose missing-column NULLs would break a NOT NULL
+    * check fails loudly instead of landing. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame): Seq[FileEntry] = {
+    val constraints = snapshot().constraints
     val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
     df.write.parquet(stage.toString)
-    val statAggs = count(lit(1)).as("__rows") +: flatStats(statCols)
+    val violAggs = constraints.zipWithIndex.map { case (c, i) =>
+      sum(when(!expr(c), lit(1L)).otherwise(lit(0L))).as(s"__viol_$i")
+    }
+    val statAggs = (count(lit(1)).as("__rows") +: flatStats(statCols)) ++ violAggs
     val stats = spark.read.parquet(stage.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(statAggs.head, statAggs.tail: _*)
       .collect()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val broken = constraints.zipWithIndex.collect {
+      case (c, i) if stats.map(_.getAs[Long](s"__viol_$i")).sum > 0 =>
+        c -> stats.map(_.getAs[Long](s"__viol_$i")).sum
+    }
+    if (broken.nonEmpty) {
+      rm(stage.toFile) // staged data never promoted: the table stays whole
+      throw new IllegalArgumentException(
+        broken.map { case (c, n) => s"CHECK ($c) violated by $n row(s)" }
+          .mkString(s"write to $root rejected: ", "; ", ""))
+    }
     val entries = stats.map { r =>
       val staged = Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
       val fresh = s"${UUID.randomUUID()}.parquet"
@@ -492,9 +545,6 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
         statCols.map(c => c -> r.getAs[Long](s"__max_$c")).toMap)
     }.toSeq
     // the stage dir now holds only _SUCCESS/metadata droppings
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(stage.toFile)
     entries
   }
@@ -510,12 +560,14 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     * alone answers "what has stream X committed?" — vacuum can drop old
     * manifests without losing exactly-once history. Throws
     * FileAlreadyExistsException if someone else committed base+1 first. */
-  private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty)(
+  private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty,
+      constraints: Option[Seq[String]] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderManifest(next(base), base.txns ++ txns).getBytes("UTF-8"))
+      renderManifest(next(base), base.txns ++ txns,
+        constraints.getOrElse(base.constraints)).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
       v
@@ -577,10 +629,11 @@ object TxTable {
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long])
 
-  /** A version's full state: its file list and the per-stream
-    * exactly-once watermarks (appId → last committed micro-batch id). */
+  /** A version's full state: its file list, the per-stream exactly-once
+    * watermarks (appId → last committed micro-batch id), and the
+    * declared CHECK constraints every write must satisfy. */
   final case class Snapshot(version: Int, files: Seq[FileEntry],
-      txns: Map[String, Long])
+      txns: Map[String, Long], constraints: Seq[String] = Nil)
 
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
@@ -607,19 +660,21 @@ object TxTable {
     * [<col> <min> <max>]...` lines the data files — dependency-free and
     * diff-readable; the manifest is metadata about file NAMES, stats and
     * stream watermarks, never data, so it stays O(files) tiny. */
-  private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long]): String = {
+  private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long],
+      constraints: Seq[String]): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
+    val conLines = constraints.map(c => s"constraint\t$c")
     val fileLines = files.map { f =>
       val stats = f.mins.keys.toSeq.sorted
         .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
       s"file\t${f.path}\t${f.rows}\t$stats"
     }
-    ("graft-txlog\t1" +: (txnLines ++ fileLines)).mkString("\n")
+    ("graft-txlog\t1" +: (txnLines ++ conLines ++ fileLines)).mkString("\n")
   }
 
-  private def parseManifest(
-      lines: java.util.List[String]): (Seq[FileEntry], Map[String, Long]) = {
+  private def parseManifest(lines: java.util.List[String])
+      : (Seq[FileEntry], Map[String, Long], Seq[String]) = {
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq
     require(all.headOption.exists(_.startsWith("graft-txlog\t")),
@@ -629,15 +684,19 @@ object TxTable {
       val Array(_, app, b) = line.split("\t")
       app -> b.toLong
     }.toMap
-    val files = body.filterNot(_.startsWith("txn\t")).map { line =>
-      val parts = line.split("\t")
-      require(parts(0) == "file", s"bad manifest line: $line")
-      val stats = parts.drop(3).grouped(3).map {
-        case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
-      }.toSeq
-      FileEntry(parts(1), parts(2).toLong,
-        stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap)
-    }
-    (files, txns)
+    val constraints = body.filter(_.startsWith("constraint\t"))
+      .map(_.stripPrefix("constraint\t"))
+    val files = body
+      .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t"))
+      .map { line =>
+        val parts = line.split("\t")
+        require(parts(0) == "file", s"bad manifest line: $line")
+        val stats = parts.drop(3).grouped(3).map {
+          case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+        }.toSeq
+        FileEntry(parts(1), parts(2).toLong,
+          stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap)
+      }
+    (files, txns, constraints)
   }
 }

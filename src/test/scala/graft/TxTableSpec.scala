@@ -280,6 +280,46 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("outside [0, 65536)"))
   }
 
+  test("CHECK constraints: declared once, enforced by every writer, violations leave the table whole") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 50, 1))
+    t.addConstraint(spark, "k >= 0 AND v = k * 10")
+    // a fresh writer on the same root inherits the constraint from the
+    // manifest — no out-of-band coordination
+    val w2 = new TxTable(t.root, Seq("k"))
+    w2.append(spark, keyed(50, 60, 1)) // valid rows pass
+    val vBefore = t.currentVersion
+    val bad = spark.range(0, 5).toDF("k").withColumn("v", lit(7L))
+    val e = intercept[IllegalArgumentException] { w2.append(spark, bad) }
+    assert(e.getMessage.contains("CHECK"))
+    assert(t.currentVersion == vBefore, "a rejected write must commit nothing")
+    assert(t.read(spark).count() == 60)
+    // the rejected write's staged data was reclaimed, not stranded
+    assert(Option(Paths.get(t.root, "data").toFile.listFiles()).get
+      .forall(f => !f.getName.startsWith(".stage-")))
+  }
+
+  test("a constraint the existing data violates cannot be declared") {
+    val t = freshTable()
+    t.append(spark, keyed(-5, 5, 1))
+    val e = intercept[IllegalArgumentException] { t.addConstraint(spark, "k >= 0") }
+    assert(e.getMessage.contains("existing data violates"))
+    assert(t.snapshot().constraints.isEmpty)
+  }
+
+  test("merge is held to constraints: a schema-evolved source that would land NULLs aborts whole") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(spark, keyed(0, 20, 2))
+    t.addConstraint(spark, "v IS NOT NULL")
+    // source misses v entirely: its matched rows would land v = NULL
+    val src = Seq(5L).toDF("k")
+    intercept[IllegalArgumentException] { t.merge(spark, src, "k") }
+    val got = t.read(spark).filter(col("k") === 5)
+      .select(col("v")).as[Long](spark.implicits.newLongEncoder).collect().toSeq
+    assert(got == Seq(50L), "the aborted merge must leave the old row intact")
+  }
+
   test("q_table_evolve's gate query prunes on the evolved column, not just rows") {
     val pr = graft.queries.TableOps.evolvePruned(spark, "/root/testdata/sf0.001")
     assert(pr.filesTotal >= 8, s"expected a many-file table, got ${pr.filesTotal}")
