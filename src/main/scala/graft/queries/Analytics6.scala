@@ -119,10 +119,43 @@ object Analytics6 {
       .orderBy(col("event_type"))
   }
 
+  /** Inverted-index build — the retrieval-index layout tier every RAG
+    * pipeline runs after q_text_tfidf's scoring: per term, the full
+    * sorted posting list materialized and summarized (df, total tf,
+    * first/last doc, the MAX DELTA GAP that sizes a delta-varint
+    * encoding) plus an md5 fingerprint of the exact list content — the
+    * gate hash-checks the POSTINGS, not just the statistics. Two
+    * two-phase aggregations (term-doc then term), exact integers
+    * throughout; the gap derivation is a codegen'd zip_with over the
+    * sorted list, no second shuffle. At 100 TB a stopword's posting is
+    * corpus-sized — the production build shards postings by doc range
+    * per term and elides df-cutoff stopwords before the collect, which
+    * bounds every list; the per-term layout here is the per-shard
+    * layout there. */
+  def q_index_posting(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    terms.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("w").as("term"), col("df"), col("tf_total"),
+        element_at(col("ids"), 1).as("first_doc"),
+        element_at(col("ids"), -1).as("last_doc"),
+        md5(expr("concat_ws(',', transform(ids, x -> CAST(x AS STRING)))"))
+          .as("posting_md5"),
+        when(size(col("ids")) < 2, lit(0L)).otherwise(array_max(expr(
+          "zip_with(slice(ids, 2, size(ids) - 1), slice(ids, 1, size(ids) - 1), (b, a) -> b - a)")))
+          .as("max_gap"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_lm_score" -> q_text_lm_score _,
     "q_join_pointintime" -> q_join_pointintime _,
     "q_agg_decay" -> q_agg_decay _,
+    "q_index_posting" -> q_index_posting _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +197,24 @@ object Analytics6 {
         |  AND d.valid_from_us <= p.ts_us
         |  AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
         |ORDER BY p.event_id""".stripMargin,
+    "q_index_posting" ->
+      """WITH terms AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |postings AS (
+        |  SELECT w, doc_id, count(*) AS tf FROM terms GROUP BY w, doc_id),
+        |lists AS (
+        |  SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+        |    list_sort(list(doc_id)) AS ids
+        |  FROM postings GROUP BY w)
+        |SELECT w AS term, df, tf_total,
+        |  ids[1] AS first_doc, ids[len(ids)] AS last_doc,
+        |  md5(list_aggregate(list_transform(ids, x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS posting_md5,
+        |  CASE WHEN len(ids) < 2 THEN 0
+        |       ELSE list_max(list_transform(range(2, len(ids) + 1), i -> ids[i] - ids[i-1]))
+        |  END AS max_gap
+        |FROM lists ORDER BY term""".stripMargin,
     "q_agg_decay" ->
       """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
         |e AS (

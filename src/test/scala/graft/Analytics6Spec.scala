@@ -61,6 +61,27 @@ class Analytics6Spec extends AnyFunSuite with SparkFixture {
       "point-in-time must yield exactly one row per fact")
   }
 
+  test("q_index_posting: matches a full driver-side index recomputation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val terms = docs.toSeq.flatMap { case (id, text) =>
+      text.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(w => (w, id))
+    }
+    val expected = terms.groupBy(_._1).map { case (w, occ) =>
+      val ids = occ.map(_._2).distinct.sorted
+      val gaps = ids.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (w, ids.size.toLong, occ.size.toLong, ids.head, ids.last, md,
+        if (gaps.isEmpty) 0L else gaps.max)
+    }.toSet
+    val got = SparkEntry.queries("q_index_posting")(spark, sf)
+      .as[(String, Long, Long, Long, Long, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("q_agg_decay: matches an exact BIGINT driver-side recomputation") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
