@@ -239,6 +239,43 @@ object TableOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** MERGE-ON-READ delete through the gate (deletion vectors — the
+    * Delta DV / Iceberg positional-delete tier next to q_table_delete's
+    * copy-on-write): drop `user_id BETWEEN 5 AND 9` from the
+    * TIME-partitioned events table (the evolve build: 16 files banded
+    * by event_id, i.e. ingest order). A user-level delete is
+    * perpendicular to that layout, so EVERY file straddles — exactly
+    * the GDPR/retention shape where copy-on-write degenerates into a
+    * full-table rewrite. Positional delete rewrites NOTHING: victim row
+    * positions land in one tiny vector and readers anti-join them out.
+    * Row-level semantics are DuckDB-pinned (NOT BETWEEN on the raw
+    * parquet); DvSpec pins the zero-rewrite accounting, stacking,
+    * no-resurrection, materialization and vacuum. */
+  def q_table_dv(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, evolveTableRoot(spark, dir), "graft_q_table_dv") { root =>
+      val t = new TxTable(root, Seq("user_id", "event_id"))
+      t.deletePositional(spark, "user_id", 5, 9)
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
+  /** The copy + positional delete behind [[q_table_dv]], exposed so the
+    * spec can assert zero files were rewritten (deleteApplied precedent). */
+  private[graft] def dvApplied(spark: SparkSession,
+      dir: String): (TxTable.PositionalDeleteResult, DataFrame) = {
+    val published = evolveTableRoot(spark, dir)
+    val root = Files.createTempDirectory("graft_q_table_dv").toString
+    tempRoots.add(root)
+    copyTree(published, root)
+    val t = new TxTable(root, Seq("user_id", "event_id"))
+    val r = t.deletePositional(spark, "user_id", 5, 9)
+    (r, t.read(spark))
+  }
+
   /** STATS EVOLUTION through the gate (partition-layout re-key without
     * rewriting history, manifest-only): events land in 8 sequential
     * appends, each a narrow `event_id` band — the streaming-ingest shape
@@ -380,6 +417,7 @@ object TableOps {
     "q_table_timetravel" -> q_table_timetravel _,
     "q_table_evolve" -> q_table_evolve _,
     "q_table_multi" -> q_table_multi _,
+    "q_table_dv" -> q_table_dv _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -429,6 +467,12 @@ object TableOps {
         |FROM events
         |WHERE event_id >= (SELECT count(*) // 8 FROM events)
         |  AND event_id < 2 * (SELECT count(*) // 8 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_dv" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 5 AND 9
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_multi" ->
       """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4

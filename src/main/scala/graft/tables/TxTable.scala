@@ -89,8 +89,46 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     val s = snapshot(versionAsOf)
     if (s.files.isEmpty)
       throw new IllegalStateException(s"table $root is empty at version ${s.version}")
-    spark.read.option("mergeSchema", "true")
-      .parquet(s.files.map(f => dataDir.resolve(f.path).toString): _*)
+    readFiles(spark, s.files)
+  }
+
+  /** DV-aware read of a set of manifest entries — the merge-on-read
+    * seam every internal path funnels through: entries without a
+    * deletion vector scan plainly; entries with one scan tagged with
+    * parquet's `_metadata` (file name + row index) and anti-join their
+    * victim positions out. The anti-join costs only the DV'd files'
+    * rows, the DV frames are tiny (victim positions, auto-broadcast),
+    * and applying a victim twice is a no-op — so DVs may share files
+    * and accumulate across deletes without coordination. */
+  private def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
+    require(files.nonEmpty, "readFiles of nothing")
+    val (plain, dvd) = files.partition(_.dv.isEmpty)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(plain.map(f => dataDir.resolve(f.path).toString): _*))
+    val dvDf =
+      if (dvd.isEmpty) None
+      else {
+        val data = spark.read.option("mergeSchema", "true")
+          .parquet(dvd.map(f => dataDir.resolve(f.path).toString): _*)
+        val cols = data.columns.toSeq
+        val tagged = data
+          .withColumn("__file", col("_metadata.file_name"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dvs = spark.read.parquet(
+          dvd.flatMap(_.dv).distinct.map(d => dataDir.resolve(d).toString): _*)
+        Some(tagged.join(dvs,
+            tagged("__file") === dvs("file") && tagged("__pos") === dvs("pos"),
+            "left_anti")
+          .select(cols.map(col): _*))
+      }
+    (plainDf, dvDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalStateException("unreachable: files was non-empty")
+    }
   }
 
   /** Manifest-level min/max data skipping for `lo <= statCol <= hi`:
@@ -109,8 +147,7 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
-      else spark.read
-        .parquet(keep.map(f => dataDir.resolve(f.path).toString): _*)
+      else readFiles(spark, keep)
         .filter(col(statCol) >= lo && col(statCol) <= hi)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
@@ -177,8 +214,7 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     val src = source
     val existing =
       if (candidates.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(
-        candidates.map(f => dataDir.resolve(f.path).toString): _*))
+      else Some(readFiles(spark, candidates)) // DV-aware: never resurrect
     // matched rows take the source version; unmatched candidate rows pass
     // through; source keys absent everywhere are inserts. The anti joins
     // broadcast the (batch-sized) source — the 100 TB merge never
@@ -214,10 +250,13 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     require(v >= 1, s"version $v has no delta (version 0 is the empty table)")
     val cur = snapshot(Some(v)).files
     val prev = if (v == 1) Nil else snapshot(Some(v - 1)).files
-    val prevPaths = prev.map(_.path).toSet
-    val curPaths = cur.map(_.path).toSet
-    VersionDelta(v, cur.filterNot(f => prevPaths(f.path)),
-      removedFiles = prev.count(f => !curPaths(f.path)))
+    // identity = (path, dv): a positional delete changes an entry IN
+    // PLACE (same path, new deletion vector) — by path alone it would
+    // look like a no-op commit and CDC would silently miss vanished rows
+    val prevKeys = prev.map(f => (f.path, f.dv)).toSet
+    val curKeys = cur.map(f => (f.path, f.dv)).toSet
+    VersionDelta(v, cur.filterNot(f => prevKeys((f.path, f.dv))),
+      removedFiles = prev.count(f => !curKeys((f.path, f.dv))))
   }
 
   /** Change-data-feed read: the rows APPENDED in versions (fromV, toV],
@@ -292,8 +331,7 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     val entries =
       if (straddling.isEmpty) Nil
       else writeDataFiles(spark,
-        spark.read.option("mergeSchema", "true")
-          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
+        readFiles(spark, straddling) // DV-aware: never resurrect
           .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
     val version =
       try commitOnce(base) { _ => kept ++ entries }
@@ -306,6 +344,92 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = entries.size)
+  }
+
+  /** POSITIONAL delete (merge-on-read — Delta deletion vectors /
+    * Iceberg positional deletes): like [[delete]], manifest stats
+    * classify files three ways, but straddlers are NOT rewritten —
+    * their victim ROW POSITIONS land in one tiny deletion-vector file
+    * and readers anti-join them out ([[readFiles]]). The write
+    * amplification of copy-on-write disappears: a delete of k rows
+    * costs one victim scan plus O(k) positions, never a file rewrite —
+    * the shape row-level GDPR/retention deletes take at 100 TB, where
+    * rewriting every straddling file turns a small delete into a
+    * compaction. The read-side cost (per-file anti-join) is paid only
+    * by DV'd files and only until [[compact]] or
+    * [[materializeDeletes]] folds the vectors in. Victims are computed
+    * DV-aware (already-deleted rows just re-enter the vector —
+    * idempotent under the anti-join); existing vectors of touched
+    * files are unioned forward so nothing resurrects. Commit races
+    * abort like delete. */
+  def deletePositional(spark: SparkSession, statCol: String,
+      lo: Long, hi: Long): PositionalDeleteResult = {
+    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
+    val base = snapshot()
+    require(base.version > 0, "delete from an empty table?")
+    val (touched, kept) = base.files.partition { f =>
+      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+    }
+    val (covered, straddling) = touched.partition { f =>
+      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
+    }
+    val evolved =
+      if (straddling.isEmpty) kept
+      else {
+        val victims = spark.read.option("mergeSchema", "true")
+          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
+          .filter(col(statCol) >= lo && col(statCol) <= hi)
+          .select(col("_metadata.file_name").as("file"),
+            col("_metadata.row_index").as("pos"))
+        val oldDvs = straddling.flatMap(_.dv).distinct
+        val allVictims =
+          if (oldDvs.isEmpty) victims
+          else victims.unionByName(spark.read.parquet(
+            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
+        val dvName = s"dv-${UUID.randomUUID()}.parquet"
+        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
+        allVictims.coalesce(1).write.parquet(stage.toString)
+        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("dv write produced no file"))
+        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stage.toFile)
+        kept ++ straddling.map(_.copy(dv = Some(dvName)))
+      }
+    val version =
+      try commitOnce(base) { _ => evolved }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"positional delete from $root lost the commit race; re-run")
+      }
+    PositionalDeleteResult(version, droppedFiles = covered.size,
+      dvFiles = straddling.size, keptFiles = kept.size)
+  }
+
+  /** Fold every deletion vector back into plain files: rewrite ONLY the
+    * DV'd entries (via the DV-aware read, so victims stay gone), carry
+    * the rest by name. The maintenance op that converts merge-on-read
+    * debt back to zero read-side cost; vacuum reclaims the old files
+    * and vectors past the retention horizon. */
+  def materializeDeletes(spark: SparkSession): MergeResult = {
+    val base = snapshot()
+    require(base.version > 0, "materialize on an empty table?")
+    val (dvd, plain) = base.files.partition(_.dv.nonEmpty)
+    if (dvd.isEmpty) return MergeResult(base.version, 0, plain.size, 0)
+    val entries = writeDataFiles(spark, readFiles(spark, dvd))
+    val version =
+      try commitOnce(base) { _ => plain ++ entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"materializeDeletes on $root lost the commit race; re-run")
+      }
+    MergeResult(version, rewrittenFiles = dvd.size,
+      keptFiles = plain.size, newFiles = entries.size)
   }
 
   // -------------------------------------------------------------- maintenance
@@ -327,8 +451,7 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     require(base.version > 0, "compact an empty table?")
     val (small, large) = base.files.partition(_.rows < smallRows)
     if (small.size < 2) return MergeResult(base.version, 0, base.files.size, 0)
-    val packed = spark.read.parquet(
-        small.map(f => dataDir.resolve(f.path).toString): _*)
+    val packed = readFiles(spark, small) // DV-aware: compaction materializes deletes
       .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
     val entries = writeDataFiles(spark, packed)
     val version =
@@ -486,9 +609,12 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
     val cutoff = currentVersion - retainVersions + 1
     val (expired, retained) = versions.partition(_ < cutoff)
     if (expired.isEmpty) return (0, 0)
-    val live: Set[String] =
-      retained.flatMap(v => snapshot(Some(v)).files.map(_.path)).toSet
-    val dead = expired.flatMap(v => snapshot(Some(v)).files.map(_.path))
+    // deletion vectors are referenced files too: a retained version's
+    // DV must survive, an expired-only DV is reclaimed with its data
+    val live: Set[String] = retained
+      .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq)).toSet
+    val dead = expired
+      .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq))
       .distinct.filterNot(live.contains)
     dead.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
     expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
@@ -625,9 +751,14 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
 
 object TxTable {
 
-  /** One manifest row: a data file plus its row count and min/max stats. */
+  /** One manifest row: a data file plus its row count and min/max stats.
+    * `rows` counts PHYSICAL rows; `dv` optionally names a deletion
+    * vector — a parquet file of (file, pos) victim positions applied at
+    * read time (merge-on-read), so a positional delete rewrites
+    * nothing. Stats stay sound as superset bounds. */
   final case class FileEntry(path: String, rows: Long,
-      mins: Map[String, Long], maxs: Map[String, Long])
+      mins: Map[String, Long], maxs: Map[String, Long],
+      dv: Option[String] = None)
 
   /** A version's full state: its file list, the per-stream exactly-once
     * watermarks (appId → last committed micro-batch id), and the
@@ -645,6 +776,12 @@ object TxTable {
     * filtered into `newFiles`, `keptFiles` were provably untouched. */
   final case class DeleteResult(version: Int, droppedFiles: Int,
       rewrittenFiles: Int, keptFiles: Int, newFiles: Int)
+
+  /** deletePositional() outcome: `droppedFiles` left metadata-only,
+    * `dvFiles` stayed IN PLACE with victim positions recorded in a
+    * deletion vector (zero rewrites), `keptFiles` provably untouched. */
+  final case class PositionalDeleteResult(version: Int, droppedFiles: Int,
+      dvFiles: Int, keptFiles: Int)
 
   /** One version's file-level change: what it added, how many it removed.
     * `removedFiles > 0` marks a change (rewrite) commit. */
@@ -668,7 +805,8 @@ object TxTable {
     val fileLines = files.map { f =>
       val stats = f.mins.keys.toSeq.sorted
         .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
-      s"file\t${f.path}\t${f.rows}\t$stats"
+      val dvTok = f.dv.map(d => s"dv:$d\t").getOrElse("")
+      s"file\t${f.path}\t${f.rows}\t$dvTok$stats"
     }
     ("graft-txlog\t1" +: (txnLines ++ conLines ++ fileLines)).mkString("\n")
   }
@@ -691,11 +829,16 @@ object TxTable {
       .map { line =>
         val parts = line.split("\t")
         require(parts(0) == "file", s"bad manifest line: $line")
-        val stats = parts.drop(3).grouped(3).map {
+        val (dv, statParts) =
+          if (parts.length > 3 && parts(3).startsWith("dv:"))
+            (Some(parts(3).stripPrefix("dv:")), parts.drop(4))
+          else (None, parts.drop(3))
+        val stats = statParts.grouped(3).map {
           case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
         }.toSeq
         FileEntry(parts(1), parts(2).toLong,
-          stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap)
+          stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
+          dv)
       }
     (files, txns, constraints)
   }

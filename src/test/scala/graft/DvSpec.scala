@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.TxTable
+
+/** Merge-on-read DELETION VECTORS ([[TxTable.deletePositional]], SURVEY
+  * §2.17): positional deletes that rewrite nothing — victims recorded as
+  * (file, row position) and anti-joined out at read time — plus the
+  * maintenance path that folds the vectors back in. Pins the file
+  * accounting (zero rewrites), content exactness across stacked deletes,
+  * no-resurrection through merge/compact/materialize, snapshot
+  * isolation, CDC refusal, and vacuum reclamation of dead vectors. */
+class DvSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): TxTable =
+    new TxTable(Files.createTempDirectory("graft_dv").toString, Seq("k"))
+
+  private def keyed(lo: Long, hi: Long, parts: Int) = {
+    import spark.implicits._
+    spark.range(lo, hi).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .repartitionByRange(parts, col("k"))
+  }
+
+  private def keysOf(t: TxTable, v: Option[Int] = None): Seq[Long] =
+    t.read(spark, v).select(col("k"))
+      .as[Long](spark.implicits.newLongEncoder).collect().sorted.toSeq
+
+  test("positional delete rewrites nothing: dropped/dv/kept accounting and exact content") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10)) // 10 disjoint range files
+    val before = t.snapshot().files.map(_.path).toSet
+    val r = t.deletePositional(spark, "k", 35, 54)
+    // file [30,39] straddles, [40,49] covered, [50,59] straddles
+    assert(r.droppedFiles == 1 && r.dvFiles == 2 && r.keptFiles == 7)
+    val after = t.snapshot().files
+    assert(after.map(_.path).toSet.subsetOf(before), "a positional delete must write no data file")
+    assert(after.count(_.dv.nonEmpty) == 2)
+    assert(keysOf(t) == ((0L to 34L) ++ (55L until 100L)))
+    // snapshot isolation: the pre-delete version still reads everything
+    assert(keysOf(t, Some(1)) == (0L until 100L))
+  }
+
+  test("stacked positional deletes union their vectors; nothing resurrects") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10))
+    t.deletePositional(spark, "k", 35, 54)
+    val r2 = t.deletePositional(spark, "k", 30, 32) // same straddler again
+    assert(r2.dvFiles == 1 && r2.droppedFiles == 0)
+    assert(keysOf(t) == ((0L to 29L) ++ Seq(33L, 34L) ++ (55L until 100L)))
+    // merge through the DV'd file: update a survivor, victims stay gone
+    import spark.implicits._
+    val src = Seq((33L, 999L)).toDF("k", "v")
+    t.merge(spark, src, "k")
+    val got = t.read(spark).filter(col("k") === 33)
+      .select(col("v")).as[Long](spark.implicits.newLongEncoder).collect().toSeq
+    assert(got == Seq(999L))
+    assert(keysOf(t) == ((0L to 29L) ++ Seq(33L, 34L) ++ (55L until 100L)),
+      "the merge rewrite resurrected deleted rows")
+  }
+
+  test("materializeDeletes rewrites only DV'd entries; vacuum reclaims dead vectors") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10))
+    t.deletePositional(spark, "k", 35, 54)
+    val expect = (0L to 34L) ++ (55L until 100L)
+    val m = t.materializeDeletes(spark)
+    assert(m.rewrittenFiles == 2 && m.keptFiles == 7)
+    assert(t.snapshot().files.forall(_.dv.isEmpty), "vectors must be folded in")
+    assert(keysOf(t) == expect)
+    // a second materialize is a no-op
+    assert(t.materializeDeletes(spark).rewrittenFiles == 0)
+    // vacuum past the DV history: dead data files AND dead vectors go
+    val dataFiles = Option(java.nio.file.Paths.get(t.root, "data").toFile.listFiles()).get
+    assert(dataFiles.exists(_.getName.startsWith("dv-")), "the vector file exists pre-vacuum")
+    val (deleted, _) = t.vacuum(retainVersions = 1)
+    assert(deleted >= 3, s"expected old straddlers + covered + vector reclaimed, got $deleted")
+    val left = Option(java.nio.file.Paths.get(t.root, "data").toFile.listFiles()).get
+    assert(!left.exists(_.getName.startsWith("dv-")), "dead vector survived vacuum")
+    assert(keysOf(t) == expect)
+  }
+
+  test("compaction folds vectors in while packing") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10)) // 10 files of 10 rows
+    t.deletePositional(spark, "k", 35, 54)
+    val m = t.compact(spark, smallRows = 1000) // everything is "small"
+    assert(m.rewrittenFiles == 9, "all surviving files pack (the covered one is gone)")
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(keysOf(t) == ((0L to 34L) ++ (55L until 100L)))
+  }
+
+  test("CDC refuses a positional-delete version by default and skips it under skipChangeCommits") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 50, 5))    // v1
+    t.deletePositional(spark, "k", 12, 17) // v2: entry changed in place
+    t.append(spark, keyed(100, 110, 1)) // v3
+    val e = intercept[IllegalStateException] { t.changesBetween(spark, 0, 3) }
+    assert(e.getMessage.contains("rewrote files"))
+    val tagged = t.changesBetween(spark, 0, 3, skipChangeCommits = true)
+      .select(col("k"), col("_commit_version"))
+      .as[(Long, Long)](spark.implicits.newProductEncoder).collect().toSeq.sorted
+    assert(tagged == ((0L until 50L).map(_ -> 1L) ++ (100L until 110L).map(_ -> 3L)),
+      "CDC must carry the appends and skip the positional delete whole")
+  }
+
+  test("q_table_dv's gate query deletes without rewriting a single data file") {
+    val (r, _) = graft.queries.TableOps.dvApplied(spark, "/root/testdata/sf0.001")
+    // the build is time-partitioned, the delete is user-level: every
+    // file straddles — copy-on-write would rewrite the whole table here
+    assert(r.dvFiles >= 8, s"the perpendicular delete should DV most files, got $r")
+    assert(r.droppedFiles + r.dvFiles + r.keptFiles >= 8, s"expected a many-file table, got $r")
+    assert(r.droppedFiles == 0, s"no file is fully covered by a user band in this layout, got $r")
+  }
+}
