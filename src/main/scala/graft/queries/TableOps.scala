@@ -107,6 +107,47 @@ object TableOps {
     }
   }
 
+  /** Per-file BLOOM data skipping through the table layer: events land
+    * as 16 HASH-partitioned files — the layout where min/max stats are
+    * useless (every file's [min,max] spans nearly the whole user_id
+    * domain) — and a `user_id = 3` point probe prunes via the per-file
+    * bloom filters the write pass recorded in the manifest. All of one
+    * user's rows hash to one file, so the probe plans a scan over ~1 of
+    * 16 files with zero data I/O spent deciding; at 100 TB this is the
+    * GDPR/needle-lookup path on a column the table is NOT sorted or
+    * partitioned by. Blooms admit false positives, never false
+    * negatives, and the residual `=` filter keeps the answer exact —
+    * DuckDB-checked here; BloomSkipSpec pins that files really are
+    * dropped and that pre-bloom files stay scanned. */
+  def q_table_bloomskip(spark: SparkSession, dir: String): DataFrame =
+    bloomPruned(spark, dir).df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** The build + bloom-pruned read behind [[q_table_bloomskip]], exposed
+    * so specs can assert `filesScanned < filesTotal` on a layout where
+    * range stats alone would scan everything. */
+  private[graft] def bloomPruned(spark: SparkSession, dir: String): TxTable.PrunedRead =
+    new TxTable(bloomTableRoot(spark, dir), Seq("user_id"), Seq("user_id"))
+      .readEquals(spark, "user_id", 3L)
+
+  /** The shared 16-file hash-partitioned events table behind
+    * [[q_table_bloomskip]] (write-once published per source fingerprint —
+    * the build is ingest, not the measured op). */
+  private def bloomTableRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    Tables.publishOnce(s"graft_tablebloom_$fp") { tmp =>
+      val t = new TxTable(tmp, Seq("user_id"), Seq("user_id"))
+      t.append(spark, Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+        .repartition(16, col("user_id")))
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+  }
+
   /** Copy-on-write DELETE through the table layer: drop
     * `user_id BETWEEN 3 AND 7` from the 16-file range-partitioned events
     * table. The manifest stats classify every file WITHOUT reading it —
@@ -411,6 +452,7 @@ object TableOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_skip" -> q_table_skip _,
+    "q_table_bloomskip" -> q_table_bloomskip _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
@@ -427,6 +469,12 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id BETWEEN 2 AND 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_bloomskip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT event_id) AS n_events
+        |FROM events WHERE user_id = 3
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_merge" ->
       """WITH src AS (

@@ -43,7 +43,8 @@ import org.apache.spark.sql.functions._
   * O(files) tiny rows on the driver; every data-sized operation (stats,
   * merge rewrite) is a Spark job.
   */
-final class TxTable(val root: String, val statCols: Seq[String]) {
+final class TxTable(val root: String, val statCols: Seq[String],
+    val bloomCols: Seq[String] = Nil) {
 
   import TxTable._
 
@@ -150,6 +151,55 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
       else readFiles(spark, keep)
         .filter(col(statCol) >= lo && col(statCol) <= hi)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
+  }
+
+  /** Manifest-level BLOOM data skipping for `column = value` — the
+    * point-lookup tier min/max stats cannot serve. A hash-scattered
+    * high-cardinality column (user id, doc id) gives every file a
+    * [min,max] spanning nearly the whole domain, so range stats prune
+    * NOTHING on an equality probe; the per-file bloom filter (built in
+    * the same staged-write pass, carried in the manifest) answers
+    * "provably absent" for the ~15/16 files that don't hold the key.
+    * At 100 TB this is the needle query: a GDPR lookup or single-doc
+    * fetch plans a scan over a handful of files instead of the table.
+    *
+    * Blooms admit false positives, never false negatives, so the
+    * residual `=` filter keeps results exact; files written before the
+    * bloom declaration (no bloom recorded) are scanned unconditionally
+    * — the same soundness rule readWhere applies to missing stats.
+    * Min/max stats, when present for the column, prune in the same
+    * pass. The probe is hashed by Spark itself (one local 1-row
+    * projection) so build and probe can never drift. */
+  def readEquals(spark: SparkSession, column: String, value: Long): PrunedRead = {
+    require(statCols.contains(column) || bloomCols.contains(column),
+      s"$column is neither a stat column ($statCols) nor a bloom column ($bloomCols)")
+    val s = snapshot()
+    val pos = probePositions(spark, value)
+    val keep = s.files.filter { f =>
+      val rangeOk = f.mins.get(column).forall(_ <= value) &&
+        f.maxs.get(column).forall(_ >= value)
+      val bloomOk = f.blooms.get(column).forall { words =>
+        pos.forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
+      }
+      rangeOk && bloomOk
+    }
+    val df =
+      if (keep.isEmpty) read(spark).filter(lit(false))
+      else readFiles(spark, keep).filter(col(column) === value)
+    PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
+  }
+
+  /** The k bloom bit positions of a probe value, computed by the SAME
+    * engine expression the build pass uses (`xxhash64(cast(v as
+    * bigint), j) mod m`) — a one-row local projection, so build and
+    * probe hashing agree by construction rather than by a hand-ported
+    * xxhash implementation. */
+  private def probePositions(spark: SparkSession, value: Long): Seq[Int] = {
+    val row = spark.range(1).select(
+      (0 until BloomHashes).map(j =>
+        expr(s"cast(pmod(xxhash64(cast($value as bigint), $j), $BloomBits) as int)")
+          .as(s"p$j")): _*).head()
+    (0 until BloomHashes).map(row.getInt)
   }
 
   // ------------------------------------------------------------------ writes
@@ -662,17 +712,53 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
         broken.map { case (c, n) => s"CHECK ($c) violated by $n row(s)" }
           .mkString(s"write to $root rejected: ", "; ", ""))
     }
+    val bloomsByCol = computeBlooms(spark, stage.toString)
     val entries = stats.map { r =>
-      val staged = Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
+      val uri = r.getAs[String]("__file")
+      val staged = Paths.get(new java.net.URI(uri).getPath)
       val fresh = s"${UUID.randomUUID()}.parquet"
       Files.move(staged, dataDir.resolve(fresh), StandardCopyOption.ATOMIC_MOVE)
       FileEntry(fresh, r.getAs[Long]("__rows"),
         statCols.map(c => c -> r.getAs[Long](s"__min_$c")).toMap,
-        statCols.map(c => c -> r.getAs[Long](s"__max_$c")).toMap)
+        statCols.map(c => c -> r.getAs[Long](s"__max_$c")).toMap,
+        blooms = bloomCols.flatMap(c =>
+          bloomsByCol.getOrElse(c, Map.empty).get(uri).map(c -> _)).toMap)
     }.toSeq
     // the stage dir now holds only _SUCCESS/metadata droppings
     rm(stage.toFile)
     entries
+  }
+
+  /** Per staged file, an 8192-bit / 4-hash bloom over each declared
+    * bloom column — ONE distributed pass per column (explode the k hash
+    * positions, `bit_or` per (file, word)), collecting only
+    * O(files × 128) tiny rows on the driver. Null cells hash to a fixed
+    * position, which is harmless: equality probes are non-null and the
+    * residual filter drops nulls anyway. Returned maps are keyed by the
+    * staged file URI so the caller can attach blooms before the
+    * promote-rename. */
+  private def computeBlooms(spark: SparkSession, stage: String)
+      : Map[String, Map[String, Seq[Long]]] = {
+    if (bloomCols.isEmpty) Map.empty
+    else {
+      val df = spark.read.parquet(stage)
+      bloomCols.map { c =>
+        val hashes = (0 until BloomHashes).map(j =>
+          expr(s"cast(pmod(xxhash64(cast(`$c` as bigint), $j), $BloomBits) as int)"))
+        val rows = df
+          .select(input_file_name().as("__file"),
+            explode(array(hashes: _*)).as("__pos"))
+          .groupBy(col("__file"), expr("__pos div 64").as("__word"))
+          .agg(expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))").as("__bits"))
+          .collect()
+        c -> rows.groupBy(_.getAs[String]("__file")).map { case (f, rs) =>
+          val words = new Array[Long](BloomWords)
+          rs.foreach(r =>
+            words(r.getAs[Number]("__word").intValue) = r.getAs[Long]("__bits"))
+          f -> (words.toVector: Seq[Long])
+        }
+      }.toMap
+    }
   }
 
   private def flatStats(cols: Seq[String]) =
@@ -751,14 +837,25 @@ final class TxTable(val root: String, val statCols: Seq[String]) {
 
 object TxTable {
 
+  /** Bloom geometry: m = 8192 bits (128 longs, ~1.4 KB base64 per file
+    * per column in the manifest), k = 4 hashes — ~0.5% false-positive
+    * rate at ~600 distinct keys per file, still pruning-useful at a few
+    * thousand. */
+  private[tables] val BloomBits = 8192
+  private[tables] val BloomWords = BloomBits / 64
+  private[tables] val BloomHashes = 4
+
   /** One manifest row: a data file plus its row count and min/max stats.
     * `rows` counts PHYSICAL rows; `dv` optionally names a deletion
     * vector — a parquet file of (file, pos) victim positions applied at
     * read time (merge-on-read), so a positional delete rewrites
-    * nothing. Stats stay sound as superset bounds. */
+    * nothing. `blooms` carries per-column bloom bitsets for equality
+    * pruning. Stats and blooms stay sound as superset bounds (a DV'd or
+    * merged-away row may still test present — never the reverse). */
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      blooms: Map[String, Seq[Long]] = Map.empty)
 
   /** A version's full state: its file list, the per-stream exactly-once
     * watermarks (appId → last committed micro-batch id), and the
@@ -788,6 +885,17 @@ object TxTable {
   final case class VersionDelta(version: Int, added: Seq[FileEntry],
       removedFiles: Int)
 
+  private def encodeBloom(words: Seq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def decodeBloom(s: String): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Vector.fill(bb.remaining() / 8)(bb.getLong)
+  }
+
   private val ManifestName = """v(\d{8})\.txt""".r
 
   private def manifestName(v: Int): String = f"v$v%08d.txt"
@@ -806,7 +914,9 @@ object TxTable {
       val stats = f.mins.keys.toSeq.sorted
         .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
       val dvTok = f.dv.map(d => s"dv:$d\t").getOrElse("")
-      s"file\t${f.path}\t${f.rows}\t$dvTok$stats"
+      val bloomTok = f.blooms.keys.toSeq.sorted
+        .map(c => s"bloom:$c:${encodeBloom(f.blooms(c))}\t").mkString
+      s"file\t${f.path}\t${f.rows}\t$dvTok$bloomTok$stats"
     }
     ("graft-txlog\t1" +: (txnLines ++ conLines ++ fileLines)).mkString("\n")
   }
@@ -829,16 +939,21 @@ object TxTable {
       .map { line =>
         val parts = line.split("\t")
         require(parts(0) == "file", s"bad manifest line: $line")
-        val (dv, statParts) =
-          if (parts.length > 3 && parts(3).startsWith("dv:"))
-            (Some(parts(3).stripPrefix("dv:")), parts.drop(4))
-          else (None, parts.drop(3))
+        val afterDv = parts.drop(3)
+        val dv = afterDv.headOption.filter(_.startsWith("dv:"))
+          .map(_.stripPrefix("dv:"))
+        val rest = if (dv.isDefined) afterDv.drop(1) else afterDv
+        val (bloomParts, statParts) = rest.span(_.startsWith("bloom:"))
+        val blooms = bloomParts.map { tok =>
+          val Array(_, c, payload) = tok.split(":", 3)
+          c -> decodeBloom(payload)
+        }.toMap
         val stats = statParts.grouped(3).map {
           case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
         }.toSeq
         FileEntry(parts(1), parts(2).toLong,
           stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
-          dv)
+          dv, blooms)
       }
     (files, txns, constraints)
   }
