@@ -232,10 +232,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * BY NAME: untouched data is never copied, the mark of copy-on-write
     * done right.
     *
-    * Concurrency: a lost commit race ABORTS (ConcurrentModificationException)
-    * — unlike append, a merge validated its rewrite against a base
-    * snapshot that no longer exists; real table formats re-run conflict
-    * detection, and the safe minimal behavior is to surface the conflict. */
+    * Concurrency: a lost commit race runs FILE-LEVEL conflict detection
+    * ([[commitCow]]) — a concurrent commit that neither touched the
+    * files this merge read nor added rows inside the source's key range
+    * is provably disjoint, so the merge rebases onto it and republishes
+    * (concurrent appends carry forward by name); a conflicting commit
+    * aborts with ConcurrentModificationException. */
   def merge(spark: SparkSession, source: DataFrame, key: String): MergeResult =
     mergeFrom(spark, snapshot(), source, key)
 
@@ -278,14 +280,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
         notMatched.unionByName(src, allowMissingColumns = true)
     }
     val entries = writeDataFiles(spark, rewritten)
-    val version =
-      try commitOnce(base) { _ => kept ++ entries }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"merge into $root lost the commit race for version ${base.version + 1}; " +
-              "re-run the merge against the new snapshot")
-      }
+    // conflict guard = the source's key envelope: every source key lies
+    // inside it, so a concurrent file proven outside it could not have
+    // changed this merge's candidate selection or match results. An
+    // empty source guards nothing (its rewrite is content-preserving).
+    val srcRange = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+    val guard = if (srcRange.isNullAt(0)) None
+      else Some((key, srcRange.getLong(0), srcRange.getLong(1)))
+    val version = commitCow(base, candidates, entries, "merge", guard)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
   }
@@ -357,8 +359,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * Exact min/max make the classification sound both ways: a dropped
     * file cannot hold a survivor, a kept file cannot hold a victim.
     * Historical snapshots still read the dropped/rewritten files until
-    * [[vacuum]]; a lost commit race ABORTS like merge (the rewrite
-    * validated against a snapshot that no longer exists). */
+    * [[vacuum]]; a lost commit race rebases across provably disjoint
+    * concurrent commits and aborts on real conflicts ([[commitCow]]). */
   def delete(spark: SparkSession, statCol: String, lo: Long, hi: Long): DeleteResult =
     deleteFrom(spark, snapshot(), statCol, lo, hi)
 
@@ -383,14 +385,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
       else writeDataFiles(spark,
         readFiles(spark, straddling) // DV-aware: never resurrect
           .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
-    val version =
-      try commitOnce(base) { _ => kept ++ entries }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"delete from $root lost the commit race for version ${base.version + 1}; " +
-              "re-run against the new snapshot")
-      }
+    // rebase across disjoint concurrent commits; a concurrent file
+    // overlapping [lo, hi] would hold victims this delete never saw
+    val version = commitCow(base, touched, entries, "delete",
+      Some((statCol, lo, hi)))
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = entries.size)
@@ -411,7 +409,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * DV-aware (already-deleted rows just re-enter the vector —
     * idempotent under the anti-join); existing vectors of touched
     * files are unioned forward so nothing resurrects. Commit races
-    * abort like delete. */
+    * rebase/abort via the same conflict detection as delete. */
   def deletePositional(spark: SparkSession, statCol: String,
       lo: Long, hi: Long): PositionalDeleteResult = {
     require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
@@ -423,8 +421,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (covered, straddling) = touched.partition { f =>
       f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
     }
-    val evolved =
-      if (straddling.isEmpty) kept
+    val entries =
+      if (straddling.isEmpty) Nil
       else {
         val victims = spark.read.option("mergeSchema", "true")
           .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
@@ -447,15 +445,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(stage.toFile)
-        kept ++ straddling.map(_.copy(dv = Some(dvName)))
+        straddling.map(_.copy(dv = Some(dvName)))
       }
-    val version =
-      try commitOnce(base) { _ => evolved }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"positional delete from $root lost the commit race; re-run")
-      }
+    val version = commitCow(base, touched, entries, "positional delete",
+      Some((statCol, lo, hi)))
     PositionalDeleteResult(version, droppedFiles = covered.size,
       dvFiles = straddling.size, keptFiles = kept.size)
   }
@@ -471,13 +464,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (dvd, plain) = base.files.partition(_.dv.nonEmpty)
     if (dvd.isEmpty) return MergeResult(base.version, 0, plain.size, 0)
     val entries = writeDataFiles(spark, readFiles(spark, dvd))
-    val version =
-      try commitOnce(base) { _ => plain ++ entries }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"materializeDeletes on $root lost the commit race; re-run")
-      }
+    // content-preserving rewrite: concurrent appends never conflict
+    val version = commitCow(base, dvd, entries, "materializeDeletes", None)
     MergeResult(version, rewrittenFiles = dvd.size,
       keptFiles = plain.size, newFiles = entries.size)
   }
@@ -489,28 +477,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * metadata-plus-rewrite operation: the manifest decides the candidate
     * set from its own row counts (no data read to plan), only the small
     * files' rows are rewritten, and the commit publishes like any other —
-    * losers of a race abort (a concurrent append must not be dropped by
-    * an optimizer that validated against the old file list). Historical
+    * race losers rebase across disjoint concurrent commits (a concurrent
+    * append carries forward BY NAME — a background optimizer that aborts
+    * on every streaming micro-batch would livelock; a commit that
+    * touched the small files themselves aborts the compaction). Historical
     * snapshots keep naming the old small files, so time travel still
     * works until [[vacuum]] reclaims them past the retention horizon.
     * The 100 TB shape: the small-file problem is endemic to streaming
     * ingest (each micro-batch lands a file per partition), and compaction
     * cost is proportional to the SMALL fraction, never the table. */
-  def compact(spark: SparkSession, smallRows: Long): MergeResult = {
-    val base = snapshot()
+  def compact(spark: SparkSession, smallRows: Long): MergeResult =
+    compactFrom(spark, snapshot(), smallRows)
+
+  /** Compact against an explicit base snapshot — the seam that lets a
+    * spec interleave a competing commit between base-read and publish
+    * (mergeFrom precedent). */
+  private[graft] def compactFrom(spark: SparkSession, base: Snapshot,
+      smallRows: Long): MergeResult = {
     require(base.version > 0, "compact an empty table?")
     val (small, large) = base.files.partition(_.rows < smallRows)
     if (small.size < 2) return MergeResult(base.version, 0, base.files.size, 0)
     val packed = readFiles(spark, small) // DV-aware: compaction materializes deletes
       .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
     val entries = writeDataFiles(spark, packed)
-    val version =
-      try commitOnce(base) { _ => large ++ entries }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"compaction of $root lost the commit race; re-run against the new snapshot")
-      }
+    // content-preserving rewrite: concurrent appends never conflict
+    val version = commitCow(base, small, entries, "compaction", None)
     MergeResult(version, rewrittenFiles = small.size,
       keptFiles = large.size, newFiles = entries.size)
   }
@@ -526,7 +517,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * bits — the standard trick, not needed for the demo domains).
     * Content is unchanged (spec-pinned bit-equal), txn watermarks carry
     * forward, historical snapshots still read the old layout, and a
-    * lost commit race aborts like merge/compact. */
+    * lost commit race rebases across disjoint concurrent commits like
+    * compact (a concurrent append lands by name, unclustered — the next
+    * rewrite folds it in). */
   def clusterZorder(spark: SparkSession, c1: String, c2: String, files: Int): MergeResult = {
     require(statCols.contains(c1) && statCols.contains(c2),
       s"z-order columns must be stat columns ($statCols)")
@@ -558,13 +551,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
       .sortWithinPartitions(col("__z")) // tight row groups inside each file too
       .drop("__z")
     val entries = writeDataFiles(spark, clustered)
-    val version =
-      try commitOnce(base) { _ => entries }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new java.util.ConcurrentModificationException(
-            s"z-order rewrite of $root lost the commit race; re-run against the new snapshot")
-      }
+    // full-table content-preserving rewrite: candidates = every base
+    // file; a concurrent append rebases in by name, unclustered
+    val version = commitCow(base, base.files, entries, "z-order rewrite", None)
     MergeResult(version, rewrittenFiles = base.files.size,
       keptFiles = 0, newFiles = entries.size)
   }
@@ -794,6 +783,72 @@ final class TxTable(val root: String, val statCols: Seq[String],
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < maxRetries =>
           attempt += 1 // rebase onto the new latest and try again
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Publish a copy-on-write commit — `candidates` leave the manifest,
+    * `entries` join it — REBASING across concurrent commits when
+    * file-level conflict detection proves them disjoint, instead of the
+    * abort-on-any-race a serial log would force (the Delta/Iceberg
+    * optimistic-concurrency shape: conflict on what was READ, not on
+    * the version counter). A lost race re-reads the latest snapshot and
+    * aborts only if
+    *
+    *  - a candidate's (path, dv) identity is gone — a concurrent
+    *    rewrite/delete/DV touched a file this operation read, so its
+    *    staged output was derived from content that no longer exists;
+    *  - `guard` is set and a concurrently ADDED file's [min,max] for
+    *    the guard column overlaps (or lacks stats for) the operation's
+    *    key range — those rows would have changed the operation's own
+    *    candidate selection (a merge would have matched them, a delete
+    *    would have victims there). Content-preserving rewrites
+    *    (compact, z-order, DV materialization) pass None: concurrent
+    *    appends never conflict with them;
+    *  - the constraint set changed — the staged files were validated
+    *    against the old one.
+    *
+    * Otherwise the kept set is recomputed from the LATEST file list
+    * (concurrent appends carry forward by name, never dropped) and the
+    * publish retries. At 100 TB this is what lets streaming ingest and
+    * background maintenance share a table without livelocking each
+    * other: an optimizer that aborts on every append never wins. */
+  private def commitCow(base: Snapshot, candidates: Seq[FileEntry],
+      entries: Seq[FileEntry], what: String,
+      guard: Option[(String, Long, Long)]): Int = {
+    val candIds = candidates.map(f => (f.path, f.dv)).toSet
+    val baseIds = base.files.map(f => (f.path, f.dv)).toSet
+    var attempt = base
+    var rebases = 0
+    while (true) {
+      val kept = attempt.files.filterNot(f => candIds.contains((f.path, f.dv)))
+      try return commitOnce(attempt) { _ => kept ++ entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          rebases += 1
+          val cur = snapshot()
+          def conflict(why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"$what on $root conflicts with concurrent version ${cur.version}: " +
+                s"$why; re-run against the new snapshot")
+          if (rebases > 10) conflict("lost the publish race 10 times")
+          if (cur.constraints != base.constraints)
+            conflict("the constraint set changed (staged files were not " +
+              "validated against it)")
+          val curIds = cur.files.map(f => (f.path, f.dv)).toSet
+          if (!candIds.subsetOf(curIds))
+            conflict("file(s) this operation read were rewritten, deleted, " +
+              "or position-deleted")
+          val fresh = cur.files.filterNot(f => baseIds.contains((f.path, f.dv)))
+          guard.foreach { case (key, mn, mx) =>
+            // missing stats conservatively overlap: nothing proves the
+            // fresh file's rows outside the operation's key range
+            if (fresh.exists(f => f.mins.get(key).forall(_ <= mx) &&
+                f.maxs.get(key).forall(_ >= mn)))
+              conflict(s"concurrently added file(s) overlap $key in [$mn, $mx]")
+          }
+          attempt = cur
       }
     }
     -1 // unreachable

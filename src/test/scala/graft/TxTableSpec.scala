@@ -109,18 +109,20 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert((1000L until 1010L).forall(got(_) == -2L))
   }
 
-  test("merge that loses the commit race aborts instead of clobbering") {
+  test("merge that loses the race to an OVERLAPPING commit aborts instead of clobbering") {
     val t = freshTable()
     t.append(spark, keyed(0, 100, 2))
     import spark.implicits._
     val src = spark.range(0, 5).toDF("k").withColumn("v", lit(-1L))
     // deterministic interleaving via the mergeFrom seam: read the base
-    // snapshot, let a competing append land the next version, then try to
-    // publish the merge against the now-stale base — the put-if-absent
-    // commit must lose and surface the conflict instead of clobbering.
+    // snapshot, let a competing append land rows INSIDE the source's key
+    // range, then try to publish the merge against the now-stale base —
+    // conflict detection must abort (the merge would have matched the
+    // concurrent rows and its staged rewrite never saw them). Disjoint
+    // interleavings rebase instead — TxRebaseSpec.
     val stale = t.snapshot()
     assert(stale.version == 1)
-    t.append(spark, keyed(500, 510, 1)) // version 2 lands first
+    t.append(spark, keyed(3, 8, 1)) // version 2 lands first, keys overlap src
     intercept[java.util.ConcurrentModificationException] {
       t.mergeFrom(spark, stale, src, "k")
     }
@@ -130,6 +132,10 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(ok.version == 3)
     val got = t.read(spark).filter(col("k") < 5)
       .select(col("v")).as[Long](spark.implicits.newLongEncoder).collect()
+    // the re-run merge saw BOTH copies of the raced keys (base + the
+    // concurrent append's 3,4) and collapsed each matched KEY to its
+    // single source row — exactly the rows the aborted merge would
+    // have missed
     assert(got.length == 5 && got.forall(_ == -1L))
   }
 
@@ -176,13 +182,15 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(r2.droppedFiles == 0 && r2.rewrittenFiles == 0 && r2.keptFiles == 8)
   }
 
-  test("delete that loses the commit race aborts instead of clobbering") {
+  test("delete that loses the race to an overlapping commit aborts instead of clobbering") {
     val t = freshTable()
     t.append(spark, keyed(0, 100, 2))
-    // competing append lands between our snapshot read and publish: the
-    // delete validated against a dead snapshot and must surface the race
+    // competing append lands rows INSIDE the delete range between our
+    // snapshot read and publish: those rows would be silent survivors —
+    // conflict detection must surface the race (disjoint appends
+    // rebase — TxRebaseSpec)
     val base = t.snapshot()
-    t.append(spark, keyed(100, 110, 1))
+    t.append(spark, keyed(10, 20, 1))
     intercept[java.util.ConcurrentModificationException] {
       t.deleteFrom(spark, base, "k", 0, 49)
     }
