@@ -28,6 +28,9 @@ object Bench {
     try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
     // q_table_delete shares q_table_skip's published base build
     try { queries.TableOps.q_table_delete(spark, sfDir).count() } catch { case _: Throwable => () }
+    // q_table_bloomskip's 16-file hash table + bloom build is ingest too;
+    // the timed query measures the manifest-pruned point probe
+    try { queries.TableOps.q_table_bloomskip(spark, sfDir).count() } catch { case _: Throwable => () }
     // q_table_changes' 3-append + compact build is likewise one-time ingest
     try { queries.TableOps.q_table_changes(spark, sfDir).count() } catch { case _: Throwable => () }
     // q_table_evolve's 8-banded-append + evolveStats build too; the timed

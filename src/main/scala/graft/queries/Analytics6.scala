@@ -151,11 +151,91 @@ object Analytics6 {
       .orderBy(col("term"))
   }
 
+  /** TPC-H Q5 shape — the "local supplier volume" 6-table star:
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    * cross-dimension correlation c_nationkey = s_nationkey (the clause
+    * that makes Q5 a JOIN-ORDER benchmark — it links two otherwise
+    * independent dimension arms). Plan shape under Catalyst: region →
+    * nation → supplier collapse into ONE broadcast (they are
+    * region-filtered dimension data, kilobytes at any scale), so the
+    * only data-sized exchanges are the two fact shuffles — lineitem ⋈
+    * orders on orderkey, then on custkey — and the local-supplier
+    * correlation rides the broadcast join's condition as a residual,
+    * costing zero extra movement. The 100 TB plan is the same three
+    * stages; a row-at-a-time engine pays the correlation as a fourth
+    * join. Revenue accumulates in decimal (order-independent), emitted
+    * as double; the 2-year window stands in for Q5's 1-year (the
+    * synthetic order dates span 6.5 years). */
+  def q_tpch_q5(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(nr, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Q.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Q.dec2(col("l_discount")))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("n_name"))
+      .select(col("n_name"), col("n_items"), Q.outDbl(col("rev_dec")).as("revenue"))
+  }
+
+  /** TPC-H Q18 shape — "large volume customer": orders whose lineitems
+    * sum past a quantity threshold, decorated with their customer and
+    * ranked by order value. The HAVING subquery is a two-phase
+    * map-combinable aggregation over lineitem (partial sums collapse
+    * each partition before the orderkey shuffle); the join back to
+    * orders REUSES the same orderkey partitioning (no extra exchange),
+    * customer joins on custkey, and the top-100 is orderBy+limit —
+    * TakeOrderedAndProject (per-partition top-k, driver merge), never a
+    * global sort. Quantity sums and the ordering key live in decimal so
+    * threshold and tie-order are engine-exact; doubles only at
+    * emission. At 100 TB the only data-sized work is one lineitem scan
+    * + two key shuffles — the heavy `IN (subquery)` of the SQL form is
+    * exactly this join, planned manually. */
+  def q_tpch_q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Q.dec2(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 150)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("odate_us"),
+        Q.dec2(col("o_totalprice")).as("tp_dec"), col("sum_qty_dec"))
+      .orderBy(col("tp_dec").desc, col("o_orderkey")).limit(100)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("odate_us"),
+        Q.outDbl(col("tp_dec")).as("o_totalprice"),
+        Q.outDbl(col("sum_qty_dec")).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_lm_score" -> q_text_lm_score _,
     "q_join_pointintime" -> q_join_pointintime _,
     "q_agg_decay" -> q_agg_decay _,
     "q_index_posting" -> q_index_posting _,
+    "q_tpch_q5" -> q_tpch_q5 _,
+    "q_tpch_q18" -> q_tpch_q18 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -215,6 +295,35 @@ object Analytics6 {
         |       ELSE list_max(list_transform(range(2, len(ids) + 1), i -> ids[i] - ids[i-1]))
         |  END AS max_gap
         |FROM lists ORDER BY term""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name, n_items, CAST(rev AS DOUBLE) AS revenue FROM (
+        |  SELECT n_name, count(*) AS n_items,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |    JOIN nation   ON s_nationkey = n_nationkey
+        |    JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY n_name)
+        |ORDER BY rev DESC, n_name""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_agg_decay" ->
       """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
         |e AS (

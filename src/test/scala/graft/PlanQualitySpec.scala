@@ -359,6 +359,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q5: the dimension arm broadcasts; only the two fact joins shuffle") {
+    // region→nation→supplier collapse into broadcast builds (kilobytes at
+    // any scale — including the cross-dimension c_nationkey=s_nationkey
+    // correlation, which rides a broadcast join's condition instead of
+    // becoming a fourth shuffled join); the only data-sized exchanges are
+    // lineitem⋈orders on orderkey and the custkey hop
+    val plan = executedPlan("q_tpch_q5")
+    assert(plan.contains("BroadcastHashJoin"), s"dim arm did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "correlation degenerated to a cartesian")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 2, s"expected <=2 shuffled fact joins, got $smj:\n$plan")
+  }
+
+  test("q_tpch_q18: having-agg is two-phase; top-100 is TakeOrderedAndProject") {
+    val plan = executedPlan("q_tpch_q18")
+    assert(plan.contains("partial_sum"), "having aggregation is not map-combinable")
+    assert(plan.contains("TakeOrderedAndProject(limit=100"),
+      s"top-100 fell back to a global sort:\n$plan")
+  }
+
   test("SUITE-WIDE: no CartesianProduct (save the declared cross join), no all-rows-to-one-partition window") {
     // The two scale-killing physical shapes nothing here should ever need:
     // a CartesianProduct (every pair-producing query buckets, broadcasts,
