@@ -187,6 +187,34 @@ object TableOps {
     (r, t.read(spark))
   }
 
+  /** Atomic band overwrite (`replaceWhere`) through the table layer —
+    * the BACKFILL path: the `user_id BETWEEN 3 AND 7` band of the
+    * 16-file range-partitioned events table is restated (values
+    * doubled — the corrected-pipeline-rerun shape) and swapped in as
+    * ONE commit. Covered files drop metadata-only, straddlers rewrite
+    * minus the band, disjoint files carry by name, and readers see old
+    * band or new band, never a mix — at 100 TB "recompute one bad day"
+    * costs the band, not the table, and exposes no delete/append gap.
+    * A replacement that leaked rows outside its declared band would be
+    * REFUSED (ReplaceWhereSpec pins that); the oracle pins the restated
+    * answer. */
+  def q_table_replace(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, eventsTableRoot(spark, dir), "graft_q_table_replace") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      val restated = Tables.events(spark, dir)
+        .filter(col("user_id") >= 3 && col("user_id") <= 7)
+        .select(col("user_id"), col("event_type"),
+          (col("value") * 2).as("value"))
+        .repartitionByRange(4, col("user_id"))
+      t.overwriteWhere(spark, "user_id", 3, 7, restated)
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   /** Copy-on-write MERGE through the table layer: orders become an
     * 8-file table range-partitioned on o_orderkey, then one upsert batch
     * applies updates (keys <= 300 move to priority '0-MERGED' — a
@@ -453,6 +481,7 @@ object TableOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_skip" -> q_table_skip _,
     "q_table_bloomskip" -> q_table_bloomskip _,
+    "q_table_replace" -> q_table_replace _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
@@ -469,6 +498,14 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id BETWEEN 2 AND 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_replace" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7
+        |                 THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_bloomskip" ->
       """SELECT event_type, count(*) AS n,

@@ -394,6 +394,62 @@ final class TxTable(val root: String, val statCols: Seq[String],
       newFiles = entries.size)
   }
 
+  /** Atomic band overwrite (Delta's `replaceWhere`) — the
+    * backfill/restatement path: in ONE commit, rows with `statCol` in
+    * [lo, hi] are replaced by `df`. A recomputed day/key-band swaps in
+    * atomically — readers see the old band or the new band, never a
+    * mix, never a gap (delete-then-append would expose both
+    * intermediate states, and a crash between them loses the band).
+    *
+    * The replacement is VALIDATED to stay inside its declared band from
+    * the per-file stats the write pass already computed — zero extra
+    * scan: a backfill that leaks rows outside [lo, hi] would silently
+    * clobber or duplicate data it never declared ownership of, so it
+    * refuses before anything becomes visible (staged files deleted, the
+    * Delta replaceWhere contract). Victim classification is
+    * [[delete]]'s: covered files drop metadata-only, straddlers rewrite
+    * minus the band, disjoint files carry by name. Lost commit races
+    * rebase across provably disjoint concurrent commits ([[commitCow]]
+    * with the [lo, hi] guard). `newFiles` counts replacement +
+    * straddler-rewrite files. */
+  def overwriteWhere(spark: SparkSession, statCol: String, lo: Long, hi: Long,
+      df: DataFrame): DeleteResult =
+    overwriteWhereFrom(spark, snapshot(), statCol, lo, hi, df)
+
+  private[graft] def overwriteWhereFrom(spark: SparkSession, base: Snapshot,
+      statCol: String, lo: Long, hi: Long, df: DataFrame): DeleteResult = {
+    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
+    require(base.version > 0, "overwrite into an empty table: use append")
+    val replacement = writeDataFiles(spark, df)
+    val escapees = replacement.filter { e =>
+      !(e.mins.get(statCol).exists(_ >= lo) && e.maxs.get(statCol).exists(_ <= hi))
+    }
+    if (escapees.nonEmpty) {
+      replacement.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
+      throw new IllegalArgumentException(
+        s"overwriteWhere($statCol in [$lo, $hi]) rejected: replacement rows " +
+          s"escape the declared band in ${escapees.size} file(s) " +
+          escapees.map(e => s"${e.path} spans [${e.mins.get(statCol).orNull}, " +
+            s"${e.maxs.get(statCol).orNull}]").mkString("(", "; ", ")"))
+    }
+    val (touched, kept) = base.files.partition { f =>
+      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+    }
+    val (covered, straddling) = touched.partition { f =>
+      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
+    }
+    val rewrites =
+      if (straddling.isEmpty) Nil
+      else writeDataFiles(spark,
+        readFiles(spark, straddling) // DV-aware: never resurrect
+          .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
+    val version = commitCow(base, touched, rewrites ++ replacement,
+      "overwriteWhere", Some((statCol, lo, hi)))
+    DeleteResult(version, droppedFiles = covered.size,
+      rewrittenFiles = straddling.size, keptFiles = kept.size,
+      newFiles = rewrites.size + replacement.size)
+  }
+
   /** POSITIONAL delete (merge-on-read — Delta deletion vectors /
     * Iceberg positional deletes): like [[delete]], manifest stats
     * classify files three ways, but straddlers are NOT rewritten —
