@@ -229,6 +229,82 @@ object Analytics6 {
         Q.outDbl(col("sum_qty_dec")).as("sum_qty"))
   }
 
+  /** BPE vocabulary TRAINING — the tokenizer-construction op upstream
+    * of every token-counting query (q_text_tokens counts with a learned
+    * vocabulary; this learns one): k rounds of "count all adjacent
+    * symbol pairs, merge the most frequent everywhere", the
+    * Sennrich-et-al algorithm GPT-style tokenizers descend from.
+    *
+    * The scale design is the word-frequency collapse: the corpus is
+    * read ONCE into (word, freq) — vocabulary-sized, Zipf-bounded —
+    * and every subsequent iteration touches only that state, never the
+    * corpus again. Per round: pair extraction is a codegen'd zip_with
+    * over each word's symbol array, counting is a two-phase
+    * map-combinable aggregation weighted by freq, the argmax is
+    * orderBy+limit(1) (TakeOrdered, one row to the driver — the same
+    * driver-loop shape as q_kmeans_lloyd), and the merge is a narrow
+    * per-row fold (functions.aggregate: greedy left-to-right, no UDF)
+    * with localCheckpoint cutting the 12-round lineage. At 100 TB the
+    * corpus pass is the only data-sized job; training itself runs on
+    * |vocab| rows regardless of corpus size. Ties break (count DESC,
+    * pair ASC) so the merge table is deterministic; no DuckDB oracle
+    * (iterative + imperative greedy merge) — BpeSpec pins the full
+    * merge table against an independent single-threaded reference. */
+  def q_bpe_train(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, Tables.documents(spark, dir).select(col("text")), 12)
+
+  /** The training loop behind [[q_bpe_train]], corpus-parameterized so
+    * the spec can run constructed micro-corpora. Returns one row per
+    * merge: (rank, x, y, merged, n = weighted pair count at merge
+    * time). */
+  private[graft] def bpeTrain(spark: SparkSession, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val words = corpus
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var state = words.select(col("freq"),
+        concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to k if !done) {
+      val top = state
+        .select(col("freq"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (a, b) -> struct(a AS x, b AS y))""".stripMargin)).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true // nothing left worth merging
+      else {
+        val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, x, y, n))
+        // greedy left-to-right merge: a fold, not a UDF — the merged
+        // token is strictly longer than x, so it can never re-match as
+        // the x of an immediately following pair (standard BPE pass)
+        val mergedSyms = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(x) && s === lit(y),
+            concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(x + y))))
+            .otherwise(concat(acc, array(s))))
+        val prev = state
+        state = state.select(col("freq"), mergedSyms.as("syms")).localCheckpoint()
+        prev.unpersist(blocking = false) // keep only the latest round's blocks
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "x", "y", "n")
+      .select(col("rank"), col("x"), col("y"),
+        concat(col("x"), col("y")).as("merged"), col("n"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_lm_score" -> q_text_lm_score _,
     "q_join_pointintime" -> q_join_pointintime _,
@@ -236,6 +312,7 @@ object Analytics6 {
     "q_index_posting" -> q_index_posting _,
     "q_tpch_q5" -> q_tpch_q5 _,
     "q_tpch_q18" -> q_tpch_q18 _,
+    "q_bpe_train" -> q_bpe_train _,
   )
 
   val oracle: Map[String, String] = Map(

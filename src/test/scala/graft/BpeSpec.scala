@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Analytics6
+
+/** BPE vocabulary training ([[graft.queries.Analytics6#q_bpe_train]]):
+  * no SQL oracle exists (iterative argmax + imperative greedy merge),
+  * so the distributed trainer is pinned against an INDEPENDENT
+  * single-threaded reference implementation of the Sennrich algorithm —
+  * full merge-table equality (pair, order, and weighted count per
+  * rank) on both a hand-checkable micro-corpus and the real sf0.001
+  * documents table, plus the structural invariants (chained merges
+  * reuse earlier merged symbols; deterministic ties). */
+class BpeSpec extends AnyFunSuite with SparkFixture {
+
+  /** Plain Scala BPE: word-frequency state, count all adjacent pairs
+    * weighted by frequency, merge the (count DESC, pair ASC) argmax
+    * greedily left-to-right, stop when the best pair's count < 2. */
+  private def refBpe(corpus: Seq[String], k: Int): Seq[(Int, String, String, String, Long)] = {
+    val freq = corpus.flatMap(_.toLowerCase.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var state: Vector[(Vector[String], Long)] =
+      freq.toVector.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    val out = Vector.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- state; j <- 0 until syms.size - 1)
+        counts((syms(j), syms(j + 1))) = counts.getOrElse((syms(j), syms(j + 1)), 0L) + f
+      val best = counts.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.headOption
+      best match {
+        case Some(((x, y), n)) if n >= 2 =>
+          out += ((rank, x, y, x + y, n))
+          state = state.map { case (syms, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (acc.nonEmpty && acc.last == x && s == y) acc(acc.size - 1) = x + y
+              else acc += s
+            }
+            (acc.toVector, f)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  private def trained(corpus: Seq[String], k: Int): Seq[(Int, String, String, String, Long)] = {
+    import spark.implicits._
+    val df = corpus.toDF("text")
+    Analytics6.bpeTrain(spark, df, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+  }
+
+  test("micro-corpus: full merge table equals the hand-run reference, merges chain") {
+    // the classic Sennrich fixture shape: shared suffixes force chained
+    // merges (e+r, then er+</w>) so the test exercises merged symbols
+    // re-entering later pair counts
+    val corpus = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val got = trained(corpus, 10)
+    val want = refBpe(corpus, 10)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // chained merges really happened: some later merge consumes an
+    // earlier merged symbol
+    val mergedSyms = got.map(_._4).toSet
+    assert(got.exists(m => mergedSyms.contains(m._2) || mergedSyms.contains(m._3)),
+      "no merge ever reused an earlier merged symbol")
+  }
+
+  test("greedy left-to-right: overlapping runs merge non-overlapping (aaaa -> aa aa)") {
+    val corpus = Seq("aaaa aaaa aaaa")
+    val got = trained(corpus, 2)
+    val want = refBpe(corpus, 2)
+    assert(got == want)
+    // rank 1 merges (a,a) seen 3 times per word (overlap counting), 9
+    // total; the greedy pass leaves [aa, aa, </w>] — rank 2's counts
+    // (aa,aa)=3 and (aa,</w>)=3 tie, and "</w>" < "aa" in the pair-ASC
+    // tie-break, so the deterministic winner is (aa, </w>)
+    assert(got.head._2 == "a" && got.head._3 == "a" && got.head._5 == 9)
+    assert(got(1) == ((2, "aa", "</w>", "aa</w>", 3L)), s"got ${got(1)}")
+  }
+
+  test("sf0.001 corpus: distributed trainer matches the reference exactly") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val got = trained(corpus, 12)
+    val want = refBpe(corpus, 12)
+    assert(got.size == 12, "the real corpus supports 12 productive merges")
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("training stops when no pair repeats, instead of minting count-1 merges") {
+    val corpus = Seq("ab cd ef") // every pair unique
+    val got = trained(corpus, 5)
+    assert(got.forall(_._5 >= 2))
+    assert(got.size < 5, s"should stop early, produced $got")
+  }
+}
