@@ -268,6 +268,30 @@ object TableOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("commit_version"))
 
+  /** ROW-level change data feed through the gate (`_change_type` —
+    * Delta CDF): the shared 3-append + compaction table takes a real
+    * DELETE (`user_id BETWEEN 3 AND 7`, v5), then the FULL history's
+    * row changes are summarized per (commit version, change type).
+    * The three appends surface as pure inserts, the compaction
+    * contributes ZERO rows (its rewrite diff cancels under multiset
+    * semantics — no skip-commits hack), and the delete surfaces its
+    * victims as `delete` rows. This is the feed that makes downstream
+    * replication total — RowChangesSpec replays one into an empty
+    * replica and converges bit-exactly; DuckDB reconstructs the
+    * summary from the split rule + the delete band. */
+  def q_table_cdf(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_cdf") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.delete(spark, "user_id", 3, 7) // v5: a genuine delete on the compacted table
+      t.rowChangesBetween(spark, 0, t.currentVersion)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("commit_version"), col("change_type"))
+    }
+
   /** The build + CDC read behind [[q_table_changes]], exposed so the
     * spec can pin row-level tags and the change-commit refusal. */
   private[graft] def changesApplied(spark: SparkSession, dir: String): DataFrame = {
@@ -482,6 +506,7 @@ object TableOps {
     "q_table_skip" -> q_table_skip _,
     "q_table_bloomskip" -> q_table_bloomskip _,
     "q_table_replace" -> q_table_replace _,
+    "q_table_cdf" -> q_table_cdf _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
@@ -499,6 +524,18 @@ object TableOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id BETWEEN 2 AND 4
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_cdf" ->
+      """WITH ch AS (
+        |  SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type, user_id, "value"
+        |    FROM events WHERE user_id % 3 = 0
+        |  UNION ALL SELECT 2, 'insert', user_id, "value" FROM events WHERE user_id % 3 = 1
+        |  UNION ALL SELECT 3, 'insert', user_id, "value" FROM events WHERE user_id % 3 = 2
+        |  UNION ALL SELECT 5, 'delete', user_id, "value" FROM events WHERE user_id BETWEEN 3 AND 7)
+        |SELECT commit_version, change_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ch GROUP BY commit_version, change_type
+        |ORDER BY commit_version, change_type""".stripMargin,
     "q_table_replace" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7

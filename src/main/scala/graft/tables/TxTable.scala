@@ -344,6 +344,64 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** ROW-level change data feed — the Delta CDF `_change_type` face
+    * [[changesBetween]]'s file-level read refuses to fake: every row
+    * change in versions (fromV, toV], tagged `_change_type`
+    * (insert | delete) and `_commit_version`. An UPDATE surfaces as its
+    * delete+insert pair (the CDF representation when no preimage is
+    * stored); this is what makes downstream REPLICATION total — apply
+    * each version's deletes then inserts and the replica converges to
+    * the source bit-exactly, deletes and merges included
+    * (RowChangesSpec replays exactly that).
+    *
+    * Per version, planned from the manifest diff by (path, dv)
+    * identity: append commits emit their added files' rows as inserts —
+    * metadata-planned, no diffing. Change commits diff the removed
+    * entries' content against the added entries' (both DV-aware reads):
+    * inserts = post ∖ pre, deletes = pre ∖ post, MULTISET semantics
+    * (exceptAll), so rows a rewrite merely CARRIED cancel out —
+    * compaction and z-order emit ZERO change rows without any
+    * skip-commits hack, and a merge emits only the rows it actually
+    * changed, not the files it rewrote. Cost is proportional to the
+    * TOUCHED files of each version, never the table; a positional
+    * delete diffs one file's two DV states and emits exactly the newly
+    * vectored rows. Schemas are aligned across evolution (absent
+    * columns read NULL on both sides of the diff). */
+  def rowChangesBetween(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
+    require(0 <= fromV && fromV <= toV && toV <= currentVersion,
+      s"bad change range [$fromV, $toV] for table at version $currentVersion")
+    val allCols = read(spark, Some(toV)).columns.toSeq
+    def align(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    def tag(df: DataFrame, tpe: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v.toLong))
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      val cur = snapshot(Some(v)).files
+      val prev = if (v == 1) Nil else snapshot(Some(v - 1)).files
+      val prevKeys = prev.map(f => (f.path, f.dv)).toSet
+      val curKeys = cur.map(f => (f.path, f.dv)).toSet
+      val added = cur.filterNot(f => prevKeys((f.path, f.dv)))
+      val removed = prev.filterNot(f => curKeys((f.path, f.dv)))
+      (added.nonEmpty, removed.nonEmpty) match {
+        case (false, false) => None // metadata-only commit (constraint, stats)
+        case (true, false) => // pure append: inserts, no diff to compute
+          Some(tag(align(readFiles(spark, added)), "insert", v))
+        case (false, true) => // pure metadata delete: victims are the content
+          Some(tag(align(readFiles(spark, removed)), "delete", v))
+        case (true, true) => // rewrite: multiset diff, carried rows cancel
+          val pre = align(readFiles(spark, removed))
+          val post = align(readFiles(spark, added))
+          Some(tag(post.exceptAll(pre), "insert", v)
+            .unionByName(tag(pre.exceptAll(post), "delete", v)))
+      }
+    }
+    frames.reduceOption(_.unionByName(_))
+      .getOrElse(tag(align(read(spark, Some(toV)).filter(lit(false))), "insert", 0)
+        .filter(lit(false)))
+  }
+
   /** Copy-on-write DELETE of rows with `lo <= statCol <= hi`. The
     * manifest stats split the file list three ways, and only one class
     * costs a data read:
