@@ -305,6 +305,56 @@ object Analytics6 {
       .orderBy(col("rank"))
   }
 
+  /** BPE ENCODING with the learned merge table — the half of the
+    * tokenizer [[q_bpe_train]] trains: every document re-tokenized by
+    * applying the 12 merges in rank order (the exact inference rule of
+    * BPE: training-order replay, greedy left-to-right per rank), then
+    * summarized per doc as (BPE token count, distinct tokens, longest
+    * token). The scale shape is what makes BPE servable: encoding runs
+    * on the DISTINCT-WORD dictionary (Zipf-bounded, the same collapse
+    * training used), so the 12 chained folds cost |vocab| rows at any
+    * corpus size, and the encoded dictionary broadcast-joins back onto
+    * the token stream — the stream itself pays one map-side join + one
+    * per-doc aggregation. Character split and folds are the same
+    * expressions training used, so train/encode can never drift (the
+    * tokenizer-mismatch bug class: training-time and serving-time
+    * tokenization disagreeing by one whitespace rule). Compression is
+    * visible: BPE tokens per doc < characters per doc, pinned in spec
+    * against a reference encode. */
+  def q_bpe_encode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, Tables.documents(spark, dir).select(col("text")), 12)
+      .select(col("x"), col("y"), col("merged")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    // encode each DISTINCT word once — the 12 chained folds run on
+    // |vocab| rows, never the corpus (a first cut folded per TOKEN and
+    // cost 25 s at sf0.1; the dictionary form is ~0 at any scale) —
+    // then broadcast the tiny encode dictionary back onto the stream
+    val charSyms = concat(
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+      array(lit("</w>")))
+    val encoded = merges.foldLeft(charSyms) { case (syms, (x, y, m)) =>
+      aggregate(syms,
+        array().cast("array<string>"),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(x) && s === lit(y),
+          concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(m))))
+          .otherwise(concat(acc, array(s))))
+    }
+    val dict = words.select(col("w")).distinct()
+      .select(col("w"), encoded.as("toks"))
+    words.join(broadcast(dict), "w")
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        max(length(col("tok"))).as("longest"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_lm_score" -> q_text_lm_score _,
     "q_join_pointintime" -> q_join_pointintime _,
@@ -313,6 +363,7 @@ object Analytics6 {
     "q_tpch_q5" -> q_tpch_q5 _,
     "q_tpch_q18" -> q_tpch_q18 _,
     "q_bpe_train" -> q_bpe_train _,
+    "q_bpe_encode" -> q_bpe_encode _,
   )
 
   val oracle: Map[String, String] = Map(

@@ -292,6 +292,33 @@ object TableOps {
         .orderBy(col("commit_version"), col("change_type"))
     }
 
+  /** CDC-APPLY replication through the gate: the shared 3-append +
+    * compaction table takes a real delete (v5), then a FRESH replica
+    * pulls the whole history through `applyChangesFrom` — one sync,
+    * exactly once, watermarked in the replica's own manifest — and the
+    * replica's content is aggregated. The answer must equal the
+    * source's live state (DuckDB reconstructs it as NOT-BETWEEN — the
+    * replication path earns the same oracle as reading the source),
+    * with the compaction contributing zero applied rows and the
+    * delete's transient victims cancelled net against their inserts
+    * where applicable. ReplicationSpec pins convergence, idempotent
+    * replay, and churn cancellation on constructed histories. */
+  def q_table_replica(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_replica") { root =>
+      val src = new TxTable(root, Seq("user_id"))
+      src.delete(spark, "user_id", 3, 7) // v5
+      val replicaRoot = Files.createTempDirectory("graft_q_table_replica_dst").toString
+      tempRoots.add(replicaRoot)
+      val dst = new TxTable(replicaRoot, Seq("user_id"))
+      dst.applyChangesFrom(spark, src, "gate-replica", "user_id")
+      dst.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   /** The build + CDC read behind [[q_table_changes]], exposed so the
     * spec can pin row-level tags and the change-commit refusal. */
   private[graft] def changesApplied(spark: SparkSession, dir: String): DataFrame = {
@@ -507,6 +534,7 @@ object TableOps {
     "q_table_bloomskip" -> q_table_bloomskip _,
     "q_table_replace" -> q_table_replace _,
     "q_table_cdf" -> q_table_cdf _,
+    "q_table_replica" -> q_table_replica _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
@@ -565,6 +593,12 @@ object TableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_table_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_replica" -> // the replica of the deleted state earns the same oracle
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users

@@ -402,6 +402,88 @@ final class TxTable(val root: String, val statCols: Seq[String],
         .filter(lit(false)))
   }
 
+  /** Incremental CDC-APPLY replication — pull the source table's row
+    * changes since the last applied version and fold them in, EXACTLY
+    * ONCE: the applied-through source version rides THIS table's txn
+    * watermark map (`appId → version`, the same manifest slot streaming
+    * ingest uses), so a crashed/replayed sync recognizes itself from
+    * the current snapshot and no-ops — restart-safe with no external
+    * state, the [[appendBatch]] idempotence story lifted to
+    * replication.
+    *
+    * Within the synced range, cross-version churn CANCELS before
+    * anything is applied (multiset: net inserts = inserts ∖ deletes,
+    * net deletes = deletes ∖ inserts — a row inserted in v+1 and
+    * deleted in v+3 moves nothing), which is exactly why the
+    * telescoped diff equals the state transition. Net deletes are
+    * applied copy-on-write: candidate files found by the SAME
+    * broadcast stats-interval probe merge uses (one insert-only sync
+    * rewrites nothing), their content exceptAll'd, net inserts landed
+    * alongside; ONE commit publishes rows + watermark together —
+    * readers of the replica see consistent cuts only. Lost races
+    * rebase/abort via [[commitCow]] with the changed-key envelope as
+    * the guard. At 100 TB a sync costs the CHANGED files on the source
+    * side and the OVERLAPPING files on the target side, never either
+    * table. Returns the source version now applied through. */
+  def applyChangesFrom(spark: SparkSession, source: TxTable, appId: String,
+      key: String): Int = {
+    require(statCols.contains(key), s"replication key $key must be a stat column")
+    val base = snapshot()
+    val last = base.txns.getOrElse(appId, 0L).toInt
+    val srcV = source.currentVersion
+    if (srcV <= last) return last // replayed or idle sync: recognized, no-op
+    val ch = source.rowChangesBetween(spark, last, srcV)
+      .persist() // both net sides and the probe read it
+    try {
+      val dataCols = ch.columns.filterNot(c =>
+        c == "_change_type" || c == "_commit_version").toSeq
+      val ins = ch.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      val del = ch.filter(col("_change_type") === "delete")
+        .select(dataCols.map(col): _*)
+      val insNet = ins.exceptAll(del)
+      val delNet = del.exceptAll(ins)
+      // candidate files = stats intervals admitting any net-deleted key
+      // (merge's broadcast probe — an insert-only sync rewrites nothing)
+      val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
+      val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
+      val hitPaths: Set[String] = {
+        import spark.implicits._
+        if (delNet.isEmpty) Set.empty[String]
+        else {
+          val intervals = statful.map(f => (f.path, f.mins(key), f.maxs(key)))
+            .toDF("__path", "__mn", "__mx")
+          delKeys.join(broadcast(intervals),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__path").distinct().as[String].collect().toSet ++
+            statless.map(_.path)
+        }
+      }
+      val (candidates, _) = base.files.partition(f => hitPaths.contains(f.path))
+      val survivors =
+        if (candidates.isEmpty) insNet
+        else {
+          // align pre-evolution target files to the feed's schema
+          // (absent columns read NULL, rowChangesBetween's own rule)
+          val cand = readFiles(spark, candidates)
+          cand.select(dataCols.map(c =>
+              if (cand.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+            .exceptAll(delNet)
+            .unionByName(insNet, allowMissingColumns = true)
+        }
+      val entries =
+        if (survivors.isEmpty) Nil
+        else writeDataFiles(spark, survivors)
+      val bounds = insNet.unionByName(delNet)
+        .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+      val guard = if (bounds.isNullAt(0)) None
+        else Some((key, bounds.getLong(0), bounds.getLong(1)))
+      commitCow(base, candidates, entries, "CDC apply", guard,
+        txns = Map(appId -> srcV.toLong))
+      srcV
+    } finally { ch.unpersist(blocking = false); () }
+  }
+
   /** Copy-on-write DELETE of rows with `lo <= statCol <= hi`. The
     * manifest stats split the file list three ways, and only one class
     * costs a data read:
@@ -930,14 +1012,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * other: an optimizer that aborts on every append never wins. */
   private def commitCow(base: Snapshot, candidates: Seq[FileEntry],
       entries: Seq[FileEntry], what: String,
-      guard: Option[(String, Long, Long)]): Int = {
+      guard: Option[(String, Long, Long)],
+      txns: Map[String, Long] = Map.empty): Int = {
     val candIds = candidates.map(f => (f.path, f.dv)).toSet
     val baseIds = base.files.map(f => (f.path, f.dv)).toSet
     var attempt = base
     var rebases = 0
     while (true) {
       val kept = attempt.files.filterNot(f => candIds.contains((f.path, f.dv)))
-      try return commitOnce(attempt) { _ => kept ++ entries }
+      try return commitOnce(attempt, txns) { _ => kept ++ entries }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           rebases += 1

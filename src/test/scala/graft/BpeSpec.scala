@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Analytics6
@@ -95,6 +96,49 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     val want = refBpe(corpus, 12)
     assert(got.size == 12, "the real corpus supports 12 productive merges")
     assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  /** Reference encode: replay merges in rank order, one greedy
+    * left-to-right pass per rank — exact for BPE because a rank-k merge
+    * only creates symbols no rank ≤ k references (new adjacencies
+    * always involve the merged symbol), so earlier ranks never regain
+    * opportunities and one pass per rank reaches fixpoint. */
+  private def refEncode(word: String, merges: Seq[(String, String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    for ((x, y, m) <- merges) {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (s <- syms) {
+        if (acc.nonEmpty && acc.last == x && s == y) acc(acc.size - 1) = m
+        else acc += s
+      }
+      syms = acc.toVector
+    }
+    syms
+  }
+
+  test("encoding replays the learned merges: per-doc stats match a reference encode") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val merges = refBpe(corpus.map(_._2), 12).map(m => (m._2, m._3, m._4))
+    val want = corpus.map { case (id, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => refEncode(w, merges))
+      (id, (toks.size.toLong, toks.distinct.size.toLong, toks.map(_.length).max))
+    }.toMap
+    val got = queries.Analytics6.q_bpe_encode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got.size == want.size)
+    assert(got == want.map { case (k, (a, b, c)) => k -> ((a, b, c)) },
+      "distributed encode must match the reference token stream per doc")
+    // and BPE actually compresses: fewer tokens than characters+markers
+    val charCounts = corpus.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .map(_.length + 1).sum.toLong
+    }.toMap
+    assert(got.forall { case (id, (n, _, _)) => n < charCounts(id) },
+      "encoded token count must be below the raw symbol count")
   }
 
   test("training stops when no pair repeats, instead of minting count-1 merges") {
