@@ -15,7 +15,7 @@ object Probe {
     } catch { case e: Throwable => println(s"== nanosAsLong runtime-settable: NO (${e.getMessage})") }
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev.printSchema()
-    val fixed = ev.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val fixed = Tables.normalizeTs(ev)
     fixed.printSchema()
     fixed.orderBy("event_id").show(3, false)
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   *
   * Schema normalization (SURVEY.md §1.2):
   *
-  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-  *    rejects outright (PARQUET_TYPE_ILLEGAL, verified on Spark 4.1.2). We
-  *    read it as a raw long via `spark.sql.legacy.parquet.nanosAsLong` and
-  *    convert to a microsecond TimestampType with *integer* division — ns
-  *    epoch values (~1.7e18) exceed double's 53-bit mantissa, so `DIV`,
-  *    never `/`. DuckDB truncates ns→µs identically on cast, and the
-  *    generator only emits µs-grained values (FIXTURES.md), so both engines
-  *    see bit-identical timestamps.
+  *  - `events.ts` has shipped in TWO generator layouts: parquet
+  *    TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright
+  *    (PARQUET_TYPE_ILLEGAL, verified on Spark 4.1.2), so we read it as a
+  *    raw long via `spark.sql.legacy.parquet.nanosAsLong` and convert to a
+  *    microsecond TimestampType with *integer* division (ns epoch values
+  *    ~1.7e18 exceed double's 53-bit mantissa: `DIV`, never `/`) — and,
+  *    since the 2026-08-13 regeneration, native timestamp[us], which Spark
+  *    reads directly (nanosAsLong does not apply to µs columns).
+  *    [[normalizeTs]] branches on the ARRIVED type, so both layouts reach
+  *    every query as the same µs-grained TimestampType; the generator only
+  *    emits µs-grained values either way (FIXTURES.md) and DuckDB's
+  *    `epoch_us(ts)` oracles are grain-agnostic, so both engines see
+  *    bit-identical timestamps under either layout.
   *
   *  - Timestamp columns are cast to TimestampType so behavior is identical
   *    whether the reader infers TIMESTAMP_NTZ (Spark ≥3.4 default for
@@ -100,9 +105,19 @@ object Tables {
       .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
 
   /** ns→µs conversion; see class doc. */
+  /** Normalize a frame's `ts` to µs-grained TimestampType from either
+    * generator layout (int64 epoch-ns under nanosAsLong, or native
+    * parquet timestamp[us]/NTZ — the cast is value-preserving in the
+    * UTC-pinned session). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeTs(read(spark, dir, "events"))
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

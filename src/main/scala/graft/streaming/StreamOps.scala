@@ -23,23 +23,26 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Raw→normalized events, shared by every SOURCE implementation: ns
-    * epoch longs → µs timestamps (the batch loader's normalization). The
+  /** Raw→normalized events, shared by every SOURCE implementation: either
+    * generator layout of `ts` (ns epoch longs, or native µs timestamps) →
+    * µs TimestampType (the batch loader's normalization). The
     * operators below take the normalized DataFrame and never see the
     * source — file replay here, an in-memory queue in MemorySourceSpec
     * (the broker-shaped stand-in in a zero-egress container), a Kafka
     * consumer in production: each deserializes to the raw columns and
     * calls this. */
-  def normalizeEvents(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def normalizeEvents(raw: DataFrame): DataFrame = Tables.normalizeTs(raw)
 
-  /** events replayed as an unbounded stream. The parquet is TIMESTAMP(NANOS)
-    * so the declared schema reads ts as long (nanosAsLong) and converts —
-    * same normalization as the batch loader. */
+  /** events replayed as an unbounded stream. The declared schema reads
+    * `ts` with whatever type the parquet actually carries (ns-long layout
+    * under nanosAsLong, or native timestamp[us]) — streaming reads
+    * require a declared schema, so the type is probed from the batch
+    * reader's footer inference once at stream build. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // glob, not bare dir and not bare file: the sf dir holds every table's
@@ -700,6 +703,33 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(txGroupBatch(group, members, queryName) _)
+
+  /** CONTINUOUS CDC-apply replication — the streaming face of
+    * [[graft.tables.TxTable.applyChangesFrom]]: `cdf` is the source
+    * table read as a row-level change stream
+    * (`TxTableSource` with `readChangeFeed=true`, each micro-batch the
+    * tagged diff of whole source versions), and every micro-batch folds
+    * into the replica via [[graft.tables.TxTable.applyChangeRows]]
+    * under the `queryName → batchId` watermark — foreachBatch is
+    * at-least-once, the fold is exactly-once, so restart the query
+    * against the same checkpoint and the replica converges to the
+    * source, merges and deletes included. Two watermarks compose here:
+    * the CHECKPOINT resumes the source read at the committed version,
+    * and the replica's own manifest watermark refuses a replayed batch
+    * the checkpoint already covered — the crash window between sink
+    * commit and checkpoint commit is closed from the replica side. At
+    * 100 TB each micro-batch costs the source's changed files + the
+    * replica's overlapping files, so replication lag tracks CHANGE
+    * rate, never table size. */
+  def txReplicaSink(cdf: DataFrame, replica: graft.tables.TxTable,
+      key: String, queryName: String, checkpoint: String) =
+    cdf.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        replica.applyChangeRows(batch.sparkSession, batch, queryName, batchId, key)
+        ()
+      }
 
   /** Report sink: per-batch parquet append — the streaming analogue of the
     * reference's report-writer bolt. exactly-once via batchId-named dirs

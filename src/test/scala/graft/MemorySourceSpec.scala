@@ -21,9 +21,16 @@ class MemorySourceSpec extends AnyFunSuite with SparkFixture {
   test("queue-backed source through tumbling windows == batch q_stream_tumble") {
     Tables.ensure(spark)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // raw ns-long rows, as a consumer would hand them over (nanosAsLong
-    // set by ensure, so the parquet read leaves ts as a raw long)
-    val raw = spark.read.parquet(s"$sf/events.parquet").as[RawEvent].collect()
+    // raw ns-long rows, as a consumer would hand them over — from either
+    // generator layout (int64 ns under nanosAsLong, or native timestamp[us],
+    // re-widened to ns: a broker delivers epoch integers, not engine types)
+    val rawDf = spark.read.parquet(s"$sf/events.parquet")
+    val nsDf = rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => rawDf
+      case _ => rawDf.withColumn("ts",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
+    val raw = nsDf.as[RawEvent].collect()
     assert(raw.nonEmpty)
     val source = MemoryStream[RawEvent]
     val agg = StreamOps.normalizeEvents(source.toDF())
