@@ -319,6 +319,48 @@ object TableOps {
         .orderBy(col("event_type"))
     }
 
+  /** STREAMING CDC-apply replication through the gate — the continuous
+    * face of [[q_table_replica]]: the same 3-append + compaction + delete
+    * source is read as a ROW-LEVEL change stream (`TxTableSource` with
+    * `readChangeFeed=true`, one micro-batch per source version) and a
+    * fresh replica is built by `StreamOps.txReplicaSink` folding each
+    * micro-batch exactly once under its `queryName → batchId` manifest
+    * watermark — Trigger.AvailableNow drains the whole history and
+    * terminates. The replica's content must equal the source's live
+    * state (the SAME NOT-BETWEEN oracle as the batch replica: the
+    * transport — one batch sync or five watermarked micro-batches —
+    * must be invisible in the answer). StreamingReplicaSpec pins
+    * checkpointed restart and replayed-batch refusal on constructed
+    * histories; at 100 TB the stream's per-trigger cost is the source's
+    * changed files, so replication lag tracks change rate, not table
+    * size. */
+  def q_table_replica_stream(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_rstream") { root =>
+      val src = new TxTable(root, Seq("user_id"))
+      src.delete(spark, "user_id", 3, 7) // v5
+      val replicaRoot = Files.createTempDirectory("graft_q_table_rstream_dst").toString
+      val ckpt = Files.createTempDirectory("graft_q_table_rstream_ckpt").toString
+      try {
+        val dst = new TxTable(replicaRoot, Seq("user_id"))
+        val cdf = spark.readStream.format("graft.sources.TxTableSource")
+          .option("path", root)
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+        val q = graft.streaming.StreamOps
+          .txReplicaSink(cdf, dst, "user_id", "gate-replica-stream", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(180000), "replication stream did not drain")
+        val agg = dst.read(spark)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+        spark.createDataFrame(agg.collectAsList(), agg.schema)
+      } finally { deleteTree(replicaRoot); deleteTree(ckpt) }
+    }
+
   /** The build + CDC read behind [[q_table_changes]], exposed so the
     * spec can pin row-level tags and the change-commit refusal. */
   private[graft] def changesApplied(spark: SparkSession, dir: String): DataFrame = {
@@ -535,6 +577,7 @@ object TableOps {
     "q_table_replace" -> q_table_replace _,
     "q_table_cdf" -> q_table_cdf _,
     "q_table_replica" -> q_table_replica _,
+    "q_table_replica_stream" -> q_table_replica_stream _,
     "q_table_merge" -> q_table_merge _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
@@ -599,6 +642,13 @@ object TableOps {
         |FROM events WHERE user_id NOT BETWEEN 3 AND 7
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_replica" -> // the replica of the deleted state earns the same oracle
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_replica_stream" -> // the stream-built replica earns it too:
+      // the transport must be invisible in the answer
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users

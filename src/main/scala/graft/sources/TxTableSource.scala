@@ -26,6 +26,15 @@ import graft.tables.TxTable
   * versions whole. Both behaviors — and that a skipped compaction
   * causes neither loss nor duplication — are spec-pinned.
   *
+  * `readChangeFeed=true` streams the ROW-LEVEL change feed instead
+  * (the Delta CDF-as-stream face): each micro-batch is
+  * `rowChangesBetween(startV, endV]` — every row tagged
+  * insert/delete + `_commit_version` — so change commits are the
+  * PAYLOAD, not a hazard (a compaction diffs to zero rows, a merge to
+  * exactly its changed rows). This is what feeds continuous
+  * replication: [[graft.streaming.StreamOps.txReplicaSink]] folds the
+  * feed into a replica TxTable exactly once per micro-batch.
+  *
   * V1 `Source` is deliberate (the same API Delta ships on): `getBatch`
   * may plan its result with the full SQL parquet reader and re-wrap it
   * as a streaming frame, where a DSv2 `PartitionReader` would have to
@@ -53,13 +62,20 @@ class TxTableSource extends StreamSourceProvider with DataSourceRegister {
     new TxTable(root, Seq.empty)
   }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("graft-txtable", schema.getOrElse {
       val t = tableOf(parameters)
       require(t.currentVersion > 0,
         s"cannot infer a schema from empty table ${t.root}; pass .schema(...)")
-      t.read(sqlContext.sparkSession).schema
+      val base = t.read(sqlContext.sparkSession).schema
+      if (cdfOf(parameters))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+      else base
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -68,15 +84,19 @@ class TxTableSource extends StreamSourceProvider with DataSourceRegister {
     val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxVersions.foreach(n => require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"))
+    val cdf = cdfOf(parameters)
+    require(!(cdf && parameters.get("skipChangeCommits").exists(_.toBoolean)),
+      "readChangeFeed streams change commits as rows; skipChangeCommits does not compose")
     new TxTableStreamSource(sqlContext, tableOf(parameters), declared,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      maxVersionsPerTrigger = maxVersions)
+      maxVersionsPerTrigger = maxVersions,
+      readChangeFeed = cdf)
   }
 }
 
 private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
     override val schema: StructType, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
   extends Source with SupportsTriggerAvailableNow {
 
   private def version(o: AnyRef): Int = o match {
@@ -135,8 +155,11 @@ private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(version).getOrElse(0)
     val toV = version(end)
-    val changes = table
-      .changesBetween(sqlContext.sparkSession, fromV, toV, skipChangeCommits)
+    val changes =
+      if (readChangeFeed)
+        table.rowChangesBetween(sqlContext.sparkSession, fromV, toV)
+      else
+        table.changesBetween(sqlContext.sparkSession, fromV, toV, skipChangeCommits)
     val conformed = changes.select(schema.fieldNames.map { name =>
       if (changes.columns.contains(name)) col(name)
       else lit(null).cast(schema(name).dataType).as(name)

@@ -427,13 +427,33 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * table. Returns the source version now applied through. */
   def applyChangesFrom(spark: SparkSession, source: TxTable, appId: String,
       key: String): Int = {
-    require(statCols.contains(key), s"replication key $key must be a stat column")
-    val base = snapshot()
-    val last = base.txns.getOrElse(appId, 0L).toInt
+    val last = snapshot().txns.getOrElse(appId, 0L).toInt
     val srcV = source.currentVersion
     if (srcV <= last) return last // replayed or idle sync: recognized, no-op
-    val ch = source.rowChangesBetween(spark, last, srcV)
-      .persist() // both net sides and the probe read it
+    applyChangeRows(spark, source.rowChangesBetween(spark, last, srcV),
+      appId, srcV.toLong, key)
+    srcV
+  }
+
+  /** Fold ONE slice of a row-level change feed (tagged `_change_type` /
+    * `_commit_version` rows, [[rowChangesBetween]]'s shape) into this
+    * table, exactly once under `appId → watermark`: a slice at or below
+    * the current watermark is recognized from the snapshot and SKIPPED
+    * (returns false) — the [[appendBatch]] idempotence contract, which
+    * is what lets a streaming micro-batch (at-least-once foreachBatch,
+    * watermark = batchId) and a batch sync ([[applyChangesFrom]],
+    * watermark = source version) drive the SAME fold. Cancellation,
+    * the broadcast stats-probe for candidate files, and the ONE
+    * rows+watermark commit are as documented on [[applyChangesFrom]];
+    * a cancelled-to-nothing slice still commits metadata-only so the
+    * watermark advances. */
+  def applyChangeRows(spark: SparkSession, changes: DataFrame, appId: String,
+      watermark: Long, key: String): Boolean = {
+    require(statCols.contains(key), s"replication key $key must be a stat column")
+    val base = snapshot()
+    if (base.txns.get(appId).exists(_ >= watermark))
+      return false // replayed slice: recognized, no-op
+    val ch = changes.persist() // both net sides and the probe read it
     try {
       val dataCols = ch.columns.filterNot(c =>
         c == "_change_type" || c == "_commit_version").toSeq
@@ -479,8 +499,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val guard = if (bounds.isNullAt(0)) None
         else Some((key, bounds.getLong(0), bounds.getLong(1)))
       commitCow(base, candidates, entries, "CDC apply", guard,
-        txns = Map(appId -> srcV.toLong))
-      srcV
+        txns = Map(appId -> watermark))
+      true
     } finally { ch.unpersist(blocking = false); () }
   }
 

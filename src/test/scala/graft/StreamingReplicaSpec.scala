@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamOps
+import graft.tables.TxTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CONTINUOUS CDC-apply replication (SURVEY §2.16): the source TxTable
+  * read as a ROW-LEVEL change stream (`TxTableSource` with
+  * `readChangeFeed=true` — each micro-batch the tagged insert/delete
+  * diff of whole source versions) drives `StreamOps.txReplicaSink`,
+  * which folds every micro-batch into a replica TxTable exactly once
+  * under the `queryName → batchId` manifest watermark. The batch face
+  * (`applyChangesFrom`) is pinned by ReplicationSpec; this spec pins
+  * the STREAMING face: convergence across a history that mixes appends,
+  * a merge, a band delete, and a compaction; checkpointed restart that
+  * resumes at the committed source version; and the replica-side
+  * refusal of a replayed micro-batch (foreachBatch is at-least-once —
+  * the crash window between sink commit and checkpoint commit is
+  * closed by the replica's own watermark, not by the engine). */
+class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).toDF("user_id")
+      .withColumn("v", col("user_id") * 7 % 100)
+
+  private def freshTable(prefix: String): TxTable =
+    new TxTable(Files.createTempDirectory(prefix).toString, Seq("user_id"))
+
+  private def cdfStream(src: TxTable, maxVersions: Int = 1) =
+    spark.readStream.format("graft.sources.TxTableSource")
+      .option("path", src.root)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", maxVersions.toString)
+      .load()
+
+  private def drainInto(src: TxTable, dst: TxTable, ckpt: String,
+      queryName: String = "replica_q"): Unit = {
+    val q = StreamOps.txReplicaSink(cdfStream(src), dst, "user_id",
+        queryName, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "replication stream did not finish")
+  }
+
+  private def content(t: TxTable): Seq[(Long, Long)] =
+    t.read(spark).select(col("user_id"), col("v"))
+      .as[(Long, Long)].collect().sorted.toSeq
+
+  test("cdf stream replicates an append+merge+delete+compaction history exactly") {
+    val src = freshTable("graft_streprl_src")
+    src.append(spark, rows(0, 40))                        // v1
+    src.append(spark, rows(40, 80))                       // v2
+    // v3: merge updates 10..19 and inserts 80..89
+    val upd = rows(10, 20).withColumn("v", col("v") + 1000)
+    src.merge(spark, upd.unionByName(rows(80, 90)), "user_id")
+    src.delete(spark, "user_id", 30, 49)                  // v4: band delete
+    src.compact(spark, smallRows = Long.MaxValue / 2)     // v5: zero-change commit
+    val dst = freshTable("graft_streprl_dst")
+    val ckpt = Files.createTempDirectory("graft_streprl_ckpt").toString
+    drainInto(src, dst, ckpt)
+    assert(content(dst) == content(src), "replica must equal the source live state")
+    // one micro-batch per source version (maxVersionsPerTrigger=1), each
+    // folded exactly once — including the compaction's cancelled-to-zero
+    // batch, which still advanced the watermark with a metadata-only commit
+    assert(dst.snapshot().txns("replica_q") == 4L,
+      "watermark must sit at the last micro-batch id")
+  }
+
+  test("restart resumes at the checkpointed source version and converges") {
+    val src = freshTable("graft_streprl2_src")
+    src.append(spark, rows(0, 50))                        // v1
+    src.append(spark, rows(50, 100))                      // v2
+    val dst = freshTable("graft_streprl2_dst")
+    val ckpt = Files.createTempDirectory("graft_streprl2_ckpt").toString
+    drainInto(src, dst, ckpt)
+    assert(content(dst) == content(src))
+    val versionsAfterFirst = dst.currentVersion
+    // source moves on while the stream is down
+    src.append(spark, rows(100, 120))                     // v3
+    src.delete(spark, "user_id", 0, 9)                    // v4
+    drainInto(src, dst, ckpt) // same checkpoint: resumes at source v2
+    assert(content(dst) == content(src))
+    // only the two NEW source versions were folded — a restart that
+    // re-read v1..v2 would have burned extra replica commits (and, for
+    // the delete, double-applied victims)
+    assert(dst.currentVersion == versionsAfterFirst + 2,
+      "restart must fold exactly the new source versions")
+    // idle restart: nothing new, stream drains zero batches, replica still
+    val before = dst.currentVersion
+    drainInto(src, dst, ckpt)
+    assert(dst.currentVersion == before, "idle restart must not commit")
+  }
+
+  test("a replayed micro-batch is recognized by the replica watermark and skipped") {
+    val src = freshTable("graft_streprl3_src")
+    src.append(spark, rows(0, 30))                        // v1
+    src.delete(spark, "user_id", 5, 9)                    // v2
+    val dst = freshTable("graft_streprl3_dst")
+    val ckpt = Files.createTempDirectory("graft_streprl3_ckpt").toString
+    drainInto(src, dst, ckpt)
+    val converged = content(dst)
+    val version = dst.currentVersion
+    // crash replay: foreachBatch re-delivers batch 1 (source v2's delete)
+    val replayed = src.rowChangesBetween(spark, 1, 2)
+    assert(!dst.applyChangeRows(spark, replayed, "replica_q", 1L, "user_id"),
+      "replayed batch must be refused")
+    assert(dst.currentVersion == version && content(dst) == converged,
+      "refused replay must leave the replica untouched")
+    // the same rows under a NEW watermark do fold (proves the refusal was
+    // the watermark, not the content): victims are already gone, so the
+    // delete-side exceptAll removes nothing and content is unchanged
+    assert(dst.applyChangeRows(spark, replayed, "replica_q", 2L, "user_id"))
+    assert(content(dst) == converged)
+  }
+
+  test("the change stream carries row tags and a compaction version emits zero rows") {
+    val src = freshTable("graft_streprl4_src")
+    src.append(spark, rows(0, 20))                        // v1
+    src.compact(spark, smallRows = Long.MaxValue / 2)     // v2
+    src.delete(spark, "user_id", 0, 4)                    // v3
+    val q = cdfStream(src, maxVersions = 10).writeStream
+      .format("memory").queryName("cdf_mem")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("cdf_mem")
+      .select(col("_commit_version"), col("_change_type"), col("user_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.count(_._1 == 1L) == 20, "v1's rows arrive as inserts")
+    assert(got.filter(_._1 == 1L).forall(_._2 == "insert"))
+    assert(!got.exists(_._1 == 2L), "the compaction's diff cancels to zero rows")
+    val del = got.filter(_._1 == 3L)
+    assert(del.map(_._3).sorted == (0L to 4L) && del.forall(_._2 == "delete"),
+      "the delete emits exactly its victims")
+  }
+
+  test("skipChangeCommits does not compose with readChangeFeed") {
+    val src = freshTable("graft_streprl5_src")
+    src.append(spark, rows(0, 5))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft.sources.TxTableSource")
+        .option("path", src.root)
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true")
+        .load().writeStream.format("memory").queryName("cdf_bad")
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(60000)
+    }
+    assert(ex.getMessage != null)
+  }
+}
