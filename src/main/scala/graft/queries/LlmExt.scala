@@ -629,6 +629,66 @@ object LlmExt {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Product-quantization ANN with asymmetric distance (ADC — Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * IEEE PAMI 2011): the 4th ANN family member, the COMPRESSION tier —
+    * [[q_ann_ivf]] prunes candidates, [[q_ann_sq8]] shrinks components
+    * 4×, PQ shrinks a 64-float vector to 8 ONE-BYTE codes (32× — the
+    * billion-vector memory tier FAISS IVFPQ ships) by cutting it into
+    * 8 subspaces of 8 dims and snapping each sub-vector to its nearest
+    * of 10 per-subspace codewords. Every number here is an exact
+    * BIGINT: components micro-quantize to floor(1e6·x), codewords are
+    * per-(subspace, label) means (one exact-integer-input double
+    * division, floored — IEEE-identical in both engines), assignment
+    * and ADC are integer squared-L2, and the per-subspace argmin is a
+    * packed `min(dist·16 + label)` (dist < 2⁴⁶, label < 16 — no window,
+    * no struct comparators).
+    *
+    * The Catalyst shape IS the paper's serving architecture: the
+    * 640-row codebook and the 800-row query LUT (per (query, subspace,
+    * codeword) distances — ADC's whole trick: queries stay EXACT, only
+    * the corpus is coded) broadcast; the corpus is coded in one
+    * posexplode + two two-phase aggregations keyed (vec_id, sub[, label])
+    * — map-side combine bounds every shuffle by corpus×subspaces, and
+    * scoring is a map-side broadcast-LUT join + one 8-term sum per
+    * (query, candidate). At 100 TB: same plan with the codebook trained
+    * on a sample; compose with IVF's cell filter for the full IVFPQ. */
+  def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos").cast("long") / lit(8)).cast("long").as("sub"),
+        pmod(col("pos").cast("long"), lit(8)).as("dim"),
+        floor(lit(1000000.0) * col("x").cast("double")).as("qv"))
+    // codebook: per (subspace, label, dim) floored mean — 8×10×8 = 640 rows
+    val cb = dims.groupBy(col("sub"), col("label"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+    // per (vector, subspace, codeword) exact squared-L2 — the shared
+    // frame behind BOTH the corpus encoding and the query LUT (the
+    // vector's OWN label mattered only for training; `label` below is
+    // the candidate codeword's)
+    val sdist = dims.drop("label").join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("label"))
+      .agg(sum((col("qv") - col("c")) * (col("qv") - col("c"))).as("dist"))
+    val enc = sdist.groupBy(col("vec_id"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("label")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("sub"), col("code"))
+    val lut = sdist.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("sub"), col("label"), col("dist").as("qdist"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
+    enc.join(broadcast(lut),
+        enc("sub") === lut("sub") && col("code") === col("label") &&
+          col("b_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** Shard packing — the webdataset-creation step of a training pipeline:
     * documents in a stable order are greedily packed into shards of a
     * fixed character budget (a doc's shard = its START offset ÷ budget,
@@ -692,6 +752,7 @@ object LlmExt {
     "q_ngram_jaccard" -> q_ngram_jaccard _,
     "q_embed_neardup" -> q_embed_neardup _,
     "q_ann_ivf" -> q_ann_ivf _,
+    "q_ann_pq" -> q_ann_pq _,
     "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
@@ -860,6 +921,36 @@ object LlmExt {
         |  SELECT a_id, b_id, sim_bp,
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
         |  FROM d)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_ann_pq" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    (ord - 1) // 8 AS sub, (ord - 1) % 8 AS dim,
+        |    CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+        |cb AS (
+        |  SELECT sub, label, dim, CAST(floor(sum(qv) / count(*)) AS BIGINT) AS c
+        |  FROM dims GROUP BY sub, label, dim),
+        |sdist AS (
+        |  SELECT d.vec_id, d.sub, cb.label,
+        |    CAST(sum((d.qv - cb.c) * (d.qv - cb.c)) AS BIGINT) AS dist
+        |  FROM dims d JOIN cb ON d.sub = cb.sub AND d.dim = cb.dim
+        |  GROUP BY d.vec_id, d.sub, cb.label),
+        |enc AS (
+        |  SELECT vec_id AS b_id, sub, min(dist * 16 + label) % 16 AS code
+        |  FROM sdist GROUP BY vec_id, sub),
+        |lut AS (
+        |  SELECT vec_id AS a_id, sub, label, dist AS qdist
+        |  FROM sdist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
+        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.label
+        |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id)
+        |SELECT a_id, b_id, adc, rn FROM (
+        |  SELECT a_id, b_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY adc, b_id) AS INT) AS rn
+        |  FROM adc)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
     "q_kmeans_lloyd" ->
       """WITH q AS (SELECT vec_id,

@@ -80,6 +80,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_ann_pq: codebook and query LUT broadcast; scoring never joins all pairs") {
+    // PQ/ADC's scale contract: the only joins are (a) corpus dims against
+    // the broadcast 640-row codebook and (b) corpus codes against the
+    // broadcast 800-row query LUT — both map-side. A plan that shuffles
+    // or nested-loops vector pairs has lost the compression's point.
+    val plan = executedPlan("q_ann_pq")
+    assert("BroadcastExchange|BroadcastQueryStage".r.findAllIn(plan).size >= 2 ||
+      ("BroadcastHashJoin".r.findAllIn(plan).size >= 2),
+      s"q_ann_pq: codebook and LUT must both broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs scoring")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_pq: no shuffled join belongs in the ADC path:\n$plan")
+  }
+
   test("q_agg_salted: both phases keep map-side partial aggregation") {
     // four HashAggregates (partial+final per phase): the salted phase
     // shuffles on (key, salt) and the re-aggregation on key alone — the
