@@ -87,20 +87,30 @@ class TxTableSource extends StreamSourceProvider with DataSourceRegister {
     val cdf = cdfOf(parameters)
     require(!(cdf && parameters.get("skipChangeCommits").exists(_.toBoolean)),
       "readChangeFeed streams change commits as rows; skipChangeCommits does not compose")
+    val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(0)
+    require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
     new TxTableStreamSource(sqlContext, tableOf(parameters), declared,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerTrigger = maxVersions,
-      readChangeFeed = cdf)
+      readChangeFeed = cdf,
+      startingVersion = startingVersion)
   }
 }
 
 private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
     override val schema: StructType, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Int], readChangeFeed: Boolean = false)
+    maxVersionsPerTrigger: Option[Int], readChangeFeed: Boolean = false,
+    startingVersion: Int = 0)
   extends Source with SupportsTriggerAvailableNow {
 
+  /** A missing offset means "nothing consumed yet": the read begins AFTER
+    * `startingVersion` (0 = the whole history; V = the snapshot-bootstrap
+    * pattern — a replica copies the source AT V once, then streams only
+    * the tail (V, …] instead of replaying every version since v0). Once
+    * a checkpoint exists it wins: startingVersion only seeds the FIRST
+    * run, the Delta semantics. */
   private def version(o: AnyRef): Int = o match {
-    case null => 0
+    case null => startingVersion
     case LongOffset(v) => v.toInt
     case so: SerializedOffset => LongOffset(so).offset.toInt
     case other => throw new IllegalStateException(s"unexpected offset $other")
@@ -153,7 +163,7 @@ private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
     * early batch's files lack — those read NULL, the table's own read
     * rule) and re-wrapped as a streaming frame. */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val fromV = start.map(version).getOrElse(0)
+    val fromV = start.map(version).getOrElse(startingVersion)
     val toV = version(end)
     val changes =
       if (readChangeFeed)

@@ -504,6 +504,35 @@ final class TxTable(val root: String, val statCols: Seq[String],
     } finally { ch.unpersist(blocking = false); () }
   }
 
+  /** SNAPSHOT BOOTSTRAP for replication — the other half of the
+    * Delta-pattern "initial snapshot plus change feed": instead of
+    * replaying the source's entire version history through
+    * [[applyChangesFrom]] / the CDF stream (which reads every change
+    * ever made — at 100 TB, possibly many times the live table), an
+    * EMPTY replica copies the source's CURRENT content in one pass and
+    * records the copied-through version under `appId` in the same
+    * commit, so a subsequent [[applyChangesFrom]] with the same appId
+    * syncs only the tail — and a CDF STREAM continues from the same
+    * point via `startingVersion=<returned version>` (checkpointed
+    * restarts then take over). The version is pinned BEFORE the read
+    * and the content read AS OF it, so a source commit racing the
+    * bootstrap lands in the tail, never lost or doubled. Returns the
+    * source version the replica now mirrors. */
+  def bootstrapFrom(spark: SparkSession, source: TxTable, appId: String): Int = {
+    val base = snapshot()
+    require(base.version == 0 && base.files.isEmpty,
+      s"snapshot bootstrap requires an empty replica; $root is at version ${base.version}")
+    val srcV = source.currentVersion
+    val entries =
+      if (srcV == 0) Nil // empty source: the bootstrap is just the watermark
+      else {
+        val content = source.read(spark, versionAsOf = Some(srcV))
+        if (content.isEmpty) Nil else writeDataFiles(spark, content)
+      }
+    commitOnce(base, Map(appId -> srcV.toLong))(_ => entries)
+    srcV
+  }
+
   /** Copy-on-write DELETE of rows with `lo <= statCol <= hi`. The
     * manifest stats split the file list three ways, and only one class
     * costs a data read:

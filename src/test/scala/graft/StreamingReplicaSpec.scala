@@ -137,6 +137,83 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
       "the delete emits exactly its victims")
   }
 
+  test("snapshot bootstrap + tail stream: the replica never replays the history") {
+    val src = freshTable("graft_streprl6_src")
+    src.append(spark, rows(0, 30))                        // v1
+    src.append(spark, rows(30, 60))                       // v2
+    src.delete(spark, "user_id", 10, 19)                  // v3
+    src.compact(spark, smallRows = Long.MaxValue / 2)     // v4
+    val dst = freshTable("graft_streprl6_dst")
+    // bootstrap: ONE content copy at v4 + the watermark, in one commit
+    val bootV = dst.bootstrapFrom(spark, src, "replica_q")
+    assert(bootV == 4 && dst.currentVersion == 1)
+    assert(content(dst) == content(src))
+    // source moves on; the stream starts at the bootstrapped version and
+    // reads ONLY the tail — v1..v4's five-figure replay never happens
+    src.append(spark, rows(60, 80))                       // v5
+    src.delete(spark, "user_id", 0, 4)                    // v6
+    val ckpt = Files.createTempDirectory("graft_streprl6_ckpt").toString
+    val q = StreamOps.txReplicaSink(
+        spark.readStream.format("graft.sources.TxTableSource")
+          .option("path", src.root)
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .option("startingVersion", bootV.toString)
+          .load(),
+        dst, "user_id", "replica_tail_q", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(content(dst) == content(src), "bootstrap + tail must converge")
+    assert(dst.currentVersion == 3,
+      "exactly two tail batches on top of the bootstrap commit — a replay " +
+        "of v1..v4 would have burned four more")
+  }
+
+  test("bootstrap refuses a non-empty replica; bootstrap+batch-sync composes") {
+    val src = freshTable("graft_streprl7_src")
+    src.append(spark, rows(0, 20))                        // v1
+    val dst = freshTable("graft_streprl7_dst")
+    assert(dst.bootstrapFrom(spark, src, "sync_q") == 1)
+    intercept[IllegalArgumentException] {
+      dst.bootstrapFrom(spark, src, "sync_q")
+    }
+    // idle sync after bootstrap: recognized from the bootstrap watermark
+    assert(dst.applyChangesFrom(spark, src, "sync_q", "user_id") == 1)
+    assert(dst.currentVersion == 1, "idle sync after bootstrap must no-op")
+    src.delete(spark, "user_id", 0, 9)                    // v2
+    assert(dst.applyChangesFrom(spark, src, "sync_q", "user_id") == 2)
+    assert(content(dst) == content(src))
+  }
+
+  test("schema evolution flows through the CDF stream: early rows align with NULLs") {
+    val src = freshTable("graft_streprl8_src")
+    src.append(spark, rows(0, 10))                        // v1: (user_id, v)
+    src.append(spark, rows(10, 20)
+      .withColumn("extra", col("user_id") + 1000))        // v2: + extra
+    val q = cdfStream(src, maxVersions = 10).writeStream
+      .format("memory").queryName("cdf_evo")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("cdf_evo")
+      .select(col("user_id"), col("extra"), col("_commit_version"))
+      .as[(Long, Option[Long], Long)].collect().toSeq
+    assert(got.size == 20)
+    assert(got.filter(_._3 == 1L).forall(_._2.isEmpty),
+      "pre-evolution rows must carry NULL for the later column")
+    assert(got.filter(_._3 == 2L).forall(r => r._2.contains(r._1 + 1000)),
+      "post-evolution rows carry their values")
+    // and the evolved feed REPLICATES: the replica converges to the
+    // evolved schema with NULLs where the source itself reads NULLs
+    val dst = freshTable("graft_streprl8_dst")
+    val ckpt = Files.createTempDirectory("graft_streprl8_ckpt").toString
+    drainInto(src, dst, ckpt)
+    val srcRows = src.read(spark).select(col("user_id"), col("extra"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    val dstRows = dst.read(spark).select(col("user_id"), col("extra"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(dstRows == srcRows)
+  }
+
   test("skipChangeCommits does not compose with readChangeFeed") {
     val src = freshTable("graft_streprl5_src")
     src.append(spark, rows(0, 5))
