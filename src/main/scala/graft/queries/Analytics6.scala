@@ -229,6 +229,39 @@ object Analytics6 {
         Q.outDbl(col("sum_qty_dec")).as("sum_qty"))
   }
 
+  /** TPC-H Q17 shape — "small-quantity-order revenue", the correlated
+    * scalar subquery benchmark (`l_quantity < 0.2 * avg(l_quantity)
+    * per part`): revenue from orders of a brand's parts in quantities
+    * below a fifth of that part's own average. Catalyst shape: the
+    * brand filter cuts part to ~5%, which BROADCASTS into lineitem (the
+    * only corpus-sized scan — pruned map-side to the brand's rows
+    * before any exchange); the correlated subquery decorrelates into a
+    * per-partkey window over that filtered slice — ONE partkey shuffle,
+    * partition-bounded, where the textbook plan pays a second scan plus
+    * an aggregate-join. The threshold compares in exact integers
+    * (quantity cents × 5 × count < sum-of-cents — `avg` never
+    * materializes, so no division ordering to disagree on) and revenue
+    * accumulates in decimal; the lone double division (÷ 7.0 of an
+    * exact-input sum) happens once at emission, IEEE-identical in both
+    * engines. At 100 TB the same plan holds: broadcast stays |brand
+    * parts|, and the window's partitions are per-part line groups. */
+  def q_tpch_q17(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#19").select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        floor(lit(100.0) * col("l_quantity")).as("qc"),
+        Q.dec2(col("l_extendedprice")).as("price_dec"))
+      .withColumn("sum_qc", sum(col("qc")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("qc") * lit(5L) * col("cnt") < col("sum_qc"))
+      .agg(count(lit(1)).as("n_small"),
+        (Q.outDbl(sum(col("price_dec"))) / lit(7.0)).as("avg_yearly"))
+  }
+
   /** BPE vocabulary TRAINING — the tokenizer-construction op upstream
     * of every token-counting query (q_text_tokens counts with a learned
     * vocabulary; this learns one): k rounds of "count all adjacent
@@ -361,6 +394,7 @@ object Analytics6 {
     "q_agg_decay" -> q_agg_decay _,
     "q_index_posting" -> q_index_posting _,
     "q_tpch_q5" -> q_tpch_q5 _,
+    "q_tpch_q17" -> q_tpch_q17 _,
     "q_tpch_q18" -> q_tpch_q18 _,
     "q_bpe_train" -> q_bpe_train _,
     "q_bpe_encode" -> q_bpe_encode _,
@@ -452,6 +486,21 @@ object Analytics6 {
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH lp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(100.0 * l_quantity) AS BIGINT) AS qc,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#19'),
+        |w AS (
+        |  SELECT qc, price_dec,
+        |    CAST(sum(qc) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qc,
+        |    CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS cnt
+        |  FROM lp)
+        |SELECT count(*) AS n_small,
+        |  CAST(CAST(sum(price_dec) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM w WHERE qc * 5 * cnt < sum_qc""".stripMargin,
     "q_agg_decay" ->
       """WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
         |e AS (

@@ -413,7 +413,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "q_topk_approx",   // window over a TakeOrderedAndProject 3-row frame; exchange is the sketch merge
       "q_global_rownum", // two-phase offsets: the window reads the 32-row per-partition summary
       "q_seq_pack",      // same two-phase offset pattern (contract-tested above)
-      "q_shard_pack")    // same two-phase offset pattern (contract-tested above)
+      "q_shard_pack",    // same two-phase offset pattern (contract-tested above)
+      "q_tpch_q17")      // window hash-partitions by l_partkey; the exchange is the final 1-row global agg
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect()
