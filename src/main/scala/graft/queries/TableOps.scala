@@ -517,6 +517,35 @@ object TableOps {
       .orderBy(col("tbl"), col("event_type"))
   }
 
+  /** GROUP-consistent replication through the gate — the cross-table
+    * face of [[q_table_replica]]: the shared hot/cold group (split +
+    * atomic move) replays into a FRESH replica group via
+    * `TxGroup.replicateTo` — one replica cut per source cut, member
+    * folds watermarked by source member version — and the replica is
+    * read THROUGH its own group pins. The answer must equal reading the
+    * source group (the same oracle): cut-by-cut replication, the move
+    * transaction included, must be invisible in the final state.
+    * GroupReplicationSpec pins every intermediate cut, crash-window
+    * re-entry, and idle/lag syncs on constructed histories. */
+  def q_table_multi_replica(spark: SparkSession, dir: String): DataFrame = {
+    val src = new graft.tables.TxGroup(multiTableRoot(spark, dir))
+    val replicaRoot = Files.createTempDirectory("graft_q_multi_replica").toString
+    try {
+      val dst = new graft.tables.TxGroup(replicaRoot)
+      src.replicateTo(spark, dst, "gate-group-replica",
+        Map("hot" -> "user_id", "cold" -> "user_id"))
+      val hot = dst.read(spark, "hot", Seq("user_id")).withColumn("tbl", lit("hot"))
+      val cold = dst.read(spark, "cold", Seq("user_id")).withColumn("tbl", lit("cold"))
+      val agg = hot.unionByName(cold)
+        .groupBy(col("tbl"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("tbl"), col("event_type"))
+      spark.createDataFrame(agg.collectAsList(), agg.schema)
+    } finally deleteTree(replicaRoot)
+  }
+
   /** The shared two-table build + atomic move behind [[q_table_multi]]
     * (write-once published per source fingerprint). Group v1 = the
     * even/odd split; group v2 = the move transaction. */
@@ -584,6 +613,7 @@ object TableOps {
     "q_table_timetravel" -> q_table_timetravel _,
     "q_table_evolve" -> q_table_evolve _,
     "q_table_multi" -> q_table_multi _,
+    "q_table_multi_replica" -> q_table_multi_replica _,
     "q_table_dv" -> q_table_dv _,
     "q_source_log" -> q_source_log _,
   )
@@ -681,6 +711,14 @@ object TableOps {
         |FROM events WHERE user_id NOT BETWEEN 5 AND 9
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_multi" ->
+      """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4
+        |            THEN 'hot' ELSE 'cold' END AS tbl,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, event_type ORDER BY tbl, event_type""".stripMargin,
+    "q_table_multi_replica" -> // the replica group earns the source's oracle
       """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4
         |            THEN 'hot' ELSE 'cold' END AS tbl,
         |  event_type, count(*) AS n,

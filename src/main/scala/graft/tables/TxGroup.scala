@@ -126,6 +126,58 @@ final class TxGroup(val root: String) {
     (deleted, expired.size)
   }
 
+  /** GROUP-consistent replication — the cross-table face of
+    * `TxTable.applyChangesFrom`: replay this group's history into `dst`
+    * cut by cut, so the replica exposes the SAME consistent cuts the
+    * source did, never a state that tears across members (per-member
+    * replication alone converges each table but lets a cross-table read
+    * of the replica see member A at source cut g and member B at g−1 —
+    * exactly the anomaly the group layer exists to exclude). For each
+    * source group version g: every member whose pin advanced folds its
+    * row-change feed over (prevPin, curPin] into the replica member via
+    * `applyChangeRows` — watermarked by the SOURCE MEMBER version under
+    * `appId`, monotone per member, so a crashed/replayed sync
+    * recognizes per-member what already landed — then ONE replica group
+    * commit publishes the cut's members jointly. Alignment invariant:
+    * replica group version g mirrors source group version g (one
+    * publish per cut), which is also the resume point — `dst`'s current
+    * group version IS the applied-through source version, so the
+    * watermark needs no extra storage. The crash window between member
+    * folds and group publish re-enters cleanly: folds no-op on their
+    * watermarks, the publish is re-issued. `keys` names each member's
+    * replication stat column (the delete-probe key). The replica group
+    * must be dedicated (no commits of its own). At 100 TB each cut
+    * costs the members' CHANGED files — replication lag tracks change
+    * rate per cut, never group size. Returns the source group version
+    * applied through. */
+  def replicateTo(spark: SparkSession, dst: TxGroup, appId: String,
+      keys: Map[String, String]): Int = {
+    val srcV = currentVersion
+    var applied = dst.currentVersion // one replica group version per source cut
+    while (applied < srcV) {
+      val g = applied + 1
+      val prev = snapshot(Some(g - 1))
+      val cur = snapshot(Some(g))
+      val updates = cur.flatMap { case (name, pin) =>
+        val from = prev.getOrElse(name, 0)
+        if (pin == from) None // untouched at this cut: replica pin carries
+        else {
+          val key = keys.getOrElse(name, throw new IllegalArgumentException(
+            s"no replication key declared for group member '$name'"))
+          val dstT = dst.table(name, Seq(key))
+          dstT.applyChangeRows(spark,
+            table(name, Seq(key)).rowChangesBetween(spark, from, pin),
+            appId, pin.toLong, key)
+          Some(name -> dstT.currentVersion)
+        }
+      }
+      // a re-pin-only source version still advances the replica cut
+      dst.commit(if (updates.nonEmpty) updates else dst.snapshot())
+      applied = g
+    }
+    srcV
+  }
+
   /** Atomically publish `updates` (member → freshly committed member
     * version) overlaid on the current pins. The single put-if-absent
     * link is the all-or-nothing point; a lost race ABORTS. Member
