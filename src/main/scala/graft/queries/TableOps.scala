@@ -328,12 +328,15 @@ object TableOps {
     * watermark — Trigger.AvailableNow drains the whole history and
     * terminates. The replica's content must equal the source's live
     * state (the SAME NOT-BETWEEN oracle as the batch replica: the
-    * transport — one batch sync or five watermarked micro-batches —
-    * must be invisible in the answer). StreamingReplicaSpec pins
-    * checkpointed restart and replayed-batch refusal on constructed
-    * histories; at 100 TB the stream's per-trigger cost is the source's
-    * changed files, so replication lag tracks change rate, not table
-    * size. */
+    * transport must be invisible in the answer). No admission cap here:
+    * a CATCH-UP drain should telescope the backlog into one batch —
+    * per-version folds rewrite overlapping replica files once per
+    * version, so coarse triggers during catch-up are the production
+    * configuration (steady-state gets one batch per trigger anyway);
+    * per-version admission is StreamingReplicaSpec's job, along with
+    * checkpointed restart and replayed-batch refusal. At 100 TB the
+    * stream's per-trigger cost is the source's changed files, so
+    * replication lag tracks change rate, not table size. */
   def q_table_replica_stream(spark: SparkSession, dir: String): DataFrame =
     mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_rstream") { root =>
       val src = new TxTable(root, Seq("user_id"))
@@ -345,7 +348,6 @@ object TableOps {
         val cdf = spark.readStream.format("graft.sources.TxTableSource")
           .option("path", root)
           .option("readChangeFeed", "true")
-          .option("maxVersionsPerTrigger", "1")
           .load()
         val q = graft.streaming.StreamOps
           .txReplicaSink(cdf, dst, "user_id", "gate-replica-stream", ckpt)
