@@ -292,19 +292,28 @@ object TableOps {
         .orderBy(col("commit_version"), col("change_type"))
     }
 
-  /** CDC-APPLY replication through the gate: the shared 3-append +
-    * compaction table takes a real delete (v5), then a FRESH replica
-    * pulls the whole history through `applyChangesFrom` — one sync,
-    * exactly once, watermarked in the replica's own manifest — and the
-    * replica's content is aggregated. The answer must equal the
-    * source's live state (DuckDB reconstructs it as NOT-BETWEEN — the
-    * replication path earns the same oracle as reading the source),
-    * with the compaction contributing zero applied rows and the
-    * delete's transient victims cancelled net against their inserts
-    * where applicable. ReplicationSpec pins convergence, idempotent
-    * replay, and churn cancellation on constructed histories. */
+  /** CDC-APPLY replication through the gate: the 3-append + compaction
+    * table takes a real delete (v5), then a FRESH replica pulls the
+    * whole history through `applyChangesFrom` — one sync, exactly once,
+    * watermarked in the replica's own manifest — and the replica's
+    * content is aggregated. The answer must equal the source's live
+    * state (DuckDB reconstructs it as NOT-BETWEEN — the replication
+    * path earns the same oracle as reading the source), with the
+    * compaction contributing zero applied rows and the delete's
+    * transient victims cancelled net against their inserts where
+    * applicable. ReplicationSpec pins convergence, idempotent replay,
+    * and churn cancellation on constructed histories.
+    *
+    * The replica gates run on the user-band build ([[replicaTableRoot]],
+    * `user_id < 150`, ~10% of events): per call they replay INGEST
+    * (multiset-diff the full history, rewrite the replica — inherently
+    * table-sized, 4 single-table + cut-by-cut group copies per Bench
+    * pass), and the mechanism under test is version arithmetic + fold
+    * correctness, which the band exercises completely; the full-volume
+    * CDC read cost is already measured by [[q_table_cdf]] on the
+    * unbounded build. */
   def q_table_replica(spark: SparkSession, dir: String): DataFrame =
-    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_replica") { root =>
+    mutatedAggregate(spark, replicaTableRoot(spark, dir), "graft_q_table_replica") { root =>
       val src = new TxTable(root, Seq("user_id"))
       src.delete(spark, "user_id", 3, 7) // v5
       val replicaRoot = Files.createTempDirectory("graft_q_table_replica_dst").toString
@@ -338,7 +347,7 @@ object TableOps {
     * stream's per-trigger cost is the source's changed files, so
     * replication lag tracks change rate, not table size. */
   def q_table_replica_stream(spark: SparkSession, dir: String): DataFrame =
-    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_rstream") { root =>
+    mutatedAggregate(spark, replicaTableRoot(spark, dir), "graft_q_table_rstream") { root =>
       val src = new TxTable(root, Seq("user_id"))
       src.delete(spark, "user_id", 3, 7) // v5
       val replicaRoot = Files.createTempDirectory("graft_q_table_rstream_dst").toString
@@ -380,6 +389,22 @@ object TableOps {
       val t = new TxTable(tmp, Seq("user_id"))
       val ev = Tables.events(spark, dir)
         .select(col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(k => t.append(spark, ev.filter(col("user_id") % 3 === k)))
+      t.compact(spark, smallRows = Long.MaxValue / 2) // v4: a change commit
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+  }
+
+  /** The replica gates' bounded twin of [[changesTableRoot]] (same
+    * 3-append + compaction shape on `user_id < 150` — see
+    * [[q_table_replica]]'s cost note). */
+  private def replicaTableRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    Tables.publishOnce(s"graft_tablereplica_$fp") { tmp =>
+      val t = new TxTable(tmp, Seq("user_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .filter(col("user_id") < 150)
       (0 until 3).foreach(k => t.append(spark, ev.filter(col("user_id") % 3 === k)))
       t.compact(spark, smallRows = Long.MaxValue / 2) // v4: a change commit
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
@@ -530,7 +555,7 @@ object TableOps {
     * GroupReplicationSpec pins every intermediate cut, crash-window
     * re-entry, and idle/lag syncs on constructed histories. */
   def q_table_multi_replica(spark: SparkSession, dir: String): DataFrame = {
-    val src = new graft.tables.TxGroup(multiTableRoot(spark, dir))
+    val src = new graft.tables.TxGroup(multiReplicaRoot(spark, dir))
     val replicaRoot = Files.createTempDirectory("graft_q_multi_replica").toString
     try {
       val dst = new graft.tables.TxGroup(replicaRoot)
@@ -567,6 +592,31 @@ object TableOps {
       // the MOVE: append the band to cold FIRST (reads hot's current
       // files), then copy-on-write delete it from hot, then publish both
       // member versions in one group commit
+      val moved = hot.read(spark).filter(col("user_id") >= 2 && col("user_id") <= 4)
+      val vC2 = cold.append(spark, moved)
+      val dH = hot.delete(spark, "user_id", 2, 4)
+      g.commit(Map("hot" -> dH.version, "cold" -> vC2)) // group v2: the move
+      Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
+    }
+  }
+
+  /** The group-replication gate's bounded twin of [[multiTableRoot]]
+    * (same split + atomic-move shape on `user_id < 150` — the replica
+    * replays every cut per call; see [[q_table_replica]]'s cost note). */
+  private def multiReplicaRoot(spark: SparkSession, dir: String): String = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    Tables.publishOnce(s"graft_tablemultirep_$fp") { tmp =>
+      val g = new graft.tables.TxGroup(tmp)
+      val hot = g.table("hot", Seq("user_id"))
+      val cold = g.table("cold", Seq("user_id"))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .filter(col("user_id") < 150)
+      val vH1 = hot.append(spark, ev.filter(col("user_id") % 2 === 0)
+        .repartitionByRange(4, col("user_id")))
+      val vC1 = cold.append(spark, ev.filter(col("user_id") % 2 =!= 0)
+        .repartitionByRange(4, col("user_id")))
+      g.commit(Map("hot" -> vH1, "cold" -> vC1)) // group v1: the split
       val moved = hot.read(spark).filter(col("user_id") >= 2 && col("user_id") <= 4)
       val vC2 = cold.append(spark, moved)
       val dH = hot.delete(spark, "user_id", 2, 4)
@@ -674,17 +724,18 @@ object TableOps {
         |FROM events WHERE user_id NOT BETWEEN 3 AND 7
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_replica" -> // the replica of the deleted state earns the same oracle
+      // (on the replica gates' user-band build)
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7 AND user_id < 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_replica_stream" -> // the stream-built replica earns it too:
       // the transport must be invisible in the answer
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7 AND user_id < 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_changes" ->
       """SELECT CAST(user_id % 3 + 1 AS BIGINT) AS commit_version,
@@ -721,12 +772,13 @@ object TableOps {
         |FROM events
         |GROUP BY 1, event_type ORDER BY tbl, event_type""".stripMargin,
     "q_table_multi_replica" -> // the replica group earns the source's oracle
+      // (on the group-replication gate's user-band build)
       """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4
         |            THEN 'hot' ELSE 'cold' END AS tbl,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events
+        |FROM events WHERE user_id < 150
         |GROUP BY 1, event_type ORDER BY tbl, event_type""".stripMargin,
     "q_source_log" ->
       """WITH recs AS (
