@@ -676,10 +676,11 @@ object LlmExt {
       .agg(pmod(min(col("dist") * lit(16L) + col("label")), lit(16L)).as("code"))
       .select(col("vec_id").as("b_id"), col("sub"), col("code"))
     val lut = sdist.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("a_id"), col("sub"), col("label"), col("dist").as("qdist"))
+      .select(col("vec_id").as("a_id"), col("sub").as("lsub"),
+        col("label"), col("dist").as("qdist"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
     enc.join(broadcast(lut),
-        enc("sub") === lut("sub") && col("code") === col("label") &&
+        col("sub") === col("lsub") && col("code") === col("label") &&
           col("b_id") =!= col("a_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(sum(col("qdist")).as("adc"))

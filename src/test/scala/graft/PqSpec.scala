@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[graft.queries.LlmExt.q_ann_pq]] against a full INDEPENDENT
+  * single-threaded recomputation (the BpeSpec discipline): codebook
+  * training (per-(subspace, label) floored means), nearest-codeword
+  * assignment with the packed argmin's tie rule, the query LUT, ADC
+  * scoring, and the final (adc, b_id) top-3 — all re-derived from the
+  * raw embeddings with plain Scala arithmetic and compared row for
+  * row. The DuckDB oracle already cross-checks the SQL formulation;
+  * this pins the semantics against something that is not SQL at all.
+  *
+  * NOTE the 2026-08-13 testdata regeneration made the embeddings
+  * isotropic (same-label and cross-label mean cosine both ≈ 0), so
+  * recall-vs-exact assertions would pin a DATA artifact, not an
+  * operator property — a 10-codeword/8-dim-subspace quantizer cannot
+  * beat chance on label-structureless vectors, and the operator's
+  * contract is the ADC arithmetic, not the corpus's clusterability. */
+class PqSpec extends AnyFunSuite with SparkFixture {
+
+  // sf inherited from SparkFixture: /root/testdata/sf0.001
+
+  test("q_ann_pq equals an independent driver-side PQ/ADC recomputation") {
+    // raw embeddings, micro-quantized exactly as the query does
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(x => math.floor(1000000.0 * x.toDouble).toLong).toArray))
+      .sortBy(_._1)
+    val labels = raw.map(_._2).distinct.sorted
+    val nSub = 8
+    val dims = 8
+    // codebook: per (sub, label, dim) floored mean (exact-integer-input
+    // double division, the query's own rule)
+    val codebook: Map[(Int, Long), Array[Long]] =
+      (for (s <- 0 until nSub; l <- labels) yield {
+        val members = raw.filter(_._2 == l)
+        val c = Array.tabulate(dims) { d =>
+          val vals = members.map(_._3(s * dims + d))
+          math.floor(vals.sum.toDouble / vals.length).toLong
+        }
+        (s, l) -> c
+      }).toMap
+    def sqDist(v: Array[Long], s: Int, c: Array[Long]): Long =
+      (0 until dims).map { d => val x = v(s * dims + d) - c(d); x * x }.sum
+    // encode: packed argmin min(dist*16 + label) % 16
+    val codes: Map[Long, Array[Long]] = raw.map { case (id, _, v) =>
+      id -> Array.tabulate(nSub) { s =>
+        labels.map(l => sqDist(v, s, codebook((s, l))) * 16L + l).min % 16L
+      }
+    }.toMap
+    // ADC: queries stay exact; candidates contribute their codeword dists
+    val queries = raw.filter(_._1 < 10)
+    val expected = queries.flatMap { case (aId, _, va) =>
+      val lut = Array.tabulate(nSub)(s =>
+        labels.map(l => l -> sqDist(va, s, codebook((s, l)))).toMap)
+      val scored = raw.filter(_._1 != aId).map { case (bId, _, _) =>
+        val adc = (0 until nSub).map(s => lut(s)(codes(bId)(s))).sum
+        (bId, adc)
+      }
+      scored.sortBy { case (b, adc) => (adc, b) }.take(3).zipWithIndex
+        .map { case ((bId, adc), i) => (aId, bId, adc, i + 1) }
+    }.toSeq
+    val got = queries_run()
+    assert(got.size == expected.size, s"row count ${got.size} vs ${expected.size}")
+    assert(got == expected, "PQ/ADC rows diverge from the independent reference")
+    // structure: 8 one-byte codes per vector, every code a real label
+    assert(codes.values.forall(c => c.length == nSub && c.forall(x => labels.contains(x))))
+  }
+
+  private def queries_run(): Seq[(Long, Long, Long, Int)] =
+    graft.queries.LlmExt.q_ann_pq(spark, sf)
+      .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
+      .as[(Long, Long, Long, Int)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt))
+      .collect().toSeq
+}
