@@ -229,6 +229,46 @@ object Analytics6 {
         Q.outDbl(col("sum_qty_dec")).as("sum_qty"))
   }
 
+  /** TPC-H Q1 shape — the pricing-summary report, the canonical
+    * scan-dominated aggregation every columnar engine leads its results
+    * with: one pass over lineitem below a shipdate cutoff, eight
+    * aggregates per (returnflag, linestatus). The whole query is ONE
+    * two-phase hash aggregation over a 4-group domain — map-side
+    * partials collapse each partition to ≤4 rows, so the shuffle moves
+    * O(partitions), never data; the filter and 6-column projection
+    * reach the parquet scan. Arithmetic is engine-exact BIGINT
+    * throughout: money in cents, discount/tax in integer percent
+    * (both 2-dp in the data, so the scaling is lossless),
+    * `disc_price·10⁴ = cents·(100−d)` and `charge·10⁶ =
+    * cents·(100−d)·(100+t)` — per-row terms < 10¹², sums < 2⁶³ to
+    * ~10⁶ rows per group at gate scale (a 100 TB run lifts the two
+    * scaled sums to decimal, same plan); averages are floored
+    * basis-point ratios of exact sums (IEEE-identical one-shot
+    * divisions). */
+  def q_tpch_q1(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(lit(100.0) * col("l_extendedprice"))
+    val dPct = floor(lit(100.0) * col("l_discount"))
+    val tPct = floor(lit(100.0) * col("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(lit(100.0) * col("l_quantity")).as("qty_c"),
+        cents.as("price_c"),
+        (cents * (lit(100L) - dPct)).as("disc_e4"),
+        (cents * (lit(100L) - dPct) * (lit(100L) + tPct)).as("charge_e6"),
+        dPct.as("d_pct"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_base_c"),
+        sum(col("disc_e4")).as("sum_disc_e4"),
+        sum(col("charge_e6")).as("sum_charge_e6"),
+        floor(lit(100.0) * sum(col("qty_c")) / count(lit(1))).as("avg_qty_bp"),
+        floor(lit(100.0) * sum(col("price_c")) / count(lit(1))).as("avg_price_bp"),
+        floor(lit(100.0) * sum(col("d_pct")) / count(lit(1))).as("avg_disc_bp"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TPC-H Q17 shape — "small-quantity-order revenue", the correlated
     * scalar subquery benchmark (`l_quantity < 0.2 * avg(l_quantity)
     * per part`): revenue from orders of a brand's parts in quantities
@@ -419,6 +459,7 @@ object Analytics6 {
     "q_agg_decay" -> q_agg_decay _,
     "q_index_posting" -> q_index_posting _,
     "q_tpch_q5" -> q_tpch_q5 _,
+    "q_tpch_q1" -> q_tpch_q1 _,
     "q_tpch_q17" -> q_tpch_q17 _,
     "q_tpch_q18" -> q_tpch_q18 _,
     "q_bpe_train" -> q_bpe_train _,
@@ -511,6 +552,24 @@ object Analytics6 {
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "q_tpch_q1" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(100.0 * l_quantity) AS BIGINT) AS qty_c,
+        |    CAST(floor(100.0 * l_extendedprice) AS BIGINT) AS price_c,
+        |    CAST(floor(100.0 * l_discount) AS BIGINT) AS d_pct,
+        |    CAST(floor(100.0 * l_tax) AS BIGINT) AS t_pct
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(price_c * (100 - d_pct)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(price_c * (100 - d_pct) * (100 + t_pct)) AS BIGINT) AS sum_charge_e6,
+        |  CAST(floor(100.0 * sum(qty_c) / count(*)) AS BIGINT) AS avg_qty_bp,
+        |  CAST(floor(100.0 * sum(price_c) / count(*)) AS BIGINT) AS avg_price_bp,
+        |  CAST(floor(100.0 * sum(d_pct) / count(*)) AS BIGINT) AS avg_disc_bp
+        |FROM l GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_q17" ->
       """WITH lp AS (
         |  SELECT l_partkey,
