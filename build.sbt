@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver anchors on the LAST stdout line being pure
+// JSON. sbt's default LoggedOutput strategy prefixes every forked-run
+// line with "[info] " and its epilogue appends "[success] Total time:"
+// after the program exits — both break that parse. Pass forked output
+// through raw and drop the epilogue.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

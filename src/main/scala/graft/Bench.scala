@@ -10,46 +10,55 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A failed warm-up must not be silent: the corresponding timed query
+    // would then quietly measure build+query (or surface an err entry with
+    // no clue why). Log the swallowed failure to stderr, keep the suite
+    // running — the timed loop still reports the query's own err.
+    def warm(label: String)(body: => Any): Unit =
+      try { body; () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up '$label' failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
     // warm-up outside the timed loop: session/codegen/parquet-footer init
     // otherwise lands on whichever query the Map iterates first (~3s noise).
     // The partitioned events layout is table infrastructure, not query
     // work — materialize it here so q_part_prune times the scan, not the
     // one-time write.
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    try { Tables.eventsByDay(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("entry") { SparkEntry.entry(spark).count() }
+    warm("eventsByDay") { Tables.eventsByDay(spark, sfDir).count() }
     // bucketed catalog tables are likewise one-time layout work, not query work
-    try { Tables.bucketedOrdersCustomer(spark, sfDir) } catch { case _: Throwable => () }
+    warm("bucketedOrdersCustomer") { Tables.bucketedOrdersCustomer(spark, sfDir) }
     // q_join_stored's old-state parquet publish is one-time layout work too
     // (the PLAN-time publishOnce writes it); the timed run measures the fold
-    try { queries.Analytics5.q_join_stored(spark, sfDir) } catch { case _: Throwable => () }
+    warm("q_join_stored") { queries.Analytics5.q_join_stored(spark, sfDir) }
     // the TxTable base-table builds are ingest (write-once published per
     // source); the timed queries measure the skip / the merge, not the load
-    try { queries.TableOps.q_table_skip(spark, sfDir).count() } catch { case _: Throwable => () }
-    try { queries.TableOps.q_table_merge(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_skip") { queries.TableOps.q_table_skip(spark, sfDir).count() }
+    warm("q_table_merge") { queries.TableOps.q_table_merge(spark, sfDir).count() }
     // q_table_delete shares q_table_skip's published base build
-    try { queries.TableOps.q_table_delete(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_delete") { queries.TableOps.q_table_delete(spark, sfDir).count() }
     // q_table_bloomskip's 16-file hash table + bloom build is ingest too;
     // the timed query measures the manifest-pruned point probe
-    try { queries.TableOps.q_table_bloomskip(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_bloomskip") { queries.TableOps.q_table_bloomskip(spark, sfDir).count() }
     // q_table_changes' 3-append + compact build is likewise one-time ingest
-    try { queries.TableOps.q_table_changes(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_changes") { queries.TableOps.q_table_changes(spark, sfDir).count() }
     // q_table_evolve's 8-banded-append + evolveStats build too; the timed
     // query measures the evolved pruned read
-    try { queries.TableOps.q_table_evolve(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_evolve") { queries.TableOps.q_table_evolve(spark, sfDir).count() }
     // q_table_multi's two-table split + atomic move build likewise; the
     // timed query measures the group-consistent two-member read
-    try { queries.TableOps.q_table_multi(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_multi") { queries.TableOps.q_table_multi(spark, sfDir).count() }
     // the replica gates' bounded source builds (single-table + group) are
     // ingest; the timed queries measure the CDC replay into a fresh replica
-    try { queries.TableOps.q_table_replica(spark, sfDir).count() } catch { case _: Throwable => () }
-    try { queries.TableOps.q_table_multi_replica(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_table_replica") { queries.TableOps.q_table_replica(spark, sfDir).count() }
+    warm("q_table_multi_replica") { queries.TableOps.q_table_multi_replica(spark, sfDir).count() }
     // the BPE merge table is tokenizer construction (one-time, memoized
     // per corpus; q_bpe_train measures the training itself) — warm it so
     // q_bpe_encode times ENCODING, not a second training run
-    try { queries.Analytics6.warmLearnedMerges(spark, sfDir) } catch { case _: Throwable => () }
+    warm("warmLearnedMerges") { queries.Analytics6.warmLearnedMerges(spark, sfDir) }
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
-    try { queries.TableOps.q_source_log(spark, sfDir).count() } catch { case _: Throwable => () }
+    warm("q_source_log") { queries.TableOps.q_source_log(spark, sfDir).count() }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite
@@ -98,18 +107,20 @@ object Bench {
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
-    // The harness keeps only the last ~2000 chars of output, and the full
-    // per-query line above is ~4000 chars at 149 queries — it can never
-    // parse from that window (every prior round's BENCH artifact shows
-    // `parsed: null` with the line truncated mid-JSON). Emit a compact
-    // summary LAST, sized well inside the window: suite total, query
-    // count, any errors, and the slowest queries (the only per-query
-    // numbers that matter for regression triage). Locale-pinned so the
-    // decimal separator is always '.'.
+    // The harness keeps only the last ~2000 chars of output and anchors
+    // its parse on the LAST line, so the compact summary must be (a) the
+    // final stdout line — emitted AFTER spark.stop() so no shutdown
+    // chatter can follow it, with the sbt [info] prefix and [success]
+    // epilogue disabled in build.sbt — and (b) small enough that the
+    // window holds it whole even with a stray trailing newline. 12
+    // slowest queries ≈ 400 chars: total, count, errors, and the only
+    // per-query numbers that matter for regression triage. Locale-pinned
+    // so the decimal separator is always '.'.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val slowest = results.toSeq.sortBy(-_._2).take(30)
+    val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest$errField,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest$errField,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
