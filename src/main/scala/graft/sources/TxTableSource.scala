@@ -87,30 +87,37 @@ class TxTableSource extends StreamSourceProvider with DataSourceRegister {
     val cdf = cdfOf(parameters)
     require(!(cdf && parameters.get("skipChangeCommits").exists(_.toBoolean)),
       "readChangeFeed streams change commits as rows; skipChangeCommits does not compose")
-    val startingVersion = parameters.get("startingVersion").map(_.toInt).getOrElse(0)
-    require(startingVersion >= 0, s"startingVersion must be >= 0, got $startingVersion")
+    // INCLUSIVE, matching Delta's streaming option of the same name:
+    // `startingVersion=V` means changes starting AT version V are read
+    // (so a snapshot bootstrap through version B passes B+1). Version 1
+    // is the first commit; absent = the whole history.
+    val startingVersion = parameters.get("startingVersion").map(_.toInt)
+    startingVersion.foreach(v => require(v >= 1,
+      s"startingVersion is the first version READ (inclusive, the Delta " +
+        s"semantics) and must be >= 1, got $v"))
     new TxTableStreamSource(sqlContext, tableOf(parameters), declared,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerTrigger = maxVersions,
       readChangeFeed = cdf,
-      startingVersion = startingVersion)
+      startAfter = startingVersion.map(_ - 1).getOrElse(0))
   }
 }
 
 private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
     override val schema: StructType, skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Option[Int], readChangeFeed: Boolean = false,
-    startingVersion: Int = 0)
+    startAfter: Int = 0)
   extends Source with SupportsTriggerAvailableNow {
 
   /** A missing offset means "nothing consumed yet": the read begins AFTER
-    * `startingVersion` (0 = the whole history; V = the snapshot-bootstrap
-    * pattern — a replica copies the source AT V once, then streams only
-    * the tail (V, …] instead of replaying every version since v0). Once
-    * a checkpoint exists it wins: startingVersion only seeds the FIRST
-    * run, the Delta semantics. */
+    * `startAfter` (= the user-facing `startingVersion` option minus one —
+    * that option is INCLUSIVE like Delta's; 0 = the whole history). The
+    * snapshot-bootstrap pattern: a replica copies the source AT B once,
+    * then streams only the tail with `startingVersion=B+1` instead of
+    * replaying every version since v0. Once a checkpoint exists it wins:
+    * the option only seeds the FIRST run, the Delta semantics. */
   private def version(o: AnyRef): Int = o match {
-    case null => startingVersion
+    case null => startAfter
     case LongOffset(v) => v.toInt
     case so: SerializedOffset => LongOffset(so).offset.toInt
     case other => throw new IllegalStateException(s"unexpected offset $other")
@@ -163,7 +170,7 @@ private class TxTableStreamSource(sqlContext: SQLContext, table: TxTable,
     * early batch's files lack — those read NULL, the table's own read
     * rule) and re-wrapped as a streaming frame. */
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val fromV = start.map(version).getOrElse(startingVersion)
+    val fromV = start.map(version).getOrElse(startAfter)
     val toV = version(end)
     val changes =
       if (readChangeFeed)

@@ -709,25 +709,47 @@ object StreamOps {
     * table read as a row-level change stream
     * (`TxTableSource` with `readChangeFeed=true`, each micro-batch the
     * tagged diff of whole source versions), and every micro-batch folds
-    * into the replica via [[graft.tables.TxTable.applyChangeRows]]
-    * under the `queryName → batchId` watermark — foreachBatch is
-    * at-least-once, the fold is exactly-once, so restart the query
-    * against the same checkpoint and the replica converges to the
-    * source, merges and deletes included. Two watermarks compose here:
-    * the CHECKPOINT resumes the source read at the committed version,
-    * and the replica's own manifest watermark refuses a replayed batch
-    * the checkpoint already covered — the crash window between sink
-    * commit and checkpoint commit is closed from the replica side. At
-    * 100 TB each micro-batch costs the source's changed files + the
-    * replica's overlapping files, so replication lag tracks CHANGE
-    * rate, never table size. */
+    * into the replica via [[graft.tables.TxTable.applyChangeRows]] —
+    * foreachBatch is at-least-once, the fold is exactly-once, so
+    * restart the query against the same checkpoint and the replica
+    * converges to the source, merges and deletes included.
+    *
+    * The watermark lives in the SOURCE-VERSION domain, not the batchId
+    * domain: each batch is trimmed to `_commit_version >` the replica's
+    * stored `queryName` watermark and folded under the trimmed slice's
+    * max `_commit_version`. This is what makes the sink compose with
+    * everything else that tracks source versions under the same appId —
+    * [[graft.tables.TxTable.bootstrapFrom]] (bootstrap through B, then
+    * stream the tail under the SAME appId), a batch `applyChangesFrom`
+    * interleaved with the stream, and a REPLACED checkpoint (batchIds
+    * restart at 0 and AvailableNow telescopes the backlog into one
+    * batch; the version trim folds exactly the source versions the
+    * replica has not seen — batchId watermarking would silently refuse
+    * the whole batch and diverge). A batch that trims to nothing (all
+    * versions already applied, or a compaction whose diff cancels to
+    * zero rows) is skipped without minting a replica commit: any later
+    * batch carries strictly higher versions, so the refusal needs no
+    * watermark advance. Two watermarks still compose: the CHECKPOINT
+    * resumes the source read at the committed version, and the
+    * replica's manifest watermark refuses the replayed slice in the
+    * crash window between sink commit and checkpoint commit. At 100 TB
+    * each micro-batch costs the source's changed files + the replica's
+    * overlapping files, so replication lag tracks CHANGE rate, never
+    * table size. */
   def txReplicaSink(cdf: DataFrame, replica: graft.tables.TxTable,
       key: String, queryName: String, checkpoint: String) =
     cdf.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        replica.applyChangeRows(batch.sparkSession, batch, queryName, batchId, key)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val applied = replica.snapshot().txns.getOrElse(queryName, 0L)
+        val fresh = batch.filter(col("_commit_version") > applied)
+        // one tiny agg job decides both "anything new?" and the watermark
+        val maxV = fresh.agg(max(col("_commit_version"))).head()
+        if (!maxV.isNullAt(0)) {
+          replica.applyChangeRows(batch.sparkSession, fresh, queryName,
+            maxV.getLong(0), key)
+        }
         ()
       }
 

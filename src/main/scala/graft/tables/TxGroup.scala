@@ -154,6 +154,32 @@ final class TxGroup(val root: String) {
       keys: Map[String, String]): Int = {
     val srcV = currentVersion
     var applied = dst.currentVersion // one replica group version per source cut
+    require(applied <= srcV,
+      s"replica group at ${dst.root} is at cut $applied, ahead of this " +
+        s"source's cut $srcV — it is not a replica of this group")
+    // Alignment validation: the resume point is dst.currentVersion, so an
+    // INDEPENDENT commit on the replica group would silently shift which
+    // source cuts replay under which replica versions. Each replica
+    // member's applied-through watermark (appId → source member version)
+    // must sit between the source pins at cut `applied` and at
+    // `applied+1` — the upper bound admits the legitimate crash window
+    // (member folds landed, group publish didn't). Anything outside that
+    // band means the replica was written by someone else: fail loudly
+    // rather than replay cuts against a foreign state.
+    if (applied > 0) {
+      val atApplied = snapshot(Some(applied))
+      val atNext = if (applied < srcV) snapshot(Some(applied + 1)) else atApplied
+      atApplied.foreach { case (name, pin) =>
+        val wm = dst.table(name, Nil).snapshot().txns.getOrElse(appId, 0L)
+        val hi = atNext.getOrElse(name, pin).toLong
+        if (wm < pin || wm > hi)
+          throw new IllegalStateException(
+            s"replica group at ${dst.root} is misaligned for member '$name': " +
+              s"applied-through source version $wm is outside [$pin, $hi] for " +
+              s"replica cut $applied — the replica group must be dedicated to " +
+              s"this replication (no commits of its own, one appId)")
+      }
+    }
     while (applied < srcV) {
       val g = applied + 1
       val prev = snapshot(Some(g - 1))
@@ -161,6 +187,14 @@ final class TxGroup(val root: String) {
       val updates = cur.flatMap { case (name, pin) =>
         val from = prev.getOrElse(name, 0)
         if (pin == from) None // untouched at this cut: replica pin carries
+        else if (pin < from)
+          // commitFrom permits re-pinning a member to ANY existing version,
+          // so a backward pin is representable at the source — but a
+          // replica cannot fold a negative range; surface it as what it
+          // is instead of rowChangesBetween's generic range require
+          throw new IllegalStateException(
+            s"source group cut $g re-pins member '$name' backward " +
+              s"($from -> $pin); non-monotone member pins cannot be replicated")
         else {
           val key = keys.getOrElse(name, throw new IllegalArgumentException(
             s"no replication key declared for group member '$name'"))

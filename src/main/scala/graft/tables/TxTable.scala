@@ -453,7 +453,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val base = snapshot()
     if (base.txns.get(appId).exists(_ >= watermark))
       return false // replayed slice: recognized, no-op
-    val ch = changes.persist() // both net sides and the probe read it
+    val ch = changes.persist() // every downstream pass reads it
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame](ch)
     try {
       val dataCols = ch.columns.filterNot(c =>
         c == "_change_type" || c == "_commit_version").toSeq
@@ -461,47 +462,65 @@ final class TxTable(val root: String, val statCols: Seq[String],
         .select(dataCols.map(col): _*)
       val del = ch.filter(col("_change_type") === "delete")
         .select(dataCols.map(col): _*)
-      val insNet = ins.exceptAll(del)
-      val delNet = del.exceptAll(ins)
-      // candidate files = stats intervals admitting any net-deleted key
-      // (merge's broadcast probe — an insert-only sync rewrites nothing)
-      val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
-      val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
-      val hitPaths: Set[String] = {
-        import spark.implicits._
-        if (delNet.isEmpty) Set.empty[String]
-        else {
-          val intervals = statful.map(f => (f.path, f.mins(key), f.maxs(key)))
-            .toDF("__path", "__mn", "__mx")
-          delKeys.join(broadcast(intervals),
-              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-            .select("__path").distinct().as[String].collect().toSet ++
-            statless.map(_.path)
+      // ONE pass answers everything the control flow needs: per-side row
+      // counts (is this insert-only? empty?) and the key envelope for the
+      // commit guard. The RAW envelope is a superset of the netted one —
+      // conservative, so still a sound conflict guard — and folding the
+      // decisions into one job beats the four separate actions this
+      // method used to run (isEmpty + probe + write + bounds), which at
+      // steady-state sync sizes were pure fixed job overhead.
+      val head = ch.agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)),
+        min(col(key).cast("long")), max(col(key).cast("long"))).head()
+      val nIns = Option(head.get(0)).fold(0L)(_ => head.getLong(0))
+      val nDel = Option(head.get(1)).fold(0L)(_ => head.getLong(1))
+      val guard = if (head.isNullAt(2)) None
+        else Some((key, head.getLong(2), head.getLong(3)))
+      val (candidates, survivorsOpt) =
+        if (nDel == 0L) {
+          // insert-only sync: nothing to net, nothing to probe, no
+          // replica file is touched — survivors are the inserts themselves
+          (Nil, if (nIns == 0L) None else Some(ins))
+        } else {
+          val insNet = ins.exceptAll(del).persist()
+          val delNet = del.exceptAll(ins).persist()
+          persisted += insNet += delNet
+          // candidate files = stats intervals admitting any net-deleted key
+          // (merge's broadcast probe)
+          val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
+          val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
+          val hitPaths: Set[String] = {
+            import spark.implicits._
+            val intervals = statful.map(f => (f.path, f.mins(key), f.maxs(key)))
+              .toDF("__path", "__mn", "__mx")
+            delKeys.join(broadcast(intervals),
+                col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+              .select("__path").distinct().as[String].collect().toSet ++
+              statless.map(_.path)
+          }
+          val (cands, _) = base.files.partition(f => hitPaths.contains(f.path))
+          val survivors =
+            if (cands.isEmpty) insNet
+            else {
+              // align pre-evolution target files to the feed's schema
+              // (absent columns read NULL, rowChangesBetween's own rule)
+              val cand = readFiles(spark, cands)
+              cand.select(dataCols.map(c =>
+                  if (cand.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+                .exceptAll(delNet)
+                .unionByName(insNet, allowMissingColumns = true)
+            }
+          (cands, Some(survivors))
         }
+      val entries = survivorsOpt match {
+        case None => Nil
+        case Some(s) => writeDataFiles(spark, s) // cancelled-to-nothing still commits below
       }
-      val (candidates, _) = base.files.partition(f => hitPaths.contains(f.path))
-      val survivors =
-        if (candidates.isEmpty) insNet
-        else {
-          // align pre-evolution target files to the feed's schema
-          // (absent columns read NULL, rowChangesBetween's own rule)
-          val cand = readFiles(spark, candidates)
-          cand.select(dataCols.map(c =>
-              if (cand.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-            .exceptAll(delNet)
-            .unionByName(insNet, allowMissingColumns = true)
-        }
-      val entries =
-        if (survivors.isEmpty) Nil
-        else writeDataFiles(spark, survivors)
-      val bounds = insNet.unionByName(delNet)
-        .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-      val guard = if (bounds.isNullAt(0)) None
-        else Some((key, bounds.getLong(0), bounds.getLong(1)))
       commitCow(base, candidates, entries, "CDC apply", guard,
         txns = Map(appId -> watermark))
       true
-    } finally { ch.unpersist(blocking = false); () }
+    } finally { persisted.foreach(_.unpersist(blocking = false)); () }
   }
 
   /** SNAPSHOT BOOTSTRAP for replication — the other half of the
@@ -513,7 +532,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * records the copied-through version under `appId` in the same
     * commit, so a subsequent [[applyChangesFrom]] with the same appId
     * syncs only the tail — and a CDF STREAM continues from the same
-    * point via `startingVersion=<returned version>` (checkpointed
+    * point via `startingVersion=<returned version + 1>` (the option is
+    * inclusive, Delta's semantics; checkpointed
     * restarts then take over). The version is pinned BEFORE the read
     * and the content read AS OF it, so a source commit racing the
     * bootstrap lands in the tail, never lost or doubled. Returns the

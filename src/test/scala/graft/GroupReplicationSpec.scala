@@ -94,6 +94,32 @@ class GroupReplicationSpec extends AnyFunSuite with SparkFixture {
       "exactly one tail fold on the hot member")
   }
 
+  test("a replica group with commits of its own is refused, not silently misreplayed") {
+    val src = buildSource()
+    val dst = freshGroup("graft_grepl4_dst")
+    src.replicateTo(spark, dst, "grepl_q", keys)
+    // an independent writer commits to the replica group: the cut
+    // alignment (replica version g mirrors source version g) is broken —
+    // the resume arithmetic would replay source cut 5 under replica cut 5
+    // against a state that never saw source cut 4
+    val rogue = dst.table("rogue", Seq("k"))
+    dst.commit(Map("rogue" -> rogue.append(spark, keyed(900, 910))))
+    val hot = src.table("hot", Seq("k"))
+    src.commit(Map("hot" -> hot.append(spark, keyed(400, 410))))  // source cut 4
+    val ex = intercept[IllegalStateException] {
+      src.replicateTo(spark, dst, "grepl_q", keys)
+    }
+    assert(ex.getMessage.contains("misaligned"),
+      s"wanted the dedicated misalignment error, got: ${ex.getMessage}")
+    // a replica AHEAD of the source is refused too (not a replica at all)
+    val tiny = freshGroup("graft_grepl4_src2")
+    val t = tiny.table("hot", Seq("k"))
+    tiny.commit(Map("hot" -> t.append(spark, keyed(0, 5))))
+    intercept[IllegalArgumentException] {
+      tiny.replicateTo(spark, dst, "grepl_q", keys) // dst cut 4+ > tiny cut 1
+    }
+  }
+
   test("crash between member folds and the group publish re-enters exactly once") {
     val src = buildSource()
     val dst = freshGroup("graft_grepl3_dst")

@@ -64,10 +64,11 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
     drainInto(src, dst, ckpt)
     assert(content(dst) == content(src), "replica must equal the source live state")
     // one micro-batch per source version (maxVersionsPerTrigger=1), each
-    // folded exactly once — including the compaction's cancelled-to-zero
-    // batch, which still advanced the watermark with a metadata-only commit
+    // folded exactly once under the SOURCE-VERSION watermark; the
+    // compaction's cancelled-to-zero batch is skipped without a commit,
+    // so the watermark sits at the last version that carried rows (v4)
     assert(dst.snapshot().txns("replica_q") == 4L,
-      "watermark must sit at the last micro-batch id")
+      "watermark must sit at the last folded source version")
   }
 
   test("restart resumes at the checkpointed source version and converges") {
@@ -104,16 +105,18 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
     drainInto(src, dst, ckpt)
     val converged = content(dst)
     val version = dst.currentVersion
-    // crash replay: foreachBatch re-delivers batch 1 (source v2's delete)
+    // crash replay: foreachBatch re-delivers source v2's slice; the
+    // replica watermark sits at source version 2 after the drain, so a
+    // replayed fold at or below it is refused
     val replayed = src.rowChangesBetween(spark, 1, 2)
-    assert(!dst.applyChangeRows(spark, replayed, "replica_q", 1L, "user_id"),
+    assert(!dst.applyChangeRows(spark, replayed, "replica_q", 2L, "user_id"),
       "replayed batch must be refused")
     assert(dst.currentVersion == version && content(dst) == converged,
       "refused replay must leave the replica untouched")
     // the same rows under a NEW watermark do fold (proves the refusal was
     // the watermark, not the content): victims are already gone, so the
     // delete-side exceptAll removes nothing and content is unchanged
-    assert(dst.applyChangeRows(spark, replayed, "replica_q", 2L, "user_id"))
+    assert(dst.applyChangeRows(spark, replayed, "replica_q", 3L, "user_id"))
     assert(content(dst) == converged)
   }
 
@@ -149,7 +152,11 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
     assert(bootV == 4 && dst.currentVersion == 1)
     assert(content(dst) == content(src))
     // source moves on; the stream starts at the bootstrapped version and
-    // reads ONLY the tail — v1..v4's five-figure replay never happens
+    // reads ONLY the tail — v1..v4's five-figure replay never happens.
+    // SAME appId as the bootstrap: the sink's source-version watermark
+    // composes with the bootstrap's (batchId watermarking would refuse
+    // the first tail batch — batch 0 <= bootstrap watermark 4 — and
+    // silently freeze the replica)
     src.append(spark, rows(60, 80))                       // v5
     src.delete(spark, "user_id", 0, 4)                    // v6
     val ckpt = Files.createTempDirectory("graft_streprl6_ckpt").toString
@@ -158,15 +165,46 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
           .option("path", src.root)
           .option("readChangeFeed", "true")
           .option("maxVersionsPerTrigger", "1")
-          .option("startingVersion", bootV.toString)
+          .option("startingVersion", (bootV + 1).toString) // inclusive (Delta)
           .load(),
-        dst, "user_id", "replica_tail_q", ckpt)
+        dst, "user_id", "replica_q", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000))
     assert(content(dst) == content(src), "bootstrap + tail must converge")
     assert(dst.currentVersion == 3,
       "exactly two tail batches on top of the bootstrap commit — a replay " +
         "of v1..v4 would have burned four more")
+  }
+
+  test("a REPLACED checkpoint does not diverge the replica: the version " +
+      "watermark trims the telescoped backlog to the unseen tail") {
+    val src = freshTable("graft_streprl9_src")
+    src.append(spark, rows(0, 30))                        // v1
+    src.delete(spark, "user_id", 5, 9)                    // v2
+    val dst = freshTable("graft_streprl9_dst")
+    val ckpt1 = Files.createTempDirectory("graft_streprl9_ckpt1").toString
+    drainInto(src, dst, ckpt1)
+    assert(content(dst) == content(src))
+    val replicaV = dst.currentVersion
+    // the checkpoint is LOST (operator error, relocation); the source
+    // moves on; the restarted query gets a FRESH checkpoint — batchIds
+    // restart at 0 and AvailableNow telescopes v1..v4 into one batch
+    src.append(spark, rows(30, 50))                       // v3
+    src.delete(spark, "user_id", 0, 2)                    // v4
+    val ckpt2 = Files.createTempDirectory("graft_streprl9_ckpt2").toString
+    val q = StreamOps.txReplicaSink(cdfStream(src, maxVersions = 10),
+        dst, "user_id", "replica_q", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // batchId watermarking would have refused the whole telescoped batch
+    // (batch 0 <= stored watermark) while the checkpoint committed past
+    // it — permanent silent divergence; the version-domain trim folds
+    // exactly v3..v4 and converges
+    assert(content(dst) == content(src),
+      "replica must converge across a checkpoint replacement")
+    assert(dst.currentVersion == replicaV + 1,
+      "the telescoped tail folds as ONE slice (v3+v4), nothing re-applied")
+    assert(dst.snapshot().txns("replica_q") == 4L)
   }
 
   test("bootstrap refuses a non-empty replica; bootstrap+batch-sync composes") {
