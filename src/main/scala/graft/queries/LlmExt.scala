@@ -204,10 +204,13 @@ object LlmExt {
     * on a generated sparse corpus with planted near-dups.
     *
     * Bounded to doc_id < 1000: this synthetic corpus breaks LSH's sparsity
-    * assumption — 42% of ALL doc pairs have word-Jaccard >= 0.7 (measured
-    * on a 500-doc sf0.1 sample), so the confirmed OUTPUT is itself
-    * quadratic and no banding scheme can prune it. On a real corpus the
-    * >=0.7 set is sparse and this plan's cost is ~linear in docs. */
+    * assumption — 41% of ALL doc pairs have word-Jaccard >= 0.7
+    * (re-measured 2026-08 on a 500-doc sample of the REGENERATED corpus:
+    * 51493/124750 pairs at sf0.1, 51/124k at sf0.01 — the r7 testdata
+    * regeneration lightened the docs but not the pair density), so the
+    * confirmed OUTPUT is itself quadratic and no banding scheme can prune
+    * it. On a real corpus the >=0.7 set is sparse and this plan's cost is
+    * ~linear in docs. */
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
     graft.operators.MinHashLsh.nearDupPairs(docs, minBp = 7000L)
@@ -257,12 +260,13 @@ object LlmExt {
     * reachability over the same brute-force pair set.
     *
     * Bounded to doc_id < 1000 for the same reason as q_dedup_minhash: on
-    * this synthetic corpus 24% of ALL doc pairs are ≥ 0.8-similar, so the
-    * edge set itself is O(docs²) and no component algorithm beats its
-    * input size (measured: 5.9M symmetric edges at sf0.1 unbounded). On a
-    * real corpus near-dup edges are ~O(docs) and the same plan runs
-    * unbounded; the bound covers 100% of the t2 correctness domain
-    * (500 docs at sf0.01). */
+    * this synthetic corpus 25% of ALL doc pairs are ≥ 0.8-similar
+    * (re-measured 2026-08 on the REGENERATED corpus: 31054/124750 pairs
+    * in a 500-doc sf0.1 sample — the density survived the r7 testdata
+    * regeneration), so the edge set itself is O(docs²) and no component
+    * algorithm beats its input size. On a real corpus near-dup edges are
+    * ~O(docs) and the same plan runs unbounded; the bound covers 100% of
+    * the t2 correctness domain (500 docs at sf0.01). */
   def q_dedup_cluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
     val sets = docs.select(col("doc_id"),
@@ -690,6 +694,59 @@ object LlmExt {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** IVFPQ — the composed FAISS serving shape (Jégou et al. 2011, §V:
+    * coarse quantizer + product codes): [[q_ann_ivf]]'s cell filter and
+    * [[q_ann_pq]]'s ADC scoring in ONE plan. Every vector is PQ-coded
+    * exactly as in q_ann_pq (8 subspaces × one byte), but the scoring
+    * join's equi keys now INCLUDE the coarse cell (`label`), so a query
+    * ADC-scores only its own cell's ~1/10th of the corpus — the inverted
+    * list — instead of every coded vector. That is the whole IVFPQ
+    * economics: the cell prune bounds candidates per query, the codes
+    * bound bytes per candidate, and both ride broadcast joins (640-row
+    * codebook, 800-row query LUT), never a pair shuffle. At 100 TB: the
+    * corpus stays partitioned by cell, queries broadcast, and each
+    * executor scores only the cells it hosts — same plan, a thousand
+    * executors. Exact-integer arithmetic end to end (micro-quantized
+    * components, integer squared-L2, packed argmin), so the DuckDB
+    * oracle reproduces it bit-for-bit. */
+  def q_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos").cast("long") / lit(8)).cast("long").as("sub"),
+        pmod(col("pos").cast("long"), lit(8)).as("dim"),
+        floor(lit(1000000.0) * col("x").cast("double")).as("qv"))
+    // codebook: per (subspace, codeword, dim) floored mean — trained per
+    // label exactly as q_ann_pq's (`cw` IS the training label there)
+    val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+    // per (vector, subspace, codeword) exact squared-L2, the vector's own
+    // CELL carried through — it becomes the inverted-list key below
+    val sdist = dims.join(broadcast(cb), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("label"), col("sub"), col("cw"))
+      .agg(sum((col("qv") - col("c")) * (col("qv") - col("c"))).as("dist"))
+    val enc = sdist.groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("sub"), col("code"))
+    val lut = sdist.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("label").as("la"),
+        col("sub").as("lsub"), col("cw"), col("dist").as("qdist"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
+    enc.join(broadcast(lut),
+        col("lb") === col("la") && // the IVF cell prune, ON the join keys
+          col("sub") === col("lsub") && col("code") === col("cw") &&
+          col("b_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** Shard packing — the webdataset-creation step of a training pipeline:
     * documents in a stable order are greedily packed into shards of a
     * fixed character budget (a doc's shard = its START offset ÷ budget,
@@ -754,6 +811,7 @@ object LlmExt {
     "q_embed_neardup" -> q_embed_neardup _,
     "q_ann_ivf" -> q_ann_ivf _,
     "q_ann_pq" -> q_ann_pq _,
+    "q_ann_ivfpq" -> q_ann_ivfpq _,
     "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _,
@@ -947,6 +1005,38 @@ object LlmExt {
         |adc AS (
         |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
         |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.label
+        |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id)
+        |SELECT a_id, b_id, adc, rn FROM (
+        |  SELECT a_id, b_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY adc, b_id) AS INT) AS rn
+        |  FROM adc)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_ann_ivfpq" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    (ord - 1) // 8 AS sub, (ord - 1) % 8 AS dim,
+        |    CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+        |cb AS (
+        |  SELECT sub, label AS cw, dim, CAST(floor(sum(qv) / count(*)) AS BIGINT) AS c
+        |  FROM dims GROUP BY sub, label, dim),
+        |sdist AS (
+        |  SELECT d.vec_id, d.label, d.sub, cb.cw,
+        |    CAST(sum((d.qv - cb.c) * (d.qv - cb.c)) AS BIGINT) AS dist
+        |  FROM dims d JOIN cb ON d.sub = cb.sub AND d.dim = cb.dim
+        |  GROUP BY d.vec_id, d.label, d.sub, cb.cw),
+        |enc AS (
+        |  SELECT vec_id AS b_id, label AS lb, sub,
+        |    min(dist * 16 + cw) % 16 AS code
+        |  FROM sdist GROUP BY vec_id, label, sub),
+        |lut AS (
+        |  SELECT vec_id AS a_id, label AS la, sub, cw, dist AS qdist
+        |  FROM sdist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
+        |  FROM enc e JOIN lut l
+        |    ON e.lb = l.la AND e.sub = l.sub AND e.code = l.cw
         |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id)
         |SELECT a_id, b_id, adc, rn FROM (
         |  SELECT a_id, b_id, adc,

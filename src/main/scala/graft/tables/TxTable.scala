@@ -14,14 +14,26 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   <root>/data/<uuid>.parquet        immutable data files
-  *   <root>/_txlog/v00000001.txt       manifest: the file list + stats of version 1
+  *   <root>/_txlog/v00000001.txt       DELTA manifest: what version 1 changed
+  *   <root>/_txlog/v00000010.ckpt.txt  checkpoint: the FULL state at version 10
   * }}}
   *
-  * A version N snapshot IS its manifest: readers list `_txlog`, take the
-  * highest (or `versionAsOf`) manifest, and plan a scan over exactly the
-  * files it names. Data files are written FIRST and are invisible until a
-  * manifest names them — a crashed writer leaves garbage bytes, never a
-  * corrupt table (spec-pinned).
+  * The log is the Delta-pattern "checkpoint + deltas": each commit writes
+  * only its CHANGES (added/removed file entries, touched stream
+  * watermarks, a constraint replacement if any) — O(changed files), never
+  * O(table) — and every [[TxTable.CheckpointInterval]]-th commit also
+  * writes a full-state checkpoint. A version N snapshot is reconstructed
+  * by loading the nearest checkpoint at or below N and replaying the
+  * (bounded) delta tail — so at 10⁶ files a steady-state commit writes a
+  * few lines, not a million, and a read parses one checkpoint plus at
+  * most an interval's worth of tiny deltas. Pre-checkpoint full
+  * manifests (the v1 on-disk format) are recognized as their own
+  * checkpoints, so old tables read unchanged. Data files are written
+  * FIRST and are invisible until a manifest names them — a crashed
+  * writer leaves garbage bytes, never a corrupt table (spec-pinned);
+  * checkpoints are derived acceleration, written AFTER the commit link
+  * and safe to lose (readers fall back to an older checkpoint and more
+  * deltas).
   *
   * Commit = put-if-absent of `v{N+1}`: the manifest is staged to a hidden
   * temp name and published with `Files.createLink` (hard link), which the
@@ -58,24 +70,55 @@ final class TxTable(val root: String, val statCols: Seq[String],
   /** Highest committed version, 0 if the table is empty. */
   def currentVersion: Int = listVersions.lastOption.getOrElse(0)
 
-  private def listVersions: Seq[Int] = {
-    val vs = Option(logDir.toFile.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .collect { case ManifestName(v) => v.toInt }
-    vs.sorted.toSeq
+  private def listVersions: Seq[Int] = listLog._1
+
+  /** One dir listing → (committed versions, checkpointed versions). */
+  private def listLog: (Seq[Int], Set[Int]) = {
+    val names = Option(logDir.toFile.listFiles()).getOrElse(Array.empty).map(_.getName)
+    val vs = names.collect { case ManifestName(v) => v.toInt }
+    val cks = names.collect { case CkptName(v) => v.toInt }
+    (vs.sorted.toSeq, cks.toSet)
   }
 
-  /** The file list of `versionAsOf` (default: latest). Version 0 is the
-    * empty table. */
+  /** The state of `versionAsOf` (default: latest), reconstructed as the
+    * nearest full state at or below it (a `.ckpt` checkpoint, a
+    * v1-format full manifest, or the empty table) plus the replayed
+    * delta tail. Version 0 is the empty table. */
   def snapshot(versionAsOf: Option[Int] = None): Snapshot = {
-    val v = versionAsOf.getOrElse(currentVersion)
-    if (v == 0) Snapshot(0, Nil, Map.empty)
-    else {
-      val p = logDir.resolve(manifestName(v))
-      require(Files.exists(p), s"version $v does not exist (have $listVersions)")
-      val (files, txns, constraints) = parseManifest(Files.readAllLines(p))
-      Snapshot(v, files, txns, constraints)
+    val (versions, ckpts) = listLog
+    val v = versionAsOf.getOrElse(versions.lastOption.getOrElse(0))
+    if (v == 0) return Snapshot(0, Nil, Map.empty)
+    require(versions.contains(v) || ckpts.contains(v),
+      s"version $v does not exist (have $versions)")
+    var deltas = List.empty[DeltaRecord] // collected newest-first, applied oldest-first
+    var cur = v
+    var full: Snapshot = null
+    while (full == null) {
+      if (cur == 0) full = Snapshot(0, Nil, Map.empty)
+      else if (ckpts.contains(cur)) {
+        val (fs, ts, cs) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
+        full = Snapshot(cur, fs, ts, cs)
+      } else {
+        val p = logDir.resolve(manifestName(cur))
+        require(Files.exists(p),
+          s"cannot reconstruct version $v of $root: manifest $cur is missing " +
+            "and no checkpoint covers it")
+        parseAnyManifest(Files.readAllLines(p)) match {
+          case Left((fs, ts, cs)) => full = Snapshot(cur, fs, ts, cs)
+          case Right(delta) => deltas ::= delta; cur -= 1
+        }
+      }
     }
+    var files = full.files
+    var txns = full.txns
+    var cons = full.constraints
+    deltas.foreach { d =>
+      val rm = d.removes.toSet
+      files = files.filterNot(f => rm((f.path, f.dv))) ++ d.adds
+      txns = txns ++ d.txns
+      d.constraints.foreach(cs => cons = cs)
+    }
+    Snapshot(v, files, txns, cons)
   }
 
   // ------------------------------------------------------------------- reads
@@ -909,7 +952,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * versionsDropped). */
   def vacuum(retainVersions: Int): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
-    val versions = listVersions
+    val (versions, ckpts) = listLog
     val cutoff = currentVersion - retainVersions + 1
     val (expired, retained) = versions.partition(_ < cutoff)
     if (expired.isEmpty) return (0, 0)
@@ -920,8 +963,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val dead = expired
       .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq))
       .distinct.filterNot(live.contains)
+    // dropping the expired deltas must not strand the retained chain:
+    // pin the oldest retained version as a checkpoint FIRST, so every
+    // retained reconstruction starts at or after it (crash between the
+    // checkpoint and the deletes below just leaves extra history)
+    retained.headOption.filterNot(ckpts.contains).foreach { oldest =>
+      val s = snapshot(Some(oldest))
+      writeCheckpoint(oldest, s.files, s.txns, s.constraints)
+    }
     dead.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
-    expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
+    expired.foreach { v =>
+      Files.deleteIfExists(logDir.resolve(manifestName(v)))
+      Files.deleteIfExists(logDir.resolve(ckptName(v)))
+    }
     (dead.size, expired.size)
   }
 
@@ -1020,24 +1074,54 @@ final class TxTable(val root: String, val statCols: Seq[String],
       min(col(c)).cast("long").as(s"__min_$c"),
       max(col(c)).cast("long").as(s"__max_$c")))
 
-  /** One commit attempt on top of `base`: stage the manifest, publish it
-    * as v{base+1} via hard link (atomic put-if-absent). The base's txn
-    * map is carried forward (overlaid with `txns`) so the LATEST manifest
-    * alone answers "what has stream X committed?" — vacuum can drop old
-    * manifests without losing exactly-once history. Throws
-    * FileAlreadyExistsException if someone else committed base+1 first. */
+  /** One commit attempt on top of `base`: stage a DELTA manifest (the
+    * entry-level diff of the new file list against `base` — O(changed
+    * files) to write, never O(table) — plus only the txn watermarks this
+    * commit touches and a constraint replacement if any) and publish it
+    * as v{base+1} via hard link (atomic put-if-absent). Stream
+    * watermarks still survive vacuum: reconstruction merges txn lines
+    * forward and every checkpoint carries the merged map, so the
+    * checkpoint+tail a vacuumed table retains answers "what has stream X
+    * committed?" exactly as the old full manifests did. Every
+    * [[TxTable.CheckpointInterval]]-th version also writes a full-state
+    * checkpoint AFTER the commit link — derived acceleration, safe to
+    * lose. Throws FileAlreadyExistsException if someone else committed
+    * base+1 first. */
   private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty,
       constraints: Option[Seq[String]] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
+    val newFiles = next(base)
+    // Diff by FULL entry equality: stats evolution re-describes a file
+    // under the same (path, dv) identity, and the delta must carry that
+    // as remove+add or the widened stats would be lost on replay.
+    val baseSet = base.files.toSet
+    val newSet = newFiles.toSet
+    val adds = newFiles.filterNot(baseSet.contains)
+    val removes = base.files.filterNot(newSet.contains).map(f => (f.path, f.dv))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderManifest(next(base), base.txns ++ txns,
-        constraints.getOrElse(base.constraints)).getBytes("UTF-8"))
+      renderDelta(adds, removes, txns, constraints).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
-      v
     } finally Files.deleteIfExists(tmp)
+    if (v % CheckpointInterval == 0)
+      writeCheckpoint(v, newFiles, base.txns ++ txns,
+        constraints.getOrElse(base.constraints))
+    v
+  }
+
+  /** Write the full state of `v` as a checkpoint — idempotent and
+    * crash-safe: staged then hard-linked (put-if-absent; a concurrent
+    * writer's identical checkpoint wins ties), and losing it entirely
+    * only means readers replay more deltas. */
+  private def writeCheckpoint(v: Int, files: Seq[FileEntry],
+      txns: Map[String, Long], constraints: Seq[String]): Unit = {
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, renderManifest(files, txns, constraints).getBytes("UTF-8"))
+    try Files.createLink(logDir.resolve(ckptName(v)), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally { Files.deleteIfExists(tmp); () }
   }
 
   private def commitWithRetry(maxRetries: Int)(next: Snapshot => Seq[FileEntry]): Int = {
@@ -1218,64 +1302,126 @@ object TxTable {
   }
 
   private val ManifestName = """v(\d{8})\.txt""".r
+  private val CkptName = """v(\d{8})\.ckpt\.txt""".r
 
   private def manifestName(v: Int): String = f"v$v%08d.txt"
+  private def ckptName(v: Int): String = f"v$v%08d.ckpt.txt"
+
+  /** Checkpoint cadence: a reader replays at most this many deltas on
+    * top of a full state. Small enough that reconstruction stays a
+    * handful of tiny file reads, large enough that steady-state commit
+    * cost is the delta write, not the checkpoint. */
+  private[tables] val CheckpointInterval = 10
+
+  /** One parsed DELTA manifest: what a single commit changed. */
+  private final case class DeltaRecord(adds: Seq[FileEntry],
+      removes: Seq[(String, Option[String])], txns: Map[String, Long],
+      constraints: Option[Seq[String]])
 
   /** Manifest line format (tab-separated): `txn <appId> <batchId>` lines
     * carry the per-stream exactly-once watermarks, `file <path> <rows>
-    * [<col> <min> <max>]...` lines the data files — dependency-free and
-    * diff-readable; the manifest is metadata about file NAMES, stats and
-    * stream watermarks, never data, so it stays O(files) tiny. */
+    * [dv:<dv>] [bloom:<col>:<b64>]... [<col> <min> <max>]...` lines the
+    * data files — dependency-free and diff-readable; the manifest is
+    * metadata about file NAMES, stats and stream watermarks, never data.
+    * Format v1 (`graft-txlog\t1`) is a FULL state — the checkpoint
+    * format, and what every pre-checkpoint table's commits wrote.
+    * Format v2 (`graft-txlog\t2\tdelta`) is one commit's diff: `add`
+    * lines (the file-line payload), `remove <path> <dv|->` lines, `txn`
+    * lines for only the touched watermarks, and an optional
+    * `setconstraints` marker whose following `constraint` lines REPLACE
+    * the set (the marker distinguishes "unchanged" from "replaced with
+    * empty"). */
   private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long],
       constraints: Seq[String]): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.map(c => s"constraint\t$c")
-    val fileLines = files.map { f =>
-      val stats = f.mins.keys.toSeq.sorted
-        .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
-      val dvTok = f.dv.map(d => s"dv:$d\t").getOrElse("")
-      val bloomTok = f.blooms.keys.toSeq.sorted
-        .map(c => s"bloom:$c:${encodeBloom(f.blooms(c))}\t").mkString
-      s"file\t${f.path}\t${f.rows}\t$dvTok$bloomTok$stats"
-    }
+    val fileLines = files.map(f => fileLine("file", f))
     ("graft-txlog\t1" +: (txnLines ++ conLines ++ fileLines)).mkString("\n")
   }
 
+  private def renderDelta(adds: Seq[FileEntry],
+      removes: Seq[(String, Option[String])], txns: Map[String, Long],
+      constraints: Option[Seq[String]]): String = {
+    val txnLines = txns.toSeq.sortBy(_._1)
+      .map { case (app, b) => s"txn\t$app\t$b" }
+    val conLines = constraints.toSeq.flatMap(cs =>
+      "setconstraints" +: cs.map(c => s"constraint\t$c"))
+    val rmLines = removes.map { case (p, dv) => s"remove\t$p\t${dv.getOrElse("-")}" }
+    val addLines = adds.map(f => fileLine("add", f))
+    ("graft-txlog\t2\tdelta" +: (txnLines ++ conLines ++ rmLines ++ addLines))
+      .mkString("\n")
+  }
+
+  private def fileLine(tag: String, f: FileEntry): String = {
+    val stats = f.mins.keys.toSeq.sorted
+      .map(c => s"$c\t${f.mins(c)}\t${f.maxs(c)}").mkString("\t")
+    val dvTok = f.dv.map(d => s"dv:$d\t").getOrElse("")
+    val bloomTok = f.blooms.keys.toSeq.sorted
+      .map(c => s"bloom:$c:${encodeBloom(f.blooms(c))}\t").mkString
+    s"$tag\t${f.path}\t${f.rows}\t$dvTok$bloomTok$stats"
+  }
+
+  private def parseFileLine(parts: Array[String]): FileEntry = {
+    val afterDv = parts.drop(3)
+    val dv = afterDv.headOption.filter(_.startsWith("dv:"))
+      .map(_.stripPrefix("dv:"))
+    val rest = if (dv.isDefined) afterDv.drop(1) else afterDv
+    val (bloomParts, statParts) = rest.span(_.startsWith("bloom:"))
+    val blooms = bloomParts.map { tok =>
+      val Array(_, c, payload) = tok.split(":", 3)
+      c -> decodeBloom(payload)
+    }.toMap
+    val stats = statParts.grouped(3).map {
+      case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
+    }.toSeq
+    FileEntry(parts(1), parts(2).toLong,
+      stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
+      dv, blooms)
+  }
+
+  /** Parse a FULL (v1/checkpoint) manifest; rejects deltas. */
   private def parseManifest(lines: java.util.List[String])
-      : (Seq[FileEntry], Map[String, Long], Seq[String]) = {
+      : (Seq[FileEntry], Map[String, Long], Seq[String]) =
+    parseAnyManifest(lines) match {
+      case Left(full) => full
+      case Right(_) => throw new IllegalArgumentException(
+        "expected a full manifest, found a delta")
+    }
+
+  /** Parse either format: Left(full state) or Right(one commit's delta). */
+  private def parseAnyManifest(lines: java.util.List[String])
+      : Either[(Seq[FileEntry], Map[String, Long], Seq[String]), DeltaRecord] = {
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq
-    require(all.headOption.exists(_.startsWith("graft-txlog\t")),
-      "not a graft txlog manifest")
+    val header = all.headOption.getOrElse("")
+    require(header.startsWith("graft-txlog\t"), "not a graft txlog manifest")
+    val isDelta = header.split("\t").lift(2).contains("delta")
     val body = all.tail.filter(_.nonEmpty)
     val txns = body.filter(_.startsWith("txn\t")).map { line =>
       val Array(_, app, b) = line.split("\t")
       app -> b.toLong
     }.toMap
-    val constraints = body.filter(_.startsWith("constraint\t"))
+    val constraintLines = body.filter(_.startsWith("constraint\t"))
       .map(_.stripPrefix("constraint\t"))
-    val files = body
-      .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t"))
-      .map { line =>
-        val parts = line.split("\t")
-        require(parts(0) == "file", s"bad manifest line: $line")
-        val afterDv = parts.drop(3)
-        val dv = afterDv.headOption.filter(_.startsWith("dv:"))
-          .map(_.stripPrefix("dv:"))
-        val rest = if (dv.isDefined) afterDv.drop(1) else afterDv
-        val (bloomParts, statParts) = rest.span(_.startsWith("bloom:"))
-        val blooms = bloomParts.map { tok =>
-          val Array(_, c, payload) = tok.split(":", 3)
-          c -> decodeBloom(payload)
-        }.toMap
-        val stats = statParts.grouped(3).map {
-          case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
-        }.toSeq
-        FileEntry(parts(1), parts(2).toLong,
-          stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
-          dv, blooms)
+    if (isDelta) {
+      val removes = body.filter(_.startsWith("remove\t")).map { line =>
+        val Array(_, p, dv) = line.split("\t")
+        (p, if (dv == "-") None else Some(dv))
       }
-    (files, txns, constraints)
+      val adds = body.filter(_.startsWith("add\t"))
+        .map(l => parseFileLine(l.split("\t")))
+      val setCons = if (body.contains("setconstraints")) Some(constraintLines) else None
+      Right(DeltaRecord(adds, removes, txns, setCons))
+    } else {
+      val files = body
+        .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t"))
+        .map { line =>
+          val parts = line.split("\t")
+          require(parts(0) == "file", s"bad manifest line: $line")
+          parseFileLine(parts)
+        }
+      Left((files, txns, constraintLines))
+    }
   }
 }

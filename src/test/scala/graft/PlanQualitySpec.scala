@@ -94,6 +94,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"q_ann_pq: no shuffled join belongs in the ADC path:\n$plan")
   }
 
+  test("q_ann_ivfpq: the cell prune rides the LUT join's equi keys") {
+    // IVFPQ's composition contract: the ADC scoring join must be keyed by
+    // (cell, subspace, codeword) — candidates outside the query's coarse
+    // cell are pruned BY THE JOIN, never scored-then-filtered — and both
+    // small sides (codebook, LUT) broadcast; a pair shuffle or cartesian
+    // loses the inverted-list economics.
+    val df = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val lutJoin = plan.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("code")).getOrElse("")
+    assert(lutJoin.contains("lb") && lutJoin.contains("la"),
+      s"cell key missing from the ADC join's equi keys: $lutJoin\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs scoring")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_ivfpq: no shuffled join belongs in the ADC path:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q_agg_salted: both phases keep map-side partial aggregation") {
     // four HashAggregates (partial+final per phase): the salted phase
     // shuffles on (key, salt) and the re-aggregation on key alone — the
@@ -414,7 +433,9 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "q_global_rownum", // two-phase offsets: the window reads the 32-row per-partition summary
       "q_seq_pack",      // same two-phase offset pattern (contract-tested above)
       "q_shard_pack",    // same two-phase offset pattern (contract-tested above)
-      "q_tpch_q17")      // window hash-partitions by l_partkey; the exchange is the final 1-row global agg
+      "q_tpch_q17",      // window hash-partitions by l_partkey; the exchange is the final 1-row global agg
+      "q_sql_tpch_q17",  // SQL twin of q_tpch_q17: same window-by-partkey + 1-row final agg shape
+      "q_sql_tpch_q3")   // rank window reads the 10-row ORDER BY+LIMIT frame (TakeOrdered upstream)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect()
