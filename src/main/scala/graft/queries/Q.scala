@@ -85,4 +85,34 @@ object Q {
     local.join(broadcast(offsets), Seq("pid"))
       .select(col(idCol), col(vCol), (col(endCol) + col("_off")).as(endCol))
   }
+
+  /** Two global running sums in one pass — [[runningSumById]] folding a
+    * PAIR of value columns through the same range-partitioned iterator, so
+    * coupled ECDFs (two populations over one value domain, q_drift_ks)
+    * cost one shuffle + one fold instead of two full chains joined back
+    * on the id. Same boundary-independence argument; same pid-frame
+    * offsets window (per-partition summary rows, never the data). */
+  def runningSums2ById(spark: SparkSession, df: DataFrame, idCol: String,
+      v1: String, e1: String, v2: String, e2: String, parts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long"), col(v1).cast("long"), col(v2).cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val local = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var a1 = 0L; var a2 = 0L
+      it.map { case (id, x1, x2) => a1 += x1; a2 += x2; (pid, id, x1, x2, a1, a2) }
+    }.toDF("pid", idCol, v1, v2, e1, e2)
+    val w = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col(v1)).as("_p1"), sum(col(v2)).as("_p2"))
+      .withColumn("_o1", coalesce(sum(col("_p1")).over(w), lit(0L)))
+      .withColumn("_o2", coalesce(sum(col("_p2")).over(w), lit(0L)))
+      .select(col("pid"), col("_o1"), col("_o2"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col(idCol), col(v1), col(v2),
+        (col(e1) + col("_o1")).as(e1), (col(e2) + col("_o2")).as(e2))
+  }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-serving and distribution-drift operators — SURVEY.md §2.19.
+  *
+  * [[q_rag_hybrid]] is the RAG serving join the LLM tier was missing: the
+  * sparse (BM25) and dense (embedding cosine) retrieval paths fused by
+  * reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009 — RRF
+  * with the standard k=60), the de-facto hybrid-search ranker in Lucene /
+  * Vespa / OpenSearch deployments. [[q_drift_ks]] is the training-data
+  * monitoring primitive: an EXACT two-sample Kolmogorov–Smirnov distance
+  * between two event populations, computed distributively over the
+  * value-domain frame (never a global data window).
+  */
+object Retrieval {
+
+  /** Hybrid retrieval with reciprocal-rank fusion.
+    *
+    * Query = the literal term set {join, vector, scan} on the sparse side
+    * and embedding vec_id 0 on the dense side (the corpus convention:
+    * embeddings[i] embeds documents[i], FIXTURES.md). Each side produces
+    * its own top-32 candidate list — sparse by summed per-term BM25 basis
+    * points (identical constants and ln-free idf as q_text_bm25, §2.14),
+    * dense by exact cosine in basis points (unit-norm corpus, so the
+    * codegen'd float_dot IS the cosine) — and fusion scores
+    * rrf = Σ_sides floor(10000 / (60 + rank)).
+    *
+    * Scale shape: the sparse side never builds the full tf matrix — query
+    * terms are filtered BEFORE the (doc,word) aggregation, so the shuffle
+    * carries |terms|·|matching docs| rows, not the corpus vocabulary;
+    * doc length comes from a linear `size(split(...))` projection. Both
+    * top-32s plan TakeOrderedAndProject (per-partition top-k, driver
+    * merges k·P candidates — no global sort, no data-sized window); ranks
+    * and the fusion aggregate run on the ≤64-row candidate union, where a
+    * window is a constant-size frame. At 100 TB both candidate generators
+    * are one scan each and everything downstream is O(k). */
+  def q_rag_hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("join", "vector", "scan")
+    // doc length (token count) is a projection, not an explode-aggregate
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_w"))
+    // tf restricted to the query terms — the posting slice, not the matrix
+    val tfq = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .persist() // two consumers: df(word) and the per-doc score
+    val dfw = tfq.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val sparse = tfq
+      .join(dl, "doc_id").join(broadcast(dfw), "word").crossJoin(broadcast(corpus))
+      .withColumn("term_bp", floor(lit(10000.0) * expr(
+        "(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_w AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+          "* ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))")))
+      .groupBy(col("doc_id")).agg(sum(col("term_bp")).as("score_bp"))
+    val s32 = sparse.orderBy(col("score_bp").desc, col("doc_id")).limit(32)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score_bp").desc, col("doc_id"))))
+    val e = Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        floor(lit(10000.0) * expr("float_dot(qv, embedding)")).as("sim_bp"))
+    val d32 = dense.orderBy(col("sim_bp").desc, col("vec_id")).limit(32)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("sim_bp").desc, col("vec_id"))))
+    s32.select(col("doc_id").as("id"), lit("s").as("side"), col("rk"))
+      .unionByName(d32.select(col("vec_id").as("id"), lit("d").as("side"), col("rk")))
+      .groupBy(col("id")).agg(
+        max(when(col("side") === "s", col("rk")).otherwise(0)).as("r_sparse"),
+        max(when(col("side") === "d", col("rk")).otherwise(0)).as("r_dense"),
+        sum(floor(lit(10000.0) / (lit(60) + col("rk")))).as("rrf_bp"))
+      .orderBy(col("rrf_bp").desc, col("id")).limit(10)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance (basis points) between
+    * the `value` distributions of click vs purchase events — the
+    * distribution-drift gate of a data pipeline (is this week's feed
+    * shaped like last week's?). Values are quantized to 1e-4 units first
+    * (the documented grain: KS over the quantized distribution), which
+    * makes the ECDF domain BOUNDED by the value range rather than the row
+    * count. The plan aggregates indicator counts per quantized value (one
+    * map-combinable shuffle over the data), then runs the two cumulative
+    * sums with Q.runningSumById over the domain frame — range-partitioned
+    * prefix sums, never an all-rows window — and takes
+    * ks = max |ca/na − cb/nb|, floored to bp (floor is monotone, so the
+    * max of per-point floors equals the floor at the supremum point).
+    * `ks_at` reports the smallest quantized value attaining the supremum.
+    * At 100 TB the data pass is one agg; everything after runs on the
+    * value-domain frame (≤ range/1e-4 rows, independent of data size). */
+  def q_drift_ks(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(floor(col("value") * lit(10000.0)).cast("long").as("v_u"), col("event_type"))
+      .groupBy(col("v_u")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .persist() // consumed by the fused prefix pass and the totals
+    val c = Q.runningSums2ById(spark, g, "v_u", "a", "ca", "b", "cb")
+    val tot = g.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    // supremum + argmin(v_u at supremum) in ONE aggregation: struct max
+    // orders lexicographically, so (d_bp, -v_u) maximizes the distance
+    // first and the SMALLEST attaining value second — no second pass, no
+    // persist of the domain frame
+    c.crossJoin(broadcast(tot))
+      .withColumn("d_bp", floor(lit(10000.0) * abs(
+        col("ca").cast("double") / col("na").cast("double") -
+          col("cb").cast("double") / col("nb").cast("double"))))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        max(struct(col("d_bp").as("d"), (-col("v_u")).as("nv"))).as("m"))
+      .select(col("na"), col("nb"), col("m.d").as("ks_bp"), (-col("m.nv")).as("ks_at"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rag_hybrid" -> q_rag_hybrid _,
+    "q_drift_ks" -> q_drift_ks _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_rag_hybrid" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_w FROM dl),
+        |tfq AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word IN ('join', 'vector', 'scan') GROUP BY 1, 2),
+        |dfw AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+        |sparse AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(CAST(floor(10000.0 *
+        |      (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(total_w AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))) AS BIGINT)) AS BIGINT) AS score_bp
+        |  FROM tfq t JOIN dl ON t.doc_id = dl.doc_id JOIN dfw ON t.word = dfw.word CROSS JOIN corpus
+        |  GROUP BY 1),
+        |s32 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS INT) AS rk
+        |        FROM sparse ORDER BY score_bp DESC, doc_id LIMIT 32),
+        |dense AS (
+        |  SELECT b.vec_id,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0),
+        |d32 AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY sim_bp DESC, vec_id) AS INT) AS rk
+        |        FROM dense ORDER BY sim_bp DESC, vec_id LIMIT 32),
+        |u AS (SELECT doc_id AS id, 's' AS side, rk FROM s32
+        |      UNION ALL SELECT vec_id AS id, 'd' AS side, rk FROM d32)
+        |SELECT id,
+        |  max(CASE WHEN side = 's' THEN rk ELSE 0 END) AS r_sparse,
+        |  max(CASE WHEN side = 'd' THEN rk ELSE 0 END) AS r_dense,
+        |  CAST(sum(CAST(floor(10000.0 / (60 + rk)) AS BIGINT)) AS BIGINT) AS rrf_bp
+        |FROM u GROUP BY id ORDER BY rrf_bp DESC, id LIMIT 10""".stripMargin,
+    "q_drift_ks" ->
+      """WITH g AS (
+        |  SELECT CAST(floor("value" * 10000.0) AS BIGINT) AS v_u,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |c AS (SELECT v_u,
+        |    CAST(sum(a) OVER (ORDER BY v_u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY v_u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        |  FROM g),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM g),
+        |d AS (SELECT v_u,
+        |    CAST(floor(10000.0 * abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |                           - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) AS d_bp
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT max(d_bp) AS ks_bp FROM d)
+        |SELECT t.na, t.nb, m.ks_bp,
+        |  (SELECT min(v_u) FROM d WHERE d_bp = m.ks_bp) AS ks_at
+        |FROM t CROSS JOIN m""".stripMargin,
+  )
+}

@@ -439,6 +439,29 @@ object TableOps {
     * on disk until vacuum; DuckDB reconstructs the same content from the
     * deterministic split rule. TxTableSpec pins the file accounting;
     * this pins the row-level answer of the historical read. */
+  /** RESTORE through the gate (Delta's `RESTORE TABLE … TO VERSION AS
+    * OF`): on a copy of the shared 3-append + compaction table, a band
+    * delete (v5) is the bad commit and `restore(4)` undoes it as a NEW
+    * metadata-only commit — zero data I/O, history intact (the bad v5
+    * stays time-travelable for audit, CDF across the restore reports the
+    * honest re-inserts so replicas follow). The final read must equal
+    * the FULL events content: a restore that missed a file, resurrected
+    * the wrong version, or failed to supersede the delete all land on
+    * different aggregates. RestoreSpec pins versioning, CDF honesty,
+    * lost-file refusal, and watermark carry-forward. */
+  def q_table_restore(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_restore") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.delete(spark, "user_id", 3, 7) // v5: the bad commit
+      t.restore(4)                     // v6: metadata-only undo
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   def q_table_timetravel(spark: SparkSession, dir: String): DataFrame =
     new TxTable(changesTableRoot(spark, dir), Seq("user_id"))
       .read(spark, versionAsOf = Some(2))
@@ -692,6 +715,7 @@ object TableOps {
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
     "q_table_timetravel" -> q_table_timetravel _,
+    "q_table_restore" -> q_table_restore _,
     "q_table_evolve" -> q_table_evolve _,
     "q_table_multi" -> q_table_multi _,
     "q_table_multi_replica" -> q_table_multi_replica _,
@@ -772,6 +796,11 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY user_id % 3 + 1 ORDER BY commit_version""".stripMargin,
+    "q_table_restore" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_timetravel" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

@@ -941,6 +941,40 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit a NEW
+    * version whose data state — file list, deletion vectors, per-file
+    * stats — is exactly version `versionAsOf`'s. History is never
+    * rewritten: the bad versions stay time-travelable, the restore is
+    * itself just a commit (an audit-friendly undo, not an erasure), and
+    * CDF across it reports honest row-level adds/removes (the diff
+    * between current and restored state), so downstream replicas FOLLOW
+    * the restore instead of diverging. Stream txn watermarks and the
+    * constraint set carry FORWARD from the current snapshot, not the
+    * restored one: restore undoes DATA, not idempotence bookkeeping (a
+    * replayed source batch must still be refused) and not policy.
+    *
+    * Metadata-only — zero data I/O (the restored entries' files are still
+    * on disk until vacuum reclaims them, and vacuum protects anything a
+    * retained manifest references). Refuses loudly if vacuum has already
+    * physically dropped any file of the target version: a partial
+    * restore would silently resurrect a SUBSET of the old table.
+    * Concurrency: last-writer-wins through the standard commit retry —
+    * restore declares the whole table, so it rebases onto (and
+    * supersedes) any concurrent commit, exactly Delta's semantics. */
+  def restore(versionAsOf: Int): Int = {
+    val target = snapshot(Some(versionAsOf))
+    // deletion vectors are referenced files too — a restored entry whose
+    // DV was reclaimed would silently resurrect its deleted rows
+    val gone = target.files.filterNot(f =>
+      Files.exists(dataDir.resolve(f.path)) &&
+        f.dv.forall(d => Files.exists(dataDir.resolve(d))))
+    require(gone.isEmpty,
+      s"restore($versionAsOf) of $root: ${gone.size} data files already " +
+        s"vacuumed (e.g. ${gone.take(3).map(_.path).mkString(", ")}) — " +
+        "the version is listed but no longer materializable")
+    commitWithRetry(maxRetries = 10) { _ => target.files }
+  }
+
   /** Vacuum: delete data files referenced by NO manifest version newer
     * than `retainVersions` back from current, then drop the expired
     * manifests. Readers of retained versions are unaffected (their

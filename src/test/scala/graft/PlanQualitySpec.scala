@@ -450,4 +450,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
     assert(offenders.isEmpty, s"scale-killing plans in: $offenders")
   }
+
+  test("q_rag_hybrid: both candidate generators are per-partition top-k; fusion is O(k)") {
+    val plan = executedPlan("q_rag_hybrid")
+    // sparse top-32 and dense top-32 each plan TakeOrderedAndProject —
+    // per-partition top-k with a k·P driver merge, never a global sort
+    assert("TakeOrderedAndProject\\(limit=32".r.findAllIn(plan).size >= 2,
+      s"a candidate generator fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "a 1-row broadcast (corpus stats / query vector) degenerated to a cartesian")
+    // the tf slice aggregates map-side before its shuffle
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"posting aggregation is not map-combinable:\n$plan")
+  }
+
+  test("q_drift_ks: ECDFs are two-phase prefix sums, never a data-sized global window") {
+    val plan = executedPlan("q_drift_ks")
+    // Q.runningSumById: partition-local fold + pid-frame offsets window —
+    // any window in the plan must read the per-partition summary only
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("pid")),
+      s"a window runs on more than the pid offset frame:\n${winLines.mkString("\n")}")
+    assert(plan.contains("MapPartitions"), s"partition-local prefix fold missing:\n$plan")
+    // the indicator-count pass over the data is map-combinable
+    assert(plan.contains("partial_sum"), s"indicator agg not two-phase:\n$plan")
+  }
 }
