@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 65-query suites on local[32] are GC-bound at 8g (bench totals varied
   // 33-53s run to run); the machine has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The generated-class cache defaults to 100 entries; a 178-query suite
+  // compiles several codegen units per query, so the LRU thrashes and
+  // late queries pay Janino recompilation for evicted units. Static SQL
+  // conf — must be set before the session exists, hence here. Env
+  // override is the A/B seam.
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")}",
 )

@@ -73,11 +73,36 @@ object StreamingTwins {
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
 
+  /** Batch twin of the LEFT OUTER stream-stream join
+    * ([[graft.streaming.StreamOps.leftJoinStream]]): every purchase,
+    * matched to the same user's error events in the following
+    * (0, 30 min] — or null-extended when none arrives. The same
+    * projection the streaming op emits, so this gate pins the row-level
+    * answer the equivalence spec's stream run must converge to. Plan: one
+    * equi shuffle on user_id with the band as a join residual — at 100 TB
+    * the state bound lives on the streaming side (watermark + range), the
+    * batch side is a plain co-partitioned join. */
+  def q_stream_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("user_id_e"), col("ts").as("e_ts"))
+    p.join(e, col("user_id") === col("user_id_e") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTE"),
+      "left_outer")
+      .select(col("p_id"), unix_micros(col("p_ts")).as("p_ts_us"), col("e_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble" -> q_stream_tumble _,
     "q_stream_slide" -> q_stream_slide _,
     "q_stream_session" -> q_stream_session _,
     "q_stream_dedup" -> q_stream_dedup _,
+    "q_stream_join" -> q_stream_join _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +133,14 @@ object StreamingTwins {
         |  epoch_us(max(ts)) + 1800000000 AS end_us,
         |  count(*) AS n
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, epoch_us(p.ts) AS p_ts_us, e.event_id AS e_id,
+        |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND e.ts > p.ts
+        |  AND e.ts <= p.ts + INTERVAL 30 MINUTE
+        |ORDER BY p_id, e_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id, "value"
         |FROM events
