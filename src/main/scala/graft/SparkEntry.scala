@@ -24,7 +24,8 @@ object SparkEntry {
       StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries ++
       Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
       Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
-      TableOps.queries ++ SqlSurface.queries ++ Retrieval.queries
+      TableOps.queries ++ SqlSurface.queries ++ Retrieval.queries ++
+      TpchExtra.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle ++
       Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle ++
       Analytics4.oracle ++ Analytics5.oracle ++ Analytics6.oracle ++
-      TableOps.oracle ++ SqlSurface.oracle ++ Retrieval.oracle
+      TableOps.oracle ++ SqlSurface.oracle ++ Retrieval.oracle ++
+      TpchExtra.oracle
 }

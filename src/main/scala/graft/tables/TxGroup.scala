@@ -212,6 +212,37 @@ final class TxGroup(val root: String) {
     srcV
   }
 
+  /** Group-consistent RESTORE: rewind every member's DATA state to the
+    * cut pinned by group version `versionAsOf`, published as ONE new
+    * group commit — the multi-table rollback a single-table
+    * [[TxTable.restore]] cannot give (restoring members one by one
+    * exposes readers to cuts that never existed: table A already
+    * rewound, table B not yet). Two-layer, like every group write:
+    * each member commits its own restore first (metadata-only — file
+    * lists, zero data I/O), then the single put-if-absent group link
+    * makes the rewound cut visible atomically.
+    *
+    * Members the target cut pins are restored to their pinned versions;
+    * a member that JOINED the group after the cut is restored to EMPTY
+    * (the cut's world had no such table — keeping its rows would
+    * publish a state no group version ever described) but stays a
+    * member, its history intact. Group and member histories are never
+    * rewritten: the abandoned cuts stay time-travelable, and group
+    * vacuum keeps protecting everything a retained cut pins. A lost
+    * group-commit race aborts ([[commit]]'s rule); the member restores
+    * it already landed are invisible-to-group garbage, exactly the
+    * crashed-writer story. Returns the new group version. */
+  def restoreTo(versionAsOf: Int): Int = {
+    val target = snapshot(Some(versionAsOf)) // validates the cut exists
+    val base = currentVersion
+    val updates = snapshot(Some(base)).map { case (name, _) =>
+      val t = new TxTable(Paths.get(root, "tables", name).toString, Nil)
+      name -> t.restore(target.getOrElse(name, 0))
+    }
+    require(updates.nonEmpty, s"group at $root has no members to restore")
+    commitFrom(base, updates)
+  }
+
   /** Atomically publish `updates` (member → freshly committed member
     * version) overlaid on the current pins. The single put-if-absent
     * link is the all-or-nothing point; a lost race ABORTS. Member

@@ -451,6 +451,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(offenders.isEmpty, s"scale-killing plans in: $offenders")
   }
 
+  test("q_tpch_q4: EXISTS plans as one LEFT SEMI join — no distinct, no row explosion") {
+    val plan = executedPlan("q_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"EXISTS did not plan a semi join:\n$plan")
+    assert(!plan.contains("HashAggregate(keys=[o_orderkey"),
+      "a distinct snuck in — the semi join already dedups per order")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date window not pushed to the orders scan:\n$plan")
+  }
+
+  test("q_tpch_q10: revenue aggregates below the customer join; top-20 is TakeOrderedAndProject") {
+    val plan = executedPlan("q_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"top-20 fell back to a global sort:\n$plan")
+    assert(plan.contains("partial_sum"), "revenue agg is not map-combinable")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"nation dim did not broadcast:\n$plan")
+  }
+
   test("q_rag_hybrid: both candidate generators are per-partition top-k; fusion is O(k)") {
     val plan = executedPlan("q_rag_hybrid")
     // sparse top-32 and dense top-32 each plan TakeOrderedAndProject —

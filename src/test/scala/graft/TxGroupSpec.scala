@@ -184,4 +184,42 @@ class TxGroupSpec extends AnyFunSuite with SparkFixture {
     assert(keysOf(g.read(spark, "cold", Seq("k"))) ==
       ((2L to 4L) ++ (10L until 20L)))
   }
+
+  test("group restore rewinds every member to the cut ATOMICALLY; histories survive") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 10)),
+      "b" -> b.append(spark, keyed(100, 110))))           // cut 1
+    g.commit(Map("a" -> a.append(spark, keyed(10, 20)),
+      "b" -> b.delete(spark, "k", 100, 104).version))     // cut 2: the bad cut
+    val vg = g.restoreTo(1)
+    assert(vg == 3, "group restore must be a new group commit")
+    // both members rewound together — the cut-1 world, atomically
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 10L))
+    assert(keysOf(g.read(spark, "b", Seq("k"))) == (100L until 110L))
+    // nothing rewritten: the abandoned cut is still time-travelable
+    assert(keysOf(g.read(spark, "a", Seq("k"), Some(2))) == (0L until 20L))
+    assert(keysOf(g.read(spark, "b", Seq("k"), Some(2))) == (105L until 110L))
+    // and the group keeps moving normally afterwards
+    g.commit(Map("a" -> a.append(spark, keyed(30, 35))))
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == ((0L until 10L) ++ (30L until 35L)))
+  }
+
+  test("group restore empties a member that joined AFTER the target cut (no invented cuts)") {
+    val g = freshGroup()
+    val a = g.table("a", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 10))))   // cut 1: only a
+    val late = g.table("late", Seq("k"))
+    g.commit(Map("late" -> late.append(spark, keyed(50, 60)))) // cut 2: late joins
+    g.restoreTo(1)
+    assert(keysOf(g.read(spark, "a", Seq("k"))) == (0L until 10L))
+    // the cut-1 world had no 'late' rows; it stays a member, pinned at an
+    // EMPTY version — the group read surfaces the documented empty-table
+    // error (schema-less), never the post-cut rows
+    val e = intercept[IllegalStateException] { g.read(spark, "late", Seq("k")) }
+    assert(e.getMessage.contains("empty at version"))
+    // its own history is intact — the pre-restore rows are still travelable
+    assert(keysOf(late.read(spark, Some(1))) == (50L until 60L))
+  }
 }
