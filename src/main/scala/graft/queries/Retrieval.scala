@@ -115,9 +115,69 @@ object Retrieval {
       .select(col("na"), col("nb"), col("m.d").as("ks_bp"), (-col("m.nv")).as("ks_at"))
   }
 
+  /** Total variation distance (bp) between the weekday and weekend
+    * event-type distributions — the CATEGORICAL drift monitor next to
+    * [[q_drift_ks]]'s continuous one: tvd = ½ Σ_types |a/Na − b/Nb|.
+    * One map-combinable indicator agg over the data; the bin frame is
+    * bounded by the type domain. Cross-products ride exact decimals
+    * (order-independent sums — a 5-term double sum would depend on
+    * aggregation order), one IEEE division at emission. */
+  def q_drift_tvd(spark: SparkSession, dir: String): DataFrame = {
+    val wk = expr("weekday(ts)") // 0=Mon … 6=Sun
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), when(wk >= 5, 1L).otherwise(0L).as("is_we"))
+      .groupBy(col("event_type")).agg(
+        sum(lit(1L) - col("is_we")).as("a"),
+        sum(col("is_we")).as("b"))
+      .persist() // bins + totals
+    val tot = g.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(abs(col("a").cast("decimal(18,0)") * col("nb").cast("decimal(18,0)") -
+          col("b").cast("decimal(18,0)") * col("na").cast("decimal(18,0)"))).as("sdec"))
+      .select(col("na"), col("nb"),
+        floor(lit(10000.0) * col("sdec").cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double"))).as("tvd_bp"))
+  }
+
+  /** ANN quality evaluation — recall@10 of the IVF search
+    * ([[LlmExt.q_ann_ivf]]'s same-cell probe) against the exact top-10,
+    * per probe vector: the measurement loop an ANN deployment runs
+    * before trusting its index (cell-probe loss is the IVF tradeoff;
+    * this query makes it a NUMBER, engine-exactly). One scored pass
+    * over (probe × corpus) feeds both rankings; ranks are per-probe
+    * windows (partitioned by a_id, never global), the intersection is a
+    * semi join on (a_id, b_id). At 100 TB the scored pass is the same
+    * one broadcast-probe scan the ANN itself costs, and everything
+    * after runs on O(probes · k) rows. */
+  def q_ann_recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("label").as("la"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("embedding").as("vb"))
+    val scored = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("la"), col("lb"),
+        floor(lit(10000.0) * expr("float_dot(va, vb)")).as("sim_bp"))
+      .persist() // exact and IVF rankings share the scan
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("a_id"), col("b_id"))
+    val ivf = scored.filter(col("la") === col("lb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("a_id"), col("b_id"))
+    val hits = exact.join(ivf, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_hit"))
+    a.select(col("a_id")).join(hits, Seq("a_id"), "left")
+      .select(col("a_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_bp", floor(lit(10000.0) * col("n_hit") / lit(10.0)))
+      .orderBy(col("a_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rag_hybrid" -> q_rag_hybrid _,
     "q_drift_ks" -> q_drift_ks _,
+    "q_drift_tvd" -> q_drift_tvd _,
+    "q_ann_recall" -> q_ann_recall _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -151,6 +211,37 @@ object Retrieval {
         |  max(CASE WHEN side = 'd' THEN rk ELSE 0 END) AS r_dense,
         |  CAST(sum(CAST(floor(10000.0 / (60 + rk)) AS BIGINT)) AS BIGINT) AS rrf_bp
         |FROM u GROUP BY id ORDER BY rrf_bp DESC, id LIMIT 10""".stripMargin,
+    "q_drift_tvd" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM g)
+        |SELECT t.na, t.nb,
+        |  CAST(floor(10000.0 *
+        |    CAST((SELECT sum(abs(CAST(a AS HUGEINT) * t.nb - CAST(b AS HUGEINT) * t.na)) FROM g) AS DOUBLE) /
+        |    (2.0 * CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))) AS BIGINT) AS tvd_bp
+        |FROM t""".stripMargin,
+    "q_ann_recall" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS la, b.label AS lb,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |exact AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS rn
+        |  FROM s) WHERE rn <= 10),
+        |ivf AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS rn
+        |  FROM s WHERE la = lb) WHERE rn <= 10),
+        |h AS (SELECT e.a_id, count(*) AS n_hit FROM exact e
+        |      JOIN ivf i ON e.a_id = i.a_id AND e.b_id = i.b_id GROUP BY 1)
+        |SELECT p.a_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(floor(10000.0 * coalesce(h.n_hit, 0) / 10.0) AS BIGINT) AS recall_bp
+        |FROM (SELECT vec_id AS a_id FROM embeddings WHERE vec_id < 10) p
+        |LEFT JOIN h ON p.a_id = h.a_id
+        |ORDER BY p.a_id""".stripMargin,
     "q_drift_ks" ->
       """WITH g AS (
         |  SELECT CAST(floor("value" * 10000.0) AS BIGINT) AS v_u,

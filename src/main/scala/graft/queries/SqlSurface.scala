@@ -146,10 +146,52 @@ object SqlSurface {
         |FROM j ORDER BY tp_dec DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** Q4 via the parser: a CORRELATED EXISTS in SQL text — the
+    * decorrelation tier itself (Catalyst's RewritePredicateSubquery
+    * turns it into the LEFT SEMI join the DataFrame twin hand-plans).
+    * The one shape users write constantly that no other gate exercised
+    * through the parser. */
+  def q_sql_tpch_q4(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Q10 via the parser: group-below-join + ORDER BY decimal LIMIT 20
+    * (TakeOrderedAndProject), same recipes as the DataFrame twin. */
+  def q_sql_tpch_q10(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+        |  CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |         JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_dec DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_tpch_q1" -> q_sql_tpch_q1 _,
     "q_sql_tpch_q3" -> q_sql_tpch_q3 _,
+    "q_sql_tpch_q4" -> q_sql_tpch_q4 _,
     "q_sql_tpch_q5" -> q_sql_tpch_q5 _,
+    "q_sql_tpch_q10" -> q_sql_tpch_q10 _,
     "q_sql_tpch_q17" -> q_sql_tpch_q17 _,
     "q_sql_tpch_q18" -> q_sql_tpch_q18 _,
   )
@@ -159,6 +201,8 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "q_sql_tpch_q1" -> Analytics6.oracle("q_tpch_q1"),
     "q_sql_tpch_q3" -> Analytics2.oracle("q_tpch_q3"),
+    "q_sql_tpch_q4" -> TpchExtra.oracle("q_tpch_q4"),
+    "q_sql_tpch_q10" -> TpchExtra.oracle("q_tpch_q10"),
     "q_sql_tpch_q5" -> Analytics6.oracle("q_tpch_q5"),
     "q_sql_tpch_q17" -> Analytics6.oracle("q_tpch_q17"),
     "q_sql_tpch_q18" -> Analytics6.oracle("q_tpch_q18"),
