@@ -975,6 +975,52 @@ final class TxTable(val root: String, val statCols: Seq[String],
     commitWithRetry(maxRetries = 10) { _ => target.files }
   }
 
+  /** Wall clock for commit timestamps — a seam so specs can pin
+    * [[versionAt]] deterministically; production never touches it. */
+  private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
+
+  /** Time travel by TIMESTAMP (Delta's `timestampAsOf`): the version
+    * whose state was current at `timestampMs` — the greatest version
+    * whose commit time is ≤ the ask. Commit times are read from the
+    * `commitms` line each delta manifest records; legacy manifests
+    * (pre-timestamp format) fall back to the manifest file's mtime, so
+    * old tables resolve without rewrite. Clock skew between writers is
+    * absorbed the way Delta absorbs it: versions are timestamped by
+    * their MONOTONIC ENVELOPE (a commit recorded earlier than its
+    * predecessor inherits the predecessor's time), so resolution is
+    * always consistent with version order. Asking before the first
+    * commit refuses loudly; asking after the last resolves to latest. */
+  def versionAt(timestampMs: Long): Int = {
+    val (versions, ckpts) = listLog
+    val all = (versions ++ ckpts).distinct.sorted
+    require(all.nonEmpty, s"table $root has no commits to time-travel to")
+    var best = -1
+    var envelope = Long.MinValue
+    all.foreach { v =>
+      envelope = math.max(envelope, commitMillis(v))
+      if (envelope <= timestampMs) best = v
+    }
+    require(best >= 0,
+      s"timestamp $timestampMs predates the first commit of $root " +
+        s"(${commitMillis(all.head)})")
+    best
+  }
+
+  /** Snapshot-isolated read at a wall-clock time — [[versionAt]] then
+    * an ordinary versioned [[read]]. */
+  def readAt(spark: SparkSession, timestampMs: Long): DataFrame =
+    read(spark, Some(versionAt(timestampMs)))
+
+  private def commitMillis(v: Int): Long = {
+    val p = logDir.resolve(manifestName(v))
+    val src = if (Files.exists(p)) p else logDir.resolve(ckptName(v))
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(src).asScala
+      .collectFirst { case l if l.startsWith("commitms\t") =>
+        l.stripPrefix("commitms\t").toLong }
+      .getOrElse(Files.getLastModifiedTime(src).toMillis)
+  }
+
   /** Vacuum: delete data files referenced by NO manifest version newer
     * than `retainVersions` back from current, then drop the expired
     * manifests. Readers of retained versions are unaffected (their
@@ -1135,7 +1181,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val removes = base.files.filterNot(newSet.contains).map(f => (f.path, f.dv))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderDelta(adds, removes, txns, constraints).getBytes("UTF-8"))
+      renderDelta(adds, removes, txns, constraints, clockMs()).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
     } finally Files.deleteIfExists(tmp)
@@ -1376,14 +1422,15 @@ object TxTable {
 
   private def renderDelta(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
-      constraints: Option[Seq[String]]): String = {
+      constraints: Option[Seq[String]], commitMs: Long): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.toSeq.flatMap(cs =>
       "setconstraints" +: cs.map(c => s"constraint\t$c"))
     val rmLines = removes.map { case (p, dv) => s"remove\t$p\t${dv.getOrElse("-")}" }
     val addLines = adds.map(f => fileLine("add", f))
-    ("graft-txlog\t2\tdelta" +: (txnLines ++ conLines ++ rmLines ++ addLines))
+    (Seq("graft-txlog\t2\tdelta", s"commitms\t$commitMs") ++
+      (txnLines ++ conLines ++ rmLines ++ addLines))
       .mkString("\n")
   }
 
@@ -1449,7 +1496,8 @@ object TxTable {
       Right(DeltaRecord(adds, removes, txns, setCons))
     } else {
       val files = body
-        .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t"))
+        .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t") ||
+          l.startsWith("commitms\t"))
         .map { line =>
           val parts = line.split("\t")
           require(parts(0) == "file", s"bad manifest line: $line")

@@ -212,4 +212,71 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("TxTable random histories == in-memory model at EVERY version (incl. restore)") {
+    // Model-based ACID check: a random interleaving of append / delete /
+    // overwrite / merge / restore against a driver-side Map model,
+    // verified not just at the end but at every historical version via
+    // time travel — the multi-op interactions (restore of a merge,
+    // delete after overwrite, merge across a restore) no hand-written
+    // fixture enumerates. Keys stay unique per table (append draws fresh
+    // keys) so the model is a Map; values encode provenance (k*10 + gen).
+    import graft.tables.TxTable
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val t = new TxTable(
+        java.nio.file.Files.createTempDirectory("graft_randhist").toString, Seq("k"))
+      def df(rows: Map[Long, Long]) =
+        rows.toSeq.toDF("k", "v").repartition(1 + rnd.nextInt(3))
+      var model = Map.empty[Long, Long]
+      var nextKey = 0L
+      def freshKeys(n: Int): Seq[Long] = {
+        val ks = nextKey until (nextKey + n); nextKey += n; ks
+      }
+      val states = scala.collection.mutable.ArrayBuffer[(Int, Map[Long, Long])]()
+      var gen = 0L
+      for (_ <- 1 to 8) {
+        gen += 1
+        val op = if (t.currentVersion == 0) 0 else rnd.nextInt(5)
+        val v = op match {
+          case 0 => // append fresh keys
+            val add = freshKeys(1 + rnd.nextInt(20)).map(k => k -> (k * 10 + gen)).toMap
+            model = model ++ add
+            t.append(spark, df(add))
+          case 1 => // range delete over the live key space
+            val lo = rnd.nextLong(nextKey max 1); val hi = lo + rnd.nextInt(15)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            t.delete(spark, "k", lo, hi).version
+          case 2 => // overwrite everything
+            val nw = freshKeys(1 + rnd.nextInt(10)).map(k => k -> (k * 10 + gen)).toMap
+            model = nw
+            t.overwrite(spark, df(nw))
+          case 3 => // merge: update a random live subset + insert fresh
+            val upd = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(10)
+              .map(k => k -> (k * 10 + gen)).toMap
+            val ins = freshKeys(rnd.nextInt(5)).map(k => k -> (k * 10 + gen)).toMap
+            val src = upd ++ ins
+            if (src.isEmpty) t.currentVersion // no-op round
+            else { model = model ++ src; t.merge(spark, df(src), "k").version }
+          case 4 => // restore to a random earlier recorded version
+            val (rv, rm) = states(rnd.nextInt(states.size))
+            model = rm
+            t.restore(rv)
+        }
+        states += ((v, model))
+      }
+      // every recorded version must read back as its model — time travel
+      // over the whole random history
+      states.foreach { case (v, m) =>
+        if (m.isEmpty)
+          intercept[IllegalStateException](t.read(spark, Some(v)))
+        else {
+          val got = t.read(spark, Some(v)).select("k", "v")
+            .as[(Long, Long)].collect().toMap
+          assert(got == m, s"trial=$trial version=$v")
+        }
+      }
+    }
+  }
 }
