@@ -186,7 +186,59 @@ object SqlSurface {
         |ORDER BY rev_dec DESC, c_custkey LIMIT 20""".stripMargin)
   }
 
+  /** Q21 via the parser: the hardest decorrelation in TPC-H — an EXISTS
+    * AND a NOT EXISTS, both correlated on the outer row's orderkey with
+    * a supplier INEQUALITY in the correlated predicate. Catalyst's
+    * RewritePredicateSubquery must produce the LEFT SEMI + LEFT ANTI
+    * pair the DataFrame twin hand-plans; the lateness notion (shipped
+    * > 90 days after a finished order's date) matches q_tpch_q21. */
+  def q_sql_tpch_q21(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH late AS (
+        |  SELECT l.l_orderkey AS lo, l.l_suppkey AS s1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS),
+        |w AS (
+        |  SELECT * FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = t.lo AND l2.l_suppkey <> t.s1)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.lo = t.lo AND l3.s1 <> t.s1)),
+        |g AS (SELECT s1, count(*) AS numwait FROM w GROUP BY s1)
+        |SELECT s_name, numwait
+        |FROM g JOIN supplier ON s1 = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+  }
+
+  /** Q22 via the parser: scalar AVG subquery + date-windowed NOT EXISTS
+    * in one statement — the threshold compared cross-multiplied in
+    * integer cents exactly as the DataFrame twin, so the parser surface
+    * earns the same exact, order-independent boundary. */
+  def q_sql_tpch_q22(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH cs AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(100.0 * c_acctbal) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |thr AS (SELECT sum(bal_c) AS sum_c, count(*) AS cnt
+        |        FROM cs WHERE bal_c > 0),
+        |sel AS (
+        |  SELECT c_nationkey, bal_c FROM cs, thr
+        |  WHERE CAST(bal_c AS DECIMAL(38,0)) * cnt > sum_c
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = cs.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM sel GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q21" -> q_sql_tpch_q21 _,
+    "q_sql_tpch_q22" -> q_sql_tpch_q22 _,
     "q_sql_tpch_q1" -> q_sql_tpch_q1 _,
     "q_sql_tpch_q3" -> q_sql_tpch_q3 _,
     "q_sql_tpch_q4" -> q_sql_tpch_q4 _,
@@ -206,5 +258,7 @@ object SqlSurface {
     "q_sql_tpch_q5" -> Analytics6.oracle("q_tpch_q5"),
     "q_sql_tpch_q17" -> Analytics6.oracle("q_tpch_q17"),
     "q_sql_tpch_q18" -> Analytics6.oracle("q_tpch_q18"),
+    "q_sql_tpch_q21" -> TpchExtra.oracle("q_tpch_q21"),
+    "q_sql_tpch_q22" -> TpchExtra.oracle("q_tpch_q22"),
   )
 }

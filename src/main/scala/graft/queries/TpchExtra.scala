@@ -71,9 +71,182 @@ object TpchExtra {
         Q.outDbl(col("rev_dec")).as("revenue"))
   }
 
+  /** TPC-H Q6 shape — forecasting revenue change: the pure
+    * scan-filter-aggregate benchmark. No join, no shuffle beyond the
+    * single-row final agg: every predicate (date window, discount band,
+    * quantity cap) is eligible for parquet pushdown, so at 100 TB the
+    * plan is "row-group skip, then one map-combinable partial sum per
+    * partition + one 1-row exchange" — the cheapest possible shape for
+    * the work. Revenue = price × discount in exact decimal; double only
+    * at emission. */
+  def q_tpch_q6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        Q.outDbl(sum(Q.dec2(col("l_extendedprice")) *
+          Q.dec2(col("l_discount")))).as("revenue"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly k orders (k = 0 included — the LEFT join
+    * keeps customers with no qualifying order and `count(o_orderkey)`
+    * counts the null-extended row as zero). The priority exclusion is a
+    * right-side-only predicate, applied BEFORE the join (equivalent to
+    * the classic ON-residual for a left join, and strictly better: the
+    * filter runs under the shuffle). Two aggregations — per-customer
+    * count on the custkey domain, then the distribution on the tiny
+    * k domain — both map-combinable. */
+  def q_tpch_q13(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape — promotion effect: the share of one month's
+    * revenue from PROMO-type parts, in floored basis points. The fact
+    * side filters to the month BEFORE the join (pushdown); the part
+    * side carries only (partkey, is_promo) and broadcasts — the
+    * dimension arm of a star join. Revenue rides the e4 integer-cents
+    * recipe of q_tpch_q1 (price_c × (100 − d_pct)), so the conditional
+    * and total sums are exact BIGINTs and the final ratio is one
+    * deterministic IEEE expression over two integers. */
+  def q_tpch_q14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        floor(lit(100.0) * col("l_extendedprice")).as("price_c"),
+        floor(lit(100.0) * col("l_discount")).as("d_pct"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("price_c") * (lit(100L) - col("d_pct")))
+          .otherwise(lit(0L))).as("promo_e4"),
+        sum(col("price_c") * (lit(100L) - col("d_pct"))).as("total_e4"))
+      .select(
+        floor(lit(10000.0) * col("promo_e4") / col("total_e4"))
+          .cast("long").as("promo_bp"),
+        col("promo_e4"), col("total_e4"))
+  }
+
+  /** TPC-H Q19 shape — discounted revenue under a disjunction of
+    * brand/size/quantity conjunctions: THE disjunctive-pushdown
+    * benchmark. The join condition carries the full OR-of-ANDs; the
+    * part input is additionally pre-restricted to the union of the
+    * part-only disjuncts (brand ∈ {…} ∧ size ≤ 15) — the CNF residual
+    * a cost-based engine extracts, stated explicitly so the broadcast
+    * build side is the ~3-brand slice rather than the whole dimension
+    * regardless of optimizer version. Per-branch quantity bands stay in
+    * the join residual (they reference both sides). */
+  def q_tpch_q19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#5") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#5" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    l.join(broadcast(p),
+      col("l_partkey") === col("p_partkey") && (branch1 || branch2 || branch3))
+      .agg(count(lit(1)).as("n_items"),
+        Q.outDbl(sum(Q.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Q.dec2(col("l_discount")))))
+          .as("revenue"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: for finished
+    * orders, the suppliers whose LATE item (shipped > 90 days after
+    * order date — the synthetic schema's lateness notion, cf.
+    * q_tpch_q4) was the ONLY late item in a multi-supplier order. The
+    * double correlation is the point: EXISTS (another supplier
+    * contributed to the order) plans as a LEFT SEMI join, NOT EXISTS
+    * (another supplier was ALSO late) as a LEFT ANTI join — both on
+    * orderkey with the supplier inequality as join residual, the shape
+    * Catalyst's RewritePredicateSubquery produces and the hardest
+    * decorrelation in the TPC-H suite. The lateness flag is computed
+    * once on the F-order join; the semi probe uses the raw lineitem
+    * (lateness irrelevant there). All three legs shuffle on orderkey —
+    * co-partitioned, no broadcast needed at any scale. */
+  def q_tpch_q21(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("s1"))
+    val any = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val lateOther = late.select(col("lo").as("k3"), col("s1").as("s3"))
+    late
+      .join(any, col("lo") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+      .join(lateOther, col("lo") === col("k3") && col("s1") =!= col("s3"), "left_anti")
+      .groupBy(col("s1"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s1") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(10)
+  }
+
+  /** TPC-H Q22 shape — global sales opportunity: customers from a set
+    * of "countries" (nation keys — the synthetic schema has no phone
+    * prefix) with above-average positive balance and NO recent order
+    * (the date-windowed NOT EXISTS plans as a LEFT ANTI join). The
+    * scalar AVG subquery is the shape's second half: the threshold
+    * arrives as a broadcast 1-row (sum, count) aggregate and the
+    * comparison is cross-multiplied in integer cents —
+    * bal_c · cnt > sum_c — so "above average" is EXACT and
+    * order-independent (no engine-dependent double summation on the
+    * boundary), decimal(38) guarding the product at any corpus size. */
+  def q_tpch_q22(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9, 11, 13)
+    val cs = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(codes: _*))
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(lit(100.0) * col("c_acctbal")).as("bal_c"))
+    val thr = cs.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("cnt"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cs.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thr))
+      .filter(col("bal_c").cast("decimal(38,0)") * col("cnt") > col("sum_c"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_c")) / lit(100.0)).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q4" -> q_tpch_q4 _,
     "q_tpch_q10" -> q_tpch_q10 _,
+    "q_tpch_q6" -> q_tpch_q6 _,
+    "q_tpch_q13" -> q_tpch_q13 _,
+    "q_tpch_q14" -> q_tpch_q14 _,
+    "q_tpch_q19" -> q_tpch_q19 _,
+    "q_tpch_q21" -> q_tpch_q21 _,
+    "q_tpch_q22" -> q_tpch_q22 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,5 +275,84 @@ object TpchExtra {
         |FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY rev_dec DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH l AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(100.0 * l_extendedprice) AS BIGINT) AS price_c,
+        |    CAST(floor(100.0 * l_discount) AS BIGINT) AS d_pct
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+        |j AS (SELECT p.p_type = 'PROMO' AS is_promo, price_c, d_pct
+        |      FROM l JOIN part p ON l.l_partkey = p.p_partkey),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN is_promo THEN price_c * (100 - d_pct)
+        |               ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(price_c * (100 - d_pct)) AS BIGINT) AS total_e4 FROM j)
+        |SELECT CAST(floor(10000.0 * promo_e4 / total_e4) AS BIGINT) AS promo_bp,
+        |  promo_e4, total_e4 FROM s""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+        |           WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT l.l_orderkey AS lo, l.l_suppkey AS s1
+        |  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+        |  WHERE l.l_shipdate > f.o_orderdate + INTERVAL 90 DAY),
+        |w AS (
+        |  SELECT * FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = t.lo AND l2.l_suppkey <> t.s1)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.lo = t.lo AND l3.s1 <> t.s1)),
+        |g AS (SELECT s1, count(*) AS numwait FROM w GROUP BY s1)
+        |SELECT s.s_name, g.numwait
+        |FROM g JOIN supplier s ON g.s1 = s.s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH cs AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(100.0 * c_acctbal) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |thr AS (SELECT CAST(sum(bal_c) AS HUGEINT) AS sum_c, count(*) AS cnt
+        |        FROM cs WHERE bal_c > 0),
+        |sel AS (
+        |  SELECT c_nationkey, bal_c FROM cs, thr
+        |  WHERE CAST(bal_c AS HUGEINT) * cnt > sum_c
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = cs.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM sel GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

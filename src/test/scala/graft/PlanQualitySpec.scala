@@ -482,6 +482,56 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"posting aggregation is not map-combinable:\n$plan")
   }
 
+  test("q_tpch_q6: every predicate pushed, two columns read, two-phase single-row agg") {
+    // toString truncates PushedFilters; the formatted mode prints it in full
+    val df = SparkEntry.queries("q_tpch_q6")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"date window not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.04)"), "discount band not pushed")
+    assert(plan.contains("LessThan(l_quantity,24.0)"), "quantity cap not pushed")
+    assert(!plan.contains("l_orderkey"), "scan reads unreferenced columns")
+    assert(plan.contains("partial_sum"), "revenue agg is not map-combinable")
+  }
+
+  test("q_tpch_q13: right-side filter below the join; both aggregations two-phase") {
+    val plan = executedPlan("q_tpch_q13")
+    // the priority exclusion must reach the orders scan, not sit above the join
+    assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed to the orders scan:\n$plan")
+    assert(plan.contains("partial_count"), "per-customer count not map-combinable")
+    assert(!plan.contains("CartesianProduct"), "outer join degenerated")
+  }
+
+  test("q_tpch_q19: quantity disjunction pushed to the fact scan; part side broadcasts") {
+    val plan = executedPlan("q_tpch_q19")
+    // Catalyst extracts the part-free disjunct (quantity bands) and pushes
+    // it into the lineitem scan — the CNF-residual property the shape tests
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not extracted into the fact scan:\n$plan")
+    assert(plan.contains("In(p_brand"), s"brand set not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "part side did not broadcast")
+  }
+
+  test("q_tpch_q21: the double correlation is one semi + one anti join on orderkey") {
+    val plan = executedPlan("q_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"EXISTS leg did not plan a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS leg did not plan an anti join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"top-10 fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "a correlation degenerated to a product")
+  }
+
+  test("q_tpch_q22: scalar threshold broadcasts as one row; NOT EXISTS is an anti join") {
+    val plan = executedPlan("q_tpch_q22")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS did not plan an anti join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row (sum,count) threshold did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the scalar subquery degenerated to a cartesian")
+    assert(plan.contains("In(c_nationkey"), s"nation set not pushed:\n$plan")
+  }
+
   test("q_drift_ks: ECDFs are two-phase prefix sums, never a data-sized global window") {
     val plan = executedPlan("q_drift_ks")
     // Q.runningSumById: partition-local fold + pid-frame offsets window —
