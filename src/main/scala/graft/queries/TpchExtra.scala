@@ -238,6 +238,178 @@ object TpchExtra {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q7 shape — volume shipping between two nations, by year:
+    * revenue flowing supplier-nation → customer-nation for the ordered
+    * pair set {(1,2),(2,1)} over two ship years. The pair disjunction
+    * sits as one filter once both nation keys are in scope; Catalyst's
+    * CNF extraction pushes the per-column halves (s_nationkey ∈ {1,2},
+    * c_nationkey ∈ {1,2}) below the joins, so both dimension scans are
+    * pre-pruned to the two nations. Nation names decorate via two
+    * aliased broadcast joins of the 25-row dim; year() keys the final
+    * tiny-domain aggregate. */
+  def q_tpch_q7(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+        (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        Q.outDbl(sum(Q.dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - Q.dec2(col("l_discount")))))
+          .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of the ASIA-customer
+    * market for ECONOMY parts over two order years, the share supplied
+    * by nation 3, per year, in floored basis points. The deepest star
+    * in the suite (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region ⋈ supplier): every dimension arm broadcasts, the share is a
+    * conditional sum over the SAME e4 integer-cents domain as the
+    * total, and the per-year ratio is one deterministic IEEE expression
+    * over two exact BIGINTs. */
+  def q_tpch_q8(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(lit(100.0) * col("l_extendedprice")).as("price_c"),
+        floor(lit(100.0) * col("l_discount")).as("d_pct"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 3,
+          col("price_c") * (lit(100L) - col("d_pct"))).otherwise(lit(0L)))
+          .as("nat_e4"),
+        sum(col("price_c") * (lit(100L) - col("d_pct"))).as("total_e4"))
+      .select(col("o_year"),
+        floor(lit(10000.0) * col("nat_e4") / col("total_e4"))
+          .cast("long").as("share_bp"),
+        col("nat_e4"), col("total_e4"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape — product-type profit: for parts whose name
+    * contains "red", profit = revenue − (retail-price × quantity) cost
+    * proxy (the synthetic schema has no supplycost), by supplier nation
+    * and order year. The LIKE predicate prunes the part dim before its
+    * broadcast; profit is a sum of exact decimal products; the final
+    * aggregate runs on the tiny (nation × year) domain. Classic
+    * ordering: nation asc, year desc. */
+  def q_tpch_q9(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        Q.outDbl(sum(
+          Q.dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - Q.dec2(col("l_discount"))) -
+          Q.dec2(col("p_retailprice")) * Q.dec2(col("l_quantity"))))
+          .as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q15 shape — top supplier: the supplier(s) whose quarter
+    * revenue EQUALS the maximum quarter revenue — the
+    * scalar-subquery-of-an-aggregate shape (the view + max in the
+    * original). The per-supplier revenue aggregates once; the max
+    * arrives back as a broadcast 1-row frame and the equality filter is
+    * exact DECIMAL comparison, so ties are kept (the original's
+    * documented semantics) and no double ever decides the boundary. */
+  def q_tpch_q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Q.dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - Q.dec2(col("l_discount"))))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        Q.outDbl(col("rev_dec")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape — part promotion eligibility: suppliers holding a
+    * DOMINANT position (more than half the shipped quantity) on any
+    * PROMO part — the original's correlated half-of-sum threshold
+    * (ps_availqty > 0.5 · Σ qty) recast on the synthetic schema. Two
+    * aggregation levels share one scan shape: per-(part, supplier)
+    * quantity and per-part total, joined on partkey, with the threshold
+    * cross-multiplied in integer quantity-cents (8·supp_qc > tot_qc —
+    * an eighth of the part's volume; this corpus spreads each part over
+    * ~100 suppliers, so the original's one-half selects nobody) —
+    * exact, no fractional double. The distinct supplier set then decorates via
+    * a broadcast dim join. */
+  def q_tpch_q20(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val lq = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(lit(100.0) * col("l_quantity")).as("qc"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+    val perSupp = lq.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qc")).as("supp_qc"))
+    val perPart = lq.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qc")).as("tot_qc"))
+    perSupp.join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(8L) * col("supp_qc") > col("tot_qc"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q4" -> q_tpch_q4 _,
     "q_tpch_q10" -> q_tpch_q10 _,
@@ -247,6 +419,11 @@ object TpchExtra {
     "q_tpch_q19" -> q_tpch_q19 _,
     "q_tpch_q21" -> q_tpch_q21 _,
     "q_tpch_q22" -> q_tpch_q22 _,
+    "q_tpch_q7" -> q_tpch_q7 _,
+    "q_tpch_q8" -> q_tpch_q8 _,
+    "q_tpch_q9" -> q_tpch_q9 _,
+    "q_tpch_q15" -> q_tpch_q15 _,
+    "q_tpch_q20" -> q_tpch_q20 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,5 +531,92 @@ object TpchExtra {
         |SELECT c_nationkey, count(*) AS numcust,
         |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
         |FROM sel GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((s_nationkey = 1 AND c_nationkey = 2) OR
+        |       (s_nationkey = 2 AND c_nationkey = 1))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, s_nationkey,
+        |    CAST(floor(100.0 * l_extendedprice) AS BIGINT) AS price_c,
+        |    CAST(floor(100.0 * l_discount) AS BIGINT) AS d_pct
+        |  FROM lineitem
+        |    JOIN part     ON l_partkey = p_partkey
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |    JOIN region   ON n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |a AS (SELECT o_year,
+        |  CAST(sum(CASE WHEN s_nationkey = 3
+        |                THEN price_c * (100 - d_pct) ELSE 0 END) AS BIGINT) AS nat_e4,
+        |  CAST(sum(price_c * (100 - d_pct)) AS BIGINT) AS total_e4
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year,
+        |  CAST(floor(10000.0 * nat_e4 / total_e4) AS BIGINT) AS share_bp,
+        |  nat_e4, total_e4
+        |FROM a ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name, year(o_orderdate) AS o_year, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2))) -
+        |           CAST(p_retailprice AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) -
+        |         CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH lq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(100.0 * l_quantity) AS BIGINT) AS qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'),
+        |per_supp AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(qc) AS BIGINT) AS supp_qc FROM lq GROUP BY 1, 2),
+        |per_part AS (SELECT l_partkey,
+        |  CAST(sum(qc) AS BIGINT) AS tot_qc FROM lq GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT s.l_suppkey
+        |  FROM per_supp s JOIN per_part p ON s.l_partkey = p.l_partkey
+        |  WHERE 8 * s.supp_qc > p.tot_qc)
+        |SELECT s_suppkey, s_name
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

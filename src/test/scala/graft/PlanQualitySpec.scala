@@ -532,6 +532,45 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("In(c_nationkey"), s"nation set not pushed:\n$plan")
   }
 
+  test("q_tpch_q7: nation-pair halves pushed to both dim scans; dims broadcast") {
+    val df = SparkEntry.queries("q_tpch_q7")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Catalyst's CNF extraction sends s_nationkey∈{1,2} / c_nationkey∈{1,2}
+    // below the joins — the two 25-row dim scans arrive pre-pruned
+    assert(plan.contains("Or(EqualTo(s_nationkey,1),EqualTo(s_nationkey,2))") ||
+      plan.contains("In(s_nationkey"),
+      s"supplier nation half not pushed:\n$plan")
+    assert(plan.contains("Or(EqualTo(c_nationkey,2),EqualTo(c_nationkey,1))") ||
+      plan.contains("In(c_nationkey"),
+      s"customer nation half not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "pair disjunction degenerated")
+  }
+
+  test("q_tpch_q8: the deepest star — every dimension arm broadcasts") {
+    val plan = executedPlan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"a dimension arm fell back to a shuffle join:\n$plan")
+    assert(plan.contains("partial_sum"), "share sums not map-combinable")
+    assert(!plan.contains("CartesianProduct"), "star degenerated")
+  }
+
+  test("q_tpch_q15: the max-revenue threshold broadcasts as one row") {
+    val plan = executedPlan("q_tpch_q15")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"1-row max frame did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the scalar max degenerated to a cartesian")
+    assert(plan.contains("partial_sum"), "per-supplier revenue not two-phase")
+  }
+
+  test("q_tpch_q20: both aggregation levels two-phase; no data-sized window") {
+    val plan = executedPlan("q_tpch_q20")
+    assert(plan.contains("partial_sum"), "quantity sums not map-combinable")
+    assert(!plan.contains("Window"), s"a window snuck into the threshold:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "threshold join degenerated")
+  }
+
   test("q_drift_ks: ECDFs are two-phase prefix sums, never a data-sized global window") {
     val plan = executedPlan("q_drift_ks")
     // Q.runningSumById: partition-local fold + pid-frame offsets window —
