@@ -240,10 +240,11 @@ object TpchExtra {
 
   /** TPC-H Q7 shape — volume shipping between two nations, by year:
     * revenue flowing supplier-nation → customer-nation for the ordered
-    * pair set {(1,2),(2,1)} over two ship years. The pair disjunction
-    * sits as one filter once both nation keys are in scope; Catalyst's
-    * CNF extraction pushes the per-column halves (s_nationkey ∈ {1,2},
-    * c_nationkey ∈ {1,2}) below the joins, so both dimension scans are
+    * pair set {(3,8),(8,3)} (both nations hold suppliers at every SF
+    * tier) over two ship years. The pair disjunction sits as one filter
+    * once both nation keys are in scope; Catalyst's CNF extraction
+    * pushes the per-column halves (s_nationkey ∈ {3,8},
+    * c_nationkey ∈ {3,8}) below the joins, so both dimension scans are
     * pre-pruned to the two nations. Nation names decorate via two
     * aliased broadcast joins of the 25-row dim; year() keys the final
     * tiny-domain aggregate. */
@@ -264,8 +265,8 @@ object TpchExtra {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
-        (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+      .filter((col("s_nationkey") === 3 && col("c_nationkey") === 8) ||
+        (col("s_nationkey") === 8 && col("c_nationkey") === 3))
       .join(broadcast(n1), col("s_nationkey") === col("nk1"))
       .join(broadcast(n2), col("c_nationkey") === col("nk2"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -410,6 +411,121 @@ object TpchExtra {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q2 shape — minimum-cost supplier: for each size-15 part, the
+    * EUROPE supplier(s) attaining the MINIMUM unit price (extendedprice
+    * / quantity — the synthetic stand-in for ps_supplycost), decorated
+    * and ranked by account balance. The correlated scalar-min subquery
+    * plans as group-below-join: per-part min over the offer frame, then
+    * an equality join back on (partkey, unit = min) — both sides of the
+    * equality are the SAME IEEE division computed once per engine, so
+    * the boundary is deterministic; ties (several suppliers at the min)
+    * are kept, as in the original. Part and supplier dims broadcast;
+    * the offer frame is the only data-sized object. */
+  def q_tpch_q2(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p15 = Tables.part(spark, dir).filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+    val minu = offers.groupBy(col("p_partkey").as("pk"))
+      .agg(min(col("unit")).as("min_unit"))
+    offers.join(minu, col("p_partkey") === col("pk") &&
+        col("unit") === col("min_unit"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit").as("min_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape — important stock: parts whose shipped value from
+    * a nation group's suppliers exceeds 1.5× the average part value
+    * (the original's HAVING > fraction·Σ scalar subquery; the fraction
+    * is restated average-relative so the predicate is scale-invariant —
+    * a fixed fraction of the TOTAL selects nothing as the part count
+    * grows). Value aggregates per part in exact integer cents; the
+    * (total, part-count) scalar returns as a broadcast 1-row frame and
+    * the threshold is cross-multiplied in decimal(38) — no division on
+    * the boundary. */
+  def q_tpch_q11(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(lit(100.0) * col("l_extendedprice")).as("price_c"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("price_c")).as("value_c"))
+    val t = v.agg(sum(col("value_c")).as("tot_c"), count(lit(1)).as("np"))
+    v.crossJoin(broadcast(t))
+      .filter(lit(2).cast("decimal(38,0)") * col("value_c") * col("np") >
+        lit(3).cast("decimal(38,0)") * col("tot_c"))
+      .select(col("l_partkey"),
+        (col("value_c") / lit(100.0)).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape — shipping-priority audit: per returnflag class
+    * (the synthetic schema's stand-in for shipmode), how many LATE
+    * line items (shipped > 30 days after order date, cf. q_tpch_q4)
+    * in one ship year belong to high-priority orders vs the rest —
+    * the classic two-conditional-count aggregation over a join, on a
+    * 3-value domain. Date window pushed to the lineitem scan; counts
+    * are exact integers, map-combinable. */
+  def q_tpch_q12(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+          .otherwise(lit(0L))).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(0L))
+          .otherwise(lit(1L))).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16 shape — parts/supplier relationship: how many DISTINCT
+    * suppliers ship each (brand, type, size) combination, for a size
+    * set and two excluded brands, EXCLUDING complaint suppliers (the
+    * NOT IN subquery — negative-balance suppliers stand in for the
+    * '%Customer%Complaints%' scan). The partsupp association is the
+    * distinct (partkey, suppkey) projection of lineitem; the exclusion
+    * plans as a LEFT ANTI join BEFORE the association joins the part
+    * dim; the distinct-supplier count is the one aggregate. */
+  def q_tpch_q16(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_sk"))
+    val assoc = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("bad_sk"), "left_anti")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_brand") =!= "Brand#2" &&
+        col("p_size").isin(1, 5, 9, 15, 25, 35, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    assoc.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q4" -> q_tpch_q4 _,
     "q_tpch_q10" -> q_tpch_q10 _,
@@ -424,6 +540,10 @@ object TpchExtra {
     "q_tpch_q9" -> q_tpch_q9 _,
     "q_tpch_q15" -> q_tpch_q15 _,
     "q_tpch_q20" -> q_tpch_q20 _,
+    "q_tpch_q2" -> q_tpch_q2 _,
+    "q_tpch_q11" -> q_tpch_q11 _,
+    "q_tpch_q12" -> q_tpch_q12 _,
+    "q_tpch_q16" -> q_tpch_q16 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,8 +665,8 @@ object TpchExtra {
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((s_nationkey = 1 AND c_nationkey = 2) OR
-        |       (s_nationkey = 2 AND c_nationkey = 1))
+        |  AND ((s_nationkey = 3 AND c_nationkey = 8) OR
+        |       (s_nationkey = 8 AND c_nationkey = 3))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_tpch_q8" ->
       """WITH j AS (
@@ -618,5 +738,61 @@ object TpchExtra {
         |SELECT s_suppkey, s_name
         |FROM dom JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+        |    l.l_extendedprice / l.l_quantity AS unit
+        |  FROM lineitem l
+        |    JOIN part p ON l.l_partkey = p.p_partkey
+        |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE p.p_size = 15 AND r.r_name = 'EUROPE'),
+        |minu AS (SELECT p_partkey AS pk, min(unit) AS min_unit
+        |         FROM offers GROUP BY 1)
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  unit AS min_cost
+        |FROM offers JOIN minu ON p_partkey = pk AND unit = min_unit
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(100.0 * l_extendedprice) AS BIGINT))
+        |         AS BIGINT) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey < 13 GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_c) AS HUGEINT) AS tot_c,
+        |             count(*) AS np FROM v)
+        |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        |FROM v, t
+        |WHERE 2 * CAST(value_c AS HUGEINT) * np > 3 * tot_c
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q16" ->
+      """WITH assoc AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM assoc a
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                    WHERE s.s_suppkey = a.l_suppkey
+        |                      AND s.s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_brand <> 'Brand#2'
+        |  AND p_size IN (1, 5, 9, 15, 25, 35, 45, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
   )
 }
