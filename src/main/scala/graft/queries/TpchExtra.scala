@@ -194,10 +194,20 @@ object TpchExtra {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select(col("l_orderkey").as("lo"), col("l_suppkey").as("s1"))
-    val any = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-    val lateOther = late.select(col("lo").as("k3"), col("s1").as("s3"))
+    // EXISTS(other supplier in the order) ⟺ the order has ≥2 distinct
+    // suppliers — collapsing the probe to the ORDER domain before the
+    // semi join shrinks the build side from fact-sized to key-sized
+    // (for any s1 in such an order some s2 ≠ s1 exists; orders with one
+    // supplier qualify nobody). The join stays a LEFT SEMI — the
+    // decorrelation shape — with a build side that broadcasts at any
+    // scale of the fact table.
+    val multi = l.distinct()
+      .groupBy(col("l_orderkey").as("k2"))
+      .agg(count(lit(1)).as("nsupp")).filter(col("nsupp") >= 2)
+      .select(col("k2"))
+    val lateOther = late.select(col("lo").as("k3"), col("s1").as("s3")).distinct()
     late
-      .join(any, col("lo") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+      .join(multi, col("lo") === col("k2"), "left_semi")
       .join(lateOther, col("lo") === col("k3") && col("s1") =!= col("s3"), "left_anti")
       .groupBy(col("s1"))
       .agg(count(lit(1)).as("numwait"))
@@ -437,10 +447,12 @@ object TpchExtra {
         (col("l_extendedprice") / col("l_quantity")).as("unit"))
       .join(broadcast(p15), col("l_partkey") === col("p_partkey"))
       .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
-    val minu = offers.groupBy(col("p_partkey").as("pk"))
-      .agg(min(col("unit")).as("min_unit"))
-    offers.join(minu, col("p_partkey") === col("pk") &&
-        col("unit") === col("min_unit"))
+    // the correlated min as a PARTITIONED window (per-part frames are
+    // ~supplier-count sized): one lineitem scan and one partkey shuffle,
+    // vs the self-join form's two — same exact IEEE boundary
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    offers.withColumn("min_unit", min(col("unit")).over(w))
+      .filter(col("unit") === col("min_unit"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), col("unit").as("min_cost"))
       .distinct()

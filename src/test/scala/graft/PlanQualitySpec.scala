@@ -571,6 +571,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), "threshold join degenerated")
   }
 
+  test("q_shuffle_global: the seeded shuffle is a range-partitioned sort, no single-partition stage") {
+    val plan = executedPlan("q_shuffle_global")
+    assert(plan.contains("Sort") && plan.contains("rangepartitioning"),
+      s"shuffle is not a distributed range-partitioned sort:\n$plan")
+    assert(!plan.contains("Window"), "no window belongs in a permutation sort")
+  }
+
+  test("q_mix_domains: rates broadcast; the acceptance aggregate is map-combinable") {
+    val plan = executedPlan("q_mix_domains")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the 5-row rate dim did not broadcast:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"mixture audit not two-phase:\n$plan")
+  }
+
   test("q_drift_ks: ECDFs are two-phase prefix sums, never a data-sized global window") {
     val plan = executedPlan("q_drift_ks")
     // Q.runningSumById: partition-local fold + pid-frame offsets window —
