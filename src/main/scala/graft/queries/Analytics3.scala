@@ -240,7 +240,39 @@ object Analytics3 {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Multi-window SLO burn-rate alert (the SRE error-budget pattern —
+    * Beyer et al., "Site Reliability Workbook" ch. 5): an hour fires
+    * only when BOTH its own error rate and its day's long-window rate
+    * exceed their thresholds — the short window gives fast detection,
+    * the long window suppresses blips that won't burn the budget.
+    * ONE event scan: the hourly aggregate rolls up again to days
+    * (re-aggregation of partial counts, never a second scan), the
+    * ~30-row day frame broadcasts back onto its hours, and both rates
+    * are floored-bp expressions over exact integer counts. At 100 TB
+    * the scan dominates and everything after the hourly aggregate is
+    * key-domain-sized. */
+  def q_alert_burnrate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(date_trunc("HOUR", col("ts")).as("hour"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("hour"))
+      .agg(sum(col("is_err")).as("h_err"), count(lit(1)).as("h_n"))
+      .withColumn("day", date_trunc("DAY", col("hour")))
+    val daily = hourly.groupBy(col("day").as("d"))
+      .agg(sum(col("h_err")).as("d_err"), sum(col("h_n")).as("d_n"))
+    hourly.join(broadcast(daily), col("day") === col("d"))
+      .select(unix_micros(col("hour")).as("hour_us"),
+        col("h_err"), col("h_n"),
+        floor(lit(10000.0) * col("h_err") / col("h_n")).cast("long")
+          .as("short_bp"),
+        floor(lit(10000.0) * col("d_err") / col("d_n")).cast("long")
+          .as("long_bp"))
+      .filter(col("short_bp") >= 2600 && col("long_bp") >= 2000)
+      .orderBy(col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_alert_burnrate" -> q_alert_burnrate _,
     "q_seq_pattern" -> q_seq_pattern _,
     "q_win_countd" -> q_win_countd _,
     "q_graph_bfs" -> q_graph_bfs _,
@@ -251,6 +283,24 @@ object Analytics3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_alert_burnrate" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS h_err,
+        |    count(*) AS h_n
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT date_trunc('day', hour) AS day,
+        |    CAST(sum(h_err) AS BIGINT) AS d_err,
+        |    CAST(sum(h_n) AS BIGINT) AS d_n
+        |  FROM h GROUP BY 1)
+        |SELECT epoch_us(hour) AS hour_us, h_err, h_n,
+        |  CAST(floor(10000.0 * h_err / h_n) AS BIGINT) AS short_bp,
+        |  CAST(floor(10000.0 * d_err / d_n) AS BIGINT) AS long_bp
+        |FROM h JOIN d ON date_trunc('day', h.hour) = d.day
+        |WHERE floor(10000.0 * h_err / h_n) >= 2600
+        |  AND floor(10000.0 * d_err / d_n) >= 2000
+        |ORDER BY hour_us""".stripMargin,
     "q_seq_pattern" ->
       """WITH s AS (
         |  SELECT user_id,
