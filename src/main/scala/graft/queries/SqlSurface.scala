@@ -236,7 +236,81 @@ object SqlSurface {
         |FROM sel GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** Q2 via the parser: a CORRELATED SCALAR subquery in the WHERE
+    * clause (`unit = (SELECT min(unit) … WHERE correlated)`) —
+    * Catalyst's RewriteCorrelatedScalarSubquery path, which no other
+    * parser gate exercises (the DataFrame twin hand-plans the window
+    * form). Same offer frame, same deterministic IEEE unit-price
+    * boundary, same oracle. */
+  def q_sql_tpch_q2(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+        |    l_extendedprice / l_quantity AS unit
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'EUROPE')
+        |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  unit AS min_cost
+        |FROM offers o
+        |WHERE unit = (SELECT min(unit) FROM offers o2
+        |              WHERE o2.p_partkey = o.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** Q15 via the parser: the UNCORRELATED scalar aggregate subquery
+    * (`rev_dec = (SELECT max(rev_dec) FROM rev)`) — planned as a
+    * broadcast 1-row subquery result, the view+max shape of the
+    * original in one statement. */
+  def q_sql_tpch_q15(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) -
+        |         CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Q20 via the parser: an IN subquery whose body carries a CORRELATED
+    * aggregate threshold (`8·supp_qc > (SELECT sum(qc) … WHERE
+    * correlated)`) — the nested-subquery decorrelation the original
+    * Q20 is famous for, with the same integer quantity-cents
+    * threshold as the DataFrame twin. */
+  def q_sql_tpch_q20(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH lq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(100.0 * l_quantity) AS BIGINT) AS qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(qc) AS supp_qc
+        |       FROM lq GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM ps p1
+        |  WHERE 8 * supp_qc > (SELECT sum(qc) FROM lq
+        |                       WHERE lq.l_partkey = p1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q2" -> q_sql_tpch_q2 _,
+    "q_sql_tpch_q15" -> q_sql_tpch_q15 _,
+    "q_sql_tpch_q20" -> q_sql_tpch_q20 _,
     "q_sql_tpch_q21" -> q_sql_tpch_q21 _,
     "q_sql_tpch_q22" -> q_sql_tpch_q22 _,
     "q_sql_tpch_q1" -> q_sql_tpch_q1 _,
@@ -260,5 +334,8 @@ object SqlSurface {
     "q_sql_tpch_q18" -> Analytics6.oracle("q_tpch_q18"),
     "q_sql_tpch_q21" -> TpchExtra.oracle("q_tpch_q21"),
     "q_sql_tpch_q22" -> TpchExtra.oracle("q_tpch_q22"),
+    "q_sql_tpch_q2" -> TpchExtra.oracle("q_tpch_q2"),
+    "q_sql_tpch_q15" -> TpchExtra.oracle("q_tpch_q15"),
+    "q_sql_tpch_q20" -> TpchExtra.oracle("q_tpch_q20"),
   )
 }
