@@ -271,7 +271,35 @@ object Analytics3 {
       .orderBy(col("hour_us"))
   }
 
+  /** Seasonal-baseline anomaly detection — the diurnal-profile monitor
+    * next to [[graft.queries.Analytics.q_anomaly_zscore]]'s global-σ
+    * one: each event's value is judged against the MEAN of its own
+    * (event_type, hour-of-day) cell, so a value that is normal at peak
+    * hour can alert at 3am. The 120-cell profile aggregates in one
+    * map-combinable pass over quantized integers (floor(1e4·v); the
+    * cell mean floors ONE deterministic IEEE division over two exact
+    * integers), broadcasts back onto the stream, and the residual
+    * filter keeps the tail. One scan + broadcast join at any scale —
+    * the profile is key-domain-sized forever. */
+  def q_seasonal_baseline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hod"),
+        floor(lit(10000.0) * col("value")).cast("long").as("v_q"))
+    val prof = e.groupBy(col("event_type").as("pt"), col("hod").as("ph"))
+      .agg(floor(lit(1.0) * sum(col("v_q")) / count(lit(1))).cast("long")
+        .as("mean_q"), count(lit(1)).as("cell_n"))
+    e.join(broadcast(prof), col("event_type") === col("pt") &&
+        col("hod") === col("ph"))
+      .withColumn("resid_q", col("v_q") - col("mean_q"))
+      .filter(abs(col("resid_q")) >= 1500000L)
+      .select(col("event_id"), col("event_type"), col("hod"),
+        col("v_q"), col("mean_q"), col("resid_q"), col("cell_n"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_baseline" -> q_seasonal_baseline _,
     "q_alert_burnrate" -> q_alert_burnrate _,
     "q_seq_pattern" -> q_seq_pattern _,
     "q_win_countd" -> q_win_countd _,
@@ -283,6 +311,21 @@ object Analytics3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_baseline" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hod,
+        |    CAST(floor(10000.0 * "value") AS BIGINT) AS v_q
+        |  FROM events),
+        |prof AS (
+        |  SELECT event_type AS pt, hod AS ph,
+        |    CAST(floor(1.0 * sum(v_q) / count(*)) AS BIGINT) AS mean_q,
+        |    count(*) AS cell_n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_id, event_type, hod, v_q, mean_q,
+        |  v_q - mean_q AS resid_q, cell_n
+        |FROM e JOIN prof ON event_type = pt AND hod = ph
+        |WHERE abs(v_q - mean_q) >= 1500000
+        |ORDER BY event_id""".stripMargin,
     "q_alert_burnrate" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hour,
