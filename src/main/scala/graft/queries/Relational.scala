@@ -732,6 +732,30 @@ object Relational {
       .orderBy(col("p_brand"), col("rn"))
   }
 
+  /** Top-3 per brand as a BOUNDED-STATE AGGREGATE
+    * ([[graft.functions.TopKPairs]]) — the same report as
+    * [[q_topk_group]]'s window-rank form, but the per-group state never
+    * exceeds k pairs and COMBINES MAP-SIDE: each partition ships one
+    * ≤3-entry buffer per brand instead of sorting the group's full row
+    * set and discarding it. At 100 TB the shuffle carries O(brands·k)
+    * fixed-size buffers, not the data — the window form cannot do
+    * better than a full per-group sort. Prices compare in exact integer
+    * cents so the Aggregator's comparator and the oracle's ORDER BY
+    * share one total order. */
+  def q_topk_agg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKPairs.udafFor(3)
+    Tables.part(spark, dir)
+      .select(col("p_brand"),
+        floor(lit(100.0) * col("p_retailprice")).cast("long").as("price_c"),
+        col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(topk(col("price_c"), col("p_partkey")).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), (col("pos") + 1).cast("int").as("rn"),
+        col("col._1").as("price_c"), col("col._2").as("p_partkey"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
   /** UNION DISTINCT of customer vs supplier nation keys. */
   def q_set_union(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
@@ -931,6 +955,7 @@ object Relational {
     "q_agg_hll_merge" -> q_agg_hll_merge _,
     "q_sort_multi" -> q_sort_multi _,
     "q_topk_group" -> q_topk_group _,
+    "q_topk_agg" -> q_topk_agg _,
     "q_set_union" -> q_set_union _,
     "q_set_intersect" -> q_set_intersect _,
     "q_set_except" -> q_set_except _,
@@ -1144,6 +1169,15 @@ object Relational {
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT p_brand, rn, price_c, p_partkey FROM (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(floor(100.0 * p_retailprice) AS BIGINT) AS price_c,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(floor(100.0 * p_retailprice) AS BIGINT) DESC, p_partkey)
+        |      AS INT) AS rn
+        |  FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     "q_topk_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

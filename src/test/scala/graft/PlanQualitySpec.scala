@@ -586,6 +586,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"mixture audit not two-phase:\n$plan")
   }
 
+  test("q_topk_agg: bounded-state top-k aggregates in two ObjectHashAggregate phases, no sort below the agg") {
+    val plan = executedPlan("q_topk_agg")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial/final aggregate pair:\n$plan")
+    assert(plan.contains("topkpairs"), s"the TopKPairs aggregate is absent:\n$plan")
+    // the window form's defining cost — a per-group sort of the full row
+    // set — must NOT appear anywhere below the final orderBy
+    assert(!plan.contains("Window"), s"a window-rank snuck back in:\n$plan")
+  }
+
   test("q_drift_ks: ECDFs are two-phase prefix sums, never a data-sized global window") {
     val plan = executedPlan("q_drift_ks")
     // Q.runningSumById: partition-local fold + pid-frame offsets window —
