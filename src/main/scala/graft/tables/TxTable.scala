@@ -62,6 +62,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
 
   private val dataDir: Path = Paths.get(root, "data")
   private val logDir: Path = Paths.get(root, "_txlog")
+  private val refsDir: Path = Paths.get(root, "_refs")
+  private val TagFileName = """([A-Za-z0-9][A-Za-z0-9._-]*)\.txt""".r
   Files.createDirectories(dataDir)
   Files.createDirectories(logDir)
 
@@ -122,6 +124,60 @@ final class TxTable(val root: String, val statCols: Seq[String],
   }
 
   // ------------------------------------------------------------------- reads
+
+  // ------------------------------------------------------------------- tags
+
+  /** Immutable named ref to a version (Iceberg's `CREATE TAG` / Delta's
+    * pinned reads by name): `tag("audit-2026Q3", v)` makes version v
+    * addressable by name AND protects it from [[vacuum]] — a tag is a
+    * retention promise, so vacuum retains tagged versions regardless of
+    * age (checkpointing them first so their reconstruction never needs
+    * the expired delta chain). Creation is put-if-absent — tags are
+    * IMMUTABLE; re-pointing a name is deleteTag + tag, never a silent
+    * overwrite — and requires the target version to exist NOW (a tag
+    * can only promise what is still reconstructable). */
+  def tag(name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"invalid tag name '$name' (letters/digits/._- only, must start alphanumeric)")
+    val (versions, ckpts) = listLog
+    require(versions.contains(version) || ckpts.contains(version),
+      s"cannot tag version $version of $root: it does not exist (have $versions)")
+    Files.createDirectories(refsDir)
+    try {
+      Files.write(refsDir.resolve(s"$name.txt"),
+        java.util.Arrays.asList(version.toString),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $root (tags are immutable; deleteTag first)")
+    }
+  }
+
+  /** All named refs: tag name → pinned version. */
+  def tags: Map[String, Int] = {
+    Option(refsDir.toFile.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case TagFileName(n) =>
+          Some(n -> Files.readAllLines(f.toPath).get(0).trim.toInt)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Drop a named ref. The version it pinned becomes reclaimable by the
+    * NEXT vacuum (nothing is deleted here — releasing a promise is
+    * metadata-only). Returns whether the tag existed. */
+  def deleteTag(name: String): Boolean =
+    Files.deleteIfExists(refsDir.resolve(s"$name.txt"))
+
+  /** Read the table as of a named tag. */
+  def readTag(spark: SparkSession, name: String): DataFrame = {
+    val v = tags.getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $root (have ${tags.keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, Some(v))
+  }
 
   /** Snapshot-isolated read: the file list is fixed at manifest-read time,
     * so a concurrent commit can never tear this scan. `mergeSchema`
@@ -1034,7 +1090,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(retainVersions >= 1, "must retain at least the current version")
     val (versions, ckpts) = listLog
     val cutoff = currentVersion - retainVersions + 1
-    val (expired, retained) = versions.partition(_ < cutoff)
+    // TAGGED versions are retained regardless of age: a named ref is a
+    // promise that the version stays readable (the Iceberg tag
+    // semantics); deleting the tag releases it to the next vacuum
+    val taggedVs = tags.values.toSet
+    val (expired, retained) = versions.partition(v => v < cutoff && !taggedVs(v))
     if (expired.isEmpty) return (0, 0)
     // deletion vectors are referenced files too: a retained version's
     // DV must survive, an expired-only DV is reclaimed with its data
@@ -1043,13 +1103,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val dead = expired
       .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq))
       .distinct.filterNot(live.contains)
-    // dropping the expired deltas must not strand the retained chain:
-    // pin the oldest retained version as a checkpoint FIRST, so every
-    // retained reconstruction starts at or after it (crash between the
-    // checkpoint and the deletes below just leaves extra history)
-    retained.headOption.filterNot(ckpts.contains).foreach { oldest =>
-      val s = snapshot(Some(oldest))
-      writeCheckpoint(oldest, s.files, s.txns, s.constraints)
+    // dropping the expired deltas must not strand any retained chain:
+    // every TAGGED version below the cutoff gets its own checkpoint
+    // (the deltas between tags are about to drop), and the oldest
+    // retained version at/after the cutoff is pinned as before — so
+    // every retained reconstruction starts at or after a checkpoint
+    // (crash between the checkpoints and the deletes below just leaves
+    // extra history)
+    val needCkpt = retained.filter(_ < cutoff) ++ retained.find(_ >= cutoff).toSeq
+    needCkpt.distinct.filterNot(ckpts.contains).foreach { v =>
+      val s = snapshot(Some(v))
+      writeCheckpoint(v, s.files, s.txns, s.constraints)
     }
     dead.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
     expired.foreach { v =>
