@@ -471,6 +471,29 @@ object TableOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** TAG retention through the gate: tag the 2-append state of the
+    * shared table (version 2), then MUTATE (a band delete) and VACUUM
+    * down to ONE retained version — everything except HEAD and the tag
+    * is reclaimed — and read back BY NAME. The oracle is the v2 state
+    * (q_table_timetravel's answer, user_id % 3 ∈ {0,1}), so any tag
+    * that dangles, any vacuum that touches a tagged file, or any
+    * checkpoint that mis-reconstructs below the cutoff lands on
+    * different aggregates. TxTagSpec pins the mechanism on constructed
+    * histories; this gate pins it under the driver's oracle. */
+  def q_table_tag(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_tag") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.tag("audit", 2)
+      t.delete(spark, "user_id", 0, 100) // v5: post-tag mutation
+      t.vacuum(retainVersions = 1)       // only HEAD + the tag survive
+      t.readTag(spark, "audit")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   /** MERGE-ON-READ delete through the gate (deletion vectors — the
     * Delta DV / Iceberg positional-delete tier next to q_table_delete's
     * copy-on-write): drop `user_id BETWEEN 5 AND 9` from the
@@ -715,6 +738,7 @@ object TableOps {
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
     "q_table_timetravel" -> q_table_timetravel _,
+    "q_table_tag" -> q_table_tag _,
     "q_table_restore" -> q_table_restore _,
     "q_table_evolve" -> q_table_evolve _,
     "q_table_multi" -> q_table_multi _,
@@ -802,6 +826,12 @@ object TableOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_timetravel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 3 IN (0, 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_tag" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
