@@ -307,7 +307,203 @@ object SqlSurface {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** The remaining ten gates as SQL text — with these, ALL 22 TPC-H
+    * shapes run through BOTH tiers: the hand-planned DataFrame form and
+    * the parser. Each carries the exact-arithmetic recipe of its twin
+    * (e4 integer cents, floored bp, decimal sums) so it earns the
+    * IDENTICAL oracle; the plans come out of the same optimizer, so the
+    * plan-contract properties asserted on the twins carry over. */
+  def q_sql_tpch_q6(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  def q_sql_tpch_q7(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((s_nationkey = 3 AND c_nationkey = 8) OR
+        |       (s_nationkey = 8 AND c_nationkey = 3))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  def q_sql_tpch_q8(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH j AS (
+        |  SELECT year(o_orderdate) AS o_year, s_nationkey,
+        |    CAST(floor(100.0 * l_extendedprice) AS BIGINT) AS price_c,
+        |    CAST(floor(100.0 * l_discount) AS BIGINT) AS d_pct
+        |  FROM lineitem
+        |    JOIN part     ON l_partkey = p_partkey
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |    JOIN region   ON n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |a AS (SELECT o_year,
+        |  sum(CASE WHEN s_nationkey = 3
+        |           THEN price_c * (100 - d_pct) ELSE 0 END) AS nat_e4,
+        |  sum(price_c * (100 - d_pct)) AS total_e4
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year,
+        |  CAST(floor(10000.0 * nat_e4 / total_e4) AS BIGINT) AS share_bp,
+        |  nat_e4, total_e4
+        |FROM a ORDER BY o_year""".stripMargin)
+  }
+
+  def q_sql_tpch_q9(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT n_name, year(o_orderdate) AS o_year, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2))) -
+        |           CAST(p_retailprice AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin)
+  }
+
+  def q_sql_tpch_q11(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(floor(100.0 * l_extendedprice) AS BIGINT)) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey < 13 GROUP BY 1),
+        |t AS (SELECT sum(value_c) AS tot_c, count(*) AS np FROM v)
+        |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        |FROM v, t
+        |WHERE CAST(2 AS DECIMAL(38,0)) * value_c * np >
+        |      CAST(3 AS DECIMAL(38,0)) * tot_c
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  def q_sql_tpch_q12(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAYS
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  def q_sql_tpch_q13(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH pc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  def q_sql_tpch_q14(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH l AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(100.0 * l_extendedprice) AS BIGINT) AS price_c,
+        |    CAST(floor(100.0 * l_discount) AS BIGINT) AS d_pct
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+        |j AS (SELECT p.p_type = 'PROMO' AS is_promo, price_c, d_pct
+        |      FROM l JOIN part p ON l.l_partkey = p.p_partkey),
+        |s AS (SELECT
+        |  sum(CASE WHEN is_promo THEN price_c * (100 - d_pct)
+        |           ELSE 0 END) AS promo_e4,
+        |  sum(price_c * (100 - d_pct)) AS total_e4 FROM j)
+        |SELECT CAST(floor(10000.0 * promo_e4 / total_e4) AS BIGINT) AS promo_bp,
+        |  promo_e4, total_e4 FROM s""".stripMargin)
+  }
+
+  def q_sql_tpch_q16(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH assoc AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM assoc a
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                    WHERE s.s_suppkey = a.l_suppkey
+        |                      AND s.s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_brand <> 'Brand#2'
+        |  AND p_size IN (1, 5, 9, 15, 25, 35, 45, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  def q_sql_tpch_q19(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) -
+        |            CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q6" -> q_sql_tpch_q6 _,
+    "q_sql_tpch_q7" -> q_sql_tpch_q7 _,
+    "q_sql_tpch_q8" -> q_sql_tpch_q8 _,
+    "q_sql_tpch_q9" -> q_sql_tpch_q9 _,
+    "q_sql_tpch_q11" -> q_sql_tpch_q11 _,
+    "q_sql_tpch_q12" -> q_sql_tpch_q12 _,
+    "q_sql_tpch_q13" -> q_sql_tpch_q13 _,
+    "q_sql_tpch_q14" -> q_sql_tpch_q14 _,
+    "q_sql_tpch_q16" -> q_sql_tpch_q16 _,
+    "q_sql_tpch_q19" -> q_sql_tpch_q19 _,
     "q_sql_tpch_q2" -> q_sql_tpch_q2 _,
     "q_sql_tpch_q15" -> q_sql_tpch_q15 _,
     "q_sql_tpch_q20" -> q_sql_tpch_q20 _,
@@ -337,5 +533,15 @@ object SqlSurface {
     "q_sql_tpch_q2" -> TpchExtra.oracle("q_tpch_q2"),
     "q_sql_tpch_q15" -> TpchExtra.oracle("q_tpch_q15"),
     "q_sql_tpch_q20" -> TpchExtra.oracle("q_tpch_q20"),
+    "q_sql_tpch_q6" -> TpchExtra.oracle("q_tpch_q6"),
+    "q_sql_tpch_q7" -> TpchExtra.oracle("q_tpch_q7"),
+    "q_sql_tpch_q8" -> TpchExtra.oracle("q_tpch_q8"),
+    "q_sql_tpch_q9" -> TpchExtra.oracle("q_tpch_q9"),
+    "q_sql_tpch_q11" -> TpchExtra.oracle("q_tpch_q11"),
+    "q_sql_tpch_q12" -> TpchExtra.oracle("q_tpch_q12"),
+    "q_sql_tpch_q13" -> TpchExtra.oracle("q_tpch_q13"),
+    "q_sql_tpch_q14" -> TpchExtra.oracle("q_tpch_q14"),
+    "q_sql_tpch_q16" -> TpchExtra.oracle("q_tpch_q16"),
+    "q_sql_tpch_q19" -> TpchExtra.oracle("q_tpch_q19"),
   )
 }
