@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 third-continuation additions (SURVEY §2.21): structured log
+  * parsing (the netmonitor ingest face), the frame-sampling multimodal
+  * gate, bottom-k uniform sampling, and the Count-Min point-frequency
+  * sketch. */
+object Analytics7 {
+
+  /** Structured LOG-LINE PARSING — the ingest stage every monitoring
+    * pipeline runs first: raw text lines → typed columns, with a
+    * malformed-line bucket instead of a failed job. The lines are built
+    * from `events` by an engine-identical concat (so the oracle sees the
+    * SAME raw input), with every 53rd line corrupted ("X!" prefix) to
+    * exercise the reject path; the operator under test is the parse
+    * chain — anchored `rlike` classification, `regexp_extract` field
+    * pulls, `get_json_object` over the recovered JSON tail — all
+    * codegen'd native functions in ONE narrow pass (no shuffle until the
+    * final small aggregate), which is what keeps parse embarrassingly
+    * parallel over a 100 TB log lake. Malformed rows aggregate under
+    * `_malformed` with NULL field sums (regexp_extract's no-match empty
+    * string casts to NULL on both engines). */
+  def q_log_parse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        concat(col("event_type"), lit(" uid="), col("user_id"), lit(" "), col("props")).as("line0"))
+      .select(col("event_id"),
+        when(col("event_id") % 53 === 0, concat(lit("X!"), col("line0")))
+          .otherwise(col("line0")).as("line"))
+    lines
+      .withColumn("ok", col("line").rlike("^[a-z]+ uid=[0-9]+ \\{"))
+      .withColumn("etype",
+        when(col("ok"), regexp_extract(col("line"), "^([a-z]+) uid=", 1))
+          .otherwise(lit("_malformed")))
+      .withColumn("uid",
+        when(col("ok"), regexp_extract(col("line"), " uid=([0-9]+) ", 1).cast("bigint")))
+      .withColumn("k",
+        when(col("ok"),
+          get_json_object(regexp_extract(col("line"), "(\\{.*\\})$", 1), "$.k").cast("bigint")))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("uid")).as("uid_sum"), sum(col("k")).as("k_sum"))
+      .orderBy(col("etype"))
+  }
+
+  /** FRAME SAMPLING through the oracle gate — the video-frame-extraction
+    * shape of [[graft.operators.Multimodal.sampleFrames]] driven over the
+    * documents-as-blobs media table: every 96th byte offset opens a
+    * 48-byte frame, one input row fanning out to its frames in a NARROW
+    * flatMap (no shuffle — frame parallelism IS the media table's
+    * partitioning, how a 100 TB corpus keeps decode embarrassingly
+    * parallel). The corpus is pure ASCII (verified: octet_length = length
+    * corpus-wide), so DuckDB pins the exact same byte windows with
+    * substr over the text and md5 over the slice — frame identity is
+    * hash-checked row for row, not just counted. */
+  def q_mm_frames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.mediaTable(Tables.documents(spark, dir))
+    graft.operators.Multimodal.sampleFrames(media, frameSize = 48, stride = 96)
+      .select(col("doc_id"), col("frame_idx").as("frame_no"),
+        length(col("frame")).cast("int").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** BOTTOM-K uniform sample — distributed reservoir sampling done the
+    * engine way: rank every document by the integer-free md5 priority
+    * md5('s42:' ‖ doc_id) and keep the k smallest. Statistically a
+    * uniform k-sample without replacement (each doc's priority is an
+    * independent uniform draw), yet fully deterministic and
+    * engine-reproducible — the SAME k documents under every run, engine,
+    * and partitioning, so an incremental rebuild resamples nothing. The
+    * plan is the scale story: `orderBy().limit(k)` compiles to
+    * TakeOrderedAndProject — each partition keeps a k-row heap and the
+    * driver merges P·k rows — NO global sort, no single-partition
+    * shuffle, O(k) memory at any corpus size (plan-contracted). */
+  def q_sample_bottomk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(concat(lit("s42:"), col("doc_id"))).as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(200)
+  }
+
+  /** COUNT-MIN point-frequency estimates
+    * ([[graft.functions.CountMinSketch]]): one fixed 4×32768 counter
+    * matrix aggregated map-side over the full event stream (the shuffle
+    * ships one 1 MB sketch per partition, never the rows), probed for
+    * the ten tracked keys. On this corpus the estimates are EXACT — the
+    * hash family is fixed, the per-key inexactness odds are
+    * (1500/32768)⁴ ≈ 4·10⁻⁶, and CORRECTNESS verifies the identity
+    * against true counts at every SF — so the sketch earns a real
+    * count(*) oracle; the ≥-bound and merge≡reduce algebra are pinned
+    * in CmsSpec. */
+  def q_agg_cms(spark: SparkSession, dir: String): DataFrame = {
+    val cms = graft.functions.CountMinSketch.udafFor(32768, 4, 0L until 10L)
+    Tables.events(spark, dir)
+      .agg(cms(col("user_id")).as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e._1").as("user_id"), col("e._2").as("est_n"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_log_parse" -> q_log_parse _,
+    "q_mm_frames" -> q_mm_frames _,
+    "q_sample_bottomk" -> q_sample_bottomk _,
+    "q_agg_cms" -> q_agg_cms _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_log_parse" ->
+      """WITH lines AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 53 = 0
+        |      THEN 'X!' || event_type || ' uid=' || user_id || ' ' || props
+        |      ELSE event_type || ' uid=' || user_id || ' ' || props END AS line
+        |  FROM events),
+        |parsed AS (
+        |  SELECT regexp_matches(line, '^[a-z]+ uid=[0-9]+ \{') AS ok,
+        |    CASE WHEN regexp_matches(line, '^[a-z]+ uid=[0-9]+ \{')
+        |      THEN regexp_extract(line, '^([a-z]+) uid=', 1)
+        |      ELSE '_malformed' END AS etype,
+        |    CASE WHEN regexp_matches(line, '^[a-z]+ uid=[0-9]+ \{')
+        |      THEN CAST(regexp_extract(line, ' uid=([0-9]+) ', 1) AS BIGINT) END AS uid,
+        |    CASE WHEN regexp_matches(line, '^[a-z]+ uid=[0-9]+ \{')
+        |      THEN CAST(json_extract_string(regexp_extract(line, '(\{.*\})$', 1), '$.k') AS BIGINT) END AS k
+        |  FROM lines)
+        |SELECT etype, count(*) AS n, CAST(sum(uid) AS BIGINT) AS uid_sum,
+        |  CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM parsed GROUP BY etype ORDER BY etype""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(off // 96 AS INT) AS frame_no,
+        |  CAST(length(substr(text, CAST(off AS INT) + 1, 48)) AS INT) AS frame_len,
+        |  md5(substr(text, CAST(off AS INT) + 1, 48)) AS frame_md5
+        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 96)) AS off
+        |      FROM documents)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "q_sample_bottomk" ->
+      """SELECT doc_id, lang, n_chars, md5('s42:' || doc_id) AS skey
+        |FROM documents ORDER BY skey, doc_id LIMIT 200""".stripMargin,
+    "q_agg_cms" ->
+      """SELECT user_id, count(*) AS est_n FROM events
+        |WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

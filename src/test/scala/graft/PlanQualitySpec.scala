@@ -36,6 +36,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TakeOrderedAndProject(limit=100"), s"no TOAP:\n$plan")
   }
 
+  test("q_sample_bottomk: bottom-k sample is TOAP, no global sort, no window") {
+    val plan = executedPlan("q_sample_bottomk")
+    assert(plan.contains("TakeOrderedAndProject(limit=200"), s"no TOAP:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("q_mm_frames / q_log_parse: narrow fanout stages — no shuffle below the final sort/agg") {
+    // frame sampling: the only exchange is the output ORDER BY's range
+    // partitioning; parse: one aggregate exchange over 6 groups
+    val frames = executedPlan("q_mm_frames")
+    assert(frames.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"frame sampling should shuffle only for the final order:\n$frames")
+    val parse = executedPlan("q_log_parse")
+    assert(!parse.contains("CartesianProduct") && !parse.contains("SortMergeJoin"),
+      s"parse stage must stay join-free:\n$parse")
+  }
+
+  test("q_agg_cms: sketch aggregation keeps a map-side partial phase") {
+    val plan = executedPlan("q_agg_cms")
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    assert(plan.contains("partial_countminsketch") ||
+      plan.toLowerCase.contains("partial_cms") ||
+      plan.contains("partial_"),
+      s"no partial (map-side) sketch phase:\n$plan")
+  }
+
   test("q_agg_hash: two-phase hash aggregation inside whole-stage codegen") {
     val plan = executedPlan("q_agg_hash")
     assert(plan.contains("partial_sum"), "no map-side partial aggregation")
