@@ -45,6 +45,7 @@ object Tables {
     graft.functions.SortedJaccardBp.register(spark)
     graft.functions.SortedJaccardGeBp.register(spark)
     graft.functions.CharNgramHashes.register(spark)
+    graft.functions.WinnowFps.register(spark)
     graft.functions.MightContain.register(spark)
     val rules = Seq(graft.plans.InferJaccardSizeBound,
       graft.plans.FuseJaccardThreshold, graft.plans.OrderCostlyPredicatesLast)

@@ -109,6 +109,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedJaccardGeBp.info, SortedJaccardGeBp.builder _))
     ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
       CharNgramHashes.info, CharNgramHashes.builder _))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      WinnowFps.info, WinnowFps.builder _))
     ext.injectFunction((FunctionIdentifier("might_contain"),
       MightContain.info, MightContain.builder _))
     ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),

@@ -220,15 +220,19 @@ object Analytics2 {
     * with tie-break is ONE window min over a packed BIGINT key
     * (hash·2²⁰ + (2²⁰−1−pos): minimal hash first, then maximal position
     * — no struct comparators, engine-portable). Hashes are 40-bit md5
-    * prefixes (identical hex on both engines). One doc_id shuffle serves
-    * the window; the gram explode is linear in corpus chars; the
-    * CharNgramHashes-style codegen expression is the in-repo path to
-    * skipping the explode at 100 TB. */
+    * prefixes (identical hex on both engines). The selection runs inside
+    * [[graft.functions.WinnowFps]] — ONE expression pass in the scan
+    * stage, zero shuffle and zero row fanout, vs the exploded
+    * formulation's row-per-character posexplode → window-sort → distinct
+    * (two exchanges + a sort; kept as [[winnowFingerprints]], the
+    * differential twin WinnowFpsSpec pins the expression against). */
   def q_text_winnow(spark: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(Tables.documents(spark, dir))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"),
-        sum(expr("sel div 1048576")).as("fp_sum"))
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 12)
+      .select(col("doc_id"), expr("winnow_fps(text, 5, 8)").as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x div 1048576)").as("fp_sum"))
       .orderBy(col("doc_id"))
 
   /** The winnowing selection itself: distinct packed (hash·2²⁰ + 2²⁰−1−pos)
