@@ -39,7 +39,10 @@ case class AsofJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
-    rightOrder: Seq[Expression]) extends BinaryNode {
+    rightOrder: Seq[Expression],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None,
+    allowExact: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -57,8 +60,8 @@ case class AsofJoinPlan(
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]; a no-op for every other node. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsofJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lo, ro, fwd, tol, exact) =>
+      AsofJoinExec(lk, rk, lo, ro, fwd, tol, exact, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -66,13 +69,25 @@ object AsofJoinStrategy extends SparkStrategy {
 /** Sort-merge as-of join: children arrive hash-clustered on the key and
   * sorted by key ++ order (declared below, enforced by EnsureRequirements
   * like any shuffled join); the merge advances the right iterator while it
-  * is strictly before the current left row, remembering only the LAST
-  * right row seen per key — the as-of match by construction. */
+  * is before the current left row, remembering only the LAST right row
+  * seen per key — the backward as-of match by construction. In `forward`
+  * mode no candidate is buffered at all: the lookahead row itself is the
+  * first at-or-after match. `tolerance` bounds the match distance on the
+  * FIRST order column (an integer domain — both sides must be LongType);
+  * `allowExact` shifts the strict inequality to ≤ (backward) / ≥
+  * (forward), the pandas merge_asof knob. All three are per-row O(1) on
+  * top of the same single merge pass — direction and tolerance change
+  * WHICH comparison runs, not the pass structure, so the 100 TB cost
+  * model (two spill-able sorts, one co-partitioned shuffle each side) is
+  * identical for every variant. */
 case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
+    forward: Boolean,
+    tolerance: Option[Long],
+    allowExact: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -113,15 +128,18 @@ case class AsofJoinExec(
       // an unchecked read and surface null-extended longs as 0)
       val outProj = UnsafeProjection.create(allOut, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
+      val (isFwd, tol, exact) = (forward, tolerance, allowExact)
       new Iterator[InternalRow] {
         // lookahead right row, copied out of the iterator's reused buffers
         private var rRow: InternalRow = _
         private var rKey: InternalRow = _
         private var rOrd: InternalRow = _
         private var haveR = false
-        // latest right row strictly before the current left row
+        // backward only: latest right row (strictly/at-or) before the
+        // current left row
         private var cand: InternalRow = _
         private var candKey: InternalRow = _
+        private var candOrd: InternalRow = _
         advanceRight()
 
         private def advanceRight(): Unit =
@@ -133,6 +151,11 @@ case class AsofJoinExec(
             haveR = true
           } else haveR = false
 
+        // tolerance gates the distance on the FIRST order column; `later`
+        // and `earlier` are in match direction, so the diff is ≥ 0
+        private def within(later: InternalRow, earlier: InternalRow): Boolean =
+          tol.forall(t => later.getLong(0) - earlier.getLong(0) <= t)
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
@@ -142,14 +165,31 @@ case class AsofJoinExec(
           var advancing = true
           while (haveR && advancing) {
             val ck = keyOrd.compare(rKey, lKey)
-            if (ck < 0 || (ck == 0 && ordOrd.compare(rOrd, lOrd) < 0)) {
-              cand = rRow
-              candKey = rKey
+            // rows the CURRENT left row has passed: backward keeps the
+            // last of them as the candidate, forward just skips them (a
+            // skipped row can never match a later left row — left order
+            // is ascending). Equal-order rows belong to the passed side
+            // exactly when the mode's inequality is satisfied by them.
+            val passed = ck < 0 || (ck == 0 && {
+              val c = ordOrd.compare(rOrd, lOrd)
+              c < 0 || (c == 0 && (if (isFwd) !exact else exact))
+            })
+            if (passed) {
+              if (!isFwd) { cand = rRow; candKey = rKey; candOrd = rOrd }
               advanceRight()
             } else advancing = false
           }
-          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
-          outProj(joined(lRow, if (matched) cand else nullRight))
+          val out =
+            if (isFwd) {
+              // the lookahead row is the first at-or-after by construction
+              val m = haveR && keyOrd.compare(rKey, lKey) == 0 && within(rOrd, lOrd)
+              if (m) rRow else nullRight
+            } else {
+              val m = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+                within(lOrd, candOrd)
+              if (m) cand else nullRight
+            }
+          outProj(joined(lRow, out))
         }
       }
     }
@@ -176,11 +216,15 @@ object AsofJoin {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[(String, String)],
-      order: Seq[(String, String)]): DataFrame = {
+      order: Seq[(String, String)],
+      forward: Boolean = false,
+      tolerance: Option[Long] = None,
+      allowExact: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "as-of join sides must not share column names — rename the right side")
+    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
     val lPlan = left.queryExecution.analyzed
     // re-alias every right column: fresh exprIds make a self-as-of
     // unambiguous without relying on analyzer-side deduplication of a
@@ -191,9 +235,16 @@ object AsofJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"as-of column `$name` not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val lOrd = order.map(o => resolve(lPlan, o._1))
+    if (tolerance.isDefined)
+      require(lOrd.head.dataType == org.apache.spark.sql.types.LongType &&
+        resolve(rPlan, order.head._2).dataType == org.apache.spark.sql.types.LongType,
+        "as-of tolerance applies to the first order column, which must be BIGINT " +
+          s"on both sides (got ${lOrd.head.dataType})")
     val plan = AsofJoinPlan(lPlan, rPlan,
       keys.map(k => resolve(lPlan, k._1)), keys.map(k => resolve(rPlan, k._2)),
-      order.map(o => resolve(lPlan, o._1)), order.map(o => resolve(rPlan, o._2)))
+      lOrd, order.map(o => resolve(rPlan, o._2)),
+      forward, tolerance, allowExact)
     org.apache.spark.sql.classic.GraftSqlInternal.ofRows(spark, plan)
   }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Round-8 third-continuation additions (SURVEY §2.21): structured log
   * parsing (the netmonitor ingest face), the frame-sampling multimodal
-  * gate, bottom-k uniform sampling, and the Count-Min point-frequency
-  * sketch. */
+  * gate, bottom-k uniform sampling, the Count-Min point-frequency
+  * sketch, and the native as-of join's direction/tolerance variants. */
 object Analytics7 {
 
   /** Structured LOG-LINE PARSING — the ingest stage every monitoring
@@ -102,12 +102,131 @@ object Analytics7 {
       .orderBy(col("user_id"))
   }
 
+  /** Toleranced AS-OF — the native operator's `tolerance` knob (pandas
+    * merge_asof parity): each purchase takes the same user's latest
+    * strictly-prior event ONLY if it lies within one hour; staler
+    * candidates null-extend instead of matching (tolerance filters the
+    * as-of candidate, it never falls back to an older in-bound row).
+    * Same single merge pass and shuffle/sort footprint as
+    * [[Analytics2.q_join_asof_native]] — the bound is one long compare
+    * per row. */
+  def q_join_asof_tol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val hist = ev.select(col("user_id").as("r_user"), col("event_id").as("r_event_id"),
+      col("value").as("r_value"), col("ts_us").as("r_ts_us"))
+    graft.plans.AsofJoin.join(purchases, hist,
+      keys = Seq("user_id" -> "r_user"),
+      order = Seq("ts_us" -> "r_ts_us", "event_id" -> "r_event_id"),
+      tolerance = Some(3600000000L)) // 1 hour in µs
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("prev_event_id"), col("r_value").as("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** FORWARD as-of — the native operator's direction knob: each purchase
+    * takes the same user's FIRST strictly-later event (the
+    * "next-touchpoint" lookup attribution pipelines run). In forward mode
+    * the exec buffers no candidate at all — the merge lookahead row IS
+    * the match — so the cost profile is identical to backward. The
+    * oracle is the lead-window form, which the differential spec also
+    * pins on constructed frames. */
+  def q_join_asof_fwd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val hist = ev.select(col("user_id").as("r_user"), col("event_id").as("r_event_id"),
+      col("event_type").as("r_etype"), col("ts_us").as("r_ts_us"))
+    graft.plans.AsofJoin.join(purchases, hist,
+      keys = Seq("user_id" -> "r_user"),
+      order = Seq("ts_us" -> "r_ts_us", "event_id" -> "r_event_id"),
+      forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("r_event_id").as("next_event_id"), col("r_etype").as("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Schema'd CSV INGESTION — the text-file face every monitoring/ETL
+    * deployment starts from (everything else in the suite reads parquet;
+    * a switching user's first day is a CSV drop). The gate round-trips
+    * `events` through a real CSV file once (write-once publish, quoting
+    * exercised by the embedded-JSON props column) and the TIMED query is
+    * the schema'd read: explicit `StructType` (no runaway inference scan
+    * at 100 TB — inference reads the data twice), header skip, quote
+    * parsing, then a JSON field pull + aggregate that only matches the
+    * oracle if every typed value survived text serialization exactly
+    * (doubles ride Spark's shortest-repr round trip; sums compare in
+    * decimal cents). Splittable-format caveat documented: one CSV file =
+    * one read task; a 100 TB drop arrives as many files, which is the
+    * parallelism axis. */
+  def q_source_csv(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    val root = Tables.publishOnce(s"graft_csvsrc_$fp") { tmp =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1)
+        .write.option("header", "true").csv(s"$tmp/csv")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.read.schema(schema).option("header", "true").csv(s"$root/csv")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("k_sum"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Schema'd JSONL INGESTION — [[q_source_csv]]'s twin for the other
+    * ubiquitous drop format (one JSON object per line). Same write-once
+    * publish, same explicit-schema discipline (JSON inference is an extra
+    * full scan), and the aggregate pins nested-field extraction from the
+    * re-parsed props string. JSONL is line-splittable, so unlike CSV-with-
+    * quoting the 100 TB story holds even within one large file. */
+  def q_source_jsonl(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.sourceFingerprint(dir, "events.parquet")
+    val root = Tables.publishOnce(s"graft_jsonsrc_$fp") { tmp =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1)
+        .write.json(s"$tmp/json")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.read.schema(schema).json(s"$root/json")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("k_sum"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_parse" -> q_log_parse _,
     "q_mm_frames" -> q_mm_frames _,
     "q_sample_bottomk" -> q_sample_bottomk _,
     "q_agg_cms" -> q_agg_cms _,
+    "q_join_asof_tol" -> q_join_asof_tol _,
+    "q_join_asof_fwd" -> q_join_asof_fwd _,
+    "q_source_csv" -> q_source_csv _,
+    "q_source_jsonl" -> q_source_jsonl _,
   )
+
+  private val ingestOracle =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_log_parse" ->
@@ -143,5 +262,30 @@ object Analytics7 {
     "q_agg_cms" ->
       """SELECT user_id, count(*) AS est_n FROM events
         |WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN dt <= 3600000000 THEN prev_event_id END AS prev_event_id,
+        |  CASE WHEN dt <= 3600000000 THEN prev_value END AS prev_value
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_id) OVER w AS prev_event_id,
+        |    lag("value") OVER w AS prev_value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT event_id, user_id, next_event_id, next_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lead(event_id) OVER w AS next_event_id,
+        |    lead(event_type) OVER w AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the ingestion gates re-aggregate the round-tripped file; the oracle
+    // aggregates the ORIGINAL parquet rows — they only agree if every
+    // typed value survived the text format exactly
+    "q_source_csv" -> ingestOracle,
+    "q_source_jsonl" -> ingestOracle,
   )
 }
