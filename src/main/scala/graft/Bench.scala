@@ -59,6 +59,10 @@ object Bench {
     // the log topic is produced once (pure-JVM writes, publishOnce); the
     // timed query measures the DSv2 batch read, not the produce
     warm("q_source_log") { queries.TableOps.q_source_log(spark, sfDir).count() }
+    // the CSV/JSONL drops are one-time publishes (ingest layout, not query
+    // work); the timed queries measure the schema'd text READ
+    warm("q_source_csv") { queries.Analytics7.q_source_csv(spark, sfDir).count() }
+    warm("q_source_jsonl") { queries.Analytics7.q_source_jsonl(spark, sfDir).count() }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite

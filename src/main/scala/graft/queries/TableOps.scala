@@ -727,7 +727,38 @@ object TableOps {
       .orderBy(col("bucket"))
   }
 
+  /** SHALLOW CLONE through the gate ([[graft.tables.TxTable.cloneTo]]):
+    * the published events table is cloned METADATA-ONLY (one manifest
+    * file referencing the shared data by absolute path — zero data
+    * copied, O(1) in table size), the band `user_id ∈ [2,4]` is deleted
+    * ON THE CLONE (copy-on-write: rewrites land clone-locally), and both
+    * tables are read back under one aggregate. The oracle pins the whole
+    * story at once: the clone must show exactly the post-delete state
+    * while the source — whose files the clone borrowed seconds ago —
+    * still answers with every row. At 100 TB this is the experiment-
+    * branch primitive: a physical copy is days of I/O, a shallow clone
+    * is one metadata write. TxCloneSpec pins the ownership rules
+    * (vacuum guard, divergence isolation both ways, constraint
+    * carry-over). */
+  def q_table_clone(spark: SparkSession, dir: String): DataFrame = {
+    val src = new TxTable(eventsTableRoot(spark, dir), Seq("user_id"))
+    val tmp = Files.createTempDirectory("graft_q_table_clone").toString
+    try {
+      val clone = src.cloneTo(s"$tmp/clone")
+      clone.delete(spark, "user_id", 2, 4)
+      val df = clone.read(spark).withColumn("side", lit("clone"))
+        .unionByName(src.read(spark).withColumn("side", lit("src")))
+        .groupBy(col("side"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("side"), col("event_type"))
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally deleteTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_clone" -> q_table_clone _,
     "q_table_skip" -> q_table_skip _,
     "q_table_bloomskip" -> q_table_bloomskip _,
     "q_table_replace" -> q_table_replace _,
@@ -748,6 +779,16 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_clone" ->
+      """SELECT side, event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT 'clone' AS side, event_type, "value", user_id FROM events
+        |  WHERE user_id NOT BETWEEN 2 AND 4
+        |  UNION ALL
+        |  SELECT 'src' AS side, event_type, "value", user_id FROM events)
+        |GROUP BY side, event_type ORDER BY side, event_type""".stripMargin,
     "q_table_skip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

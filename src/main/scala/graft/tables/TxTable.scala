@@ -1031,6 +1031,41 @@ final class TxTable(val root: String, val statCols: Seq[String],
     commitWithRetry(maxRetries = 10) { _ => target.files }
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE t SHALLOW CLONE src`): a new
+    * table whose v1 manifest REFERENCES this table's current data files
+    * by absolute path — one metadata file written, ZERO data copied or
+    * read, O(1) in table size. The clone then lives its own life:
+    * appends land in its own data/, copy-on-write delete/merge/compact
+    * rewrite borrowed entries into clone-local files (the source is only
+    * ever read), and source commits after the clone point are invisible
+    * to it — the dev/test-sandbox and experiment-branch primitive at
+    * 100 TB, where a physical copy is days of I/O.
+    *
+    * Ownership rules (Delta's): the clone's [[vacuum]] reclaims only
+    * clone-local files — borrowed absolute entries are never deleted
+    * (guarded in vacuum itself) — while vacuuming the SOURCE can break
+    * clones that still borrow reclaimed files, so source retention must
+    * outlive clones, exactly as with Delta shallow clones. Constraints
+    * and stat/bloom schema carry over; txn watermarks do NOT (a clone is
+    * a new table to idempotent writers, so replays into it start fresh).
+    * TxCloneSpec pins metadata-only-ness, divergence isolation in both
+    * directions, and the vacuum ownership guard. */
+  def cloneTo(dstRoot: String): TxTable = {
+    val snap = snapshot()
+    require(snap.version >= 1, s"cannot clone empty table $root")
+    val dst = new TxTable(dstRoot, statCols, bloomCols)
+    require(dst.currentVersion == 0, s"clone target $dstRoot is not empty")
+    val abs = snap.files.map(f => f.copy(
+      path = dataDir.resolve(f.path).toAbsolutePath.toString,
+      dv = f.dv.map(d => dataDir.resolve(d).toAbsolutePath.toString)))
+    val tmp = dst.logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp,
+      renderManifest(abs, Map.empty, snap.constraints).getBytes("UTF-8"))
+    try Files.createLink(dst.logDir.resolve(manifestName(1)), tmp)
+    finally { Files.deleteIfExists(tmp); () }
+    dst
+  }
+
   /** Wall clock for commit timestamps — a seam so specs can pin
     * [[versionAt]] deterministically; production never touches it. */
   private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
@@ -1115,7 +1150,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val s = snapshot(Some(v))
       writeCheckpoint(v, s.files, s.txns, s.constraints)
     }
-    dead.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
+    // SHALLOW-CLONE guard: entries borrowed from a clone source are
+    // ABSOLUTE paths outside this table's data/ — vacuum reclaims only
+    // files this table owns (Delta's rule: VACUUM on a shallow clone
+    // never touches source files)
+    dead.filter(p => dataDir.resolve(p).normalize().startsWith(dataDir.normalize()))
+      .foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
     expired.foreach { v =>
       Files.deleteIfExists(logDir.resolve(manifestName(v)))
       Files.deleteIfExists(logDir.resolve(ckptName(v)))
