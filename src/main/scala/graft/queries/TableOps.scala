@@ -757,7 +757,32 @@ object TableOps {
     } finally deleteTree(tmp)
   }
 
+  /** COLUMN RENAME through the gate ([[graft.tables.TxTable.renameColumn]],
+    * Delta/Iceberg column mapping): the shared events table gets BOTH its
+    * value column and its STAT column renamed — two metadata-only commits,
+    * zero bytes rewritten — then a band delete runs against the renamed
+    * stat column (the manifest min/max pruning must survive the rename,
+    * pinned by TxRenameSpec) and the final read aggregates under the new
+    * logical names. At 100 TB a rename-by-rewrite is a full-table job;
+    * the mapping makes it one manifest line. The oracle pins the data
+    * through the whole chain: rename → prune-by-renamed-stats → delete →
+    * read must equal the plain band-filtered aggregate. */
+  def q_table_rename(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, eventsTableRoot(spark, dir), "graft_q_table_rename") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.renameColumn("value", "amount")
+      t.renameColumn("user_id", "uid")
+      t.delete(spark, "uid", 3, 7)
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("uid")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_rename" -> q_table_rename _,
     "q_table_clone" -> q_table_clone _,
     "q_table_skip" -> q_table_skip _,
     "q_table_bloomskip" -> q_table_bloomskip _,
@@ -779,6 +804,12 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_rename" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_clone" ->
       """SELECT side, event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

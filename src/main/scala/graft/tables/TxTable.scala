@@ -98,15 +98,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     while (full == null) {
       if (cur == 0) full = Snapshot(0, Nil, Map.empty)
       else if (ckpts.contains(cur)) {
-        val (fs, ts, cs) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
-        full = Snapshot(cur, fs, ts, cs)
+        val (fs, ts, cs, cm) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
+        full = Snapshot(cur, fs, ts, cs, cm)
       } else {
         val p = logDir.resolve(manifestName(cur))
         require(Files.exists(p),
           s"cannot reconstruct version $v of $root: manifest $cur is missing " +
             "and no checkpoint covers it")
         parseAnyManifest(Files.readAllLines(p)) match {
-          case Left((fs, ts, cs)) => full = Snapshot(cur, fs, ts, cs)
+          case Left((fs, ts, cs, cm)) => full = Snapshot(cur, fs, ts, cs, cm)
           case Right(delta) => deltas ::= delta; cur -= 1
         }
       }
@@ -114,13 +114,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     var files = full.files
     var txns = full.txns
     var cons = full.constraints
+    var cmap = full.colMap
     deltas.foreach { d =>
       val rm = d.removes.toSet
       files = files.filterNot(f => rm((f.path, f.dv))) ++ d.adds
       txns = txns ++ d.txns
       d.constraints.foreach(cs => cons = cs)
+      d.colMap.foreach(m => cmap = m)
     }
-    Snapshot(v, files, txns, cons)
+    Snapshot(v, files, txns, cons, cmap)
   }
 
   // ------------------------------------------------------------------- reads
@@ -189,7 +191,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val s = snapshot(versionAsOf)
     if (s.files.isEmpty)
       throw new IllegalStateException(s"table $root is empty at version ${s.version}")
-    readFiles(spark, s.files)
+    readFiles(spark, s.files, s.colMap)
   }
 
   /** DV-aware read of a set of manifest entries — the merge-on-read
@@ -200,7 +202,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * rows, the DV frames are tiny (victim positions, auto-broadcast),
     * and applying a victim twice is a no-op — so DVs may share files
     * and accumulate across deletes without coordination. */
-  private def readFiles(spark: SparkSession, files: Seq[FileEntry]): DataFrame = {
+  /** The physical (parquet/stats) name behind a logical column name —
+    * identity until [[renameColumn]] has mapped it. Stats, blooms,
+    * constraints and staged files all live in PHYSICAL terms (rename is
+    * metadata-only, so what's on disk never changes); every user-facing
+    * parameter arrives LOGICAL and funnels through here. */
+  private def phys(s: Snapshot, logical: String): String =
+    s.colMap.getOrElse(logical, logical)
+
+  private def readFiles(spark: SparkSession, files: Seq[FileEntry],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty, "readFiles of nothing")
     val (plain, dvd) = files.partition(_.dv.isEmpty)
     val plainDf =
@@ -223,12 +234,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
             "left_anti")
           .select(cols.map(col): _*))
       }
-    (plainDf, dvDf) match {
+    val out = (plainDf, dvDf) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(b)) => b
       case _ => throw new IllegalStateException("unreachable: files was non-empty")
     }
+    // surface the caller's LOGICAL names: physical → logical renames from
+    // the snapshot's column mapping (absent names are untouched)
+    val renames = colMap.collect { case (l, p) if l != p => p -> l }
+    if (renames.isEmpty) out else out.withColumnsRenamed(renames)
   }
 
   /** Manifest-level min/max data skipping for `lo <= statCol <= hi`:
@@ -238,16 +253,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * plus (filesScanned, filesTotal) so callers and specs can assert the
     * skip actually happened. */
   def readWhere(spark: SparkSession, statCol: String, lo: Long, hi: Long): PrunedRead = {
-    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
     val s = snapshot()
+    val p = phys(s, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
     // A file with no recorded stats for this column (appended by a writer
     // declared before a stats evolution) cannot be pruned soundly — scan it.
     val keep = s.files.filter { f =>
-      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
-      else readFiles(spark, keep)
+      else readFiles(spark, keep, s.colMap)
         .filter(col(statCol) >= lo && col(statCol) <= hi)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
@@ -270,21 +286,22 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * pass. The probe is hashed by Spark itself (one local 1-row
     * projection) so build and probe can never drift. */
   def readEquals(spark: SparkSession, column: String, value: Long): PrunedRead = {
-    require(statCols.contains(column) || bloomCols.contains(column),
-      s"$column is neither a stat column ($statCols) nor a bloom column ($bloomCols)")
     val s = snapshot()
+    val p = phys(s, column)
+    require(statCols.contains(p) || bloomCols.contains(p),
+      s"$column is neither a stat column ($statCols) nor a bloom column ($bloomCols)")
     val pos = probePositions(spark, value)
     val keep = s.files.filter { f =>
-      val rangeOk = f.mins.get(column).forall(_ <= value) &&
-        f.maxs.get(column).forall(_ >= value)
-      val bloomOk = f.blooms.get(column).forall { words =>
-        pos.forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
+      val rangeOk = f.mins.get(p).forall(_ <= value) &&
+        f.maxs.get(p).forall(_ >= value)
+      val bloomOk = f.blooms.get(p).forall { words =>
+        pos.forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
       }
       rangeOk && bloomOk
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
-      else readFiles(spark, keep).filter(col(column) === value)
+      else readFiles(spark, keep, s.colMap).filter(col(column) === value)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
 
@@ -344,16 +361,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * interleave a competing commit between base-read and publish. */
   private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
       source: DataFrame, key: String): MergeResult = {
-    require(statCols.contains(key), s"merge key $key must be a stat column")
+    val pk = phys(base, key)
+    require(statCols.contains(pk), s"merge key $key must be a stat column")
     require(base.version > 0, "merge into an empty table: use append")
     // Files without recorded stats for the key (possible after a stats
     // evolution widened the column set mid-history) are unconditional
     // rewrite candidates — no interval can prove them key-free.
-    val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
+    val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
     val hitPaths: Set[String] = {
       import spark.implicits._
       val intervals = statful
-        .map(f => (f.path, f.mins(key), f.maxs(key)))
+        .map(f => (f.path, f.mins(pk), f.maxs(pk)))
         .toDF("__path", "__mn", "__mx")
       source.select(col(key).cast("long").as("__k"))
         .join(broadcast(intervals),
@@ -365,7 +383,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val src = source
     val existing =
       if (candidates.isEmpty) None
-      else Some(readFiles(spark, candidates)) // DV-aware: never resurrect
+      else Some(readFiles(spark, candidates, base.colMap)) // DV-aware: never resurrect
     // matched rows take the source version; unmatched candidate rows pass
     // through; source keys absent everywhere are inserts. The anti joins
     // broadcast the (batch-sized) source — the 100 TB merge never
@@ -385,7 +403,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // empty source guards nothing (its rewrite is content-preserving).
     val srcRange = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
     val guard = if (srcRange.isNullAt(0)) None
-      else Some((key, srcRange.getLong(0), srcRange.getLong(1)))
+      else Some((pk, srcRange.getLong(0), srcRange.getLong(1)))
     val version = commitCow(base, candidates, entries, "merge", guard)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
@@ -469,6 +487,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
   def rowChangesBetween(spark: SparkSession, fromV: Int, toV: Int): DataFrame = {
     require(0 <= fromV && fromV <= toV && toV <= currentVersion,
       s"bad change range [$fromV, $toV] for table at version $currentVersion")
+    // one schema for the whole feed: every version's files read under the
+    // TARGET version's column mapping (physical names are stable across
+    // renames, so old files resolve under the new logical names — a CDC
+    // consumer sees one consistent schema even across a rename boundary)
+    val toMap = snapshot(Some(toV)).colMap
     val allCols = read(spark, Some(toV)).columns.toSeq
     def align(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
@@ -486,12 +509,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => None // metadata-only commit (constraint, stats)
         case (true, false) => // pure append: inserts, no diff to compute
-          Some(tag(align(readFiles(spark, added)), "insert", v))
+          Some(tag(align(readFiles(spark, added, toMap)), "insert", v))
         case (false, true) => // pure metadata delete: victims are the content
-          Some(tag(align(readFiles(spark, removed)), "delete", v))
+          Some(tag(align(readFiles(spark, removed, toMap)), "delete", v))
         case (true, true) => // rewrite: multiset diff, carried rows cancel
-          val pre = align(readFiles(spark, removed))
-          val post = align(readFiles(spark, added))
+          val pre = align(readFiles(spark, removed, toMap))
+          val post = align(readFiles(spark, added, toMap))
           Some(tag(post.exceptAll(pre), "insert", v)
             .unionByName(tag(pre.exceptAll(post), "delete", v)))
       }
@@ -548,8 +571,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * watermark advances. */
   def applyChangeRows(spark: SparkSession, changes: DataFrame, appId: String,
       watermark: Long, key: String): Boolean = {
-    require(statCols.contains(key), s"replication key $key must be a stat column")
     val base = snapshot()
+    val pk = phys(base, key)
+    require(statCols.contains(pk), s"replication key $key must be a stat column")
     if (base.txns.get(appId).exists(_ >= watermark))
       return false // replayed slice: recognized, no-op
     val ch = changes.persist() // every downstream pass reads it
@@ -575,7 +599,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val nIns = Option(head.get(0)).fold(0L)(_ => head.getLong(0))
       val nDel = Option(head.get(1)).fold(0L)(_ => head.getLong(1))
       val guard = if (head.isNullAt(2)) None
-        else Some((key, head.getLong(2), head.getLong(3)))
+        else Some((pk, head.getLong(2), head.getLong(3)))
       val (candidates, survivorsOpt) =
         if (nDel == 0L) {
           // insert-only sync: nothing to net, nothing to probe, no
@@ -587,11 +611,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
           persisted += insNet += delNet
           // candidate files = stats intervals admitting any net-deleted key
           // (merge's broadcast probe)
-          val (statless, statful) = base.files.partition(f => f.mins.get(key).isEmpty)
+          val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
           val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
           val hitPaths: Set[String] = {
             import spark.implicits._
-            val intervals = statful.map(f => (f.path, f.mins(key), f.maxs(key)))
+            val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
               .toDF("__path", "__mn", "__mx")
             delKeys.join(broadcast(intervals),
                 col("__k") >= col("__mn") && col("__k") <= col("__mx"))
@@ -604,7 +628,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
             else {
               // align pre-evolution target files to the feed's schema
               // (absent columns read NULL, rowChangesBetween's own rule)
-              val cand = readFiles(spark, cands)
+              val cand = readFiles(spark, cands, base.colMap)
               cand.select(dataCols.map(c =>
                   if (cand.columns.contains(c)) col(c) else lit(null).as(c)): _*)
                 .exceptAll(delNet)
@@ -677,26 +701,27 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * (mergeFrom precedent). */
   private[graft] def deleteFrom(spark: SparkSession, base: Snapshot,
       statCol: String, lo: Long, hi: Long): DeleteResult = {
-    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
+    val p = phys(base, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
     require(base.version > 0, "delete from an empty table?")
     // Missing stats (a narrow-writer append after a stats evolution):
     // the file MAY hold victims (touched) but can never be proven fully
     // covered — it lands in the rewrite class, which is always sound.
     val (touched, kept) = base.files.partition { f =>
-      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
     val (covered, straddling) = touched.partition { f =>
-      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
+      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
     }
     val entries =
       if (straddling.isEmpty) Nil
       else writeDataFiles(spark,
-        readFiles(spark, straddling) // DV-aware: never resurrect
+        readFiles(spark, straddling, base.colMap) // DV-aware: never resurrect
           .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
     // rebase across disjoint concurrent commits; a concurrent file
     // overlapping [lo, hi] would hold victims this delete never saw
     val version = commitCow(base, touched, entries, "delete",
-      Some((statCol, lo, hi)))
+      Some((p, lo, hi)))
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = entries.size)
@@ -726,33 +751,34 @@ final class TxTable(val root: String, val statCols: Seq[String],
 
   private[graft] def overwriteWhereFrom(spark: SparkSession, base: Snapshot,
       statCol: String, lo: Long, hi: Long, df: DataFrame): DeleteResult = {
-    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
+    val p = phys(base, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
     require(base.version > 0, "overwrite into an empty table: use append")
     val replacement = writeDataFiles(spark, df)
     val escapees = replacement.filter { e =>
-      !(e.mins.get(statCol).exists(_ >= lo) && e.maxs.get(statCol).exists(_ <= hi))
+      !(e.mins.get(p).exists(_ >= lo) && e.maxs.get(p).exists(_ <= hi))
     }
     if (escapees.nonEmpty) {
       replacement.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
       throw new IllegalArgumentException(
         s"overwriteWhere($statCol in [$lo, $hi]) rejected: replacement rows " +
           s"escape the declared band in ${escapees.size} file(s) " +
-          escapees.map(e => s"${e.path} spans [${e.mins.get(statCol).orNull}, " +
-            s"${e.maxs.get(statCol).orNull}]").mkString("(", "; ", ")"))
+          escapees.map(e => s"${e.path} spans [${e.mins.get(p).orNull}, " +
+            s"${e.maxs.get(p).orNull}]").mkString("(", "; ", ")"))
     }
     val (touched, kept) = base.files.partition { f =>
-      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
     val (covered, straddling) = touched.partition { f =>
-      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
+      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
     }
     val rewrites =
       if (straddling.isEmpty) Nil
       else writeDataFiles(spark,
-        readFiles(spark, straddling) // DV-aware: never resurrect
+        readFiles(spark, straddling, base.colMap) // DV-aware: never resurrect
           .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
     val version = commitCow(base, touched, rewrites ++ replacement,
-      "overwriteWhere", Some((statCol, lo, hi)))
+      "overwriteWhere", Some((p, lo, hi)))
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = rewrites.size + replacement.size)
@@ -776,21 +802,22 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * rebase/abort via the same conflict detection as delete. */
   def deletePositional(spark: SparkSession, statCol: String,
       lo: Long, hi: Long): PositionalDeleteResult = {
-    require(statCols.contains(statCol), s"$statCol is not a stat column ($statCols)")
     val base = snapshot()
+    val p = phys(base, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
     require(base.version > 0, "delete from an empty table?")
     val (touched, kept) = base.files.partition { f =>
-      f.maxs.get(statCol).forall(_ >= lo) && f.mins.get(statCol).forall(_ <= hi)
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
     val (covered, straddling) = touched.partition { f =>
-      f.mins.get(statCol).exists(lo <= _) && f.maxs.get(statCol).exists(_ <= hi)
+      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
     }
     val entries =
       if (straddling.isEmpty) Nil
       else {
         val victims = spark.read.option("mergeSchema", "true")
           .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
-          .filter(col(statCol) >= lo && col(statCol) <= hi)
+          .filter(col(p) >= lo && col(p) <= hi) // raw files carry PHYSICAL names
           .select(col("_metadata.file_name").as("file"),
             col("_metadata.row_index").as("pos"))
         val oldDvs = straddling.flatMap(_.dv).distinct
@@ -812,7 +839,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         straddling.map(_.copy(dv = Some(dvName)))
       }
     val version = commitCow(base, touched, entries, "positional delete",
-      Some((statCol, lo, hi)))
+      Some((p, lo, hi)))
     PositionalDeleteResult(version, droppedFiles = covered.size,
       dvFiles = straddling.size, keptFiles = kept.size)
   }
@@ -827,7 +854,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(base.version > 0, "materialize on an empty table?")
     val (dvd, plain) = base.files.partition(_.dv.nonEmpty)
     if (dvd.isEmpty) return MergeResult(base.version, 0, plain.size, 0)
-    val entries = writeDataFiles(spark, readFiles(spark, dvd))
+    val entries = writeDataFiles(spark, readFiles(spark, dvd, base.colMap))
     // content-preserving rewrite: concurrent appends never conflict
     val version = commitCow(base, dvd, entries, "materializeDeletes", None)
     MergeResult(version, rewrittenFiles = dvd.size,
@@ -861,7 +888,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(base.version > 0, "compact an empty table?")
     val (small, large) = base.files.partition(_.rows < smallRows)
     if (small.size < 2) return MergeResult(base.version, 0, base.files.size, 0)
-    val packed = readFiles(spark, small) // DV-aware: compaction materializes deletes
+    val packed = readFiles(spark, small, base.colMap) // DV-aware: compaction materializes deletes
       .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
     val entries = writeDataFiles(spark, packed)
     // content-preserving rewrite: concurrent appends never conflict
@@ -885,9 +912,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * compact (a concurrent append lands by name, unclustered — the next
     * rewrite folds it in). */
   def clusterZorder(spark: SparkSession, c1: String, c2: String, files: Int): MergeResult = {
-    require(statCols.contains(c1) && statCols.contains(c2),
-      s"z-order columns must be stat columns ($statCols)")
     val base = snapshot()
+    val (p1, p2) = (phys(base, c1), phys(base, c2))
+    require(statCols.contains(p1) && statCols.contains(p2),
+      s"z-order columns must be stat columns ($statCols)")
     require(base.version > 0, "cluster an empty table?")
     // The 16-bit interleave is only meaningful on [0, 2^16): a negative
     // or wider value contributes just its low 16 bits (sign bits
@@ -895,7 +923,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // correct but the advertised readWhere pruning would silently
     // vanish. The manifest stats already hold every file's min/max, so
     // enforce the domain loudly here instead of degrading.
-    for (c <- Seq(c1, c2)) {
+    for (c <- Seq(p1, p2)) {
       val mns = base.files.flatMap(_.mins.get(c))
       val mxs = base.files.flatMap(_.maxs.get(c))
       require(mns.size == base.files.size,
@@ -934,17 +962,77 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * write already runs. Manifest-only commit; lost races abort. */
   def addConstraint(spark: SparkSession, predicate: String): Int = {
     val base = snapshot()
-    require(!base.constraints.contains(predicate), s"constraint already declared: $predicate")
+    // constraints are STORED and ENFORCED in physical terms (the staged
+    // stats pass sees physical files); the user writes logical names, so
+    // rewrite identifiers through the column mapping once, here
+    val stored =
+      if (base.colMap.forall { case (l, ph) => l == ph }) predicate
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        spark.sessionState.sqlParser.parseExpression(predicate).transform {
+          case a: UnresolvedAttribute if base.colMap.contains(a.name) =>
+            UnresolvedAttribute(base.colMap(a.name))
+        }.sql
+      }
+    require(!base.constraints.contains(stored), s"constraint already declared: $predicate")
     if (base.files.nonEmpty) {
-      val bad = read(spark).filter(!expr(predicate)).count()
+      // validate against the PHYSICAL frame — the same terms the stored
+      // predicate uses at every future staged-write check
+      val bad = readFiles(spark, base.files).filter(!expr(stored)).count()
       require(bad == 0,
         s"cannot declare CHECK ($predicate): existing data violates it in $bad row(s)")
     }
-    try commitOnce(base, constraints = Some(base.constraints :+ predicate)) { _ => base.files }
+    try commitOnce(base, constraints = Some(base.constraints :+ stored)) { _ => base.files }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"constraint declaration on $root lost the commit race; re-run")
+    }
+  }
+
+  /** RENAME COLUMN (Delta/Iceberg column mapping): a metadata-only
+    * commit that maps a new LOGICAL name onto the column's immutable
+    * PHYSICAL (parquet) name — zero files rewritten, O(1) in table
+    * size, exactly the `ALTER TABLE RENAME COLUMN` a 100 TB table
+    * cannot afford to do by rewrite. Reads surface the logical name
+    * (readFiles applies the snapshot's mapping); writers keep using
+    * logical names (writeDataFiles renames to physical before staging,
+    * so every file on disk — before or after the rename — carries one
+    * consistent physical schema); stats, blooms and stored constraints
+    * stay keyed by physical name and keep pruning untouched; time
+    * travel shows each version under ITS OWN mapping; CDC reads the
+    * whole feed under the target version's mapping. Renaming back to
+    * the original physical name drops the mapping entry entirely.
+    *
+    * Validation is mapping-complete but schema-best-effort: collisions
+    * with mapped logical names and with every stats/bloom-known
+    * physical column are rejected; a plain data column the manifest
+    * has never recorded stats for cannot be checked without opening
+    * footers (documented, same trade Delta's mapping mode makes). */
+  def renameColumn(oldName: String, newName: String): Int = {
+    require(oldName != newName, s"rename $oldName onto itself?")
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name: $newName")
+    val base = snapshot()
+    require(base.version > 0, "rename on an empty table?")
+    val mappedPhysicals = base.colMap.values.toSet
+    // oldName must be a CURRENT logical column: either an active mapping's
+    // logical side, or a physical name not renamed away
+    require(base.colMap.contains(oldName) || !mappedPhysicals.contains(oldName),
+      s"$oldName is not a current column (renamed away; its physical name is reserved)")
+    // newName must be free: not an active logical, not a still-logical known physical
+    require(!base.colMap.contains(newName), s"column $newName already exists")
+    val knownPhysical = (statCols ++ bloomCols ++ base.files.flatMap(_.mins.keys)).toSet
+    require(!(knownPhysical.contains(newName) && !mappedPhysicals.contains(newName)),
+      s"column $newName already exists (physical)")
+    val p = base.colMap.getOrElse(oldName, oldName)
+    val newMap =
+      if (newName == p) base.colMap - oldName // renamed back: identity again
+      else (base.colMap - oldName) + (newName -> p)
+    try commitOnce(base, colMap = Some(newMap)) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"rename on $root lost the commit race; re-run")
     }
   }
 
@@ -969,7 +1057,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val base = snapshot()
     require(base.version > 0, "evolve an empty table?")
     require(cols.nonEmpty, "no columns to evolve")
-    val statAggs = count(lit(1)).as("__rows") +: flatStats(cols)
+    // the stats pass reads the RAW files, which carry PHYSICAL names
+    val pcols = cols.map(c => phys(base, c))
+    val statAggs = count(lit(1)).as("__rows") +: flatStats(pcols)
     val byFile = spark.read.option("mergeSchema", "true")
       .parquet(base.files.map(f => dataDir.resolve(f.path).toString): _*)
       .groupBy(input_file_name().as("__file"))
@@ -986,8 +1076,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       require(r.getAs[Long]("__rows") == f.rows,
         s"stats pass counted ${r.getAs[Long]("__rows")} rows in ${f.path}; manifest says ${f.rows}")
       f.copy(
-        mins = f.mins ++ cols.map(c => c -> r.getAs[Long](s"__min_$c")),
-        maxs = f.maxs ++ cols.map(c => c -> r.getAs[Long](s"__max_$c")))
+        mins = f.mins ++ pcols.map(c => c -> r.getAs[Long](s"__min_$c")),
+        maxs = f.maxs ++ pcols.map(c => c -> r.getAs[Long](s"__max_$c")))
     }
     try commitOnce(base) { _ => evolved }
     catch {
@@ -1060,7 +1150,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       dv = f.dv.map(d => dataDir.resolve(d).toAbsolutePath.toString)))
     val tmp = dst.logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderManifest(abs, Map.empty, snap.constraints).getBytes("UTF-8"))
+      renderManifest(abs, Map.empty, snap.constraints, snap.colMap).getBytes("UTF-8"))
     try Files.createLink(dst.logDir.resolve(manifestName(1)), tmp)
     finally { Files.deleteIfExists(tmp); () }
     dst
@@ -1148,7 +1238,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val needCkpt = retained.filter(_ < cutoff) ++ retained.find(_ >= cutoff).toSeq
     needCkpt.distinct.filterNot(ckpts.contains).foreach { v =>
       val s = snapshot(Some(v))
-      writeCheckpoint(v, s.files, s.txns, s.constraints)
+      writeCheckpoint(v, s.files, s.txns, s.constraints, s.colMap)
     }
     // SHALLOW-CLONE guard: entries borrowed from a clone source are
     // ABSOLUTE paths outside this table's data/ — vacuum reclaims only
@@ -1180,9 +1270,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * too — a merge whose missing-column NULLs would break a NOT NULL
     * check fails loudly instead of landing. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame): Seq[FileEntry] = {
-    val constraints = snapshot().constraints
+    val snap0 = snapshot()
+    val constraints = snap0.constraints
+    // staged files carry PHYSICAL names: rename is metadata-only, so the
+    // on-disk layer never changes — writers arrive logical and funnel here
+    val renames = snap0.colMap.filter { case (l, ph) => l != ph }
+    val dfPhys = if (renames.isEmpty) df else df.withColumnsRenamed(renames)
     val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-    df.write.parquet(stage.toString)
+    dfPhys.write.parquet(stage.toString)
     val violAggs = constraints.zipWithIndex.map { case (c, i) =>
       sum(when(!expr(c), lit(1L)).otherwise(lit(0L))).as(s"__viol_$i")
     }
@@ -1272,7 +1367,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * lose. Throws FileAlreadyExistsException if someone else committed
     * base+1 first. */
   private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty,
-      constraints: Option[Seq[String]] = None)(
+      constraints: Option[Seq[String]] = None,
+      colMap: Option[Map[String, String]] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
     val newFiles = next(base)
@@ -1285,13 +1381,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val removes = base.files.filterNot(newSet.contains).map(f => (f.path, f.dv))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderDelta(adds, removes, txns, constraints, clockMs()).getBytes("UTF-8"))
+      renderDelta(adds, removes, txns, constraints, clockMs(), colMap).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
     } finally Files.deleteIfExists(tmp)
     if (v % CheckpointInterval == 0)
       writeCheckpoint(v, newFiles, base.txns ++ txns,
-        constraints.getOrElse(base.constraints))
+        constraints.getOrElse(base.constraints),
+        colMap.getOrElse(base.colMap))
     v
   }
 
@@ -1300,9 +1397,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * writer's identical checkpoint wins ties), and losing it entirely
     * only means readers replay more deltas. */
   private def writeCheckpoint(v: Int, files: Seq[FileEntry],
-      txns: Map[String, Long], constraints: Seq[String]): Unit = {
+      txns: Map[String, Long], constraints: Seq[String],
+      colMap: Map[String, String] = Map.empty): Unit = {
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(files, txns, constraints).getBytes("UTF-8"))
+    Files.write(tmp, renderManifest(files, txns, constraints, colMap).getBytes("UTF-8"))
     try Files.createLink(logDir.resolve(ckptName(v)), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally { Files.deleteIfExists(tmp); () }
@@ -1447,10 +1545,13 @@ object TxTable {
       blooms: Map[String, Seq[Long]] = Map.empty)
 
   /** A version's full state: its file list, the per-stream exactly-once
-    * watermarks (appId → last committed micro-batch id), and the
-    * declared CHECK constraints every write must satisfy. */
+    * watermarks (appId → last committed micro-batch id), the declared
+    * CHECK constraints every write must satisfy, and the column mapping
+    * (logical name → physical parquet name; absent = identity) renames
+    * have accumulated. */
   final case class Snapshot(version: Int, files: Seq[FileEntry],
-      txns: Map[String, Long], constraints: Seq[String] = Nil)
+      txns: Map[String, Long], constraints: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty)
 
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
@@ -1500,7 +1601,8 @@ object TxTable {
   /** One parsed DELTA manifest: what a single commit changed. */
   private final case class DeltaRecord(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
-      constraints: Option[Seq[String]])
+      constraints: Option[Seq[String]],
+      colMap: Option[Map[String, String]])
 
   /** Manifest line format (tab-separated): `txn <appId> <batchId>` lines
     * carry the per-stream exactly-once watermarks, `file <path> <rows>
@@ -1516,25 +1618,29 @@ object TxTable {
     * the set (the marker distinguishes "unchanged" from "replaced with
     * empty"). */
   private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long],
-      constraints: Seq[String]): String = {
+      constraints: Seq[String], colMap: Map[String, String] = Map.empty): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.map(c => s"constraint\t$c")
+    val mapLines = colMap.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" }
     val fileLines = files.map(f => fileLine("file", f))
-    ("graft-txlog\t1" +: (txnLines ++ conLines ++ fileLines)).mkString("\n")
+    ("graft-txlog\t1" +: (txnLines ++ conLines ++ mapLines ++ fileLines)).mkString("\n")
   }
 
   private def renderDelta(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
-      constraints: Option[Seq[String]], commitMs: Long): String = {
+      constraints: Option[Seq[String]], commitMs: Long,
+      colMap: Option[Map[String, String]] = None): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.toSeq.flatMap(cs =>
       "setconstraints" +: cs.map(c => s"constraint\t$c"))
+    val mapLines = colMap.toSeq.flatMap(m =>
+      "setcolmap" +: m.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" })
     val rmLines = removes.map { case (p, dv) => s"remove\t$p\t${dv.getOrElse("-")}" }
     val addLines = adds.map(f => fileLine("add", f))
     (Seq("graft-txlog\t2\tdelta", s"commitms\t$commitMs") ++
-      (txnLines ++ conLines ++ rmLines ++ addLines))
+      (txnLines ++ conLines ++ mapLines ++ rmLines ++ addLines))
       .mkString("\n")
   }
 
@@ -1567,7 +1673,7 @@ object TxTable {
 
   /** Parse a FULL (v1/checkpoint) manifest; rejects deltas. */
   private def parseManifest(lines: java.util.List[String])
-      : (Seq[FileEntry], Map[String, Long], Seq[String]) =
+      : (Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String]) =
     parseAnyManifest(lines) match {
       case Left(full) => full
       case Right(_) => throw new IllegalArgumentException(
@@ -1576,7 +1682,7 @@ object TxTable {
 
   /** Parse either format: Left(full state) or Right(one commit's delta). */
   private def parseAnyManifest(lines: java.util.List[String])
-      : Either[(Seq[FileEntry], Map[String, Long], Seq[String]), DeltaRecord] = {
+      : Either[(Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String]), DeltaRecord] = {
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq
     val header = all.headOption.getOrElse("")
@@ -1589,6 +1695,10 @@ object TxTable {
     }.toMap
     val constraintLines = body.filter(_.startsWith("constraint\t"))
       .map(_.stripPrefix("constraint\t"))
+    val colMapEntries = body.filter(_.startsWith("colmap\t")).map { line =>
+      val Array(_, l, p) = line.split("\t")
+      l -> p
+    }.toMap
     if (isDelta) {
       val removes = body.filter(_.startsWith("remove\t")).map { line =>
         val Array(_, p, dv) = line.split("\t")
@@ -1597,17 +1707,18 @@ object TxTable {
       val adds = body.filter(_.startsWith("add\t"))
         .map(l => parseFileLine(l.split("\t")))
       val setCons = if (body.contains("setconstraints")) Some(constraintLines) else None
-      Right(DeltaRecord(adds, removes, txns, setCons))
+      val setMap = if (body.contains("setcolmap")) Some(colMapEntries) else None
+      Right(DeltaRecord(adds, removes, txns, setCons, setMap))
     } else {
       val files = body
         .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t") ||
-          l.startsWith("commitms\t"))
+          l.startsWith("colmap\t") || l.startsWith("commitms\t"))
         .map { line =>
           val parts = line.split("\t")
           require(parts(0) == "file", s"bad manifest line: $line")
           parseFileLine(parts)
         }
-      Left((files, txns, constraintLines))
+      Left((files, txns, constraintLines, colMapEntries))
     }
   }
 }

@@ -279,4 +279,74 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("TxTable random histories WITH RENAMES == model at every version") {
+    // The column-mapping extension of the model test: random renames of
+    // BOTH the value column and the stat/key column interleave with
+    // append / delete / merge / restore. The model carries the logical
+    // names per version; every data op always speaks the CURRENT logical
+    // names (the user contract), and every historical version must read
+    // back under the names it had THEN. Restore restores data, not
+    // naming (Delta's rule) — the model encodes that by recording the
+    // current names with the restored state.
+    import graft.tables.TxTable
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val t = new TxTable(
+        java.nio.file.Files.createTempDirectory("graft_randren").toString, Seq("k"))
+      var kName = "k"
+      var vName = "v"
+      def df(rows: Map[Long, Long]) =
+        rows.toSeq.toDF(kName, vName).repartition(1 + rnd.nextInt(3))
+      var model = Map.empty[Long, Long]
+      var nextKey = 0L
+      def freshKeys(n: Int): Seq[Long] = {
+        val ks = nextKey until (nextKey + n); nextKey += n; ks
+      }
+      val states = scala.collection.mutable.ArrayBuffer[(Int, Map[Long, Long], String, String)]()
+      var gen = 0L
+      for (_ <- 1 to 10) {
+        gen += 1
+        val op = if (t.currentVersion == 0) 0 else rnd.nextInt(6)
+        val v = op match {
+          case 0 =>
+            val add = freshKeys(1 + rnd.nextInt(15)).map(k => k -> (k * 10 + gen)).toMap
+            model = model ++ add
+            t.append(spark, df(add))
+          case 1 =>
+            val lo = rnd.nextLong(nextKey max 1); val hi = lo + rnd.nextInt(12)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            t.delete(spark, kName, lo, hi).version
+          case 2 =>
+            val upd = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(8)
+              .map(k => k -> (k * 10 + gen)).toMap
+            val ins = freshKeys(rnd.nextInt(4)).map(k => k -> (k * 10 + gen)).toMap
+            val src = upd ++ ins
+            if (src.isEmpty) t.currentVersion
+            else { model = model ++ src; t.merge(spark, df(src), kName).version }
+          case 3 => // rename the value column (flip between v and amount)
+            val to = if (vName == "v") "amount" else "v"
+            val nv = t.renameColumn(vName, to); vName = to; nv
+          case 4 => // rename the stat/key column (flip between k and id)
+            val to = if (kName == "k") "id" else "k"
+            val nv = t.renameColumn(kName, to); kName = to; nv
+          case 5 =>
+            val (rv, rm, _, _) = states(rnd.nextInt(states.size))
+            model = rm
+            t.restore(rv)
+        }
+        states += ((v, model, kName, vName))
+      }
+      states.foreach { case (v, m, kn, vn) =>
+        if (m.isEmpty)
+          intercept[IllegalStateException](t.read(spark, Some(v)))
+        else {
+          val got = t.read(spark, Some(v)).select(kn, vn)
+            .as[(Long, Long)].collect().toMap
+          assert(got == m, s"trial=$trial version=$v ($kn/$vn)")
+        }
+      }
+    }
+  }
 }
