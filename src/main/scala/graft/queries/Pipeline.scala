@@ -94,9 +94,52 @@ object Pipeline {
       .orderBy(col("bucket_top"))
   }
 
+  /** TEMPERATURE-scaled mixture sampling — [[q_mix_domains]] with the
+    * acceptance rates DERIVED from the corpus instead of handed in: each
+    * language keeps rate (w_d / w_max)^(1/2), where w_d is the language's
+    * character mass — the α=0.5 temperature flattening every multilingual
+    * corpus build runs so low-resource languages are upsampled relative
+    * to their raw share (rate 1.0 for the heaviest language, √-scaled
+    * below it). Two map-combinable passes: a column-pruned (lang,
+    * n_chars) scan builds the per-language weights (|langs| rows →
+    * broadcast), then the keep pass applies the same deterministic
+    * md5-bucket rule as every sampler in this engine — the kept set is
+    * stable across runs, engines, and partitionings. The √ stays exact
+    * across engines: both compute the identical IEEE double expression
+    * floor(65536·sqrt(w/w_max)), so the cut is the same integer on both
+    * sides of the oracle. At 100 TB the weights frame is KBs and the
+    * document scan never shuffles — only the |langs|-row audit does. */
+  def q_mix_temperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("lang"), col("n_chars"),
+      expr("CAST(conv(substring(md5(concat('temp:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+        .as("bucket"))
+    val w = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+    val wmax = w.agg(max(col("w")).as("wmax"))
+    val rates = w.crossJoin(broadcast(wmax)) // |langs| × 1 row: never data-sized
+      .select(col("lang").as("lang_r"),
+        floor(lit(65536.0) * sqrt(col("w").cast("double") / col("wmax").cast("double")))
+          .cast("long").as("cut"))
+    d.join(broadcast(rates), col("lang") === col("lang_r"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("bucket") < col("cut"), 1L).otherwise(0L)).as("kept"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("bucket") < col("cut"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        max(col("cut")).as("cut"))
+      .select(col("lang"), col("total"), col("kept"), col("total_chars"),
+        col("kept_chars"),
+        floor(lit(10000.0) * col("cut") / lit(65536.0)).cast("long").as("target_bp"),
+        floor(lit(10000.0) * col("kept") / col("total")).cast("long").as("realized_bp"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shuffle_global" -> q_shuffle_global _,
     "q_mix_domains" -> q_mix_domains _,
+    "q_mix_temperature" -> q_mix_temperature _,
     "q_len_buckets" -> q_len_buckets _,
   )
 
@@ -123,6 +166,26 @@ object Pipeline {
         |SELECT lang, total, kept, kept_chars,
         |  CAST(floor(10000.0 * kept / total) AS BIGINT) AS realized_bp,
         |  CAST(floor(10000.0 * rate / 65536.0) AS BIGINT) AS target_bp
+        |FROM a ORDER BY lang""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('temp:', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS bucket
+        |  FROM documents),
+        |w AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w FROM d GROUP BY lang),
+        |m AS (SELECT max(w) AS wmax FROM w),
+        |r AS (SELECT lang, CAST(floor(65536.0 * sqrt(CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))) AS BIGINT) AS cut
+        |  FROM w, m),
+        |a AS (
+        |  SELECT d.lang AS lang, count(*) AS total,
+        |    CAST(sum(CASE WHEN bucket < cut THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN bucket < cut THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |    CAST(max(cut) AS BIGINT) AS cut
+        |  FROM d JOIN r ON d.lang = r.lang GROUP BY d.lang)
+        |SELECT lang, total, kept, total_chars, kept_chars,
+        |  CAST(floor(10000.0 * cut / 65536.0) AS BIGINT) AS target_bp,
+        |  CAST(floor(10000.0 * kept / total) AS BIGINT) AS realized_bp
         |FROM a ORDER BY lang""".stripMargin,
     "q_len_buckets" ->
       """WITH b AS (
