@@ -658,7 +658,21 @@ object LlmExt {
     * (query, candidate). At 100 TB: same plan with the codebook trained
     * on a sample; compose with IVF's cell filter for the full IVFPQ. */
   def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
+    pqAdcScores(Tables.embeddings(spark, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** The PQ/ADC scored candidate frame — (a_id, b_id, adc) for every
+    * (query, candidate) pair, query = vec_id < 10 — shared by
+    * [[q_ann_pq]] (ADC ranks ARE the answer) and
+    * [[graft.queries.Retrieval.q_ann_refine]] (ADC ranks make the
+    * shortlist; exact cosine re-ranks it). Recipe documented at
+    * [[q_ann_pq]]. */
+  private[queries] def pqAdcScores(e: DataFrame): DataFrame = {
     val dims = e
       .select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -682,16 +696,11 @@ object LlmExt {
     val lut = sdist.filter(col("vec_id") < 10)
       .select(col("vec_id").as("a_id"), col("sub").as("lsub"),
         col("label"), col("dist").as("qdist"))
-    val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
     enc.join(broadcast(lut),
         col("sub") === col("lsub") && col("code") === col("label") &&
           col("b_id") =!= col("a_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(sum(col("qdist")).as("adc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
-      .orderBy(col("a_id"), col("rn"))
   }
 
   /** IVFPQ — the composed FAISS serving shape (Jégou et al. 2011, §V:

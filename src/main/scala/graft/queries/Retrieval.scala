@@ -173,11 +173,48 @@ object Retrieval {
       .orderBy(col("a_id"))
   }
 
+  /** PQ shortlist + EXACT re-rank — the two-stage retrieval serve path
+    * (FAISS's refine / IndexRefineFlat step, Jégou et al. 2011 §VI):
+    * [[graft.queries.LlmExt.q_ann_pq]]'s compressed-domain ADC ranking
+    * produces a per-query shortlist of 10 (over-fetch: 3.3× the final
+    * k), then ONLY those candidates pay an exact-vector cosine, and the
+    * top-3 by exact similarity is the answer. This is the tier that
+    * turns a 32×-compressed index into near-exact results: ADC recall
+    * loss lives almost entirely inside the shortlist ordering, which
+    * the refine step repairs at O(probes · shortlist) exact distances —
+    * never a corpus-sized exact pass. `pq_rank` is kept in the output
+    * precisely to exhibit the repair (rows where rn ≠ pq_rank are the
+    * re-ranked ones). At 100 TB: the ADC stage scans the coded corpus
+    * (map-side broadcast-LUT join), the refine joins a ≤100-row
+    * broadcast shortlist against the exact vectors — one equi
+    * broadcast-probe scan, no shuffle grows with the corpus. */
+  def q_ann_refine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val wS = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
+    val short = LlmExt.pqAdcScores(e)
+      .withColumn("rs", row_number().over(wS)).filter(col("rs") <= 10)
+      .select(col("a_id"), col("b_id"), col("rs"))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qa"), col("embedding").as("va"))
+    val cv = e.select(col("vec_id").as("qb"), col("embedding").as("vb"))
+    val wR = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
+    broadcast(short.join(broadcast(qv), col("a_id") === col("qa")))
+      .join(cv, col("b_id") === col("qb"))
+      .select(col("a_id"), col("b_id"), col("rs"),
+        floor(lit(10000.0) * expr("float_dot(va, vb)")).as("sim_bp"))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("rs").cast("int").as("pq_rank"),
+        col("sim_bp"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rag_hybrid" -> q_rag_hybrid _,
     "q_drift_ks" -> q_drift_ks _,
     "q_drift_tvd" -> q_drift_tvd _,
     "q_ann_recall" -> q_ann_recall _,
+    "q_ann_refine" -> q_ann_refine _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -242,6 +279,45 @@ object Retrieval {
         |FROM (SELECT vec_id AS a_id FROM embeddings WHERE vec_id < 10) p
         |LEFT JOIN h ON p.a_id = h.a_id
         |ORDER BY p.a_id""".stripMargin,
+    "q_ann_refine" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    (ord - 1) // 8 AS sub, (ord - 1) % 8 AS dim,
+        |    CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+        |cb AS (
+        |  SELECT sub, label, dim, CAST(floor(sum(qv) / count(*)) AS BIGINT) AS c
+        |  FROM dims GROUP BY sub, label, dim),
+        |sdist AS (
+        |  SELECT d.vec_id, d.sub, cb.label,
+        |    CAST(sum((d.qv - cb.c) * (d.qv - cb.c)) AS BIGINT) AS dist
+        |  FROM dims d JOIN cb ON d.sub = cb.sub AND d.dim = cb.dim
+        |  GROUP BY d.vec_id, d.sub, cb.label),
+        |enc AS (
+        |  SELECT vec_id AS b_id, sub, min(dist * 16 + label) % 16 AS code
+        |  FROM sdist GROUP BY vec_id, sub),
+        |lut AS (
+        |  SELECT vec_id AS a_id, sub, label, dist AS qdist
+        |  FROM sdist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
+        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.label
+        |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id),
+        |short AS (SELECT a_id, b_id, rs FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY adc, b_id) AS INT) AS rs
+        |  FROM adc) WHERE rs <= 10),
+        |r AS (
+        |  SELECT s.a_id, s.b_id, s.rs,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(qa.embedding, qb.embedding),
+        |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM short s JOIN embeddings qa ON s.a_id = qa.vec_id
+        |               JOIN embeddings qb ON s.b_id = qb.vec_id)
+        |SELECT a_id, b_id, pq_rank, sim_bp, rn FROM (
+        |  SELECT a_id, b_id, rs AS pq_rank, sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
+        |  FROM r) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
     "q_drift_ks" ->
       """WITH g AS (
         |  SELECT CAST(floor("value" * 10000.0) AS BIGINT) AS v_u,
