@@ -139,6 +139,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("q_ann_refine: exact re-rank joins a broadcast shortlist, never the corpus") {
+    // Two-stage serve contract: the refine step's exact-cosine pass must
+    // probe the corpus with the BROADCAST shortlist (≤ probes×10 rows) —
+    // a shuffled or cartesian exact pass would pay the corpus-sized exact
+    // scoring the PQ stage exists to avoid.
+    val plan = executedPlan("q_ann_refine")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast refine join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs exact pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine must not shuffle the corpus against the shortlist:\n$plan")
+  }
+
+  test("q_mix_temperature: derived rates broadcast; audit aggregation stays two-phase") {
+    // The weights/rates frames are |langs|-row: they must reach the keep
+    // pass as broadcasts (a shuffled rate join would re-partition the
+    // corpus scan), and the audit agg must keep its map-side partial.
+    val plan = executedPlan("q_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$plan")
+    assert("partial_count|partial_sum".r.findFirstIn(plan).isDefined ||
+      plan.contains("HashAggregate"), s"no partial agg phase:\n$plan")
+  }
+
   test("q_agg_salted: both phases keep map-side partial aggregation") {
     // four HashAggregates (partial+final per phase): the salted phase
     // shuffles on (key, salt) and the re-aggregation on key alone — the
