@@ -209,8 +209,43 @@ object Retrieval {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Hellinger drift — the third member of the drift family next to
+    * [[q_drift_ks]] (CDF-domain) and [[q_drift_tvd]] (L1): the
+    * Bhattacharyya-coefficient distance H² = 1 − Σ_bins √(p_i·q_i),
+    * bounded, symmetric, and more sensitive than TVD to mass moving
+    * into near-empty bins — the property monitoring cares about when a
+    * new failure mode APPEARS rather than an existing one growing. The
+    * engine's determinism discipline picks Hellinger over the
+    * industry's PSI deliberately: PSI needs ln (not correctly rounded,
+    * engines may differ in the last ulp → floor flips), while √ IS
+    * IEEE-correctly-rounded everywhere, so per-bin
+    * floor(10⁴·√(p_i·q_i)) is bit-identical across engines and the bin
+    * sum is exact BIGINT arithmetic — order-independent, unlike a
+    * double Σ. Same two-phase shape as TVD: one map-combinable bin agg
+    * over the full stream, one broadcast totals row, O(bins) finish. */
+  def q_drift_hellinger(spark: SparkSession, dir: String): DataFrame = {
+    val wk = expr("weekday(ts)") // 0=Mon … 6=Sun
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), when(wk >= 5, 1L).otherwise(0L).as("is_we"))
+      .groupBy(col("event_type")).agg(
+        sum(lit(1L) - col("is_we")).as("a"),
+        sum(col("is_we")).as("b"))
+      .persist() // bins + totals share the scan
+    val tot = g.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    g.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        floor(lit(10000.0) * sqrt(
+          (col("a").cast("double") / col("na").cast("double")) *
+            (col("b").cast("double") / col("nb").cast("double")))).as("bc_bp"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("bc_bp")).as("bc_sum_bp"))
+      .select(col("na"), col("nb"), col("bc_sum_bp"),
+        (lit(10000L) - col("bc_sum_bp")).as("hell_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rag_hybrid" -> q_rag_hybrid _,
+    "q_drift_hellinger" -> q_drift_hellinger _,
     "q_drift_ks" -> q_drift_ks _,
     "q_drift_tvd" -> q_drift_tvd _,
     "q_ann_recall" -> q_ann_recall _,
@@ -248,6 +283,21 @@ object Retrieval {
         |  max(CASE WHEN side = 'd' THEN rk ELSE 0 END) AS r_dense,
         |  CAST(sum(CAST(floor(10000.0 / (60 + rk)) AS BIGINT)) AS BIGINT) AS rrf_bp
         |FROM u GROUP BY id ORDER BY rrf_bp DESC, id LIMIT 10""".stripMargin,
+    "q_drift_hellinger" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM g),
+        |d AS (SELECT t.na, t.nb,
+        |    CAST(floor(10000.0 * sqrt((CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)))) AS BIGINT) AS bc_bp
+        |  FROM g CROSS JOIN t)
+        |SELECT max(na) AS na, max(nb) AS nb,
+        |  CAST(sum(bc_bp) AS BIGINT) AS bc_sum_bp,
+        |  10000 - CAST(sum(bc_bp) AS BIGINT) AS hell_bp
+        |FROM d""".stripMargin,
     "q_drift_tvd" ->
       """WITH g AS (
         |  SELECT event_type,
