@@ -210,7 +210,47 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** Trigram-index LIKE acceleration (the pg_trgm / Lucene-wildcard
+    * recipe): substring patterns answered from an inverted TRIGRAM
+    * posting list instead of a full-corpus `contains` scan. A doc is a
+    * candidate for pattern p iff it holds EVERY trigram of p (necessary
+    * condition — trigrams of any occurrence of p are trigrams of the
+    * doc), so the query side is |grams(p)| posting-list fetches → a
+    * count-match filter → exact `contains` confirm on candidates ONLY.
+    * This is the substring face the token inverted index
+    * (q_index_posting) cannot serve: the gate's patterns all CROSS word
+    * boundaries. Output per pattern: candidate count vs confirmed count
+    * — the index's false-positive rate, the number that decides n-gram
+    * size in production. At 100 TB the postings are a build-once index
+    * table; a query touches |grams(p)| posting lists by equi join
+    * (never the corpus), and the confirm probes only candidates with
+    * the pattern dimension broadcast end to end. */
+  def q_like_trgm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pats = Seq("fast merge", "table key", "vector scan")
+    val docs = Tables.documents(spark, dir)
+    def trigrams(c: String) =
+      s"array_distinct(transform(sequence(1, length($c) - 2), i -> substring($c, i, 3)))"
+    val grams = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(trigrams("text"))).as("gram"))
+    val pg = pats.toDF("pat")
+      .select(col("pat"), explode(expr(trigrams("pat"))).as("gram"))
+    val need = pg.groupBy(col("pat")).agg(count(lit(1)).as("n_need"))
+    val cand = grams.join(broadcast(pg), "gram")
+      .groupBy(col("doc_id"), col("pat"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(need), "pat")
+      .filter(col("n_hit") === col("n_need"))
+      .select(col("doc_id"), col("pat"))
+    cand.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("pat"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(expr("contains(text, pat)"), 1L).otherwise(0L)).as("n_matches"))
+      .orderBy(col("pat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_like_trgm" -> q_like_trgm _,
     "q_log_parse" -> q_log_parse _,
     "q_mm_frames" -> q_mm_frames _,
     "q_sample_bottomk" -> q_sample_bottomk _,
@@ -229,6 +269,25 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_like_trgm" ->
+      """WITH pats AS (SELECT unnest(['fast merge', 'table key', 'vector scan']) AS pat),
+        |pg AS (SELECT DISTINCT pat, g AS gram FROM (
+        |  SELECT pat, unnest(list_transform(range(1, len(pat) - 1), i -> substr(pat, i, 3))) AS g
+        |  FROM pats)),
+        |need AS (SELECT pat, count(*) AS n_need FROM pg GROUP BY pat),
+        |grams AS (SELECT DISTINCT doc_id, g AS gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))) AS g
+        |  FROM documents WHERE len(text) >= 3)),
+        |cand AS (
+        |  SELECT g.doc_id, p.pat, count(*) AS n_hit
+        |  FROM grams g JOIN pg p ON g.gram = p.gram
+        |  GROUP BY g.doc_id, p.pat),
+        |c2 AS (SELECT c.doc_id, c.pat FROM cand c
+        |       JOIN need n ON c.pat = n.pat AND c.n_hit = n.n_need)
+        |SELECT c2.pat AS pat, count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN contains(d.text, c2.pat) THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        |FROM c2 JOIN documents d ON c2.doc_id = d.doc_id
+        |GROUP BY c2.pat ORDER BY c2.pat""".stripMargin,
     "q_log_parse" ->
       """WITH lines AS (
         |  SELECT event_id,
