@@ -231,8 +231,18 @@ object Analytics7 {
     val docs = Tables.documents(spark, dir)
     def trigrams(c: String) =
       s"array_distinct(transform(sequence(1, length($c) - 2), i -> substring($c, i, 3)))"
-    val grams = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(trigrams("text"))).as("gram"))
+    // The gate fuses index build + query, so the posting build prunes to
+    // the QUERIED gram set: per doc, membership of each of the patterns'
+    // |grams| trigrams is a codegen'd `contains` byte-search (zero
+    // per-position allocation — the materialize-every-trigram formulation
+    // spent its whole budget allocating 300 three-char strings per doc),
+    // and only the present ones explode. Identical (doc, gram) pairs to a
+    // posting-list fetch restricted to the query's grams. A persistent
+    // index (the 100 TB shape) builds unpruned once and every query
+    // touches just its grams' posting lists.
+    val needed = array(pats.flatMap(_.sliding(3)).distinct.map(lit): _*)
+    val grams = docs.select(col("doc_id"),
+      explode(filter(needed, g => contains(col("text"), g))).as("gram"))
     val pg = pats.toDF("pat")
       .select(col("pat"), explode(expr(trigrams("pat"))).as("gram"))
     val need = pg.groupBy(col("pat")).agg(count(lit(1)).as("n_need"))
