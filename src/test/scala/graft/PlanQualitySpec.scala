@@ -162,6 +162,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       plan.contains("HashAggregate"), s"no partial agg phase:\n$plan")
   }
 
+  test("q_like_trgm: pattern dims broadcast end to end; corpus never shuffles for candidates") {
+    // Index-query contract: the gram→pattern mapping and the count-match
+    // dim are tiny — they must broadcast; a shuffled join would
+    // re-partition the corpus-sized posting frame per query.
+    val plan = executedPlan("q_like_trgm")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"pattern dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs:\n$plan")
+  }
+
   test("q_agg_salted: both phases keep map-side partial aggregation") {
     // four HashAggregates (partial+final per phase): the salted phase
     // shuffles on (key, salt) and the re-aggregation on key alone — the
