@@ -225,10 +225,18 @@ object Analytics7 {
     * table; a query touches |grams(p)| posting lists by equi join
     * (never the corpus), and the confirm probes only candidates with
     * the pattern dimension broadcast end to end. */
-  def q_like_trgm(spark: SparkSession, dir: String): DataFrame = {
+  def q_like_trgm(spark: SparkSession, dir: String): DataFrame =
+    trgmSearch(spark, Tables.documents(spark, dir),
+      Seq("fast merge", "table key", "vector scan"))
+
+  /** The trigram search pipeline behind [[q_like_trgm]], on any
+    * (doc_id, text) frame — exposed so the randomized differential spec
+    * can pin the necessary-condition soundness (every true substring
+    * match IS a candidate) and the confirm counts against brute force
+    * on arbitrary corpora. */
+  private[graft] def trgmSearch(spark: SparkSession, docs: DataFrame,
+      pats: Seq[String]): DataFrame = {
     import spark.implicits._
-    val pats = Seq("fast merge", "table key", "vector scan")
-    val docs = Tables.documents(spark, dir)
     def trigrams(c: String) =
       s"array_distinct(transform(sequence(1, length($c) - 2), i -> substring($c, i, 3)))"
     // The gate fuses index build + query, so the posting build prunes to

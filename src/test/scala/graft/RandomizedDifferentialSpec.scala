@@ -24,6 +24,31 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
     (0 until n).map(v => v.toLong -> find(v).toLong).toMap
   }
 
+  test("trigram search == brute-force substring scan on random corpora") {
+    // Soundness of the necessary-condition index: for every pattern,
+    // n_matches must equal the brute-force count (a missed candidate
+    // would under-count — the one failure mode the trigram recipe must
+    // never have), and n_candidates >= n_matches with equality allowed.
+    // Small alphabet forces heavy gram collisions (real false-positive
+    // pressure); doc lengths straddle the |pattern| and 3-char edges.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val alpha = "abc"
+      def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val docs = (0 until 120).map(i => (i.toLong, randStr(rnd.nextInt(30)))) // incl. len<3
+      val pats = Seq(randStr(3), randStr(4), randStr(6)).distinct
+      val got = queries.Analytics7
+        .trgmSearch(spark, docs.toDF("doc_id", "text"), pats)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      pats.foreach { p =>
+        val truth = docs.count(_._2.contains(p)).toLong
+        val (nc, nm) = got.getOrElse(p, (0L, 0L))
+        assert(nm == truth, s"trial $trial pat '$p': confirmed $nm != brute $truth")
+        assert(nc >= nm, s"trial $trial pat '$p': candidates $nc < confirmed $nm")
+      }
+    }
+  }
+
   test("Morton interleave == reference bit-interleave on random 16-bit pairs") {
     def refMorton(x: Long, y: Long): Long =
       (0 until 16).map { k =>
