@@ -267,7 +267,45 @@ object Analytics7 {
       .orderBy(col("pat"))
   }
 
+  /** TOP-TALKER DRIFT — the monitoring report behind "who's new in the
+    * top 10": all-time heavy hitters by total value vs the RECENT half
+    * of the stream (epoch-ms midpoint, exact BIGINT both engines),
+    * full-outer-joined into entered / dropped / stayed status with the
+    * rank delta. Each side is a TakeOrderedAndProject top-10
+    * (per-partition heaps, never a global sort or data-sized window),
+    * ranks derive on the 10-row frame (Q.rankTopK), and everything
+    * after the two TOAPs runs on ≤ 20 rows — at 100 TB the cost is two
+    * map-combinable aggregation scans, full stop. Sums ride the
+    * decimal-cents recipe so the top-10 cut is engine-exact; the
+    * recency predicate is `2·ms ≥ lo+hi` (integer, no division). */
+  def q_topk_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev0 = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
+    val bounds = ev0.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+    val ev = ev0.crossJoin(broadcast(bounds)) // 1-row bounds frame
+    def side(cond: org.apache.spark.sql.Column, vname: String, rname: String) = {
+      val t = ev.filter(cond).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("vdec"))
+        .orderBy(col("vdec").desc, col("user_id")).limit(10)
+      graft.queries.Q.rankTopK(t, "vdec", "user_id")
+        .select(col("user_id"), col("vdec").cast("double").as(vname),
+          col("rk").as(rname))
+    }
+    side(lit(true), "v_all", "rk_all")
+      .join(side(col("ms") * 2 >= col("lo") + col("hi"), "v_recent", "rk_recent"),
+        Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("rk_all").isNull, lit("entered"))
+          .when(col("rk_recent").isNull, lit("dropped"))
+          .otherwise(lit("stayed")))
+      .withColumn("rank_delta", (col("rk_all") - col("rk_recent")).cast("int"))
+      .select(col("user_id"), col("v_all"), col("rk_all"), col("v_recent"),
+        col("rk_recent"), col("status"), col("rank_delta"))
+      .orderBy(coalesce(col("rk_recent"), lit(99)), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_drift" -> q_topk_drift _,
     "q_like_trgm" -> q_like_trgm _,
     "q_log_parse" -> q_log_parse _,
     "q_mm_frames" -> q_mm_frames _,
@@ -287,6 +325,26 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_topk_drift" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |al AS (
+        |  SELECT user_id, CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS vdec
+        |  FROM events GROUP BY 1
+        |  ORDER BY vdec DESC, user_id LIMIT 10),
+        |alr AS (SELECT user_id, CAST(vdec AS DOUBLE) AS v_all,
+        |  CAST(row_number() OVER (ORDER BY vdec DESC, user_id) AS INT) AS rk_all FROM al),
+        |re AS (
+        |  SELECT user_id, CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS vdec
+        |  FROM events, b WHERE epoch_ms(ts) * 2 >= lo + hi GROUP BY 1
+        |  ORDER BY vdec DESC, user_id LIMIT 10),
+        |rer AS (SELECT user_id, CAST(vdec AS DOUBLE) AS v_recent,
+        |  CAST(row_number() OVER (ORDER BY vdec DESC, user_id) AS INT) AS rk_recent FROM re)
+        |SELECT coalesce(alr.user_id, rer.user_id) AS user_id, v_all, rk_all, v_recent, rk_recent,
+        |  CASE WHEN rk_all IS NULL THEN 'entered'
+        |       WHEN rk_recent IS NULL THEN 'dropped' ELSE 'stayed' END AS status,
+        |  CAST(rk_all - rk_recent AS INT) AS rank_delta
+        |FROM alr FULL OUTER JOIN rer ON alr.user_id = rer.user_id
+        |ORDER BY coalesce(rk_recent, 99), coalesce(alr.user_id, rer.user_id)""".stripMargin,
     "q_like_trgm" ->
       """WITH pats AS (SELECT unnest(['fast merge', 'table key', 'vector scan']) AS pat),
         |pg AS (SELECT DISTINCT pat, g AS gram FROM (
