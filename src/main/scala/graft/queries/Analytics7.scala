@@ -304,7 +304,45 @@ object Analytics7 {
       .orderBy(coalesce(col("rk_recent"), lit(99)), col("user_id"))
   }
 
+  /** CIDR PREFIX ROLLUP — the flow-aggregation staple of a network
+    * monitor: dotted-quad source addresses parsed to 32-bit ints
+    * (split → octet ints → shifts), masked to their /16 and /24
+    * prefixes (pure integer div/mul — the netmask AND), and the
+    * traffic aggregated per /16 with its distinct-/24 fan-out — "which
+    * networks send the most, and how spread inside each". Addresses
+    * derive deterministically from event fields (same concat on both
+    * engines), so the operator under test is the PARSE + MASK + ROLLUP
+    * chain, all codegen'd integer arithmetic. Top-10 /16s plan
+    * TakeOrderedAndProject; the aggregate is map-combinable; at 100 TB
+    * this is one scan + one two-phase agg — the shape per-prefix
+    * traffic accounting must have. */
+  def q_ip_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("ip", concat_ws(".",
+        lit(10), pmod(col("user_id"), lit(200)),
+        pmod(col("event_id"), lit(251)), pmod(col("event_id") * 7, lit(256))))
+    val oct = split(col("ip"), "\\.")
+    val parsed = ev.withColumn("ip_int",
+      oct.getItem(0).cast("long") * lit(16777216L) +
+        oct.getItem(1).cast("long") * lit(65536L) +
+        oct.getItem(2).cast("long") * lit(256L) + oct.getItem(3).cast("long"))
+    parsed
+      .withColumn("p16", expr("(ip_int div 65536) * 65536"))
+      .withColumn("p24", expr("(ip_int div 256) * 256"))
+      .groupBy(col("p16"))
+      .agg(count(lit(1)).as("n_flows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("p24")).as("n_24s"))
+      .withColumn("prefix", concat_ws(".",
+        expr("p16 div 16777216"), expr("pmod(p16 div 65536, 256)")))
+      .select(col("prefix"), col("p16"), col("n_flows"), col("v_sum"), col("n_24s"))
+      .orderBy(col("n_flows").desc, col("p16"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ip_rollup" -> q_ip_rollup _,
     "q_topk_drift" -> q_topk_drift _,
     "q_like_trgm" -> q_like_trgm _,
     "q_log_parse" -> q_log_parse _,
@@ -325,6 +363,26 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ip_rollup" ->
+      """WITH ips AS (
+        |  SELECT event_id, user_id, "value",
+        |    concat(10, '.', user_id % 200, '.', event_id % 251, '.', (event_id * 7) % 256) AS ip
+        |  FROM events),
+        |p AS (
+        |  SELECT "value",
+        |    (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+        |     CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+        |     CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+        |     CAST(string_split(ip, '.')[4] AS BIGINT)) AS ip_int
+        |  FROM ips),
+        |g AS (
+        |  SELECT (ip_int // 65536) * 65536 AS p16, count(*) AS n_flows,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |    count(DISTINCT (ip_int // 256) * 256) AS n_24s
+        |  FROM p GROUP BY 1)
+        |SELECT concat(p16 // 16777216, '.', (p16 // 65536) % 256) AS prefix,
+        |  p16, n_flows, v_sum, n_24s
+        |FROM g ORDER BY n_flows DESC, p16 LIMIT 10""".stripMargin,
     "q_topk_drift" ->
       """WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
         |al AS (
