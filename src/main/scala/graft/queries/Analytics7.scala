@@ -341,7 +341,37 @@ object Analytics7 {
       .limit(10)
   }
 
+  /** MAD OUTLIERS — robust anomaly detection: per event type, the
+    * median absolute deviation replaces [[Analytics.q_anomaly_zscore]]'s
+    * mean/stddev, so a burst of anomalies cannot drag the baseline
+    * toward itself (breakdown point 50% vs 0%). Values quantize to
+    * integer cents (one shared double floor, identical both engines);
+    * the two medians are EXACT percentile aggregates whose state is a
+    * value→count map — bounded by the DISTINCT cent values per group,
+    * not rows, so the agg stays map-combinable at 100 TB for any
+    * bounded-domain metric (unbounded domains take the KLL path,
+    * q_agg_quantile_approx). Interpolated medians of ints are dyadic
+    * (x.0/x.5), deviations and 3×MAD stay dyadic, so every comparison
+    * is bit-exact across engines. Flag rule: |x − med| > 3·MAD. */
+  def q_anomaly_mad(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(spark, dir).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val m = c.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val d = c.join(broadcast(m), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val m2 = d.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    d.join(broadcast(m2), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad" -> q_anomaly_mad _,
     "q_ip_rollup" -> q_ip_rollup _,
     "q_topk_drift" -> q_topk_drift _,
     "q_like_trgm" -> q_like_trgm _,
@@ -363,6 +393,18 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (SELECT c.event_type, cents, med, abs(cents - med) AS dev
+        |      FROM c JOIN m USING (event_type)),
+        |m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type AS event_type, count(*) AS n,
+        |  max(med) AS med, max(mad) AS mad,
+        |  CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_ip_rollup" ->
       """WITH ips AS (
         |  SELECT event_id, user_id, "value",
