@@ -42,4 +42,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // conf — must be set before the session exists, hence here. Env
   // override is the A/B seam.
   s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")}",
-) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

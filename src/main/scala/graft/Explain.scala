@@ -30,7 +30,10 @@ object Explain {
     println(s"=== $name: static plan ===")
     df.explain("formatted")
     val t0 = System.nanoTime()
-    val n = df.count()
+    // collect() (not count()) so THIS df's QueryExecution runs and AQE
+    // finalizes — count() executes a derived pruned plan and would leave
+    // executedPlan an unfinalized AdaptiveSparkPlan (isFinalPlan=false)
+    val n = df.collect().length
     println(f"=== $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s; final adaptive plan ===")
     println(df.queryExecution.executedPlan.toString.take(20000))
     spark.stop()

@@ -284,9 +284,13 @@ object Analytics7 {
     val bounds = ev0.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
     val ev = ev0.crossJoin(broadcast(bounds)) // 1-row bounds frame
     def side(cond: org.apache.spark.sql.Column, vname: String, rname: String) = {
+      // persist: rankTopK consumes t on BOTH join sides — without it the
+      // events scan + TOAP lineage runs twice per side (Q.rankTopK's
+      // documented caller contract)
       val t = ev.filter(cond).groupBy(col("user_id"))
         .agg(sum(col("value").cast("decimal(18,2)")).as("vdec"))
         .orderBy(col("vdec").desc, col("user_id")).limit(10)
+        .persist()
       graft.queries.Q.rankTopK(t, "vdec", "user_id")
         .select(col("user_id"), col("vdec").cast("double").as(vname),
           col("rk").as(rname))
@@ -358,8 +362,11 @@ object Analytics7 {
       floor(col("value") * 100).cast("long").as("cents"))
     val m = c.groupBy(col("event_type"))
       .agg(expr("percentile(cents, 0.5)").as("med"))
+    // persist: d feeds both the MAD aggregation and the final outlier
+    // count — without it the events scan + median join lineage runs twice
     val d = c.join(broadcast(m), "event_type")
       .withColumn("dev", abs(col("cents") - col("med")))
+      .persist()
     val m2 = d.groupBy(col("event_type"))
       .agg(expr("percentile(dev, 0.5)").as("mad"))
     d.join(broadcast(m2), "event_type")

@@ -114,7 +114,10 @@ object Pipeline {
       col("lang"), col("n_chars"),
       expr("CAST(conv(substring(md5(concat('temp:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
         .as("bucket"))
-    val w = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("w"))
+    // persist: w feeds both wmax and the rates frame — without it the
+    // documents scan + weights agg runs twice and the "two passes" claim
+    // below would be false
+    val w = d.groupBy(col("lang")).agg(sum(col("n_chars")).as("w")).persist()
     val wmax = w.agg(max(col("w")).as("wmax"))
     val rates = w.crossJoin(broadcast(wmax)) // |langs| × 1 row: never data-sized
       .select(col("lang").as("lang_r"),
