@@ -493,7 +493,45 @@ object SqlSurface {
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
   }
 
+  /** The TEXT tier via the parser — proof the SQL entry surface covers
+    * the engine's LLM battery, not just TPC-H: the quality scoring of
+    * [[LlmExt.q_text_quality]] expressed as pure Spark SQL over a
+    * `documents` view (higher-order `filter`, `array_distinct`, the
+    * NULLIF bp recipe — all parser-reachable; note `10000.0D`: the SQL
+    * parser types a bare decimal literal DECIMAL, not DOUBLE, so the
+    * DataFrame form's lit(10000.0) needs the D suffix here to keep the
+    * bp columns BIGINT). Same oracle as the DataFrame form; identical
+    * plan shape (one narrow pass + sort). */
+  def q_sql_text_quality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, n_chars, n_words, n_uniq, n_stop,
+        |  floor(10000.0D * n_uniq / NULLIF(n_words, 0)) AS uniq_bp,
+        |  floor(10000.0D * n_stop / NULLIF(n_words, 0)) AS stop_bp,
+        |  floor(10000.0D * n_chars / NULLIF(n_words, 0)) AS cpw_bp,
+        |  CASE WHEN floor(10000.0D * n_uniq / NULLIF(n_words, 0)) > 3000
+        |        AND floor(10000.0D * n_stop / NULLIF(n_words, 0)) < 3000
+        |       THEN 'good' ELSE 'low' END AS verdict
+        |FROM (SELECT doc_id, n_chars,
+        |    size(split(text, ' ')) AS n_words,
+        |    size(array_distinct(split(text, ' '))) AS n_uniq,
+        |    size(filter(split(text, ' '), w -> w IN ('the','and','of','a','to'))) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Exact dedup via the parser — [[LlmOps.q_dedup_exact]]'s md5
+    * fingerprint groupBy as SQL text; same oracle. */
+  def q_sql_dedup_exact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_text_quality" -> q_sql_text_quality _,
+    "q_sql_dedup_exact" -> q_sql_dedup_exact _,
     "q_sql_tpch_q6" -> q_sql_tpch_q6 _,
     "q_sql_tpch_q7" -> q_sql_tpch_q7 _,
     "q_sql_tpch_q8" -> q_sql_tpch_q8 _,
@@ -535,6 +573,8 @@ object SqlSurface {
     "q_sql_tpch_q20" -> TpchExtra.oracle("q_tpch_q20"),
     "q_sql_tpch_q6" -> TpchExtra.oracle("q_tpch_q6"),
     "q_sql_tpch_q7" -> TpchExtra.oracle("q_tpch_q7"),
+    "q_sql_text_quality" -> LlmExt.oracle("q_text_quality"),
+    "q_sql_dedup_exact" -> LlmOps.oracle("q_dedup_exact"),
     "q_sql_tpch_q8" -> TpchExtra.oracle("q_tpch_q8"),
     "q_sql_tpch_q9" -> TpchExtra.oracle("q_tpch_q9"),
     "q_sql_tpch_q11" -> TpchExtra.oracle("q_tpch_q11"),
