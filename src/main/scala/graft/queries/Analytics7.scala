@@ -377,7 +377,41 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** COLLOCATION DISCOVERY — the corpus-analysis pass behind multi-word
+    * vocab entries: adjacent-word bigrams ranked by a PMI-MONOTONE
+    * lift ratio, score_e4 = (n_xy · N · 10⁴) div (n_x · n_y) — exactly
+    * the ordering pointwise mutual information induces, computed in
+    * pure BIGINT (log is not correctly rounded across engines; the
+    * ratio inside it is, because it never leaves integer arithmetic —
+    * products bounded by tokens²·10⁴ < 2⁶³ at any SF this suite runs).
+    * Bigrams come from one codegen'd transform over the split array
+    * (no self-join); unigram counts broadcast (vocab-sized); support
+    * floor n_xy ≥ 20 keeps the statistic stable; top-20 plans
+    * TakeOrderedAndProject. At 100 TB: two map-combinable counting
+    * passes and a broadcast join — the collocation recipe at corpus
+    * scale. */
+  def q_colloc_pmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+    val uni = ws.select(explode(col("w")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val n = ws.select(sum(size(col("w"))).as("n_tokens"))
+    val bg = ws.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i+1] AS y))")).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 20)
+    bg.join(broadcast(uni), "x")
+      .join(broadcast(uni.select(col("x").as("y"), col("n_x").as("n_y"))), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("(n_xy * n_tokens * 10000) div (n_x * n_y)").as("score_e4"))
+      .orderBy(col("score_e4").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_colloc_pmi" -> q_colloc_pmi _,
     "q_anomaly_mad" -> q_anomaly_mad _,
     "q_ip_rollup" -> q_ip_rollup _,
     "q_topk_drift" -> q_topk_drift _,
@@ -400,6 +434,21 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_colloc_pmi" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT x, count(*) AS n_x FROM (SELECT unnest(w) AS x FROM ws) GROUP BY 1),
+        |n AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM ws),
+        |bg AS (
+        |  SELECT b['x'] AS x, b['y'] AS y, count(*) AS n_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> struct_pack(x := w[i], y := w[i+1]))) AS b
+        |    FROM ws)
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT bg.x AS x, bg.y AS y, n_xy, u1.n_x AS n_x, u2.n_x AS n_y,
+        |  (n_xy * n_tokens * 10000) // (u1.n_x * u2.n_x) AS score_e4
+        |FROM bg JOIN uni u1 ON bg.x = u1.x JOIN uni u2 ON bg.y = u2.x
+        |CROSS JOIN n
+        |ORDER BY score_e4 DESC, bg.x, bg.y LIMIT 20""".stripMargin,
     "q_anomaly_mad" ->
       """WITH c AS (
         |  SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
