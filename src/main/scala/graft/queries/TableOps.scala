@@ -781,7 +781,32 @@ object TableOps {
         .orderBy(col("event_type"))
     }
 
+  /** DROP COLUMN through the gate ([[graft.tables.TxTable.dropColumn]],
+    * Delta column-mapping semantics): the shared events table loses its
+    * `value` column by ONE metadata-only commit — zero bytes of a
+    * possibly-100 TB table rewritten, the physical parquet column left
+    * in place but hidden — then a band delete proves the logical
+    * surface (stat pruning included) still works post-drop, and the
+    * final read aggregates the SURVIVING columns. The drop itself is
+    * hash-observable: `visible_cols` is a literal derived from the
+    * post-drop schema, so a no-op drop (value still visible) mismatches
+    * the oracle's pinned column list, not just a spec assertion.
+    * TxDropColumnSpec pins the rest of the contract — resurrection
+    * guard, time travel, CDC, clone carry-through, constraint gate. */
+  def q_table_dropcol(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, eventsTableRoot(spark, dir), "graft_q_table_dropcol") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.dropColumn("value")
+      t.delete(spark, "user_id", 3, 7)
+      val df = t.read(spark)
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .withColumn("visible_cols", lit(df.columns.sorted.mkString(",")))
+        .orderBy(col("event_type"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_dropcol" -> q_table_dropcol _,
     "q_table_rename" -> q_table_rename _,
     "q_table_clone" -> q_table_clone _,
     "q_table_skip" -> q_table_skip _,
@@ -804,6 +829,12 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_dropcol" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  'event_type,user_id' AS visible_cols
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_rename" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

@@ -207,8 +207,21 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * constraints and staged files all live in PHYSICAL terms (rename is
     * metadata-only, so what's on disk never changes); every user-facing
     * parameter arrives LOGICAL and funnels through here. */
-  private def phys(s: Snapshot, logical: String): String =
-    s.colMap.getOrElse(logical, logical)
+  private def phys(s: Snapshot, logical: String): String = {
+    val p = s.colMap.getOrElse(logical, logical)
+    require(!droppedPhys(s.colMap).contains(p),
+      s"column $logical was dropped at or before version ${s.version}")
+    p
+  }
+
+  /** Physical names [[dropColumn]] has tombstoned in a column mapping:
+    * entry `("-" + p) -> p` (the `-` prefix can never be a real logical
+    * name — [[renameColumn]] validates `[A-Za-z_]`-leading identifiers).
+    * Dropped physicals stay ON DISK and IN the mapping forever: the data
+    * is immutable, the name is reserved so a later writer cannot
+    * silently resurrect the old rows under a recycled column name. */
+  private def droppedPhys(colMap: Map[String, String]): Set[String] =
+    colMap.collect { case (l, p) if l == "-" + p => p }.toSet
 
   private def readFiles(spark: SparkSession, files: Seq[FileEntry],
       colMap: Map[String, String] = Map.empty): DataFrame = {
@@ -241,9 +254,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
       case _ => throw new IllegalStateException("unreachable: files was non-empty")
     }
     // surface the caller's LOGICAL names: physical → logical renames from
-    // the snapshot's column mapping (absent names are untouched)
-    val renames = colMap.collect { case (l, p) if l != p => p -> l }
-    if (renames.isEmpty) out else out.withColumnsRenamed(renames)
+    // the snapshot's column mapping (absent names are untouched), then
+    // hide dropped physicals — their files are immutable, visibility is
+    // the only thing a metadata-only DROP COLUMN changes
+    val renames = colMap.collect {
+      case (l, p) if l != p && !l.startsWith("-") => p -> l
+    }
+    val dropped = droppedPhys(colMap).toSeq
+    val mapped = if (renames.isEmpty) out else out.withColumnsRenamed(renames)
+    if (dropped.isEmpty) mapped else mapped.drop(dropped: _*)
   }
 
   /** Manifest-level min/max data skipping for `lo <= statCol <= hi`:
@@ -990,6 +1009,38 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** DROP CONSTRAINT (Delta `ALTER TABLE … DROP CONSTRAINT`): stop
+    * enforcing a declared CHECK. The predicate arrives in the same
+    * LOGICAL terms addConstraint took and is rewritten through the
+    * CURRENT mapping to find its stored physical form (so a constraint
+    * declared before a rename is still droppable by its current logical
+    * spelling). Metadata-only commit; history keeps showing the
+    * constraint at the versions it governed. */
+  def dropConstraint(spark: SparkSession, predicate: String): Int = {
+    val base = snapshot()
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // stored forms vary (raw string at identity declaration, parser .sql
+    // after a mapping rewrite) — match by parser-canonical form, the
+    // same way both forms would enforce
+    def canon(s: String): String =
+      spark.sessionState.sqlParser.parseExpression(s).sql
+    val target = canon(
+      spark.sessionState.sqlParser.parseExpression(predicate).transform {
+        case a: UnresolvedAttribute if base.colMap.contains(a.name) =>
+          UnresolvedAttribute(base.colMap(a.name))
+      }.sql)
+    val stored = base.constraints.find(c => canon(c) == target).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such constraint: $predicate (have ${base.constraints.mkString("; ")})"))
+    try commitOnce(base,
+      constraints = Some(base.constraints.filterNot(_ == stored))) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"constraint drop on $root lost the commit race; re-run")
+    }
+  }
+
   /** RENAME COLUMN (Delta/Iceberg column mapping): a metadata-only
     * commit that maps a new LOGICAL name onto the column's immutable
     * PHYSICAL (parquet) name — zero files rewritten, O(1) in table
@@ -1033,6 +1084,53 @@ final class TxTable(val root: String, val statCols: Seq[String],
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
           s"rename on $root lost the commit race; re-run")
+    }
+  }
+
+  /** DROP COLUMN (Delta column-mapping semantics): a metadata-only
+    * commit that removes the LOGICAL column — zero files rewritten,
+    * O(1) in table size, exactly the `ALTER TABLE DROP COLUMN` a 100 TB
+    * table cannot afford by rewrite. The physical parquet column stays
+    * on disk untouched; reads hide it (readFiles drops tombstoned
+    * physicals after the logical renames), time travel to a pre-drop
+    * version still shows it under THAT version's mapping, and the
+    * physical name is reserved forever: a later append carrying a
+    * column of that name is REJECTED rather than silently resurrecting
+    * years of old values under a recycled name (Delta makes the same
+    * move with fresh physical ids; with identity mapping the honest
+    * equivalent is a loud failure — rename the incoming column). Stats,
+    * blooms and manifest entries keep carrying the physical column
+    * harmlessly; probes through the logical surface (readWhere, delete,
+    * merge predicates) fail loudly via the mapping. Dropping a column a
+    * stored CHECK constraint mentions is rejected — future appends
+    * could never satisfy a constraint over a column they must not
+    * carry. */
+  def dropColumn(name: String): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name: $name")
+    val base = snapshot()
+    require(base.version > 0, "drop on an empty table?")
+    val mappedPhysicals = base.colMap.values.toSet
+    require(base.colMap.contains(name) || !mappedPhysicals.contains(name),
+      s"$name is not a current column (renamed away or already dropped; " +
+        "its physical name is reserved)")
+    val p = base.colMap.getOrElse(name, name)
+    // this HANDLE's declared stat/bloom columns feed every write's stats
+    // pass — dropping one here would break the next append confusingly
+    // later; post-drop writers construct the table without it instead
+    require(!statCols.contains(p) && !bloomCols.contains(p),
+      s"cannot drop $name through a handle declaring it a stat/bloom " +
+        "column — construct the TxTable without it first")
+    val mentioned = base.constraints.filter(
+      _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(p)}\\b.*"))
+    require(mentioned.isEmpty,
+      s"cannot drop $name: CHECK constraint(s) reference it " +
+        s"(${mentioned.mkString("; ")}) — dropConstraint first")
+    val newMap = (base.colMap - name) + (("-" + p) -> p)
+    try commitOnce(base, colMap = Some(newMap)) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"drop on $root lost the commit race; re-run")
     }
   }
 
@@ -1274,8 +1372,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val constraints = snap0.constraints
     // staged files carry PHYSICAL names: rename is metadata-only, so the
     // on-disk layer never changes — writers arrive logical and funnel here
-    val renames = snap0.colMap.filter { case (l, ph) => l != ph }
+    val renames = snap0.colMap.filter {
+      case (l, ph) => l != ph && !l.startsWith("-")
+    }
     val dfPhys = if (renames.isEmpty) df else df.withColumnsRenamed(renames)
+    // a dropped physical name is reserved FOREVER: accepting a same-named
+    // column would resurrect every pre-drop value on the next read
+    val resurrected = dfPhys.columns.filter(droppedPhys(snap0.colMap).contains)
+    require(resurrected.isEmpty,
+      s"write to $root carries dropped column(s) ${resurrected.mkString(", ")} " +
+        "— dropped physical names are reserved; rename the incoming column")
     val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
     dfPhys.write.parquet(stage.toString)
     val violAggs = constraints.zipWithIndex.map { case (c, i) =>
