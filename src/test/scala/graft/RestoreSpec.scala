@@ -90,6 +90,39 @@ class RestoreSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("does not exist"))
   }
 
+  test("restore is FULL-state: pre-drop restore resurfaces the column (undrop)") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 10, 1)) // v1
+    t.dropColumn("v")                // v2
+    assert(!t.read(spark).columns.contains("v"))
+    t.restore(1)                     // v3: the undrop path
+    val back = t.read(spark)
+    assert(back.columns.contains("v"), "restore past a drop must resurface the column")
+    assert(back.agg(sum(col("v"))).head().getLong(0) == (0L until 10L).map(_ * 10).sum)
+    // and the drop is still visible in history
+    assert(!t.read(spark, Some(2)).columns.contains("v"))
+  }
+
+  test("restore is FULL-state: pre-rename restore brings the old name back") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 5, 1))  // v1
+    t.renameColumn("v", "amount")    // v2
+    t.restore(1)                     // v3
+    assert(t.read(spark).columns.contains("v"))
+    assert(t.snapshot().colMap.isEmpty)
+  }
+
+  test("restore is FULL-state: a later-declared constraint is released by the rewind") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(spark, keyed(0, 5, 1))        // v1
+    t.addConstraint(spark, "v >= 0")       // v2
+    t.restore(1)                           // v3
+    assert(t.snapshot().constraints.isEmpty)
+    t.append(spark, Seq((9L, -1L)).toDF("k", "v")) // would violate the old CHECK
+    assert(t.read(spark).count() == 6)
+  }
+
   test("restore carries stream txn watermarks FORWARD (idempotence is not undone)") {
     val t = freshTable()
     t.append(spark, keyed(0, 10, 1)) // v1
