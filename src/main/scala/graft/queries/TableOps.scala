@@ -805,7 +805,36 @@ object TableOps {
         .orderBy(col("event_type"))
     }
 
+  /** DESCRIBE HISTORY through the gate ([[graft.tables.TxTable.history]],
+    * Delta parity): a scripted mutation chain — band delete, metadata-only
+    * column rename, constraint declaration, full-state restore — then the
+    * audit log read back: per version its recorded operation name and
+    * whether it was metadata-only (zero file-level footprint). The log is
+    * O(versions) tiny driver-side manifest reads, zero data I/O — at
+    * 100 TB "who did what when" costs nothing. The oracle pins the exact
+    * op sequence and the metadata-only classification from thin air
+    * (constant VALUES — the chain is deterministic), the same precedent
+    * as q_source_log's reconstructed topic. TxHistorySpec pins the rest
+    * (newest-first order, counts, clone tagging, vacuum bounding). */
+  def q_table_history(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, eventsTableRoot(spark, dir), "graft_q_table_history") { root =>
+      import spark.implicits._
+      val t = new TxTable(root, Seq("user_id"))
+      t.delete(spark, "user_id", 3, 7)              // v2: touches files
+      t.renameColumn("value", "amount")             // v3: metadata-only
+      t.addConstraint(spark, "user_id IS NOT NULL") // v4: metadata-only
+      t.restore(1)                                  // v5: the band returns
+      // v1 is the inherited published build (its op depends on when the
+      // shared cache was written) — the scripted chain is what's under test
+      t.history().filter(_.version >= 2)
+        .map(i => (i.version.toLong, i.operation,
+          i.addedFiles + i.removedFiles == 0))
+        .toDF("version", "operation", "meta_only")
+        .orderBy(col("version"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_history" -> q_table_history _,
     "q_table_dropcol" -> q_table_dropcol _,
     "q_table_rename" -> q_table_rename _,
     "q_table_clone" -> q_table_clone _,
@@ -829,6 +858,12 @@ object TableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_table_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, op AS operation, m AS meta_only
+        |FROM (VALUES (2, 'delete', false),
+        |             (3, 'rename-column', true), (4, 'add-constraint', true),
+        |             (5, 'restore(1)', false)) AS t(v, op, m)
+        |ORDER BY version""".stripMargin,
     "q_table_dropcol" ->
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,

@@ -345,13 +345,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * committed version. */
   def append(spark: SparkSession, df: DataFrame): Int = {
     val entries = writeDataFiles(spark, df)
-    commitWithRetry(maxRetries = 10) { base => base.files ++ entries }
+    commitWithRetry(maxRetries = 10, op = "append") { base => base.files ++ entries }
   }
 
   /** Replace the whole table content (same durability rules as append). */
   def overwrite(spark: SparkSession, df: DataFrame): Int = {
     val entries = writeDataFiles(spark, df)
-    commitWithRetry(maxRetries = 10) { _ => entries }
+    commitWithRetry(maxRetries = 10, op = "overwrite") { _ => entries }
   }
 
   /** Copy-on-write MERGE (upsert): rows of `source` replace same-`key`
@@ -434,6 +434,42 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * v ADDED and how many of v-1's files it REMOVED. An append-only
     * commit removes nothing; merge/compact/z-order/delete remove files
     * (a CHANGE commit — its added bytes are rewrites, not new rows). */
+  /** DESCRIBE HISTORY (Delta parity): the audit log, newest first — one
+    * [[TxTable.CommitInfo]] per version whose own manifest survives:
+    * operation name (every commit path records what it was: append,
+    * merge, delete, compaction, rename-column, restore(v), clone(src),
+    * stream-append, …), commit timestamp, and the file-level add/remove
+    * counts, all read from O(versions) tiny driver-side manifest files
+    * with zero data I/O. Retention-bounded exactly like Delta's:
+    * [[vacuum]] drops expired delta manifests, and a version surviving
+    * only through a checkpoint (derived state, no per-commit record) no
+    * longer appears — the checkpoint answers "what", history answers
+    * "who did what when" for the retained window. Legacy manifests
+    * written before operation tagging read as `unknown`. */
+  def history(): Seq[CommitInfo] = {
+    import scala.jdk.CollectionConverters._
+    val (versions, _) = listLog
+    versions.reverse.flatMap { v =>
+      val p = logDir.resolve(manifestName(v))
+      if (!Files.exists(p)) None
+      else {
+        val lines = Files.readAllLines(p).asScala.toSeq
+        val op = lines.collectFirst {
+          case l if l.startsWith("op\t") => l.stripPrefix("op\t")
+        }.getOrElse("unknown")
+        val ts = lines.collectFirst {
+          case l if l.startsWith("commitms\t") =>
+            l.stripPrefix("commitms\t").toLong
+        }.getOrElse(Files.getLastModifiedTime(p).toMillis)
+        val (adds, removes) = parseAnyManifest(lines.asJava) match {
+          case Right(d) => (d.adds.size, d.removes.size)
+          case Left((fs, _, _, _)) => (fs.size, 0) // v1 full: everything is an add
+        }
+        Some(CommitInfo(v, ts, op, adds, removes))
+      }
+    }
+  }
+
   def versionDelta(v: Int): VersionDelta = {
     require(v >= 1, s"version $v has no delta (version 0 is the empty table)")
     val cur = snapshot(Some(v)).files
@@ -691,7 +727,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val content = source.read(spark, versionAsOf = Some(srcV))
         if (content.isEmpty) Nil else writeDataFiles(spark, content)
       }
-    commitOnce(base, Map(appId -> srcV.toLong))(_ => entries)
+    commitOnce(base, Map(appId -> srcV.toLong), op = "bootstrap")(_ => entries)
     srcV
   }
 
@@ -1001,7 +1037,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       require(bad == 0,
         s"cannot declare CHECK ($predicate): existing data violates it in $bad row(s)")
     }
-    try commitOnce(base, constraints = Some(base.constraints :+ stored)) { _ => base.files }
+    try commitOnce(base, constraints = Some(base.constraints :+ stored),
+      op = "add-constraint") { _ => base.files }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1033,7 +1070,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       throw new IllegalArgumentException(
         s"no such constraint: $predicate (have ${base.constraints.mkString("; ")})"))
     try commitOnce(base,
-      constraints = Some(base.constraints.filterNot(_ == stored))) { _ => base.files }
+      constraints = Some(base.constraints.filterNot(_ == stored)),
+      op = "drop-constraint") { _ => base.files }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1079,7 +1117,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val newMap =
       if (newName == p) base.colMap - oldName // renamed back: identity again
       else (base.colMap - oldName) + (newName -> p)
-    try commitOnce(base, colMap = Some(newMap)) { _ => base.files }
+    try commitOnce(base, colMap = Some(newMap),
+      op = "rename-column") { _ => base.files }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1126,7 +1165,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       s"cannot drop $name: CHECK constraint(s) reference it " +
         s"(${mentioned.mkString("; ")}) — dropConstraint first")
     val newMap = (base.colMap - name) + (("-" + p) -> p)
-    try commitOnce(base, colMap = Some(newMap)) { _ => base.files }
+    try commitOnce(base, colMap = Some(newMap),
+      op = "drop-column") { _ => base.files }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1177,7 +1217,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         mins = f.mins ++ pcols.map(c => c -> r.getAs[Long](s"__min_$c")),
         maxs = f.maxs ++ pcols.map(c => c -> r.getAs[Long](s"__max_$c")))
     }
-    try commitOnce(base) { _ => evolved }
+    try commitOnce(base, op = "evolve-stats") { _ => evolved }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
@@ -1233,7 +1273,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val cmap =
         if (base.colMap == target.colMap) None else Some(target.colMap)
       try return commitOnce(base, constraints = cons,
-        colMap = cmap) { _ => target.files }
+        colMap = cmap, op = s"restore($versionAsOf)") { _ => target.files }
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
           attempt += 1 // rebase onto the new latest and try again
@@ -1271,7 +1311,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       dv = f.dv.map(d => dataDir.resolve(d).toAbsolutePath.toString)))
     val tmp = dst.logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderManifest(abs, Map.empty, snap.constraints, snap.colMap).getBytes("UTF-8"))
+      renderManifest(abs, Map.empty, snap.constraints, snap.colMap,
+        op = Some(s"clone(${root})")).getBytes("UTF-8"))
     try Files.createLink(dst.logDir.resolve(manifestName(1)), tmp)
     finally { Files.deleteIfExists(tmp); () }
     dst
@@ -1497,7 +1538,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * base+1 first. */
   private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty,
       constraints: Option[Seq[String]] = None,
-      colMap: Option[Map[String, String]] = None)(
+      colMap: Option[Map[String, String]] = None,
+      op: String = "write")(
       next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
     val newFiles = next(base)
@@ -1510,7 +1552,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val removes = base.files.filterNot(newSet.contains).map(f => (f.path, f.dv))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderDelta(adds, removes, txns, constraints, clockMs(), colMap).getBytes("UTF-8"))
+      renderDelta(adds, removes, txns, constraints, clockMs(), colMap, op).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
     } finally Files.deleteIfExists(tmp)
@@ -1535,11 +1577,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     finally { Files.deleteIfExists(tmp); () }
   }
 
-  private def commitWithRetry(maxRetries: Int)(next: Snapshot => Seq[FileEntry]): Int = {
+  private def commitWithRetry(maxRetries: Int, op: String = "write")(
+      next: Snapshot => Seq[FileEntry]): Int = {
     var attempt = 0
     while (true) {
       val base = snapshot()
-      try return commitOnce(base)(next)
+      try return commitOnce(base, op = op)(next)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < maxRetries =>
           attempt += 1 // rebase onto the new latest and try again
@@ -1584,7 +1627,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     var rebases = 0
     while (true) {
       val kept = attempt.files.filterNot(f => candIds.contains((f.path, f.dv)))
-      try return commitOnce(attempt, txns) { _ => kept ++ entries }
+      try return commitOnce(attempt, txns, op = what) { _ => kept ++ entries }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           rebases += 1
@@ -1640,7 +1683,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
         return false
       }
       try {
-        commitOnce(base, Map(appId -> batchId)) { _ => base.files ++ entries }
+        commitOnce(base, Map(appId -> batchId),
+          op = "stream-append") { _ => base.files ++ entries }
         return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
@@ -1681,6 +1725,11 @@ object TxTable {
   final case class Snapshot(version: Int, files: Seq[FileEntry],
       txns: Map[String, Long], constraints: Seq[String] = Nil,
       colMap: Map[String, String] = Map.empty)
+
+  /** One audit-log row ([[TxTable#history]]): what operation produced
+    * `version`, when, and its file-level footprint. */
+  final case class CommitInfo(version: Int, timestampMs: Long,
+      operation: String, addedFiles: Int, removedFiles: Int)
 
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
@@ -1747,19 +1796,23 @@ object TxTable {
     * the set (the marker distinguishes "unchanged" from "replaced with
     * empty"). */
   private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long],
-      constraints: Seq[String], colMap: Map[String, String] = Map.empty): String = {
+      constraints: Seq[String], colMap: Map[String, String] = Map.empty,
+      op: Option[String] = None): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.map(c => s"constraint\t$c")
     val mapLines = colMap.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" }
     val fileLines = files.map(f => fileLine("file", f))
-    ("graft-txlog\t1" +: (txnLines ++ conLines ++ mapLines ++ fileLines)).mkString("\n")
+    val opLines = op.toSeq.map(o => s"op\t$o")
+    ("graft-txlog\t1" +: (opLines ++ txnLines ++ conLines ++ mapLines ++ fileLines))
+      .mkString("\n")
   }
 
   private def renderDelta(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
       constraints: Option[Seq[String]], commitMs: Long,
-      colMap: Option[Map[String, String]] = None): String = {
+      colMap: Option[Map[String, String]] = None,
+      op: String = "write"): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.toSeq.flatMap(cs =>
@@ -1768,7 +1821,7 @@ object TxTable {
       "setcolmap" +: m.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" })
     val rmLines = removes.map { case (p, dv) => s"remove\t$p\t${dv.getOrElse("-")}" }
     val addLines = adds.map(f => fileLine("add", f))
-    (Seq("graft-txlog\t2\tdelta", s"commitms\t$commitMs") ++
+    (Seq("graft-txlog\t2\tdelta", s"commitms\t$commitMs", s"op\t$op") ++
       (txnLines ++ conLines ++ mapLines ++ rmLines ++ addLines))
       .mkString("\n")
   }
@@ -1841,7 +1894,8 @@ object TxTable {
     } else {
       val files = body
         .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t") ||
-          l.startsWith("colmap\t") || l.startsWith("commitms\t"))
+          l.startsWith("colmap\t") || l.startsWith("commitms\t") ||
+          l.startsWith("op\t"))
         .map { line =>
           val parts = line.split("\t")
           require(parts(0) == "file", s"bad manifest line: $line")

@@ -39,12 +39,12 @@ class CheckpointSpec extends AnyFunSuite with SparkFixture {
     assert(t.snapshot().files.size >= 32)
     t.append(spark, rows(9000, 9010).repartition(1)) // v9: ONE new file
     val delta = manifestLines(t, 9)
-    // header + one add line — the write is O(changed files), with zero
-    // dependence on the 32 files already on the books
+    // header + commitms + op + one add line — the write is O(changed
+    // files), with zero dependence on the 32 files already on the books
     assert(delta.head.startsWith("graft-txlog\t2\tdelta"))
     assert(delta.count(_.startsWith("add\t")) == 1)
     assert(!delta.exists(_.startsWith("remove\t")))
-    assert(delta.size <= 3,
+    assert(delta.size <= 4,
       s"append delta must not re-list the table (${delta.size} lines): $delta")
     // and the small table's append wrote the same-shaped delta: the line
     // count did not grow with the table

@@ -311,9 +311,10 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
     // append / delete / merge / restore. The model carries the logical
     // names per version; every data op always speaks the CURRENT logical
     // names (the user contract), and every historical version must read
-    // back under the names it had THEN. Restore restores data, not
-    // naming (Delta's rule) — the model encodes that by recording the
-    // current names with the restored state.
+    // back under the names it had THEN. Restore is FULL-state (Delta's
+    // RestoreTableCommand copies the target's metadata): the restored
+    // version's naming comes back with its data — the model encodes
+    // that by adopting the recorded names of the restore target.
     import graft.tables.TxTable
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {
@@ -357,8 +358,8 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
             val to = if (kName == "k") "id" else "k"
             val nv = t.renameColumn(kName, to); kName = to; nv
           case 5 =>
-            val (rv, rm, _, _) = states(rnd.nextInt(states.size))
-            model = rm
+            val (rv, rm, rk, rvn) = states(rnd.nextInt(states.size))
+            model = rm; kName = rk; vName = rvn
             t.restore(rv)
         }
         states += ((v, model, kName, vName))
