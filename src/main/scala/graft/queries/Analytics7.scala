@@ -410,7 +410,45 @@ object Analytics7 {
       .limit(20)
   }
 
+  /** WELCH'S T-TEST A/B GATE — the statistical-inference tier: each
+    * event_type segment tested against the `click` baseline for a mean
+    * difference in `value`, the two-sample unequal-variance t the A/B
+    * dashboards of every analytics stack compute. Exactness recipe:
+    * moments are EXACT BIGINT (values quantized to cents; n, Σc, Σc²
+    * map-combinable — one two-phase agg scan at any scale), then mean /
+    * variance / t are derived by the IDENTICAL IEEE-double expression
+    * tree on both engines (every step a correctly-rounded op on
+    * exact-integer-derived doubles, so the result is bit-identical —
+    * the q_mix_temperature / q_drift_hellinger precedent), floored at
+    * e4. The baseline is a 1-row broadcast; nothing after the first
+    * agg touches more than 5 rows. At 100 TB: one scan, full stop. */
+  def q_ab_welch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+    val g = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("msq", col("ss").cast("double") / col("n").cast("double"))
+      .withColumn("v",
+        (col("msq") - col("m") * col("m")) * col("n").cast("double") /
+          (col("n") - lit(1)).cast("double"))
+    val base = g.filter(col("event_type") === "click")
+      .select(col("m").as("m0"), col("v").as("v0"), col("n").as("n0"))
+    g.crossJoin(broadcast(base))
+      .withColumn("t", (col("m") - col("m0")) /
+        sqrt(col("v") / col("n").cast("double") +
+          col("v0") / col("n0").cast("double")))
+      .select(col("event_type"), col("n"),
+        floor(col("m") * lit(1e4)).cast("long").as("mean_e4"),
+        floor(abs(col("t")) * lit(1e4)).cast("long").as("t_e4"),
+        (abs(col("t")) >= lit(1.96)).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_welch" -> q_ab_welch _,
     "q_colloc_pmi" -> q_colloc_pmi _,
     "q_anomaly_mad" -> q_anomaly_mad _,
     "q_ip_rollup" -> q_ip_rollup _,
@@ -434,6 +472,27 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ab_welch" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM q GROUP BY event_type),
+        |w AS (SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    ((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+        |  FROM g),
+        |b AS (SELECT m AS m0, v AS v0, n AS n0 FROM w WHERE event_type = 'click')
+        |SELECT w.event_type, w.n,
+        |  CAST(floor(m * 1e4) AS BIGINT) AS mean_e4,
+        |  CAST(floor(abs((m - m0) / sqrt(v / CAST(w.n AS DOUBLE)
+        |    + v0 / CAST(n0 AS DOUBLE))) * 1e4) AS BIGINT) AS t_e4,
+        |  abs((m - m0) / sqrt(v / CAST(w.n AS DOUBLE)
+        |    + v0 / CAST(n0 AS DOUBLE))) >= 1.96e0 AS significant
+        |FROM w, b ORDER BY w.event_type""".stripMargin,
     "q_colloc_pmi" ->
       """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
         |uni AS (SELECT x, count(*) AS n_x FROM (SELECT unnest(w) AS x FROM ws) GROUP BY 1),
