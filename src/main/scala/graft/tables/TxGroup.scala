@@ -262,7 +262,7 @@ final class TxGroup(val root: String) {
     }
     val pinned = snapshot(Some(base)) ++ updates
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(pinned).getBytes("UTF-8"))
+    Files.write(tmp, renderManifest(pinned, clockMs()).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(base + 1)), tmp)
       base + 1
@@ -273,9 +273,55 @@ final class TxGroup(val root: String) {
             "re-validate the member commits against the new group snapshot")
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** Wall clock for group-commit timestamps — spec seam, TxTable style. */
+  private[tables] var clockMs: () => Long = () => System.currentTimeMillis()
+
+  /** GROUP-LEVEL DESCRIBE HISTORY: newest-first, one row per retained
+    * group cut — its member pins, commit time, and which members' pins
+    * MOVED in that cut, each mapped to the member-table operation that
+    * produced the newly pinned version (read from the member's own
+    * op-tagged log; `unknown` if that member manifest predates tagging
+    * or was vacuumed). O(group versions × members) tiny driver-side
+    * file reads, zero data I/O. The oldest retained cut (its
+    * predecessor vacuumed) reports ALL its pins as changed — it is the
+    * visible baseline. */
+  def history(): Seq[GroupCommitInfo] = {
+    val vs = listVersions
+    val cuts = vs.map(v => v -> snapshot(Some(v))).toMap
+    val memberNames = cuts.values.flatMap(_.keys).toSet
+    val memberOps: Map[String, Map[Int, String]] = memberNames.map { n =>
+      n -> new TxTable(Paths.get(root, "tables", n).toString, Nil)
+        .history().map(i => i.version -> i.operation).toMap
+    }.toMap
+    vs.reverse.map { v =>
+      val pins = cuts(v)
+      val prev = cuts.getOrElse(v - 1, Map.empty[String, Int])
+      val changed = pins.filter { case (n, mv) => !prev.get(n).contains(mv) }
+        .map { case (n, mv) =>
+          n -> memberOps(n).getOrElse(mv, "unknown")
+        }
+      GroupCommitInfo(v, commitMillis(v), pins, changed)
+    }
+  }
+
+  private def commitMillis(v: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = logDir.resolve(manifestName(v))
+    Files.readAllLines(p).asScala
+      .collectFirst { case l if l.startsWith("commitms\t") =>
+        l.stripPrefix("commitms\t").toLong }
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
 }
 
 object TxGroup {
+
+  /** One group audit-log row ([[TxGroup#history]]): the cut's member
+    * pins plus the members whose pins moved, each with the member-table
+    * operation that produced the newly pinned version. */
+  final case class GroupCommitInfo(version: Int, timestampMs: Long,
+    pins: Map[String, Int], changed: Map[String, String])
 
   private val ManifestName = """v(\d{8})\.txt""".r
 
@@ -285,9 +331,10 @@ object TxGroup {
   private def memberManifestName(v: Int): String = f"v$v%08d.txt"
 
   /** Group manifest line format (tab-separated, the TxTable discipline):
-    * `table <name> <version>` per member — O(members) tiny, diff-readable. */
-  private def renderManifest(pins: Map[String, Int]): String =
-    ("graft-grouplog\t1" +:
+    * a `commitms` stamp plus `table <name> <version>` per member —
+    * O(members) tiny, diff-readable. */
+  private def renderManifest(pins: Map[String, Int], commitMs: Long): String =
+    (Seq("graft-grouplog\t1", s"commitms\t$commitMs") ++
       pins.toSeq.sortBy(_._1).map { case (n, v) => s"table\t$n\t$v" })
       .mkString("\n")
 
@@ -296,7 +343,7 @@ object TxGroup {
     val all = lines.asScala.toSeq
     require(all.headOption.exists(_.startsWith("graft-grouplog\t")),
       "not a graft grouplog manifest")
-    all.tail.filter(_.nonEmpty).map { line =>
+    all.tail.filter(l => l.nonEmpty && !l.startsWith("commitms\t")).map { line =>
       val parts = line.split("\t")
       require(parts(0) == "table" && parts.length == 3, s"bad group manifest line: $line")
       parts(1) -> parts(2).toInt

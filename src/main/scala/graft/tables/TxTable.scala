@@ -1415,6 +1415,24 @@ final class TxTable(val root: String, val statCols: Seq[String],
     (dead.size, expired.size)
   }
 
+  /** Time-based retention (the `VACUUM … RETAIN n HOURS` shape Delta
+    * users actually run): expire versions whose commit time — by the
+    * same MONOTONIC ENVELOPE [[versionAt]] resolves with, so retention
+    * and time travel agree about what "older" means — predates
+    * `horizonMs`; the current version is always retained. Translates to
+    * the version-count form, so tag protection, deletion-vector safety
+    * and checkpoint pinning are one shared mechanism. */
+  def vacuumOlderThan(horizonMs: Long): (Int, Int) = {
+    val (versions, _) = listLog
+    if (versions.isEmpty) return (0, 0)
+    var envelope = Long.MinValue
+    val fresh = versions.filter { v =>
+      envelope = math.max(envelope, commitMillis(v)); envelope >= horizonMs
+    }
+    val oldestFresh = fresh.headOption.getOrElse(versions.last)
+    vacuum(retainVersions = currentVersion - oldestFresh + 1)
+  }
+
   // --------------------------------------------------------------- internals
 
   /** Stage `df` as parquet, compute per-file stats with one distributed

@@ -68,6 +68,46 @@ class TxHistorySpec extends AnyFunSuite with SparkFixture {
     assert(h.last.addedFiles == 2, "clone v1 borrows the source's 2 files as adds")
   }
 
+  test("group history composes member op-logs: pins, movers, and their operations") {
+    import graft.tables.TxGroup
+    val g = new TxGroup(Files.createTempDirectory("graft_grouphist").toString)
+    val a = g.table("a", Seq("k"))
+    val b = g.table("b", Seq("k"))
+    g.commit(Map("a" -> a.append(spark, keyed(0, 50, 1)),
+      "b" -> b.append(spark, keyed(100, 150, 1))))      // cut 1: both appear
+    // the move transaction: delete from a, append to b, one atomic cut
+    val vB = b.append(spark, a.read(spark).filter(col("k") < 25))
+    val vA = a.delete(spark, "k", 0, 24).version
+    g.commit(Map("a" -> vA, "b" -> vB))                 // cut 2: both move
+    g.commit(Map("b" -> b.compact(spark, 1000).version)) // cut 3: b only
+    val h = g.history()
+    assert(h.map(_.version) == Seq(3, 2, 1), "newest first")
+    assert(h(0).changed == Map("b" -> "compaction"), s"got ${h(0).changed}")
+    assert(h(1).changed == Map("a" -> "delete", "b" -> "append"))
+    assert(h(2).changed == Map("a" -> "append", "b" -> "append"))
+    assert(h(0).pins == Map("a" -> 2, "b" -> 3))
+    assert(h.forall(_.timestampMs > 0))
+  }
+
+  test("time-based vacuum expires by the same envelope clock time travel uses") {
+    val t = freshTable()
+    t.clockMs = () => 1000L
+    t.append(spark, keyed(0, 10, 1))   // v1 @ 1000
+    t.clockMs = () => 2000L
+    t.append(spark, keyed(10, 20, 1))  // v2 @ 2000
+    t.clockMs = () => 3000L
+    t.append(spark, keyed(20, 30, 1))  // v3 @ 3000
+    val (files1, vers1) = t.vacuumOlderThan(2000L) // v1 expires, v2+v3 stay
+    assert(vers1 == 1, s"expected exactly v1 expired, got $vers1")
+    assert(files1 == 0, "append-only history: v1's file is still live in v2/v3")
+    assert(t.read(spark, Some(2)).count() == 20, "v2 must still reconstruct")
+    assert(t.history().map(_.version) == Seq(3, 2))
+    // a horizon past everything keeps only the current version
+    val (_, vers2) = t.vacuumOlderThan(9999L)
+    assert(vers2 == 1, "v2 expires; v3 (current) is always retained")
+    assert(t.read(spark).count() == 30)
+  }
+
   test("vacuum bounds the audit window; retained history still reads") {
     val t = freshTable()
     (0 until 12).foreach(i => t.append(spark, keyed(i * 10L, i * 10L + 10, 1)))
