@@ -1,7 +1,9 @@
 package graft
 
 import graft.operators.{ConnectedComponents, MinHashLsh, SetSimilarity}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Seeded-random differential tests: the distributed operators vs
@@ -371,6 +373,103 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
           val got = t.read(spark, Some(v)).select(kn, vn)
             .as[(Long, Long)].collect().toMap
           assert(got == m, s"trial=$trial version=$v ($kn/$vn)")
+        }
+      }
+    }
+  }
+
+  test("TxTable random histories WITH DROPS == model at every version") {
+    // The drop-column extension of the model test: random drops of the
+    // CURRENT value column interleave with appends (which may introduce
+    // a FRESH value column — schema evolution — with old rows reading
+    // NULL there), band deletes, and full-state restores. The model is
+    // per-row column maps plus the live-column set per version; every
+    // historical version must read back exactly its own visible schema
+    // and values, restores must resurface dropped columns (the undrop
+    // path), and an append that recycles a dropped physical name must be
+    // refused loudly (the resurrection guard).
+    import graft.tables.TxTable
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val t = new TxTable(
+        java.nio.file.Files.createTempDirectory("graft_randdrop").toString, Seq("k"))
+      var liveCols = Vector("v1")          // value columns currently visible
+      var droppedCols = Set.empty[String]  // physically reserved forever
+      var colSeq = 1
+      var model = Map.empty[Long, Map[String, Long]] // k -> written cells
+      var nextKey = 0L
+      def freshKeys(n: Int): Seq[Long] = {
+        val ks = nextKey until (nextKey + n); nextKey += n; ks
+      }
+      def appendDf(keys: Seq[Long], cols: Seq[String], gen: Long) = {
+        val rows = keys.map(k => Row.fromSeq(k +: cols.map(c => k * 10 + gen)))
+        val schema = StructType(StructField("k", LongType, nullable = false) +:
+          cols.map(c => StructField(c, LongType, nullable = false)))
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      }
+      val states = scala.collection.mutable.ArrayBuffer[(Int, Map[Long, Map[String, Long]], Vector[String])]()
+      var gen = 0L
+      for (_ <- 1 to 12) {
+        gen += 1
+        val op = if (t.currentVersion == 0) 0 else rnd.nextInt(10)
+        val v = op match {
+          case 0 | 1 | 2 | 3 => // append, sometimes introducing a fresh column
+            val cols =
+              if (liveCols.isEmpty || rnd.nextInt(3) == 0) {
+                colSeq += 1; liveCols = liveCols :+ s"v$colSeq"; liveCols
+              } else liveCols
+            val ks = freshKeys(1 + rnd.nextInt(10))
+            model = model ++ ks.map(k => k -> cols.map(c => c -> (k * 10 + gen)).toMap)
+            t.append(spark, appendDf(ks, cols, gen))
+          case 4 | 5 => // band delete on the key column
+            val lo = rnd.nextLong(nextKey max 1); val hi = lo + rnd.nextInt(12)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            t.delete(spark, "k", lo, hi).version
+          case 6 | 7 => // drop a random live value column
+            if (liveCols.isEmpty) t.currentVersion
+            else {
+              val c = liveCols(rnd.nextInt(liveCols.size))
+              liveCols = liveCols.filterNot(_ == c); droppedCols += c
+              t.dropColumn(c)
+            }
+          case 8 => // the resurrection guard: recycling a dropped name refuses
+            if (droppedCols.isEmpty) t.currentVersion
+            else {
+              val c = droppedCols.head
+              val e = intercept[IllegalArgumentException] {
+                t.append(spark, appendDf(freshKeys(2), Seq(c), gen))
+              }
+              assert(e.getMessage.contains("reserved"), e.getMessage)
+              nextKey -= 2 // the refused keys never landed
+              t.currentVersion
+            }
+          case 9 => // full-state restore to a random recorded version
+            val (rv, rm, rcols) = states(rnd.nextInt(states.size))
+            model = rm
+            // restore resurfaces THAT version's columns; physically
+            // reserved names stay reserved (droppedCols only grows)
+            liveCols = rcols
+            t.restore(rv)
+        }
+        states += ((v, model, liveCols))
+      }
+      states.foreach { case (v, m, cols) =>
+        if (m.isEmpty) {
+          intercept[IllegalStateException](t.read(spark, Some(v)))
+        } else {
+          val got = t.read(spark, Some(v))
+          assert(got.columns.toSet == (Set("k") ++ cols),
+            s"trial=$trial version=$v: visible ${got.columns.toSet} != expected ${Set("k") ++ cols}")
+          val rows = got.collect().map { r =>
+            r.getAs[Long]("k") -> cols.flatMap(c =>
+              Option(r.getAs[Any](c)).map(x => c -> x.asInstanceOf[Long])).toMap
+          }.toMap
+          // the model keeps every written cell; the version shows only
+          // its LIVE columns — project before comparing
+          val visible = m.map { case (k, cells) =>
+            k -> cells.filter { case (c, _) => cols.contains(c) }
+          }
+          assert(rows == visible, s"trial=$trial version=$v")
         }
       }
     }
