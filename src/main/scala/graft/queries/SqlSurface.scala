@@ -529,7 +529,43 @@ object SqlSurface {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   }
 
+
+  /** WINDOW FUNCTIONS via the parser — the rank battery of
+    * [[Windows.q_win_rank]] as SQL text (named WINDOW clause,
+    * row_number/rank/dense_rank, windowed top-5 filter), same oracle.
+    * The plan comes out of the same optimizer as the DataFrame twin, so
+    * the single-shuffle window shape carries over by construction. */
+  def q_sql_win_rank(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk,
+        |    dense_rank() OVER w AS drk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin)
+  }
+
+  /** CUBE + grouping() via the parser — [[Relational.q_agg_cube]] as SQL
+    * text (GROUP BY ... WITH CUBE, grouping flags, NULLS FIRST ordering),
+    * same oracle: the multidimensional-aggregation tier a SQL-only user
+    * reaches for first. */
+  def q_sql_agg_cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type, dom, count(*) AS n,
+        |  CAST(grouping(event_type) AS INT) AS g_t,
+        |  CAST(grouping(dom) AS INT) AS g_d
+        |FROM (SELECT event_type, dayofmonth(ts) AS dom FROM events)
+        |GROUP BY event_type, dom WITH CUBE
+        |ORDER BY g_t, g_d, event_type ASC NULLS FIRST, dom ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_win_rank" -> q_sql_win_rank _,
+    "q_sql_agg_cube" -> q_sql_agg_cube _,
     "q_sql_text_quality" -> q_sql_text_quality _,
     "q_sql_dedup_exact" -> q_sql_dedup_exact _,
     "q_sql_tpch_q6" -> q_sql_tpch_q6 _,
@@ -573,6 +609,8 @@ object SqlSurface {
     "q_sql_tpch_q20" -> TpchExtra.oracle("q_tpch_q20"),
     "q_sql_tpch_q6" -> TpchExtra.oracle("q_tpch_q6"),
     "q_sql_tpch_q7" -> TpchExtra.oracle("q_tpch_q7"),
+    "q_sql_win_rank" -> Windows.oracle("q_win_rank"),
+    "q_sql_agg_cube" -> Relational.oracle("q_agg_cube"),
     "q_sql_text_quality" -> LlmExt.oracle("q_text_quality"),
     "q_sql_dedup_exact" -> LlmOps.oracle("q_dedup_exact"),
     "q_sql_tpch_q8" -> TpchExtra.oracle("q_tpch_q8"),
