@@ -447,7 +447,43 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** OLS TREND DETECTION — the regression tier next to [[q_ab_welch]]'s
+    * hypothesis test: per event_type, the least-squares slope of the
+    * value metric against time ("is this host's traffic trending up"),
+    * the monitoring-dashboard staple. Sufficient statistics n, Σx, Σy,
+    * Σxy, Σx² are EXACT BIGINT in one map-combinable agg (values in
+    * cents; time recentred to seconds since the corpus start — a 1-row
+    * broadcast — so the quadratic sums stay far from overflow); the
+    * slope is then derived by the IDENTICAL IEEE-double expression tree
+    * on both engines (the q_ab_welch recipe), floored at e9, with the
+    * sign surfaced as a rising flag. At 100 TB: one scan + one tiny
+    * min, full stop. */
+  def q_trend_ols(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_seconds(col("ts")).as("xs"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+    val x0 = ev.agg(min(col("xs")).as("x0"))
+    val g = ev.crossJoin(broadcast(x0))
+      .withColumn("x", col("xs") - col("x0"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("c")).as("sy"), sum(col("x") * col("c")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    g.withColumn("slope",
+        (col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") /
+            col("n").cast("double")) /
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n").cast("double")))
+      .select(col("event_type"), col("n"),
+        floor(col("slope") * lit(1e9)).cast("long").as("slope_e9"),
+        (col("slope") > lit(0.0)).as("rising"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_ols" -> q_trend_ols _,
     "q_ab_welch" -> q_ab_welch _,
     "q_colloc_pmi" -> q_colloc_pmi _,
     "q_anomaly_mad" -> q_anomaly_mad _,
@@ -472,6 +508,26 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_trend_ols" ->
+      """WITH q AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 AS xs,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |x0 AS (SELECT min(xs) AS x0 FROM q),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(xs - x0) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum((xs - x0) * c) AS BIGINT) AS sxy,
+        |    CAST(sum((xs - x0) * (xs - x0)) AS BIGINT) AS sxx
+        |  FROM q, x0 GROUP BY event_type),
+        |s AS (SELECT event_type, n,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) AS slope
+        |  FROM g)
+        |SELECT event_type, n,
+        |  CAST(floor(slope * 1e9) AS BIGINT) AS slope_e9,
+        |  slope > 0.0e0 AS rising
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_ab_welch" ->
       """WITH q AS (SELECT event_type,
         |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS c FROM events),
