@@ -470,6 +470,33 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** DESCRIBE DETAIL (Delta parity): the current snapshot's operational
+    * summary — version, file/row/byte footprint, declared stat/bloom
+    * columns, live constraints, active renames and dropped columns,
+    * deletion-vector count, and the tag pins — all from the manifest
+    * plus O(files) driver-side size stats, zero data I/O. The at-a-
+    * glance answer to "what am I operating on" before reaching for
+    * [[history]] ("who did what when") or the data itself. */
+  def detail(): TableDetail = {
+    val s = snapshot()
+    val dropped = droppedPhys(s.colMap)
+    TableDetail(
+      version = s.version,
+      numFiles = s.files.size,
+      rows = s.files.map(_.rows).sum,
+      sizeBytes = s.files.map { f =>
+        val p = dataDir.resolve(f.path)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum,
+      statColumns = statCols,
+      bloomColumns = bloomCols,
+      constraints = s.constraints,
+      renamedColumns = s.colMap.filter { case (l, p) => l != "-" + p },
+      droppedColumns = dropped,
+      numDeletionVectors = s.files.count(_.dv.isDefined),
+      tags = tags)
+  }
+
   def versionDelta(v: Int): VersionDelta = {
     require(v >= 1, s"version $v has no delta (version 0 is the empty table)")
     val cur = snapshot(Some(v)).files
@@ -1748,6 +1775,13 @@ object TxTable {
     * `version`, when, and its file-level footprint. */
   final case class CommitInfo(version: Int, timestampMs: Long,
       operation: String, addedFiles: Int, removedFiles: Int)
+
+  /** The DESCRIBE DETAIL summary ([[TxTable#detail]]). */
+  final case class TableDetail(version: Int, numFiles: Int, rows: Long,
+      sizeBytes: Long, statColumns: Seq[String], bloomColumns: Seq[String],
+      constraints: Seq[String], renamedColumns: Map[String, String],
+      droppedColumns: Set[String], numDeletionVectors: Int,
+      tags: Map[String, Int])
 
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 

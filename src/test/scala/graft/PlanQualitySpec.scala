@@ -53,6 +53,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"parse stage must stay join-free:\n$parse")
   }
 
+  test("q_ab_welch / q_trend_ols: one agg scan + 1-row broadcast baseline, no SMJ") {
+    // the statistical gates' scale contract: sufficient statistics from
+    // ONE two-phase aggregation over the scan; the baseline/recentre
+    // frame joins as a broadcast (1 row), never a shuffle join
+    for (q <- Seq("q_ab_welch", "q_trend_ols")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"$q: baseline must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q: no shuffle join allowed:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+        s"$q: expected two-phase hash aggregation:\n$plan")
+    }
+  }
+
   test("q_agg_cms: sketch aggregation keeps a map-side partial phase") {
     val plan = executedPlan("q_agg_cms")
     assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")

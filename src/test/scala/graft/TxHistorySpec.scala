@@ -89,6 +89,27 @@ class TxHistorySpec extends AnyFunSuite with SparkFixture {
     assert(h.forall(_.timestampMs > 0))
   }
 
+  test("detail summarizes the operating state: footprint, schema ops, DVs, tags") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 4))
+    t.renameColumn("v", "amount")
+    t.dropColumn("note")
+    t.addConstraint(spark, "amount >= 0")
+    t.deletePositional(spark, "k", 0, 0) // one DV, zero rewrites
+    t.tag("audit", 2)
+    val d = t.detail()
+    assert(d.version == t.currentVersion)
+    assert(d.numFiles == 4 && d.rows == 100)
+    assert(d.sizeBytes > 0, "byte footprint must come from the real files")
+    assert(d.statColumns == Seq("k"))
+    assert(d.constraints == Seq("amount >= 0") || d.constraints.exists(_.contains("v")),
+      s"stored constraint missing: ${d.constraints}")
+    assert(d.renamedColumns == Map("amount" -> "v"))
+    assert(d.droppedColumns == Set("note"))
+    assert(d.numDeletionVectors == 1)
+    assert(d.tags == Map("audit" -> 2))
+  }
+
   test("time-based vacuum expires by the same envelope clock time travel uses") {
     val t = freshTable()
     t.clockMs = () => 1000L
