@@ -474,9 +474,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * summary — version, file/row/byte footprint, declared stat/bloom
     * columns, live constraints, active renames and dropped columns,
     * deletion-vector count, and the tag pins — all from the manifest
-    * plus O(files) driver-side size stats, zero data I/O. The at-a-
-    * glance answer to "what am I operating on" before reaching for
-    * [[history]] ("who did what when") or the data itself. */
+    * plus O(files) driver-side size stats, zero data I/O. `rows` is the
+    * PHYSICAL (manifest) count: DV'd victims still occupy their files
+    * until materializeDeletes/compaction, and that storage reality is
+    * what an operator sizing a maintenance pass needs. The at-a-glance
+    * answer to "what am I operating on" before reaching for [[history]]
+    * ("who did what when") or the data itself. */
   def detail(): TableDetail = {
     val s = snapshot()
     val dropped = droppedPhys(s.colMap)
