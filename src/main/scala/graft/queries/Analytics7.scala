@@ -482,7 +482,37 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** FLESCH READABILITY — the classic reading-ease score over the
+    * corpus, per language: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard vowel-group syllable
+    * heuristic (`[aeiouy]+` runs) and — this corpus being unpunctuated
+    * word soup — each DOCUMENT as the sentence unit. The counting
+    * machinery is the operator under test: per-doc word and
+    * vowel-group counts from codegen'd split/regexp_extract_all (one
+    * narrow pass, no shuffle until the per-lang agg), summed EXACTLY as
+    * BIGINTs (map-combinable — never a double accumulated in partition
+    * order), then ONE identical IEEE-double expression per language
+    * floored at e4. At 100 TB: one scan + one 5-group agg. */
+  def q_text_readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("y"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_sum"),
+        sum(col("y")).as("y_sum"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("w_sum").cast("double") / col("n_docs").cast("double")) -
+          lit(84.6) * (col("y_sum").cast("double") / col("w_sum").cast("double")))
+      .select(col("lang"), col("n_docs"), col("w_sum"), col("y_sum"),
+        floor(col("flesch") * lit(1e4)).cast("long").as("flesch_e4"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> q_text_readability _,
     "q_trend_ols" -> q_trend_ols _,
     "q_ab_welch" -> q_ab_welch _,
     "q_colloc_pmi" -> q_colloc_pmi _,
@@ -508,6 +538,20 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_readability" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS w_sum, CAST(sum(y) AS BIGINT) AS y_sum
+        |  FROM d GROUP BY lang)
+        |SELECT lang, n_docs, w_sum, y_sum,
+        |  CAST(floor((206.835e0
+        |    - 1.015e0 * (CAST(w_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    - 84.6e0 * (CAST(y_sum AS DOUBLE) / CAST(w_sum AS DOUBLE)))
+        |    * 1e4) AS BIGINT) AS flesch_e4
+        |FROM g ORDER BY lang""".stripMargin,
     "q_trend_ols" ->
       """WITH q AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 AS xs,
