@@ -563,7 +563,26 @@ object SqlSurface {
         |ORDER BY g_t, g_d, event_type ASC NULLS FIRST, dom ASC NULLS FIRST""".stripMargin)
   }
 
+
+  /** PIVOT via the parser — [[Scalars.q_pivot]] as SQL text (the PIVOT
+    * clause with aliased IN values, null backfill via coalesce), same
+    * oracle: the cross-tab tier in its SQL-native form. */
+  def q_sql_pivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT day,
+        |  coalesce(click, 0L) AS n_click, coalesce(error, 0L) AS n_error,
+        |  coalesce(purchase, 0L) AS n_purchase,
+        |  coalesce(signup, 0L) AS n_signup, coalesce(view, 0L) AS n_view
+        |FROM (SELECT to_date(ts) AS day, event_type FROM events)
+        |PIVOT (count(1) FOR event_type IN
+        |  ('click' click, 'error' error, 'purchase' purchase,
+        |   'signup' signup, 'view' view))
+        |ORDER BY day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pivot" -> q_sql_pivot _,
     "q_sql_win_rank" -> q_sql_win_rank _,
     "q_sql_agg_cube" -> q_sql_agg_cube _,
     "q_sql_text_quality" -> q_sql_text_quality _,
@@ -609,6 +628,7 @@ object SqlSurface {
     "q_sql_tpch_q20" -> TpchExtra.oracle("q_tpch_q20"),
     "q_sql_tpch_q6" -> TpchExtra.oracle("q_tpch_q6"),
     "q_sql_tpch_q7" -> TpchExtra.oracle("q_tpch_q7"),
+    "q_sql_pivot" -> Scalars.oracle("q_pivot"),
     "q_sql_win_rank" -> Windows.oracle("q_win_rank"),
     "q_sql_agg_cube" -> Relational.oracle("q_agg_cube"),
     "q_sql_text_quality" -> LlmExt.oracle("q_text_quality"),
