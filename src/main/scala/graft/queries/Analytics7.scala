@@ -511,7 +511,39 @@ object Analytics7 {
       .orderBy(col("lang"))
   }
 
+  /** ALERT FLAP DETECTION — the monitoring-stack staple next to
+    * [[Analytics3.q_alert_hysteresis]]: a host whose alert STATE keeps
+    * toggling is flapping, and flap suppression needs the transition
+    * count, not the state itself. Per user, events in (ts, event_id)
+    * order carry a boolean state (value ≥ 50 — an exact double compare,
+    * identical literal both engines); transitions are counted with ONE
+    * lag window pass (one user_id shuffle, state bounded by the
+    * partition); the flap ratio is an exact integer division in basis
+    * points and the flapping flag an exact integer cross-multiply
+    * (2·trans ≥ n−1 — never a float threshold). Output: top-10 most
+    * flap-dense users. At 100 TB: one shuffle, one window pass, one
+    * two-phase agg. */
+  def q_alert_flap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val st = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value") >= lit(50.0)).as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+    st.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("state"), lit(1L))
+          .otherwise(lit(0L))).as("n_trans"))
+      .withColumn("flap_bp",
+        when(col("n_events") > 1,
+          expr("(10000 * n_trans) div (n_events - 1)")).otherwise(lit(0L)))
+      .withColumn("flapping", col("n_trans") * lit(2) >= col("n_events") - lit(1))
+      .orderBy(col("flap_bp").desc, col("user_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_alert_flap" -> q_alert_flap _,
     "q_text_readability" -> q_text_readability _,
     "q_trend_ols" -> q_trend_ols _,
     "q_ab_welch" -> q_ab_welch _,
@@ -538,6 +570,21 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_alert_flap" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    ("value" >= 50.0e0) AS state FROM events),
+        |p AS (SELECT user_id, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM s),
+        |g AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev != state
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_trans
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, n_events, n_trans,
+        |  CASE WHEN n_events > 1 THEN (10000 * n_trans) // (n_events - 1)
+        |       ELSE 0 END AS flap_bp,
+        |  n_trans * 2 >= n_events - 1 AS flapping
+        |FROM g ORDER BY flap_bp DESC, user_id LIMIT 10""".stripMargin,
     "q_text_readability" ->
       """WITH d AS (SELECT lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
