@@ -581,7 +581,23 @@ object SqlSurface {
         |ORDER BY day""".stripMargin)
   }
 
+
+  /** UNPIVOT via the parser — [[Relational.q_unpivot]]'s wide-to-long
+    * reshape as SQL text (the UNPIVOT clause; the DataFrame twin uses
+    * stack()), same oracle. */
+  def q_sql_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT metric, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM (SELECT l_discount AS discount, l_extendedprice AS extendedprice,
+        |             l_quantity AS quantity, l_tax AS tax FROM lineitem)
+        |UNPIVOT (v FOR metric IN (discount, extendedprice, quantity, tax))
+        |GROUP BY metric ORDER BY metric""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_unpivot" -> q_sql_unpivot _,
     "q_sql_pivot" -> q_sql_pivot _,
     "q_sql_win_rank" -> q_sql_win_rank _,
     "q_sql_agg_cube" -> q_sql_agg_cube _,
@@ -629,6 +645,7 @@ object SqlSurface {
     "q_sql_tpch_q6" -> TpchExtra.oracle("q_tpch_q6"),
     "q_sql_tpch_q7" -> TpchExtra.oracle("q_tpch_q7"),
     "q_sql_pivot" -> Scalars.oracle("q_pivot"),
+    "q_sql_unpivot" -> Relational.oracle("q_unpivot"),
     "q_sql_win_rank" -> Windows.oracle("q_win_rank"),
     "q_sql_agg_cube" -> Relational.oracle("q_agg_cube"),
     "q_sql_text_quality" -> LlmExt.oracle("q_text_quality"),
