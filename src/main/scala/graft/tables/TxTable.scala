@@ -1204,6 +1204,45 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** REORG … APPLY (PURGE) for dropped columns (Delta's `REORG TABLE`):
+    * physically rewrite ONLY the current files that still carry a
+    * tombstoned physical column, so the bytes of dropped data actually
+    * leave the storage (compliance deletes; also shrinks scans). The
+    * candidate set is decided from parquet FOOTERS — O(files) tiny
+    * driver-side metadata reads, zero data I/O to classify (the same
+    * explicit-maintenance budget evolveStats spends on a full data
+    * pass) — so files written after the drop, or already purged by a
+    * compaction, are provably untouched BY NAME. The rewrite funnels
+    * through the logical read surface, which is DV-aware: a purged
+    * file's deletion-vector victims are materialized away in the same
+    * pass, like compaction. Publishes copy-on-write with the standard
+    * rebase/abort rules; history records `purge-dropped-columns`.
+    * Historical versions still reference the old files until [[vacuum]]
+    * reclaims them — a compliance purge is REORG + vacuum, exactly
+    * Delta's story. */
+  def purgeDroppedColumns(spark: SparkSession): MergeResult = {
+    import scala.jdk.CollectionConverters._
+    val base = snapshot()
+    val dropped = droppedPhys(base.colMap)
+    if (dropped.isEmpty)
+      return MergeResult(base.version, 0, base.files.size, 0)
+    val conf = spark.sessionState.newHadoopConf()
+    val (carriers, clean) = base.files.partition { f =>
+      val p = new org.apache.hadoop.fs.Path(dataDir.resolve(f.path).toString)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFileMetaData.getSchema.getFields.asScala
+        .exists(t => dropped.contains(t.getName))
+      finally r.close()
+    }
+    if (carriers.isEmpty)
+      return MergeResult(base.version, 0, base.files.size, 0)
+    val entries = writeDataFiles(spark, readFiles(spark, carriers, base.colMap))
+    val v = commitCow(base, carriers, entries, "purge-dropped-columns", None)
+    MergeResult(v, rewrittenFiles = carriers.size, keptFiles = clean.size,
+      newFiles = entries.size)
+  }
+
   /** STATS EVOLUTION — the manifest-only half of partition evolution
     * (clusterZorder is the data-moving half): record min/max of `cols`
     * for every CURRENT file in a new manifest version. ONE distributed

@@ -139,6 +139,30 @@ class TxDropColumnSpec extends AnyFunSuite with SparkFixture {
       "compaction rewrites through the logical surface — the drop becomes physical")
   }
 
+  test("purge rewrites ONLY the files still carrying the dropped column") {
+    import spark.implicits._
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, keyed(0, 30, 3))                  // 3 pre-drop files carry `note`
+    t.dropColumn("note")
+    t.append(spark, Seq((100L, 7L)).toDF("k", "v"))   // post-drop file: no `note`
+    val before = t.snapshot().files.map(_.path).toSet
+    val r = t.purgeDroppedColumns(spark)
+    assert(r.rewrittenFiles == 3 && r.keptFiles == 1,
+      s"only the 3 carriers rewrite, got $r")
+    val after = t.snapshot()
+    // the clean post-drop file survives BY NAME; the carriers are gone
+    assert((before intersect after.files.map(_.path).toSet).size == 1)
+    // the dropped bytes have physically left the CURRENT files
+    val raw = spark.read.option("mergeSchema", "true").parquet(
+      after.files.map(f => s"${t.root}/data/${f.path}"): _*)
+    assert(!raw.columns.contains("note"), "purge must remove the physical column")
+    assert(t.read(spark).count() == 31)
+    assert(t.history().head.operation == "purge-dropped-columns")
+    // idempotent: a second purge finds nothing to rewrite
+    val r2 = t.purgeDroppedColumns(spark)
+    assert(r2.rewrittenFiles == 0 && r2.version == after.version)
+  }
+
   test("a CHECK constraint blocks the drop until dropConstraint releases it") {
     import spark.implicits._
     val t = new TxTable(tmpRoot(), Seq("k"))
