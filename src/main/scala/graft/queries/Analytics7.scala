@@ -542,7 +542,40 @@ object Analytics7 {
       .limit(10)
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen: per
+    * segment, the distribution of the value's first significant digit
+    * against Benford's law, as one exact-integer deviation score. The
+    * digit comes from the CENT quantization's decimal string (BIGINT →
+    * string is scientific-notation-free on both engines, so the first
+    * character is deterministic); the nine Benford expectations are
+    * PINNED e4 constants (floor(10⁴·log10(1+1/d)) — log is not
+    * correctly rounded across engines, so the table is data, not a
+    * runtime computation); deviation = Σ_d |10⁴·n_d − B_d·N| div N in
+    * pure BIGINT. ONE two-phase agg with nine conditional counters —
+    * map-combinable, no second shuffle. At 100 TB: one scan. */
+  def q_audit_benford(spark: SparkSession, dir: String): DataFrame = {
+    val benfordE4 = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        substring(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .cast("string"), 1, 1).cast("long").as("d"))
+    val counters = count(lit(1)).as("n") +: (1 to 9).map(d =>
+      sum(when(col("d") === d, lit(1L)).otherwise(lit(0L))).as(s"n$d"))
+    val g = ev.groupBy(col("event_type"))
+      .agg(counters.head, counters.tail: _*)
+    val dev = (1 to 9).map(d =>
+      abs(lit(10000L) * col(s"n$d") - lit(benfordE4(d - 1)) * col("n")))
+      .reduce(_ + _)
+    g.select(col("event_type"), col("n"),
+        expr("(10000 * n1) div n").as("d1_bp"),
+        (dev.cast("long")).as("dev_sum"))
+      .withColumn("dev_bp", expr("dev_sum div n"))
+      .drop("dev_sum")
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audit_benford" -> q_audit_benford _,
     "q_alert_flap" -> q_alert_flap _,
     "q_text_readability" -> q_text_readability _,
     "q_trend_ols" -> q_trend_ols _,
@@ -570,6 +603,28 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_audit_benford" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(substr(CAST(CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS d FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |    CAST(sum(CASE WHEN d = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+        |    CAST(sum(CASE WHEN d = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN d = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+        |    CAST(sum(CASE WHEN d = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n9
+        |  FROM q GROUP BY event_type)
+        |SELECT event_type, n, (10000 * n1) // n AS d1_bp,
+        |  (abs(10000 * n1 - 3010 * n) + abs(10000 * n2 - 1760 * n)
+        |   + abs(10000 * n3 - 1249 * n) + abs(10000 * n4 - 969 * n)
+        |   + abs(10000 * n5 - 791 * n) + abs(10000 * n6 - 669 * n)
+        |   + abs(10000 * n7 - 579 * n) + abs(10000 * n8 - 511 * n)
+        |   + abs(10000 * n9 - 457 * n)) // n AS dev_bp
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_alert_flap" ->
       """WITH s AS (SELECT user_id, ts, event_id,
         |    ("value" >= 50.0e0) AS state FROM events),
