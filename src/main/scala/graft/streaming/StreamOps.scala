@@ -336,6 +336,52 @@ object StreamOps {
       .transformWithState(new CounterToRateProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  final case class FlapState(last: Boolean, trans: Long, n: Long)
+  final case class FlapRow(user_id: Long, n_events: Long, n_trans: Long)
+
+  /** STREAMING FLAP COUNTER — the online face of the batch
+    * [[graft.queries.Analytics7.q_alert_flap]] (which carries the
+    * oracle): per user, the alert-state transition count maintained
+    * incrementally in a named ValueState. Each micro-batch folds its
+    * (ts, event_id)-sorted rows into (lastState, transitions, events)
+    * and emits the key's updated totals (Update mode) — flap
+    * suppression reads the latest row per key. State is ONE tiny record
+    * per user regardless of stream length; exactness matches the batch
+    * lag-window under per-key ordered arrival, the same contract as
+    * counterToRate. */
+  class FlapProcessor extends StatefulProcessor[Long, Sample, FlapRow] {
+    @transient private var st: ValueState[FlapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FlapState](
+        "flap", Encoders.product[FlapState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[FlapRow] = {
+      val sorted = rows.toSeq.sortBy(s => (s.ts_us, s.event_id))
+      var s = if (st.exists()) st.get() else FlapState(last = false, 0L, 0L)
+      for (e <- sorted) {
+        val cur = e.value >= 50.0
+        val trans = if (s.n > 0 && cur != s.last) s.trans + 1 else s.trans
+        s = FlapState(cur, trans, s.n + 1)
+      }
+      st.update(s)
+      Iterator(FlapRow(user, s.n, s.trans))
+    }
+  }
+
+  /** Stateful flap counting on the transformWithState API (RocksDB
+    * provider required, like the other TWS operators). */
+  def flapStream(events: DataFrame): Dataset[FlapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new FlapProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TopKRow(event_type: String, version: Long, user_id: Long, cnt: Long)
 
   /** Streaming heavy hitters per event_type on transformWithState's

@@ -55,6 +55,64 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ValueState flap counter == batch transition counts; state survives batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) full-corpus equivalence: the stream's final per-user totals
+      // equal the batch lag-window computation (q_alert_flap pre-top-10)
+      val streamed = runToMemory(
+        StreamOps.flapStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
+        .as[(Long, Long, Long)].collect()
+      // update mode re-emits a key's totals each batch; keep the max-n row
+      val finalPerUser = streamed.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._2); (u, last._2, last._3)
+      }.toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value") >= lit(50.0)).as("state"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("state"), 1L)
+            .otherwise(0L)).as("t"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(finalPerUser == batch)
+      assert(finalPerUser.nonEmpty)
+
+      // (b) cross-batch state: two time-ordered files, one per micro-batch;
+      // the F->T transition at the file boundary must be counted
+      val src = java.nio.file.Files.createTempDirectory("graft_flap2").toString
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      Seq((1L, 1L, ts(1), 60.0), (1L, 2L, ts(2), 40.0), (2L, 3L, ts(3), 10.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200) // distinct mod-times order the two micro-batches
+      Seq((1L, 4L, ts(4), 70.0), (2L, 5L, ts(5), 20.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val rows = runToMemory(StreamOps.flapStream(stream).toDF(), "update")
+        .as[(Long, Long, Long)].collect()
+      val fin = rows.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._2); (u, last._2, last._3)
+      }.toSet
+      // user 1: T,F then T -> 2 transitions (one ACROSS the batch boundary);
+      // user 2: F,F,F -> 0
+      assert(fin == Set((1L, 3L, 2L), (2L, 2L, 0L)),
+        s"cross-batch transitions wrong: $fin (all emissions: ${rows.toSeq})")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("MapState heavy hitters across micro-batches == batch top-k per type") {
     import spark.implicits._
     // 4 source files + maxFilesPerTrigger=1 force 4 micro-batches, so the
