@@ -574,7 +574,32 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** SLA UPTIME / AVAILABILITY — the monitoring report every fleet runs:
+    * per host, the fraction of COARSE time buckets (hours here — the
+    * corpus spans 30 days) in which the host reported at least once,
+    * over the CORPUS-WIDE observation window (so silent hosts are
+    * penalized, not excused). All exact integers: hour buckets by
+    * epoch-ms div, active buckets by count(DISTINCT bucket) — two-phase
+    * distinct, map-combinable partials — the window span from one
+    * broadcast 1-row min/max, availability in basis points by BIGINT
+    * div, longest-streak-friendly ordering (worst first). At 100 TB:
+    * one scan + one distinct agg + a 1-row broadcast. */
+  def q_sla_uptime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+    val span = ev.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("hr")).as("n_active"))
+      .crossJoin(broadcast(span))
+      .withColumn("n_hours", col("hi") - col("lo") + lit(1L))
+      .withColumn("avail_bp", expr("(10000 * n_active) div n_hours"))
+      .select(col("user_id"), col("n_active"), col("n_hours"), col("avail_bp"))
+      .orderBy(col("avail_bp"), col("user_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sla_uptime" -> q_sla_uptime _,
     "q_audit_benford" -> q_audit_benford _,
     "q_alert_flap" -> q_alert_flap _,
     "q_text_readability" -> q_text_readability _,
@@ -603,6 +628,13 @@ object Analytics7 {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sla_uptime" ->
+      """WITH q AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hr FROM events),
+        |span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM q),
+        |g AS (SELECT user_id, count(DISTINCT hr) AS n_active FROM q GROUP BY user_id)
+        |SELECT user_id, n_active, (hi - lo + 1) AS n_hours,
+        |  (10000 * n_active) // (hi - lo + 1) AS avail_bp
+        |FROM g, span ORDER BY avail_bp, user_id LIMIT 20""".stripMargin,
     "q_audit_benford" ->
       """WITH q AS (SELECT event_type,
         |    CAST(substr(CAST(CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
