@@ -25,7 +25,8 @@ object SparkEntry {
       Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
       Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
       TableOps.queries ++ SqlSurface.queries ++ Retrieval.queries ++
-      TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries
+      TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries ++
+      Analytics8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle ++
       Analytics4.oracle ++ Analytics5.oracle ++ Analytics6.oracle ++
       TableOps.oracle ++ SqlSurface.oracle ++ Retrieval.oracle ++
-      TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle
+      TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle ++
+      Analytics8.oracle
 }

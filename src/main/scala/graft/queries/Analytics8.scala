@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 sixth-continuation additions (SURVEY §2.24): the network
+  * DETECTION tier — concentration indices (Gini, Herfindahl), bot-cadence
+  * regularity, CUSUM change-point detection, and longest-outage ranking.
+  * Every statistic is computed in exact BIGINT arithmetic end to end
+  * (basis-point / e4 flooring, integer cross-multiply flags), the
+  * q_trend_ols / q_ab_welch discipline: ship integer partials, divide
+  * once at the end, never let a float accumulate in partition order. */
+object Analytics8 {
+
+  /** GINI CONCENTRATION INDEX per segment — "is this event class driven
+    * by a few heavy hosts?": per (event_type, user_id) traffic totals in
+    * exact cents, ranked ascending within the segment, and the Gini
+    * coefficient from the rank-weighted identity
+    * G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — every term an exact BIGINT,
+    * the result floored to basis points by integer division (numerator
+    * is ≥ 0 for ascending ranks, so div == floor on both engines).
+    * Plan: one two-phase agg to per-user totals (the only pass over the
+    * raw stream), one rank window partitioned by the 5 segments over the
+    * ~|users|·|segments| totals, one 5-row final agg. At 100 TB the
+    * window input is |hosts|, not |events| — the scan stays a single
+    * map-combinable pass; cent totals would widen to DECIMAL(38,0)
+    * partials at petabyte row counts (q_agg_corr precedent). */
+  def q_conc_gini(spark: SparkSession, dir: String): DataFrame = {
+    val tot = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("c")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"), col("user_id"))
+    tot.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("s1"),
+        sum(col("i") * col("x")).as("sr"))
+      .withColumn("gini_bp",
+        expr("(10000 * (2 * sr - (n_users + 1) * s1)) div (n_users * s1)"))
+      .select(col("event_type"), col("n_users"), col("gini_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HERFINDAHL (HHI) DISPERSION per host — the port-scan screen: a
+    * host whose traffic is spread thin across event classes (low HHI,
+    * high distinct count) behaves like a scanner, one concentrated on a
+    * single class like a normal client. HHI = Σ(n_i/N)² floored to
+    * basis points as (10⁴·Σn_i²) div N² — exact BIGINT throughout; the
+    * scan flag is the integer cross-multiply 4·Σn_i² < N² (HHI < 0.25,
+    * never a float threshold). Two stacked two-phase aggs: (host,class)
+    * counts then per-host moments — both map-combinable, no window, no
+    * skew (the inner key fans OUT of the host key). 20 most dispersed
+    * hosts first via TakeOrderedAndProject. */
+  def q_scan_hhi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("ni") * col("ni")).as("s2"))
+      .withColumn("hhi_bp", expr("(10000 * s2) div (n * n)"))
+      .withColumn("scan_like", col("s2") * lit(4L) < col("n") * col("n"))
+      .select(col("user_id"), col("n"), col("n_types"), col("hhi_bp"), col("scan_like"))
+      .orderBy(col("hhi_bp"), col("user_id"))
+      .limit(20)
+  }
+
+  /** BOT-CADENCE REGULARITY — machines retry on a timer, humans don't:
+    * per host, the squared coefficient of variation of inter-arrival
+    * gaps, CV² = (m·Σg² − (Σg)²)/(Σg)², from one lag window (the same
+    * single user_id shuffle as q_alert_flap) feeding one exact-BIGINT
+    * moment agg. Gaps are quantized to whole seconds so the quadratic
+    * sums sit far from BIGINT range (µs gaps would square to 10²²;
+    * second gaps cap Σg² near 10¹⁸ even at millions of events per
+    * host — the q_trend_ols recentring lesson). CV² floored at e4 by
+    * integer division (numerator ≥ 0 by Cauchy–Schwarz, so div ==
+    * floor); the bot flag is the exact cross-multiply 4·(m·Σg²−(Σg)²)
+    * ≤ (Σg)² (CV ≤ ½). Most-metronomic 20 hosts first. */
+  def q_bot_cadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("t_s"))
+      .withColumn("gap", col("t_s") - lag(col("t_s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .filter(col("sg") > 0)
+      .withColumn("cv2_e4", expr("(10000 * (m * sg2 - sg * sg)) div (sg * sg)"))
+      .withColumn("is_bot",
+        (col("m") * col("sg2") - col("sg") * col("sg")) * lit(4L) <= col("sg") * col("sg"))
+      .select(col("user_id"), col("m"), col("cv2_e4"), col("is_bot"))
+      .orderBy(col("cv2_e4"), col("user_id"))
+      .limit(20)
+  }
+
+  /** CUSUM CHANGE-POINT per segment — "when did this metric's level
+    * shift?": the classic cumulative-sum statistic max_k |Σ_{i≤k}(x_i −
+    * μ)|, kept EXACT by scaling through n: n·Σ_{i≤k}(x_i − μ) =
+    * n·Σ_{i≤k}x_i − k·S where S = Σx (both running sums exact BIGINT in
+    * cents — μ itself is never materialized, so no float enters before
+    * the final rescale). One running-sum window + one rank window over
+    * the same (event_type, ts, event_id) order — ONE shuffle, two sorted
+    * passes; the argmax row (earliest on ties) reports the change
+    * instant and the deviation rescaled to cents by integer division.
+    * Segment count is tiny here (5), so each window partition is one
+    * segment's full stream — the documented per-segment-window shape; at
+    * 100 TB segments are hosts (millions of partitions) and the same
+    * plan load-balances. n·x products cap near 10¹² at sf0.1; DECIMAL
+    * partials are the petabyte widening (q_conc_gini note). */
+  def q_change_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val tot = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    base.join(broadcast(tot), "event_type")
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("rs", sum(col("c")).over(run))
+      .withColumn("dev", abs(col("n") * col("rs") - col("k") * col("s")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dev").desc, col("ts"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"),
+        expr("unix_micros(ts) div 1000000").as("change_t_s"),
+        expr("dev div n").as("max_dev_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** LONGEST-OUTAGE RANKING — the incident report beside q_sla_uptime's
+    * availability ratio: per host, the single longest silent stretch
+    * between consecutive reports, with the instant it began. One lag
+    * window (same user_id shuffle + sort as q_bot_cadence — a real
+    * deployment computes cadence and outage in the same pass), then the
+    * per-host argmax by a rank window over (gap desc, start asc); the
+    * 20 worst outages corpus-wide via TakeOrderedAndProject. Edge
+    * silences (before a host's first report / after its last) are
+    * relative to the host's own observation span by design — corpus-edge
+    * accounting is q_sla_uptime's denominator job. Whole-second
+    * quantization keeps every value BIGINT-exact. */
+  def q_outage_maxgap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("t_s"))
+      .withColumn("prev", lag(col("t_s"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", col("t_s") - col("prev"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("gap_s").desc, col("prev"), col("event_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("gap_s"), col("prev").as("start_t_s"))
+      .orderBy(col("gap_s").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conc_gini" -> q_conc_gini _,
+    "q_scan_hhi" -> q_scan_hhi _,
+    "q_bot_cadence" -> q_bot_cadence _,
+    "q_change_cusum" -> q_change_cusum _,
+    "q_outage_maxgap" -> q_outage_maxgap _)
+
+  val oracle: Map[String, String] = Map(
+    "q_conc_gini" ->
+      """WITH tot AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor("value" * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (SELECT event_type, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM tot),
+        |g AS (SELECT event_type, count(*) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(i * x) AS BIGINT) AS sr
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_users,
+        |  (10000 * (2 * sr - (n_users + 1) * s1)) // (n_users * s1) AS gini_bp
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_scan_hhi" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS ni
+        |  FROM events GROUP BY user_id, event_type),
+        |g AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n,
+        |    count(*) AS n_types, CAST(sum(ni * ni) AS BIGINT) AS s2
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n, n_types, (10000 * s2) // (n * n) AS hhi_bp,
+        |  s2 * 4 < n * n AS scan_like
+        |FROM g ORDER BY hhi_bp, user_id LIMIT 20""".stripMargin,
+    "q_bot_cadence" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    epoch_us(ts) // 1000000 AS t_s FROM events),
+        |p AS (SELECT user_id,
+        |    t_s - lag(t_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM s),
+        |g AS (SELECT user_id, count(*) AS m, CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(gap * gap) AS BIGINT) AS sg2
+        |  FROM p WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, m,
+        |  (10000 * (m * sg2 - sg * sg)) // (sg * sg) AS cv2_e4,
+        |  (m * sg2 - sg * sg) * 4 <= sg * sg AS is_bot
+        |FROM g WHERE sg > 0 ORDER BY cv2_e4, user_id LIMIT 20""".stripMargin,
+    "q_change_cusum" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |tot AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+        |  FROM b GROUP BY event_type),
+        |r AS (SELECT b.event_type, b.ts, b.event_id, tot.n, tot.s,
+        |    CAST(row_number() OVER (PARTITION BY b.event_type
+        |      ORDER BY b.ts, b.event_id) AS BIGINT) AS k,
+        |    CAST(sum(c) OVER (PARTITION BY b.event_type
+        |      ORDER BY b.ts, b.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs
+        |  FROM b JOIN tot USING (event_type)),
+        |d AS (SELECT event_type, ts, event_id, n, abs(n * rs - k * s) AS dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * rs - k * s) DESC, ts, event_id) AS rk
+        |  FROM r)
+        |SELECT event_type, n, epoch_us(ts) // 1000000 AS change_t_s,
+        |  dev // n AS max_dev_cents
+        |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q_outage_maxgap" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    epoch_us(ts) // 1000000 AS t_s FROM events),
+        |p AS (SELECT user_id, event_id,
+        |    lag(t_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    t_s FROM s),
+        |g AS (SELECT user_id, t_s - prev AS gap_s, prev, event_id
+        |  FROM p WHERE prev IS NOT NULL),
+        |r AS (SELECT user_id, gap_s, prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY gap_s DESC, prev, event_id) AS rk
+        |  FROM g)
+        |SELECT user_id, gap_s, prev AS start_t_s
+        |FROM r WHERE rk = 1 ORDER BY gap_s DESC, user_id LIMIT 20""".stripMargin)
+}

@@ -382,6 +382,65 @@ object StreamOps {
       .transformWithState(new FlapProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CusumState(pos: Long, neg: Long, alarms: Long, n: Long)
+  final case class CusumRow(user_id: Long, n: Long, pos_cents: Long, neg_cents: Long, alarms: Long)
+
+  /** ONLINE CUSUM CONTROL CHART (Page's test) — the streaming face of
+    * change detection. The batch [[graft.queries.Analytics8.q_change_cusum]]
+    * is RETROSPECTIVE (argmax of the centered cumulative sum, which needs
+    * the series mean and is only computable after the fact); the online
+    * face is the classic Page recurrence against a PRE-SET target:
+    * S⁺ = max(0, S⁺ + (x − μ₀ − κ)), S⁻ = max(0, S⁻ + (μ₀ − κ − x)),
+    * alarm and reset when either side crosses h — O(1) state per host,
+    * no look-back, the form a monitoring pipeline actually deploys.
+    * All arithmetic in exact cent BIGINTs (μ₀, κ, h are cent
+    * parameters; floor(x·100+0.5) is the corpus-wide quantization), so
+    * the fold is associative-restart-exact: identical under any
+    * micro-batch slicing of the per-key ordered stream, which the
+    * equivalence spec pins cross-batch. Emits the key's updated chart
+    * state per batch (Update mode — a downstream alerter reads the
+    * latest row per key, the flapStream contract). */
+  class CusumProcessor(targetCents: Long, slackCents: Long, thresholdCents: Long)
+      extends StatefulProcessor[Long, Sample, CusumRow] {
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState](
+        "cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[CusumRow] = {
+      val sorted = rows.toSeq.sortBy(s => (s.ts_us, s.event_id))
+      var s = if (st.exists()) st.get() else CusumState(0L, 0L, 0L, 0L)
+      for (e <- sorted) {
+        val c = math.floor(e.value * 100 + 0.5).toLong
+        var pos = math.max(0L, s.pos + (c - targetCents - slackCents))
+        var neg = math.max(0L, s.neg + (targetCents - slackCents - c))
+        var alarms = s.alarms
+        if (pos > thresholdCents || neg > thresholdCents) {
+          alarms += 1; pos = 0L; neg = 0L // Page restart after an alarm
+        }
+        s = CusumState(pos, neg, alarms, s.n + 1)
+      }
+      st.update(s)
+      Iterator(CusumRow(user, s.n, s.pos, s.neg, s.alarms))
+    }
+  }
+
+  /** Per-host online CUSUM chart on transformWithState (RocksDB provider
+    * required). Parameters in cents: target μ₀, slack κ, threshold h. */
+  def cusumStream(events: DataFrame, targetCents: Long, slackCents: Long,
+      thresholdCents: Long): Dataset[CusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(targetCents, slackCents, thresholdCents),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TopKRow(event_type: String, version: Long, user_id: Long, cnt: Long)
 
   /** Streaming heavy hitters per event_type on transformWithState's

@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries.Analytics8
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent driver-side recomputations of the detection tier (SURVEY
+  * §2.24), beyond the DuckDB hash gate: every statistic is rebuilt in
+  * plain Scala BigInt from a collected copy of the sf0.001 events — a
+  * second implementation with no Spark expression tree in common, so a
+  * formulation error on both engine sides (which the oracle cannot see)
+  * would still surface here. */
+class Analytics8Spec extends AnyFunSuite with SparkFixture {
+
+  private case class Ev(id: Long, user: Long, etype: String, tsUs: Long, cents: Long)
+
+  private lazy val evs: Seq[Ev] = Tables.events(spark, sf)
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    .collect()
+    .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    .toSeq
+
+  test("q_conc_gini equals the definitional mean-absolute-difference Gini") {
+    val got = Analytics8.q_conc_gini(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = evs.groupBy(_.etype).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val x = rows.groupBy(_.user).map { case (_, es) => BigInt(es.map(_.cents).sum) }.toSeq
+      val n = BigInt(x.size)
+      val mad = (for (a <- x; b <- x) yield (a - b).abs).sum // Σij |xi−xj|
+      // G = MAD / (2 n Σx); floored bp — independent of the rank identity
+      val bp = (BigInt(10000) * mad) / (2 * n * x.sum)
+      (t, x.size.toLong, bp.toLong)
+    }
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
+  test("q_scan_hhi equals a plain-Scala Herfindahl recompute") {
+    val got = Analytics8.q_scan_hhi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val want = evs.groupBy(_.user).toSeq.map { case (u, rows) =>
+      val ni = rows.groupBy(_.etype).map(_._2.size).map(BigInt(_)).toSeq
+      val n = ni.sum; val s2 = ni.map(i => i * i).sum
+      (u, n.toLong, ni.size.toLong, ((BigInt(10000) * s2) / (n * n)).toLong,
+        s2 * 4 < n * n)
+    }.sortBy(t => (t._4, t._1)).take(20)
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
+  test("q_bot_cadence equals a plain-Scala CV² recompute; constant cadence flags bot") {
+    val got = Analytics8.q_bot_cadence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val want = evs.groupBy(_.user).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.sortBy(e => (e.tsUs, e.id)).map(_.tsUs / 1000000)
+      val g = ts.zip(ts.tail).map { case (a, b) => BigInt(b - a) }
+      val m = BigInt(g.size); val sg = g.sum; val sg2 = g.map(x => x * x).sum
+      if (g.isEmpty || sg <= 0) None
+      else Some((u, m.toLong, ((BigInt(10000) * (m * sg2 - sg * sg)) / (sg * sg)).toLong,
+        (m * sg2 - sg * sg) * 4 <= sg * sg))
+    }.sortBy(t => (t._3, t._1)).take(20)
+    assert(got.nonEmpty && got.toSeq == want)
+    // and the flag's semantics on a synthetic perfectly-regular cadence:
+    // CV² = 0 → bot; the same gaps with one 10× outlier → not a bot
+    def cv2(gaps: Seq[Long]): (BigInt, Boolean) = {
+      val m = BigInt(gaps.size); val sg = BigInt(gaps.sum)
+      val sg2 = gaps.map(x => BigInt(x) * x).sum
+      ((BigInt(10000) * (m * sg2 - sg * sg)) / (sg * sg),
+        (m * sg2 - sg * sg) * 4 <= sg * sg)
+    }
+    assert(cv2(Seq.fill(50)(60L)) == (BigInt(0), true))
+    assert(!cv2(Seq.fill(49)(60L) :+ 600L)._2)
+  }
+
+  test("q_change_cusum equals a plain-Scala scaled-CUSUM argmax") {
+    val got = Analytics8.q_change_cusum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = evs.groupBy(_.etype).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val ord = rows.sortBy(e => (e.tsUs, e.id))
+      val n = BigInt(ord.size); val s = BigInt(ord.map(_.cents).sum)
+      var rs = BigInt(0)
+      val devs = ord.zipWithIndex.map { case (e, i) =>
+        rs += e.cents
+        (e, (n * rs - BigInt(i + 1) * s).abs)
+      }
+      val best = devs.maxBy { case (e, d) => (d, -e.tsUs, -e.id) } // earliest on ties
+      (t, ord.size.toLong, best._1.tsUs / 1000000, (best._2 / n).toLong)
+    }
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
+  test("q_outage_maxgap equals a plain-Scala longest-gap scan") {
+    val got = Analytics8.q_outage_maxgap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = evs.groupBy(_.user).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.sortBy(e => (e.tsUs, e.id)).map(_.tsUs / 1000000)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a, a) }
+      if (gaps.isEmpty) None
+      else Some { val g = gaps.maxBy { case (d, st) => (d, -st) }; (u, g._1, g._2) }
+    }.sortBy(t => (-t._2, t._1)).take(20)
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+}

@@ -352,4 +352,66 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.columns.toSeq == Seq("day", "event_type", "n"))
     assert(streamed.count() > 0)
   }
+
+  test("online CUSUM chart == driver-side Page recurrence; alarm crosses batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) whole-corpus replay: final chart state per host must equal the
+      // exact-integer Page fold over the same (ts, event_id)-ordered series
+      val (mu0, kap, h) = (5000L, 500L, 25000L)
+      val streamed = runToMemory(
+        StreamOps.cusumStream(StreamOps.eventsStream(spark, sf), mu0, kap, h).toDF(), "update")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val fin = streamed.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._2); (u, last._2, last._3, last._4, last._5)
+      }.toSet
+      val want = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) =>
+          var (pos, neg, alarms, n) = (0L, 0L, 0L, 0L)
+          for ((_, _, _, c) <- rows.sortBy(r => (r._2, r._3))) {
+            pos = math.max(0L, pos + (c - mu0 - kap))
+            neg = math.max(0L, neg + (mu0 - kap - c))
+            if (pos > h || neg > h) { alarms += 1; pos = 0L; neg = 0L }
+            n += 1
+          }
+          (u, n, pos, neg, alarms)
+        }.toSet
+      assert(fin == want)
+      assert(fin.nonEmpty && want.exists(_._5 > 0), // corpus must actually alarm
+        s"vacuous: no alarms fired under (mu0=$mu0, k=$kap, h=$h)")
+
+      // (b) the alarm must fire from drift ACCUMULATED across a micro-batch
+      // boundary: +100 cents/sample against h=350 — batch 1 (3 samples)
+      // ends at S+=300, below threshold; the crossing happens on batch 2's
+      // first sample only if S+ carried over
+      val src = java.nio.file.Files.createTempDirectory("graft_cusum2").toString
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      Seq((1L, 1L, ts(1), 11.0), (1L, 2L, ts(2), 11.0), (1L, 3L, ts(3), 11.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200) // distinct mod-times order the two micro-batches
+      Seq((1L, 4L, ts(4), 11.0), (1L, 5L, ts(5), 11.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      // x=1100 cents, mu0=1000, k=0 -> +100/sample; h=350: crosses at n=4
+      val rows = runToMemory(StreamOps.cusumStream(stream, 1000L, 0L, 350L).toDF(), "update")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val last = rows.maxBy(_._2)
+      // n=5: S+ went 100,200,300 | 400->alarm+reset, then 100; one alarm
+      assert(last == ((1L, 5L, 100L, 0L, 1L)),
+        s"cross-batch CUSUM wrong: $last (all: ${rows.toSeq})")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
