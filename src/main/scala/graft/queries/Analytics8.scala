@@ -162,7 +162,39 @@ object Analytics8 {
       .limit(20)
   }
 
+  /** SEMANTIC TRAIN/EVAL CONTAMINATION — the embedding-space face of
+    * [[LlmExt.q_text_contam]]'s n-gram screen: for every held-out eval
+    * vector (vec_id ≡ 0 mod 20 — the deterministic 5% split), the most
+    * similar TRAINING vector and whether it crosses the contamination
+    * bar (a paraphrased benchmark answer hiding in the training corpus
+    * that n-gram overlap cannot see). Composes the IVF discipline of
+    * [[LlmExt.q_ann_ivf]]: the tiny eval side broadcasts, candidates are
+    * bounded to the eval vector's own coarse cell by an equi join on the
+    * cell label (never the all-pairs nested loop), similarity is the
+    * codegen'd native float_dot floored to basis points, and the
+    * per-eval argmax is a rank window partitioned by eval_id. The flag
+    * is an integer compare at 3000 bp — no float threshold. At 100 TB:
+    * eval sets are benchmark-sized (broadcast), the train side streams
+    * one cell-bucketed pass. */
+  def q_contam_semantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val eval = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("eval_id"), col("label").as("la"), col("embedding").as("va"))
+    val train = e.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("train_id"), col("label").as("lb"), col("embedding").as("vb"))
+    val w = Window.partitionBy(col("eval_id")).orderBy(col("sim_bp").desc, col("train_id"))
+    broadcast(eval).join(train, col("la") === col("lb"))
+      .select(col("eval_id"), col("train_id"),
+        floor(lit(10000.0) * expr("float_dot(va, vb)")).as("sim_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("train_id"), col("sim_bp"),
+        (col("sim_bp") >= 3000L).as("contaminated"))
+      .orderBy(col("eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contam_semantic" -> q_contam_semantic _,
     "q_conc_gini" -> q_conc_gini _,
     "q_scan_hhi" -> q_scan_hhi _,
     "q_bot_cadence" -> q_bot_cadence _,
@@ -170,6 +202,19 @@ object Analytics8 {
     "q_outage_maxgap" -> q_outage_maxgap _)
 
   val oracle: Map[String, String] = Map(
+    "q_contam_semantic" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |         t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 20 = 0 AND b.vec_id % 20 <> 0 AND a.label = b.label),
+        |r AS (SELECT eval_id, train_id, sim_bp,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY sim_bp DESC, train_id) AS rn
+        |  FROM p)
+        |SELECT eval_id, train_id, sim_bp, sim_bp >= 3000 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin,
     "q_conc_gini" ->
       """WITH tot AS (SELECT event_type, user_id,
         |    CAST(sum(CAST(floor("value" * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x

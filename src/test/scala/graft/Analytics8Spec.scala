@@ -89,6 +89,31 @@ class Analytics8Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got.toSeq == want)
   }
 
+  test("q_contam_semantic equals a brute-force same-cell scan with a live flag") {
+    val got = Analytics8.q_contam_semantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toIndexedSeq))
+    def dot(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = { // FloatDot's L2R fold
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val train = vecs.filter(_._1 % 20 != 0)
+    val want = vecs.filter(_._1 % 20 == 0).sortBy(_._1).flatMap { case (id, cell, va) =>
+      val cand = train.filter(_._2 == cell)
+        .map { case (tid, _, vb) => (tid, math.floor(10000.0 * dot(va, vb)).toLong) }
+      if (cand.isEmpty) None
+      else Some {
+        val best = cand.minBy { case (tid, bp) => (-bp, tid) }
+        (id, best._1, best._2, best._2 >= 3000L)
+      }
+    }.toSeq
+    assert(got.nonEmpty && got.toSeq == want)
+    assert(want.exists(_._4), "vacuous: no contaminated eval vector in the corpus")
+  }
+
   test("q_outage_maxgap equals a plain-Scala longest-gap scan") {
     val got = Analytics8.q_outage_maxgap(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

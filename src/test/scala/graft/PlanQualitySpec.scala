@@ -681,4 +681,48 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // the indicator-count pass over the data is map-combinable
     assert(plan.contains("partial_sum"), s"indicator agg not two-phase:\n$plan")
   }
+
+  test("detection tier: join-free moment aggs, windows over reduced frames, TOAP tops") {
+    // q_scan_hhi: two stacked two-phase aggs, no window, no join, top-20 TOAP
+    val hhi = executedPlan("q_scan_hhi")
+    assert(!hhi.contains("Window") && !hhi.contains("Join"), s"hhi must be agg-only:\n$hhi")
+    assert(hhi.contains("partial_count") || hhi.contains("partial_sum"),
+      s"hhi aggs not two-phase:\n$hhi")
+    assert(hhi.contains("TakeOrderedAndProject(limit=20"), s"hhi top-20 not TOAP:\n$hhi")
+    // q_conc_gini: the rank window reads the REDUCED per-(segment,host)
+    // frame — the raw stream is aggregated (two-phase) before any window
+    val gini = executedPlan("q_conc_gini")
+    assert(gini.contains("partial_sum"), s"gini per-host agg not two-phase:\n$gini")
+    val giniWin = gini.linesIterator.filter(_.contains("Window")).toSeq
+    assert(giniWin.nonEmpty && giniWin.forall(l => !l.contains("value#")),
+      s"gini window must rank host totals, not raw rows:\n${giniWin.mkString("\n")}")
+    // q_bot_cadence / q_outage_maxgap: ONE user_id shuffle feeds both the
+    // lag window and what follows (agg resp. rank window); top-20 is TOAP
+    // (inspect the AQE FINAL plan only — the "Initial Plan" echo would
+    // double-count every exchange)
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    for (q <- Seq("q_bot_cadence", "q_outage_maxgap")) {
+      val plan = finalSection(executedPlan(q))
+      val shuffles = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.size == 1 && shuffles.head.contains("user_id"),
+        s"$q: expected exactly the user_id shuffle:\n${shuffles.mkString("\n")}\n$plan")
+      assert(plan.contains("TakeOrderedAndProject(limit=20"), s"$q: top-20 not TOAP:\n$plan")
+    }
+    // q_change_cusum: segment totals join back as a BROADCAST; both
+    // windows (running sum, argmax rank) share the one segment shuffle
+    val cusum = finalSection(executedPlan("q_change_cusum"))
+    assert(cusum.contains("BroadcastHashJoin"), s"cusum totals must broadcast:\n$cusum")
+    assert(!cusum.contains("SortMergeJoin") && !cusum.contains("CartesianProduct"),
+      s"cusum must not shuffle-join:\n$cusum")
+    assert(cusum.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("event_type")) <= 2,
+      s"cusum windows should share the segment shuffle:\n$cusum")
+    // q_contam_semantic: the eval side broadcasts into a cell-equi hash
+    // join — never an all-pairs loop or a shuffle join
+    val contam = executedPlan("q_contam_semantic")
+    assert(contam.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$contam")
+    assert(!contam.contains("SortMergeJoin") && !contam.contains("CartesianProduct"),
+      s"contam must stay cell-bounded broadcast:\n$contam")
+  }
 }
