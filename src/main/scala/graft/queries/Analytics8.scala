@@ -162,6 +162,32 @@ object Analytics8 {
       .limit(20)
   }
 
+  /** PEAK-RATE / BURSTINESS SCREEN — the rate-limit view of the stream:
+    * per host, the busiest trailing 60-second window (a RANGE frame over
+    * whole-second timestamps — frame membership is decided by VALUE
+    * distance, so ties need no row-order tie-break and the count is
+    * deterministic under any partitioning) and the burst ratio
+    * peak-minute rate ÷ lifetime average rate, exact:
+    * burst_bp = (10⁴·peak·span_s) div (60·n). One user_id shuffle
+    * carries the range window AND the per-host aggregate (the plan-
+    * contract shape shared with q_bot_cadence); burstiest 20 via TOAP.
+    * A DDoS pulse shows as peak ≫ average (huge burst_bp), a metronomic
+    * bot as burst_bp ≈ 10⁴. */
+  def q_rate_peak(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_s")).rangeBetween(-59, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("t_s"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("win_n")).as("peak_1m"),
+        min(col("t_s")).as("lo"), max(col("t_s")).as("hi"))
+      .withColumn("span_s", col("hi") - col("lo") + lit(1L))
+      .withColumn("burst_bp", expr("(10000 * peak_1m * span_s) div (60 * n)"))
+      .select(col("user_id"), col("n"), col("peak_1m"), col("span_s"), col("burst_bp"))
+      .orderBy(col("burst_bp").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** SEMANTIC TRAIN/EVAL CONTAMINATION — the embedding-space face of
     * [[LlmExt.q_text_contam]]'s n-gram screen: for every held-out eval
     * vector (vec_id ≡ 0 mod 20 — the deterministic 5% split), the most
@@ -193,7 +219,142 @@ object Analytics8 {
       .orderBy(col("eval_id"))
   }
 
+  /** LONGEST-PREFIX-MATCH ENRICHMENT — the GeoIP/ASN-lookup join every
+    * flow pipeline runs: each flow's source IP (derived deterministically
+    * from the corpus, q_ip_rollup's device) resolves against an
+    * overlapping routing table at /8, /16 and /24, most specific wins.
+    * The LPM is THREE LEFT BROADCAST JOINS by specificity + one coalesce
+    * — no explode, no per-row candidate set, no argmax window: prefix
+    * tables are small at any corpus size (the global BGP table is ~10⁶
+    * rows — broadcast territory), flows stream through three
+    * codegen'd hash probes in one narrow pass and aggregate per route.
+    * Integer prefix arithmetic ((ip div 2^(32−len))·2^(32−len)), exact
+    * flow counts, decimal value sums. */
+  def q_ip_lpm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r8 = Seq((10L * 16777216L, "as-backbone")).toDF("p8", "route8")
+    val r16 = Seq((10L * 16777216L + 2L * 65536L, "dc-east"),
+      (10L * 16777216L + 4L * 65536L, "dc-west")).toDF("p16", "route16")
+    val r24 = Seq((10L * 16777216L + 4L * 65536L + 9L * 256L, "honeypot"))
+      .toDF("p24", "route24")
+    val flows = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("ip_int",
+        lit(10L * 16777216L) + pmod(col("user_id"), lit(10)) * 65536L +
+          pmod(col("event_id"), lit(13)) * 256L + pmod(col("event_id") * 7, lit(256)))
+    flows
+      .withColumn("c24", expr("(ip_int div 256) * 256"))
+      .withColumn("c16", expr("(ip_int div 65536) * 65536"))
+      .withColumn("c8", expr("(ip_int div 16777216) * 16777216"))
+      .join(broadcast(r24), col("c24") === col("p24"), "left")
+      .join(broadcast(r16), col("c16") === col("p16"), "left")
+      .join(broadcast(r8), col("c8") === col("p8"), "left")
+      .withColumn("route",
+        coalesce(col("route24"), col("route16"), col("route8"), lit("unrouted")))
+      .withColumn("mask_len",
+        when(col("route24").isNotNull, 24).when(col("route16").isNotNull, 16)
+          .when(col("route8").isNotNull, 8).otherwise(0).cast("int"))
+      .groupBy(col("route"), col("mask_len"))
+      .agg(count(lit(1)).as("n_flows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"))
+      .orderBy(col("route"))
+  }
+
+  /** DAY-OVER-DAY CHURN — the fleet-turnover report beside
+    * q_retention's cohort view: for every day after the first, how many
+    * hosts are NEW (active today, silent yesterday), RETAINED (both) and
+    * CHURNED (yesterday only). One distinct (host, day) reduction of the
+    * stream (two-phase, the only full-stream pass), then ONE self
+    * equi-join on (host, day+1) — never a per-day loop — and per-day
+    * exact counts: retained = |A_d ∩ A_{d−1}|, new = |A_d| − retained,
+    * churned = |A_{d−1}| − retained. Days as epoch-day BIGINTs. At
+    * 100 TB the join input is |hosts|·|days|, orders below the stream. */
+  def q_churn(spark: SparkSession, dir: String): DataFrame = {
+    val ad = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day_no"))
+      .distinct()
+    val act = ad.groupBy(col("day_no")).agg(count(lit(1)).as("n_active"))
+    val ret = ad.join(
+        ad.select(col("user_id"), (col("day_no") + 1).as("day_no")),
+        Seq("user_id", "day_no"))
+      .groupBy(col("day_no")).agg(count(lit(1)).as("n_retained"))
+    act.join(act.select((col("day_no") + 1).as("day_no"), col("n_active").as("n_prev")),
+        Seq("day_no"))
+      .join(ret, Seq("day_no"), "left")
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .select(col("day_no"), col("n_active"),
+        (col("n_active") - col("n_retained")).as("n_new"),
+        col("n_retained"), (col("n_prev") - col("n_retained")).as("n_churned"))
+      .orderBy(col("day_no"))
+  }
+
+  /** EVENT-TYPE TRANSITION MATRIX — the order-1 Markov view of host
+    * behavior (what follows what), beside q_seq_pattern's fixed-motif
+    * search and q_funnel's ordered stages: per (prev event class → event
+    * class) pair, the transition count over every host's time-ordered
+    * stream and its probability in exact basis points of the SOURCE
+    * class's outgoing total (row-stochastic ×10⁴, floored — BIGINT end
+    * to end via a windowed sum over the 25-row count frame, never a
+    * second data pass). One user_id shuffle for the lag window, one
+    * two-phase count agg; at 100 TB the matrix is |classes|², constant.
+    * An anomalous host pattern (scanner, stuck retry loop) shows as
+    * probability mass off the normal diagonal structure. */
+  def q_seq_transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRow = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("out_n", sum(col("n")).over(wRow))
+      .withColumn("p_bp", expr("(10000 * n) div out_n"))
+      .select(col("prev_type"), col("event_type"), col("n"), col("p_bp"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** LABEL-PROPAGATION COMMUNITIES — the graph family beside BFS,
+    * PageRank, triangles and connected components: three SYNCHRONOUS
+    * unrolled LPA rounds over the same cell-bounded similarity graph
+    * [[LlmExt.q_dedup_semantic]] clusters (labels start as vec_id; each
+    * round every node adopts its neighbors' mode label, ties to the
+    * smallest label, isolated nodes keep their own via the left join) —
+    * where CC answers "what is reachable", LPA's density-following
+    * labels split a connected blob into communities. Fixed round count
+    * makes synchronous LPA fully deterministic (no convergence race,
+    * identical on both engines). The half-size edge set is persisted
+    * once (the PageRank discipline — symmetrization is two map-side
+    * scans of the cache); each round is one shuffle on the
+    * neighbor-message key + a rank argmax over the per-(node,label)
+    * counts, so cost is O(rounds·|E|) with node-bounded state — the
+    * same shape at 100 TB. */
+  def q_graph_lpa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+    val p = LlmExt.cellCosinePairs(e, minBp = 3000)
+      .select(col("da"), col("db")).persist()
+    val edges = p.union(p.select(col("db").as("da"), col("da").as("db")))
+    var labels = e.select(col("vec_id").as("id"), col("vec_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val mode = edges.join(labels, col("da") === col("id"))
+        .groupBy(col("db"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("db")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select(col("db").as("mid"), col("lbl").as("newl"))
+      labels = labels.join(mode, col("id") === col("mid"), "left")
+        .select(col("id"), coalesce(col("newl"), col("lbl")).as("lbl"))
+    }
+    labels.select(col("id").as("vec_id"), col("lbl").as("community"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn" -> q_churn _,
+    "q_ip_lpm" -> q_ip_lpm _,
+    "q_seq_transitions" -> q_seq_transitions _,
+    "q_graph_lpa" -> q_graph_lpa _,
+    "q_rate_peak" -> q_rate_peak _,
     "q_contam_semantic" -> q_contam_semantic _,
     "q_conc_gini" -> q_conc_gini _,
     "q_scan_hhi" -> q_scan_hhi _,
@@ -202,6 +363,98 @@ object Analytics8 {
     "q_outage_maxgap" -> q_outage_maxgap _)
 
   val oracle: Map[String, String] = Map(
+    "q_ip_lpm" ->
+      """WITH f AS (SELECT event_id, "value",
+        |    10 * 16777216 + (user_id % 10) * 65536
+        |      + (event_id % 13) * 256 + ((event_id * 7) % 256) AS ip_int
+        |  FROM events),
+        |r8 AS (SELECT 10 * 16777216 AS p8, 'as-backbone' AS route8),
+        |r16 AS (SELECT * FROM (VALUES
+        |    (10 * 16777216 + 2 * 65536, 'dc-east'),
+        |    (10 * 16777216 + 4 * 65536, 'dc-west')) AS t(p16, route16)),
+        |r24 AS (SELECT 10 * 16777216 + 4 * 65536 + 9 * 256 AS p24,
+        |    'honeypot' AS route24),
+        |j AS (SELECT f."value",
+        |    coalesce(route24, route16, route8, 'unrouted') AS route,
+        |    CASE WHEN route24 IS NOT NULL THEN 24
+        |         WHEN route16 IS NOT NULL THEN 16
+        |         WHEN route8 IS NOT NULL THEN 8 ELSE 0 END AS mask_len
+        |  FROM f
+        |  LEFT JOIN r24 ON (ip_int // 256) * 256 = p24
+        |  LEFT JOIN r16 ON (ip_int // 65536) * 65536 = p16
+        |  LEFT JOIN r8 ON (ip_int // 16777216) * 16777216 = p8)
+        |SELECT route, CAST(mask_len AS INT) AS mask_len, count(*) AS n_flows,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM j GROUP BY route, mask_len ORDER BY route""".stripMargin,
+    "q_churn" ->
+      """WITH ad AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day_no FROM events),
+        |act AS (SELECT day_no, count(*) AS n_active FROM ad GROUP BY day_no),
+        |ret AS (SELECT a.day_no, count(*) AS n_retained
+        |  FROM ad a JOIN ad b ON a.user_id = b.user_id AND a.day_no = b.day_no + 1
+        |  GROUP BY a.day_no)
+        |SELECT act.day_no, act.n_active,
+        |  act.n_active - coalesce(ret.n_retained, 0) AS n_new,
+        |  coalesce(ret.n_retained, 0) AS n_retained,
+        |  prev.n_active - coalesce(ret.n_retained, 0) AS n_churned
+        |FROM act
+        |JOIN act prev ON act.day_no = prev.day_no + 1
+        |LEFT JOIN ret ON act.day_no = ret.day_no
+        |ORDER BY act.day_no""".stripMargin,
+    "q_seq_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |g AS (SELECT prev_type, event_type, count(*) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n,
+        |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bp
+        |FROM g ORDER BY prev_type, event_type""".stripMargin,
+    "q_graph_lpa" ->
+      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
+        |p AS (
+        |  SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) >= 3000),
+        |edges AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p),
+        |l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM v),
+        |m1 AS (SELECT e.b AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l0 l ON e.a = l.id GROUP BY 1, 2),
+        |w1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM m1)
+        |  WHERE rk = 1),
+        |l1 AS (SELECT l0.id, coalesce(w1.lbl, l0.lbl) AS lbl
+        |  FROM l0 LEFT JOIN w1 ON l0.id = w1.id),
+        |m2 AS (SELECT e.b AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l1 l ON e.a = l.id GROUP BY 1, 2),
+        |w2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM m2)
+        |  WHERE rk = 1),
+        |l2 AS (SELECT l1.id, coalesce(w2.lbl, l1.lbl) AS lbl
+        |  FROM l1 LEFT JOIN w2 ON l1.id = w2.id),
+        |m3 AS (SELECT e.b AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l2 l ON e.a = l.id GROUP BY 1, 2),
+        |w3 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM m3)
+        |  WHERE rk = 1),
+        |l3 AS (SELECT l2.id, coalesce(w3.lbl, l2.lbl) AS lbl
+        |  FROM l2 LEFT JOIN w3 ON l2.id = w3.id)
+        |SELECT id AS vec_id, lbl AS community FROM l3 ORDER BY vec_id""".stripMargin,
+    "q_rate_peak" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) // 1000000 AS t_s FROM events),
+        |r AS (SELECT user_id, t_s,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY t_s
+        |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS win_n
+        |  FROM s),
+        |g AS (SELECT user_id, count(*) AS n,
+        |    CAST(max(win_n) AS BIGINT) AS peak_1m,
+        |    max(t_s) - min(t_s) + 1 AS span_s
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, n, peak_1m, span_s,
+        |  (10000 * peak_1m * span_s) // (60 * n) AS burst_bp
+        |FROM g ORDER BY burst_bp DESC, user_id LIMIT 20""".stripMargin,
     "q_contam_semantic" ->
       """WITH p AS (
         |  SELECT a.vec_id AS eval_id, b.vec_id AS train_id,

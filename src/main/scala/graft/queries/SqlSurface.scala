@@ -596,7 +596,25 @@ object SqlSurface {
         |GROUP BY metric ORDER BY metric""".stripMargin)
   }
 
+  /** Detection tier via the parser — [[Analytics8.q_scan_hhi]]'s
+    * Herfindahl dispersion screen as SQL text (stacked aggregations,
+    * `div` integer division, the exact cross-multiply flag), same
+    * oracle: the parser tier now reaches the monitoring battery too. */
+  def q_sql_scan_hhi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """WITH c AS (SELECT user_id, event_type, count(*) AS ni
+        |  FROM events GROUP BY user_id, event_type),
+        |g AS (SELECT user_id, sum(ni) AS n, count(*) AS n_types,
+        |    sum(ni * ni) AS s2
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n, n_types, (10000 * s2) div (n * n) AS hhi_bp,
+        |  s2 * 4 < n * n AS scan_like
+        |FROM g ORDER BY hhi_bp, user_id LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_scan_hhi" -> q_sql_scan_hhi _,
     "q_sql_unpivot" -> q_sql_unpivot _,
     "q_sql_pivot" -> q_sql_pivot _,
     "q_sql_win_rank" -> q_sql_win_rank _,
@@ -630,6 +648,7 @@ object SqlSurface {
   /** SAME oracles as the DataFrame twins — the SQL surface must earn the
     * identical answer, not a new one. */
   val oracle: Map[String, String] = Map(
+    "q_sql_scan_hhi" -> Analytics8.oracle("q_scan_hhi"),
     "q_sql_tpch_q1" -> Analytics6.oracle("q_tpch_q1"),
     "q_sql_tpch_q3" -> Analytics2.oracle("q_tpch_q3"),
     "q_sql_tpch_q4" -> TpchExtra.oracle("q_tpch_q4"),

@@ -89,6 +89,19 @@ class Analytics8Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got.toSeq == want)
   }
 
+  test("q_rate_peak equals a plain-Scala sliding-window recompute") {
+    val got = Analytics8.q_rate_peak(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = evs.groupBy(_.user).toSeq.map { case (u, rows) =>
+      val ts = rows.map(_.tsUs / 1000000).sorted
+      val peak = ts.map(t => ts.count(s => s >= t - 59 && s <= t)).max.toLong
+      val (n, lo, hi) = (ts.size.toLong, ts.min, ts.max)
+      val span = hi - lo + 1
+      (u, n, peak, span, (BigInt(10000) * peak * span / (60 * BigInt(n))).toLong)
+    }.sortBy(t => (-t._5, t._1)).take(20)
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
   test("q_contam_semantic equals a brute-force same-cell scan with a live flag") {
     val got = Analytics8.q_contam_semantic(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
@@ -112,6 +125,94 @@ class Analytics8Spec extends AnyFunSuite with SparkFixture {
     }.toSeq
     assert(got.nonEmpty && got.toSeq == want)
     assert(want.exists(_._4), "vacuous: no contaminated eval vector in the corpus")
+  }
+
+  test("q_ip_lpm routes by longest prefix: counts match a per-flow Scala LPM") {
+    val got = Analytics8.q_ip_lpm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = evs.map { e =>
+      val (s, t) = (e.user % 10, e.id % 13)
+      if (s == 4 && t == 9) ("honeypot", 24)
+      else if (s == 2) ("dc-east", 16)
+      else if (s == 4) ("dc-west", 16)
+      else ("as-backbone", 8)
+    }.groupBy(identity).toSeq
+      .map { case ((r, m), v) => (r, m, v.size.toLong) }
+      .sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want)
+    // all three specificity tiers must be live, and the /24 must have
+    // stolen its flows from the enclosing /16
+    assert(want.map(_._2).toSet == Set(8, 16, 24))
+  }
+
+  test("q_churn equals a plain-Scala day-set reconciliation") {
+    val got = Analytics8.q_churn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val byDay = evs.map(e => (e.tsUs / 86400000000L, e.user)).distinct
+      .groupBy(_._1).map { case (d, us) => d -> us.map(_._2).toSet }
+    val want = byDay.keys.toSeq.sorted.flatMap { d =>
+      byDay.get(d - 1).map { prev =>
+        val cur = byDay(d); val ret = (cur & prev).size.toLong
+        (d, cur.size.toLong, cur.size - ret, ret, prev.size - ret)
+      }
+    }
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
+  test("q_seq_transitions equals a plain-Scala Markov count; rows are row-stochastic") {
+    val got = Analytics8.q_seq_transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val trans = evs.groupBy(_.user).toSeq.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(e => (e.tsUs, e.id)).map(_.etype)
+      ord.zip(ord.tail)
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val outTot = counts.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val want = counts.toSeq.map { case ((p, t), n) =>
+      (p, t, n, 10000L * n / outTot(p))
+    }.sortBy(x => (x._1, x._2))
+    assert(got.nonEmpty && got.toSeq == want)
+    // each source row's probabilities must sum to within rounding of 10^4
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 10000 && s > 10000 - rs.size, s"row $p not stochastic: $s")
+    }
+  }
+
+  test("q_graph_lpa equals a plain-Scala 3-round synchronous label propagation") {
+    val got = Analytics8.q_graph_lpa(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toIndexedSeq))
+    def dot(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val nbrs = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    for (a <- vecs; b <- vecs
+         if a._1 < b._1 && a._2 == b._2 &&
+           math.floor(10000.0 * dot(a._3, b._3)) >= 3000) {
+      nbrs(a._1) = b._1 :: nbrs(a._1); nbrs(b._1) = a._1 :: nbrs(b._1)
+    }
+    var lbl = vecs.map(v => v._1 -> v._1).toMap
+    for (_ <- 1 to 3) {
+      lbl = lbl.map { case (id, own) =>
+        val votes = nbrs(id).map(lbl)
+        if (votes.isEmpty) id -> own
+        else id -> votes.groupBy(identity).toSeq
+          .map { case (l, vs) => (l, vs.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want)
+    // communities must be non-trivial: at least one label adopted, and
+    // fewer distinct labels than nodes
+    assert(want.exists { case (id, l) => id != l })
+    assert(want.map(_._2).distinct.size < want.size)
   }
 
   test("q_outage_maxgap equals a plain-Scala longest-gap scan") {

@@ -32,7 +32,13 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "q_ts_interp", "q_funnel", "q_retention", "q_agg_corr", "q_win_ewma",
     "q_graph_triangles", "q_agg_incremental", "q_profile_skew",
     "q_profile_stats", "q_pipeline_prepare", "q_join_bucketed",
-    "q_text_editdist")
+    "q_text_editdist",
+    // round-8 sixth continuation: the detection tier (exact-BIGINT
+    // statistics whose exactness IS the claim), the float_dot
+    // contamination screen, the unrolled LPA rounds and the LPM joins
+    "q_conc_gini", "q_scan_hhi", "q_bot_cadence", "q_change_cusum",
+    "q_outage_maxgap", "q_rate_peak", "q_contam_semantic", "q_graph_lpa",
+    "q_churn", "q_seq_transitions", "q_ip_lpm")
 
   for (name <- sensitive) {
     test(s"$name is invariant under shuffle partitioning") {

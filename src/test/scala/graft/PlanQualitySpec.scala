@@ -701,7 +701,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // (inspect the AQE FINAL plan only — the "Initial Plan" echo would
     // double-count every exchange)
     def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
-    for (q <- Seq("q_bot_cadence", "q_outage_maxgap")) {
+    for (q <- Seq("q_bot_cadence", "q_outage_maxgap", "q_rate_peak")) {
       val plan = finalSection(executedPlan(q))
       val shuffles = plan.linesIterator.filter(l =>
         l.contains("Exchange hashpartitioning")).toSeq
