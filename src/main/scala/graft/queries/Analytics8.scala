@@ -219,6 +219,29 @@ object Analytics8 {
       .orderBy(col("eval_id"))
   }
 
+  /** POSITIONAL PHRASE SEARCH — the query side of the inverted index
+    * ([[Analytics6.q_index_posting]] builds the storage side): find every
+    * document containing the exact phrase "order fast" by JOINING the two
+    * terms' positional postings on (doc, adjacent position) — the
+    * search-engine evaluation path, whose cost is the two posting lists,
+    * never the corpus. Postings here are derived on the fly (posexplode
+    * over the token stream) so the whole path stays oracle-checkable; at
+    * 100 TB the same join runs over the PERSISTED posting table and each
+    * term's list arrives pre-filtered from storage. The DuckDB oracle
+    * takes the opposite route — a direct scan counting adjacent word
+    * pairs per document — so the gate is a genuine index-vs-scan
+    * differential: both must find exactly the same hit counts. */
+  def q_index_phrase(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val p1 = toks.filter(col("w") === "order").select(col("doc_id"), col("pos"))
+    val p2 = toks.filter(col("w") === "fast")
+      .select(col("doc_id").as("d2"), (col("pos") - 1).as("pos2"))
+    p1.join(p2, col("doc_id") === col("d2") && col("pos") === col("pos2"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LONGEST-PREFIX-MATCH ENRICHMENT — the GeoIP/ASN-lookup join every
     * flow pipeline runs: each flow's source IP (derived deterministically
     * from the corpus, q_ip_rollup's device) resolves against an
@@ -352,6 +375,7 @@ object Analytics8 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_churn" -> q_churn _,
     "q_ip_lpm" -> q_ip_lpm _,
+    "q_index_phrase" -> q_index_phrase _,
     "q_seq_transitions" -> q_seq_transitions _,
     "q_graph_lpa" -> q_graph_lpa _,
     "q_rate_peak" -> q_rate_peak _,
@@ -363,6 +387,12 @@ object Analytics8 {
     "q_outage_maxgap" -> q_outage_maxgap _)
 
   val oracle: Map[String, String] = Map(
+    "q_index_phrase" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(ws)),
+        |    i -> ws[i] = 'order' AND ws[i+1] = 'fast')) AS BIGINT) AS n_hits
+        |  FROM w)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     "q_ip_lpm" ->
       """WITH f AS (SELECT event_id, "value",
         |    10 * 16777216 + (user_id % 10) * 65536

@@ -613,7 +613,30 @@ object SqlSurface {
         |FROM g ORDER BY hhi_bp, user_id LIMIT 20""".stripMargin)
   }
 
+  /** Churn via the parser — [[Analytics8.q_churn]]'s day-set
+    * reconciliation as SQL text (distinct reduction, self equi-join on
+    * day+1, coalesced left join), same oracle. */
+  def q_sql_churn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(
+      """WITH ad AS (SELECT DISTINCT user_id,
+        |    unix_micros(ts) div 86400000000 AS day_no FROM events),
+        |act AS (SELECT day_no, count(*) AS n_active FROM ad GROUP BY day_no),
+        |ret AS (SELECT a.day_no, count(*) AS n_retained
+        |  FROM ad a JOIN ad b ON a.user_id = b.user_id AND a.day_no = b.day_no + 1
+        |  GROUP BY a.day_no)
+        |SELECT act.day_no, act.n_active,
+        |  act.n_active - coalesce(ret.n_retained, 0L) AS n_new,
+        |  coalesce(ret.n_retained, 0L) AS n_retained,
+        |  prev.n_active - coalesce(ret.n_retained, 0L) AS n_churned
+        |FROM act
+        |JOIN act prev ON act.day_no = prev.day_no + 1
+        |LEFT JOIN ret ON act.day_no = ret.day_no
+        |ORDER BY act.day_no""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_churn" -> q_sql_churn _,
     "q_sql_scan_hhi" -> q_sql_scan_hhi _,
     "q_sql_unpivot" -> q_sql_unpivot _,
     "q_sql_pivot" -> q_sql_pivot _,
@@ -649,6 +672,7 @@ object SqlSurface {
     * identical answer, not a new one. */
   val oracle: Map[String, String] = Map(
     "q_sql_scan_hhi" -> Analytics8.oracle("q_scan_hhi"),
+    "q_sql_churn" -> Analytics8.oracle("q_churn"),
     "q_sql_tpch_q1" -> Analytics6.oracle("q_tpch_q1"),
     "q_sql_tpch_q3" -> Analytics2.oracle("q_tpch_q3"),
     "q_sql_tpch_q4" -> TpchExtra.oracle("q_tpch_q4"),

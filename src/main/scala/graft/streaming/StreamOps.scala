@@ -441,6 +441,59 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class RatePeakRow(user_id: Long, n: Long, win_n: Long, peak_1m: Long)
+  final case class RatePeakAgg(n: Long, peak: Long)
+
+  /** ONLINE PEAK-RATE TRACKER — the streaming face of the batch
+    * [[graft.queries.Analytics8.q_rate_peak]] (which carries the oracle):
+    * per host, the trailing 60-second arrival count maintained in a
+    * TIME-EVICTED ListState (only timestamps within the window survive a
+    * batch — state is bounded by the rate limit itself, not the stream),
+    * plus the running peak in a ValueState. The window definition is the
+    * batch twin's RANGE frame — count of arrivals in [t−59, t] at each
+    * arrival t — so under per-key ordered delivery the running peak is
+    * EQUAL to the batch peak over the same prefix, across any micro-batch
+    * slicing (the equivalence spec pins a peak window that spans a batch
+    * boundary). Emits the key's updated totals per batch (Update mode). */
+  class RatePeakProcessor extends StatefulProcessor[Long, Sample, RatePeakRow] {
+    @transient private var recent: ListState[Long] = _
+    @transient private var agg: ValueState[RatePeakAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+      agg = getHandle.getValueState[RatePeakAgg](
+        "agg", Encoders.product[RatePeakAgg], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[RatePeakRow] = {
+      val sorted = rows.toSeq.sortBy(s => (s.ts_us, s.event_id))
+      var buf = if (recent.exists()) recent.get().toVector else Vector.empty[Long]
+      var s0 = if (agg.exists()) agg.get() else RatePeakAgg(0L, 0L)
+      for (s <- sorted) {
+        val t = s.ts_us / 1000000L
+        buf = (buf :+ t).dropWhile(_ < t - 59)
+        val peak = math.max(s0.peak, buf.size.toLong)
+        s0 = RatePeakAgg(s0.n + 1, peak)
+      }
+      recent.put(buf.toArray)
+      agg.update(s0)
+      Iterator(RatePeakRow(user, s0.n, buf.size.toLong, s0.peak))
+    }
+  }
+
+  /** Per-host online peak-rate tracking on transformWithState (RocksDB
+    * provider required, like the other TWS operators). */
+  def ratePeakStream(events: DataFrame): Dataset[RatePeakRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new RatePeakProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TopKRow(event_type: String, version: Long, user_id: Long, cnt: Long)
 
   /** Streaming heavy hitters per event_type on transformWithState's

@@ -127,6 +127,20 @@ class Analytics8Spec extends AnyFunSuite with SparkFixture {
     assert(want.exists(_._4), "vacuous: no contaminated eval vector in the corpus")
   }
 
+  test("q_index_phrase: the posting join finds exactly the scan's phrase hits") {
+    val got = Analytics8.q_index_phrase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .flatMap { case (id, ws) =>
+        val n = ws.indices.dropRight(1)
+          .count(i => ws(i) == "order" && ws(i + 1) == "fast").toLong
+        if (n > 0) Some((id, n)) else None
+      }.sortBy(_._1).toSeq
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
   test("q_ip_lpm routes by longest prefix: counts match a per-flow Scala LPM") {
     val got = Analytics8.q_ip_lpm(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq

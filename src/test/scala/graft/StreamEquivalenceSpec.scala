@@ -353,6 +353,59 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.count() > 0)
   }
 
+  test("online peak-rate tracker == driver-side range-window fold; peak spans batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) whole-corpus replay: final (n, peak) per host must equal the
+      // batch RANGE-frame definition — count in [t−59, t] at each arrival
+      val streamed = runToMemory(
+        StreamOps.ratePeakStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
+        .as[(Long, Long, Long, Long)].collect()
+      val fin = streamed.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._2); (u, last._2, last._4)
+      }.toSet
+      val want = Tables.events(spark, sf)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) =>
+          val ts = rows.sortBy(r => (r._2, r._3)).map(_._2 / 1000000L)
+          val peak = ts.map(t => ts.count(s => s >= t - 59 && s <= t)).max.toLong
+          (u, ts.size.toLong, peak)
+        }.toSet
+      assert(fin == want)
+      assert(fin.nonEmpty && want.exists(_._3 > 1), "vacuous: no window ever held 2+ samples")
+
+      // (b) the peak window must assemble ACROSS a micro-batch boundary:
+      // batch 1 peaks at 3; the 4th sample lands 30 s after the first
+      // three, inside their window, so peak=4 exists only if the
+      // timestamp buffer carried over
+      val src = java.nio.file.Files.createTempDirectory("graft_ratepeak2").toString
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+      Seq((1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 1.0), (1L, 3L, ts(20), 1.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200)
+      Seq((1L, 4L, ts(30), 1.0), (1L, 5L, ts(100), 1.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val rows = runToMemory(StreamOps.ratePeakStream(stream).toDF(), "update")
+        .as[(Long, Long, Long, Long)].collect()
+      val last = rows.maxBy(_._2)
+      // t=30 sees {0,10,20,30} -> win 4 (cross-batch); t=100 evicts all -> win 1
+      assert(last == ((1L, 5L, 1L, 4L)),
+        s"cross-batch peak wrong: $last (all: ${rows.toSeq})")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("online CUSUM chart == driver-side Page recurrence; alarm crosses batches") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
