@@ -151,7 +151,7 @@ object LlmExt {
     * `da < db`. Equi on the cell label, so the join shuffles by cell
     * instead of replicating the corpus — the one construction behind
     * q_embed_neardup, q_dedup_semantic, and q_graph_triangles. */
-  private[queries] def cellCosinePairs(e: DataFrame, minBp: Long): DataFrame = {
+  private[graft] def cellCosinePairs(e: DataFrame, minBp: Long): DataFrame = {
     val a = e.select(col("vec_id").as("da"), col("label").as("la"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("db"), col("label").as("lb"), col("embedding").as("vb"))
     a.join(b, col("la") === col("lb") && col("da") < col("db"))
