@@ -494,6 +494,64 @@ object StreamOps {
       .transformWithState(new RatePeakProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class AcfRow(user_id: Long, m: Long, acf_num: Long, dx: Long, dy: Long)
+  final case class AcfAgg(prevY: Long, m: Long, sx: Long, sy: Long,
+      sxy: Long, sx2: Long, sy2: Long)
+
+  /** ONLINE LAG-1 AUTOCORRELATION — the streaming face of the batch
+    * [[graft.queries.Analytics9.q_ts_autocorr]] (which carries the
+    * oracle): per host, the exact-BIGINT Pearson sufficient statistics
+    * over consecutive (previous, current) cent pairs, folded one sample
+    * at a time. The whole chart state is ONE ValueState record — the
+    * previous cent value (the lag buffer is a single element, that is
+    * the point of lag 1) plus the six running sums — so state per key is
+    * O(1) regardless of stream length, and the emitted integers are
+    * bit-identical to the batch twin's lag-window aggregation over the
+    * same (ts, event_id)-ordered prefix. The first sample of a host
+    * seeds prevY and contributes no pair (exactly the batch twin's
+    * IS NOT NULL lag filter); a lag pair whose halves arrive in
+    * DIFFERENT micro-batches is assembled through the carried prevY —
+    * the equivalence spec pins that boundary case explicitly. */
+  class AutocorrProcessor extends StatefulProcessor[Long, Sample, AcfRow] {
+    @transient private var agg: ValueState[AcfAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[AcfAgg](
+        "acf", Encoders.product[AcfAgg], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Sample],
+        timerValues: TimerValues): Iterator[AcfRow] = {
+      val sorted = rows.toSeq.sortBy(s => (s.ts_us, s.event_id))
+      var s0 = if (agg.exists()) agg.get() else AcfAgg(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L)
+      for (s <- sorted) {
+        val y = math.floor(s.value * 100 + 0.5).toLong
+        if (s0.prevY != Long.MinValue) {
+          val x = s0.prevY
+          s0 = AcfAgg(y, s0.m + 1, s0.sx + x, s0.sy + y,
+            s0.sxy + x * y, s0.sx2 + x * x, s0.sy2 + y * y)
+        } else s0 = s0.copy(prevY = y)
+      }
+      agg.update(s0)
+      Iterator(AcfRow(user, s0.m,
+        s0.m * s0.sxy - s0.sx * s0.sy,
+        s0.m * s0.sx2 - s0.sx * s0.sx,
+        s0.m * s0.sy2 - s0.sy * s0.sy))
+    }
+  }
+
+  /** Per-host online lag-1 autocorrelation on transformWithState
+    * (RocksDB provider required, like the other TWS operators). */
+  def autocorrStream(events: DataFrame): Dataset[AcfRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Sample]
+      .groupByKey(_.user_id)
+      .transformWithState(new AutocorrProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TopKRow(event_type: String, version: Long, user_id: Long, cnt: Long)
 
   /** Streaming heavy hitters per event_type on transformWithState's

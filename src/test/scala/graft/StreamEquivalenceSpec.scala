@@ -467,4 +467,56 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
       old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("online lag-1 autocorrelation == batch twin's exact integers; pair spans batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) whole-corpus replay: final (m, acf_num, dx, dy) per host must
+      // equal the batch query's exact integers (the oracle-carrying twin)
+      val streamed = runToMemory(
+        StreamOps.autocorrStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val fin = streamed.groupBy(_._1).map { case (u, rs) =>
+        val last = rs.maxBy(_._2); (u, last._2, last._3, last._4, last._5)
+      }.filter(r => r._4 > 0 && r._5 > 0).toSet // the batch twin's dx,dy>0 guard
+      val want = graft.queries.Analytics9.q_ts_autocorr(spark, sf)
+        .select(col("user_id"), col("m"), col("acf_num"), col("dx"), col("dy"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fin == want)
+      assert(fin.nonEmpty && want.exists(_._3 < 0) && want.exists(_._3 > 0),
+        "vacuous: the corpus shows only one sign of value memory")
+
+      // (b) a lag pair must assemble ACROSS a micro-batch boundary: the
+      // pair (y2=300, y3=100) has its halves in different batches, so
+      // sxy picks up 300·100 only if prevY carried over
+      val src = java.nio.file.Files.createTempDirectory("graft_acf2").toString
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      Seq((1L, 1L, ts(1), 2.0), (1L, 2L, ts(2), 3.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200) // distinct mod-times order the two micro-batches
+      Seq((1L, 3L, ts(3), 1.0), (1L, 4L, ts(4), 4.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val rows = runToMemory(StreamOps.autocorrStream(stream).toDF(), "update")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val last = rows.maxBy(_._2)
+      // cents 200,300,100,400: pairs (200,300),(300,100),(100,400) —
+      // m=3, sx=600, sy=800, sxy=130000, sx2=140000, sy2=260000;
+      // acf_num = 3·130000 − 600·800 = −90000. Dropping the cross-batch
+      // pair (300,100) would give m=2, acf_num=−10000 — so the assert
+      // fails unless prevY carried across the boundary
+      assert(last == ((1L, 3L, -90000L, 60000L, 140000L)),
+        s"cross-batch lag pair wrong: $last (all: ${rows.toSeq})")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
