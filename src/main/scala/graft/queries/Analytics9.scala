@@ -191,11 +191,183 @@ object Analytics9 {
       .orderBy(col("vec_id"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE SCREEN (event_type × weekday) — the
+    * detection tier's categorical face beside q_ab_welch (two-sample
+    * means) and the drift stats (KS/TVD/Hellinger, one dimension): is
+    * the event mix independent of the day of week, and WHICH cell
+    * deviates? Weekday is computed ARITHMETICALLY from epoch days
+    * ((days+4) mod 7, Sunday=0) — `dayofweek` numbering differs across
+    * engines (the §2.10 rule), epoch arithmetic cannot. Per cell the
+    * exact-BIGINT scaled residual N·O − R·C (sign = over/under-
+    * represented, zero exactly at independence) and its χ² contribution
+    * (N·O−R·C)²/(N·R·C) as ONE double expression over exact ints —
+    * emitting per-cell contributions instead of the summed statistic
+    * keeps the gate float-summation-order-free AND is the more useful
+    * output (the analyst's first question is "which cell"). Magnitudes:
+    * N ≤ 1e5 at sf0.1 ⇒ N·R·C ≤ 1e15, residual ≤ 1e10 — BIGINT-exact
+    * with 3 decades of headroom. Plan: one map-combinable cell agg, two
+    * broadcast marginal joins, one broadcast 1-row grand total — the
+    * contingency table is CELLS-sized (|types|·7), never data-sized. */
+  def q_stat_chisq(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 4, lit(7))
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r_tot"))
+    val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("c_tot"))
+    val nn = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(nn))
+      .withColumn("resid", col("n") * col("o") - col("r_tot") * col("c_tot"))
+      .withColumn("contrib",
+        (col("resid").cast("double") * col("resid").cast("double")) /
+          (col("n") * col("r_tot") * col("c_tot")).cast("double"))
+      .withColumn("over_rep", col("resid") > 0)
+      .select(col("event_type"), col("dow"), col("o"), col("r_tot"),
+        col("c_tot"), col("n"), col("resid"), col("contrib"), col("over_rep"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** HIGHER MOMENTS (skewness + excess kurtosis) per host — the
+    * distribution-SHAPE screen the stats family lacked (mean/var/corr/
+    * quantiles exist; "is the tail one-sided, is it heavy" did not).
+    * Values quantized to WHOLE units (floor(v+0.5) ≤ ~570) so the 3rd-
+    * moment numerator m²Σy³ − 3mΣyΣy² + 2(Σy)³ stays BIGINT-exact
+    * (≤ ~1e15 at per-host m ≤ 10² — cent quantization would put m²Σy³
+    * at 1e20, past the 9.2e18 edge; shape statistics are scale-free, so
+    * the coarser unit changes nothing but the safe range). The 4th-
+    * moment numerator m³Σy⁴ − 4m²ΣyΣy³ + 6m(Σy)²Σy² − 3(Σy)⁴ tops
+    * ~6e23, past ANY 64-bit plan, so it alone widens to DECIMAL(38,0)
+    * on the Spark side and HUGEINT on the oracle side (both exact
+    * integer domains; both convert the identical integer to the
+    * identical nearest double — the engine-portable int128 recipe).
+    * Skew √m·M3/M2^{3/2} and excess kurtosis m·M4/M2² − 3 are each ONE
+    * double expression over those exact integers; the right_skewed flag
+    * is the integer sign of M3. One map-combinable agg, no window. */
+  def q_stat_moments(spark: SparkSession, dir: String): DataFrame =
+    momentsOf(Tables.events(spark, dir)
+      .select(col("user_id"), floor(col("value") + 0.5).cast("long").as("y")))
+
+  /** The moment pipeline over a pre-quantized (user_id, y:long) frame —
+    * factored out so the spec can drive a CONSTRUCTED extreme series
+    * (m=99, y=570 ⇒ m³Σy⁴ ≈ 1.02e19, past int64) through the identical
+    * Column expressions; the corpus only crosses that edge at sf0.1,
+    * which the correctness gate never runs. */
+  private[graft] def momentsOf(quantized: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    quantized
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"),
+        sum(col("y") * col("y") * col("y")).as("s3"),
+        sum(col("y") * col("y") * col("y") * col("y")).as("s4"))
+      .withColumn("m2n", col("m") * col("s2") - col("s1") * col("s1"))
+      .withColumn("m3n",
+        col("m") * col("m") * col("s3") -
+          lit(3L) * col("m") * col("s1") * col("s2") +
+          lit(2L) * col("s1") * col("s1") * col("s1"))
+      .withColumn("m4",
+        (d(col("m")) * d(col("m")) * d(col("m")) * d(col("s4")) -
+          d(lit(4L)) * d(col("m")) * d(col("m")) * d(col("s1")) * d(col("s3")) +
+          d(lit(6L)) * d(col("m")) * d(col("s1")) * d(col("s1")) * d(col("s2")) -
+          d(lit(3L)) * d(col("s1")) * d(col("s1")) * d(col("s1")) * d(col("s1")))
+          .cast("double"))
+      .filter(col("m2n") > 0)
+      .withColumn("skew",
+        (sqrt(col("m").cast("double")) * col("m3n").cast("double")) /
+          (col("m2n").cast("double") * sqrt(col("m2n").cast("double"))))
+      .withColumn("ex_kurt",
+        (col("m").cast("double") * col("m4")) /
+          (col("m2n").cast("double") * col("m2n").cast("double")) - lit(3.0))
+      .withColumn("right_skewed", col("m3n") > 0)
+      .select(col("user_id"), col("m"), col("s1"), col("s2"), col("s3"),
+        col("s4"), col("m2n"), col("m3n"), col("m4"), col("skew"),
+        col("ex_kurt"), col("right_skewed"))
+      .orderBy(col("user_id"))
+  }
+
+  /** HAMPEL FILTER — ROLLING-MEDIAN outlier detection per host: a point
+    * is anomalous when it deviates from the MEDIAN of its ±2 neighborhood
+    * by more than k·1.4826·MAD (the robust z-score recipe; q_anomaly_mad
+    * applies it against the GLOBAL per-segment distribution — the Hampel
+    * face is LOCAL, so a level shift does not poison the detector and a
+    * spike inside a calm stretch still fires). Everything is exact
+    * integers: the 5-point window assembled by lag/lead (a FULL window
+    * only — 5 is odd, so the median is an order statistic, never an
+    * average), median and MAD by sorting the 5-element ARRAY inside the
+    * row (array_sort + element_at — no second window, no UDF), and the
+    * k·1.4826 threshold cross-multiplied to 10⁴ scale
+    * (10000·|y−med| > 44478·mad) so the flag never touches a float.
+    * One user_id shuffle; the per-row array work is codegen'd. */
+  def q_ts_hampel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      .withColumn("l2", lag(col("y"), 2).over(w))
+      .withColumn("l1", lag(col("y"), 1).over(w))
+      .withColumn("r1", lead(col("y"), 1).over(w))
+      .withColumn("r2", lead(col("y"), 2).over(w))
+      .filter(col("l2").isNotNull && col("r2").isNotNull)
+      .withColumn("arr", array_sort(array(col("l2"), col("l1"), col("y"),
+        col("r1"), col("r2"))))
+      .withColumn("med", element_at(col("arr"), 3))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("arr"), v => abs(v - col("med")))), 3))
+      .withColumn("dev", abs(col("y") - col("med")))
+      .withColumn("outlier", col("dev") * 10000L > col("mad") * 44478L)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("y"),
+        col("med"), col("mad"), col("dev"), col("outlier"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** INTERVAL-UNION COVERAGE — per host, the total distinct time covered
+    * by overlapping activity intervals (monitoring's "how long was the
+    * host actually busy": naive Σduration double-counts overlap;
+    * q_sessionize answers a different question — gap-based episode
+    * boundaries — where this is the measure-theoretic union length).
+    * Interval = [ts, ts + 10 ms·cents] (duration derived from the
+    * metric value — the corpus carries no duration column). The
+    * sweep-line is ONE window pass: sort by start within host, carry
+    * the running max end over ROWS UNBOUNDED PRECEDING..1 PRECEDING,
+    * clip each interval's contribution to max(0, end − max(start,
+    * prev_max_end)) — exact µs BIGINTs summed map-side after the single
+    * user_id shuffle. A row whose start exceeds prev_max_end opens a new
+    * connected segment, so n_segments falls out of the same pass. */
+  def q_ts_coverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 100 + 0.5).cast("long") * 10000L).as("e"))
+      .withColumn("pmax", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("contrib", greatest(lit(0L),
+        col("e") - greatest(col("s"), coalesce(col("pmax"), col("s")))))
+      .withColumn("opens", (col("pmax").isNull || col("s") > col("pmax")).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("e") - col("s")).as("sum_dur_us"),
+        sum(col("contrib")).as("covered_us"),
+        sum(col("opens")).as("n_segments"))
+      .withColumn("overlap_us", col("sum_dur_us") - col("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canon" -> q_url_canon _,
     "q_ts_autocorr" -> q_ts_autocorr _,
     "q_graph_linkpred" -> q_graph_linkpred _,
-    "q_graph_kcore" -> q_graph_kcore _)
+    "q_graph_kcore" -> q_graph_kcore _,
+    "q_stat_chisq" -> q_stat_chisq _,
+    "q_stat_moments" -> q_stat_moments _,
+    "q_ts_hampel" -> q_ts_hampel _,
+    "q_ts_coverage" -> q_ts_coverage _)
 
   // The similarity-graph CTE matches q_graph_lpa's oracle pair generation
   // (Analytics8) at the linkpred/kcore threshold of 2000 bp — the graph
@@ -272,5 +444,90 @@ object Analytics9 {
     "q_graph_kcore" -> (GraphCte + KcoreRounds +
       """
         |SELECT a AS vec_id, count(*) AS deg FROM e8
-        |GROUP BY a ORDER BY vec_id""".stripMargin))
+        |GROUP BY a ORDER BY vec_id""".stripMargin),
+    // Weekday by epoch arithmetic ((days+4)%7, Sunday=0) on BOTH sides —
+    // never an engine dayofweek (numbering differs, the §2.10 rule).
+    "q_stat_chisq" ->
+      """WITH e AS (SELECT event_type,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow FROM events),
+        |cells AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |j AS (SELECT c.event_type, c.dow, c.o, r.r_tot, t.c_tot, nn.n,
+        |    nn.n * c.o - r.r_tot * t.c_tot AS resid
+        |  FROM cells c JOIN rt r USING (event_type)
+        |  JOIN ct t USING (dow) CROSS JOIN nn)
+        |SELECT event_type, dow, o, r_tot, c_tot, n, resid,
+        |  (CAST(resid AS DOUBLE) * CAST(resid AS DOUBLE))
+        |    / CAST(n * r_tot * c_tot AS DOUBLE) AS contrib,
+        |  resid > 0 AS over_rep
+        |FROM j ORDER BY event_type, dow""".stripMargin,
+    // The 4th-moment numerator alone widens past int64: HUGEINT here,
+    // DECIMAL(38,0) on the Spark side — both exact, both converting the
+    // identical integer to the identical nearest double.
+    "q_stat_moments" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(floor("value" + 0.5) AS BIGINT) AS y FROM events),
+        |g AS (SELECT user_id, count(*) AS m,
+        |    CAST(sum(y) AS BIGINT) AS s1,
+        |    CAST(sum(y * y) AS BIGINT) AS s2,
+        |    CAST(sum(y * y * y) AS BIGINT) AS s3,
+        |    CAST(sum(y * y * y * y) AS BIGINT) AS s4
+        |  FROM b GROUP BY user_id),
+        |d AS (SELECT user_id, m, s1, s2, s3, s4,
+        |    m * s2 - s1 * s1 AS m2n,
+        |    m * m * s3 - 3 * m * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+        |    CAST(CAST(m AS HUGEINT) * CAST(m AS HUGEINT) * CAST(m AS HUGEINT) * CAST(s4 AS HUGEINT)
+        |      - 4 * CAST(m AS HUGEINT) * CAST(m AS HUGEINT) * CAST(s1 AS HUGEINT) * CAST(s3 AS HUGEINT)
+        |      + 6 * CAST(m AS HUGEINT) * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |      - 3 * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |      AS DOUBLE) AS m4
+        |  FROM g)
+        |SELECT user_id, m, s1, s2, s3, s4, m2n, m3n, m4,
+        |  (sqrt(CAST(m AS DOUBLE)) * CAST(m3n AS DOUBLE))
+        |    / (CAST(m2n AS DOUBLE) * sqrt(CAST(m2n AS DOUBLE))) AS skew,
+        |  (CAST(m AS DOUBLE) * m4)
+        |    / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0 AS ex_kurt,
+        |  m3n > 0 AS right_skewed
+        |FROM d WHERE m2n > 0 ORDER BY user_id""".stripMargin,
+    "q_ts_hampel" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+        |s AS (SELECT user_id, ts_us, event_id, y,
+        |    lag(y, 2) OVER w AS l2, lag(y, 1) OVER w AS l1,
+        |    lead(y, 1) OVER w AS r1, lead(y, 2) OVER w AS r2
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |a AS (SELECT user_id, ts_us, event_id, y,
+        |    list_sort([l2, l1, y, r1, r2]) AS arr
+        |  FROM s WHERE l2 IS NOT NULL AND r2 IS NOT NULL),
+        |m AS (SELECT user_id, ts_us, event_id, y, arr,
+        |    arr[3] AS med FROM a),
+        |d AS (SELECT user_id, ts_us, event_id, y, med,
+        |    list_sort(list_transform(arr, v -> abs(v - med)))[3] AS mad,
+        |    abs(y - med) AS dev
+        |  FROM m)
+        |SELECT user_id, ts_us, event_id, y, med, mad, dev,
+        |  dev * 10000 > mad * 44478 AS outlier
+        |FROM d ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_ts_coverage" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(floor("value" * 100.0 + 0.5) AS BIGINT) * 10000 AS e
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM b),
+        |c AS (SELECT user_id, e - s AS dur,
+        |    greatest(0, e - greatest(s, coalesce(pmax, s))) AS contrib,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS opens
+        |  FROM w),
+        |g AS (SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+        |    CAST(sum(contrib) AS BIGINT) AS covered_us,
+        |    CAST(sum(opens) AS BIGINT) AS n_segments
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_intervals, sum_dur_us, covered_us, n_segments,
+        |  sum_dur_us - covered_us AS overlap_us
+        |FROM g ORDER BY user_id""".stripMargin)
 }

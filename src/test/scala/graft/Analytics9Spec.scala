@@ -123,4 +123,154 @@ class Analytics9Spec extends AnyFunSuite with SparkFixture {
       "peeling was vacuous: no degree>=2 node was cascaded out " +
         "(corpus too dense to exercise k-core; tighten minBp)")
   }
+
+  test("q_stat_chisq equals a plain-Scala contingency recompute") {
+    val got = Analytics9.q_stat_chisq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getBoolean(8))).toSeq
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // weekday by epoch arithmetic, recomputed from raw micros in plain Scala
+    val typed = evs.map { case (t, us) =>
+      (t, (java.lang.Math.floorDiv(us, 86400000000L) + 4) % 7)
+    }
+    val cells = typed.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rt = typed.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ct = typed.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = typed.size.toLong
+    val want = cells.toSeq.map { case ((t, dow), o) =>
+      val resid = n * o - rt(t) * ct(dow)
+      val contrib = (resid.toDouble * resid.toDouble) / (n * rt(t) * ct(dow)).toDouble
+      (t, dow, o, rt(t), ct(dow), n, resid, contrib, resid > 0)
+    }.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: the corpus must show both over- and under-represented
+    // cells (resid is zero-sum across the table, so both exist unless
+    // the table is perfectly independent — which would gut the gate)
+    assert(want.exists(_._9) && want.exists(!_._9))
+  }
+
+  test("q_stat_moments equals a plain-Scala BigInt moment recompute") {
+    val got = Analytics9.q_stat_moments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8), r.getDouble(9), r.getDouble(10), r.getBoolean(11))).toSeq
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ys = rows.map(r => math.floor(r._2 + 0.5).toLong)
+      val m = BigInt(ys.size)
+      val s1 = ys.map(BigInt(_)).sum
+      val s2 = ys.map(y => BigInt(y) * y).sum
+      val s3 = ys.map(y => BigInt(y) * y * y).sum
+      val s4 = ys.map(y => BigInt(y) * y * y * y).sum
+      val m2n = m * s2 - s1 * s1
+      val m3n = m * m * s3 - 3 * m * s1 * s2 + 2 * s1 * s1 * s1
+      val m4n = m * m * m * s4 - 4 * m * m * s1 * s3 +
+        6 * m * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      if (m2n <= 0) None
+      else {
+        val skew = (math.sqrt(m.toDouble) * m3n.toDouble) /
+          (m2n.toDouble * math.sqrt(m2n.toDouble))
+        val kurt = (m.toDouble * m4n.toDouble) /
+          (m2n.toDouble * m2n.toDouble) - 3.0
+        Some((u, m.toLong, s1.toLong, s2.toLong, s3.toLong, s4.toLong,
+          m2n.toLong, m3n.toLong, m4n.toDouble, skew, kurt, m3n > 0))
+      }
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: shape must actually vary across hosts (a constant
+    // distribution would gut the gate; this corpus's non-negative values
+    // make every host right-skewed, so the SIGN is not the discriminator
+    // — spread is)
+    assert(want.map(_._10).distinct.size > 1 &&
+      (want.map(_._10).max - want.map(_._10).min) > 0.5,
+      "vacuous: per-host skewness barely varies")
+  }
+
+  test("moments DECIMAL(38,0) path survives past int64 on a constructed series") {
+    import spark.implicits._
+    // m=99 samples at the corpus value ceiling (~570 units) pushes the
+    // raw 4th-moment term m³Σy⁴ to ~1.02e19 — past Long.MaxValue
+    // (9.2e18) — which the corpus itself only reaches at sf0.1, a tier
+    // the correctness gate never runs. Alternating ±2 around 568 keeps
+    // variance positive; exact BigInt is the referee.
+    val ys = (0 until 99).map(i => 568L + (if (i % 2 == 0) 2L else -2L))
+    val df = ys.zipWithIndex.map { case (y, i) => (7L, y, i) }
+      .toDF("user_id", "y", "i").select(col("user_id"), col("y"))
+    val got = graft.queries.Analytics9.momentsOf(df).collect().map(r =>
+      (r.getLong(1), r.getLong(6), r.getLong(7), r.getDouble(8),
+        r.getDouble(9), r.getDouble(10))).toSeq
+    val m = BigInt(ys.size)
+    val s1 = ys.map(BigInt(_)).sum
+    val s2 = ys.map(y => BigInt(y) * y).sum
+    val s3 = ys.map(y => BigInt(y) * y * y).sum
+    val s4 = ys.map(y => BigInt(y) * y * y * y).sum
+    assert(m * m * m * s4 > BigInt(Long.MaxValue),
+      "construction failed to cross the int64 edge")
+    val m2n = m * s2 - s1 * s1
+    val m3n = m * m * s3 - 3 * m * s1 * s2 + 2 * s1 * s1 * s1
+    val m4n = m * m * m * s4 - 4 * m * m * s1 * s3 +
+      6 * m * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+    val skew = (math.sqrt(m.toDouble) * m3n.toDouble) /
+      (m2n.toDouble * math.sqrt(m2n.toDouble))
+    val kurt = (m.toDouble * m4n.toDouble) / (m2n.toDouble * m2n.toDouble) - 3.0
+    assert(got == Seq((m.toLong, m2n.toLong, m3n.toLong, m4n.toDouble, skew, kurt)))
+  }
+
+  // events collected once in (ts, event_id) order per host, cents-quantized
+  private lazy val hostSeries: Map[Long, Seq[(Long, Long, Long)]] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3)).map(r => (r._2, r._3, r._4))
+      }
+
+  test("q_ts_hampel equals a plain-Scala rolling median/MAD sweep") {
+    val got = Analytics9.q_ts_hampel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSeq
+    val want = hostSeries.toSeq.flatMap { case (u, series) =>
+      series.sliding(5).filter(_.size == 5).map { win =>
+        val (tsU, eid, y) = win(2)
+        val sorted = win.map(_._3).sorted
+        val med = sorted(2)
+        val mad = sorted.map(v => math.abs(v - med)).sorted.apply(2)
+        val dev = math.abs(y - med)
+        (u, tsU, eid, y, med, mad, dev, dev * 10000L > mad * 44478L)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: the detector must fire somewhere and NOT everywhere
+    assert(want.exists(_._8) && want.exists(!_._8))
+  }
+
+  test("q_ts_coverage equals a plain-Scala interval-union sweep") {
+    val got = Analytics9.q_ts_coverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val want = hostSeries.toSeq.map { case (u, series) =>
+      val iv = series.map { case (s, eid, y) => (s, eid, s + y * 10000L) }
+        .sortBy(r => (r._1, r._2))
+      var pmax = Long.MinValue
+      var (covered, segs, sumDur) = (0L, 0L, 0L)
+      for ((s, _, e) <- iv) {
+        sumDur += e - s
+        if (pmax == Long.MinValue || s > pmax) segs += 1
+        val base = if (pmax == Long.MinValue) s else math.max(s, pmax)
+        covered += math.max(0L, e - base)
+        pmax = math.max(pmax, e)
+      }
+      (u, iv.size.toLong, sumDur, covered, segs, sumDur - covered)
+    }.sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: real overlap somewhere (union < naive sum) and more
+    // than one connected segment somewhere (gaps exist)
+    assert(want.exists(_._6 > 0) && want.exists(_._5 > 1))
+  }
 }

@@ -725,4 +725,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!contam.contains("SortMergeJoin") && !contam.contains("CartesianProduct"),
       s"contam must stay cell-bounded broadcast:\n$contam")
   }
+
+  test("§2.25 tier: chisq broadcasts cells-sized marginals; stat/sweep queries keep one shuffle") {
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    // q_stat_chisq: the contingency CELLS frame (|types|·7 rows) joins its
+    // marginals and the 1-row grand total as BROADCASTS — a shuffle join
+    // here would mean the marginals were computed data-sized
+    val chisq = finalSection(executedPlan("q_stat_chisq"))
+    assert(chisq.contains("BroadcastHashJoin"), s"marginals must broadcast:\n$chisq")
+    assert(!chisq.contains("SortMergeJoin") && !chisq.contains("CartesianProduct"),
+      s"chisq must not shuffle-join:\n$chisq")
+    assert(chisq.contains("partial_count"), s"cell agg not two-phase:\n$chisq")
+    // q_stat_moments / q_url_canon: join-free, window-free, one map-
+    // combinable agg — the embarrassingly-parallel shape
+    for (q <- Seq("q_stat_moments", "q_url_canon")) {
+      val plan = finalSection(executedPlan(q))
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"$q must be agg-only:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$q agg not two-phase:\n$plan")
+    }
+    // q_ts_autocorr / q_ts_hampel / q_ts_coverage: exactly ONE
+    // hashpartitioning exchange — the user_id shuffle feeds the window
+    // and everything after it (the q_bot_cadence discipline)
+    for (q <- Seq("q_ts_autocorr", "q_ts_hampel", "q_ts_coverage")) {
+      val plan = finalSection(executedPlan(q))
+      val shuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.size == 1 && shuffles.head.contains("user_id"),
+        s"$q: expected exactly the user_id shuffle:\n${shuffles.mkString("\n")}")
+    }
+  }
 }
