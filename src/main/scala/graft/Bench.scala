@@ -125,11 +125,12 @@ object Bench {
     // Every query is timed under identical rules; order is otherwise the
     // (arbitrary) alphabetical one.
     val heavyFirst = Seq(
-      "q_dedup_cluster", "q_graph_pagerank", "q_graph_bfs",
+      "q_dedup_cluster", "q_graph_kcore", "q_graph_pagerank", "q_graph_bfs",
       "q_ngram_jaccard", "q_freq_pairs", "q_tpch_q21", "q_table_replace",
       "q_bpe_train", "q_table_replica_stream", "q_table_diff",
       "q_table_cdf", "q_table_clone", "q_table_multi_replica",
-      "q_dedup_semantic", "q_table_replica").zipWithIndex.toMap
+      "q_dedup_semantic", "q_table_replica", "q_graph_ppr",
+      "q_graph_linkpred").zipWithIndex.toMap
     val selected = SparkEntry.queries
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .toSeq.sortBy { case (k, _) => (heavyFirst.getOrElse(k, Int.MaxValue), k) }

@@ -359,7 +359,124 @@ object Analytics9 {
       .orderBy(col("user_id"))
   }
 
+  /** PERSONALIZED PAGERANK — relevance-to-a-SEED-SET over the similarity
+    * graph (the training-data curation face: seeds = a curated
+    * high-quality slice; PPR scores every other document by graph
+    * proximity for crawl/keep prioritization — where q_graph_pagerank
+    * answers "globally central", PPR answers "central RELATIVE TO what I
+    * already trust"). Same exact-integer recipe as q_graph_pagerank
+    * (scale 10⁶, `div` never `/`): the restart mass 15 % lands ONLY on
+    * the 20 seeds (vec_id ≡ 0 mod 50) instead of uniformly, two unrolled
+    * synchronous rounds, contributions broadcast per round (the
+    * node-bounded frame), one dst aggregation per round over the
+    * persisted half-size edge cache. Isolated non-seeds carry exactly
+    * zero and are dropped; top-30 via TakeOrderedAndProject + the
+    * broadcast rank derivation (Q.rankTopK) — never a global window. */
+  def q_graph_ppr(spark: SparkSession, dir: String): DataFrame = {
+    val scale = 1000000L
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+    val p = LlmExt.cellCosinePairs(e, minBp = 2000)
+      .select(col("da"), col("db")).persist()
+    val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
+    val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("vec_id").as("id"),
+      (col("vec_id") % 50 === 0).cast("long").as("seed"))
+    val c1 = nodes.filter(col("seed") === 1)
+      .join(deg.select(col("da").as("id"), col("deg")), Seq("id"))
+      .select(col("id").as("da"), expr(s"(${scale}L) div deg").as("c"))
+    val in1 = sym.join(broadcast(c1), Seq("da"))
+      .groupBy(col("db")).agg(sum(col("c")).as("s"))
+    val r1 = nodes.join(in1.select(col("db").as("id"), col("s")), Seq("id"), "left")
+      .select(col("id"), col("seed"),
+        expr(s"(15L * ${scale}L * seed + 85L * coalesce(s, 0L)) div 100L").as("r"))
+    val c2 = r1.join(deg.select(col("da").as("id"), col("deg")), Seq("id"))
+      .select(col("id").as("da"), expr("r div deg").as("c"))
+    val in2 = sym.join(broadcast(c2), Seq("da"))
+      .groupBy(col("db")).agg(sum(col("c")).as("s"))
+    val r2 = nodes.join(in2.select(col("db").as("id"), col("s")), Seq("id"), "left")
+      .select(col("id"), col("seed"),
+        expr(s"(15L * ${scale}L * seed + 85L * coalesce(s, 0L)) div 100L").as("ppr"))
+      .filter(col("ppr") > 0)
+    val top = r2.orderBy(col("ppr").desc, col("id")).limit(30).persist()
+    Q.rankTopK(top, "ppr", "id")
+      .select(col("id"), col("seed"), col("ppr"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  /** BOLLINGER-BAND BREACHES — rolling mean ± 2σ on a trailing 10-sample
+    * window per host, the trader's screen beside the Hampel filter's
+    * robust one (mean/σ react to every point; median/MAD don't — the two
+    * flag DIFFERENT rows and a real monitor runs both). The whole test is
+    * INTEGER-exact by cross-multiplying the band condition:
+    * |y − Σx/m| > 2·σ  ⇔  (m·y − Σx)² > 4·(m·Σx² − (Σx)²) — no division,
+    * no sqrt, no float anywhere in the flag; the emitted band half-width
+    * is the only double (one expression over the exact ints). Trailing
+    * window = ROWS 9 PRECEDING..CURRENT, full windows only (m = 10).
+    * Magnitudes: m·y ≤ 5.7e5, squared ≤ 3.3e11 — five decades inside
+    * BIGINT. One user_id shuffle, same discipline as the other sweeps. */
+  def q_ts_bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("y")).over(w))
+      .withColumn("s2", sum(col("y") * col("y")).over(w))
+      .filter(col("m") === 10)
+      .withColumn("dev_n", col("m") * col("y") - col("s1"))
+      .withColumn("var_n", col("m") * col("s2") - col("s1") * col("s1"))
+      .withColumn("breach", col("dev_n") * col("dev_n") > lit(4L) * col("var_n"))
+      .withColumn("above", col("dev_n") > 0)
+      .withColumn("band_halfwidth",
+        sqrt((lit(4L) * col("var_n")).cast("double")) / col("m").cast("double"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("y"),
+        col("s1"), col("var_n"), col("dev_n"), col("breach"), col("above"),
+        col("band_halfwidth"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** DEGREE ASSORTATIVITY — the graph-LEVEL statistic the family lacked
+    * (every other graph face emits per-node rows): do high-degree nodes
+    * attach to high-degree nodes (r > 0, social-network shape) or to
+    * leaves (r < 0, hub-and-spoke)? Pearson correlation of the two
+    * endpoint degrees over every DIRECTED edge of the similarity graph —
+    * the standard Newman definition — with the q_ts_autocorr integer
+    * recipe: degrees joined onto the symmetrized edge list (the deg
+    * frame is node-bounded — broadcast), sufficient statistics exact
+    * BIGINT in ONE map-combinable agg, the only float the final
+    * num/(√dx·√dy). Σ(deg·deg) ≤ |E|·deg_max² ≲ 1e11 at this slice;
+    * at web scale the partials widen to DECIMAL(38,0) (the moments
+    * note). ONE row out — the whole-graph health number a pipeline
+    * tracks over time. */
+  def q_graph_assort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
+    val p = LlmExt.cellCosinePairs(e, minBp = 2000)
+      .select(col("da"), col("db")).persist()
+    val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
+    val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("dg"))
+    sym
+      .join(broadcast(deg.select(col("da"), col("dg").as("ka"))), Seq("da"))
+      .join(broadcast(deg.select(col("da").as("db"), col("dg").as("kb"))), Seq("db"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("ka")).as("sx"), sum(col("kb")).as("sy"),
+        sum(col("ka") * col("kb")).as("sxy"),
+        sum(col("ka") * col("ka")).as("sx2"),
+        sum(col("kb") * col("kb")).as("sy2"))
+      .withColumn("num", col("m") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("m") * col("sx2") - col("sx") * col("sx"))
+      .withColumn("dy", col("m") * col("sy2") - col("sy") * col("sy"))
+      .withColumn("assort", col("num").cast("double") /
+        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+      .withColumn("disassortative", col("num") < 0)
+      .select(col("m"), col("num"), col("dx"), col("dy"), col("assort"),
+        col("disassortative"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ppr" -> q_graph_ppr _,
+    "q_ts_bollinger" -> q_ts_bollinger _,
+    "q_graph_assort" -> q_graph_assort _,
     "q_url_canon" -> q_url_canon _,
     "q_ts_autocorr" -> q_ts_autocorr _,
     "q_graph_linkpred" -> q_graph_linkpred _,
@@ -445,6 +562,65 @@ object Analytics9 {
       """
         |SELECT a AS vec_id, count(*) AS deg FROM e8
         |GROUP BY a ORDER BY vec_id""".stripMargin),
+    "q_ts_bollinger" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+        |w AS (SELECT user_id, ts_us, event_id, y,
+        |    count(*) OVER win AS m,
+        |    CAST(sum(y) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(y * y) OVER win AS BIGINT) AS s2
+        |  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT user_id, ts_us, event_id, y, s1, m,
+        |    m * y - s1 AS dev_n, m * s2 - s1 * s1 AS var_n
+        |  FROM w WHERE m = 10)
+        |SELECT user_id, ts_us, event_id, y, s1, var_n, dev_n,
+        |  dev_n * dev_n > 4 * var_n AS breach,
+        |  dev_n > 0 AS above,
+        |  sqrt(CAST(4 * var_n AS DOUBLE)) / CAST(m AS DOUBLE) AS band_halfwidth
+        |FROM d ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_graph_assort" -> (GraphCte +
+      """,
+        |dg AS MATERIALIZED (SELECT a, count(*) AS dg FROM edges GROUP BY a),
+        |j AS (SELECT d1.dg AS ka, d2.dg AS kb FROM edges e
+        |  JOIN dg d1 ON e.a = d1.a JOIN dg d2 ON e.b = d2.a),
+        |g AS (SELECT count(*) AS m,
+        |    CAST(sum(ka) AS BIGINT) AS sx, CAST(sum(kb) AS BIGINT) AS sy,
+        |    CAST(sum(ka * kb) AS BIGINT) AS sxy,
+        |    CAST(sum(ka * ka) AS BIGINT) AS sx2,
+        |    CAST(sum(kb * kb) AS BIGINT) AS sy2
+        |  FROM j)
+        |SELECT m, m * sxy - sx * sy AS num,
+        |  m * sx2 - sx * sx AS dx, m * sy2 - sy * sy AS dy,
+        |  CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))) AS assort,
+        |  (m * sxy - sx * sy) < 0 AS disassortative
+        |FROM g""".stripMargin),
+    "q_graph_ppr" -> (GraphCte +
+      """,
+        |dg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+        |nodes AS (SELECT vec_id AS id,
+        |    CAST(CASE WHEN vec_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS seed FROM v),
+        |c1 AS (SELECT n.id AS a, 1000000 // d.deg AS c
+        |  FROM nodes n JOIN dg d ON n.id = d.a WHERE n.seed = 1),
+        |i1 AS (SELECT e.b, CAST(sum(c.c) AS BIGINT) AS s
+        |  FROM edges e JOIN c1 c ON e.a = c.a GROUP BY e.b),
+        |r1 AS (SELECT n.id, n.seed,
+        |    (15 * 1000000 * n.seed + 85 * coalesce(i.s, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN i1 i ON n.id = i.b),
+        |c2 AS (SELECT r.id AS a, r.r // d.deg AS c
+        |  FROM r1 r JOIN dg d ON r.id = d.a),
+        |i2 AS (SELECT e.b, CAST(sum(c.c) AS BIGINT) AS s
+        |  FROM edges e JOIN c2 c ON e.a = c.a GROUP BY e.b),
+        |r2 AS (SELECT n.id, n.seed,
+        |    (15 * 1000000 * n.seed + 85 * coalesce(i.s, 0)) // 100 AS ppr
+        |  FROM nodes n LEFT JOIN i2 i ON n.id = i.b),
+        |t AS (SELECT id, seed, ppr FROM r2 WHERE ppr > 0
+        |  ORDER BY ppr DESC, id LIMIT 30)
+        |SELECT id, seed, ppr,
+        |  CAST(row_number() OVER (ORDER BY ppr DESC, id) AS INT) AS rk
+        |FROM t ORDER BY rk""".stripMargin),
     // Weekday by epoch arithmetic ((days+4)%7, Sunday=0) on BOTH sides —
     // never an engine dayofweek (numbering differs, the §2.10 rule).
     "q_stat_chisq" ->

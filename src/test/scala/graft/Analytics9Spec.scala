@@ -124,6 +124,35 @@ class Analytics9Spec extends AnyFunSuite with SparkFixture {
         "(corpus too dense to exercise k-core; tighten minBp)")
   }
 
+  test("q_graph_ppr equals a plain-Scala seeded power iteration") {
+    val got = Analytics9.q_graph_ppr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val ids = Tables.embeddings(spark, sf).filter(col("vec_id") < 1000)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+    val symE = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = symE.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val seed = ids.map(i => i -> (if (i % 50 == 0) 1L else 0L)).toMap
+    def push(contrib: Map[Long, Long]): Map[Long, Long] =
+      symE.filter(e => contrib.contains(e._1))
+        .groupBy(_._2).map { case (b, es) => b -> es.map(e => contrib(e._1)).sum }
+    val c1 = ids.filter(i => seed(i) == 1L && deg.contains(i))
+      .map(i => i -> 1000000L / deg(i)).toMap
+    val in1 = push(c1)
+    val r1 = ids.map(i => i ->
+      ((15L * 1000000L * seed(i) + 85L * in1.getOrElse(i, 0L)) / 100L)).toMap
+    val c2 = ids.filter(deg.contains).map(i => i -> r1(i) / deg(i)).toMap
+    val in2 = push(c2)
+    val top = ids.map(i => (i, seed(i),
+        (15L * 1000000L * seed(i) + 85L * in2.getOrElse(i, 0L)) / 100L))
+      .filter(_._3 > 0)
+      .sortBy(r => (-r._3, r._1)).take(30)
+    val want = top.zipWithIndex.map { case ((i, s, p), k) => (i, s, p, k + 1) }
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: restart mass must have PROPAGATED — the top must hold
+    // at least one non-seed with positive score, and at least one seed
+    assert(want.exists(_._2 == 0L) && want.exists(_._2 == 1L))
+  }
+
   test("q_stat_chisq equals a plain-Scala contingency recompute") {
     val got = Analytics9.q_stat_chisq(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -248,6 +277,54 @@ class Analytics9Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got.toSeq == want)
     // non-vacuity: the detector must fire somewhere and NOT everywhere
     assert(want.exists(_._8) && want.exists(!_._8))
+  }
+
+  test("q_ts_bollinger equals a plain-Scala trailing-window band recompute") {
+    val got = Analytics9.q_ts_bollinger(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7),
+        r.getBoolean(8), r.getDouble(9))).toSeq
+    val want = hostSeries.toSeq.flatMap { case (u, series) =>
+      series.indices.filter(_ >= 9).map { i =>
+        val win = series.slice(i - 9, i + 1).map(_._3)
+        val (tsU, eid, y) = series(i)
+        val m = 10L
+        val s1 = win.sum
+        val s2 = win.map(v => v * v).sum
+        val devN = m * y - s1
+        val varN = m * s2 - s1 * s1
+        (u, tsU, eid, y, s1, varN, devN, devN * devN > 4L * varN, devN > 0,
+          math.sqrt((4L * varN).toDouble) / m.toDouble)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got.nonEmpty && got.toSeq == want)
+    // non-vacuity: breaches fire somewhere but not everywhere, and the
+    // below-mean side occurs (the corpus's right-skew makes DOWNWARD 2σ
+    // breaches absent at this scale — above-band breaches plus calm
+    // below-mean rows still pin both sign paths of dev_n)
+    assert(want.exists(r => r._8 && r._9) && want.exists(!_._8) &&
+      want.exists(r => !r._9 && !r._8))
+  }
+
+  test("q_graph_assort equals a plain-Scala Newman recompute") {
+    val got = Analytics9.q_graph_assort(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    val symE = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = symE.groupBy(_._1).map { case (k, v) => k -> BigInt(v.size) }
+    val ks = symE.map { case (a, b) => (deg(a), deg(b)) }
+    val m = BigInt(ks.size)
+    val sx = ks.map(_._1).sum; val sy = ks.map(_._2).sum
+    val sxy = ks.map(k => k._1 * k._2).sum
+    val sx2 = ks.map(k => k._1 * k._1).sum
+    val sy2 = ks.map(k => k._2 * k._2).sum
+    val num = m * sxy - sx * sy
+    val dx = m * sx2 - sx * sx; val dy = m * sy2 - sy * sy
+    val assort = num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+    assert(got == Seq((m.toLong, num.toLong, dx.toLong, dy.toLong, assort, num < 0)))
+    // non-vacuity: the statistic must be meaningfully nonzero — a
+    // degree-uncorrelated graph would make the gate insensitive
+    assert(math.abs(assort) > 0.01)
   }
 
   test("q_ts_coverage equals a plain-Scala interval-union sweep") {

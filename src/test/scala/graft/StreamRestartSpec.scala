@@ -145,4 +145,73 @@ class StreamRestartSpec extends AnyFunSuite with SparkFixture {
       old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("autocorr restart: lag state and running sums survive the checkpoint boundary") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_restart_acf").toString
+      val src = s"$base/src"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .persist()
+      val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+      def half(pred: org.apache.spark.sql.Column) =
+        ev.filter(pred).drop("ts_us").coalesce(1).write.mode("append").parquet(src)
+      half(col("ts_us") <= cut)
+
+      def run(): Unit = {
+        val q = StreamOps.autocorrStream(spark.readStream.schema(sch).parquet(src))
+          .toDF()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("append").parquet(s"$out/batch_$id"); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "stream did not finish within 120s")
+      }
+      run()
+      half(col("ts_us") > cut)
+      run() // SAME checkpoint: prevY + the six sums must carry over
+
+      // latest emission per user (max m) must equal the batch twin's
+      // exact integers over the FULL series — true only if BOTH the lag
+      // element and the running sums survived the restart (the pair that
+      // spans the cut is in acf_num only via the carried prevY)
+      val fin = spark.read.parquet(s"$out/*")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          val last = rs.maxBy(_._2); (u, last._2, last._3, last._4, last._5)
+        }.filter(r => r._4 > 0 && r._5 > 0).toSet
+      val want = graft.queries.Analytics9.q_ts_autocorr(spark, sf)
+        .select(col("user_id"), col("m"), col("acf_num"), col("dx"), col("dy"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fin == want)
+      // non-vacuity: dropping every cross-cut pair must change at least
+      // one user's statistics — otherwise carried and reset state are
+      // indistinguishable here
+      val resetWant = ev
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("y"))
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          val tail = rs.toSeq.filter(_._2 > cut).sortBy(r => (r._2, r._3)).map(_._4)
+          val xy = if (tail.isEmpty) Seq.empty else tail.zip(tail.tail)
+          (u, xy.size.toLong)
+        }.toMap
+      assert(want.exists { case (u, m, _, _, _) => resetWant.get(u).exists(_ != m) },
+        "cut produced no cross-boundary lag pair")
+      ev.unpersist()
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
