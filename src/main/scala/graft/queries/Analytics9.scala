@@ -133,6 +133,13 @@ object Analytics9 {
     // neighbor count 0-1) and the operator has nothing to predict over
     val p = LlmExt.cellCosinePairs(e, minBp = 2000)
       .select(col("da"), col("db")).persist()
+    linkpredOf(p, k = 50)
+  }
+
+  /** The wedge-join mechanism over a canonical (da < db, distinct) pair
+    * frame — factored so the randomized differential can drive arbitrary
+    * graphs (isolates, paths, cliques) through the identical plan. */
+  private[graft] def linkpredOf(p: DataFrame, k: Int): DataFrame = {
     val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
     val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("dg"))
     val wedges = sym.select(col("da").as("n"), col("db").as("xa"))
@@ -149,7 +156,7 @@ object Analytics9 {
       .select(col("xa").as("node_a"), col("xb").as("node_b"), col("n_common"),
         col("deg_a"), col("deg_b"), col("jac_bp"))
       .orderBy(col("jac_bp").desc, col("node_a"), col("node_b"))
-      .limit(50)
+      .limit(k)
   }
 
   /** K-CORE DECOMPOSITION (k=2, eight unrolled peeling rounds) — the
@@ -176,19 +183,28 @@ object Analytics9 {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
     val p = LlmExt.cellCosinePairs(e, minBp = 2000)
       .select(col("da"), col("db")).persist()
+    kcoreOf(p, k = 2, rounds = 8)
+      .select(col("da").as("vec_id"), col("deg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The peel mechanism over a canonical pair frame, round count
+    * explicit — the gate binds the corpus-measured 8; the randomized
+    * differential binds rounds ≥ |V|/2+1 (a path graph needs one round
+    * per endpoint pair, the worst case) so the MECHANISM is pinned on
+    * graphs the fixture never shows. */
+  private[graft] def kcoreOf(p: DataFrame, k: Int, rounds: Int): DataFrame = {
     var sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
-    for (_ <- 1 to 8) {
+    for (_ <- 1 to rounds) {
       val keep = sym.groupBy(col("da")).agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= 2).select(col("da").as("k"))
+        .filter(col("dg") >= k).select(col("da").as("kid"))
       sym = sym
-        .join(keep.select(col("k").as("da")), Seq("da"), "left_semi")
-        .join(keep.select(col("k").as("db")), Seq("db"), "left_semi")
+        .join(keep.select(col("kid").as("da")), Seq("da"), "left_semi")
+        .join(keep.select(col("kid").as("db")), Seq("db"), "left_semi")
         .select(col("da"), col("db"))
         .localCheckpoint(eager = false) // materialized by the final agg
     }
     sym.groupBy(col("da")).agg(count(lit(1)).as("deg"))
-      .select(col("da").as("vec_id"), col("deg"))
-      .orderBy(col("vec_id"))
   }
 
   /** CHI-SQUARE INDEPENDENCE SCREEN (event_type × weekday) — the
@@ -373,14 +389,21 @@ object Analytics9 {
     * zero and are dropped; top-30 via TakeOrderedAndProject + the
     * broadcast rank derivation (Q.rankTopK) — never a global window. */
   def q_graph_ppr(spark: SparkSession, dir: String): DataFrame = {
-    val scale = 1000000L
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
     val p = LlmExt.cellCosinePairs(e, minBp = 2000)
       .select(col("da"), col("db")).persist()
-    val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
-    val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("vec_id").as("id"),
       (col("vec_id") % 50 === 0).cast("long").as("seed"))
+    pprOf(nodes, p, top = 30)
+  }
+
+  /** The two-round seeded power iteration over an explicit (id, seed)
+    * node frame + canonical pair frame — factored for the randomized
+    * differential (arbitrary seed sets, isolates, leaf chains). */
+  private[graft] def pprOf(nodes: DataFrame, p: DataFrame, top: Int): DataFrame = {
+    val scale = 1000000L
+    val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
+    val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("deg"))
     val c1 = nodes.filter(col("seed") === 1)
       .join(deg.select(col("da").as("id"), col("deg")), Seq("id"))
       .select(col("id").as("da"), expr(s"(${scale}L) div deg").as("c"))
@@ -397,8 +420,8 @@ object Analytics9 {
       .select(col("id"), col("seed"),
         expr(s"(15L * ${scale}L * seed + 85L * coalesce(s, 0L)) div 100L").as("ppr"))
       .filter(col("ppr") > 0)
-    val top = r2.orderBy(col("ppr").desc, col("id")).limit(30).persist()
-    Q.rankTopK(top, "ppr", "id")
+    val t = r2.orderBy(col("ppr").desc, col("id")).limit(top).persist()
+    Q.rankTopK(t, "ppr", "id")
       .select(col("id"), col("seed"), col("ppr"), col("rk"))
       .orderBy(col("rk"))
   }
@@ -453,6 +476,12 @@ object Analytics9 {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 1000)
     val p = LlmExt.cellCosinePairs(e, minBp = 2000)
       .select(col("da"), col("db")).persist()
+    assortOf(p)
+  }
+
+  /** Newman assortativity over a canonical pair frame — factored for the
+    * randomized differential (stars, paths, regular graphs). */
+  private[graft] def assortOf(p: DataFrame): DataFrame = {
     val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
     val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("dg"))
     sym
@@ -466,8 +495,13 @@ object Analytics9 {
       .withColumn("num", col("m") * col("sxy") - col("sx") * col("sy"))
       .withColumn("dx", col("m") * col("sx2") - col("sx") * col("sx"))
       .withColumn("dy", col("m") * col("sy2") - col("sy") * col("sy"))
-      .withColumn("assort", col("num").cast("double") /
-        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+      // a REGULAR graph (all degrees equal) has dx = dy = 0 — the
+      // statistic is undefined there; emit NaN explicitly rather than
+      // dividing (ANSI mode throws DIVIDE_BY_ZERO even on doubles)
+      .withColumn("assort", when(col("dx") > 0 && col("dy") > 0,
+        col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+        .otherwise(lit(Double.NaN)))
       .withColumn("disassortative", col("num") < 0)
       .select(col("m"), col("num"), col("dx"), col("dy"), col("assort"),
         col("disassortative"))
@@ -592,9 +626,11 @@ object Analytics9 {
         |  FROM j)
         |SELECT m, m * sxy - sx * sy AS num,
         |  m * sx2 - sx * sx AS dx, m * sy2 - sy * sy AS dy,
-        |  CAST(m * sxy - sx * sy AS DOUBLE)
-        |    / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
-        |       * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))) AS assort,
+        |  CASE WHEN m * sx2 - sx * sx > 0 AND m * sy2 - sy * sy > 0 THEN
+        |    CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE)))
+        |  ELSE CAST('nan' AS DOUBLE) END AS assort,
         |  (m * sxy - sx * sy) < 0 AS disassortative
         |FROM g""".stripMargin),
     "q_graph_ppr" -> (GraphCte +

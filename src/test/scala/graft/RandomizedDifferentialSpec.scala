@@ -474,4 +474,125 @@ class RandomizedDifferentialSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  // ---- §2.25 graph mechanisms on random graphs: the corpus fixture is
+  // one dense similarity graph; paths, stars, cliques and isolates are
+  // the shapes its gates never show. Canonical (a<b, distinct) pairs —
+  // the cellCosinePairs contract the mechanisms assume.
+  private def randPairs(rnd: scala.util.Random, n: Int, m: Int): Seq[(Long, Long)] =
+    (Seq((0L, 1L)) ++ Seq.fill(m) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }).filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+
+  private def refPeel(pairs: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+    var es = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (x, v) => x -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    es.groupBy(_._1).toSeq.map { case (x, v) => (x, v.size.toLong) }.sortBy(_._1)
+  }
+
+  test("kcore peel == reference fixpoint peel on random graphs and the path worst case") {
+    val rnd = new scala.util.Random(19)
+    val trials = (1 to 6).map { _ =>
+      val n = 2 + rnd.nextInt(30)
+      randPairs(rnd, n, rnd.nextInt(50)) -> n
+    } :+ ((0L until 11L).map(i => (i, i + 1)) -> 12) :+ // path: 2 nodes peel per round
+      ((Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++ // triangle with a 7-node tail:
+        (2L until 9L).map(i => (i, i + 1))) -> 10) // exactly ONE node peels per round
+    for (((pairs, n), trial) <- trials.zipWithIndex) {
+      // rounds = n+1 is the universal bound: every pre-fixpoint round
+      // removes at least one node (the corpus gate's fixed 8 is the
+      // measured fixpoint there, not a structural bound)
+      val got = queries.Analytics9
+        .kcoreOf(pairs.toDF("da", "db"), k = 2, rounds = n + 1)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == refPeel(pairs, 2), s"trial $trial pairs=$pairs")
+    }
+  }
+
+  test("linkpred wedge join == brute-force neighbor intersection on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 6) {
+      val n = 2 + rnd.nextInt(25)
+      val pairs = randPairs(rnd, n, rnd.nextInt(40))
+      val got = queries.Analytics9.linkpredOf(pairs.toDF("da", "db"), k = 10000)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val edgeSet = pairs.toSet
+      val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (x, v) => x -> v.map(_._2).toSet }
+      val nodes = nbrs.keys.toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b && !edgeSet((a, b))
+        common = (nbrs(a) & nbrs(b)).size if common > 0
+      } yield {
+        val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+        (a, b, common.toLong, da, db, 10000L * common / (da + db - common))
+      }).sortBy { case (a, b, _, _, _, j) => (-j, a, b) }
+      assert(got == want, s"trial $trial pairs=$pairs")
+    }
+  }
+
+  test("ppr two-round iteration == reference integer fold on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 6) {
+      val n = 3 + rnd.nextInt(25)
+      val pairs = randPairs(rnd, n, rnd.nextInt(40))
+      val nodeRows = (0L until n.toLong).map(i => (i, if (i % 3 == 0) 1L else 0L))
+      val got = queries.Analytics9
+        .pprOf(nodeRows.toDF("id", "seed"), pairs.toDF("da", "db"), top = 10000)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      val symE = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = symE.groupBy(_._1).map { case (x, v) => x -> v.size.toLong }
+      val seed = nodeRows.toMap
+      def push(c: Map[Long, Long]): Map[Long, Long] =
+        symE.filter(e => c.contains(e._1))
+          .groupBy(_._2).map { case (b, es) => b -> es.map(e => c(e._1)).sum }
+      val c1 = nodeRows.collect { case (i, 1L) if deg.contains(i) =>
+        i -> 1000000L / deg(i) }.toMap
+      val in1 = push(c1)
+      val r1 = nodeRows.map { case (i, s) =>
+        i -> ((15L * 1000000L * s + 85L * in1.getOrElse(i, 0L)) / 100L) }.toMap
+      val c2 = nodeRows.collect { case (i, _) if deg.contains(i) =>
+        i -> r1(i) / deg(i) }.toMap
+      val in2 = push(c2)
+      val top = nodeRows.map { case (i, s) =>
+        (i, s, (15L * 1000000L * s + 85L * in2.getOrElse(i, 0L)) / 100L) }
+        .filter(_._3 > 0).sortBy(r => (-r._3, r._1))
+      val want = top.zipWithIndex.map { case ((i, s, p), k) => (i, s, p, k + 1) }
+      assert(got == want, s"trial $trial pairs=$pairs")
+    }
+  }
+
+  test("assortativity == reference Newman recompute on random, star and near-regular graphs") {
+    val rnd = new scala.util.Random(31)
+    val shapes: Seq[Seq[(Long, Long)]] = (1 to 4).map { _ =>
+      randPairs(rnd, 3 + rnd.nextInt(20), rnd.nextInt(30))
+    } :+ (1L to 8L).map(i => (0L, i)) :+ // star: maximally disassortative
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)) // 4-cycle: regular, dx=dy=0
+    for ((pairs, trial) <- shapes.zipWithIndex) {
+      val row = queries.Analytics9.assortOf(pairs.toDF("da", "db")).collect().head
+      val (m, num, dx, dy) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      val symE = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = symE.groupBy(_._1).map { case (x, v) => x -> BigInt(v.size) }
+      val ks = symE.map { case (a, b) => (deg(a), deg(b)) }
+      val rm = BigInt(ks.size)
+      val sx = ks.map(_._1).sum; val sy = ks.map(_._2).sum
+      val rnum = rm * ks.map(k => k._1 * k._2).sum - sx * sy
+      val rdx = rm * ks.map(k => k._1 * k._1).sum - sx * sx
+      val rdy = rm * ks.map(k => k._2 * k._2).sum - sy * sy
+      assert((m, num, dx, dy) ==
+        ((rm.toLong, rnum.toLong, rdx.toLong, rdy.toLong)), s"trial $trial pairs=$pairs")
+      if (rdx > 0 && rdy > 0)
+        assert(row.getDouble(4) == rnum.toDouble /
+          (math.sqrt(rdx.toDouble) * math.sqrt(rdy.toDouble)), s"trial $trial")
+      else assert(row.getDouble(4).isNaN, s"trial $trial: regular graph must yield NaN")
+    }
+  }
 }
