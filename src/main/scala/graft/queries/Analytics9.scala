@@ -528,7 +528,7 @@ object Analytics9 {
   // inlined tree re-opens the parquet 3^rounds times (the same
   // exponential the Spark side cuts with localCheckpoint) and dies on
   // file handles before the first row.
-  private val GraphCte =
+  private[queries] val GraphCte =
     """WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1000),
       |p AS MATERIALIZED (
       |  SELECT a.vec_id AS da, b.vec_id AS db
