@@ -26,7 +26,8 @@ object SparkEntry {
       Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
       TableOps.queries ++ SqlSurface.queries ++ Retrieval.queries ++
       TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries ++
-      Analytics8.queries ++ Analytics9.queries ++ Analytics10.queries
+      Analytics8.queries ++ Analytics9.queries ++ Analytics10.queries ++
+      Analytics11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       Analytics4.oracle ++ Analytics5.oracle ++ Analytics6.oracle ++
       TableOps.oracle ++ SqlSurface.oracle ++ Retrieval.oracle ++
       TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle ++
-      Analytics8.oracle ++ Analytics9.oracle ++ Analytics10.oracle
+      Analytics8.oracle ++ Analytics9.oracle ++ Analytics10.oracle ++
+      Analytics11.oracle
 }

@@ -755,4 +755,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
         s"$q: expected exactly the user_id shuffle:\n${shuffles.mkString("\n")}")
     }
   }
+
+  test("§2.27 tier: profile/rank state broadcasts; audits stay agg-only") {
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    // q_privacy_kanon: ONE two-phase aggregation over the QI key — the
+    // release audit must never join or window the corpus
+    val kanon = finalSection(executedPlan("q_privacy_kanon"))
+    assert(!kanon.contains("Join") && !kanon.contains("Window"),
+      s"kanon must be agg-only:\n$kanon")
+    assert(kanon.contains("partial_count"), s"kanon agg not two-phase:\n$kanon")
+    // q_net_fanout: the |hosts|-row profile joins back as a BROADCAST —
+    // a shuffle join here would re-shuffle the day cells for a frame
+    // thousands of times smaller
+    val fanout = finalSection(executedPlan("q_net_fanout"))
+    assert(fanout.contains("BroadcastHashJoin") && !fanout.contains("SortMergeJoin"),
+      s"fanout profile must broadcast:\n$fanout")
+    // q_text_keywords: vocab semi-joins and both rank-state joins are
+    // broadcasts (Zipf-bounded state), top-30 is TOAP — never a sort or
+    // window over the word frame
+    val kw = finalSection(executedPlan("q_text_keywords"))
+    assert(kw.contains("BroadcastHashJoin"), s"rank state must broadcast:\n$kw")
+    assert(kw.contains("TakeOrderedAndProject(limit=30"), s"top-30 not TOAP:\n$kw")
+    assert(!kw.contains("CartesianProduct"), s"keywords cartesian:\n$kw")
+    // q_graph_sssp: three relaxation rounds, each one edge join — no
+    // cartesian, no data window; the distance frame stays node-bounded
+    val sssp = finalSection(executedPlan("q_graph_sssp"))
+    assert(!sssp.contains("CartesianProduct") && !sssp.contains("Window"),
+      s"sssp must relax by equi join only:\n$sssp")
+  }
 }
