@@ -783,4 +783,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!sssp.contains("CartesianProduct") && !sssp.contains("Window"),
       s"sssp must relax by equi join only:\n$sssp")
   }
+
+  test("§2.28 tier: hazard/pyramid reduce first; itemcf marginals broadcast") {
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    // q_survival_hazard: the span reduction is the ONLY data-sized pass
+    // (two-phase min/max); everything after runs on the ≤|days| lifetime
+    // frame through broadcast joins — no shuffle join, no window
+    val km = finalSection(executedPlan("q_survival_hazard"))
+    assert(km.contains("partial_min") && km.contains("partial_max"),
+      s"span reduction not two-phase:\n$km")
+    assert(!km.contains("SortMergeJoin") && !km.contains("Window"),
+      s"hazard must stay on the reduced frame:\n$km")
+    // q_tile_pyramid: join-free log-depth rollup — each zoom aggregates
+    // the PREVIOUS level's cells (z6 persists; z4/z2 read the cache)
+    val py = finalSection(executedPlan("q_tile_pyramid"))
+    assert(!py.contains("Join") && !py.contains("Window"),
+      s"pyramid must be agg-only:\n$py")
+    assert(py.contains("InMemoryTableScan"),
+      s"coarser zooms must read the cached finer level, not the raw scan:\n$py")
+    // q_rec_itemcf: the basket self-join is the data-sized stage; both
+    // marginal joins ride broadcasts and the shortlist window hash-
+    // partitions by the item key
+    val cf = finalSection(executedPlan("q_rec_itemcf"))
+    assert("BroadcastHashJoin".r.findAllIn(cf).size >= 2,
+      s"itemcf marginals must broadcast:\n$cf")
+    assert(!cf.contains("Exchange SinglePartition") || !cf.contains("Window"),
+      s"shortlist window single-partitioned:\n$cf")
+    // q_ab_cuped: two two-phase aggs over the user frame; moment rows
+    // join back as broadcasts only
+    val cu = finalSection(executedPlan("q_ab_cuped"))
+    assert(!cu.contains("SortMergeJoin"), s"cuped moments must broadcast:\n$cu")
+    assert(cu.contains("partial_sum"), s"cuped aggs not two-phase:\n$cu")
+  }
 }
