@@ -654,6 +654,61 @@ object StreamOps {
       .transformWithState(new MovingAvgProcessor(window), TimeMode.None(), OutputMode.Append())
   }
 
+  final case class FlowIn(user_id: Long, day_no: Long, port: Long)
+  final case class FanoutCell(user_id: Long, day_no: Long, n_ev: Long, n_ports: Long)
+
+  /** Online DISTINCT-COUNT per (host, day) — the streaming half of
+    * [[graft.queries.Analytics11.q_net_fanout]]'s port-scan screen: a
+    * MapState per (host, day) key holds the SET of ports already seen
+    * (point containsKey/update — the store touches only this batch's
+    * ports, never the whole set), a ValueState carries the event count,
+    * and each batch emits the key's current (n_ev, n_ports) so the
+    * monitor reads today's fan-out while the day is still open — the
+    * batch query only says so tomorrow. Distinctness survives micro-
+    * batch boundaries by construction (the set is state, not batch-local
+    * — the equivalence spec pins a port repeated ACROSS batches counting
+    * once). State is O(keys × ≤|port domain|), and the day in the key
+    * gives it a natural retention cut. */
+  class FanoutProcessor extends StatefulProcessor[(Long, Long), FlowIn, FanoutCell] {
+    @transient private var ports: MapState[Long, Boolean] = _
+    @transient private var counts: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ports = getHandle.getMapState[Long, Boolean](
+        "ports", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      counts = getHandle.getValueState[(Long, Long)](
+        "counts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[FlowIn],
+        timerValues: TimerValues): Iterator[FanoutCell] = {
+      var (nEv, nPorts) = if (counts.exists()) counts.get() else (0L, 0L)
+      rows.foreach { r =>
+        nEv += 1L
+        if (!ports.containsKey(r.port)) {
+          ports.updateValue(r.port, true)
+          nPorts += 1L
+        }
+      }
+      counts.update((nEv, nPorts))
+      Iterator(FanoutCell(key._1, key._2, nEv, nPorts))
+    }
+  }
+
+  /** Per-(host, day) event and distinct-port counts, updated per batch;
+    * batch twin: the day-cell aggregation inside q_net_fanout. */
+  def fanoutStream(events: DataFrame): Dataset[FanoutCell] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_no"),
+        pmod(col("event_id") * 2654435761L, lit(1024L)).as("port"))
+      .as[FlowIn]
+      .groupByKey(r => (r.user_id, r.day_no))
+      .transformWithState(new FanoutProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   final case class Beat(user_id: Long, ts_us: Long)
   final case class Offline(user_id: Long, last_seen_us: Long, declared_at_ms: Long)
 

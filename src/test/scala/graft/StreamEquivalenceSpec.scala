@@ -519,4 +519,54 @@ class StreamEquivalenceSpec extends AnyFunSuite with SparkFixture {
       old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("online fan-out distinct == batch q_net_fanout cells; port dedups across batches") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) whole-corpus replay: the FINAL (n_ev, n_ports) per (host,
+      // day) must equal the batch screen's day cells (n_ev is monotone
+      // per key, so "final" = max)
+      val streamed = runToMemory(
+        StreamOps.fanoutStream(StreamOps.eventsStream(spark, sf)).toDF(), "update")
+        .as[(Long, Long, Long, Long)].collect()
+      val fin = streamed.groupBy(r => (r._1, r._2)).map { case (_, rs) =>
+        rs.maxBy(_._3)
+      }.toSet
+      val want = graft.queries.Analytics11.q_net_fanout(spark, sf)
+        .select(col("user_id"), col("day_no"), col("n_ev"), col("n_ports"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fin == want)
+      // at sf0.001 the 1024-port domain over ~2 events/cell shows no
+      // in-day repeat — multi-event cells prove the count accumulates,
+      // and fixture (b) below pins the dedup semantics explicitly
+      assert(fin.nonEmpty && fin.exists(_._3 >= 2) && fin.forall(r => r._4 <= r._3))
+
+      // (b) a port repeated ACROSS micro-batches counts once: event_ids
+      // 1024 and 2048 both map to port 0 ((id·2654435761) % 1024 = 0)
+      // and arrive in different batches — n_ev reaches 3, n_ports stays 2
+      val src = java.nio.file.Files.createTempDirectory("graft_fan2").toString
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+      Seq((1L, 1024L, ts(1), 0.0), (1L, 7L, ts(2), 0.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1200) // distinct mod-times order the two micro-batches
+      Seq((1L, 2048L, ts(3), 0.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val rows = runToMemory(StreamOps.fanoutStream(stream).toDF(), "update")
+        .as[(Long, Long, Long, Long)].collect()
+      val last = rows.maxBy(_._3)
+      assert(last._3 == 3L && last._4 == 2L,
+        s"cross-batch port dedup wrong: $last (all: ${rows.toSeq})")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
