@@ -1143,6 +1143,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val knownPhysical = (statCols ++ bloomCols ++ base.files.flatMap(_.mins.keys)).toSet
     require(!(knownPhysical.contains(newName) && !mappedPhysicals.contains(newName)),
       s"column $newName already exists (physical)")
+    // newName must not be a tombstoned physical either: readFiles renames
+    // physical->logical FIRST and drops tombstoned physicals AFTER, so a
+    // rename onto a dropped name would produce two columns named newName
+    // and the tombstone drop would then remove BOTH — silent data loss on
+    // every read. Mirror dropColumn's "physical name is reserved" rule.
+    require(!droppedPhys(base.colMap).contains(newName),
+      s"column name $newName is reserved by a dropped column — " +
+        "its physical name can never be reused")
     val p = base.colMap.getOrElse(oldName, oldName)
     val newMap =
       if (newName == p) base.colMap - oldName // renamed back: identity again
@@ -1183,6 +1191,27 @@ final class TxTable(val root: String, val statCols: Seq[String],
       s"$name is not a current column (renamed away or already dropped; " +
         "its physical name is reserved)")
     val p = base.colMap.getOrElse(name, name)
+    // the name must resolve to a column that actually EXISTS: a typo'd
+    // drop would otherwise commit a tombstone for a nonexistent physical
+    // and permanently reserve the name (future appends carrying it are
+    // rejected) with no undo short of restore. Cheap checks first (the
+    // mapping and every stats/bloom-known physical), then — only if still
+    // unknown — parquet footers, the same O(files) driver-side metadata
+    // pass purgeDroppedColumns budgets, with early exit on first carrier.
+    val statKnown = (statCols ++ bloomCols ++ base.files.flatMap(_.mins.keys)).toSet
+    if (!base.colMap.contains(name) && !statKnown.contains(p)) {
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val carried = base.files.exists { f =>
+        val fp = new org.apache.hadoop.fs.Path(dataDir.resolve(f.path).toString)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+        try r.getFileMetaData.getSchema.getFields.asScala.exists(_.getName == p)
+        finally r.close()
+      }
+      require(carried, s"cannot drop $name: no current file carries it " +
+        "(typo? dropping it would permanently reserve the name)")
+    }
     // this HANDLE's declared stat/bloom columns feed every write's stats
     // pass — dropping one here would break the next append confusingly
     // later; post-drop writers construct the table without it instead
@@ -1344,8 +1373,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
       try return commitOnce(base, constraints = cons,
         colMap = cmap, op = s"restore($versionAsOf)") { _ => target.files }
       catch {
-        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
-          attempt += 1 // rebase onto the new latest and try again
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (attempt < 10) attempt += 1 // rebase onto the new latest, retry
+          else throw new java.util.ConcurrentModificationException(
+            s"restore($versionAsOf) on $root lost the commit race; re-run")
       }
     }
     -1 // unreachable

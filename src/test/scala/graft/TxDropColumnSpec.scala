@@ -188,4 +188,35 @@ class TxDropColumnSpec extends AnyFunSuite with SparkFixture {
     assert(t.snapshot().constraints.isEmpty)
     intercept[IllegalArgumentException] { t.dropConstraint(spark, "amount >= 0") }
   }
+
+  test("rename onto a dropped (tombstoned) physical name is rejected") {
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, keyed(0, 10, 1))
+    t.dropColumn("v")
+    // without the guard this commits, readFiles renames note->v alongside
+    // the hidden physical v, and the tombstone drop removes BOTH columns
+    // named v — silent data loss on every read
+    val e = intercept[IllegalArgumentException] { t.renameColumn("note", "v") }
+    assert(e.getMessage.contains("reserved"))
+    // the table is untouched: note still reads, data intact
+    val got = t.read(spark)
+    assert(got.columns.toSeq.sorted == Seq("k", "note"))
+    assert(got.count() == 10)
+  }
+
+  test("dropping a column no current file carries is rejected (typo guard)") {
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, keyed(0, 10, 1))
+    // 'vv' matches no logical, no stats-known physical, no parquet footer
+    val e = intercept[IllegalArgumentException] { t.dropColumn("vv") }
+    assert(e.getMessage.contains("no current file carries it"))
+    // nothing was committed or reserved: the name is still appendable
+    import spark.implicits._
+    val t2 = new TxTable(t.root, Seq("k"))
+    t2.append(spark, Seq((99L, 1L)).toDF("k", "vv"))
+    assert(t2.read(spark).columns.contains("vv"))
+    // and a stats-unknown but footer-carried column still drops fine
+    t2.dropColumn("vv")
+    assert(!t2.read(spark).columns.contains("vv"))
+  }
 }
