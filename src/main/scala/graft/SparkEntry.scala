@@ -24,7 +24,8 @@ object SparkEntry {
       StreamingTwins.queries ++ LlmOps.queries ++ LlmExt.queries ++
       Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
       Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
-      TableOps.queries ++ SqlSurface.queries ++ Retrieval.queries ++
+      TableOps.queries ++ SqlSurface.queries ++ SqlTableOps.queries ++
+      Retrieval.queries ++
       TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries ++
       Analytics8.queries ++ Analytics9.queries ++ Analytics10.queries ++
       Analytics11.queries ++ Analytics12.queries
@@ -36,7 +37,8 @@ object SparkEntry {
       StreamingTwins.oracle ++ LlmOps.oracle ++ LlmExt.oracle ++
       Analytics.oracle ++ Analytics2.oracle ++ Analytics3.oracle ++
       Analytics4.oracle ++ Analytics5.oracle ++ Analytics6.oracle ++
-      TableOps.oracle ++ SqlSurface.oracle ++ Retrieval.oracle ++
+      TableOps.oracle ++ SqlSurface.oracle ++ SqlTableOps.oracle ++
+      Retrieval.oracle ++
       TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle ++
       Analytics8.oracle ++ Analytics9.oracle ++ Analytics10.oracle ++
       Analytics11.oracle ++ Analytics12.oracle

@@ -40,6 +40,10 @@ object Tables {
   def ensure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // catalog confs are runtime-settable (unlike spark.sql.extensions, a
+    // build-time static conf the harness mains set in their builders):
+    // `SELECT … FROM txtable.`/root`` works on any session that ran ensure
+    spark.conf.set("spark.sql.catalog.txtable", "graft.sources.TxTableCatalog")
     graft.functions.FloatDot.register(spark)
     graft.functions.SortedIntersectSize.register(spark)
     graft.functions.SortedJaccardBp.register(spark)

@@ -119,5 +119,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.FuseJaccardThreshold)
     ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL DML/DDL for the lakehouse tier: MERGE INTO / RESTORE TABLE /
+    // DESCRIBE HISTORY / VACUUM / OPTIMIZE against txtable roots parse to
+    // commands over graft.tables.TxTable; everything else delegates.
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

@@ -217,6 +217,33 @@ object LlmExt {
       .orderBy(col("da"), col("db"))
   }
 
+  /** MinHash-LSH at FULL domain on a corpus with a real web corpus's
+    * SPARSITY (the round-8 verdict's demo-slice fix): 20k generated docs
+    * of 40 words from a 50k vocabulary (random-pair Jaccard ≈ 0.0004),
+    * every 20th doc given a planted twin sharing 39 of 40 words
+    * (Jaccard ≈ 0.95) — SparseLshSpec's generator promoted to an
+    * ORACLE-CHECKED gate. The full banded pipeline (signatures → band
+    * buckets → prefilter → exact confirm) must surface EXACTLY the 1000
+    * planted pairs out of ~2×10⁸ possible: any quadratic leakage, any
+    * recall miss, any banding bug lands on a row-count or hash mismatch.
+    * The corpus text is xxhash64-generated (engine-specific), but the
+    * planted PAIR SET is pure arithmetic — (20r, 20r+1) — so DuckDB
+    * reconstructs the expected output without sharing any hash function
+    * with the engine. This gate runs LSH where its sparsity assumption
+    * holds; [[q_dedup_minhash]] keeps the dense-slice reading. */
+  def q_dedup_minhash_sparse(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val corpus = spark.range(20000L).selectExpr(
+      "id as doc_id",
+      """concat_ws(' ', transform(sequence(0, 39), i ->
+        |  concat('w', CAST(pmod(xxhash64(
+        |    CAST(CASE WHEN id % 20 = 1 AND i < 39 THEN id - 1 ELSE id END AS BIGINT),
+        |    i), 50000) AS STRING)))) as text""".stripMargin)
+    graft.operators.MinHashLsh.nearDupPairs(corpus, minBp = 7000L)
+      .select(col("da"), col("db"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** SimHash dedup: 64-bit signature from signed bit votes of per-word
     * hashes; candidate pairs via 16-bit chunk equality (pigeonhole:
     * hamming ≤ 3 ⇒ some chunk of 4 equal — recall-complete for the ≤3
@@ -823,6 +850,7 @@ object LlmExt {
     "q_ann_ivfpq" -> q_ann_ivfpq _,
     "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
+    "q_dedup_minhash_sparse" -> q_dedup_minhash_sparse _,
     "q_dedup_simhash" -> q_dedup_simhash _,
     "q_dedup_cluster" -> q_dedup_cluster _,
     "q_dedup_semantic" -> q_dedup_semantic _,
@@ -838,6 +866,11 @@ object LlmExt {
 
   // q_dedup_minhash / q_dedup_simhash: no oracle (xxhash64 engine-specific).
   val oracle: Map[String, String] = Map(
+    // the planted sparse LSH gate: 1000 arithmetic pairs (20r, 20r+1) —
+    // no hash function is shared with the engine
+    "q_dedup_minhash_sparse" ->
+      """SELECT CAST(20 * r AS BIGINT) AS da, CAST(20 * r + 1 AS BIGINT) AS db
+        |FROM range(1000) t(r) ORDER BY da, db""".stripMargin,
     "q_text_pii" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The lakehouse tier driven ENTIRELY through SQL text (SURVEY §2.29) —
+  * the round-8 verdict's missing #1: a SQL-only user must be able to
+  * mutate and time-travel TxTables without touching the Scala API. Each
+  * gate reruns an existing oracle-checked TableOps scenario with every
+  * table operation expressed as a `spark.sql` statement — MERGE INTO and
+  * RESTORE through [[graft.sql.GraftSqlParser]], DELETE FROM and VERSION
+  * AS OF through [[graft.sources.TxTableCatalog]]'s DSv2 resolution, and
+  * the batch read through `spark.read.format("txtable")`
+  * ([[graft.sources.TxBatchSource]], the verdict's missing #2) — so the
+  * SQL surface earns the SAME DuckDB oracles as the Scala surface: any
+  * divergence between the two entry points lands on a hash mismatch.
+  * The statements delegate to the spec-hardened TxTable operations; the
+  * gates pin that the parse/resolution layer routes them faithfully. */
+object SqlTableOps {
+
+  private def q(root: String): String = s"txtable.`$root`"
+
+  private val eventAgg =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM %s
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** SQL MERGE INTO — q_table_merge's scenario with the upsert written
+    * as the canonical `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` statement; earns the same oracle. */
+  def q_sql_table_merge(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("graft_sqlmerge_orders")
+    val published = TableOps.mergeBaseRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_merge") { root =>
+      spark.sql(
+        s"""MERGE INTO ${q(root)} AS t
+           |USING (SELECT o_orderkey, '0-MERGED' AS o_orderpriority
+           |         FROM graft_sqlmerge_orders WHERE o_orderkey <= 300
+           |       UNION ALL
+           |       SELECT CAST(-(id + 1) AS BIGINT), '9-INSERTED' FROM range(10)) AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           |FROM ${q(root)}
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  }
+
+  /** SQL DELETE FROM — q_table_delete's band delete through Spark's own
+    * DELETE resolution onto SupportsDelete; earns the same oracle. */
+  def q_sql_table_delete(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_delete") { root =>
+      spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7")
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
+  /** SQL RESTORE — q_table_restore's bad-delete-then-undo, with both the
+    * delete and the restore as statements; earns the same oracle. */
+  def q_sql_table_restore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.changesTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_restore") { root =>
+      spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7") // v5: bad
+      spark.sql(s"RESTORE TABLE ${q(root)} TO VERSION AS OF 4")          // v6: undo
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
+  /** SQL time travel — q_table_timetravel's v2 read as a native
+    * `VERSION AS OF` table clause; earns the same oracle. Read-only:
+    * the shared published build is queried directly. */
+  def q_sql_table_timetravel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val root = TableOps.changesTableRoot(spark, dir)
+    spark.sql(eventAgg.format(s"${q(root)} VERSION AS OF 2"))
+  }
+
+  /** SQL audit chain — DELETE, ALTER TABLE RENAME COLUMN, RESTORE, all
+    * as statements, then DESCRIBE HISTORY read back. The op names and
+    * meta-only flags must match the Scala-API chain's exactly (the
+    * statements are entry points to the same commits). */
+  def q_sql_table_history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_history") { root =>
+      spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7")   // v2
+      spark.sql(s"ALTER TABLE ${q(root)} RENAME COLUMN value TO amount")   // v3
+      spark.sql(s"RESTORE TABLE ${q(root)} TO VERSION AS OF 1")            // v4
+      spark.sql(s"DESCRIBE HISTORY ${q(root)}")
+        .filter(col("version") >= 2) // v1 is the inherited published build
+        .selectExpr("CAST(version AS BIGINT) AS version", "operation", "meta_only")
+        .orderBy("version")
+    }
+  }
+
+  /** Batch DSv2 read with pushdown — q_table_skip's selective band probe
+    * through `spark.read.format("txtable")`: the pushed range filter runs
+    * the manifest min/max prune inside the ScanBuilder (SqlTableSpec pins
+    * the file accounting; this earns q_table_skip's oracle). */
+  def q_source_txtable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.ensure(spark)
+    val root = TableOps.eventsTableRoot(spark, dir)
+    spark.read.format("txtable").load(root)
+      .filter(col("user_id") >= 2 && col("user_id") <= 4)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_table_merge" -> q_sql_table_merge _,
+    "q_sql_table_delete" -> q_sql_table_delete _,
+    "q_sql_table_restore" -> q_sql_table_restore _,
+    "q_sql_table_timetravel" -> q_sql_table_timetravel _,
+    "q_sql_table_history" -> q_sql_table_history _,
+    "q_source_txtable" -> q_source_txtable _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the SQL entry earns the Scala entry's oracles verbatim
+    "q_sql_table_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, '0-MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT CAST(-(r + 1) AS BIGINT), '9-INSERTED' FROM range(10) t(r)),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_restore" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_timetravel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 3 IN (0, 1)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, op AS operation, m AS meta_only
+        |FROM (VALUES (2, 'delete', false),
+        |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
+        |ORDER BY version""".stripMargin,
+    "q_source_txtable" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 2 AND 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -57,7 +57,7 @@ object TableOps {
     * but no longer accumulate temp trees across Verify/Bench warm-up +
     * timed runs. The collect is of a ≤ few-hundred-row aggregate, the
     * same driver-side budget as the suite's broadcast-sized frames. */
-  private def mutatedAggregate(spark: SparkSession, published: String,
+  private[queries] def mutatedAggregate(spark: SparkSession, published: String,
       prefix: String)(build: String => DataFrame): DataFrame = {
     val root = Files.createTempDirectory(prefix).toString
     copyTree(published, root)
@@ -96,7 +96,7 @@ object TableOps {
   /** The shared 16-file range-partitioned events table build behind
     * [[q_table_skip]] and [[q_table_delete]] (write-once published per
     * source fingerprint — the build is ingest, not the measured op). */
-  private def eventsTableRoot(spark: SparkSession, dir: String): String = {
+  private[queries] def eventsTableRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
     Tables.publishOnce(s"graft_tableskip_$fp") { tmp =>
       val t = new TxTable(tmp, Seq("user_id"))
@@ -225,15 +225,23 @@ object TableOps {
     * history is carried BY NAME and never copied (TxTableSpec pins the
     * kept-files invariant; this gate pins the upsert semantics against
     * DuckDB's set-based restatement of MERGE). */
-  def q_table_merge(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared 8-file orders base behind [[q_table_merge]] and its SQL
+    * twin (write-once published per source fingerprint). */
+  private[queries] def mergeBaseRoot(spark: SparkSession, dir: String): String = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
     val fp = Tables.sourceFingerprint(dir, "orders.parquet")
-    val published = Tables.publishOnce(s"graft_tablemerge_base_$fp") { tmp =>
+    Tables.publishOnce(s"graft_tablemerge_base_$fp") { tmp =>
       val t0 = new TxTable(tmp, Seq("o_orderkey"))
       t0.append(spark, base.repartitionByRange(8, col("o_orderkey")))
       Files.createFile(Paths.get(tmp, "_SUCCESS")); () // publishOnce marker
     }
+  }
+
+  def q_table_merge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val published = mergeBaseRoot(spark, dir)
     // merge MUTATES: work on a private copy so calls stay independent
     mutatedAggregate(spark, published, "graft_q_table_merge") { root =>
       val t = new TxTable(root, Seq("o_orderkey"))
@@ -393,7 +401,7 @@ object TableOps {
   /** The shared 3-append + compaction table build behind
     * [[q_table_changes]] and [[q_table_timetravel]] (write-once published
     * per source fingerprint). */
-  private def changesTableRoot(spark: SparkSession, dir: String): String = {
+  private[queries] def changesTableRoot(spark: SparkSession, dir: String): String = {
     val fp = Tables.sourceFingerprint(dir, "events.parquet")
     Tables.publishOnce(s"graft_tablechanges_$fp") { tmp =>
       val t = new TxTable(tmp, Seq("user_id"))

@@ -1,0 +1,218 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.tables.TxTable
+
+/** SQL DML/DDL entry for the lakehouse tier (round-8 verdict #1): a
+  * parser extension (`SparkSessionExtensions.injectParser`, registered by
+  * [[graft.functions.GraftExtensions]]) that recognizes the table-format
+  * statements ANSI SQL has no grammar for and Spark's own parser either
+  * rejects (RESTORE, DESCRIBE HISTORY, VACUUM, OPTIMIZE) or can only
+  * route into DSv2 row-level-operation machinery the format doesn't need
+  * (MERGE INTO with the canonical upsert clauses). Everything else —
+  * including SELECT with `VERSION AS OF`, DELETE FROM, and ALTER TABLE
+  * RENAME/DROP COLUMN, which Spark parses natively and resolves through
+  * [[graft.sources.TxTableCatalog]] — is delegated verbatim to the
+  * session parser, so the extension is invisible outside `txtable.`
+  * statements.
+  *
+  * Supported statements (target is always ``txtable.`<root>` ``):
+  * {{{
+  *   MERGE INTO txtable.`/p` [AS t] USING <source> ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n>
+  *   DESCRIBE HISTORY txtable.`/p`
+  *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS]
+  *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]]
+  * }}}
+  *
+  * Each parses to a [[LeafRunnableCommand]] delegating to the
+  * spec-hardened [[graft.tables.TxTable]] operation — the SQL surface
+  * adds an entry point, never a second implementation. A statement that
+  * names a `txtable.` target but doesn't fit the supported form FAILS
+  * loudly at parse time with the supported grammar in the message
+  * (silent delegation would surface as Spark's unrelated
+  * "row-level operations" analysis error). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    GraftSqlParser.parseGraft(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `txtable.`<root>`` — the backticked root may hold any path character
+  private val Target = "txtable\\s*\\.\\s*`([^`]+)`"
+
+  private val MergeRe = (
+    "(?is)^\\s*MERGE\\s+INTO\\s+" + Target +
+    "(?:\\s+AS\\s+(\\w+)|\\s+(\\w+))?" +
+    "\\s+USING\\s+(.+?)" +
+    "\\s+ON\\s+(.+?)" +
+    "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
+    "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
+  private val MergeProbe = ("(?is)^\\s*MERGE\\s+INTO\\s+" + Target + ".*").r
+  private val OnEq =
+    "(?s)^\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*=\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*$".r
+
+  private val RestoreRe = (
+    "(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target +
+    "\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val RestoreProbe = ("(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target + ".*").r
+
+  private val HistoryRe =
+    ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+" + Target + "\\s*;?\\s*$").r
+
+  private val VacuumRe = (
+    "(?is)^\\s*VACUUM\\s+" + Target +
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
+
+  private val OptimizeRe = (
+    "(?is)^\\s*OPTIMIZE\\s+" + Target +
+    "(?:\\s+SMALLER\\s+THAN\\s+(\\d+))?" +
+    "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)?" +
+    "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?)?\\s*;?\\s*$").r
+  private val OptimizeProbe = ("(?is)^\\s*OPTIMIZE\\s+" + Target + ".*").r
+
+  /** The graft statement in `sqlText`, if it targets a txtable root. */
+  def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case MergeRe(root, _, _, using, on) =>
+      val key = on match {
+        case OnEq(q1, c1, q2, c2) =>
+          require(c1.equalsIgnoreCase(c2),
+            s"MERGE INTO txtable ON must be an equi-key self-condition " +
+              s"(t.k = s.k); got $c1 = $c2")
+          // qualifiers (if both present) must name two DIFFERENT sides
+          require(Option(q1).isEmpty || Option(q2).isEmpty || q1 != q2,
+            s"MERGE ON qualifies both sides with '$q1'")
+          c1
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO txtable ON must be `t.key = s.key`; got: $other")
+      }
+      Some(TxMergeCommand(root, using.trim, key))
+    case MergeProbe(root) => throw new IllegalArgumentException(
+      s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
+        "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    case RestoreRe(root, v) => Some(TxRestoreCommand(root, v.toInt))
+    case RestoreProbe(root) => throw new IllegalArgumentException(
+      s"unsupported RESTORE form for txtable.`$root` — supported: " +
+        "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n>")
+    case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
+    case VacuumRe(root, retain) =>
+      Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2)))
+    case OptimizeRe(root, smallRows, z1, z2, zFiles) =>
+      Some(TxOptimizeCommand(root,
+        Option(smallRows).map(_.toLong),
+        Option(z1).map(c1 => (c1, z2, Option(zFiles).map(_.toInt).getOrElse(8)))))
+    case OptimizeProbe(root) => throw new IllegalArgumentException(
+      s"unsupported OPTIMIZE form for txtable.`$root` — supported: " +
+        "OPTIMIZE txtable.`root` [SMALLER THAN <rows>] " +
+        "[ZORDER BY (c1, c2) [INTO <n> FILES]]")
+    case _ => None
+  }
+
+  private[sql] def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = false)()
+}
+
+/** `MERGE INTO txtable.\`root\` USING <src> ON t.k = s.k WHEN MATCHED
+  * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
+  * upsert, delegated to [[TxTable.merge]] (copy-on-write, manifest-
+  * interval candidate pruning, file-level conflict detection). The
+  * source clause is any table reference or parenthesized subquery;
+  * it is evaluated through the full session SQL pipeline. */
+case class TxMergeCommand(root: String, sourceSql: String, key: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("rewritten_files", IntegerType),
+    attr("kept_files", IntegerType), attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = spark.sql(s"SELECT * FROM $sourceSql")
+    val r = TxTable.open(root).merge(spark, src, key)
+    Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `RESTORE TABLE txtable.\`root\` [TO] VERSION AS OF n` → [[TxTable.restore]]. */
+case class TxRestoreCommand(root: String, version: Int) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("restored_to_version", IntegerType),
+    attr("committed_version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxTable.open(root).restore(version)
+    Seq(Row(version, v))
+  }
+}
+
+/** `DESCRIBE HISTORY txtable.\`root\`` → [[TxTable.history]], newest first. */
+case class TxDescribeHistoryCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("timestamp_ms", LongType),
+    attr("operation", StringType), attr("added_files", IntegerType),
+    attr("removed_files", IntegerType), attr("meta_only", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] =
+    TxTable.open(root).history().map(i =>
+      Row(i.version, i.timestampMs, i.operation, i.addedFiles, i.removedFiles,
+        i.addedFiles + i.removedFiles == 0))
+}
+
+/** `VACUUM txtable.\`root\` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */
+case class TxVacuumCommand(root: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("reclaimed_data_files", IntegerType),
+    attr("reclaimed_manifests", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, manifests) = TxTable.open(root).vacuum(retainVersions)
+    Seq(Row(files, manifests))
+  }
+}
+
+/** `OPTIMIZE txtable.\`root\` [SMALLER THAN rows] [ZORDER BY (c1, c2)
+  * [INTO n FILES]]` → [[TxTable.compact]] (bin-pack small files) or
+  * [[TxTable.clusterZorder]] (Morton-curve rewrite). */
+case class TxOptimizeCommand(root: String, smallRows: Option[Long],
+    zorder: Option[(String, String, Int)]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("rewritten_files", IntegerType),
+    attr("kept_files", IntegerType), attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = TxTable.open(root)
+    val r = zorder match {
+      case Some((c1, c2, files)) => t.clusterZorder(spark, c1, c2, files)
+      case None => t.compact(spark, smallRows.getOrElse(Long.MaxValue))
+    }
+    Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}

@@ -265,6 +265,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
     if (dropped.isEmpty) mapped else mapped.drop(dropped: _*)
   }
 
+  /** DV-aware read of an explicit manifest-entry subset under a column
+    * mapping — the seam the DSv2 batch source plans through after ITS
+    * ScanBuilder has run the manifest stats/bloom prune (the same
+    * machinery [[readWhere]]/[[readEquals]] use internally). */
+  private[graft] def readEntries(spark: SparkSession, files: Seq[FileEntry],
+      colMap: Map[String, String]): DataFrame = readFiles(spark, files, colMap)
+
+  /** Bloom probe positions for an equality value — exposed to the DSv2
+    * source's ScanBuilder so its `column = value` pushdown prunes with
+    * the SAME engine-hashed positions the build pass recorded. */
+  private[graft] def bloomProbe(spark: SparkSession, value: Long): Seq[Int] =
+    probePositions(spark, value)
+
   /** Manifest-level min/max data skipping for `lo <= statCol <= hi`:
     * files whose stats range is disjoint from [lo, hi] are dropped before
     * the scan is planned; the residual filter still runs (stats admit
@@ -1814,6 +1827,30 @@ final class TxTable(val root: String, val statCols: Seq[String],
 }
 
 object TxTable {
+
+  /** Open an EXISTING table without declaring its stat/bloom schema —
+    * the SQL/catalog entry point (`SELECT … FROM txtable.\`root\``,
+    * `spark.read.format("txtable")`), where the user has only a path.
+    * The handle's stat and bloom columns are DISCOVERED from the current
+    * manifest (the per-file stats/bloom keys every commit records), so
+    * writes through the discovered handle keep recording the same stats
+    * and merges/deletes validate against the table's real pruning
+    * schema instead of a caller-remembered one. Refuses a path with no
+    * transaction log — a catalog must distinguish "no such table" from
+    * "create an empty one" (the constructor's job). */
+  def open(root: String): TxTable = {
+    require(Files.isDirectory(Paths.get(root, "_txlog")),
+      s"no TxTable at $root (no _txlog directory)")
+    val s = new TxTable(root, Nil).snapshot()
+    new TxTable(root,
+      s.files.flatMap(_.mins.keys).distinct.sorted,
+      s.files.flatMap(_.blooms.keys).distinct.sorted)
+  }
+
+  /** Whether `root` holds a TxTable transaction log (catalog existence
+    * probe — side-effect-free, unlike the directory-creating constructor). */
+  def exists(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "_txlog"))
 
   /** Bloom geometry: m = 8192 bits (128 longs, ~1.4 KB base64 per file
     * per column in the manifest), k = 4 hashes — ~0.5% false-positive

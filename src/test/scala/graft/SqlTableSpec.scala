@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxBatchSource
+import graft.tables.TxTable
+
+/** The SQL/DSv2 entry to the lakehouse tier ([[graft.sql.GraftSqlParser]],
+  * [[graft.sources.TxTableCatalog]], [[graft.sources.TxBatchSource]]):
+  * SELECT through the catalog (current, VERSION AS OF, tag, TIMESTAMP AS
+  * OF), DELETE FROM via SupportsDelete, ALTER TABLE RENAME/DROP COLUMN
+  * via alterTable, the parser statements (MERGE INTO, RESTORE, DESCRIBE
+  * HISTORY, VACUUM, OPTIMIZE), format("txtable") batch reads with
+  * ScanBuilder-level manifest pruning, and the loud refusals. Every
+  * statement must land on the SAME TxTable state the Scala API produces —
+  * the SQL surface is an entry point, never a second implementation. */
+class SqlTableSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_sqltable").toString
+
+  private def freshTable(n: Int = 40, parts: Int = 4): TxTable = {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(n).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .repartitionByRange(parts, col("k")))
+    t
+  }
+
+  private def q(root: String): String = s"txtable.`$root`"
+
+  test("SELECT through the catalog reads the current version") {
+    val t = freshTable()
+    val got = spark.sql(
+      s"SELECT count(*) AS n, sum(v) AS s FROM ${q(t.root)}").head()
+    assert(got.getLong(0) == 40)
+    assert(got.getLong(1) == (0L until 40L).map(_ * 10).sum)
+  }
+
+  test("SELECT … VERSION AS OF and TIMESTAMP AS OF time-travel; a tag resolves") {
+    val t = freshTable(10, 1)                        // v1
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.delete(spark, "k", 0, 4)                       // v2
+    t.tag("before-delete", 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${q(t.root)}").head().getLong(0) == 5)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${q(t.root)} VERSION AS OF 1").head().getLong(0) == 10)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${q(t.root)} VERSION AS OF 'before-delete'")
+      .head().getLong(0) == 10)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${q(t.root)} TIMESTAMP AS OF " +
+        s"'${java.time.Instant.ofEpochMilli(ts1)}'").head().getLong(0) == 10)
+  }
+
+  test("DELETE FROM … WHERE BETWEEN routes through SupportsDelete onto the table layer") {
+    val t = freshTable()
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 10 AND 29")
+    assert(t.read(spark).count() == 20)
+    assert(t.history().head.operation == "delete")
+    // equality shape too
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k = 5")
+    assert(t.read(spark).count() == 19)
+  }
+
+  test("DELETE FROM with an unsupported predicate shape is refused loudly") {
+    val t = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM ${q(t.root)} WHERE v % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(t.read(spark).count() == 40, "refused delete must not mutate")
+  }
+
+  test("ALTER TABLE RENAME COLUMN / DROP COLUMN route through alterTable") {
+    val t = freshTable()
+    spark.sql(s"ALTER TABLE ${q(t.root)} RENAME COLUMN v TO amount")
+    assert(spark.sql(s"SELECT sum(amount) AS s FROM ${q(t.root)}")
+      .head().getLong(0) == (0L until 40L).map(_ * 10).sum)
+    spark.sql(s"ALTER TABLE ${q(t.root)} DROP COLUMN amount")
+    assert(spark.table(q(t.root)).columns.toSeq == Seq("k"))
+  }
+
+  test("MERGE INTO upserts: matched keys take the source row, unmatched insert") {
+    val t = freshTable(10, 1)
+    spark.sql(
+      s"""MERGE INTO ${q(t.root)} AS t
+         |USING (SELECT id AS k, id * 1000 AS v FROM range(5)
+         |       UNION ALL SELECT 100 + id, 7 FROM range(3)) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read(spark).orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 13)
+    assert(got.take(5).toSeq == (0L until 5L).map(k => (k, k * 1000)))
+    assert(got.drop(5).take(5).toSeq == (5L until 10L).map(k => (k, k * 10)))
+    assert(got.drop(10).toSeq == (100L until 103L).map(k => (k, 7L)))
+  }
+
+  test("MERGE INTO with an unsupported clause form fails loudly at parse") {
+    val t = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${q(t.root)} USING src ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("unsupported MERGE INTO form"))
+  }
+
+  test("RESTORE TABLE … VERSION AS OF undoes a bad commit; DESCRIBE HISTORY shows the chain") {
+    val t = freshTable(10, 1)                         // v1
+    t.delete(spark, "k", 0, 4)                        // v2: the bad commit
+    spark.sql(s"RESTORE TABLE ${q(t.root)} TO VERSION AS OF 1") // v3
+    assert(t.read(spark).count() == 10)
+    val h = spark.sql(s"DESCRIBE HISTORY ${q(t.root)}")
+      .select("version", "operation").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(h == Seq((3, "restore(1)"), (2, "delete"), (1, "append")))
+  }
+
+  test("VACUUM and OPTIMIZE parse and run; OPTIMIZE ZORDER BY clusters") {
+    val t = freshTable(64, 8)
+    val r = spark.sql(s"OPTIMIZE ${q(t.root)}").head()
+    assert(r.getAs[Int]("rewritten_files") == 8)
+    val (files, _) = (spark.sql(s"VACUUM ${q(t.root)} RETAIN 1 VERSIONS").head() match {
+      case row => (row.getInt(0), row.getInt(1))
+    })
+    assert(files == 8, "vacuum reclaims the pre-compaction files")
+    // z-order needs two stat columns in [0, 2^16)
+    import spark.implicits._
+    val t2 = new TxTable(tmpRoot(), Seq("a", "b"))
+    t2.append(spark, spark.range(256).select(
+      (col("id") % 16).as("a"), (col("id") / 16).as("b")))
+    val z = spark.sql(s"OPTIMIZE ${q(t2.root)} ZORDER BY (a, b) INTO 4 FILES").head()
+    assert(z.getAs[Int]("new_files") == 4)
+    assert(t2.read(spark).count() == 256)
+  }
+
+  test("format(\"txtable\") batch read: versionAsOf option + ScanBuilder manifest prune") {
+    val t = freshTable(40, 4)                         // 4 files, k ranges disjoint
+    t.delete(spark, "k", 0, 9)                        // v2
+    // versionAsOf sees the pre-delete state
+    assert(spark.read.format("txtable").option("versionAsOf", 1)
+      .load(t.root).count() == 40)
+    // pushed range filter prunes files inside the ScanBuilder (driver-side
+    // manifest stats, before any scan is planned)
+    val pruned = spark.read.format("txtable").load(t.root)
+      .filter(col("k") >= 30 && col("k") <= 39)
+    assert(pruned.count() == 10)
+    val (kept, total) = TxBatchSource.pruneOf(t.root).get
+    assert(total == 3, s"v2 has 3 live files, saw $total")
+    assert(kept == 1, s"range probe must plan 1 of 3 files, planned $kept")
+    // column pruning: a 1-column projection reads a 1-column schema
+    val plan = spark.read.format("txtable").load(t.root).select("k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("txtable"), s"expected txtable scan in:\n$plan")
+  }
+
+  test("bloom-col equality probe prunes through the format read") {
+    import spark.implicits._
+    val t = new TxTable(tmpRoot(), Seq.empty, Seq("u"))
+    t.append(spark, spark.range(320).select((col("id") % 16).as("u"),
+      col("id").as("x")).repartition(16, col("u")))
+    val n = spark.read.format("txtable").load(t.root)
+      .filter(col("u") === 3).count()
+    assert(n == 20)
+    val live = t.snapshot().files.size // hash layout: empty partitions write no file
+    val (kept, total) = TxBatchSource.pruneOf(t.root).get
+    assert(total == live && kept < total,
+      s"bloom probe must drop files: kept $kept of $total (live $live)")
+  }
+
+  test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
+    Tables.ensure(spark)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM txtable.`/no/such/table`").collect()
+    }
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+}

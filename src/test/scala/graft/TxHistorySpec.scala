@@ -91,7 +91,10 @@ class TxHistorySpec extends AnyFunSuite with SparkFixture {
 
   test("detail summarizes the operating state: footprint, schema ops, DVs, tags") {
     val t = freshTable()
-    t.append(spark, keyed(0, 100, 4))
+    // a real note column: dropColumn validates existence (footer-checked),
+    // so the dropped-column summary must be earned by actual data
+    t.append(spark, keyed(0, 100, 4)
+      .withColumn("note", concat(lit("n"), col("k"))))
     t.renameColumn("v", "amount")
     t.dropColumn("note")
     t.addConstraint(spark, "amount >= 0")
