@@ -365,8 +365,13 @@ object Analytics8 {
           Window.partitionBy(col("db")).orderBy(col("c").desc, col("lbl"))))
         .filter(col("rk") === 1)
         .select(col("db").as("mid"), col("lbl").as("newl"))
+      // lineage cut per round (the CC/SSSP pattern): `labels` feeds both
+      // the mode join and the carry join, so without it the unrolled plan
+      // doubles per round and round 3 re-derives rounds 1-2 down both
+      // branches of every level
       labels = labels.join(mode, col("id") === col("mid"), "left")
         .select(col("id"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .localCheckpoint(eager = false)
     }
     labels.select(col("id").as("vec_id"), col("lbl").as("community"))
       .orderBy(col("vec_id"))
