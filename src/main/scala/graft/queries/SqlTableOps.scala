@@ -105,6 +105,48 @@ object SqlTableOps {
     }
   }
 
+  /** SQL INSERT INTO — new rows through Spark's own insert resolution
+    * onto the DSv2 write path (V1 fallback → TxTable.append: staged
+    * files, stats/bloom pass, constraints, the commit race retry). The
+    * oracle is the events aggregate UNION the inserted literals. */
+  def q_sql_table_insert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_insert") { root =>
+      spark.sql(
+        s"""INSERT INTO ${q(root)} VALUES
+           |  (CAST(9000001 AS BIGINT), 'zz-inserted', CAST(1.25 AS DOUBLE)),
+           |  (CAST(9000002 AS BIGINT), 'zz-inserted', CAST(2.5 AS DOUBLE))""".stripMargin)
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
+  /** SQL CREATE TABLE … AS SELECT — a new TxTable born from a SQL query
+    * through the catalog's createTable + the DSv2 write path, with its
+    * stat schema declared via TBLPROPERTIES and read back through the
+    * catalog. The whole lifecycle (create → write → read) is SQL-only. */
+  def q_sql_table_ctas(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.events(spark, dir).select("user_id", "event_type", "value")
+      .createOrReplaceTempView("graft_sqlctas_events")
+    val root = java.nio.file.Files.createTempDirectory("graft_q_sql_ctas").toString
+    try {
+      spark.sql(
+        s"""CREATE TABLE ${q(root)}
+           |TBLPROPERTIES ('statCols' = 'user_id')
+           |AS SELECT user_id, event_type, value FROM graft_sqlctas_events
+           |   WHERE user_id BETWEEN 5 AND 9""".stripMargin)
+      val df = spark.sql(eventAgg.format(q(root)))
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
   /** Batch DSv2 read with pushdown — q_table_skip's selective band probe
     * through `spark.read.format("txtable")`: the pushed range filter runs
     * the manifest min/max prune inside the ScanBuilder (SqlTableSpec pins
@@ -128,6 +170,8 @@ object SqlTableOps {
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
     "q_sql_table_history" -> q_sql_table_history _,
+    "q_sql_table_insert" -> q_sql_table_insert _,
+    "q_sql_table_ctas" -> q_sql_table_ctas _,
     "q_source_txtable" -> q_source_txtable _,
   )
 
@@ -169,6 +213,22 @@ object SqlTableOps {
         |FROM (VALUES (2, 'delete', false),
         |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
         |ORDER BY version""".stripMargin,
+    "q_sql_table_insert" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id, event_type, "value" FROM events
+        |      UNION ALL
+        |      SELECT * FROM (VALUES (9000001, 'zz-inserted', 1.25),
+        |                            (9000002, 'zz-inserted', 2.5))
+        |             t(user_id, event_type, "value"))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_ctas" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 5 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_source_txtable" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

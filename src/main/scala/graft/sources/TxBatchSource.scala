@@ -5,11 +5,12 @@ import java.util.{Map => JMap}
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -91,16 +92,26 @@ object TxSqlTable {
 }
 
 /** One version-pinned TxTable as a DSv2 [[Table]]: batch reads with
-  * manifest stats/bloom pruning + column pruning, and filter-based
-  * DELETE (SupportsDelete) translated onto the table layer's
-  * stat-banded delete. Mutations refuse a time-traveled handle. */
+  * manifest stats/bloom pruning + column pruning, filter-based DELETE
+  * (SupportsDelete) translated onto the table layer's stat-banded
+  * delete, and INSERT INTO / INSERT OVERWRITE (SupportsWrite, V1 write
+  * fallback onto [[TxTable.append]]/[[TxTable.overwrite]] — the full
+  * ACID commit path: staged files, stats/bloom pass, constraints,
+  * commit race retry). Mutations refuse a time-traveled handle.
+  * `declared` carries a just-created (still empty) table's schema so
+  * CTAS can resolve its write before the first commit exists. */
 class TxSqlTable(val root: String, versionAsOf: Option[Int],
-    timestampMs: Option[Long]) extends Table with SupportsRead with SupportsDelete {
+    timestampMs: Option[Long], declared: Option[StructType] = None,
+    handle: Option[TxTable] = None)
+    extends Table with SupportsRead with SupportsDelete with SupportsWrite {
 
   if (!TxTable.exists(root))
     throw new NoSuchTableException(Seq("txtable", root))
 
-  private[sources] lazy val tx: TxTable = TxTable.open(root)
+  // a CTAS-created table passes its creating handle so the declared
+  // stat/bloom columns govern the FIRST write (from then on the manifest
+  // carries them and open() discovers them)
+  private[sources] lazy val tx: TxTable = handle.getOrElse(TxTable.open(root))
   private[sources] lazy val snap: TxTable.Snapshot =
     tx.snapshot(versionAsOf.orElse(timestampMs.map(tx.versionAt)))
 
@@ -109,15 +120,40 @@ class TxSqlTable(val root: String, versionAsOf: Option[Int],
 
   // Schema from the snapshot's own read plan (driver-side footer metadata
   // only): mergeSchema across files, column mapping applied, dropped
-  // physicals hidden — the SQL user sees exactly what read() sees.
+  // physicals hidden — the SQL user sees exactly what read() sees. An
+  // empty (just-created) table answers with its declared schema.
   override def schema(): StructType =
-    tx.readEntries(SparkSession.active, snap.files, snap.colMap).schema
+    if (snap.files.isEmpty)
+      declared.getOrElse(throw new IllegalStateException(
+        s"table $root is empty and carries no declared schema"))
+    else tx.readEntries(SparkSession.active, snap.files, snap.colMap).schema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(tx, snap, schema())
+
+  // ---- INSERT INTO / INSERT OVERWRITE (V1 write fallback) --------------
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty && timestampMs.isEmpty,
+      s"cannot write to a time-traveled table ($name)")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (replace || overwrite) tx.overwrite(data.sparkSession, data)
+              else tx.append(data.sparkSession, data)
+              ()
+            }
+          }
+      }
+    }
+  }
 
   // ---- DELETE FROM … WHERE (filter-based, Delta-style) -----------------
   // Supported shapes: conjuncts over ONE column — `c = v`, `c >= lo`,
@@ -359,14 +395,46 @@ class TxTableCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `CREATE TABLE txtable.\`root\` … [TBLPROPERTIES ('statCols'='k,v',
+    * 'bloomCols'='u')] [AS SELECT …]`: the root must not already hold a
+    * table; stat/bloom columns come from table properties (they govern
+    * the first write's stats pass — from then on the manifest carries
+    * them and any later open discovers them). Partitioning transforms
+    * are refused: a TxTable's pruning story is manifest stats/blooms +
+    * explicit z-order, not hive-style directory partitions. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "txtable tables are created by writing through the Scala API (TxTable.append)")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val root = rootOf(ident)
+    require(partitions.isEmpty,
+      "txtable does not take PARTITIONED BY — stats/bloom skipping and " +
+        "OPTIMIZE ZORDER BY are its pruning story")
+    if (TxTable.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catName, root))
+    def cols(key: String): Seq[String] =
+      Option(properties.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val t = new graft.tables.TxTable(root, cols("statCols"), cols("bloomCols"))
+    new TxSqlTable(root, None, None, declared = Some(schema), handle = Some(t))
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "txtable DROP TABLE is deliberate-deletion territory — remove the path explicitly")
+  /** DROP TABLE only as CTAS-abort cleanup: a table with commits refuses
+    * (deliberate-deletion territory — remove the path explicitly); an
+    * EMPTY shell left behind by a failed CREATE ... AS SELECT is removed
+    * so the create can be retried. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!TxTable.exists(root)) return false
+    if (TxTable.open(root).currentVersion > 0)
+      throw new UnsupportedOperationException(
+        "txtable DROP TABLE is deliberate-deletion territory — remove the path explicitly")
+    val p = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    finally walk.close()
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -175,6 +175,61 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
       s"bloom probe must drop files: kept $kept of $total (live $live)")
   }
 
+  test("INSERT INTO appends through the ACID commit path; OVERWRITE replaces") {
+    val t = freshTable(10, 1)
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(100 AS BIGINT), CAST(7 AS BIGINT))")
+    assert(t.read(spark).count() == 11)
+    assert(t.history().head.operation == "append")
+    spark.sql(s"INSERT OVERWRITE ${q(t.root)} VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT))")
+    assert(t.read(spark).count() == 1)
+    assert(t.history().head.operation == "overwrite")
+    // stats recorded by the SQL write keep pruning: the discovered handle
+    // carries k as a stat column, so the overwrite recorded k stats
+    assert(t.snapshot().files.forall(_.mins.contains("k")))
+  }
+
+  test("INSERT respects table constraints (the write is the real commit path)") {
+    val t = freshTable(5, 1)
+    t.addConstraint(spark, "v >= 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(50 AS BIGINT), CAST(-1 AS BIGINT))")
+    }
+    assert(t.read(spark).count() == 5, "violating insert must not commit")
+  }
+
+  test("writes to a time-traveled table are refused") {
+    val t = freshTable(5, 1)
+    t.delete(spark, "k", 0, 1)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${q(t.root)} VERSION AS OF 1 VALUES (9L, 9L)")
+    }
+    assert(e != null) // Spark rejects time-travel on a write target
+    assert(t.read(spark).count() == 3)
+  }
+
+  test("CREATE TABLE AS SELECT births a table; statCols property governs stats") {
+    Tables.ensure(spark)
+    val root = Files.createTempDirectory("graft_sqlctas_spec").toString
+    spark.sql(
+      s"""CREATE TABLE ${q(root)} TBLPROPERTIES ('statCols' = 'k')
+         |AS SELECT id AS k, id * 2 AS v FROM range(20)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${q(root)}").head().getLong(0) == 20)
+    val t = TxTable.open(root)
+    assert(t.statCols == Seq("k"), s"discovered ${t.statCols}")
+    assert(t.snapshot().files.forall(_.mins.contains("k")))
+    // duplicate create is refused
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${q(root)} AS SELECT 1 AS x")
+    }
+  }
+
+  test("DROP TABLE removes only an empty shell, never a committed table") {
+    Tables.ensure(spark)
+    val t = freshTable(5, 1)
+    intercept[Exception] { spark.sql(s"DROP TABLE ${q(t.root)}") }
+    assert(t.read(spark).count() == 5)
+  }
+
   test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
     Tables.ensure(spark)
     intercept[Exception] {
