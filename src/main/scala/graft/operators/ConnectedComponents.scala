@@ -87,8 +87,15 @@ object ConnectedComponents {
       var labels = sym.select(col("b").as("id"), col("a").as("component"))
         .unionByName(sym.select(col("a").as("id"), col("a").as("component")))
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(eager = false) // materialized by labelSum below
-      var prevSum = labelSum(labels)
+        .localCheckpoint(eager = false) // materialized by iter-1's probe
+      // No separate init probe: round 1's convergence sum materializes the
+      // init labels in the SAME job (the lazy checkpoint makes them
+      // reusable from round 2 on). The sentinel can never equal a real
+      // label sum, so the loop always runs round 1; a graph already at
+      // fixpoint after init just pays one confirming round — strictly
+      // cheaper than paying an extra action on EVERY call (measured:
+      // the init probe read 1.2 s at sf0.1, ~3× a round's cost).
+      var prevSum = Long.MinValue
       lap("init-labels")
       var converged = false
       var iter = 1

@@ -147,6 +147,22 @@ object SqlTableOps {
     }
   }
 
+  /** SQL OPTIMIZE + VACUUM — compaction and retention as statements on
+    * the 16-file events table: OPTIMIZE bin-packs everything, VACUUM
+    * drops the superseded files past a 1-version retention, and the
+    * read-back must still be the COMPLETE events content (both
+    * statements are content-preserving by contract — any file lost to a
+    * mis-accounted rewrite or an over-eager vacuum lands on the hash). */
+  def q_sql_table_optimize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_optimize") { root =>
+      spark.sql(s"OPTIMIZE ${q(root)}")
+      spark.sql(s"VACUUM ${q(root)} RETAIN 1 VERSIONS")
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** Batch DSv2 read with pushdown — q_table_skip's selective band probe
     * through `spark.read.format("txtable")`: the pushed range filter runs
     * the manifest min/max prune inside the ScanBuilder (SqlTableSpec pins
@@ -172,6 +188,7 @@ object SqlTableOps {
     "q_sql_table_history" -> q_sql_table_history _,
     "q_sql_table_insert" -> q_sql_table_insert _,
     "q_sql_table_ctas" -> q_sql_table_ctas _,
+    "q_sql_table_optimize" -> q_sql_table_optimize _,
     "q_source_txtable" -> q_source_txtable _,
   )
 
@@ -213,6 +230,11 @@ object SqlTableOps {
         |FROM (VALUES (2, 'delete', false),
         |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
         |ORDER BY version""".stripMargin,
+    "q_sql_table_optimize" -> // content-preserving: the full events aggregate
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_insert" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

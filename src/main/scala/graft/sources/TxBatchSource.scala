@@ -3,6 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
@@ -335,14 +336,25 @@ object TxBatchSource {
   * write where. */
 class TxTableCatalog extends TableCatalog {
   private var catName: String = "txtable"
+  private var warehouse: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  /** `spark.sql.catalog.<name>.warehouse=<dir>` roots RELATIVE identifiers:
+    * `SELECT … FROM <name>.events` resolves to `<dir>/events` — the
+    * metastore-free named-table registry (a name IS a directory under the
+    * warehouse), so a deployment gets `db.table` ergonomics from one conf
+    * line. Absolute (backticked-path) identifiers bypass it unchanged. */
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
 
   override def name(): String = catName
 
-  private def rootOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  private def rootOf(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse.map(w => s"$w/$joined").getOrElse(joined)
+  }
 
   private def checked(ident: Identifier): String = {
     val root = rootOf(ident)
@@ -351,8 +363,24 @@ class TxTableCatalog extends TableCatalog {
     root
   }
 
+  /** SHOW TABLES: a warehouse-rooted catalog lists the directories under
+    * `<warehouse>/<namespace…>` that hold a transaction log; a pure path
+    * catalog (no warehouse) has nothing to enumerate. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // path catalog: tables live on paths, not in a listing
+    warehouse match {
+      case None => Array.empty // path catalog: tables live on paths
+      case Some(w) =>
+        val dir = java.nio.file.Paths.get((w +: namespace.toSeq).mkString("/"))
+        if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+        else {
+          val stream = java.nio.file.Files.list(dir)
+          try stream.iterator().asScala
+            .filter(p => TxTable.exists(p.toString))
+            .map(p => Identifier.of(namespace, p.getFileName.toString))
+            .toArray.sortBy(_.name())
+          finally stream.close()
+        }
+    }
 
   override def tableExists(ident: Identifier): Boolean =
     TxTable.exists(rootOf(ident))

@@ -230,6 +230,29 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 5)
   }
 
+  test("warehouse-rooted catalog resolves NAMED tables and lists them") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val wh = Files.createTempDirectory("graft_txwh").toString
+    // options are read at catalog instantiation — a fresh catalog NAME
+    // guarantees first-use sees the warehouse conf
+    spark.conf.set("spark.sql.catalog.txwh", "graft.sources.TxTableCatalog")
+    spark.conf.set("spark.sql.catalog.txwh.warehouse", wh)
+    val t = new TxTable(s"$wh/events_small", Seq("k"))
+    t.append(spark, spark.range(7).toDF("k"))
+    assert(spark.sql("SELECT count(*) AS n FROM txwh.events_small").head().getLong(0) == 7)
+    assert(spark.sql(s"SELECT count(*) AS n FROM txwh.events_small VERSION AS OF 1")
+      .head().getLong(0) == 7)
+    // absolute identifiers bypass the warehouse unchanged
+    assert(spark.sql(s"SELECT count(*) AS n FROM txwh.`${t.root}`").head().getLong(0) == 7)
+    // listTables enumerates only directories holding a transaction log
+    Files.createDirectory(java.nio.file.Paths.get(wh, "not_a_table"))
+    val listed = spark.sessionState.catalogManager.catalog("txwh")
+      .asInstanceOf[graft.sources.TxTableCatalog]
+      .listTables(Array.empty).map(_.name()).toSeq
+    assert(listed == Seq("events_small"))
+  }
+
   test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
     Tables.ensure(spark)
     intercept[Exception] {
