@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by ALTERNATING STAR CONTRACTION — Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond" (SoCC 2014) — the diameter-proof alternative to
+  * [[ConnectedComponents.minLabel]]'s O(diameter) min-flooding:
+  *
+  *  - **large-star**: every node connects its strictly-LARGER neighbors
+  *    to the minimum of its closed neighborhood;
+  *  - **small-star**: every node connects its not-larger neighbors (and
+  *    itself) to that minimum.
+  *
+  * Each operation is one groupBy (per-node min) + one re-emit of the
+  * node's adjacency — exactly the map-combinable shuffle shape the
+  * min-label rounds use — but the paper proves the edge set contracts to
+  * component stars in O(log² n) alternations REGARDLESS of diameter,
+  * where min-flooding needs O(diameter) rounds. On near-dup similarity
+  * graphs (diameter 2–3) min-label wins on constant factors; on
+  * long-chain graphs (citation trails, temporal follows) star
+  * contraction is the one that terminates in sane round counts. Both are
+  * exposed; StarContractionSpec pins them EQUAL on randomized graphs.
+  *
+  * Fixpoint: large-star then small-star leave a stable edge set exactly
+  * when every edge already points node → component-min (a star). The
+  * convergence probe is the sum of (src + dst) over the canonicalized
+  * edge set — strictly decreasing until the fixpoint (each contraction
+  * replaces an endpoint by a strictly smaller one), the same
+  * monotone-sum argument the min-label loop uses on labels.
+  */
+object StarContraction {
+
+  /** Component label (smallest reachable vertex id) for every vertex —
+    * the same contract as [[ConnectedComponents.minLabel]]. */
+  def components(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 32): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).persist()
+    try {
+      e0.count() // materialize once; the loop re-reads the cache
+
+      // one star operation: per node u over its closed neighborhood,
+      // m = min(u, min(neighbors)); re-emit (n, m) for the selected
+      // neighbor subset. `largeStar` keeps strictly-larger neighbors,
+      // `smallStar` the rest plus u itself.
+      def star(sym: DataFrame, large: Boolean): DataFrame = {
+        val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val joined = sym.join(m, "u")
+        val kept =
+          if (large) joined.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+          else joined.filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionAll(m.select(col("u"), col("m").as("v")))
+        kept.filter(col("u") =!= col("v")).distinct()
+      }
+
+      def sym(e: DataFrame): DataFrame =
+        e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+
+      def probe(e: DataFrame): Long =
+        e.agg(coalesce(sum(col("u") + col("v")), lit(0L))).head().getLong(0)
+
+      var cur = e0
+      var prev = Long.MinValue
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val next = star(sym(star(sym(cur), large = true)), large = false)
+          .localCheckpoint(eager = false) // materialized by the probe
+        val s = probe(next)
+        converged = s == prev
+        prev = s
+        cur = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"star contraction did not converge in $maxIter alternations")
+      // fixpoint edges are (node, component-min) stars; roots map to
+      // themselves, isolated vertices likewise
+      vertices.select(col(idCol).as("id")).as("vx")
+        .join(cur.select(col("u").as("id"), col("v").as("c")).as("st"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+    } finally { e0.unpersist(); () }
+  }
+}

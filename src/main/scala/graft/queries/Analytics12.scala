@@ -118,6 +118,10 @@ object Analytics12 {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
+      // both symmetrization branches consume this frame; without a cut the
+      // basket self-join (the query's data-sized stage) runs once per
+      // branch — the projections differ, so ReuseExchange cannot bridge
+      .localCheckpoint(eager = false)
     val directed = pairs.select(col("pa").as("item"), col("pb").as("rec"), col("n_ab"))
       .union(pairs.select(col("pb").as("item"), col("pa").as("rec"), col("n_ab")))
       .join(broadcast(marg.select(col("pk").as("item"), col("n_p").as("n_i"))), Seq("item"))

@@ -147,6 +147,22 @@ object SqlTableOps {
     }
   }
 
+  /** SQL UPDATE — Delta's third DML statement beside DELETE and MERGE:
+    * `UPDATE … SET value = value * 2 WHERE user_id BETWEEN 3 AND 7`,
+    * executed as the band rewrite (readWhere + Catalyst SET expressions +
+    * overwriteWhere) so only band-touching files are rewritten. Earns
+    * q_table_replace's oracle: the same restatement computed by DuckDB
+    * set logic. */
+  def q_sql_table_update(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_update") { root =>
+      spark.sql(
+        s"UPDATE ${q(root)} SET value = value * 2 WHERE user_id BETWEEN 3 AND 7")
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** SQL OPTIMIZE + VACUUM — compaction and retention as statements on
     * the 16-file events table: OPTIMIZE bin-packs everything, VACUUM
     * drops the superseded files past a 1-version retention, and the
@@ -189,6 +205,7 @@ object SqlTableOps {
     "q_sql_table_insert" -> q_sql_table_insert _,
     "q_sql_table_ctas" -> q_sql_table_ctas _,
     "q_sql_table_optimize" -> q_sql_table_optimize _,
+    "q_sql_table_update" -> q_sql_table_update _,
     "q_source_txtable" -> q_source_txtable _,
   )
 
@@ -230,6 +247,14 @@ object SqlTableOps {
         |FROM (VALUES (2, 'delete', false),
         |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
         |ORDER BY version""".stripMargin,
+    "q_sql_table_update" -> // q_table_replace's oracle: the band restated
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7
+        |                 THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_optimize" -> // content-preserving: the full events aggregate
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

@@ -81,6 +81,13 @@ object GraftSqlParser {
   private val OnEq =
     "(?s)^\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*=\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*$".r
 
+  private val UpdateRe = (
+    "(?is)^\\s*UPDATE\\s+" + Target +
+    "\\s+SET\\s+(.+?)" +
+    "\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+)\\s*;?\\s*$").r
+  private val UpdateProbe = ("(?is)^\\s*UPDATE\\s+" + Target + ".*").r
+  private val Assign = "(?s)^\\s*(\\w+)\\s*=\\s*(.+?)\\s*$".r
+
   private val RestoreRe = (
     "(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target +
     "\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
@@ -120,6 +127,17 @@ object GraftSqlParser {
       s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
         "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    case UpdateRe(root, sets, c, lo, hi) =>
+      val assignments = splitTopLevel(sets).map {
+        case Assign(name, rhs) => (name, rhs)
+        case other => throw new IllegalArgumentException(
+          s"bad UPDATE assignment: $other")
+      }
+      Some(TxUpdateCommand(root, assignments, c, lo.toLong, hi.toLong))
+    case UpdateProbe(root) => throw new IllegalArgumentException(
+      s"unsupported UPDATE form for txtable.`$root` — supported: " +
+        "UPDATE txtable.`root` SET col = <expr>[, …] " +
+        "WHERE <statCol> BETWEEN <lo> AND <hi>")
     case RestoreRe(root, v) => Some(TxRestoreCommand(root, v.toInt))
     case RestoreProbe(root) => throw new IllegalArgumentException(
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
@@ -140,6 +158,27 @@ object GraftSqlParser {
 
   private[sql] def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt, nullable = false)()
+
+  /** Split `a = f(x, y), b = 2` on TOP-LEVEL commas only (commas inside
+    * parentheses or quotes belong to the expression). */
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
 }
 
 /** `MERGE INTO txtable.\`root\` USING <src> ON t.k = s.k WHEN MATCHED
@@ -158,6 +197,36 @@ case class TxMergeCommand(root: String, sourceSql: String, key: String)
     val src = spark.sql(s"SELECT * FROM $sourceSql")
     val r = TxTable.open(root).merge(spark, src, key)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `UPDATE txtable.\`root\` SET col = <expr>[, …] WHERE <statCol>
+  * BETWEEN lo AND hi` — Delta's UPDATE DML, expressed as the band
+  * rewrite the table layer already proves correct
+  * ([[TxTable.overwriteWhere]]): read exactly the band (manifest-pruned),
+  * apply the SET expressions through the full Catalyst expression
+  * surface, republish the band copy-on-write. Files wholly outside the
+  * band are carried BY NAME — at 100 TB an UPDATE costs the touched
+  * band, never the table. The WHERE is restricted to a stat-column
+  * range because that is what the band-replace primitive can prove
+  * leak-free (ReplaceWhereSpec); anything else fails loudly at parse. */
+case class TxUpdateCommand(root: String, sets: Seq[(String, String)],
+    statCol: String, lo: Long, hi: Long) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = TxTable.open(root)
+    val band = t.readWhere(spark, statCol, lo, hi).df
+    val updated = sets.foldLeft(band) { case (df, (name, rhs)) =>
+      require(df.columns.contains(name),
+        s"UPDATE SET names unknown column $name (have ${df.columns.mkString(", ")})")
+      df.withColumn(name, org.apache.spark.sql.functions.expr(rhs))
+    }
+    val r = t.overwriteWhere(spark, statCol, lo, hi, updated)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
 

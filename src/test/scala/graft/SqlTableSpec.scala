@@ -230,6 +230,27 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 5)
   }
 
+  test("UPDATE rewrites only the band; SET runs full Catalyst expressions") {
+    val t = freshTable(40, 4) // 4 files, disjoint k ranges of 10
+    val r = spark.sql(
+      s"UPDATE ${q(t.root)} SET v = v + k * 100 WHERE k BETWEEN 10 AND 19").head()
+    // exactly one file holds the band: the others are carried by name
+    assert(r.getAs[Int]("rewritten_files") + r.getAs[Int]("dropped_files") == 1,
+      s"expected a 1-file band, got $r")
+    assert(r.getAs[Int]("kept_files") == 3)
+    val got = t.read(spark).orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.forall { case (k, v) =>
+      v == (if (k >= 10 && k <= 19) k * 10 + k * 100 else k * 10) })
+    // unknown SET column and non-band WHERE both refuse loudly
+    intercept[Exception] {
+      spark.sql(s"UPDATE ${q(t.root)} SET nope = 1 WHERE k BETWEEN 0 AND 1")
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE ${q(t.root)} SET v = 1 WHERE v % 2 = 0")
+    }
+  }
+
   test("warehouse-rooted catalog resolves NAMED tables and lists them") {
     import spark.implicits._
     Tables.ensure(spark)
