@@ -112,11 +112,113 @@ object Analytics13 {
         sum(col("doc_id")).as("id_sum"))
       .orderBy(col("lang"))
 
+  /** MANN-WHITNEY U — the NONPARAMETRIC two-sample test beside
+    * q_ab_welch's t (rank-based: robust to the heavy-tailed metrics
+    * A/B values actually have). Within each event_type, variant = user
+    * parity; ALL rank arithmetic runs on the value-cents HISTOGRAM
+    * (per-(type, cents) counts — the §2.26 domain-bounded recipe: the
+    * running-count window is histogram-sized, never data-sized), with
+    * tie-averaged ranks kept EXACT as doubled integers: avg2(v) =
+    * 2·(#strictly below) + tie + 1, R2ₐ = Σ nₐ(v)·avg2(v),
+    * U2ₐ = R2ₐ − nₐ(nₐ+1), and U2ₐ + U2ᵦ = 2nₐnᵦ by construction —
+    * all BIGINT, no division anywhere. */
+  def q_ab_mannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir).select(
+      col("event_type").as("t"),
+      (col("user_id") % 2 === 0).cast("long").as("is_a"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val hist = d.groupBy(col("t"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("is_a")).as("na"))
+    val w = Window.partitionBy(col("t")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cumIncl", sum(col("n")).over(w))
+      .withColumn("avg2", lit(2L) * (col("cumIncl") - col("n")) + col("n") + 1L)
+    ranked.groupBy(col("t"))
+      .agg(sum(col("na")).as("n_a"), sum(col("n") - col("na")).as("n_b"),
+        sum(col("na") * col("avg2")).as("r2_a"))
+      .select(col("t").as("event_type"), col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") -
+          (col("r2_a") - col("n_a") * (col("n_a") + 1L))).as("u2_b"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CLASSIFIER EVALUATION — the confusion matrix + exact-bp
+    * precision/recall readout every model-in-the-pipeline needs
+    * (here evaluating q_text_lang_id's stopword heuristic against the
+    * labeled lang column): per (truth, predicted) cell the count, the
+    * cell's recall share of its truth row and precision share of its
+    * prediction column, both as integer-div basis points over exact
+    * counts. Marginals are label-domain-sized broadcasts. */
+  def q_eval_confusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the','and','of','a','to')))").as("n_en"),
+        expr("size(filter(split(text, ' '), w -> w IN ('der','die','und','das')))").as("n_de"),
+        expr("size(filter(split(text, ' '), w -> w IN ('el','la','los','y')))").as("n_es"),
+        expr("size(filter(split(text, ' '), w -> w IN ('le','les','et','un')))").as("n_fr"))
+      .withColumn("pred_lang",
+        when(col("n_en") >= col("n_de") && col("n_en") >= col("n_es") && col("n_en") >= col("n_fr") && col("n_en") > 0, "en")
+          .when(col("n_de") >= col("n_es") && col("n_de") >= col("n_fr") && col("n_de") > 0, "de")
+          .when(col("n_es") >= col("n_fr") && col("n_es") > 0, "es")
+          .when(col("n_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .select(col("lang"), col("pred_lang"))
+    val conf = pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val truthN = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_truth"))
+    val predN = conf.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
+    conf.join(broadcast(truthN), Seq("lang"))
+      .join(broadcast(predN), Seq("pred_lang"))
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_truth"), col("n_pred"),
+        expr("(10000 * n) div n_truth").as("recall_bp"),
+        expr("(10000 * n) div n_pred").as("precision_bp"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** ORPHAN-FILE GC through the gate: a planted unreferenced data file
+    * (the dropping of a crashed writer — staged bytes, no manifest) is
+    * detected from O(files) metadata and reclaimed past the grace
+    * window, while every referenced file and the young in-flight one
+    * survive; the read-back must be the COMPLETE untouched content.
+    * At 100 TB orphan GC is what keeps storage bills honest — crashed
+    * ingest writers strand terabytes invisible to every reader. */
+  def q_table_gc(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_table_gc") { root =>
+      val t = new graft.tables.TxTable(root, Seq("user_id"))
+      val dataDir = JPaths.get(root, "data")
+      val some = JFiles.list(dataDir).iterator().next()
+      // an OLD orphan (crashed writer, long gone) and a YOUNG one (maybe
+      // a live writer about to commit): only the old one may be reclaimed
+      val old = dataDir.resolve("orphan-old.parquet")
+      val young = dataDir.resolve("orphan-young.parquet")
+      JFiles.copy(some, old); JFiles.copy(some, young)
+      JFiles.setLastModifiedTime(old,
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+      val removed = t.gcOrphans(graceMs = 3600L * 1000L)
+      val remaining = t.orphanFiles().size
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("orphans_removed", lit(removed.toLong))
+        .withColumn("orphans_left", lit(remaining.toLong))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster_star" -> q_dedup_cluster_star _,
     "q_quality_classifier" -> q_quality_classifier _,
     "q_mix_upsample" -> q_mix_upsample _,
     "q_dedup_keepbest" -> q_dedup_keepbest _,
+    "q_ab_mannwhitney" -> q_ab_mannwhitney _,
+    "q_eval_confusion" -> q_eval_confusion _,
+    "q_table_gc" -> q_table_gc _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -165,6 +267,58 @@ object Analytics13 {
         |  count(DISTINCT doc_id) AS n_docs,
         |  CAST(sum(doc_id * copy) AS BIGINT) AS checksum
         |FROM expanded GROUP BY source ORDER BY source""".stripMargin,
+    "q_ab_mannwhitney" ->
+      """WITH d AS (
+        |  SELECT event_type AS t,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+        |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |hist AS (
+        |  SELECT t, c, count(*) AS n, CAST(sum(is_a) AS BIGINT) AS na
+        |  FROM d GROUP BY t, c),
+        |ranked AS (
+        |  SELECT t, n, na,
+        |    2 * (sum(n) OVER (PARTITION BY t ORDER BY c
+        |                      ROWS UNBOUNDED PRECEDING) - n) + n + 1 AS avg2
+        |  FROM hist),
+        |agg AS (
+        |  SELECT t, CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(n - na) AS BIGINT) AS n_b,
+        |    CAST(sum(na * avg2) AS BIGINT) AS r2_a
+        |  FROM ranked GROUP BY t)
+        |SELECT t AS event_type, n_a, n_b,
+        |  r2_a - n_a * (n_a + 1) AS u2_a,
+        |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q_eval_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+        |         WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+        |         WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+        |         WHEN n_fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS pred_lang
+        |  FROM (SELECT lang,
+        |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','a','to'))) AS INT) AS n_en,
+        |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das'))) AS INT) AS n_de,
+        |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y'))) AS INT) AS n_es,
+        |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','et','un'))) AS INT) AS n_fr
+        |    FROM documents)),
+        |conf AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang),
+        |tn AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth FROM conf GROUP BY lang),
+        |pn AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY pred_lang)
+        |SELECT lang, pred_lang, n, n_truth, n_pred,
+        |  (10000 * n) // n_truth AS recall_bp,
+        |  (10000 * n) // n_pred AS precision_bp
+        |FROM conf JOIN tn USING (lang) JOIN pn USING (pred_lang)
+        |ORDER BY lang, pred_lang""".stripMargin,
+    "q_table_gc" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(1 AS BIGINT) AS orphans_removed,
+        |  CAST(1 AS BIGINT) AS orphans_left
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH ranked AS (
         |  SELECT lang, n_chars, doc_id,

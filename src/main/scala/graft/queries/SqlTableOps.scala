@@ -179,6 +179,21 @@ object SqlTableOps {
     }
   }
 
+  /** SQL DESCRIBE DETAIL — the one-row operating summary (Delta parity)
+    * as a statement, projected to its deterministic fields (size_bytes
+    * varies with parquet encoding and is asserted >0 in SqlTableSpec
+    * instead). Read-only on the shared published build. */
+  def q_sql_table_detail(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.ensure(spark)
+    val root = TableOps.eventsTableRoot(spark, dir)
+    spark.sql(s"DESCRIBE DETAIL ${q(root)}")
+      .select(col("version").cast("long").as("version"),
+        col("num_files").cast("long").as("num_files"),
+        col("rows"), col("stat_columns"), col("bloom_columns"),
+        col("num_deletion_vectors").cast("long").as("n_dv"), col("tags"))
+  }
+
   /** Batch DSv2 read with pushdown — q_table_skip's selective band probe
     * through `spark.read.format("txtable")`: the pushed range filter runs
     * the manifest min/max prune inside the ScanBuilder (SqlTableSpec pins
@@ -206,6 +221,7 @@ object SqlTableOps {
     "q_sql_table_ctas" -> q_sql_table_ctas _,
     "q_sql_table_optimize" -> q_sql_table_optimize _,
     "q_sql_table_update" -> q_sql_table_update _,
+    "q_sql_table_detail" -> q_sql_table_detail _,
     "q_source_txtable" -> q_source_txtable _,
   )
 
@@ -247,6 +263,11 @@ object SqlTableOps {
         |FROM (VALUES (2, 'delete', false),
         |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
         |ORDER BY version""".stripMargin,
+    "q_sql_table_detail" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(16 AS BIGINT) AS num_files,
+        |  (SELECT count(*) FROM events) AS rows,
+        |  'user_id' AS stat_columns, '' AS bloom_columns,
+        |  CAST(0 AS BIGINT) AS n_dv, '' AS tags""".stripMargin,
     "q_sql_table_update" -> // q_table_replace's oracle: the band restated
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7

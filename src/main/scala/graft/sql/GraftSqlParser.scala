@@ -96,6 +96,9 @@ object GraftSqlParser {
   private val HistoryRe =
     ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+" + Target + "\\s*;?\\s*$").r
 
+  private val DetailRe =
+    ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+" + Target + "\\s*;?\\s*$").r
+
   private val VacuumRe = (
     "(?is)^\\s*VACUUM\\s+" + Target +
     "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
@@ -143,6 +146,7 @@ object GraftSqlParser {
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
         "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n>")
     case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
+    case DetailRe(root) => Some(TxDescribeDetailCommand(root))
     case VacuumRe(root, retain) =>
       Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2)))
     case OptimizeRe(root, smallRows, z1, z2, zFiles) =>
@@ -252,6 +256,31 @@ case class TxDescribeHistoryCommand(root: String) extends LeafRunnableCommand {
     TxTable.open(root).history().map(i =>
       Row(i.version, i.timestampMs, i.operation, i.addedFiles, i.removedFiles,
         i.addedFiles + i.removedFiles == 0))
+}
+
+/** `DESCRIBE DETAIL txtable.\`root\`` → [[TxTable.detail]]: the one-row
+  * operating summary (Delta's DESCRIBE DETAIL). Variable-width members
+  * (column lists, constraints, tag map) are emitted as canonical sorted
+  * comma-joined strings so the row is stable and comparable. */
+case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("num_files", IntegerType),
+    attr("rows", LongType), attr("size_bytes", LongType),
+    attr("stat_columns", StringType), attr("bloom_columns", StringType),
+    attr("constraints", StringType), attr("renamed_columns", StringType),
+    attr("dropped_columns", StringType), attr("num_deletion_vectors", IntegerType),
+    attr("tags", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = TxTable.open(root).detail()
+    Seq(Row(d.version, d.numFiles, d.rows, d.sizeBytes,
+      d.statColumns.sorted.mkString(","), d.bloomColumns.sorted.mkString(","),
+      d.constraints.sorted.mkString(";"),
+      d.renamedColumns.toSeq.sorted.map { case (l, p) => s"$l<-$p" }.mkString(","),
+      d.droppedColumns.toSeq.sorted.mkString(","),
+      d.numDeletionVectors,
+      d.tags.toSeq.sorted.map { case (n, v) => s"$n=$v" }.mkString(",")))
+  }
 }
 
 /** `VACUUM txtable.\`root\` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */

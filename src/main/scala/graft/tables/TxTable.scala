@@ -1285,6 +1285,35 @@ final class TxTable(val root: String, val statCols: Seq[String],
       newFiles = entries.size)
   }
 
+  /** ORPHAN FILES: visible data files no retained version references —
+    * the droppings of crashed writers (a writer stages data files FIRST
+    * and publishes the manifest last, so a crash strands bytes that are
+    * invisible to every reader but still bill storage). O(files) driver
+    * metadata, zero data I/O. In-flight staged files are hidden
+    * (`.stage-*`) and never reported. */
+  def orphanFiles(): Seq[String] = {
+    val referenced: Set[String] = listVersions
+      .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq))
+      .toSet
+    Option(dataDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).filterNot(referenced.contains).toSeq.sorted
+  }
+
+  /** Delete orphans older than `graceMs` (the grace window protects a
+    * LIVE writer's files staged-and-renamed but not yet committed —
+    * Delta VACUUM's uncommitted-file retention, applied to the orphan
+    * sweep). Returns how many files were reclaimed. Never touches
+    * referenced files, hidden staging files, or young orphans. */
+  def gcOrphans(graceMs: Long): Int = {
+    val horizon = clockMs() - graceMs
+    val victims = orphanFiles().filter { p =>
+      Files.getLastModifiedTime(dataDir.resolve(p)).toMillis < horizon
+    }
+    victims.foreach(p => Files.deleteIfExists(dataDir.resolve(p)))
+    victims.size
+  }
+
   /** STATS EVOLUTION — the manifest-only half of partition evolution
     * (clusterZorder is the data-moving half): record min/max of `cols`
     * for every CURRENT file in a new manifest version. ONE distributed

@@ -274,6 +274,37 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(listed == Seq("events_small"))
   }
 
+  test("DESCRIBE DETAIL emits the one-row operating summary") {
+    val t = freshTable(10, 2)
+    t.tag("audit", 1)
+    val d = spark.sql(s"DESCRIBE DETAIL ${q(t.root)}").head()
+    assert(d.getAs[Int]("version") == 1)
+    assert(d.getAs[Int]("num_files") == 2)
+    assert(d.getAs[Long]("rows") == 10)
+    assert(d.getAs[Long]("size_bytes") > 0)
+    assert(d.getAs[String]("stat_columns") == "k")
+    assert(d.getAs[String]("tags") == "audit=1")
+  }
+
+  test("orphan GC reclaims only OLD unreferenced files; reads never change") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import java.nio.file.attribute.FileTime
+    val t = freshTable(20, 2)
+    val dataDir = JP.get(t.root, "data")
+    val some = JF.list(dataDir).iterator().next()
+    val old = dataDir.resolve("orphan-old.parquet")
+    val young = dataDir.resolve("orphan-young.parquet")
+    val staged = dataDir.resolve(".stage-fake")
+    JF.copy(some, old); JF.copy(some, young); JF.copy(some, staged)
+    JF.setLastModifiedTime(old, FileTime.fromMillis(0L))
+    assert(t.orphanFiles() == Seq("orphan-old.parquet", "orphan-young.parquet"),
+      "hidden staging files must never be reported")
+    assert(t.gcOrphans(graceMs = 3600000L) == 1, "only the old orphan reclaims")
+    assert(t.orphanFiles() == Seq("orphan-young.parquet"))
+    assert(!JF.exists(old) && JF.exists(young) && JF.exists(staged))
+    assert(t.read(spark).count() == 20, "referenced files untouched")
+  }
+
   test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
     Tables.ensure(spark)
     intercept[Exception] {
