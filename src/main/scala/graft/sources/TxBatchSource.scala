@@ -334,7 +334,8 @@ object TxBatchSource {
   * (RENAME/DROP COLUMN). Creation/drop of tables stays with the Scala
   * API: a path catalog refuses to guess what `CREATE TABLE` should
   * write where. */
-class TxTableCatalog extends TableCatalog {
+class TxTableCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catName: String = "txtable"
   private var warehouse: Option[String] = None
 
@@ -467,4 +468,54 @@ class TxTableCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "txtable identifiers are filesystem paths; move the directory to rename")
+
+  // ---- SupportsNamespaces: what SHOW TABLES / USE resolution needs.
+  // Namespaces ARE warehouse subdirectories (one level is enough for the
+  // db.table ergonomics); a pure path catalog has only the root namespace.
+  override def listNamespaces(): Array[Array[String]] = warehouse match {
+    case None => Array.empty
+    case Some(w) =>
+      val dir = java.nio.file.Paths.get(w)
+      if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+      else {
+        val stream = java.nio.file.Files.list(dir)
+        try stream.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) && !TxTable.exists(p.toString))
+          .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
+        finally stream.close()
+      }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty // one level of namespaces
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || warehouse.exists(w => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get((w +: namespace.toSeq).mkString("/"))))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = warehouse match {
+    case Some(w) =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get((w +: namespace.toSeq).mkString("/")))
+      ()
+    case None => throw new UnsupportedOperationException(
+      "namespaces need a warehouse (spark.sql.catalog.<name>.warehouse)")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "txtable namespaces are directories; nothing to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "txtable namespaces are directories; remove the path explicitly")
 }

@@ -266,12 +266,18 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
       .head().getLong(0) == 7)
     // absolute identifiers bypass the warehouse unchanged
     assert(spark.sql(s"SELECT count(*) AS n FROM txwh.`${t.root}`").head().getLong(0) == 7)
-    // listTables enumerates only directories holding a transaction log
+    // SHOW TABLES enumerates only directories holding a transaction log
     Files.createDirectory(java.nio.file.Paths.get(wh, "not_a_table"))
-    val listed = spark.sessionState.catalogManager.catalog("txwh")
-      .asInstanceOf[graft.sources.TxTableCatalog]
-      .listTables(Array.empty).map(_.name()).toSeq
+    val listed = spark.sql("SHOW TABLES IN txwh")
+      .select("tableName").collect().map(_.getString(0)).toSeq
     assert(listed == Seq("events_small"))
+    // a namespace is a warehouse subdirectory: db.table resolves
+    spark.sql("CREATE NAMESPACE txwh.raw")
+    val t2 = new TxTable(s"$wh/raw/logs", Seq("k"))
+    t2.append(spark, spark.range(4).toDF("k"))
+    assert(spark.sql("SELECT count(*) AS n FROM txwh.raw.logs").head().getLong(0) == 4)
+    assert(spark.sql("SHOW TABLES IN txwh.raw")
+      .select("tableName").collect().map(_.getString(0)).toSeq == Seq("logs"))
   }
 
   test("DESCRIBE DETAIL emits the one-row operating summary") {
