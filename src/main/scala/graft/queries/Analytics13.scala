@@ -211,12 +211,47 @@ object Analytics13 {
     }
   }
 
+  /** DECLARATIVE DATA-QUALITY RULES (the deequ shape): N named boolean
+    * rules — range checks, JSON-field band, non-negativity — evaluated
+    * in ONE pass over the data (each rule is a codegen'd when/sum pair
+    * inside the same aggregate; N rules never cost N scans), then
+    * unpivoted to one audit row per rule: rows seen, violations,
+    * violation rate in integer-div bp, and the smallest offending
+    * event_id as the deterministic sample a ticket links to. At 100 TB
+    * the single-pass property is the whole game — a rule suite that
+    * re-scans per rule is unrunnable. */
+  def q_dq_rules(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      col("value"), expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "props_k_band" -> !(col("k").isNotNull && col("k") >= 10 && col("k") <= 80),
+      "user_id_lt_100" -> !(col("user_id") < 100),
+      "value_le_400" -> !(col("value") <= 400.0),
+      "value_nonneg" -> !(col("value") >= 0.0))
+    val aggs = rules.flatMap { case (name, violated) =>
+      Seq(sum(violated.cast("long")).as(s"__v_$name"),
+        min(when(violated, col("event_id"))).as(s"__id_$name"))
+    }
+    val one = e.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val rows = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("__rows").as("n_rows"),
+        col(s"__v_$name").as("n_violations"),
+        col(s"__id_$name").as("first_bad_id"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        expr("(10000 * n_violations) div n_rows").as("violation_bp"),
+        col("first_bad_id"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster_star" -> q_dedup_cluster_star _,
     "q_quality_classifier" -> q_quality_classifier _,
     "q_mix_upsample" -> q_mix_upsample _,
     "q_dedup_keepbest" -> q_dedup_keepbest _,
     "q_ab_mannwhitney" -> q_ab_mannwhitney _,
+    "q_dq_rules" -> q_dq_rules _,
     "q_eval_confusion" -> q_eval_confusion _,
     "q_table_gc" -> q_table_gc _,
   )
@@ -290,6 +325,32 @@ object Analytics13 {
         |  r2_a - n_a * (n_a + 1) AS u2_a,
         |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_dq_rules" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, "value",
+        |    CAST(json_extract_string(props::JSON, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT (k IS NOT NULL AND k BETWEEN 10 AND 80) THEN 1 ELSE 0 END) AS BIGINT) AS v_k,
+        |    min(CASE WHEN NOT (k IS NOT NULL AND k BETWEEN 10 AND 80) THEN event_id END) AS id_k,
+        |    CAST(sum(CASE WHEN NOT (user_id < 100) THEN 1 ELSE 0 END) AS BIGINT) AS v_u,
+        |    min(CASE WHEN NOT (user_id < 100) THEN event_id END) AS id_u,
+        |    CAST(sum(CASE WHEN NOT ("value" <= 400) THEN 1 ELSE 0 END) AS BIGINT) AS v_hi,
+        |    min(CASE WHEN NOT ("value" <= 400) THEN event_id END) AS id_hi,
+        |    CAST(sum(CASE WHEN NOT ("value" >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+        |    min(CASE WHEN NOT ("value" >= 0) THEN event_id END) AS id_neg
+        |  FROM e)
+        |SELECT r.rule, agg.n_rows,
+        |  CASE r.rule WHEN 'props_k_band' THEN v_k WHEN 'user_id_lt_100' THEN v_u
+        |              WHEN 'value_le_400' THEN v_hi ELSE v_neg END AS n_violations,
+        |  (10000 * CASE r.rule WHEN 'props_k_band' THEN v_k WHEN 'user_id_lt_100' THEN v_u
+        |              WHEN 'value_le_400' THEN v_hi ELSE v_neg END) // agg.n_rows AS violation_bp,
+        |  CASE r.rule WHEN 'props_k_band' THEN id_k WHEN 'user_id_lt_100' THEN id_u
+        |              WHEN 'value_le_400' THEN id_hi ELSE id_neg END AS first_bad_id
+        |FROM agg CROSS JOIN (VALUES ('props_k_band'), ('user_id_lt_100'),
+        |  ('value_le_400'), ('value_nonneg')) AS r(rule)
+        |ORDER BY r.rule""".stripMargin,
     "q_eval_confusion" ->
       """WITH pred AS (
         |  SELECT lang,

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+// (StreamSourceProvider comes from org.apache.spark.sql.sources._)
 
 import graft.tables.TxTable
 
@@ -56,7 +57,8 @@ import graft.tables.TxTable
   * streaming face (a native `PartitionReader` would re-implement parquet
   * decode by hand for zero plan benefit; the file-level prune, the part
   * that matters, already happened in the ScanBuilder). */
-class TxBatchSource extends TableProvider with DataSourceRegister {
+class TxBatchSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "txtable"
   override def supportsExternalMetadata(): Boolean = false
 
@@ -66,6 +68,20 @@ class TxBatchSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     TxSqlTable.fromOptions(new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming face: ONE format string serves batch and stream.
+  // `spark.readStream.format("txtable")` falls back to the V1 streaming
+  // source (the Delta-source pattern TxTableSource documents — version
+  // offsets, change-commit policy, CDF, AvailableNow); options are the
+  // same as format("graft.sources.TxTableSource").
+  private val streaming = new TxTableSource
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    streaming.sourceSchema(sqlContext, schema, providerName, parameters)
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    streaming.createSource(sqlContext, metadataPath, schema, providerName, parameters)
 }
 
 object TxSqlTable {

@@ -311,6 +311,23 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 20, "referenced files untouched")
   }
 
+  test("readStream.format(\"txtable\") streams versions through the one format string") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(5).toDF("k"))   // v1
+    t.append(spark, spark.range(5, 8).toDF("k")) // v2
+    val ckpt = Files.createTempDirectory("graft_sqlstream_ckpt").toString
+    val q = spark.readStream.format("txtable")
+      .option("path", t.root).load()
+      .writeStream.format("memory").queryName("sql_stream_tx")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("sql_stream_tx").count() == 8)
+  }
+
   test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
     Tables.ensure(spark)
     intercept[Exception] {
