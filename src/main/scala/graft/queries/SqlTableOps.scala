@@ -97,7 +97,8 @@ object SqlTableOps {
     TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_history") { root =>
       spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7")   // v2
       spark.sql(s"ALTER TABLE ${q(root)} RENAME COLUMN value TO amount")   // v3
-      spark.sql(s"RESTORE TABLE ${q(root)} TO VERSION AS OF 1")            // v4
+      spark.sql(s"ALTER TABLE ${q(root)} ADD CONSTRAINT upos CHECK (user_id >= 0)") // v4
+      spark.sql(s"RESTORE TABLE ${q(root)} TO VERSION AS OF 1")            // v5
       spark.sql(s"DESCRIBE HISTORY ${q(root)}")
         .filter(col("version") >= 2) // v1 is the inherited published build
         .selectExpr("CAST(version AS BIGINT) AS version", "operation", "meta_only")
@@ -260,8 +261,8 @@ object SqlTableOps {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_history" ->
       """SELECT CAST(v AS BIGINT) AS version, op AS operation, m AS meta_only
-        |FROM (VALUES (2, 'delete', false),
-        |             (3, 'rename-column', true), (4, 'restore(1)', false)) AS t(v, op, m)
+        |FROM (VALUES (2, 'delete', false), (3, 'rename-column', true),
+        |             (4, 'add-constraint', true), (5, 'restore(1)', false)) AS t(v, op, m)
         |ORDER BY version""".stripMargin,
     "q_sql_table_detail" ->
       """SELECT CAST(1 AS BIGINT) AS version, CAST(16 AS BIGINT) AS num_files,

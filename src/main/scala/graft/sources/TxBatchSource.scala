@@ -367,6 +367,11 @@ class TxTableCatalog extends TableCatalog
 
   override def name(): String = catName
 
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def rootOf(ident: Identifier): String = {
     val joined = (ident.namespace() :+ ident.name()).mkString("/")
     if (joined.startsWith("/")) joined
@@ -434,8 +439,32 @@ class TxTableCatalog extends TableCatalog
         require(dc.fieldNames().length == 1,
           "txtable has no nested columns to drop")
         t.dropColumn(dc.fieldNames()(0))
+      // Spark 4.1's native `ALTER TABLE … ADD CONSTRAINT n CHECK (…)` /
+      // `DROP CONSTRAINT` grammar lands here — route to the table layer's
+      // validated CHECK constraints (existing data is scanned once; every
+      // later writer enforces with no out-of-band coordination)
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          t.addConstraint(SparkSession.active, chk.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"txtable supports CHECK constraints; got ${other.getClass.getSimpleName}")
+      }
+      // txtable constraints are PREDICATE-keyed (the predicate is the
+      // identity; there is no separate name registry) — DROP CONSTRAINT
+      // takes the exact predicate text as a backticked identifier:
+      // ALTER TABLE txtable.`/p` DROP CONSTRAINT `v >= 0`
+      case dcn: TableChange.DropConstraint =>
+        val stored = t.snapshot().constraints
+        stored.find(_ == dcn.name()) match {
+          case Some(p) => t.dropConstraint(SparkSession.active, p)
+          case None if dcn.ifExists() => ()
+          case None => throw new IllegalArgumentException(
+            s"no such constraint: ${dcn.name()} — txtable constraints are " +
+              s"predicate-keyed; DROP CONSTRAINT takes the exact predicate " +
+              s"text backticked (have: ${stored.mkString("; ")})")
+        }
       case other => throw new UnsupportedOperationException(
-        s"txtable ALTER TABLE supports RENAME COLUMN and DROP COLUMN; got $other")
+        s"txtable ALTER TABLE supports RENAME/DROP COLUMN and ADD/DROP CONSTRAINT; got $other")
     }
     loadTable(ident)
   }

@@ -328,6 +328,27 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("sql_stream_tx").count() == 8)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT route to validated CHECK constraints") {
+    val t = freshTable(10, 1)
+    spark.sql(s"ALTER TABLE ${q(t.root)} ADD CONSTRAINT vpos CHECK (v >= 0)")
+    assert(t.snapshot().constraints == Seq("v >= 0"))
+    // the constraint ENFORCES: a violating SQL insert is refused
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(90 AS BIGINT), CAST(-5 AS BIGINT))")
+    }
+    // declaring a constraint existing data violates is refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${q(t.root)} ADD CONSTRAINT vhi CHECK (v > 1000)")
+    }
+    // drop is predicate-keyed: the exact text, backticked
+    spark.sql(s"ALTER TABLE ${q(t.root)} DROP CONSTRAINT `v >= 0`")
+    assert(t.snapshot().constraints.isEmpty)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${q(t.root)} DROP CONSTRAINT nope")
+    }
+    spark.sql(s"ALTER TABLE ${q(t.root)} DROP CONSTRAINT IF EXISTS nope") // no-op
+  }
+
   test("catalog refuses a missing table; parser leaves non-txtable SQL alone") {
     Tables.ensure(spark)
     intercept[Exception] {
