@@ -52,7 +52,11 @@ object Tables {
     graft.functions.WinnowFps.register(spark)
     graft.functions.MightContain.register(spark)
     val rules = Seq(graft.plans.InferJaccardSizeBound,
-      graft.plans.FuseJaccardThreshold, graft.plans.OrderCostlyPredicatesLast)
+      graft.plans.FuseJaccardThreshold, graft.plans.OrderCostlyPredicatesLast,
+      // manifest stats → Catalyst: must run AFTER V2ScanRelationPushDown
+      // (extension hooks all run before it; "User Provided Optimizers"
+      // is the one post-pushdown logical batch)
+      graft.plans.TxManifestStats)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =

@@ -119,6 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.FuseJaccardThreshold)
     ext.injectOptimizerRule(_ => graft.plans.OrderCostlyPredicatesLast)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // NOTE: graft.plans.TxManifestStats is NOT injectable here — every
+    // extension hook (operator batch, pre-CBO) runs BEFORE
+    // V2ScanRelationPushDown builds the scan it rewraps; it registers via
+    // spark.experimental.extraOptimizations ("User Provided Optimizers",
+    // the end of optimization) in Tables.ensure.
     // SQL DML/DDL for the lakehouse tier: MERGE INTO / RESTORE TABLE /
     // DESCRIBE HISTORY / VACUUM / OPTIMIZE against txtable roots parse to
     // commands over graft.tables.TxTable; everything else delegates.

@@ -120,6 +120,10 @@ object ConnectedComponents {
           .localCheckpoint(eager = false)
         val s = labelSum(next)
         lap(s"iter-$iter sum=$s")
+        // `next` is materialized by the probe, so the superseded round's
+        // checkpoint blocks can be released NOW instead of waiting for a
+        // GC-driven ContextCleaner pass (round-9 ADVICE leak)
+        CheckpointRelease.release(labels)
         converged = s == prevSum
         prevSum = s
         labels = next

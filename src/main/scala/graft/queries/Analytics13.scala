@@ -51,10 +51,16 @@ object Analytics13 {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-    // top-50 by df via TakeOrderedAndProject + the k²-broadcast rank
-    // (Q.rankTopK) — never a single-partition window over the vocabulary
-    val top = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("w").asc).limit(50).persist()
+    // top-50 by df via TakeOrderedAndProject, then COLLECTED to a local
+    // relation: the model is 50 rows — an O(k) driver materialization
+    // (the k=12 BPE-argmax precedent), so rankTopK's two scans and the
+    // inference join read a LocalTableScan, not a re-run of the
+    // vocabulary aggregate, and nothing stays persisted after the query
+    // (the round-9 ADVICE leak was exactly this frame's persist())
+    val topRows = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w").asc).limit(50)
+    val top = spark.createDataFrame(
+      java.util.Arrays.asList(topRows.collect(): _*), topRows.schema)
     val model = Q.rankTopK(top, "df", "w")
       .select(col("w"), (lit(51L) - lit(2L) * col("rk")).as("weight"))
     val scored = words

@@ -291,7 +291,14 @@ object TableOps {
     mutatedAggregate(spark, changesTableRoot(spark, dir), "graft_q_table_cdf") { root =>
       val t = new TxTable(root, Seq("user_id"))
       t.delete(spark, "user_id", 3, 7) // v5: a genuine delete on the compacted table
-      t.rowChangesBetween(spark, 0, t.currentVersion)
+      // the whole feed through the PUBLIC batch-CDF face (Delta's
+      // readChangeFeed batch options; rowChangesBetween is the engine) —
+      // the gate earns its oracle through the DSv2 surface a switching
+      // deployment would actually call
+      spark.read.format("txtable")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(root)
         .groupBy(col("_commit_version").as("commit_version"),
           col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"),

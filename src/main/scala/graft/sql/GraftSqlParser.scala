@@ -29,8 +29,12 @@ import graft.tables.TxTable
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n>
   *   DESCRIBE HISTORY txtable.`/p`
+  *   DESCRIBE HISTORY GROUP txtable.`/group-root`
   *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS]
   *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]]
+  *   CREATE TABLE txtable.`/dst` SHALLOW CLONE txtable.`/src`
+  *   ALTER TABLE txtable.`/p` CREATE TAG <name> [AS OF VERSION <n>]
+  *   ALTER TABLE txtable.`/p` DROP TAG <name>
   * }}}
   *
   * Each parses to a [[LeafRunnableCommand]] delegating to the
@@ -74,7 +78,6 @@ object GraftSqlParser {
     "(?is)^\\s*MERGE\\s+INTO\\s+" + Target +
     "(?:\\s+AS\\s+(\\w+)|\\s+(\\w+))?" +
     "\\s+USING\\s+(.+?)" +
-    "\\s+ON\\s+(.+?)" +
     "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
     "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
   private val MergeProbe = ("(?is)^\\s*MERGE\\s+INTO\\s+" + Target + ".*").r
@@ -96,6 +99,24 @@ object GraftSqlParser {
   private val HistoryRe =
     ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+" + Target + "\\s*;?\\s*$").r
 
+  private val GroupHistoryRe =
+    ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+GROUP\\s+" + Target + "\\s*;?\\s*$").r
+
+  private val CloneRe = (
+    "(?is)^\\s*CREATE\\s+TABLE\\s+" + Target +
+    "\\s+SHALLOW\\s+CLONE\\s+" + Target + "\\s*;?\\s*$").r
+
+  private val TagName = "([A-Za-z0-9][A-Za-z0-9._-]*)"
+
+  private val TagCreateRe = (
+    "(?is)^\\s*ALTER\\s+TABLE\\s+" + Target +
+    "\\s+CREATE\\s+TAG\\s+" + TagName +
+    "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*$").r
+
+  private val TagDropRe = (
+    "(?is)^\\s*ALTER\\s+TABLE\\s+" + Target +
+    "\\s+DROP\\s+TAG\\s+" + TagName + "\\s*;?\\s*$").r
+
   private val DetailRe =
     ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+" + Target + "\\s*;?\\s*$").r
 
@@ -112,7 +133,18 @@ object GraftSqlParser {
 
   /** The graft statement in `sqlText`, if it targets a txtable root. */
   def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case MergeRe(root, _, _, using, on) =>
+    case MergeRe(root, _, _, usingAndOn) =>
+      // the merge condition starts at the first TOP-LEVEL ` ON ` — an ON
+      // inside a parenthesized USING subquery (a JOIN … ON inside the
+      // source) belongs to the source, so a regex split at the first ON
+      // would mis-blame the merge condition; scan outside parens/quotes
+      val onIdx = topLevelKeyword(usingAndOn, "ON")
+      if (onIdx < 0) throw new IllegalArgumentException(
+        "MERGE INTO txtable USING needs a top-level ON condition — a " +
+          "source containing its own JOIN … ON must be parenthesized: " +
+          "USING (SELECT … FROM a JOIN b ON …) ON t.k = s.k")
+      val using = usingAndOn.substring(0, onIdx).trim
+      val on = usingAndOn.substring(onIdx + 2).trim
       val key = on match {
         case OnEq(q1, c1, q2, c2) =>
           require(c1.equalsIgnoreCase(c2),
@@ -125,7 +157,7 @@ object GraftSqlParser {
         case other => throw new IllegalArgumentException(
           s"MERGE INTO txtable ON must be `t.key = s.key`; got: $other")
       }
-      Some(TxMergeCommand(root, using.trim, key))
+      Some(TxMergeCommand(root, using, key))
     case MergeProbe(root) => throw new IllegalArgumentException(
       s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
         "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
@@ -145,8 +177,13 @@ object GraftSqlParser {
     case RestoreProbe(root) => throw new IllegalArgumentException(
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
         "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n>")
+    case GroupHistoryRe(root) => Some(TxGroupHistoryCommand(root))
     case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
     case DetailRe(root) => Some(TxDescribeDetailCommand(root))
+    case CloneRe(dst, src) => Some(TxCloneCommand(src, dst))
+    case TagCreateRe(root, name, v) =>
+      Some(TxCreateTagCommand(root, name, Option(v).map(_.toInt)))
+    case TagDropRe(root, name) => Some(TxDropTagCommand(root, name))
     case VacuumRe(root, retain) =>
       Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2)))
     case OptimizeRe(root, smallRows, z1, z2, zFiles) =>
@@ -182,6 +219,34 @@ object GraftSqlParser {
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** Index of the first TOP-LEVEL (outside parentheses, quotes, and
+    * backticks) whole-word, case-insensitive occurrence of `kw` in `s`,
+    * or -1 — the same scanner discipline as [[splitTopLevel]], used to
+    * find the MERGE condition's ON without being fooled by a JOIN … ON
+    * inside a parenthesized USING subquery. */
+  private[sql] def topLevelKeyword(s: String, kw: String): Int = {
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
   }
 }
 
@@ -222,13 +287,22 @@ case class TxUpdateCommand(root: String, sets: Seq[(String, String)],
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
     val t = TxTable.open(root)
     val band = t.readWhere(spark, statCol, lo, hi).df
-    val updated = sets.foldLeft(band) { case (df, (name, rhs)) =>
-      require(df.columns.contains(name),
-        s"UPDATE SET names unknown column $name (have ${df.columns.mkString(", ")})")
-      df.withColumn(name, org.apache.spark.sql.functions.expr(rhs))
-    }
+    val names = sets.map(_._1)
+    require(names.distinct.length == names.length,
+      s"UPDATE SET assigns ${names.diff(names.distinct).distinct.mkString(", ")} more than once")
+    names.foreach(n => require(band.columns.contains(n),
+      s"UPDATE SET names unknown column $n (have ${band.columns.mkString(", ")})"))
+    // ANSI UPDATE semantics: every SET rhs reads the PRE-update row (so
+    // `SET a = b, b = a` swaps) — one projection against the original
+    // band, never sequential withColumn, which would leak already-updated
+    // values into later assignments' rhs.
+    val setMap = sets.toMap
+    val updated = band.select(band.columns.toSeq.map { c =>
+      setMap.get(c).map(rhs => expr(rhs).as(c)).getOrElse(col(c))
+    }: _*)
     val r = t.overwriteWhere(spark, statCol, lo, hi, updated)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
@@ -294,6 +368,64 @@ case class TxVacuumCommand(root: String, retainVersions: Int)
     val (files, manifests) = TxTable.open(root).vacuum(retainVersions)
     Seq(Row(files, manifests))
   }
+}
+
+/** `CREATE TABLE txtable.\`dst\` SHALLOW CLONE txtable.\`src\`` →
+  * [[TxTable.cloneTo]]: a new table whose v1 manifest REFERENCES the
+  * source's current files by absolute path — one metadata file, zero
+  * data copied, O(1) at any table size (the dev-sandbox / experiment-
+  * branch primitive Delta ships under the same syntax). */
+case class TxCloneCommand(srcRoot: String, dstRoot: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("source_version", IntegerType), attr("files_referenced", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = TxTable.open(srcRoot)
+    val clone = src.cloneTo(dstRoot)
+    Seq(Row(src.currentVersion, clone.snapshot().files.size))
+  }
+}
+
+/** `ALTER TABLE txtable.\`root\` CREATE TAG name [AS OF VERSION n]` →
+  * [[TxTable.tag]] (immutable named ref, vacuum-protected; defaults to
+  * the current version). `DROP TAG name` → [[TxTable.deleteTag]]. */
+case class TxCreateTagCommand(root: String, tagName: String,
+    version: Option[Int]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("tag", StringType), attr("version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = TxTable.open(root)
+    val v = version.getOrElse(t.currentVersion)
+    t.tag(tagName, v)
+    Seq(Row(tagName, v))
+  }
+}
+
+case class TxDropTagCommand(root: String, tagName: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxTable.open(root).deleteTag(tagName)))
+}
+
+/** `DESCRIBE HISTORY GROUP txtable.\`root\`` → [[graft.tables.TxGroup]]
+  * history, newest first: each multi-table atomic cut's member pins and
+  * which members' pins moved (with the member operation that moved
+  * them) — the read-only SQL face of the group tier. Variable-width
+  * members render as canonical sorted comma-joined strings. */
+case class TxGroupHistoryCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("timestamp_ms", LongType),
+    attr("pins", StringType), attr("changed", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    new graft.tables.TxGroup(root).history().map(g =>
+      Row(g.version, g.timestampMs,
+        g.pins.toSeq.sorted.map { case (n, v) => s"$n=$v" }.mkString(","),
+        g.changed.toSeq.sorted.map { case (n, op) => s"$n:$op" }.mkString(",")))
 }
 
 /** `OPTIMIZE txtable.\`root\` [SMALLER THAN rows] [ZORDER BY (c1, c2)

@@ -98,15 +98,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     while (full == null) {
       if (cur == 0) full = Snapshot(0, Nil, Map.empty)
       else if (ckpts.contains(cur)) {
-        val (fs, ts, cs, cm) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
-        full = Snapshot(cur, fs, ts, cs, cm)
+        val (fs, ts, cs, cm, mt) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
+        full = Snapshot(cur, fs, ts, cs, cm, mt)
       } else {
         val p = logDir.resolve(manifestName(cur))
         require(Files.exists(p),
           s"cannot reconstruct version $v of $root: manifest $cur is missing " +
             "and no checkpoint covers it")
         parseAnyManifest(Files.readAllLines(p)) match {
-          case Left((fs, ts, cs, cm)) => full = Snapshot(cur, fs, ts, cs, cm)
+          case Left((fs, ts, cs, cm, mt)) => full = Snapshot(cur, fs, ts, cs, cm, mt)
           case Right(delta) => deltas ::= delta; cur -= 1
         }
       }
@@ -115,14 +115,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
     var txns = full.txns
     var cons = full.constraints
     var cmap = full.colMap
+    var meta = full.meta
     deltas.foreach { d =>
       val rm = d.removes.toSet
       files = files.filterNot(f => rm((f.path, f.dv))) ++ d.adds
       txns = txns ++ d.txns
       d.constraints.foreach(cs => cons = cs)
       d.colMap.foreach(m => cmap = m)
+      d.meta.foreach(m => meta = Some(m))
     }
-    Snapshot(v, files, txns, cons, cmap)
+    Snapshot(v, files, txns, cons, cmap, meta)
   }
 
   // ------------------------------------------------------------------- reads
@@ -191,7 +193,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val s = snapshot(versionAsOf)
     if (s.files.isEmpty)
       throw new IllegalStateException(s"table $root is empty at version ${s.version}")
-    readFiles(spark, s.files, s.colMap)
+    readFiles(spark, s.files, s.colMap, s.meta)
   }
 
   /** DV-aware read of a set of manifest entries — the merge-on-read
@@ -224,7 +226,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     colMap.collect { case (l, p) if l == "-" + p => p }.toSet
 
   private def readFiles(spark: SparkSession, files: Seq[FileEntry],
-      colMap: Map[String, String] = Map.empty): DataFrame = {
+      colMap: Map[String, String] = Map.empty,
+      meta: Option[TableMeta] = None): DataFrame = {
     require(files.nonEmpty, "readFiles of nothing")
     val (plain, dvd) = files.partition(_.dv.isEmpty)
     val plainDf =
@@ -262,7 +265,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val dropped = droppedPhys(colMap).toSeq
     val mapped = if (renames.isEmpty) out else out.withColumnsRenamed(renames)
-    if (dropped.isEmpty) mapped else mapped.drop(dropped: _*)
+    val visible = if (dropped.isEmpty) mapped else mapped.drop(dropped: _*)
+    // DECLARED columns no data file carries yet (ADD COLUMN, or a CREATE
+    // TABLE schema wider than the first insert) read as NULL — the
+    // metadata-only evolution promise. Skip declared names that were
+    // since dropped (tombstoned) or renamed away (the name is now some
+    // rename's physical identity): re-adding those would resurrect them.
+    val extra = meta.map(_.schema.fields.toSeq).getOrElse(Nil).filter { f =>
+      !visible.columns.contains(f.name) &&
+        !droppedPhys(colMap).contains(f.name) &&
+        !colMap.exists { case (l, p) => p == f.name && l != f.name }
+    }
+    extra.foldLeft(visible)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   /** DV-aware read of an explicit manifest-entry subset under a column
@@ -270,7 +285,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * ScanBuilder has run the manifest stats/bloom prune (the same
     * machinery [[readWhere]]/[[readEquals]] use internally). */
   private[graft] def readEntries(spark: SparkSession, files: Seq[FileEntry],
-      colMap: Map[String, String]): DataFrame = readFiles(spark, files, colMap)
+      colMap: Map[String, String],
+      meta: Option[TableMeta] = None): DataFrame =
+    readFiles(spark, files, colMap, meta)
 
   /** Bloom probe positions for an equality value — exposed to the DSv2
     * source's ScanBuilder so its `column = value` pushdown prunes with
@@ -295,7 +312,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
-      else readFiles(spark, keep, s.colMap)
+      else readFiles(spark, keep, s.colMap, s.meta)
         .filter(col(statCol) >= lo && col(statCol) <= hi)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
@@ -333,7 +350,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val df =
       if (keep.isEmpty) read(spark).filter(lit(false))
-      else readFiles(spark, keep, s.colMap).filter(col(column) === value)
+      else readFiles(spark, keep, s.colMap, s.meta).filter(col(column) === value)
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
 
@@ -476,7 +493,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         }.getOrElse(Files.getLastModifiedTime(p).toMillis)
         val (adds, removes) = parseAnyManifest(lines.asJava) match {
           case Right(d) => (d.adds.size, d.removes.size)
-          case Left((fs, _, _, _)) => (fs.size, 0) // v1 full: everything is an add
+          case Left((fs, _, _, _, _)) => (fs.size, 0) // v1 full: everything is an add
         }
         Some(CommitInfo(v, ts, op, adds, removes))
       }
@@ -823,6 +840,28 @@ final class TxTable(val root: String, val statCols: Seq[String],
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = entries.size)
+  }
+
+  /** Unconditional `DELETE FROM t` (truncate): every current file leaves
+    * the manifest in one metadata-only commit — zero data I/O at any
+    * table size, and history/time travel keep the old versions readable
+    * (vacuum reclaims the bytes later). Declared metadata, constraints
+    * and stream watermarks survive: a truncated table is EMPTY, not
+    * destroyed. */
+  def truncateAll(): DeleteResult = {
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      try {
+        val v = commitOnce(base, op = "delete") { _ => Nil }
+        return DeleteResult(v, droppedFiles = base.files.size,
+          rewrittenFiles = 0, keptFiles = 0, newFiles = 0)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1 // truncate commutes with nothing; rebase and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Atomic band overwrite (Delta's `replaceWhere`) — the
@@ -1246,6 +1285,58 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** Persist the DECLARED table metadata — schema plus this handle's
+    * stat/bloom columns — as a metadata-only commit (zero data I/O).
+    * This is what `CREATE TABLE` (no AS SELECT) durably leaves behind:
+    * before it, an empty table's schema and pruning declaration lived
+    * only in the creating JVM's handle, so `CREATE TABLE …; INSERT
+    * INTO …` from a later session found a table that "carries no
+    * declared schema". History records `create`. */
+  def declareMeta(schema: org.apache.spark.sql.types.StructType): Int = {
+    val base = snapshot()
+    try commitOnce(base, op = "create",
+      meta = Some(TableMeta(schema.json, statCols, bloomCols))) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"declareMeta on $root lost the commit race; re-run")
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMN — metadata-only schema evolution, the most
+    * common evolution DDL of all: the new column is DECLARED in the
+    * log (one tiny commit, zero files rewritten — O(1) at 100 TB),
+    * existing rows read as NULL there, and subsequent appends may carry
+    * it (the read path already merges schemas across files). The
+    * declared schema is the CURRENT logical schema (from data files if
+    * any, else the prior declaration) plus the new column, so ADD
+    * COLUMN works on tables that predate declared metadata too. */
+  def addColumn(spark: SparkSession,
+      name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name: $name")
+    val base = snapshot()
+    val current: org.apache.spark.sql.types.StructType =
+      if (base.files.nonEmpty) readFiles(spark, base.files, base.colMap, base.meta).schema
+      else base.meta.map(_.schema).getOrElse(
+        throw new IllegalStateException(
+          s"table $root is empty and carries no declared schema"))
+    require(!current.fieldNames.contains(name), s"column $name already exists")
+    require(!droppedPhys(base.colMap).contains(name),
+      s"column name $name is reserved by a dropped column — " +
+        "its physical name can never be reused")
+    require(!base.colMap.values.toSet.contains(name),
+      s"column name $name is taken by a renamed column's physical name")
+    val evolved = org.apache.spark.sql.types.StructType(
+      current.fields :+ org.apache.spark.sql.types.StructField(name, dataType))
+    try commitOnce(base, op = s"add-column($name)",
+      meta = Some(TableMeta(evolved.json, statCols, bloomCols))) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"add-column on $root lost the commit race; re-run")
+    }
+  }
+
   /** REORG … APPLY (PURGE) for dropped columns (Delta's `REORG TABLE`):
     * physically rewrite ONLY the current files that still carry a
     * tombstoned physical column, so the bytes of dropped data actually
@@ -1412,8 +1503,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
         else Some(target.constraints)
       val cmap =
         if (base.colMap == target.colMap) None else Some(target.colMap)
+      // declared metadata restores too (an ADD COLUMN after the target
+      // version is undone); meta can only be SET, never cleared — a
+      // target with no meta predates CREATE-declared metadata entirely
+      val mt = if (base.meta == target.meta) None else target.meta
       try return commitOnce(base, constraints = cons,
-        colMap = cmap, op = s"restore($versionAsOf)") { _ => target.files }
+        colMap = cmap, op = s"restore($versionAsOf)", meta = mt) { _ => target.files }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           if (attempt < 10) attempt += 1 // rebase onto the new latest, retry
@@ -1454,7 +1549,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val tmp = dst.logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
       renderManifest(abs, Map.empty, snap.constraints, snap.colMap,
-        op = Some(s"clone(${root})")).getBytes("UTF-8"))
+        op = Some(s"clone(${root})"), meta = snap.meta).getBytes("UTF-8"))
     try Files.createLink(dst.logDir.resolve(manifestName(1)), tmp)
     finally { Files.deleteIfExists(tmp); () }
     dst
@@ -1542,7 +1637,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val needCkpt = retained.filter(_ < cutoff) ++ retained.find(_ >= cutoff).toSeq
     needCkpt.distinct.filterNot(ckpts.contains).foreach { v =>
       val s = snapshot(Some(v))
-      writeCheckpoint(v, s.files, s.txns, s.constraints, s.colMap)
+      writeCheckpoint(v, s.files, s.txns, s.constraints, s.colMap, s.meta)
     }
     // SHALLOW-CLONE guard: entries borrowed from a clone source are
     // ABSOLUTE paths outside this table's data/ — vacuum reclaims only
@@ -1699,7 +1794,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def commitOnce(base: Snapshot, txns: Map[String, Long] = Map.empty,
       constraints: Option[Seq[String]] = None,
       colMap: Option[Map[String, String]] = None,
-      op: String = "write")(
+      op: String = "write", meta: Option[TableMeta] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
     val v = base.version + 1
     val newFiles = next(base)
@@ -1712,14 +1807,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val removes = base.files.filterNot(newSet.contains).map(f => (f.path, f.dv))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      renderDelta(adds, removes, txns, constraints, clockMs(), colMap, op).getBytes("UTF-8"))
+      renderDelta(adds, removes, txns, constraints, clockMs(), colMap, op, meta).getBytes("UTF-8"))
     try {
       Files.createLink(logDir.resolve(manifestName(v)), tmp)
     } finally Files.deleteIfExists(tmp)
     if (v % CheckpointInterval == 0)
       writeCheckpoint(v, newFiles, base.txns ++ txns,
         constraints.getOrElse(base.constraints),
-        colMap.getOrElse(base.colMap))
+        colMap.getOrElse(base.colMap),
+        meta.orElse(base.meta))
     v
   }
 
@@ -1729,9 +1825,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * only means readers replay more deltas. */
   private def writeCheckpoint(v: Int, files: Seq[FileEntry],
       txns: Map[String, Long], constraints: Seq[String],
-      colMap: Map[String, String] = Map.empty): Unit = {
+      colMap: Map[String, String] = Map.empty,
+      meta: Option[TableMeta] = None): Unit = {
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(files, txns, constraints, colMap).getBytes("UTF-8"))
+    Files.write(tmp, renderManifest(files, txns, constraints, colMap,
+      meta = meta).getBytes("UTF-8"))
     try Files.createLink(logDir.resolve(ckptName(v)), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally { Files.deleteIfExists(tmp); () }
@@ -1871,9 +1969,14 @@ object TxTable {
     require(Files.isDirectory(Paths.get(root, "_txlog")),
       s"no TxTable at $root (no _txlog directory)")
     val s = new TxTable(root, Nil).snapshot()
+    // declared (CREATE TABLE) stat/bloom columns union the ones the data
+    // files already record — so an empty declared table's FIRST write
+    // through a discovered handle still computes the promised stats
     new TxTable(root,
-      s.files.flatMap(_.mins.keys).distinct.sorted,
-      s.files.flatMap(_.blooms.keys).distinct.sorted)
+      (s.files.flatMap(_.mins.keys) ++ s.meta.toSeq.flatMap(_.statCols))
+        .distinct.sorted,
+      (s.files.flatMap(_.blooms.keys) ++ s.meta.toSeq.flatMap(_.bloomCols))
+        .distinct.sorted)
   }
 
   /** Whether `root` holds a TxTable transaction log (catalog existence
@@ -1908,7 +2011,23 @@ object TxTable {
     * have accumulated. */
   final case class Snapshot(version: Int, files: Seq[FileEntry],
       txns: Map[String, Long], constraints: Seq[String] = Nil,
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      meta: Option[TableMeta] = None)
+
+  /** Declared table metadata — what `CREATE TABLE` (and later `ALTER
+    * TABLE ADD COLUMN`) promised, persisted in the log so an EMPTY
+    * table still answers its schema and a fresh `open()` still knows
+    * its declared stat/bloom columns (before round 10 both lived only
+    * in the in-memory handle and died with it). `schemaJson` is
+    * [[org.apache.spark.sql.types.StructType.json]] — Spark's own
+    * stable serialization. Columns declared here but present in no
+    * data file yet read as NULL (metadata-only schema evolution). */
+  final case class TableMeta(schemaJson: String, statCols: Seq[String],
+      bloomCols: Seq[String]) {
+    def schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
 
   /** One audit-log row ([[TxTable#history]]): what operation produced
     * `version`, when, and its file-level footprint. */
@@ -1971,7 +2090,8 @@ object TxTable {
   private final case class DeltaRecord(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
       constraints: Option[Seq[String]],
-      colMap: Option[Map[String, String]])
+      colMap: Option[Map[String, String]],
+      meta: Option[TableMeta] = None)
 
   /** Manifest line format (tab-separated): `txn <appId> <batchId>` lines
     * carry the per-stream exactly-once watermarks, `file <path> <rows>
@@ -1988,32 +2108,51 @@ object TxTable {
     * empty"). */
   private def renderManifest(files: Seq[FileEntry], txns: Map[String, Long],
       constraints: Seq[String], colMap: Map[String, String] = Map.empty,
-      op: Option[String] = None): String = {
+      op: Option[String] = None, meta: Option[TableMeta] = None): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.map(c => s"constraint\t$c")
     val mapLines = colMap.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" }
+    val metaLines = meta.toSeq.map(metaLine)
     val fileLines = files.map(f => fileLine("file", f))
     val opLines = op.toSeq.map(o => s"op\t$o")
-    ("graft-txlog\t1" +: (opLines ++ txnLines ++ conLines ++ mapLines ++ fileLines))
-      .mkString("\n")
+    ("graft-txlog\t1" +: (opLines ++ txnLines ++ conLines ++ mapLines ++
+      metaLines ++ fileLines)).mkString("\n")
+  }
+
+  /** `meta <statCsv|-> <bloomCsv|-> <schemaJson>` — the declared-metadata
+    * line. The schema JSON is last because it is the one variable-width
+    * member (Spark's JSON escapes control characters, so the payload can
+    * never contain a literal tab). A `meta` line in a delta SETS the
+    * declared metadata (it is never cleared, so no marker is needed). */
+  private def metaLine(m: TableMeta): String = {
+    def csv(cols: Seq[String]): String = if (cols.isEmpty) "-" else cols.mkString(",")
+    s"meta\t${csv(m.statCols)}\t${csv(m.bloomCols)}\t${m.schemaJson}"
+  }
+
+  private def parseMetaLine(line: String): TableMeta = {
+    val Array(_, stats, blooms, json) = line.split("\t", 4)
+    def cols(s: String): Seq[String] =
+      if (s == "-") Nil else s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    TableMeta(json, cols(stats), cols(blooms))
   }
 
   private def renderDelta(adds: Seq[FileEntry],
       removes: Seq[(String, Option[String])], txns: Map[String, Long],
       constraints: Option[Seq[String]], commitMs: Long,
       colMap: Option[Map[String, String]] = None,
-      op: String = "write"): String = {
+      op: String = "write", meta: Option[TableMeta] = None): String = {
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (app, b) => s"txn\t$app\t$b" }
     val conLines = constraints.toSeq.flatMap(cs =>
       "setconstraints" +: cs.map(c => s"constraint\t$c"))
     val mapLines = colMap.toSeq.flatMap(m =>
       "setcolmap" +: m.toSeq.sorted.map { case (l, p) => s"colmap\t$l\t$p" })
+    val metaLines = meta.toSeq.map(metaLine)
     val rmLines = removes.map { case (p, dv) => s"remove\t$p\t${dv.getOrElse("-")}" }
     val addLines = adds.map(f => fileLine("add", f))
     (Seq("graft-txlog\t2\tdelta", s"commitms\t$commitMs", s"op\t$op") ++
-      (txnLines ++ conLines ++ mapLines ++ rmLines ++ addLines))
+      (txnLines ++ conLines ++ mapLines ++ metaLines ++ rmLines ++ addLines))
       .mkString("\n")
   }
 
@@ -2046,7 +2185,7 @@ object TxTable {
 
   /** Parse a FULL (v1/checkpoint) manifest; rejects deltas. */
   private def parseManifest(lines: java.util.List[String])
-      : (Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String]) =
+      : (Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String], Option[TableMeta]) =
     parseAnyManifest(lines) match {
       case Left(full) => full
       case Right(_) => throw new IllegalArgumentException(
@@ -2055,7 +2194,7 @@ object TxTable {
 
   /** Parse either format: Left(full state) or Right(one commit's delta). */
   private def parseAnyManifest(lines: java.util.List[String])
-      : Either[(Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String]), DeltaRecord] = {
+      : Either[(Seq[FileEntry], Map[String, Long], Seq[String], Map[String, String], Option[TableMeta]), DeltaRecord] = {
     import scala.jdk.CollectionConverters._
     val all = lines.asScala.toSeq
     val header = all.headOption.getOrElse("")
@@ -2072,6 +2211,7 @@ object TxTable {
       val Array(_, l, p) = line.split("\t")
       l -> p
     }.toMap
+    val meta = body.find(_.startsWith("meta\t")).map(parseMetaLine)
     if (isDelta) {
       val removes = body.filter(_.startsWith("remove\t")).map { line =>
         val Array(_, p, dv) = line.split("\t")
@@ -2081,18 +2221,18 @@ object TxTable {
         .map(l => parseFileLine(l.split("\t")))
       val setCons = if (body.contains("setconstraints")) Some(constraintLines) else None
       val setMap = if (body.contains("setcolmap")) Some(colMapEntries) else None
-      Right(DeltaRecord(adds, removes, txns, setCons, setMap))
+      Right(DeltaRecord(adds, removes, txns, setCons, setMap, meta))
     } else {
       val files = body
         .filterNot(l => l.startsWith("txn\t") || l.startsWith("constraint\t") ||
           l.startsWith("colmap\t") || l.startsWith("commitms\t") ||
-          l.startsWith("op\t"))
+          l.startsWith("meta\t") || l.startsWith("op\t"))
         .map { line =>
           val parts = line.split("\t")
           require(parts(0) == "file", s"bad manifest line: $line")
           parseFileLine(parts)
         }
-      Left((files, txns, constraintLines, colMapEntries))
+      Left((files, txns, constraintLines, colMapEntries, meta))
     }
   }
 }

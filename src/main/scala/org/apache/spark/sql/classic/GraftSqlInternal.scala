@@ -19,4 +19,14 @@ object GraftSqlInternal {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The reverse direction: a V1 streaming `Sink.addBatch` receives a
+    * STREAMING-planned DataFrame that batch writers refuse; re-wrap its
+    * planned RDD as a plain batch frame (the ForeachBatchSink pattern)
+    * so the transactional append path can consume it. */
+  def ofBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -815,4 +815,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!cu.contains("SortMergeJoin"), s"cuped moments must broadcast:\n$cu")
     assert(cu.contains("partial_sum"), s"cuped aggs not two-phase:\n$cu")
   }
+
+  test("§2.30 plan contracts: one-pass DQ rules; classifier model broadcasts") {
+    def finalSection(plan: String): String = plan.split("== Initial Plan ==").head
+    // q_dq_rules: N rules = ONE scan + ONE two-phase aggregate — a rule
+    // suite that re-scans per rule is unrunnable at 100 TB. The unpivot
+    // runs on the 1-row aggregate, so exactly one parquet scan appears.
+    val dq = finalSection(executedPlan("q_dq_rules"))
+    assert("Scan parquet".r.findAllIn(dq).size == 1,
+      s"DQ rules must scan once, not per rule:\n$dq")
+    assert(dq.contains("partial_count") || dq.contains("partial_sum"),
+      s"DQ aggregate not two-phase:\n$dq")
+    assert(!dq.contains("Join"), s"DQ suite must not join:\n$dq")
+    // q_quality_classifier: the 50-row model joins the corpus words as a
+    // BROADCAST (the model is KBs at any corpus size); the corpus side
+    // never shuffles wider than (doc_id, score)
+    val qc = finalSection(executedPlan("q_quality_classifier"))
+    assert(qc.contains("BroadcastHashJoin"), s"model must broadcast:\n$qc")
+    assert(!qc.contains("SortMergeJoin"), s"classifier must not shuffle-join:\n$qc")
+  }
 }

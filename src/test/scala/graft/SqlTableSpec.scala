@@ -357,4 +357,190 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
+
+  test("UPDATE SET evaluates every rhs against the PRE-update row (a = b, b = a swaps)") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(10).toDF("k")
+      .withColumn("a", col("k") * 10).withColumn("b", col("k") * 100))
+    spark.sql(s"UPDATE ${q(t.root)} SET a = b, b = a WHERE k BETWEEN 0 AND 9")
+    val got = t.read(spark).orderBy("k").collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+    // old (a, b) = (10i, 100i) must SWAP — sequential withColumn would
+    // have produced b = 100i (already-updated a) instead of old a = 10i
+    assert(got.toSeq == (0L until 10L).map(i => (i * 100, i * 10)))
+    // assigning the same column twice is ambiguous under simultaneous
+    // semantics — refused, not last-write-wins
+    intercept[Exception] {
+      spark.sql(s"UPDATE ${q(t.root)} SET a = 1, a = 2 WHERE k BETWEEN 0 AND 9")
+    }
+  }
+
+  test("MERGE USING a parenthesized subquery containing its own JOIN … ON parses") {
+    import spark.implicits._
+    val t = freshTable(10, 1)
+    Seq((5L, 1L), (90L, 2L)).toDF("k", "bump").createOrReplaceTempView("m_bumps")
+    Seq((1L, 7000L), (2L, 9000L)).toDF("bump", "v").createOrReplaceTempView("m_vals")
+    // the inner JOIN … ON must NOT be mistaken for the merge condition
+    spark.sql(
+      s"""MERGE INTO ${q(t.root)} AS t USING
+         |(SELECT b.k, x.v FROM m_bumps b JOIN m_vals x ON b.bump = x.bump)
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read(spark).orderBy("k").collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("v"))).toMap
+    assert(got(5L) == 7000L && got(90L) == 9000L && got(4L) == 40L)
+    // no top-level ON at all → the targeted error, not a regex mis-split
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${q(t.root)} AS t USING (SELECT 1 AS k) " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("top-level ON"))
+  }
+
+  test("CREATE TABLE (no AS SELECT) persists schema + stat/bloom declaration in the log") {
+    Tables.ensure(spark)
+    val root = Files.createTempDirectory("graft_sqlcreate_spec").toString
+    spark.sql(s"CREATE TABLE ${q(root)} (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCols' = 'k', 'bloomCols' = 'v')")
+    // a LATER session's open() (fresh handle, nothing in memory) must see
+    // the declared schema and pruning columns — pre-round-10 this threw
+    // "carries no declared schema"
+    val reopened = TxTable.open(root)
+    assert(reopened.statCols == Seq("k") && reopened.bloomCols == Seq("v"))
+    assert(spark.sql(s"SELECT * FROM ${q(root)}").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM ${q(root)}").count() == 0)
+    spark.sql(s"INSERT INTO ${q(root)} SELECT id, id * 2 FROM range(12)")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM ${q(root)}").head().getLong(0) == 132)
+    // the declared stat/bloom promise governed the insert's stats pass
+    val s = TxTable.open(root).snapshot()
+    assert(s.files.forall(f => f.mins.contains("k") && f.blooms.contains("v")))
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only; old rows read NULL; appends carry it") {
+    import spark.implicits._
+    val t = freshTable(6, 1) // k, v
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE ${q(t.root)} ADD COLUMN note STRING")
+    assert(t.snapshot().files.map(_.path).toSet == filesBefore,
+      "ADD COLUMN must rewrite nothing")
+    val afterAdd = spark.sql(s"SELECT k, v, note FROM ${q(t.root)}").collect()
+    assert(afterAdd.length == 6 && afterAdd.forall(_.isNullAt(2)),
+      "pre-evolution rows must read NULL in the added column")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(50 AS BIGINT), CAST(500 AS BIGINT), 'x')")
+    val byK = spark.sql(s"SELECT k, note FROM ${q(t.root)}").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byK(50L).contains("x") && byK(0L).isEmpty)
+    // duplicate add and positioned add refuse loudly
+    intercept[Exception] { spark.sql(s"ALTER TABLE ${q(t.root)} ADD COLUMN note STRING") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE ${q(t.root)} ADD COLUMN z BIGINT FIRST") }
+  }
+
+  test("DELETE FROM without WHERE truncates metadata-only; history survives") {
+    val t = freshTable(30, 3)
+    spark.sql(s"DELETE FROM ${q(t.root)}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${q(t.root)}").head().getLong(0) == 0)
+    assert(t.snapshot().files.isEmpty)
+    assert(t.history().head.operation == "delete")
+    // time travel still reads the pre-truncate version
+    assert(t.read(spark, Some(1)).count() == 30)
+  }
+
+  test("DELETE on a non-stat column is refused at ANALYSIS, not at execution") {
+    val t = freshTable() // statCols = k only; v is unstatted
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM ${q(t.root)} WHERE v = 10")
+    }
+    // Spark's SupportsDelete contract: canDeleteWhere=false surfaces as
+    // an AnalysisException before deleteWhere ever runs
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected analysis-time refusal, got ${e.getClass}: ${e.getMessage}")
+    assert(t.read(spark).count() == 40)
+  }
+
+  test("batch readChangeFeed: the row-level change feed through the format string") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(5).toDF("k").withColumn("v", col("k") * 10))  // v1
+    t.append(spark, spark.range(5, 8).toDF("k").withColumn("v", col("k") * 10)) // v2
+    t.delete(spark, "k", 0, 1)                                               // v3
+    val feed = spark.read.format("txtable")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(t.root)
+    val byVt = feed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt((1L, "insert")) == 5 && byVt((2L, "insert")) == 3)
+    assert(byVt((3L, "delete")) == 2)
+    // startingVersion is INCLUSIVE and bounds the feed
+    val v2on = spark.read.format("txtable")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("endingVersion", 2)
+      .load(t.root)
+    assert(v2on.count() == 3)
+    // filters compose on the feed (residual evaluation)
+    assert(feed.filter(col("_change_type") === "delete").count() == 2)
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE and CREATE/DROP TAG statements") {
+    val t = freshTable(10, 1)                                   // v1
+    t.delete(spark, "k", 0, 4)                                  // v2
+    // tag the pre-delete version through SQL; resolve it via VERSION AS OF
+    val tagRow = spark.sql(
+      s"ALTER TABLE ${q(t.root)} CREATE TAG audit AS OF VERSION 1").head()
+    assert(tagRow.getString(0) == "audit" && tagRow.getInt(1) == 1)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${q(t.root)} VERSION AS OF 'audit'")
+      .head().getLong(0) == 10)
+    // defaulted tag pins the CURRENT version
+    assert(spark.sql(s"ALTER TABLE ${q(t.root)} CREATE TAG live").head().getInt(1) == 2)
+    // tags are immutable: re-pointing refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${q(t.root)} CREATE TAG audit AS OF VERSION 2")
+    }
+    assert(spark.sql(s"ALTER TABLE ${q(t.root)} DROP TAG live").head().getBoolean(0))
+    assert(!spark.sql(s"ALTER TABLE ${q(t.root)} DROP TAG live").head().getBoolean(0))
+    // SHALLOW CLONE: metadata-only birth, same content, divergence isolated
+    val dst = tmpRoot() + "/clone"
+    val cloneRow = spark.sql(
+      s"CREATE TABLE txtable.`$dst` SHALLOW CLONE ${q(t.root)}").head()
+    assert(cloneRow.getInt(0) == 2 && cloneRow.getInt(1) == t.snapshot().files.size)
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dst`").head().getLong(0) == 5)
+    spark.sql(s"INSERT INTO txtable.`$dst` VALUES (CAST(90 AS BIGINT), CAST(900 AS BIGINT))")
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dst`").head().getLong(0) == 6)
+    assert(t.read(spark).count() == 5, "clone writes must not touch the source")
+  }
+
+  test("DESCRIBE HISTORY GROUP surfaces the multi-table atomic cuts") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val root = Files.createTempDirectory("graft_sqlgroup").toString
+    val g = new graft.tables.TxGroup(root)
+    val a = g.table("raw", Seq("k"))
+    val b = g.table("agg", Seq("k"))
+    a.append(spark, spark.range(5).toDF("k"))
+    b.append(spark, spark.range(2).toDF("k"))
+    g.commit(Map("raw" -> a.currentVersion, "agg" -> b.currentVersion)) // cut 1
+    a.append(spark, spark.range(5, 9).toDF("k"))
+    g.commit(Map("raw" -> a.currentVersion, "agg" -> b.currentVersion)) // cut 2: raw moved
+    val h = spark.sql(s"DESCRIBE HISTORY GROUP txtable.`$root`").collect()
+    assert(h.length == 2 && h.head.getInt(0) == 2)
+    assert(h.head.getString(2) == "agg=1,raw=2")
+    assert(h.head.getString(3).startsWith("raw:"), s"changed = ${h.head.getString(3)}")
+    assert(h(1).getString(2) == "agg=1,raw=1")
+  }
+
+  test("catalog-resolved txtable scans report manifest stats: small side broadcasts unhinted") {
+    import spark.implicits._
+    val small = freshTable(8, 1)
+    val big = freshTable(4000, 4)
+    val plan = spark.sql(
+      s"SELECT b.k, b.v, s.v AS sv FROM ${q(big.root)} b " +
+        s"JOIN ${q(small.root)} s ON b.k = s.k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"8-row txtable side should plan broadcast from manifest stats:\n$plan")
+  }
 }

@@ -76,6 +76,52 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.snapshot().txns == Map("sink_q" -> 3L, "other_q" -> 0L))
   }
 
+  test("writeStream.format(\"txtable\") drives the exactly-once sink from the format string") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Long]
+    source.addData(0L until 40L: _*)
+    source.addData(40L until 70L: _*)
+    val root = Files.createTempDirectory("graft_txsinkfmt").toString
+    val ckpt = Files.createTempDirectory("graft_txsinkfmt_ckpt").toString
+    val q = source.toDF().select(col("value").as("user_id"),
+        (col("value") * 3).as("v"))
+      .writeStream.format("txtable")
+      .option("checkpointLocation", ckpt)
+      .option("statCols", "user_id")
+      .trigger(Trigger.AvailableNow())
+      .start(root)
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val t = TxTable.open(root)
+    assert(t.read(spark).count() == 70)
+    assert(t.read(spark).agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 70L).map(_ * 3).sum)
+    // the declared stat column governed the sink's stats pass
+    assert(t.snapshot().files.forall(_.mins.contains("user_id")))
+    val vBefore = t.currentVersion
+    // REPLAYED batch refusal: at-least-once delivery re-offers a batchId
+    // the manifest watermark already covers — the sink must skip it, not
+    // double-append (crash-replay is exactly this call)
+    val sink = new graft.sources.TxStreamSink(root, ckpt, Nil, Nil)
+    sink.addBatch(0L, rows(0, 40))
+    assert(TxTable.open(root).currentVersion == vBefore, "replayed batch must not commit")
+    assert(TxTable.open(root).read(spark).count() == 70)
+    // a genuinely NEW batchId commits
+    sink.addBatch(99L, rows(70, 80))
+    assert(TxTable.open(root).read(spark).count() == 80)
+    // append-only contract: other output modes refuse loudly at start
+    val e = intercept[Exception] {
+      source.toDF().groupBy(col("value")).count()
+        .writeStream.format("txtable")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_txsinkfmt_ckpt2").toString)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start(Files.createTempDirectory("graft_txsinkfmt2").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("append"))
+  }
+
   test("compaction bin-packs small files, preserves content, keeps time travel; vacuum reclaims") {
     val t = freshTable()
     // streaming-shaped ingest: 6 tiny files (one per micro-batch)
