@@ -61,6 +61,30 @@ object Bench {
     // work — materialize it here so q_part_prune times the scan, not the
     // one-time write.
     warm("entry") { SparkEntry.entry(spark).count() }
+    // JVM/engine machinery warm-up on a SYNTHETIC frame (no testdata read):
+    // the first shuffle-heavy query of a fresh JVM otherwise pays ~3 s of
+    // HotSpot/codegen/shuffle-infrastructure first-use tax that is
+    // measurement artifact, not query cost (measured: q_dedup_cluster
+    // 7.1 s as the session's first heavy query vs 3.3 s as the second, on
+    // identical plans — and BASELINE.md's round-9 notes document the same
+    // 3× effect on q_ngram_jaccard). Exercise the hot paths once —
+    // hash-agg shuffle, sort-merge and broadcast joins, window, distinct,
+    // localCheckpoint — so EVERY timed query, including whichever heavy
+    // runs first, measures steady state.
+    warm("machinery") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val a = spark.range(200000).toDF("id")
+        .withColumn("k", col("id") % 1000).withColumn("v", col("id") % 97)
+      val b = spark.range(1000).toDF("k").withColumn("w", col("k") * 2)
+      val j = a.join(broadcast(b), "k").join(b.withColumnRenamed("w", "w2"), "k")
+        .groupBy(col("k")).agg(sum(col("v")).as("sv"), countDistinct(col("v")).as("dv"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("k") % 8).orderBy(col("sv"))))
+        .select(col("k"), col("sv") + col("rk")).distinct()
+        .localCheckpoint(eager = false)
+      j.agg(coalesce(sum(col("k")), lit(0L))).head()
+      ()
+    }
     warm("eventsByDay") { Tables.eventsByDay(spark, sfDir).count() }
     // bucketed catalog tables are likewise one-time layout work, not query work
     warm("bucketedOrdersCustomer") { Tables.bucketedOrdersCustomer(spark, sfDir) }

@@ -65,15 +65,22 @@ object ConnectedComponents {
       println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).persist()
-    // sym is NOT persisted: it is two map-side scans of the cached
-    // directed edges — a second cache would pay a full write of 2|E| rows
-    // up front (measured: ~1 s of the old 1.4 s init at sf0.1) to save
-    // per-round reads that are already cache-local
+    // localCheckpoint, not persist (round-10, the StarContraction lesson):
+    // caching pins the pair join's 32-wide shuffle layout before AQE can
+    // right-size it, so every round's map stages schedule a shuffle-width
+    // fan of near-empty tasks over a demo-scale edge set; the checkpoint
+    // stores the AQE-FINAL layout (compact when small, proportionally
+    // wide at 100 TB) and still guarantees the pair pipeline runs ONCE.
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(eager = false)
+    // sym is NOT its own checkpoint: it is two map-side scans of the
+    // checkpointed directed edges — a second materialization would pay a
+    // full write of 2|E| rows up front to save per-round reads that are
+    // already local
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     try {
       // inside the try: if the (expensive) pair-generation join throws
-      // during materialization, the finally still unregisters both caches
+      // during materialization, the finally still releases the checkpoint
       e.count()
       lap("edges-materialize")
       // sum() of zero rows is NULL — coalesce so an empty active set
@@ -140,6 +147,6 @@ object ConnectedComponents {
         .join(labels.as("l"), col("v.id") === col("l.id"), "left")
         .select(col("v.id").as("id"),
           coalesce(col("l.component"), col("v.id")).as("component"))
-    } finally { e.unpersist(); () }
+    } finally { CheckpointRelease.release(e) }
   }
 }
