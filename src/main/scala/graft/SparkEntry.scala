@@ -28,7 +28,8 @@ object SparkEntry {
       Retrieval.queries ++
       TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries ++
       Analytics8.queries ++ Analytics9.queries ++ Analytics10.queries ++
-      Analytics11.queries ++ Analytics12.queries ++ Analytics13.queries
+      Analytics11.queries ++ Analytics12.queries ++ Analytics13.queries ++
+      Analytics14.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       Retrieval.oracle ++
       TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle ++
       Analytics8.oracle ++ Analytics9.oracle ++ Analytics10.oracle ++
-      Analytics11.oracle ++ Analytics12.oracle ++ Analytics13.oracle
+      Analytics11.oracle ++ Analytics12.oracle ++ Analytics13.oracle ++
+      Analytics14.oracle
 }

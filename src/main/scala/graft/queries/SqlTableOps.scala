@@ -212,7 +212,126 @@ object SqlTableOps {
       .orderBy(col("event_type"))
   }
 
+  /** SQL CREATE TABLE (no AS SELECT) → INSERT → ADD COLUMN → INSERT →
+    * read, all as separate statements (SURVEY §2.31): the lifecycle that
+    * only works because CREATE persists its declaration as a
+    * metadata-only commit (round-10; before, a second session's INSERT
+    * found "no declared schema") and ADD COLUMN is the metadata-only
+    * evolution (old rows read NULL, zero files rewritten — the O(1)
+    * evolution a 100 TB table demands). The oracle reconstructs both
+    * eras with an explicit NULL column. */
+  def q_sql_table_addcol(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_sql_addcol").toString
+    val root = s"$tmp/t"
+    try {
+      spark.sql(s"CREATE TABLE ${q(root)} (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('statCols' = 'k')")
+      spark.sql(s"INSERT INTO ${q(root)} SELECT id, id * 2 FROM range(100)")
+      spark.sql(s"ALTER TABLE ${q(root)} ADD COLUMN w BIGINT")
+      spark.sql(s"INSERT INTO ${q(root)} SELECT id, id * 3, id * 5 FROM range(100, 150)")
+      val df = spark.sql(
+        s"""SELECT (w IS NULL) AS legacy, count(*) AS n,
+           |  CAST(sum(v) AS BIGINT) AS v_sum,
+           |  CAST(sum(coalesce(w, -1)) AS BIGINT) AS w_sum
+           |FROM ${q(root)} GROUP BY 1 ORDER BY 1""".stripMargin)
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally TableOps.deleteTree(tmp)
+  }
+
+  /** SQL SHALLOW CLONE — q_table_clone's scenario (clone, diverge with a
+    * band delete, aggregate both sides) with the clone created by the
+    * `CREATE TABLE … SHALLOW CLONE` statement; earns the same oracle. */
+  def q_sql_table_clone(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.ensure(spark)
+    val srcRoot = TableOps.eventsTableRoot(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_sql_clone").toString
+    try {
+      spark.sql(s"CREATE TABLE txtable.`$tmp/clone` SHALLOW CLONE ${q(srcRoot)}")
+      spark.sql(s"DELETE FROM txtable.`$tmp/clone` WHERE user_id BETWEEN 2 AND 4")
+      val df = spark.sql(
+        s"""SELECT side, event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM (
+           |  SELECT 'clone' AS side, event_type, value, user_id FROM txtable.`$tmp/clone`
+           |  UNION ALL
+           |  SELECT 'src' AS side, event_type, value, user_id FROM ${q(srcRoot)})
+           |GROUP BY side, event_type ORDER BY side, event_type""".stripMargin)
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally TableOps.deleteTree(tmp)
+  }
+
+  /** SQL CREATE TAG + tag-addressed time travel — q_table_tag's scenario
+    * (pin the pre-delete version by name, read it back by name) with the
+    * tag created by the `ALTER TABLE … CREATE TAG` statement and resolved
+    * by Spark's native `VERSION AS OF '<name>'`; earns q_table_tag's
+    * "full table" oracle shape on the delete-mutated build. */
+  def q_sql_table_tag(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_tag") { root =>
+      spark.sql(s"ALTER TABLE ${q(root)} CREATE TAG pre_delete AS OF VERSION 1")
+      spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7") // v2
+      spark.sql(eventAgg.format(s"${q(root)} VERSION AS OF 'pre_delete'"))
+    }
+  }
+
+  /** SQL unconditional DELETE (truncate): `DELETE FROM t` with no WHERE
+    * drops every file in ONE metadata-only commit — zero data I/O at any
+    * size — while history and time travel keep the old versions
+    * readable. The gate reads the pre-truncate version and carries the
+    * live row count (0) as a pinned column. */
+  def q_sql_table_truncate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_truncate") { root =>
+      spark.sql(s"DELETE FROM ${q(root)}") // v2: truncate, metadata-only
+      val live = spark.sql(s"SELECT count(*) AS n FROM ${q(root)}").head().getLong(0)
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           |  count(DISTINCT user_id) AS n_users,
+           |  CAST($live AS BIGINT) AS live_rows
+           |FROM ${q(root)} VERSION AS OF 1
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }
+  }
+
+  /** GROUP history through SQL — `DESCRIBE HISTORY GROUP` over a
+    * two-member transaction group built fresh each run (tiny range
+    * appends, no corpus read): two atomic cuts, the second moving only
+    * one member. The oracle pins the exact pins/changed strings — the
+    * cross-table cut surfaced to a SQL user (round-9 verdict missing #4,
+    * read-only face first). */
+  def q_table_group_history(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Tables.ensure(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_group_hist").toString
+    try {
+      val g = new graft.tables.TxGroup(s"$tmp/grp")
+      val raw = g.table("raw", Seq("k"))
+      val agg = g.table("agg", Seq("k"))
+      raw.append(spark, spark.range(10).toDF("k"))
+      agg.append(spark, spark.range(3).toDF("k"))
+      g.commit(Map("raw" -> raw.currentVersion, "agg" -> agg.currentVersion)) // cut 1
+      raw.append(spark, spark.range(10, 15).toDF("k"))
+      g.commit(Map("raw" -> raw.currentVersion, "agg" -> agg.currentVersion)) // cut 2
+      val df = spark.sql(s"DESCRIBE HISTORY GROUP txtable.`$tmp/grp`")
+        .select(col("version").cast("long").as("version"), col("pins"), col("changed"))
+        .orderBy(col("version"))
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally TableOps.deleteTree(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_table_addcol" -> q_sql_table_addcol _,
+    "q_sql_table_clone" -> q_sql_table_clone _,
+    "q_sql_table_tag" -> q_sql_table_tag _,
+    "q_sql_table_truncate" -> q_sql_table_truncate _,
+    "q_table_group_history" -> q_table_group_history _,
     "q_sql_table_merge" -> q_sql_table_merge _,
     "q_sql_table_delete" -> q_sql_table_delete _,
     "q_sql_table_restore" -> q_sql_table_restore _,
@@ -227,6 +346,41 @@ object SqlTableOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_table_addcol" ->
+      """WITH t AS (
+        |  SELECT range AS k, range * 2 AS v, CAST(NULL AS BIGINT) AS w FROM range(100)
+        |  UNION ALL
+        |  SELECT range, range * 3, range * 5 FROM range(100, 150))
+        |SELECT (w IS NULL) AS legacy, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS v_sum,
+        |  CAST(sum(coalesce(w, -1)) AS BIGINT) AS w_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_table_clone" ->
+      """SELECT side, event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (
+        |  SELECT 'clone' AS side, event_type, "value", user_id FROM events
+        |  WHERE user_id NOT BETWEEN 2 AND 4
+        |  UNION ALL
+        |  SELECT 'src' AS side, event_type, "value", user_id FROM events)
+        |GROUP BY side, event_type ORDER BY side, event_type""".stripMargin,
+    "q_sql_table_tag" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_truncate" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(0 AS BIGINT) AS live_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_group_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'agg=1,raw=1', 'agg:append,raw:append'),
+        |  (CAST(2 AS BIGINT), 'agg=1,raw=2', 'raw:append'))
+        |AS t(version, pins, changed) ORDER BY version""".stripMargin,
     // the SQL entry earns the Scala entry's oracles verbatim
     "q_sql_table_merge" ->
       """WITH src AS (

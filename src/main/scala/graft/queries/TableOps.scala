@@ -35,7 +35,7 @@ object TableOps {
     } finally walk.close()
   }
 
-  private def deleteTree(root: String): Unit = {
+  private[queries] def deleteTree(root: String): Unit = {
     val p = Paths.get(root)
     if (Files.exists(p)) {
       val walk = Files.walk(p)
