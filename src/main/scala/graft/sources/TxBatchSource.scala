@@ -337,12 +337,20 @@ class TxCdfTable(root: String, fromV: Int, toVOpt: Option[Int])
   if (!TxTable.exists(root))
     throw new NoSuchTableException(Seq("txtable", root))
 
+  // One batch read resolves this provider THREE times (inferSchema,
+  // getTable, the scan), and building the feed costs per-version driver
+  // metadata (manifest deltas + parquet footer schema per changed
+  // version) — memoize the constructed frame per (session, root, range,
+  // version). The version key makes staleness impossible: a new commit
+  // changes the resolved toV, so a later read builds fresh.
   private lazy val df: DataFrame = {
+    val spark = SparkSession.active
     val t = TxTable.open(root)
     val toV = toVOpt.getOrElse(t.currentVersion)
-    // rowChangesBetween's fromV is EXCLUSIVE (changes AFTER it); the
-    // option contract is Delta's INCLUSIVE startingVersion
-    t.rowChangesBetween(SparkSession.active, fromV - 1, toV)
+    TxCdfTable.memo((spark, root, fromV, toV), () =>
+      // rowChangesBetween's fromV is EXCLUSIVE (changes AFTER it); the
+      // option contract is Delta's INCLUSIVE startingVersion
+      t.rowChangesBetween(spark, fromV - 1, toV))
   }
 
   override def name(): String = s"txtable.`$root`@changes[$fromV..${toVOpt.getOrElse("current")}]"
@@ -354,7 +362,8 @@ class TxCdfTable(root: String, fromV: Int, toVOpt: Option[Int])
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = df.schema
-        override def description(): String = s"txtable CDF $root [$fromV..${toVOpt.getOrElse("current")}]"
+        override def description(): String =
+          s"txtable CDF $root [$fromV..${toVOpt.getOrElse("current")}]"
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
@@ -365,6 +374,16 @@ class TxCdfTable(root: String, fromV: Int, toVOpt: Option[Int])
           }.asInstanceOf[T]
       }
     }
+}
+
+object TxCdfTable {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+  private[sources] def memo(key: (SparkSession, String, Int, Int),
+      build: () => DataFrame): DataFrame = {
+    if (cache.size > 64) cache.clear() // plans are small; bound driver growth anyway
+    cache.computeIfAbsent(key, _ => build())
+  }
 }
 
 /** ScanBuilder running the manifest prune: pushed range/equality

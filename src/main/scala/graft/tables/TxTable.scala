@@ -1444,9 +1444,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       // integrity cross-check: the pass must see exactly the manifest's rows
       require(r.getAs[Long]("__rows") == f.rows,
         s"stats pass counted ${r.getAs[Long]("__rows")} rows in ${f.path}; manifest says ${f.rows}")
-      f.copy(
-        mins = f.mins ++ pcols.map(c => c -> r.getAs[Long](s"__min_$c")),
-        maxs = f.maxs ++ pcols.map(c => c -> r.getAs[Long](s"__max_$c")))
+      // all-NULL columns in a file record no stats (readers scan them);
+      // the erased getAs[Long] would otherwise leak null into the map
+      def statsOf(prefix: String): Map[String, Long] = pcols.flatMap { c =>
+        Option(r.getAs[java.lang.Long](s"${prefix}_$c")).map(v => c -> v.longValue)
+      }.toMap
+      f.copy(mins = f.mins ++ statsOf("__min"), maxs = f.maxs ++ statsOf("__max"))
     }
     try commitOnce(base, op = "evolve-stats") { _ => evolved }
     catch {
@@ -1730,9 +1733,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val staged = Paths.get(new java.net.URI(uri).getPath)
       val fresh = s"${UUID.randomUUID()}.parquet"
       Files.move(staged, dataDir.resolve(fresh), StandardCopyOption.ATOMIC_MOVE)
+      // an ALL-NULL stat column (e.g. a column-list INSERT into a wider
+      // declared schema) has null min/max — record NO stats for it (the
+      // read side treats missing stats as "cannot prune, scan"); the
+      // erased getAs[Long] would otherwise smuggle the null into the
+      // Map and the manifest line would render a literal "null"
+      def statsOf(prefix: String): Map[String, Long] = statCols.flatMap { c =>
+        Option(r.getAs[java.lang.Long](s"${prefix}_$c")).map(v => c -> v.longValue)
+      }.toMap
       FileEntry(fresh, r.getAs[Long]("__rows"),
-        statCols.map(c => c -> r.getAs[Long](s"__min_$c")).toMap,
-        statCols.map(c => c -> r.getAs[Long](s"__max_$c")).toMap,
+        statsOf("__min"), statsOf("__max"),
         blooms = bloomCols.flatMap(c =>
           bloomsByCol.getOrElse(c, Map.empty).get(uri).map(c -> _)).toMap)
     }.toSeq

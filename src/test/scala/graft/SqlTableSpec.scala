@@ -513,6 +513,28 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 5, "clone writes must not touch the source")
   }
 
+  test("declared metadata survives checkpoint reconstruction (10+ commits)") {
+    Tables.ensure(spark)
+    val root = Files.createTempDirectory("graft_sqlmeta_ckpt").toString + "/t"
+    spark.sql(s"CREATE TABLE ${q(root)} (k BIGINT, v BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('statCols' = 'k,w')") // v1: meta-only commit
+    // 10 inserts carrying only (k, v) — w never materializes, so its
+    // stat declaration lives ONLY in the meta record; commit 11 crosses
+    // the checkpoint interval, so reconstruction must read meta from the
+    // CHECKPOINT render/parse path, not just the delta chain
+    (0 until 10).foreach { i =>
+      spark.sql(s"INSERT INTO ${q(root)} (k, v) SELECT id + ${i * 10}, id FROM range(10)")
+    }
+    val reopened = TxTable.open(root)
+    assert(reopened.currentVersion == 11)
+    assert(reopened.statCols == Seq("k", "w"),
+      s"declared stat column w lost across the checkpoint: ${reopened.statCols}")
+    val row = spark.sql(s"SELECT count(*) AS n, sum(v) AS s, " +
+      s"count(w) AS wn FROM ${q(root)}").head()
+    assert(row.getLong(0) == 100 && row.getLong(2) == 0,
+      "declared-but-unmaterialized column must read NULL after checkpointed commits")
+  }
+
   test("DESCRIBE HISTORY GROUP surfaces the multi-table atomic cuts") {
     import spark.implicits._
     Tables.ensure(spark)
