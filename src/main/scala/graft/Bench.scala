@@ -42,6 +42,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE right-size CACHED plans too: by default caching pins the
+      // pre-AQE 32-wide shuffle layout, so every consumer of a small
+      // persisted frame schedules a full fan of near-empty tasks (the
+      // round-10 CC finding, generalized to the suite's ~45 persist sites)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

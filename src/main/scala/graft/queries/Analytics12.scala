@@ -110,16 +110,27 @@ object Analytics12 {
     * PARTITIONED BY THE ITEM KEY (key-bounded: each partition is one
     * item's co-item list), with the full deterministic tie-break. */
   def q_rec_itemcf(spark: SparkSession, dir: String): DataFrame = {
-    val bp = Tables.lineitem(spark, dir)
+    // ONE shuffle builds the baskets: collect_set per order dedups
+    // (ok, pk) in the same aggregation the old distinct() paid its own
+    // shuffle for, and the within-basket pair expansion is MAP-SIDE
+    // (explode × filtered explode) instead of the round-9 basket
+    // self-join — same ~k²/2 rows per basket (k is order-bounded, ≤7
+    // in TPC-H shape, so the expansion can never blow up), but no
+    // second exchange of the basket frame and no 3M-row join probe.
+    // Checkpointed once: both the pair expansion and the marginals
+    // consume it.
+    val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().persist()
-    val marg = bp.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    val pairs = bp.as("a").join(bp.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("items"))
+      .localCheckpoint(eager = false)
+    val marg = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = baskets
+      .select(explode(col("items")).as("pa"), col("items"))
+      .select(col("pa"), explode(expr("filter(items, x -> x > pa)")).as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       // both symmetrization branches consume this frame; without a cut the
-      // basket self-join (the query's data-sized stage) runs once per
+      // pair aggregation (the query's data-sized stage) runs once per
       // branch — the projections differ, so ReuseExchange cannot bridge
       .localCheckpoint(eager = false)
     val directed = pairs.select(col("pa").as("item"), col("pb").as("rec"), col("n_ab"))
