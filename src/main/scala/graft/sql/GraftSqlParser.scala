@@ -30,6 +30,7 @@ import graft.tables.TxTable
   *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n>
   *   DESCRIBE HISTORY txtable.`/p`
   *   DESCRIBE HISTORY GROUP txtable.`/group-root`
+  *   RESTORE GROUP txtable.`/group-root` [TO] VERSION AS OF <n>
   *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS]
   *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]]
   *   CREATE TABLE txtable.`/dst` SHALLOW CLONE txtable.`/src`
@@ -101,6 +102,10 @@ object GraftSqlParser {
 
   private val GroupHistoryRe =
     ("(?is)^\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+GROUP\\s+" + Target + "\\s*;?\\s*$").r
+
+  private val GroupRestoreRe = (
+    "(?is)^\\s*RESTORE\\s+GROUP\\s+" + Target +
+    "\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
 
   private val CloneRe = (
     "(?is)^\\s*CREATE\\s+TABLE\\s+" + Target +
@@ -178,6 +183,7 @@ object GraftSqlParser {
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
         "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n>")
     case GroupHistoryRe(root) => Some(TxGroupHistoryCommand(root))
+    case GroupRestoreRe(root, v) => Some(TxGroupRestoreCommand(root, v.toInt))
     case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
     case DetailRe(root) => Some(TxDescribeDetailCommand(root))
     case CloneRe(dst, src) => Some(TxCloneCommand(src, dst))
@@ -426,6 +432,22 @@ case class TxGroupHistoryCommand(root: String) extends LeafRunnableCommand {
       Row(g.version, g.timestampMs,
         g.pins.toSeq.sorted.map { case (n, v) => s"$n=$v" }.mkString(","),
         g.changed.toSeq.sorted.map { case (n, op) => s"$n:$op" }.mkString(",")))
+}
+
+/** `RESTORE GROUP txtable.\`root\` [TO] VERSION AS OF n` →
+  * [[graft.tables.TxGroup.restoreTo]]: every member table restores to
+  * its pin at group cut n, then ONE group commit republishes the cut —
+  * a cross-table rewind a reader can never observe half-done. */
+case class TxGroupRestoreCommand(root: String, version: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("restored_to_version", IntegerType),
+    attr("committed_version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = new graft.tables.TxGroup(root).restoreTo(version)
+    Seq(Row(version, v))
+  }
 }
 
 /** `OPTIMIZE txtable.\`root\` [SMALLER THAN rows] [ZORDER BY (c1, c2)

@@ -552,6 +552,12 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(h.head.getString(2) == "agg=1,raw=2")
     assert(h.head.getString(3).startsWith("raw:"), s"changed = ${h.head.getString(3)}")
     assert(h(1).getString(2) == "agg=1,raw=1")
+    // RESTORE GROUP rewinds every member to its pin at the cut and
+    // republishes atomically: raw's second append becomes invisible
+    spark.sql(s"RESTORE GROUP txtable.`$root` TO VERSION AS OF 1")
+    assert(g.read(spark, "raw", Seq("k")).count() == 5,
+      "raw must rewind to its cut-1 content")
+    assert(g.read(spark, "agg", Seq("k")).count() == 2)
   }
 
   test("catalog-resolved txtable scans report manifest stats: small side broadcasts unhinted") {
