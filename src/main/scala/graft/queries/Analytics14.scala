@@ -58,12 +58,51 @@ object Analytics14 {
       .orderBy(col("lang"))
   }
 
+  /** PER-SOURCE DUPLICATE-RATE AUDIT — the corpus-health readout that
+    * drives source weighting decisions (a source whose crawl is 40%
+    * exact dupes gets downweighted before any expensive near-dup pass):
+    * per source, docs vs distinct texts (counted as distinct xxhash64 —
+    * the 64-bit surrogate the dedup tier already justifies), dup rate in
+    * integer-div bp, and the duplicated VOLUME in characters (chars
+    * minus one representative per distinct text — what dedup would
+    * reclaim). Two map-combinable aggregations (per (source, hash), then
+    * per source); the hash frame is distinct-text-sized, never a
+    * self-join. */
+  def q_audit_duprate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), xxhash64(col("text")).as("h"), col("n_chars"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("keep_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"), count(lit(1)).as("n_distinct"),
+        (sum(col("chars")) - sum(col("keep_chars"))).as("dup_chars"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        expr("(10000 * (n_docs - n_distinct)) div n_docs").as("dup_bp"),
+        col("dup_chars"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_calibration" -> q_eval_calibration _,
     "q_text_langmix" -> q_text_langmix _,
+    "q_audit_duprate" -> q_audit_duprate _,
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle groups by the TEXT itself — the engine's xxhash64 is a
+    // 64-bit surrogate (collision P ≈ corpus²/2⁶⁴, the dedup tier's
+    // standing argument), so the distinct counts agree
+    "q_audit_duprate" ->
+      """WITH per AS (
+        |  SELECT source, text, count(*) AS copies,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(min(n_chars) AS BIGINT) AS keep_chars
+        |  FROM documents GROUP BY source, text)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct,
+        |  (10000 * (CAST(sum(copies) AS BIGINT) - count(*))) // CAST(sum(copies) AS BIGINT) AS dup_bp,
+        |  CAST(sum(chars) - sum(keep_chars) AS BIGINT) AS dup_chars
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q_eval_calibration" ->
       """WITH p AS (
         |  SELECT (event_id * 2654435761) % 10000 AS pred_bp,

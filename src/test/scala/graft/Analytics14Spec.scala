@@ -65,6 +65,27 @@ class Analytics14Spec extends AnyFunSuite with SparkFixture {
     assert(mixed("de") == (0L, 1L), "no-family text must not flag")
   }
 
+  test("q_audit_duprate equals a plain-Scala text fold; dup volume only counts extras") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = docs.groupBy(d => (d._1, d._2)).toSeq
+      .map { case ((src, _), rs) =>
+        (src, rs.size.toLong, rs.map(_._3).sum, rs.map(_._3).min) }
+      .groupBy(_._1).toSeq
+      .map { case (src, rs) =>
+        val n = rs.map(_._2).sum
+        val dis = rs.size.toLong
+        (src, n, dis, 10000L * (n - dis) / n, rs.map(r => r._3 - r._4).sum) }
+      .sortBy(_._1)
+    val got = Analytics14.q_audit_duprate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty && got == want)
+    // every source's dup volume is the reclaimable EXTRA, never the corpus
+    assert(got.forall(r => r._5 >= 0 && r._2 >= r._3))
+  }
+
   test("§2.31 plan contracts: calibration and langmix are one scan, no join, two-phase") {
     for (name <- Seq("q_eval_calibration", "q_text_langmix")) {
       val df = SparkEntry.queries(name)(spark, sf)
