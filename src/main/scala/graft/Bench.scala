@@ -155,27 +155,26 @@ object Bench {
     // Every query is timed under identical rules; order is otherwise the
     // (arbitrary) alphabetical one.
     val heavyFirst = Seq(
-      // r09 driver artifact's top-12, in measured order (the new
-      // q_dedup_cluster_star led it at 9.8 s precisely because it was NOT
-      // scheduled heavy-first), then the held-over r8-era tail —
-      // refreshed per round from the previous artifact
-      // q_dedup_cluster FIRST, star SECOND: both build the same exact-
-      // Jaccard pair frame, so whichever runs first pays that plan's
-      // one-time compile — putting it on the cheaper min-label query
-      // lowers the suite's ceiling (the star query is the slower of the
-      // pair even warm)
-      "q_dedup_cluster", "q_dedup_cluster_star", "q_rec_itemcf",
-      "q_graph_pagerank", "q_text_keywords", "q_graph_sssp",
-      // q_ngram_jaccard is the suite's most JVM-state-sensitive query
-      // (1.4 s warm solo vs 7.1 s late-suite on identical plans) — it held
-      // slot 5 in the r7-era list and regressed 2.6→7.1 when slot 15
-      "q_ngram_jaccard",
-      "q_table_replica_stream", "q_table_cdf", "q_graph_bfs",
-      "q_dedup_semantic", "q_table_multi_replica", "q_dedup_minhash",
+      // the round-10 quiet-pin top list in measured order (q_ngram_jaccard
+      // leads: its first-run plan compile is the suite ceiling and it is
+      // the most JVM-state-sensitive query — 2.2 s steady vs 7 s late-
+      // suite on identical plans), then the held-over tail — refreshed
+      // per round from the latest artifact.
+      "q_ngram_jaccard", "q_rec_itemcf",
+      // q_dedup_cluster BEFORE star: both build the same exact-Jaccard
+      // pair frame, so whichever runs first pays that plan's one-time
+      // compile — putting it on the cheaper min-label query lowers the
+      // suite's ceiling (the star query is the slower of the pair even
+      // warm)
+      "q_dedup_cluster", "q_dedup_cluster_star",
+      "q_graph_pagerank", "q_table_cdf", "q_table_replica_stream",
+      "q_graph_sssp", "q_text_keywords", "q_graph_ppr", "q_tpch_q21",
+      "q_dedup_minhash", "q_dedup_semantic", "q_dedup_minhash_sparse",
+      "q_table_multi_replica", "q_graph_bfs",
       "q_graph_lpa", "q_survival_hazard",
       "q_graph_kcore", "q_tile_pyramid", "q_freq_pairs",
-      "q_tpch_q21", "q_table_replace", "q_bpe_train", "q_table_diff",
-      "q_table_clone", "q_table_replica", "q_graph_ppr",
+      "q_table_replace", "q_bpe_train", "q_table_diff",
+      "q_table_clone", "q_table_replica",
       "q_graph_linkpred", "q_ann_refine").zipWithIndex.toMap
     val selected = SparkEntry.queries
       .filter { case (k, _) => only.forall(_.contains(k)) }
