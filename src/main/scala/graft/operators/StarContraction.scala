@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Fixpoint: large-star then small-star leave a stable edge set exactly
   * when every edge already points node → component-min (a star). The
-  * convergence probe is the sum of (src + dst) over the canonicalized
-  * edge set — strictly decreasing until the fixpoint (each contraction
-  * replaces an endpoint by a strictly smaller one), the same
-  * monotone-sum argument the min-label loop uses on labels.
+  * convergence probe tests that SHAPE directly — every source exactly
+  * once and never a destination (see `starViolations` below for the
+  * two-way soundness argument) — which detects the fixpoint one full
+  * alternation earlier than round-9's "did the edge sum stop
+  * decreasing" probe, which needed a confirming alternation to observe
+  * stability.
   */
 object StarContraction {
 
@@ -42,28 +44,20 @@ object StarContraction {
       println(f"[star] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
-    // Repartition BY KEY before caching: the edge generator upstream (a
-    // similarity pair join) leaves e0 scattered over its shuffle-width
-    // partition count, and every alternation-0 stage then schedules that
-    // many near-empty tasks (measured: 4.0 s alternation 0 vs 0.9 s for
-    // the IDENTICAL plan on alternation 1, whose input is an
-    // AQE-coalesced checkpoint). A keyed repartition lets AQE size the
-    // cached layout to the DATA — one partition for a demo slice,
-    // proportional at 100 TB — so round cost tracks edge volume, not the
-    // upstream join's parallelism.
     // localCheckpoint, not persist: caching pins the upstream pair join's
     // 32-wide shuffle layout before AQE can right-size it
     // (canChangeCachedPlanOutputPartitioning is off by default), so every
     // alternation-0 stage schedules a shuffle-width fan of near-empty
-    // tasks; the checkpoint stores the AQE-FINAL layout — compact for a
-    // demo slice, proportionally wide for a 100 TB pair set — so the
-    // loop's first alternation reads the same shape the later ones do.
+    // tasks (measured: 4.0 s alternation 0 vs 0.9 s for the IDENTICAL
+    // plan on alternation 1, whose input is a checkpoint); the checkpoint
+    // stores the AQE-FINAL layout — compact for a demo slice,
+    // proportionally wide for a 100 TB pair set — so the loop's first
+    // alternation reads the same shape the later ones do.
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v")).localCheckpoint(eager = false)
     try {
       val n = e0.count() // materialize once; the loop re-reads the checkpoint
       lap(s"edges-materialize n=$n")
-      val eb = e0
 
       // one star operation: per node u over its closed neighborhood,
       // m = min(u, min(neighbors)); re-emit (n, m) for the selected
@@ -110,7 +104,7 @@ object StarContraction {
             (col("sc") > 0 && col("dc") > 0), 1L).otherwise(0L)), lit(0L)))
           .head().getLong(0)
 
-      var cur = eb
+      var cur = e0
       var converged = false
       var iter = 0
       // ADAPTIVE codegen: each alternation is a fresh ~6-stage plan whose
