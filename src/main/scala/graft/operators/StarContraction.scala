@@ -104,26 +104,38 @@ object StarContraction {
             (col("sc") > 0 && col("dc") > 0), 1L).otherwise(0L)), lit(0L)))
           .head().getLong(0)
 
-      var cur = e0
       var converged = false
       var iter = 0
       // ADAPTIVE codegen: each alternation is a fresh ~6-stage plan whose
       // generated classes Janino compiles once (~1 s, measured: first
       // alternation 2.5 s vs 0.7 s for the identical later ones, and
       // NO_CODEGEN cut exactly the difference). Below ~10M edges the
-      // compile strictly dominates interpreted execution, so turn
-      // codegen off for the LOOP only; a 100 TB pair set keeps codegen —
-      // there the compile amortizes over real row volume. Conf is
-      // restored even if an alternation throws.
+      // compile strictly dominates interpreted execution, so run the LOOP
+      // interpreted; a 100 TB pair set keeps codegen — there the compile
+      // amortizes over real row volume. The override lives in a CLONED
+      // session (round-10 ADVICE: mutating the shared session's confs
+      // made concurrent queries run interpreted and let concurrent
+      // components() calls race on save/restore) — newSession() shares
+      // the SparkContext (so the checkpointed blocks are visible) but
+      // owns its SQLConf, so nothing leaks and nothing needs restoring.
       val sess = vertices.sparkSession
       val interpretLoop = n < 10000000L
-      val cg0 = sess.conf.get("spark.sql.codegen.wholeStage", "true")
-      val cg1 = sess.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-      if (interpretLoop) {
-        sess.conf.set("spark.sql.codegen.wholeStage", "false")
-        sess.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val loopSess = if (!interpretLoop) sess else {
+        val s = sess.newSession()
+        // newSession seeds SQLConf from the builder-time SparkConf; carry
+        // the one runtime knob the loop's shuffles depend on
+        s.conf.set("spark.sql.shuffle.partitions",
+          sess.conf.get("spark.sql.shuffle.partitions", "32"))
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
+        s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        s
       }
-      try {
+      // re-root the checkpointed edge RDD in the loop session (rows are
+      // two longs; the Row conversion is interpreted-loop-sized by
+      // construction)
+      var cur =
+        if (interpretLoop) loopSess.createDataFrame(e0.rdd, e0.schema)
+        else e0
       while (!converged && iter < maxIter) {
         val next = star(sym(star(sym(cur), large = true)), large = false)
           .distinct() // ONE dedup per alternation, folded into the probe job
@@ -138,17 +150,20 @@ object StarContraction {
         cur = next
         iter += 1
       }
-      } finally if (interpretLoop) {
-        sess.conf.set("spark.sql.codegen.wholeStage", cg0)
-        sess.conf.set("spark.sql.codegen.factoryMode", cg1)
-      }
       if (!converged)
         throw new IllegalStateException(
           s"star contraction did not converge in $maxIter alternations")
+      // re-root the fixpoint back in the CALLER's session before the
+      // final join (star edges are component-count-sized, so the Row
+      // conversion is negligible; cross-session plan mixing is not a
+      // contract Spark makes)
+      val stars =
+        if (interpretLoop) sess.createDataFrame(cur.rdd, cur.schema)
+        else cur
       // fixpoint edges are (node, component-min) stars; roots map to
       // themselves, isolated vertices likewise
       vertices.select(col(idCol).as("id")).as("vx")
-        .join(cur.select(col("u").as("id"), col("v").as("c")).as("st"),
+        .join(stars.select(col("u").as("id"), col("v").as("c")).as("st"),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("c"), col("id")).as("component"))
     } finally { CheckpointRelease.release(e0) }

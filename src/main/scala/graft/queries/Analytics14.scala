@@ -24,7 +24,11 @@ object Analytics14 {
   def q_eval_calibration(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(
-        ((col("event_id") * 2654435761L) % 10000L).as("pred_bp"),
+        // pmod, not % — at large event_id the Long multiply wraps
+        // negative and plain % would emit negative buckets silently
+        // (the q_net_portscan precedent); the oracle mirrors with
+        // ((x % m) + m) % m since DuckDB raises on the overflow instead
+        pmod(col("event_id") * 2654435761L, lit(10000L)).as("pred_bp"),
         (col("user_id") % 2 === 0).cast("long").as("pos"))
       .groupBy((col("pred_bp") / 1000L).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
@@ -105,7 +109,7 @@ object Analytics14 {
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q_eval_calibration" ->
       """WITH p AS (
-        |  SELECT (event_id * 2654435761) % 10000 AS pred_bp,
+        |  SELECT (((event_id * 2654435761) % 10000) + 10000) % 10000 AS pred_bp,
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS pos
         |  FROM events)
         |SELECT pred_bp // 1000 AS bucket, count(*) AS n,

@@ -103,8 +103,15 @@ class TxBatchSource extends TableProvider with DataSourceRegister
         "OPTIMIZE ZORDER BY are its pruning story")
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "txtable sink requires a path: writeStream.format(\"txtable\").start(root)"))
+    // a query relying on the spark.sql.streaming.checkpointLocation conf
+    // DEFAULT never puts checkpointLocation in the sink options — key it
+    // on (conf base, sink root), which is exactly as stable across
+    // restarts as that query's checkpoint resumability is
+    val confDefault = sqlContext.sparkSession.conf
+      .getOption("spark.sql.streaming.checkpointLocation").map(_ + ":" + root)
     val appId = parameters.get("appId")
       .orElse(parameters.get("checkpointLocation"))
+      .orElse(confDefault)
       .getOrElse(throw new IllegalArgumentException(
         "txtable sink needs a stable idempotence key: set " +
           "checkpointLocation (or option(\"appId\", …))"))
@@ -146,11 +153,19 @@ object TxSqlTable {
         "txtable source requires a path: spark.read.format(\"txtable\").load(root)"))
     // DataStreamWriter resolves the provider's Table BEFORE falling back
     // to the V1 sink, and a SINK target legitimately may not exist yet
-    // (the first micro-batch creates it). Sink resolutions are
-    // recognizable — only writeStream passes checkpointLocation — and get
-    // a capability-less stub that routes Spark straight to createSink;
-    // batch reads of a missing root stay a loud NoSuchTableException.
-    if (options.containsKey("checkpointLocation"))
+    // (the first micro-batch creates it). The stub is gated on the table
+    // NOT existing — an existing root always resolves the real table, so
+    // a batch read that happens to carry a checkpointLocation option is
+    // never shadowed (the real table has no STREAMING_WRITE capability,
+    // so writeStream to an existing root still falls back to createSink).
+    // A MISSING root is a sink resolution when the query declares a
+    // checkpoint — via the option OR the session-conf default
+    // (spark.sql.streaming.checkpointLocation); otherwise batch reads of
+    // a missing root stay a loud NoSuchTableException.
+    val confCheckpoint = Option(SparkSession.getActiveSession.orNull)
+      .exists(_.conf.getOption("spark.sql.streaming.checkpointLocation").isDefined)
+    if (!TxTable.exists(root) &&
+        (options.containsKey("checkpointLocation") || confCheckpoint))
       return new Table {
         override def name(): String = s"txtable.`$root` (streaming sink target)"
         override def schema(): StructType = new StructType()
@@ -486,10 +501,20 @@ class TxV1Scan(tx: TxTable, files: Seq[TxTable.FileEntry],
     new org.apache.spark.sql.connector.read.Statistics {
       private val rows = files.map(_.rows).sum
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(
-        files.map(f => java.nio.file.Paths.get(tx.root, "data", f.path))
-          .filter(java.nio.file.Files.exists(_))
-          .map(java.nio.file.Files.size).sum)
+      // Resolve exactly like the read path does (dataDir.resolve passes
+      // shallow-clone ABSOLUTE borrowed paths through unchanged) — and a
+      // file we cannot stat contributes a row-based estimate, never 0:
+      // under-reporting here would plan an arbitrarily large cloned table
+      // as the broadcast side of a join (driver OOM at scale).
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val dataDir = java.nio.file.Paths.get(tx.root, "data")
+        val perRow = math.max(1L, fullSchema.defaultSize.toLong)
+        java.util.OptionalLong.of(files.map { f =>
+          val p = dataDir.resolve(f.path)
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+          else f.rows * perRow
+        }.sum)
+      }
     }
 
   override def description(): String =

@@ -1507,9 +1507,24 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val cmap =
         if (base.colMap == target.colMap) None else Some(target.colMap)
       // declared metadata restores too (an ADD COLUMN after the target
-      // version is undone); meta can only be SET, never cleared — a
-      // target with no meta predates CREATE-declared metadata entirely
-      val mt = if (base.meta == target.meta) None else target.meta
+      // version is undone). The delta format can only SET meta, never
+      // clear it — so when the target PREDATES declared metadata
+      // entirely (target.meta = None, e.g. a table born via append that
+      // later got an ADD COLUMN), re-declare the target version's
+      // RECONSTRUCTED schema as the meta record: that pins reads to
+      // exactly the target's columns, which is what "full-state restore"
+      // promises (round-10 ADVICE — without this the phantom NULL column
+      // survived the restore). A zero-file no-meta target has no schema
+      // to reconstruct; there nothing is readable either way.
+      val mt =
+        if (base.meta == target.meta) None
+        else target.meta.orElse {
+          if (target.files.isEmpty) None
+          else Some(TableMeta(
+            readFiles(org.apache.spark.sql.SparkSession.active,
+              target.files, target.colMap, None).schema.json,
+            statCols, bloomCols))
+        }
       try return commitOnce(base, constraints = cons,
         colMap = cmap, op = s"restore($versionAsOf)", meta = mt) { _ => target.files }
       catch {

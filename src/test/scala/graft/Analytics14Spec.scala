@@ -15,7 +15,7 @@ class Analytics14Spec extends AnyFunSuite with SparkFixture {
       .select(col("event_id"), col("user_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val want = rows.map { case (eid, uid) =>
-      ((eid * 2654435761L) % 10000L, if (uid % 2 == 0) 1L else 0L) }
+      (Math.floorMod(eid * 2654435761L, 10000L), if (uid % 2 == 0) 1L else 0L) }
       .groupBy(_._1 / 1000L).toSeq
       .map { case (b, rs) =>
         val n = rs.size.toLong

@@ -137,4 +137,18 @@ class RestoreSpec extends AnyFunSuite with SparkFixture {
     assert(t.currentVersion == before,
       "replayed stream batch was re-applied after restore — idempotence lost")
   }
+
+  test("restore undoes ADD COLUMN even when the target predates declared metadata") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 5, 1))                  // v1: born via append, no meta
+    t.addColumn(spark, "note",
+      org.apache.spark.sql.types.StringType)         // v2: first meta record
+    assert(t.read(spark).columns.contains("note"))
+    t.restore(1)                                     // v3
+    assert(!t.read(spark).columns.contains("note"),
+      "the phantom NULL column must not survive a restore to a pre-meta version")
+    // and the restore is itself undoable: forward again re-reveals the column
+    t.restore(2)
+    assert(t.read(spark).columns.contains("note"))
+  }
 }

@@ -108,4 +108,23 @@ class TxCloneSpec extends AnyFunSuite with SparkFixture {
     taken.append(spark, keyed(0, 3, 1))
     intercept[IllegalArgumentException] { src.cloneTo(taken.root) }
   }
+
+  test("a fully-borrowed clone reports its real byte size to Catalyst, never ~0") {
+    // borrowed manifest entries are ABSOLUTE paths; the stats seam must
+    // resolve them the way reads do, or a 100 TB clone would report
+    // sizeInBytes≈0 and plan as the BROADCAST side of a join (round-10
+    // ADVICE). The source's physical bytes are the floor.
+    val src = new TxTable(tmpRoot(), Seq("k"))
+    src.append(spark, keyed(0, 5000, 4))
+    val srcBytes = Option(Paths.get(src.root, "data").toFile.listFiles())
+      .getOrElse(Array.empty).filterNot(_.getName.startsWith(".")).map(_.length()).sum
+    assert(srcBytes > 0)
+    val clone = src.cloneTo(tmpRoot() + "/c")
+    val snap = clone.snapshot()
+    val schema = clone.read(spark).schema
+    val scan = new graft.sources.TxV1Scan(clone, snap.files, snap.colMap, schema, schema)
+    val sz = scan.estimateStatistics().sizeInBytes()
+    assert(sz.isPresent && sz.getAsLong >= srcBytes,
+      s"clone stats ${if (sz.isPresent) sz.getAsLong else -1} < source bytes $srcBytes")
+  }
 }

@@ -220,6 +220,44 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert((10L until 20L).forall(u => after(u).contains(u + 1000L)))
   }
 
+  test("sink-stub resolution never shadows an existing table; conf-default checkpoint resolves the sink") {
+    // (round-10 ADVICE) the streaming-sink Table stub used to key on the
+    // checkpointLocation OPTION alone: an existing-table batch read that
+    // carried the option resolved a schema-less stub, and a writeStream
+    // relying on the conf DEFAULT missed the stub and threw.
+    val t = freshTable()
+    t.append(spark, rows(0, 25).coalesce(1))
+    // 1) batch read of an EXISTING root with a stray checkpointLocation
+    //    option reads normally (the real table resolves, not the stub)
+    val got = spark.read.format("txtable")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stub_ck").toString)
+      .load(t.root)
+    assert(got.count() == 25 && got.columns.contains("v"))
+    // 2) writeStream with ONLY the session-conf default checkpoint
+    //    location still resolves the sink for a first-batch-creates root
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Long]
+    source.addData(0L until 30L: _*)
+    val root = Files.createTempDirectory("graft_txsinkconf").toString + "/t"
+    val ckBase = Files.createTempDirectory("graft_txsinkconf_ck").toString
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckBase)
+    try {
+      val q = source.toDF().select(col("value").as("user_id"),
+          (col("value") * 3).as("v"))
+        .writeStream.format("txtable").queryName("conf_default_sink")
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      assert(q.awaitTermination(120000), "stream did not finish")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert(TxTable.open(root).read(spark).count() == 30)
+    // 3) batch read of a MISSING root stays a loud error
+    intercept[Exception] {
+      spark.read.format("txtable").load(root + "_nope").count()
+    }
+  }
+
   test("vacuum never deletes a file any retained version references") {
     val t = freshTable()
     t.append(spark, rows(0, 10).coalesce(1))   // v1: file A
