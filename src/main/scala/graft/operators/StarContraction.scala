@@ -132,9 +132,13 @@ object StarContraction {
       }
       // re-root the checkpointed edge RDD in the loop session (rows are
       // two longs; the Row conversion is interpreted-loop-sized by
-      // construction)
+      // construction). Its own localCheckpoint makes the conversion run
+      // ONCE — alternation 0 scans its input four times (two sym views ×
+      // agg+join), and without the cut each scan would re-convert.
       var cur =
-        if (interpretLoop) loopSess.createDataFrame(e0.rdd, e0.schema)
+        if (interpretLoop)
+          loopSess.createDataFrame(e0.rdd, e0.schema)
+            .localCheckpoint(eager = false) // materialized by alt-0's probe
         else e0
       while (!converged && iter < maxIter) {
         val next = star(sym(star(sym(cur), large = true)), large = false)

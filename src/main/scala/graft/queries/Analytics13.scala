@@ -25,10 +25,9 @@ object Analytics13 {
     * with minLabel on randomized graphs including paths. */
   def q_dedup_cluster_star(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-    val sets = docs.select(col("doc_id"),
-      expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
-    val pairs = graft.operators.SetSimilarity.exactJaccardPairs(sets, minBp = 8000L)
-      .select(col("da"), col("db"))
+    // shared pair graph — see [[DedupGraph]]: built once per (JVM,
+    // corpus) by whichever CC gate runs first
+    val pairs = DedupGraph.pairs(spark, dir)
     graft.operators.StarContraction
       .components(docs.select(col("doc_id")), "doc_id", pairs, "da", "db")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))

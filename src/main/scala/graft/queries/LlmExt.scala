@@ -296,10 +296,10 @@ object LlmExt {
     * the t2 correctness domain (500 docs at sf0.01). */
   def q_dedup_cluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-    val sets = docs.select(col("doc_id"),
-      expr("array_sort(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("ws"))
-    val pairs = graft.operators.SetSimilarity.exactJaccardPairs(sets, minBp = 8000L)
-      .select(col("da"), col("db"))
+    // the pair graph is SHARED with q_dedup_cluster_star (identical input,
+    // identical oracle) — built once per (JVM, corpus) by whichever of the
+    // two runs first ([[DedupGraph]])
+    val pairs = DedupGraph.pairs(spark, dir)
     graft.operators.ConnectedComponents
       .minLabel(docs.select(col("doc_id")), "doc_id", pairs, "da", "db")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))

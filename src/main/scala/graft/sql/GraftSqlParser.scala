@@ -89,8 +89,22 @@ object GraftSqlParser {
     "(?is)^\\s*UPDATE\\s+" + Target +
     "\\s+SET\\s+(.+?)" +
     "\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+)\\s*;?\\s*$").r
+  // the GENERAL form — any predicate text; tried after the banded form,
+  // which keeps the replaceWhere-proved band fast path for band-shaped
+  // statements and routes everything else to TxTable.updateWhere
+  private val UpdateWhereRe = (
+    "(?is)^\\s*UPDATE\\s+" + Target +
+    "\\s+SET\\s+(.+?)" +
+    "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val UpdateProbe = ("(?is)^\\s*UPDATE\\s+" + Target + ".*").r
   private val Assign = "(?s)^\\s*(\\w+)\\s*=\\s*(.+?)\\s*$".r
+
+  // WHERE-ful DELETE takes the arbitrary-predicate copy-on-write path
+  // (TxTable.deleteWhere); DELETE without WHERE stays with the DSv2
+  // truncate, and non-txtable DELETEs pass through to the delegate
+  private val DeleteWhereRe = (
+    "(?is)^\\s*DELETE\\s+FROM\\s+" + Target +
+    "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
 
   private val RestoreRe = (
     "(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target +
@@ -174,10 +188,17 @@ object GraftSqlParser {
           s"bad UPDATE assignment: $other")
       }
       Some(TxUpdateCommand(root, assignments, c, lo.toLong, hi.toLong))
+    case UpdateWhereRe(root, sets, pred) =>
+      val assignments = splitTopLevel(sets).map {
+        case Assign(name, rhs) => (name, rhs)
+        case other => throw new IllegalArgumentException(
+          s"bad UPDATE assignment: $other")
+      }
+      Some(TxUpdateWhereCommand(root, assignments, pred))
     case UpdateProbe(root) => throw new IllegalArgumentException(
       s"unsupported UPDATE form for txtable.`$root` — supported: " +
-        "UPDATE txtable.`root` SET col = <expr>[, …] " +
-        "WHERE <statCol> BETWEEN <lo> AND <hi>")
+        "UPDATE txtable.`root` SET col = <expr>[, …] WHERE <predicate>")
+    case DeleteWhereRe(root, pred) => Some(TxDeleteWhereCommand(root, pred))
     case RestoreRe(root, v) => Some(TxRestoreCommand(root, v.toInt))
     case RestoreProbe(root) => throw new IllegalArgumentException(
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
@@ -310,6 +331,42 @@ case class TxUpdateCommand(root: String, sets: Seq[(String, String)],
       setMap.get(c).map(rhs => expr(rhs).as(c)).getOrElse(col(c))
     }: _*)
     val r = t.overwriteWhere(spark, statCol, lo, hi, updated)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `UPDATE txtable.\`root\` SET col = <expr>[, …] WHERE <predicate>` —
+  * the GENERAL Delta-style UPDATE ([[TxTable.updateWhere]]): manifest
+  * stats prune candidate files through the predicate's conjunct
+  * intervals, candidates rewrite copy-on-write under a conditional
+  * projection with ANSI pre-update-row SET semantics. Band-shaped
+  * statements never reach here (the BETWEEN fast path matches first). */
+case class TxUpdateWhereCommand(root: String, sets: Seq[(String, String)],
+    predicateSql: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxTable.open(root).updateWhere(spark, predicateSql, sets)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `DELETE FROM txtable.\`root\` WHERE <predicate>` — the GENERAL
+  * copy-on-write delete ([[TxTable.deleteWhere]]): provably-disjoint
+  * files carry by name, provably-fully-covered files drop
+  * metadata-only, the rest rewrite without their matching rows. */
+case class TxDeleteWhereCommand(root: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxTable.open(root).deleteWhere(spark, predicateSql)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }

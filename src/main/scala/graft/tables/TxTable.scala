@@ -842,6 +842,167 @@ final class TxTable(val root: String, val statCols: Seq[String],
       newFiles = entries.size)
   }
 
+  /** Per-STAT-COLUMN interval constraints implied by the TOP-LEVEL
+    * conjuncts of an arbitrary predicate, plus whether any conjunct was
+    * NOT captured (residual). Extraction is prune-sound in one direction
+    * only and used accordingly: a conjunction can only REMOVE matching
+    * rows, so a file disjoint from any extracted interval provably holds
+    * no match REGARDLESS of residual conjuncts — but FULL coverage
+    * (every row matches) is provable only when there is NO residual and
+    * the file's stats range lies inside every interval. Supported atoms:
+    * `col <op> integer-literal` (either operand order, = < <= > >=, and
+    * the BETWEEN the session parser desugars into two comparisons) on
+    * columns whose PHYSICAL name is a declared stat column; anything
+    * else is residual. */
+  private[graft] def predicateBands(spark: SparkSession, predicateSql: String,
+      base: Snapshot): (Map[String, (Long, Long)], Boolean) = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      // the parser leaves BETWEEN as an unresolved 3-arg function; it IS
+      // the two comparisons (analysis would desugar it the same way)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.length == 3 =>
+        Seq(ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          ce.LessThanOrEqual(f.arguments(0), f.arguments(2)))
+      case other => Seq(other)
+    }
+    def statPhys(e: ce.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 =>
+        Some(phys(base, a.nameParts.head)).filter(statCols.contains)
+      case _ => None
+    }
+    def longOf(e: ce.Expression): Option[Long] = e match {
+      case ce.Literal(v: Byte, _) => Some(v.toLong)
+      case ce.Literal(v: Short, _) => Some(v.toLong)
+      case ce.Literal(v: Int, _) => Some(v.toLong)
+      case ce.Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    val bands = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bands.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bands(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    var residual = false
+    conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
+      .foreach { conj =>
+        // normalize literal-first atoms to column-first before matching
+        val norm = conj match {
+          case ce.EqualTo(l: ce.Literal, a) => ce.EqualTo(a, l)
+          case ce.GreaterThan(l: ce.Literal, a) => ce.LessThan(a, l)
+          case ce.GreaterThanOrEqual(l: ce.Literal, a) => ce.LessThanOrEqual(a, l)
+          case ce.LessThan(l: ce.Literal, a) => ce.GreaterThan(a, l)
+          case ce.LessThanOrEqual(l: ce.Literal, a) => ce.GreaterThanOrEqual(a, l)
+          case other => other
+        }
+        norm match {
+          case ce.EqualTo(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>
+            val v = longOf(l).get; tighten(statPhys(a).get, v, v)
+          case ce.GreaterThanOrEqual(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>
+            tighten(statPhys(a).get, longOf(l).get, Long.MaxValue)
+          case ce.LessThanOrEqual(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>
+            tighten(statPhys(a).get, Long.MinValue, longOf(l).get)
+          case ce.GreaterThan(a, l) if statPhys(a).isDefined &&
+              longOf(l).exists(_ < Long.MaxValue) =>
+            tighten(statPhys(a).get, longOf(l).get + 1, Long.MaxValue)
+          case ce.LessThan(a, l) if statPhys(a).isDefined &&
+              longOf(l).exists(_ > Long.MinValue) =>
+            tighten(statPhys(a).get, Long.MinValue, longOf(l).get - 1)
+          case _ => residual = true
+        }
+      }
+    (bands.toMap, residual)
+  }
+
+  private def bandsIntersect(bands: Map[String, (Long, Long)])(f: FileEntry): Boolean =
+    bands.forall { case (p, (lo, hi)) =>
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
+    }
+
+  /** Copy-on-write DELETE of rows matching an ARBITRARY predicate — the
+    * general form of the banded [[delete]] (round-10 verdict #2).
+    * Manifest stats prune the file list through the predicate's conjunct
+    * intervals ([[predicateBands]]):
+    *  - files PROVABLY DISJOINT from some interval carry by name;
+    *  - files PROVABLY FULLY COVERED (no residual conjunct and stats
+    *    range inside every interval) drop metadata-only — zero data I/O;
+    *  - the rest rewrite without the matching rows (DV-aware read, so
+    *    already-deleted rows never resurrect; rows where the predicate
+    *    evaluates NULL survive — ANSI DELETE removes only TRUE).
+    * A non-stat-column predicate degrades soundly: no interval is
+    * derivable, every file is a rewrite candidate, and the commit guard
+    * treats every concurrent append as a conflict. At 100 TB the cost is
+    * the files the predicate's selectivity on the table's clustered
+    * columns leaves touched — retention deletes stay metadata-only. */
+  def deleteWhere(spark: SparkSession, predicateSql: String): DeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "delete from an empty table?")
+    val (bands, residual) = predicateBands(spark, predicateSql, base)
+    val (touched, kept) = base.files.partition(bandsIntersect(bands))
+    val (covered, straddling) =
+      if (residual || bands.isEmpty) (Seq.empty[FileEntry], touched)
+      else touched.partition { f =>
+        bands.forall { case (p, (lo, hi)) =>
+          f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
+        }
+      }
+    val entries =
+      if (straddling.isEmpty) Nil
+      else {
+        val survivors = readFiles(spark, straddling, base.colMap, base.meta)
+          .filter(!coalesce(expr(predicateSql), lit(false)))
+        // an all-victims rewrite set legitimately produces ZERO files
+        if (survivors.isEmpty) Nil else writeDataFiles(spark, survivors)
+      }
+    val version = commitCowGuarded(base, touched, entries, "delete",
+      Some((bandsIntersect(bands) _,
+        s"may hold rows matching `$predicateSql`")))
+    DeleteResult(version, droppedFiles = covered.size,
+      rewrittenFiles = straddling.size, keptFiles = kept.size,
+      newFiles = entries.size)
+  }
+
+  /** Copy-on-write UPDATE under an ARBITRARY predicate: [[deleteWhere]]'s
+    * prune classes minus the metadata-only one (an update must rewrite
+    * matching ROWS, so provably-fully-covered files are rewrites too).
+    * Each candidate file's rows pass through ONE conditional projection —
+    * `WHEN pred THEN rhs ELSE old` per assigned column, every rhs reading
+    * the PRE-update row (ANSI UPDATE: `SET a = b, b = a` swaps); rows the
+    * predicate doesn't match (including NULL) carry unchanged. */
+  def updateWhere(spark: SparkSession, predicateSql: String,
+      sets: Seq[(String, String)]): DeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "update of an empty table?")
+    val names = sets.map(_._1)
+    require(names.distinct.length == names.length,
+      s"UPDATE SET assigns ${names.diff(names.distinct).distinct.mkString(", ")} more than once")
+    val (bands, _) = predicateBands(spark, predicateSql, base)
+    val (touched, kept) = base.files.partition(bandsIntersect(bands))
+    val entries =
+      if (touched.isEmpty) Nil
+      else {
+        val cand = readFiles(spark, touched, base.colMap, base.meta)
+        names.foreach(n => require(cand.columns.contains(n),
+          s"UPDATE SET names unknown column $n (have ${cand.columns.mkString(", ")})"))
+        val setMap = sets.toMap
+        val pred = coalesce(expr(predicateSql), lit(false))
+        val updated = cand.select(cand.columns.toSeq.map { c =>
+          setMap.get(c)
+            .map(rhs => when(pred, expr(rhs)).otherwise(col(c)).as(c))
+            .getOrElse(col(c))
+        }: _*)
+        writeDataFiles(spark, updated)
+      }
+    val version = commitCowGuarded(base, touched, entries, "update",
+      Some((bandsIntersect(bands) _,
+        s"may hold rows matching `$predicateSql`")))
+    DeleteResult(version, droppedFiles = 0, rewrittenFiles = touched.size,
+      keptFiles = kept.size, newFiles = entries.size)
+  }
+
   /** Unconditional `DELETE FROM t` (truncate): every current file leaves
     * the manifest in one metadata-only commit — zero data I/O at any
     * table size, and history/time travel keep the old versions readable
@@ -1903,6 +2064,26 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def commitCow(base: Snapshot, candidates: Seq[FileEntry],
       entries: Seq[FileEntry], what: String,
       guard: Option[(String, Long, Long)],
+      txns: Map[String, Long] = Map.empty): Int =
+    commitCowGuarded(base, candidates, entries, what,
+      guard.map { case (key, mn, mx) =>
+        ((f: FileEntry) => f.mins.get(key).forall(_ <= mx) &&
+          f.maxs.get(key).forall(_ >= mn),
+          s"overlap $key in [$mn, $mx]")
+      }, txns)
+
+  /** The copy-on-write commit loop under a GENERAL fresh-file conflict
+    * test: on a lost publish race, rebase across concurrent commits
+    * unless (a) a file this op read was rewritten/deleted, or (b) a
+    * concurrently ADDED file satisfies `freshConflict` — i.e. its stats
+    * cannot prove it disjoint from the rows this operation's predicate
+    * governs. The single-stat-band ops pass an interval test through the
+    * [[commitCow]] wrapper; arbitrary-predicate DML passes the
+    * multi-band test its prune derived ([[predicateBands]] — with no
+    * derivable band EVERY fresh data file conflicts, the sound default). */
+  private def commitCowGuarded(base: Snapshot, candidates: Seq[FileEntry],
+      entries: Seq[FileEntry], what: String,
+      guard: Option[(FileEntry => Boolean, String)],
       txns: Map[String, Long] = Map.empty): Int = {
     val candIds = candidates.map(f => (f.path, f.dv)).toSet
     val baseIds = base.files.map(f => (f.path, f.dv)).toSet
@@ -1928,12 +2109,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
             conflict("file(s) this operation read were rewritten, deleted, " +
               "or position-deleted")
           val fresh = cur.files.filterNot(f => baseIds.contains((f.path, f.dv)))
-          guard.foreach { case (key, mn, mx) =>
+          guard.foreach { case (test, desc) =>
             // missing stats conservatively overlap: nothing proves the
-            // fresh file's rows outside the operation's key range
-            if (fresh.exists(f => f.mins.get(key).forall(_ <= mx) &&
-                f.maxs.get(key).forall(_ >= mn)))
-              conflict(s"concurrently added file(s) overlap $key in [$mn, $mx]")
+            // fresh file's rows outside the operation's governed range
+            if (fresh.exists(test))
+              conflict(s"concurrently added file(s) $desc")
           }
           attempt = cur
       }

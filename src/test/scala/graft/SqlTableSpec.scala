@@ -59,23 +59,48 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
         s"'${java.time.Instant.ofEpochMilli(ts1)}'").head().getLong(0) == 10)
   }
 
-  test("DELETE FROM … WHERE BETWEEN routes through SupportsDelete onto the table layer") {
+  test("DELETE FROM … WHERE band shapes prune through manifest stats") {
     val t = freshTable()
-    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 10 AND 29")
+    val r = spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 10 AND 29").head()
     assert(t.read(spark).count() == 20)
     assert(t.history().head.operation == "delete")
-    // equality shape too
-    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k = 5")
+    // 4 range-partitioned files of 10 rows: [10,29] covers two whole
+    // files — both drop METADATA-ONLY, nothing rewrites
+    assert(r.getInt(1) == 2 && r.getInt(2) == 0,
+      s"expected 2 dropped / 0 rewritten, got $r")
+    // equality shape: one straddler rewrite, band-pruned to one file
+    val r2 = spark.sql(s"DELETE FROM ${q(t.root)} WHERE k = 5").head()
     assert(t.read(spark).count() == 19)
+    assert(r2.getInt(2) == 1 && r2.getInt(3) == 1, s"got $r2")
   }
 
-  test("DELETE FROM with an unsupported predicate shape is refused loudly") {
+  test("DELETE FROM with an arbitrary predicate rewrites candidates copy-on-write") {
     val t = freshTable()
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM ${q(t.root)} WHERE v % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
-    assert(t.read(spark).count() == 40, "refused delete must not mutate")
+    // non-translatable shape (modulo): every file is a rewrite candidate
+    val r = spark.sql(s"DELETE FROM ${q(t.root)} WHERE k % 2 = 0").head()
+    assert(t.read(spark).count() == 20)
+    assert(t.read(spark).agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) == (0L until 40L).filter(_ % 2 == 1).sum)
+    assert(r.getInt(1) == 0 && r.getInt(2) == 4, s"got $r")
+    // mixed predicate: the banded conjunct prunes, the residual conjunct
+    // runs in the rewrite — files outside [0, 9] are untouched BY NAME
+    val r3 = spark.sql(
+      s"DELETE FROM ${q(t.root)} WHERE k <= 9 AND v >= 50").head()
+    assert(r3.getInt(2) == 1 && r3.getInt(3) == 3,
+      s"banded conjunct must keep 3 files untouched, got $r3")
+    assert(t.read(spark).count() == 17) // k=5,7,9 died (odd survivors ≤9 with v>=50)
+  }
+
+  test("SupportsDelete (the DSv2 API face) still translates pushable filters") {
+    val t = freshTable()
+    val dsv2 = new graft.sources.TxSqlTable(t.root, None, None)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual => SGte, LessThanOrEqual => SLte}
+    // Spark splits top-level conjunctions before the SupportsDelete call
+    val f = Array[org.apache.spark.sql.sources.Filter](
+      SGte("k", 10L), SLte("k", 29L))
+    assert(dsv2.canDeleteWhere(f))
+    dsv2.deleteWhere(f)
+    assert(t.read(spark).count() == 20)
   }
 
   test("ALTER TABLE RENAME COLUMN / DROP COLUMN route through alterTable") {
@@ -242,13 +267,15 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(got.forall { case (k, v) =>
       v == (if (k >= 10 && k <= 19) k * 10 + k * 100 else k * 10) })
-    // unknown SET column and non-band WHERE both refuse loudly
+    // unknown SET column refuses loudly (on the general path too)
     intercept[Exception] {
       spark.sql(s"UPDATE ${q(t.root)} SET nope = 1 WHERE k BETWEEN 0 AND 1")
     }
-    intercept[Exception] {
-      spark.sql(s"UPDATE ${q(t.root)} SET v = 1 WHERE v % 2 = 0")
-    }
+    // a non-band WHERE is no longer a refusal: it takes the
+    // arbitrary-predicate path (its own test below)
+    spark.sql(s"UPDATE ${q(t.root)} SET v = -1 WHERE v % 2 = 1")
+    assert(t.read(spark).filter(col("v") === -1).count() == 0,
+      "all v are even; a no-match update must change nothing")
   }
 
   test("warehouse-rooted catalog resolves NAMED tables and lists them") {
@@ -447,15 +474,27 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark, Some(1)).count() == 30)
   }
 
-  test("DELETE on a non-stat column is refused at ANALYSIS, not at execution") {
+  test("DELETE on a non-stat column degrades soundly: every file a candidate, content exact") {
     val t = freshTable() // statCols = k only; v is unstatted
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM ${q(t.root)} WHERE v = 10")
-    }
-    // Spark's SupportsDelete contract: canDeleteWhere=false surfaces as
-    // an AnalysisException before deleteWhere ever runs
-    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
-      s"expected analysis-time refusal, got ${e.getClass}: ${e.getMessage}")
+    val r = spark.sql(s"DELETE FROM ${q(t.root)} WHERE v = 10").head()
+    assert(t.read(spark).count() == 39)
+    assert(t.read(spark).filter(col("v") === 10).count() == 0)
+    // no interval derivable on v → zero metadata drops, all 4 files rewritten
+    assert(r.getInt(1) == 0 && r.getInt(2) == 4 && r.getInt(3) == 0, s"got $r")
+  }
+
+  test("UPDATE with an arbitrary predicate: conditional rewrite, pre-update-row SET") {
+    val t = freshTable()
+    // swap semantics under a residual predicate: both rhs read PRE-update
+    val r = spark.sql(
+      s"UPDATE ${q(t.root)} SET k = v, v = k WHERE k % 10 = 3 AND k >= 20").head()
+    // banded conjunct k >= 20 keeps the first two files untouched by name
+    assert(r.getInt(2) == 2 && r.getInt(3) == 2, s"got $r")
+    val got = t.read(spark).select(col("k"), col("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got(230L) == 23L && got(330L) == 33L, "matched rows must swap")
+    assert(got(3L) == 30L && got(13L) == 130L,
+      "rows failing the banded conjunct must carry unchanged")
     assert(t.read(spark).count() == 40)
   }
 
