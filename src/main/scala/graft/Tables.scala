@@ -56,7 +56,15 @@ object Tables {
       // manifest stats → Catalyst: must run AFTER V2ScanRelationPushDown
       // (extension hooks all run before it; "User Provided Optimizers"
       // is the one post-pushdown logical batch)
-      graft.plans.TxManifestStats)
+      graft.plans.TxManifestStats,
+      // …which means the built-in "Join Reorder" batch (pre-pushdown) ran
+      // stat-blind on txtable scans. Re-apply Catalyst's own
+      // CostBasedJoinReorder AFTER the stats rewrap: it self-gates on
+      // spark.sql.cbo.enabled + joinReorder.enabled (a no-op by default)
+      // and is idempotent on an already-ordered tree, so with CBO on a
+      // multi-join over txtables reorders from manifest row counts and
+      // column bounds with no ANALYZE pass (round-10 verdict #4).
+      org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =

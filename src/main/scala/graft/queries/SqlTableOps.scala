@@ -269,6 +269,32 @@ object SqlTableOps {
     } finally TableOps.deleteTree(tmp)
   }
 
+  /** SQL ALTER COLUMN TYPE — metadata-only type WIDENING (round-10
+    * verdict missing #5): an INT column's table takes a `ALTER TABLE …
+    * ALTER COLUMN v TYPE BIGINT` statement (zero files rewritten), then
+    * an INSERT carries values no int32 holds; the read-back must see
+    * the old narrow files WIDENED and the new wide rows verbatim. The
+    * oracle reconstructs both eras with explicit casts. */
+  def q_sql_table_altertype(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q_sql_altertype").toString
+    val root = s"$tmp/t"
+    try {
+      spark.sql(s"CREATE TABLE ${q(root)} (k BIGINT, v INT) " +
+        "TBLPROPERTIES ('statCols' = 'k')")
+      spark.sql(s"INSERT INTO ${q(root)} SELECT id, CAST(id * 2 AS INT) FROM range(100)")
+      spark.sql(s"ALTER TABLE ${q(root)} ALTER COLUMN v TYPE BIGINT")
+      spark.sql(s"INSERT INTO ${q(root)} " +
+        "SELECT id, 4000000000 + id FROM range(100, 150)")
+      val df = spark.sql(
+        s"""SELECT (v >= 4000000000) AS wide, count(*) AS n,
+           |  CAST(sum(v) AS BIGINT) AS v_sum,
+           |  CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
+           |FROM ${q(root)} GROUP BY 1 ORDER BY 1""".stripMargin)
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally TableOps.deleteTree(tmp)
+  }
+
   /** SQL SHALLOW CLONE — q_table_clone's scenario (clone, diverge with a
     * band delete, aggregate both sides) with the clone created by the
     * `CREATE TABLE … SHALLOW CLONE` statement; earns the same oracle. */
@@ -358,6 +384,7 @@ object SqlTableOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_table_addcol" -> q_sql_table_addcol _,
+    "q_sql_table_altertype" -> q_sql_table_altertype _,
     "q_sql_table_clone" -> q_sql_table_clone _,
     "q_sql_table_tag" -> q_sql_table_tag _,
     "q_sql_table_truncate" -> q_sql_table_truncate _,
@@ -386,6 +413,15 @@ object SqlTableOps {
         |SELECT (w IS NULL) AS legacy, count(*) AS n,
         |  CAST(sum(v) AS BIGINT) AS v_sum,
         |  CAST(sum(coalesce(w, -1)) AS BIGINT) AS w_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_table_altertype" ->
+      """WITH t AS (
+        |  SELECT range AS k, CAST(range * 2 AS BIGINT) AS v FROM range(100)
+        |  UNION ALL
+        |  SELECT range, 4000000000 + range FROM range(100, 150))
+        |SELECT (v >= 4000000000) AS wide, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS v_sum,
+        |  CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_table_clone" ->
       """SELECT side, event_type, count(*) AS n,

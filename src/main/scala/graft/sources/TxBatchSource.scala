@@ -501,6 +501,58 @@ class TxV1Scan(tx: TxTable, files: Seq[TxTable.FileEntry],
     new org.apache.spark.sql.connector.read.Statistics {
       private val rows = files.map(_.rows).sum
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      // COLUMN-level stats from the manifests (round-10 verdict #4):
+      // per stat column, exact min/max (sound only when EVERY surviving
+      // file carries the stat) and a distinct-count ESTIMATE
+      // min(rows, max-min+1) — exact for the dense integer keys stat
+      // columns typically are, an upper bound otherwise, and CBO treats
+      // it as an estimate either way. With spark.sql.cbo.enabled these
+      // flow through transformV2Stats into FilterEstimation/
+      // JoinEstimation, so selectivity and join order come from O(files)
+      // driver metadata — no ANALYZE pass over 100 TB.
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (files.nonEmpty) required.fields.foreach { field =>
+          val p = colMap.getOrElse(field.name, field.name)
+          val mins = files.flatMap(_.mins.get(p))
+          val maxs = files.flatMap(_.maxs.get(p))
+          if (mins.size == files.size && maxs.size == files.size) {
+            val lo = mins.min
+            val hi = maxs.max
+            val ndv = (BigInt(hi) - BigInt(lo) + 1).min(BigInt(rows)).toLong
+            val boxed: Option[(AnyRef, AnyRef)] = field.dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                Some((java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi)))
+              case org.apache.spark.sql.types.IntegerType =>
+                Some((java.lang.Integer.valueOf(lo.toInt), java.lang.Integer.valueOf(hi.toInt)))
+              case _ => None // manifest stats are integer-typed only
+            }
+            boxed.foreach { case (bLo, bHi) =>
+              m.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(field.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(math.max(1L, ndv))
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.of(bLo)
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.of(bHi)
+                  override def avgLen(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(field.dataType.defaultSize.toLong)
+                  override def maxLen(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(field.dataType.defaultSize.toLong)
+                })
+              ()
+            }
+          }
+        }
+        m
+      }
       // Resolve exactly like the read path does (dataDir.resolve passes
       // shallow-clone ABSOLUTE borrowed paths through unchanged) — and a
       // file we cannot stat contributes a row-based estimate, never 0:
@@ -660,6 +712,13 @@ class TxTableCatalog extends TableCatalog
         require(ac.position() == null,
           "txtable ADD COLUMN appends at the end (FIRST/AFTER unsupported)")
         t.addColumn(SparkSession.active, ac.fieldNames()(0), ac.dataType())
+      // ALTER TABLE … ALTER COLUMN c TYPE t — metadata-only type
+      // WIDENING (old files read cast-up; non-widening conversions are
+      // refused loudly by the table layer)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "txtable has no nested columns to retype")
+        t.alterColumnType(SparkSession.active, ut.fieldNames()(0), ut.newDataType())
       // Spark 4.1's native `ALTER TABLE … ADD CONSTRAINT n CHECK (…)` /
       // `DROP CONSTRAINT` grammar lands here — route to the table layer's
       // validated CHECK constraints (existing data is scanned once; every

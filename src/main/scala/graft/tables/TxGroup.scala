@@ -65,6 +65,14 @@ final class TxGroup(val root: String) {
   /** Highest committed group version, 0 if none. */
   def currentVersion: Int = listVersions.lastOption.getOrElse(0)
 
+  /** Member names present on disk (created via [[table]] or the SQL
+    * `ALTER GROUP … ADD TABLE`) — what `COMMIT GROUP` pins: every member
+    * at its own current version, one atomic cut. */
+  def members: Seq[String] =
+    Option(Paths.get(root, "tables").toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => Files.isDirectory(f.toPath.resolve("_txlog")))
+      .map(_.getName).sorted.toSeq
+
   private def listVersions: Seq[Int] = {
     val vs = Option(logDir.toFile.listFiles()).getOrElse(Array.empty)
       .map(_.getName)

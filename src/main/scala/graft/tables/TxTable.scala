@@ -229,16 +229,32 @@ final class TxTable(val root: String, val statCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
       meta: Option[TableMeta] = None): DataFrame = {
     require(files.nonEmpty, "readFiles of nothing")
+    // mergeSchema handles evolution by ADDITION, but refuses files whose
+    // shared column CHANGED type — exactly what a metadata-only ALTER
+    // COLUMN TYPE leaves behind (old files narrow, new files wide). The
+    // declared schema breaks the tie: Spark 4's parquet readers widen
+    // int32→int64 / float→double per file against an EXPLICIT schema, so
+    // a mixed-era file set reads under the declaration (physicalized —
+    // files carry pre-rename physical names). Single-era narrow tables
+    // stay on the mergeSchema path and widen via the cast fold below.
+    def readPq(paths: Seq[String]): DataFrame =
+      try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      catch {
+        case e: Throwable if meta.nonEmpty &&
+            Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+          val declared = org.apache.spark.sql.types.StructType(
+            meta.get.schema.fields.map(f =>
+              f.copy(name = colMap.getOrElse(f.name, f.name))))
+          spark.read.schema(declared).parquet(paths: _*)
+      }
     val (plain, dvd) = files.partition(_.dv.isEmpty)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(plain.map(f => dataDir.resolve(f.path).toString): _*))
+      else Some(readPq(plain.map(f => dataDir.resolve(f.path).toString)))
     val dvDf =
       if (dvd.isEmpty) None
       else {
-        val data = spark.read.option("mergeSchema", "true")
-          .parquet(dvd.map(f => dataDir.resolve(f.path).toString): _*)
+        val data = readPq(dvd.map(f => dataDir.resolve(f.path).toString))
         val cols = data.columns.toSeq
         val tagged = data
           .withColumn("__file", col("_metadata.file_name"))
@@ -276,8 +292,20 @@ final class TxTable(val root: String, val statCols: Seq[String],
         !droppedPhys(colMap).contains(f.name) &&
         !colMap.exists { case (l, p) => p == f.name && l != f.name }
     }
-    extra.foldLeft(visible)((df, f) =>
+    val withExtra = extra.foldLeft(visible)((df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // a DECLARED WIDENED type over uniformly-narrow files (ALTER COLUMN
+    // TYPE before any wide append): cast at read — the other half of the
+    // metadata-only widening promise (mixed eras took the explicit-schema
+    // path above and are already wide)
+    val widenings = meta.map(_.schema.fields.toSeq).getOrElse(Nil).filter { f =>
+      withExtra.columns.contains(f.name) && {
+        val cur = withExtra.schema(f.name).dataType
+        cur != f.dataType && TxTable.widens(cur, f.dataType)
+      }
+    }
+    widenings.foldLeft(withExtra)((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.dataType)))
   }
 
   /** DV-aware read of an explicit manifest-entry subset under a column
@@ -1498,6 +1526,47 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** ALTER TABLE … ALTER COLUMN … TYPE — metadata-only type WIDENING
+    * (Delta's type-widening feature): the declared schema records the
+    * wide type in one tiny commit, ZERO files rewritten. Old files keep
+    * their narrow physical type; reads come back wide either way — a
+    * uniformly-narrow table casts at read, and once wide appends land
+    * the mixed-era file set reads under the declared schema (Spark 4's
+    * parquet readers widen int32→int64 / float→double per file; see
+    * [[readFiles]]). Only provably-lossless conversions are accepted —
+    * anything else would need a full rewrite and must say so loudly.
+    * CDF across the widening stays aligned: each version reads under
+    * its own snapshot's declaration and set-difference coerces the
+    * narrow era up (union type-widening), so a widened-but-unchanged
+    * row never reports as a change. */
+  def alterColumnType(spark: SparkSession,
+      name: String, dataType: org.apache.spark.sql.types.DataType): Int = {
+    val base = snapshot()
+    val current: org.apache.spark.sql.types.StructType =
+      if (base.files.nonEmpty) readFiles(spark, base.files, base.colMap, base.meta).schema
+      else base.meta.map(_.schema).getOrElse(
+        throw new IllegalStateException(
+          s"table $root is empty and carries no declared schema"))
+    require(current.fieldNames.contains(name),
+      s"no column $name (have ${current.fieldNames.mkString(", ")})")
+    val idx = current.fieldIndex(name)
+    val from = current(idx).dataType
+    require(from != dataType, s"column $name is already $dataType")
+    require(TxTable.widens(from, dataType),
+      s"ALTER COLUMN TYPE is metadata-only and therefore WIDENING-only " +
+        s"($from → $dataType loses information or changes representation; " +
+        "rewrite via a new column + backfill instead)")
+    val evolved = org.apache.spark.sql.types.StructType(
+      current.fields.updated(idx, current(idx).copy(dataType = dataType)))
+    try commitOnce(base, op = s"alter-column-type($name)",
+      meta = Some(TableMeta(evolved.json, statCols, bloomCols))) { _ => base.files }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"alter-column-type on $root lost the commit race; re-run")
+    }
+  }
+
   /** REORG … APPLY (PURGE) for dropped columns (Delta's `REORG TABLE`):
     * physically rewrite ONLY the current files that still carry a
     * tombstoned physical column, so the bytes of dropped data actually
@@ -2159,6 +2228,22 @@ final class TxTable(val root: String, val statCols: Seq[String],
 }
 
 object TxTable {
+
+  /** Provably-lossless type widenings — the only conversions a
+    * METADATA-ONLY `ALTER COLUMN TYPE` may declare (the parquet readers
+    * perform them per file against an explicit schema; everything else
+    * would silently corrupt or require a rewrite). */
+  private[tables] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   /** Open an EXISTING table without declaring its stat/bloom schema —
     * the SQL/catalog entry point (`SELECT … FROM txtable.\`root\``,

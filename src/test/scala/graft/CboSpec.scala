@@ -66,6 +66,67 @@ class CboSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("txtable manifest stats drive multi-join reorder with NO ANALYZE pass") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Tables.ensure(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cbo_tx").toString
+    def mk(name: String, df: org.apache.spark.sql.DataFrame,
+        statCols: Seq[String]): String = {
+      val t = new graft.tables.TxTable(s"$tmp/$name", statCols)
+      t.append(spark, df)
+      t.root
+    }
+    // same shape as the catalog-table reorder test below, but the row
+    // counts, column bounds, and the min(rows, max-min+1) ndv estimate
+    // all come from O(files) MANIFEST metadata (TxV1Scan.columnStats via
+    // the stats-forwarding rewrap + the post-pushdown CostBasedJoinReorder
+    // pass) — at 100 TB there is no ANALYZE to run
+    val fact = mk("fact", spark.range(0, 100000).toDF("fid")
+      .select(col("fid"), (col("fid") % 1000L).as("ka"),
+        (col("fid") % 1000L).as("kb")), Seq("ka", "kb"))
+    val big = mk("big", spark.range(0, 20000).toDF("id")
+      .select((col("id") % 1000L).as("ka"),
+        md5(col("id").cast("string")).as("pa")), Seq("ka"))
+    val small = mk("small", spark.range(0, 10).toDF("id")
+      .select(col("id").as("kb"), md5(col("id").cast("string")).as("pb")),
+      Seq("kb"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false", // the decision must be static
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def innermost(reorder: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        val q = spark.sql(
+          s"""SELECT f.fid, a.pa, b.pb FROM txtable.`$fact` f
+             |JOIN txtable.`$big` a ON f.ka = a.ka
+             |JOIN txtable.`$small` b ON f.kb = b.kb""".stripMargin)
+        q.queryExecution.optimizedPlan.collect {
+          case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) =>
+            j.toString
+        }.head
+      }
+      val asWritten = innermost(reorder = false)
+      assert(asWritten.contains(big) && !asWritten.contains(small),
+        s"without reorder the written (pessimal) order must stand:\n$asWritten")
+      val reordered = innermost(reorder = true)
+      assert(reordered.contains(small) && !reordered.contains(big),
+        s"manifest stats did not move the selective dim innermost:\n$reordered")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("ANALYZE row counts drive multi-join reorder: the selective dim joins first") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val loc = java.nio.file.Files.createTempDirectory("graft_cbo_reorder").toString

@@ -599,6 +599,34 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(g.read(spark, "agg", Seq("k")).count() == 2)
   }
 
+  test("CREATE GROUP / ADD TABLE / COMMIT GROUP: a two-member atomic cut purely through SQL") {
+    Tables.ensure(spark)
+    val root = Files.createTempDirectory("graft_sqlgroup_ddl").toString + "/g"
+    spark.sql(s"CREATE GROUP ${q(root)}")
+    spark.sql(s"ALTER GROUP ${q(root)} ADD TABLE raw (k BIGINT) " +
+      "TBLPROPERTIES ('statCols' = 'k')")
+    spark.sql(s"ALTER GROUP ${q(root)} ADD TABLE agg (k BIGINT)")
+    spark.sql(s"INSERT INTO txtable.`$root/tables/raw` SELECT id FROM range(5)")
+    spark.sql(s"INSERT INTO txtable.`$root/tables/agg` SELECT id FROM range(2)")
+    val cut1 = spark.sql(s"COMMIT GROUP ${q(root)}").head()
+    assert(cut1.getInt(0) == 1, s"got $cut1")
+    // a member commit AFTER the cut is invisible at the group snapshot
+    spark.sql(s"INSERT INTO txtable.`$root/tables/raw` SELECT id FROM range(5, 9)")
+    val g = new graft.tables.TxGroup(root)
+    assert(g.read(spark, "raw", Seq("k")).count() == 5,
+      "group read must see the CUT, not the member's newer commit")
+    spark.sql(s"COMMIT GROUP ${q(root)}")
+    assert(g.read(spark, "raw", Seq("k")).count() == 9)
+    assert(spark.sql(s"DESCRIBE HISTORY GROUP ${q(root)}").count() == 2)
+    // the declared stat column governed the member's stats pass
+    assert(graft.tables.TxTable.open(s"$root/tables/raw")
+      .snapshot().files.forall(_.mins.contains("k")))
+    // duplicate member refuses loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER GROUP ${q(root)} ADD TABLE raw (k BIGINT)")
+    }
+  }
+
   test("catalog-resolved txtable scans report manifest stats: small side broadcasts unhinted") {
     import spark.implicits._
     val small = freshTable(8, 1)
