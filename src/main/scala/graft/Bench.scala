@@ -115,7 +115,34 @@ object Bench {
       pairs.unpersist(blocking = true)
       ()
     }
+    // q_ngram_jaccard's hot loops (CharNgramHashes gram extraction +
+    // the SortedJaccardBp merge pass over thousands-long hash arrays)
+    // need REALISTIC array sizes to tier-compile — the generic machinery
+    // warm-up never drives them hot, and the suite's ceiling query then
+    // measures HotSpot's ramp instead of the plan (2.2 s steady vs 5-7 s
+    // first-run on identical plans, round-9/10 bench notes). A small
+    // synthetic corpus of LONG texts runs the same expressions at the
+    // same per-row scale; no testdata is read.
+    warm("ngramPlan") {
+      import org.apache.spark.sql.functions._
+      val docs = spark.range(200).toDF("doc_id")
+        .withColumn("text", concat_ws(" ",
+          (0 until 60).map(i =>
+            concat(lit(s"wrd$i"), col("doc_id") % (i + 2))): _*))
+      val sets = docs.select(col("doc_id"),
+        expr("char_ngram_hashes(text, 3)").as("ws"))
+      operators.SetSimilarity.exactJaccardPairs(sets, minBp = 5000L)
+        .orderBy(col("da"), col("db")).count()
+      ()
+    }
     warm("eventsByDay") { Tables.eventsByDay(spark, sfDir).count() }
+    // first-touch of a parquet table pays listing + footer reads + page
+    // cache population — table infrastructure, not query work; the other
+    // tables get this via the entry/eventsByDay warm-ups, but documents/
+    // embeddings were first read by whichever corpus query ran first
+    // (solo runs paid it inside the timed window)
+    warm("documents") { Tables.documents(spark, sfDir).count() }
+    warm("embeddings") { Tables.embeddings(spark, sfDir).count() }
     // bucketed catalog tables are likewise one-time layout work, not query work
     warm("bucketedOrdersCustomer") { Tables.bucketedOrdersCustomer(spark, sfDir) }
     // q_join_stored's old-state parquet publish is one-time layout work too

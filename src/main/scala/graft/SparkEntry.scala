@@ -29,6 +29,7 @@ object SparkEntry {
       TpchExtra.queries ++ Pipeline.queries ++ Analytics7.queries ++
       Analytics8.queries ++ Analytics9.queries ++ Analytics10.queries ++
       Analytics11.queries ++ Analytics12.queries ++ Analytics13.queries ++
+      Analytics15.queries ++
       Analytics14.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,5 @@ object SparkEntry {
       TpchExtra.oracle ++ Pipeline.oracle ++ Analytics7.oracle ++
       Analytics8.oracle ++ Analytics9.oracle ++ Analytics10.oracle ++
       Analytics11.oracle ++ Analytics12.oracle ++ Analytics13.oracle ++
-      Analytics14.oracle
+      Analytics14.oracle ++ Analytics15.oracle
 }

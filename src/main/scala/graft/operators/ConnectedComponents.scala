@@ -73,16 +73,39 @@ object ConnectedComponents {
     // wide at 100 TB) and still guarantees the pair pipeline runs ONCE.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint(eager = false)
-    // sym is NOT its own checkpoint: it is two map-side scans of the
-    // checkpointed directed edges — a second materialization would pay a
-    // full write of 2|E| rows up front to save per-round reads that are
-    // already local
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    var eLoop = e
     try {
       // inside the try: if the (expensive) pair-generation join throws
       // during materialization, the finally still releases the checkpoint
-      e.count()
+      val n = e.count()
       lap("edges-materialize")
+      // a sub-10M-edge graph's per-round frames are KBs — at the
+      // session's full shuffle width every round schedules fans of
+      // near-empty tasks (the StarContraction finding; measured at 32
+      // partitions: 0.9 s/round vs 0.3-0.4 s at narrow width on the
+      // identical plan). Run the LOOP in a cloned session pinned to 8
+      // partitions; a ≥10M-edge graph keeps the caller's session and
+      // width. The clone owns its SQLConf, so nothing leaks (round-10
+      // ADVICE discipline).
+      val sess = vertices.sparkSession
+      val small = n < 10000000L
+      val loopSess = if (!small) sess else {
+        val s = sess.newSession()
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, sess.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString)
+        s
+      }
+      if (small) {
+        // re-root the checkpointed edges in the loop session; its own
+        // checkpoint makes the Row conversion run once, not per scan
+        eLoop = loopSess.createDataFrame(e.rdd, e.schema)
+          .localCheckpoint(eager = false)
+      }
+      // sym is NOT its own checkpoint: it is two map-side scans of the
+      // checkpointed directed edges — a second materialization would pay
+      // a full write of 2|E| rows up front to save per-round reads that
+      // are already local
+      val sym = eLoop.unionAll(eLoop.select(col("b").as("a"), col("a").as("b")))
       // sum() of zero rows is NULL — coalesce so an empty active set
       // converges immediately instead of NPE-ing
       def labelSum(df: DataFrame): Long =
@@ -141,12 +164,21 @@ object ConnectedComponents {
           s"connected components did not converge in $maxIter iterations — " +
             "labels are not a fixpoint; raise maxIter only if the graph " +
             "genuinely has that diameter")
+      // re-root the converged labels back in the CALLER's session before
+      // the final join (label frames are vertex-count-sized; cross-session
+      // plan mixing is not a contract Spark makes)
+      val out =
+        if (small) sess.createDataFrame(labels.rdd, labels.schema)
+        else labels
       // isolated vertices: own id is the component; edge-incident vertices
       // take the converged label (left join: labels ⊆ vertices)
       vertices.select(col(idCol).as("id")).as("v")
-        .join(labels.as("l"), col("v.id") === col("l.id"), "left")
+        .join(out.as("l"), col("v.id") === col("l.id"), "left")
         .select(col("v.id").as("id"),
           coalesce(col("l.component"), col("v.id")).as("component"))
-    } finally { CheckpointRelease.release(e) }
+    } finally {
+      if (!(eLoop eq e)) CheckpointRelease.release(eLoop)
+      CheckpointRelease.release(e)
+    }
   }
 }

@@ -533,6 +533,25 @@ object TableOps {
         .orderBy(col("event_type"))
     }
 
+  /** Predicate-positional-delete gate ([[TxTable.deletePositionalWhere]]
+    * — round 11): the SAME perpendicular layout as [[q_table_dv]], but
+    * the victim set is an ARBITRARY predicate (modulo residual + band
+    * conjunct) no single stat band expresses — still zero files
+    * rewritten, victims land in one vector per commit, and the NULL-
+    * survives / prune-class semantics are the copy-on-write
+    * deleteWhere's (DvSpec pins the accounting). */
+  def q_table_dv_pred(spark: SparkSession, dir: String): DataFrame =
+    mutatedAggregate(spark, evolveTableRoot(spark, dir), "graft_q_table_dvpred") { root =>
+      val t = new TxTable(root, Seq("user_id", "event_id"))
+      t.deletePositionalWhere(spark, "user_id % 3 = 1 AND user_id <= 9")
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+
   /** The copy + positional delete behind [[q_table_dv]], exposed so the
     * spec can assert zero files were rewritten (deleteApplied precedent). */
   private[graft] def dvApplied(spark: SparkSession,
@@ -869,6 +888,7 @@ object TableOps {
     "q_table_multi" -> q_table_multi _,
     "q_table_multi_replica" -> q_table_multi_replica _,
     "q_table_dv" -> q_table_dv _,
+    "q_table_dv_pred" -> q_table_dv_pred _,
     "q_source_log" -> q_source_log _,
   )
 
@@ -1003,6 +1023,12 @@ object TableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id NOT BETWEEN 5 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_table_dv_pred" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE NOT (user_id % 3 = 1 AND user_id <= 9)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_table_multi" ->
       """SELECT CASE WHEN user_id % 2 = 0 AND user_id NOT BETWEEN 2 AND 4

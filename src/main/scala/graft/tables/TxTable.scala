@@ -1170,6 +1170,73 @@ final class TxTable(val root: String, val statCols: Seq[String],
       dvFiles = straddling.size, keptFiles = kept.size)
   }
 
+  /** POSITIONAL delete under an ARBITRARY predicate — [[deleteWhere]]'s
+    * prune classes with [[deletePositional]]'s merge-on-read write path:
+    * provably-fully-covered files still drop METADATA-ONLY (cheaper than
+    * any vector), provably-disjoint files carry by name, and the
+    * candidates in between get their matching ROW POSITIONS appended to
+    * one tiny deletion-vector file instead of a copy-on-write rewrite —
+    * the GDPR/row-level-retention shape at 100 TB, where the victim set
+    * is small and scattered and rewriting every touched file would turn
+    * a k-row delete into a compaction. The predicate is evaluated under
+    * LOGICAL names (raw files carry physical names — the column mapping
+    * is applied before the filter); rows where it evaluates NULL
+    * survive. Existing vectors of touched files union forward; commit
+    * races use the multi-band fresh-file conflict guard. */
+  def deletePositionalWhere(spark: SparkSession,
+      predicateSql: String): PositionalDeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "delete from an empty table?")
+    val (bands, residual) = predicateBands(spark, predicateSql, base)
+    val (touched, kept) = base.files.partition(bandsIntersect(bands))
+    val (covered, straddling) =
+      if (residual || bands.isEmpty) (Seq.empty[FileEntry], touched)
+      else touched.partition { f =>
+        bands.forall { case (p, (lo, hi)) =>
+          f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
+        }
+      }
+    val entries =
+      if (straddling.isEmpty) Nil
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
+        val tagged = raw
+          .withColumn("__file", col("_metadata.file_name"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val renames = base.colMap.collect {
+          case (l, p) if l != p && !l.startsWith("-") => p -> l
+        }
+        val logical =
+          if (renames.isEmpty) tagged else tagged.withColumnsRenamed(renames)
+        val victims = logical
+          .filter(coalesce(expr(predicateSql), lit(false)))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val oldDvs = straddling.flatMap(_.dv).distinct
+        val allVictims =
+          if (oldDvs.isEmpty) victims
+          else victims.unionByName(spark.read.parquet(
+            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
+        val dvName = s"dv-${UUID.randomUUID()}.parquet"
+        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
+        allVictims.coalesce(1).write.parquet(stage.toString)
+        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("dv write produced no file"))
+        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stage.toFile)
+        straddling.map(_.copy(dv = Some(dvName)))
+      }
+    val version = commitCowGuarded(base, touched, entries, "positional delete",
+      Some((bandsIntersect(bands) _,
+        s"may hold rows matching `$predicateSql`")))
+    PositionalDeleteResult(version, droppedFiles = covered.size,
+      dvFiles = straddling.size, keptFiles = kept.size)
+  }
+
   /** Fold every deletion vector back into plain files: rewrite ONLY the
     * DV'd entries (via the DV-aware read, so victims stay gone), carry
     * the rest by name. The maintenance op that converts merge-on-read
@@ -1949,8 +2016,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(resurrected.isEmpty,
       s"write to $root carries dropped column(s) ${resurrected.mkString(", ")} " +
         "— dropped physical names are reserved; rename the incoming column")
+    // OPTIMIZED WRITE (the Delta optimizeWrite idea, estimate-driven): a
+    // small INSERT at a wide session otherwise fans into
+    // defaultParallelism near-empty files (measured: 150 rows → 64 files
+    // at local[32]; every later scan pays per-file open + footer, the
+    // stats/bloom pass pays per-file jobs, and the manifest grows for
+    // nothing). Catalyst's size estimate picks the file count BEFORE the
+    // write: provably-tiny frames coalesce hard, medium ones to 8, and
+    // anything unknown (the 8 EiB default) or large keeps its layout —
+    // a 100 TB ingest is untouched. coalesce, not repartition: no
+    // shuffle, it only narrows the writing stage.
+    // …and an EXPLICIT repartition/repartitionByRange in the incoming
+    // plan is a caller-declared layout (the 16-file skip tables, z-order
+    // buckets): respect it verbatim, exactly AQE's own exemption rule.
+    val explicitLayout = df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val writeDf =
+      if (explicitLayout) dfPhys
+      else if (estBytes < (16L << 20)) dfPhys.coalesce(1)
+      else if (estBytes < (256L << 20)) dfPhys.coalesce(8)
+      else dfPhys
     val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-    dfPhys.write.parquet(stage.toString)
+    writeDf.write.parquet(stage.toString)
     val violAggs = constraints.zipWithIndex.map { case (c, i) =>
       sum(when(!expr(c), lit(1L)).otherwise(lit(0L))).as(s"__viol_$i")
     }

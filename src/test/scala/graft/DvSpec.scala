@@ -108,6 +108,32 @@ class DvSpec extends AnyFunSuite with SparkFixture {
       "CDC must carry the appends and skip the positional delete whole")
   }
 
+  test("predicate positional delete: metadata drops + vectors, never a rewrite; NULL-safe") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10)) // 10 disjoint range files
+    val dataBefore = t.snapshot().files.map(_.path).toSet
+    // banded conjunct prunes to [30..59]'s three files; [40,49] is fully
+    // covered by the band BUT the modulo residual blocks the metadata
+    // drop — all three become vectors
+    val r = t.deletePositionalWhere(spark, "k % 2 = 0 AND k BETWEEN 35 AND 54")
+    assert(r.droppedFiles == 0 && r.dvFiles == 3 && r.keptFiles == 7, s"got $r")
+    assert(t.snapshot().files.map(_.path).toSet == dataBefore,
+      "positional delete must not write or drop a data file")
+    assert(keysOf(t) == (0L until 100L).filterNot(k => k % 2 == 0 && k >= 35 && k <= 54))
+    // a pure band predicate still earns the metadata-only drop class
+    val r2 = t.deletePositionalWhere(spark, "k BETWEEN 70 AND 79")
+    assert(r2.droppedFiles == 1 && r2.dvFiles == 0, s"got $r2")
+    assert(keysOf(t) == (0L until 100L)
+      .filterNot(k => k % 2 == 0 && k >= 35 && k <= 54).filterNot(k => k >= 70 && k <= 79))
+    // stacking onto already-DV'd files never resurrects
+    val r3 = t.deletePositionalWhere(spark, "k % 10 = 7 AND k <= 59")
+    assert(r3.dvFiles >= 1 && r3.droppedFiles == 0, s"got $r3")
+    assert(keysOf(t) == (0L until 100L)
+      .filterNot(k => k % 2 == 0 && k >= 35 && k <= 54)
+      .filterNot(k => k >= 70 && k <= 79)
+      .filterNot(k => k % 10 == 7 && k <= 59))
+  }
+
   test("q_table_dv's gate query deletes without rewriting a single data file") {
     val (r, _) = graft.queries.TableOps.dvApplied(spark, "/root/testdata/sf0.001")
     // the build is time-partitioned, the delete is user-level: every

@@ -509,7 +509,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "q_shard_pack",    // same two-phase offset pattern (contract-tested above)
       "q_tpch_q17",      // window hash-partitions by l_partkey; the exchange is the final 1-row global agg
       "q_sql_tpch_q17",  // SQL twin of q_tpch_q17: same window-by-partkey + 1-row final agg shape
-      "q_sql_tpch_q3")   // rank window reads the 10-row ORDER BY+LIMIT frame (TakeOrdered upstream)
+      "q_sql_tpch_q3",   // rank window reads the 10-row ORDER BY+LIMIT frame (TakeOrdered upstream)
+      "q_mix_budget")    // waterline windows run on the |sources|-row per-source aggregate
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect()

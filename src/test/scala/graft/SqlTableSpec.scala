@@ -76,19 +76,21 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
 
   test("DELETE FROM with an arbitrary predicate rewrites candidates copy-on-write") {
     val t = freshTable()
-    // non-translatable shape (modulo): every file is a rewrite candidate
-    val r = spark.sql(s"DELETE FROM ${q(t.root)} WHERE k % 2 = 0").head()
-    assert(t.read(spark).count() == 20)
-    assert(t.read(spark).agg(org.apache.spark.sql.functions.sum("k"))
-      .head().getLong(0) == (0L until 40L).filter(_ % 2 == 1).sum)
-    assert(r.getInt(1) == 0 && r.getInt(2) == 4, s"got $r")
-    // mixed predicate: the banded conjunct prunes, the residual conjunct
-    // runs in the rewrite — files outside [0, 9] are untouched BY NAME
-    val r3 = spark.sql(
+    // mixed predicate first, on the explicit 4-file range layout: the
+    // banded conjunct prunes, the residual conjunct runs in the rewrite —
+    // files outside [0, 9] are untouched BY NAME
+    val r = spark.sql(
       s"DELETE FROM ${q(t.root)} WHERE k <= 9 AND v >= 50").head()
-    assert(r3.getInt(2) == 1 && r3.getInt(3) == 3,
-      s"banded conjunct must keep 3 files untouched, got $r3")
-    assert(t.read(spark).count() == 17) // k=5,7,9 died (odd survivors ≤9 with v>=50)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 3,
+      s"banded conjunct must keep 3 files untouched, got $r")
+    assert(t.read(spark).count() == 35) // k in [5,9] died
+    // non-translatable shape (modulo): every file is a rewrite candidate
+    val r2 = spark.sql(s"DELETE FROM ${q(t.root)} WHERE k % 2 = 0").head()
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 4, s"got $r2")
+    assert(t.read(spark).count() == 17)
+    assert(t.read(spark).agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) ==
+      ((0L until 40L).filter(_ % 2 == 1).toSet -- Set(5L, 7L, 9L)).sum)
   }
 
   test("SupportsDelete (the DSv2 API face) still translates pushable filters") {

@@ -122,7 +122,10 @@ class StreamingReplicaSpec extends AnyFunSuite with SparkFixture {
 
   test("the change stream carries row tags and a compaction version emits zero rows") {
     val src = freshTable("graft_streprl4_src")
-    src.append(spark, rows(0, 20))                        // v1
+    // explicit 4-file layout: the optimized write would otherwise land
+    // v1 as ONE file and the compaction below would no-op, shifting the
+    // version numbering this test pins
+    src.append(spark, rows(0, 20).repartition(4))         // v1
     src.compact(spark, smallRows = Long.MaxValue / 2)     // v2
     src.delete(spark, "user_id", 0, 4)                    // v3
     val q = cdfStream(src, maxVersions = 10).writeStream
