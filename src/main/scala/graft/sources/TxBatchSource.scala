@@ -191,7 +191,7 @@ object TxSqlTable {
   }
 
   /** `timestampAsOf` accepts epoch millis or an ISO-8601 instant/date. */
-  private[sources] def parseTimestampMs(s: String): Long = {
+  private[graft] def parseTimestampMs(s: String): Long = {
     val t = s.trim
     if (t.matches("-?\\d+")) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli

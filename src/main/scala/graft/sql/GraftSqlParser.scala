@@ -27,12 +27,13 @@ import graft.tables.TxTable
   * {{{
   *   MERGE INTO txtable.`/p` [AS t] USING <source> ON t.k = s.k
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-  *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n>
+  *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n> | [TO] TIMESTAMP AS OF '<ts>' 
   *   DESCRIBE HISTORY txtable.`/p`
   *   DESCRIBE HISTORY GROUP txtable.`/group-root`
   *   RESTORE GROUP txtable.`/group-root` [TO] VERSION AS OF <n>
-  *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS]
-  *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]]
+  *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS] [DRY RUN]
+  *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2[, c3]) [INTO <n> FILES]]
+  *   CREATE GROUP txtable.`/g`; ALTER GROUP … ADD TABLE …; COMMIT GROUP …
   *   CREATE TABLE txtable.`/dst` SHALLOW CLONE txtable.`/src`
   *   ALTER TABLE txtable.`/p` CREATE TAG <name> [AS OF VERSION <n>]
   *   ALTER TABLE txtable.`/p` DROP TAG <name>
@@ -109,6 +110,9 @@ object GraftSqlParser {
   private val RestoreRe = (
     "(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target +
     "\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val RestoreTsRe = (
+    "(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target +
+    "\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$").r
   private val RestoreProbe = ("(?is)^\\s*RESTORE\\s+TABLE\\s+" + Target + ".*").r
 
   private val HistoryRe =
@@ -154,12 +158,12 @@ object GraftSqlParser {
 
   private val VacuumRe = (
     "(?is)^\\s*VACUUM\\s+" + Target +
-    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*$").r
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
 
   private val OptimizeRe = (
     "(?is)^\\s*OPTIMIZE\\s+" + Target +
     "(?:\\s+SMALLER\\s+THAN\\s+(\\d+))?" +
-    "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)?" +
+    "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*(\\w+(?:\\s*,\\s*\\w+){1,2})\\s*\\)?" +
     "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?)?\\s*;?\\s*$").r
   private val OptimizeProbe = ("(?is)^\\s*OPTIMIZE\\s+" + Target + ".*").r
 
@@ -213,9 +217,11 @@ object GraftSqlParser {
         "UPDATE txtable.`root` SET col = <expr>[, …] WHERE <predicate>")
     case DeleteWhereRe(root, pred) => Some(TxDeleteWhereCommand(root, pred))
     case RestoreRe(root, v) => Some(TxRestoreCommand(root, v.toInt))
+    case RestoreTsRe(root, ts) => Some(TxRestoreTimestampCommand(root, ts))
     case RestoreProbe(root) => throw new IllegalArgumentException(
       s"unsupported RESTORE form for txtable.`$root` — supported: " +
-        "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n>")
+        "RESTORE TABLE txtable.`root` [TO] VERSION AS OF <n> | " +
+        "[TO] TIMESTAMP AS OF '<ts>'")
     case GroupHistoryRe(root) => Some(TxGroupHistoryCommand(root))
     case GroupRestoreRe(root, v) => Some(TxGroupRestoreCommand(root, v.toInt))
     case GroupCreateRe(root) => Some(TxCreateGroupCommand(root))
@@ -235,12 +241,14 @@ object GraftSqlParser {
     case TagCreateRe(root, name, v) =>
       Some(TxCreateTagCommand(root, name, Option(v).map(_.toInt)))
     case TagDropRe(root, name) => Some(TxDropTagCommand(root, name))
-    case VacuumRe(root, retain) =>
-      Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2)))
-    case OptimizeRe(root, smallRows, z1, z2, zFiles) =>
+    case VacuumRe(root, retain, dry) =>
+      Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2),
+        dryRun = dry != null))
+    case OptimizeRe(root, smallRows, zcols, zFiles) =>
       Some(TxOptimizeCommand(root,
         Option(smallRows).map(_.toLong),
-        Option(z1).map(c1 => (c1, z2, Option(zFiles).map(_.toInt).getOrElse(8)))))
+        Option(zcols).map(cs => (cs.split(",").map(_.trim).toSeq,
+          Option(zFiles).map(_.toInt).getOrElse(8)))))
     case OptimizeProbe(root) => throw new IllegalArgumentException(
       s"unsupported OPTIMIZE form for txtable.`$root` — supported: " +
         "OPTIMIZE txtable.`root` [SMALLER THAN <rows>] " +
@@ -445,15 +453,32 @@ case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
 }
 
 /** `VACUUM txtable.\`root\` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */
-case class TxVacuumCommand(root: String, retainVersions: Int)
-    extends LeafRunnableCommand {
+case class TxVacuumCommand(root: String, retainVersions: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(
     attr("reclaimed_data_files", IntegerType),
     attr("reclaimed_manifests", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
-    val (files, manifests) = TxTable.open(root).vacuum(retainVersions)
+    val (files, manifests) = TxTable.open(root).vacuum(retainVersions, dryRun)
     Seq(Row(files, manifests))
+  }
+}
+
+/** `RESTORE TABLE txtable.\`root\` [TO] TIMESTAMP AS OF '<ts>'` — the
+  * wall-clock twin of the version form: resolve through the same
+  * monotonic-envelope [[TxTable.versionAt]] that read-side time travel
+  * uses, then the ordinary full-state restore. */
+case class TxRestoreTimestampCommand(root: String, ts: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("restored_to_version", IntegerType),
+    attr("committed_version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = TxTable.open(root)
+    val target = t.versionAt(graft.sources.TxSqlTable.parseTimestampMs(ts))
+    Seq(Row(target, t.restore(target)))
   }
 }
 
@@ -589,7 +614,7 @@ case class TxCommitGroupCommand(root: String) extends LeafRunnableCommand {
   * [INTO n FILES]]` → [[TxTable.compact]] (bin-pack small files) or
   * [[TxTable.clusterZorder]] (Morton-curve rewrite). */
 case class TxOptimizeCommand(root: String, smallRows: Option[Long],
-    zorder: Option[(String, String, Int)]) extends LeafRunnableCommand {
+    zorder: Option[(Seq[String], Int)]) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(
     attr("version", IntegerType), attr("rewritten_files", IntegerType),
@@ -597,7 +622,7 @@ case class TxOptimizeCommand(root: String, smallRows: Option[Long],
   override def run(spark: SparkSession): Seq[Row] = {
     val t = TxTable.open(root)
     val r = zorder match {
-      case Some((c1, c2, files)) => t.clusterZorder(spark, c1, c2, files)
+      case Some((cols, files)) => t.clusterZorder(spark, cols, files)
       case None => t.compact(spark, smallRows.getOrElse(Long.MaxValue))
     }
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))

@@ -1304,11 +1304,25 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * lost commit race rebases across disjoint concurrent commits like
     * compact (a concurrent append lands by name, unclustered — the next
     * rewrite folds it in). */
-  def clusterZorder(spark: SparkSession, c1: String, c2: String, files: Int): MergeResult = {
+  def clusterZorder(spark: SparkSession, c1: String, c2: String, files: Int): MergeResult =
+    clusterZorder(spark, Seq(c1, c2), files)
+
+  /** N-column z-order (2-3 columns; the 16-bit interleave fills 32/48 of
+    * the 63 usable sign-safe bits — a 4th column would overflow them and
+    * dilute every dimension's locality anyway). Within each bit level
+    * columns interleave first-to-last from least to most significant, so
+    * LATER-listed columns get slightly stronger file locality — list the
+    * most-probed column last. File boundaries come from sampled range
+    * partitioning (Delta's OPTIMIZE ZORDER trade): pruning is
+    * statistical, not block-exact. */
+  def clusterZorder(spark: SparkSession, cols: Seq[String], files: Int): MergeResult = {
+    require(cols.size >= 2 && cols.size <= 3,
+      s"z-order takes 2-3 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate z-order column in $cols")
     val base = snapshot()
-    val (p1, p2) = (phys(base, c1), phys(base, c2))
-    require(statCols.contains(p1) && statCols.contains(p2),
-      s"z-order columns must be stat columns ($statCols)")
+    val physCols = cols.map(phys(base, _))
+    physCols.foreach(p => require(statCols.contains(p),
+      s"z-order columns must be stat columns ($statCols)"))
     require(base.version > 0, "cluster an empty table?")
     // The 16-bit interleave is only meaningful on [0, 2^16): a negative
     // or wider value contributes just its low 16 bits (sign bits
@@ -1316,7 +1330,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // correct but the advertised readWhere pruning would silently
     // vanish. The manifest stats already hold every file's min/max, so
     // enforce the domain loudly here instead of degrading.
-    for (c <- Seq(p1, p2)) {
+    for (c <- physCols) {
       val mns = base.files.flatMap(_.mins.get(c))
       val mxs = base.files.flatMap(_.maxs.get(c))
       require(mns.size == base.files.size,
@@ -1326,10 +1340,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
         s"z-order column $c has range [$mn, $mx] outside [0, 65536); " +
           "quantile-bucket it to 16 bits before clustering")
     }
-    val z = (0 until 16).map { k =>
-      shiftleft(shiftright(col(c1), k).bitwiseAND(lit(1L)), 2 * k) +
-        shiftleft(shiftright(col(c2), k).bitwiseAND(lit(1L)), 2 * k + 1)
-    }.reduce(_ + _)
+    val n = cols.size
+    val z = (for { k <- 0 until 16; (c, i) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(col(c), k).bitwiseAND(lit(1L)), n * k + i)).reduce(_ + _)
     val clustered = read(spark)
       .withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
@@ -1925,7 +1938,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * dangling manifests naming missing files only for versions already
     * declared expired, never for retained ones. Returns (filesDeleted,
     * versionsDropped). */
-  def vacuum(retainVersions: Int): (Int, Int) = {
+  def vacuum(retainVersions: Int, dryRun: Boolean = false): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
     val (versions, ckpts) = listLog
     val cutoff = currentVersion - retainVersions + 1
@@ -1942,6 +1955,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val dead = expired
       .flatMap(v => snapshot(Some(v)).files.flatMap(f => f.path +: f.dv.toSeq))
       .distinct.filterNot(live.contains)
+    // DRY RUN (Delta's VACUUM preview): report exactly what a real run
+    // would reclaim, touch nothing — the operator's look-before-you-leap
+    // on an irreversible maintenance op
+    if (dryRun) return (dead.size, expired.size)
     // dropping the expired deltas must not strand any retained chain:
     // every TAGGED version below the cutoff gets its own checkpoint
     // (the deltas between tags are about to drop), and the oldest

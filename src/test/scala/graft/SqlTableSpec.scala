@@ -601,6 +601,52 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(g.read(spark, "agg", Seq("k")).count() == 2)
   }
 
+  test("RESTORE … TIMESTAMP AS OF resolves via the commit clock; VACUUM DRY RUN touches nothing") {
+    val t = freshTable(20, 2)                                     // v1
+    Thread.sleep(10) // the next commit must land strictly after ts
+    val ts = System.currentTimeMillis
+    Thread.sleep(10)
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 0 AND 9") // v2
+    assert(t.read(spark).count() == 10)
+    spark.sql(s"RESTORE TABLE ${q(t.root)} TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(ts)}'")                  // v3 = v1 state
+    assert(t.read(spark).count() == 20)
+    // DRY RUN reports exactly what a real vacuum would reclaim — and
+    // reclaims nothing (v2 stays readable)
+    val dry = spark.sql(s"VACUUM ${q(t.root)} RETAIN 1 VERSIONS DRY RUN").head()
+    assert(dry.getInt(1) == 2, s"v1 and v2 must be reported expired, got $dry")
+    assert(t.read(spark, Some(2)).count() == 10, "dry run must not delete")
+    val real = spark.sql(s"VACUUM ${q(t.root)} RETAIN 1 VERSIONS").head()
+    assert(real.getInt(0) == dry.getInt(0) && real.getInt(1) == dry.getInt(1),
+      s"the real run must reclaim exactly the dry run's promise: $dry vs $real")
+    intercept[Exception] { t.snapshot(Some(1)) }
+  }
+
+  test("OPTIMIZE ZORDER BY three columns: every dimension prunes after the rewrite") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("x", "y", "w"))
+    // 16³ grid ingested clustered by x only — y/w probes scan everything
+    val grid = spark.range(0, 4096).toDF("id")
+      .select((col("id") % 16).as("x"), expr("(id DIV 16) % 16").as("y"),
+        expr("id DIV 256").as("w"), (col("id") * 7).as("payload"))
+    t.append(spark, grid.repartitionByRange(8, col("x")))
+    assert(t.readWhere(spark, "y", 0, 7).filesScanned == 8)
+    spark.sql(s"OPTIMIZE ${q(t.root)} ZORDER BY (x, y, w) INTO 8 FILES")
+    // locality is strongest for LATER-listed columns (each bit level
+    // interleaves first-to-last from least to most significant) and the
+    // sampled range boundaries make pruning statistical, not exact —
+    // the same trade Delta's OPTIMIZE ZORDER makes
+    for ((c, bound) <- Seq(("x", 6), ("y", 5), ("w", 4))) {
+      val r = t.readWhere(spark, c, 0, 3)
+      assert(r.filesScanned < r.filesTotal && r.filesScanned <= bound,
+        s"$c-probe must prune after 3-d z-order (${r.filesScanned}/${r.filesTotal})")
+    }
+    // content survives the rewrite exactly
+    assert(t.read(spark).agg(org.apache.spark.sql.functions.sum("payload"))
+      .head().getLong(0) == (0L until 4096L).map(_ * 7).sum)
+  }
+
   test("CREATE GROUP / ADD TABLE / COMMIT GROUP: a two-member atomic cut purely through SQL") {
     Tables.ensure(spark)
     val root = Files.createTempDirectory("graft_sqlgroup_ddl").toString + "/g"
