@@ -222,7 +222,7 @@ object Bench {
       // whichever member happened to carry it).
       "q_dedup_cluster_star", "q_dedup_cluster",
       "q_graph_sssp", "q_dedup_semantic", "q_tpch_q21", "q_text_keywords",
-      "q_table_dv_pred", "q_sql_table_update_pred",
+      "q_table_dv_pred", "q_sql_table_update_pred", "q_sql_table_altertype",
       "q_dedup_minhash", "q_table_multi_replica", "q_sql_table_clone",
       "q_dedup_minhash_sparse", "q_ann_refine", "q_graph_bfs",
       "q_table_diff", "q_sql_tpch_q21", "q_graph_kcore", "q_bpe_train",
