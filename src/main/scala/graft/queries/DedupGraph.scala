@@ -46,7 +46,10 @@ object DedupGraph {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_dedup_pairs_${nonce}_${Integer.toHexString(dir.hashCode)}")
         .getAbsolutePath
-      p.write.mode("overwrite").parquet(out)
+      // the demo-slice pair set is ~100k (da, db) rows: published wide it
+      // costs 32 file opens on every downstream read; 4 files keep both
+      // CC loops' first scan cheap while still reading in parallel
+      p.coalesce(4).write.mode("overwrite").parquet(out)
       out
     })
     spark.read.parquet(path)
