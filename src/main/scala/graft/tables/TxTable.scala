@@ -929,6 +929,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
         norm match {
           case ce.EqualTo(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>
             val v = longOf(l).get; tighten(statPhys(a).get, v, v)
+          // IN over integer literals: the [min, max] envelope of the list
+          // is a sound PRUNE interval, but the atom stays RESIDUAL — the
+          // envelope admits the gaps between list values, so it must
+          // never qualify a file as fully covered (metadata drops demand
+          // every row match)
+          case ce.In(a, vs) if statPhys(a).isDefined &&
+              vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+            val ls = vs.map(longOf(_).get)
+            tighten(statPhys(a).get, ls.min, ls.max)
+            residual = true
           case ce.GreaterThanOrEqual(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>
             tighten(statPhys(a).get, longOf(l).get, Long.MaxValue)
           case ce.LessThanOrEqual(a, l) if statPhys(a).isDefined && longOf(l).isDefined =>

@@ -22,7 +22,10 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
 
   private case class Pred(sql: String, f: (Long, Long, Long) => Boolean)
 
-  private def atom(rnd: scala.util.Random): Pred = rnd.nextInt(6) match {
+  private def atom(rnd: scala.util.Random): Pred = rnd.nextInt(7) match {
+    case 6 =>
+      val vs = Seq.fill(2 + rnd.nextInt(3))(rnd.nextInt(100).toLong).distinct
+      Pred(s"k IN (${vs.mkString(", ")})", (k, _, _) => vs.contains(k))
     case 0 =>
       val lo = rnd.nextInt(80).toLong; val hi = lo + rnd.nextInt(40)
       Pred(s"k BETWEEN $lo AND $hi", (k, _, _) => k >= lo && k <= hi)
@@ -105,6 +108,18 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
       assert(content(t) == want, s"trial $trial predicate `${p.sql}`")
       assert(t.read(spark).count() == 100, "update must not change cardinality")
     }
+  }
+
+  test("IN prunes by its envelope but never earns the metadata-drop class") {
+    val rnd = new scala.util.Random(7L)
+    val (t, rows) = fresh(rnd) // 4 range files of 25 keys
+    // envelope [30, 40] lies inside file [25,49] — prune must keep the
+    // other 3 files by name; the one candidate must REWRITE (gaps!),
+    // never drop metadata-only, or k=35 would vanish
+    val r = t.deleteWhere(spark, "k IN (30, 40)")
+    assert(r.keptFiles == 3 && r.droppedFiles == 0 && r.rewrittenFiles == 1,
+      s"IN must band-prune without full-coverage drops, got $r")
+    assert(content(t) == rows.filterNot(x => x._1 == 30 || x._1 == 40).toSet)
   }
 
   test("the three mutation flavors agree with each other on the same predicate") {
