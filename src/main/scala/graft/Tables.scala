@@ -60,11 +60,12 @@ object Tables {
       // …which means the built-in "Join Reorder" batch (pre-pushdown) ran
       // stat-blind on txtable scans. Re-apply Catalyst's own
       // CostBasedJoinReorder AFTER the stats rewrap: it self-gates on
-      // spark.sql.cbo.enabled + joinReorder.enabled (a no-op by default)
-      // and is idempotent on an already-ordered tree, so with CBO on a
-      // multi-join over txtables reorders from manifest row counts and
-      // column bounds with no ANALYZE pass (round-10 verdict #4).
-      org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder)
+      // spark.sql.cbo.enabled + joinReorder.enabled (a no-op by default),
+      // so with CBO on a multi-join over txtables reorders from manifest
+      // row counts and column bounds with no ANALYZE pass (round-10
+      // verdict #4). Wrapped in a once-per-plan tag guard: reordering is
+      // not idempotent and would churn the fixed-point batch otherwise.
+      graft.plans.CboReorderOnce)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =

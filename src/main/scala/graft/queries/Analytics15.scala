@@ -113,6 +113,10 @@ object Analytics15 {
   def q_src_overlap(spark: SparkSession, dir: String): DataFrame = {
     val sw = Tables.documents(spark, dir)
       .select(col("source"), split(col("text"), " ").as("ws"))
+      // single-word docs: sequence(0, -1) is the DESCENDING [0, -1] —
+      // null "bigrams" that the oracle's range(1, len) never emits;
+      // a one-word document contributes no bigram on either side
+      .filter(size(col("ws")) >= 2)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
         .as("w"))

@@ -54,6 +54,49 @@ object SqlTableOps {
     }
   }
 
+  /** MERGE INTO on a NON-STAT key (round-11 verdict #1): the merge key
+    * is a STRING column with no declared stats — no interval is
+    * derivable, so the engine degrades to the predicate-DML discipline
+    * (every file a rewrite candidate, every concurrent append a
+    * conflict) instead of refusing. Semantics are unchanged — this gate
+    * earns a full upsert oracle — and SqlTableSpec pins the degradation
+    * class (keptFiles == 0) and the stat-key/non-stat-key agreement. */
+  def q_sql_table_merge_nonstat(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.ensure(spark)
+    val base = Tables.orders(spark, dir)
+      .select(concat(lit("o"), col("o_orderkey")).as("o_key"),
+        col("o_orderkey"), col("o_orderpriority"))
+    base.createOrReplaceTempView("graft_sqlmerge_ns_orders")
+    val fp = Tables.sourceFingerprint(dir, "orders.parquet")
+    val published = Tables.publishOnce(s"graft_tablemerge_nsbase_$fp") { tmp =>
+      // stats are declared on the PAYLOAD column only — the merge key
+      // o_key deliberately has none
+      val t0 = new graft.tables.TxTable(tmp, Seq("o_orderkey"))
+      t0.append(spark, base.repartitionByRange(8, col("o_orderkey")))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
+    }
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_merge_nonstat") { root =>
+      spark.sql(
+        s"""MERGE INTO ${q(root)} AS t
+           |USING (SELECT concat('o', o_orderkey) AS o_key, o_orderkey,
+           |              '0-MERGED' AS o_orderpriority
+           |         FROM graft_sqlmerge_ns_orders WHERE o_orderkey <= 300
+           |       UNION ALL
+           |       SELECT concat('n', id), CAST(-(id + 1) AS BIGINT),
+           |              '9-INSERTED' FROM range(10)) AS s
+           |ON t.o_key = s.o_key
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  count(DISTINCT o_key) AS n_keys
+           |FROM ${q(root)}
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  }
+
   /** SQL DELETE FROM — q_table_delete's band delete through Spark's own
     * DELETE resolution onto SupportsDelete; earns the same oracle. */
   def q_sql_table_delete(spark: SparkSession, dir: String): DataFrame = {
@@ -390,6 +433,7 @@ object SqlTableOps {
     "q_sql_table_truncate" -> q_sql_table_truncate _,
     "q_table_group_history" -> q_table_group_history _,
     "q_sql_table_merge" -> q_sql_table_merge _,
+    "q_sql_table_merge_nonstat" -> q_sql_table_merge_nonstat _,
     "q_sql_table_delete" -> q_sql_table_delete _,
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
@@ -463,6 +507,24 @@ object SqlTableOps {
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_merge_nonstat" ->
+      """WITH src AS (
+        |  SELECT concat('o', o_orderkey) AS o_key, o_orderkey,
+        |         '0-MERGED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT concat('n', r), CAST(-(r + 1) AS BIGINT), '9-INSERTED'
+        |  FROM range(10) t(r)),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT concat('o', o_orderkey), o_orderkey, o_orderpriority
+        |  FROM orders
+        |  WHERE concat('o', o_orderkey) NOT IN (SELECT o_key FROM src))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_table_delete" ->
       """SELECT event_type, count(*) AS n,

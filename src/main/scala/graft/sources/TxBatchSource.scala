@@ -159,13 +159,26 @@ object TxSqlTable {
     // never shadowed (the real table has no STREAMING_WRITE capability,
     // so writeStream to an existing root still falls back to createSink).
     // A MISSING root is a sink resolution when the query declares a
-    // checkpoint — via the option OR the session-conf default
-    // (spark.sql.streaming.checkpointLocation); otherwise batch reads of
-    // a missing root stay a loud NoSuchTableException.
-    val confCheckpoint = Option(SparkSession.getActiveSession.orNull)
+    // checkpoint: the OPTION is authoritative (DataStreamWriter copies
+    // its checkpointLocation into the sink options), and the session-conf
+    // DEFAULT (spark.sql.streaming.checkpointLocation) counts only when
+    // the resolution is provably a stream-writer probe — the option never
+    // reaches the options map in that case, so the probe is recognized
+    // from the resolving frame (DataStreamWriter on the call stack).
+    // Without that gate, a plain BATCH read of a missing root under the
+    // conf default would resolve to the capability-less stub and die with
+    // a confusing unsupported-capability error instead of the loud
+    // NoSuchTableException a missing table deserves.
+    def streamWriterProbe: Boolean =
+      Thread.currentThread().getStackTrace
+        // matches both the API class (org.apache.spark.sql.streaming) and
+        // Spark 4's classic implementation (org.apache.spark.sql.classic)
+        .exists(_.getClassName.contains("DataStreamWriter"))
+    def confCheckpoint: Boolean = Option(SparkSession.getActiveSession.orNull)
       .exists(_.conf.getOption("spark.sql.streaming.checkpointLocation").isDefined)
     if (!TxTable.exists(root) &&
-        (options.containsKey("checkpointLocation") || confCheckpoint))
+        (options.containsKey("checkpointLocation") ||
+          (confCheckpoint && streamWriterProbe)))
       return new Table {
         override def name(): String = s"txtable.`$root` (streaming sink target)"
         override def schema(): StructType = new StructType()

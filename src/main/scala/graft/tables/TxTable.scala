@@ -308,6 +308,46 @@ final class TxTable(val root: String, val statCols: Seq[String],
       df.withColumn(f.name, col(f.name).cast(f.dataType)))
   }
 
+  /** Raw per-file read of `files` tagged with `__file`/`__pos` position
+    * columns (deletion-vector victim computation), surfaced under LOGICAL
+    * names with [[readFiles]]' schema-evolution discipline — the
+    * declared-schema fallback for mixed-era files a metadata-only ALTER
+    * COLUMN TYPE leaves behind, the column mapping, and NULL synthesis
+    * for declared columns no candidate file carries (so a predicate
+    * naming an ADD COLUMN-ed column resolves, evaluates NULL, and the
+    * row survives). No DV anti-join: victims re-entering an existing
+    * vector are idempotent under the read-side anti-join, and positions
+    * must count PHYSICAL rows anyway. */
+  private def readWithPositions(spark: SparkSession, files: Seq[FileEntry],
+      base: Snapshot): DataFrame = {
+    val paths = files.map(f => dataDir.resolve(f.path).toString)
+    val raw =
+      try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      catch {
+        case e: Throwable if base.meta.nonEmpty &&
+            Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+          val declared = org.apache.spark.sql.types.StructType(
+            base.meta.get.schema.fields.map(f =>
+              f.copy(name = base.colMap.getOrElse(f.name, f.name))))
+          spark.read.schema(declared).parquet(paths: _*)
+      }
+    val tagged = raw
+      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val renames = base.colMap.collect {
+      case (l, p) if l != p && !l.startsWith("-") => p -> l
+    }
+    val logical =
+      if (renames.isEmpty) tagged else tagged.withColumnsRenamed(renames)
+    val extra = base.meta.map(_.schema.fields.toSeq).getOrElse(Nil).filter { f =>
+      !logical.columns.contains(f.name) &&
+        !droppedPhys(base.colMap).contains(f.name) &&
+        !base.colMap.exists { case (l, p) => p == f.name && l != f.name }
+    }
+    extra.foldLeft(logical)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** DV-aware read of an explicit manifest-entry subset under a column
     * mapping — the seam the DSv2 batch source plans through after ITS
     * ScanBuilder has run the manifest stats/bloom prune (the same
@@ -439,24 +479,34 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
       source: DataFrame, key: String): MergeResult = {
     val pk = phys(base, key)
-    require(statCols.contains(pk), s"merge key $key must be a stat column")
     require(base.version > 0, "merge into an empty table: use append")
-    // Files without recorded stats for the key (possible after a stats
-    // evolution widened the column set mid-history) are unconditional
-    // rewrite candidates — no interval can prove them key-free.
-    val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
-    val hitPaths: Set[String] = {
-      import spark.implicits._
-      val intervals = statful
-        .map(f => (f.path, f.mins(pk), f.maxs(pk)))
-        .toDF("__path", "__mn", "__mx")
-      source.select(col(key).cast("long").as("__k"))
-        .join(broadcast(intervals),
-          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-        .select("__path").distinct().as[String].collect().toSet ++
-        statless.map(_.path)
-    }
-    val (candidates, kept) = base.files.partition(f => hitPaths.contains(f.path))
+    // A key WITHOUT declared stats (any column, any type — not just the
+    // long-typed stat set) degrades with the predicate-DML discipline:
+    // no interval is derivable, so EVERY file is a rewrite candidate and
+    // the commit guard treats every concurrently added file as a
+    // conflict (nothing proves it key-disjoint). Correct first, pruned
+    // when the table's layout allows it — not a refusal.
+    val keyHasStats = statCols.contains(pk)
+    val (candidates, kept) =
+      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+      else {
+        // Files without recorded stats for the key (possible after a stats
+        // evolution widened the column set mid-history) are unconditional
+        // rewrite candidates — no interval can prove them key-free.
+        val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
+        val hitPaths: Set[String] = {
+          import spark.implicits._
+          val intervals = statful
+            .map(f => (f.path, f.mins(pk), f.maxs(pk)))
+            .toDF("__path", "__mn", "__mx")
+          source.select(col(key).cast("long").as("__k"))
+            .join(broadcast(intervals),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__path").distinct().as[String].collect().toSet ++
+            statless.map(_.path)
+        }
+        base.files.partition(f => hitPaths.contains(f.path))
+      }
     val src = source
     val existing =
       if (candidates.isEmpty) None
@@ -478,10 +528,25 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // inside it, so a concurrent file proven outside it could not have
     // changed this merge's candidate selection or match results. An
     // empty source guards nothing (its rewrite is content-preserving).
-    val srcRange = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-    val guard = if (srcRange.isNullAt(0)) None
-      else Some((pk, srcRange.getLong(0), srcRange.getLong(1)))
-    val version = commitCow(base, candidates, entries, "merge", guard)
+    // A NON-STAT key has no sound envelope (concurrent files carry no
+    // interval for it): every concurrently added file conflicts.
+    val guard: Option[(FileEntry => Boolean, String)] =
+      if (!keyHasStats) {
+        if (src.isEmpty) None
+        else Some(((_: FileEntry) => true,
+          s"was added concurrently (merge key $key has no stats interval — " +
+            "nothing proves disjointness)"))
+      } else {
+        val srcRange =
+          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (srcRange.isNullAt(0)) None
+        else {
+          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
+          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
+            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
+        }
+      }
+    val version = commitCowGuarded(base, candidates, entries, "merge", guard)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
   }
@@ -716,7 +781,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
       watermark: Long, key: String): Boolean = {
     val base = snapshot()
     val pk = phys(base, key)
-    require(statCols.contains(pk), s"replication key $key must be a stat column")
+    // a NON-STAT key degrades like mergeFrom: all files are delete
+    // candidates, every concurrent add conflicts — never a refusal
+    val keyHasStats = statCols.contains(pk)
     if (base.txns.get(appId).exists(_ >= watermark))
       return false // replayed slice: recognized, no-op
     val ch = changes.persist() // every downstream pass reads it
@@ -741,8 +808,18 @@ final class TxTable(val root: String, val statCols: Seq[String],
         min(col(key).cast("long")), max(col(key).cast("long"))).head()
       val nIns = Option(head.get(0)).fold(0L)(_ => head.getLong(0))
       val nDel = Option(head.get(1)).fold(0L)(_ => head.getLong(1))
-      val guard = if (head.isNullAt(2)) None
-        else Some((pk, head.getLong(2), head.getLong(3)))
+      val guard: Option[(FileEntry => Boolean, String)] =
+        if (!keyHasStats) {
+          if (nIns == 0L && nDel == 0L) None
+          else Some(((_: FileEntry) => true,
+            s"was added concurrently (replication key $key has no stats " +
+              "interval — nothing proves disjointness)"))
+        } else if (head.isNullAt(2)) None
+        else {
+          val (mn, mx) = (head.getLong(2), head.getLong(3))
+          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
+            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
+        }
       val (candidates, survivorsOpt) =
         if (nDel == 0L) {
           // insert-only sync: nothing to net, nothing to probe, no
@@ -753,19 +830,24 @@ final class TxTable(val root: String, val statCols: Seq[String],
           val delNet = del.exceptAll(ins).persist()
           persisted += insNet += delNet
           // candidate files = stats intervals admitting any net-deleted key
-          // (merge's broadcast probe)
-          val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
-          val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
-          val hitPaths: Set[String] = {
-            import spark.implicits._
-            val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
-              .toDF("__path", "__mn", "__mx")
-            delKeys.join(broadcast(intervals),
-                col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-              .select("__path").distinct().as[String].collect().toSet ++
-              statless.map(_.path)
-          }
-          val (cands, _) = base.files.partition(f => hitPaths.contains(f.path))
+          // (merge's broadcast probe); non-stat key ⇒ every file
+          val cands =
+            if (!keyHasStats) base.files
+            else {
+              val (statless, statful) =
+                base.files.partition(f => f.mins.get(pk).isEmpty)
+              val delKeys = delNet.select(col(key).cast("long").as("__k")).distinct()
+              val hitPaths: Set[String] = {
+                import spark.implicits._
+                val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
+                  .toDF("__path", "__mn", "__mx")
+                delKeys.join(broadcast(intervals),
+                    col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+                  .select("__path").distinct().as[String].collect().toSet ++
+                  statless.map(_.path)
+              }
+              base.files.filter(f => hitPaths.contains(f.path))
+            }
           val survivors =
             if (cands.isEmpty) insNet
             else {
@@ -783,7 +865,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         case None => Nil
         case Some(s) => writeDataFiles(spark, s) // cancelled-to-nothing still commits below
       }
-      commitCow(base, candidates, entries, "CDC apply", guard,
+      commitCowGuarded(base, candidates, entries, "CDC apply", guard,
         txns = Map(appId -> watermark))
       true
     } finally { persisted.foreach(_.unpersist(blocking = false)); () }
@@ -853,14 +935,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (touched, kept) = base.files.partition { f =>
       f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
-    val (covered, straddling) = touched.partition { f =>
-      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
-    }
+    val (covered, straddling) = touched.partition(_.provablyAllIn(p, lo, hi))
     val entries =
       if (straddling.isEmpty) Nil
       else writeDataFiles(spark,
         readFiles(spark, straddling, base.colMap) // DV-aware: never resurrect
-          .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
+          // NULL statCol rows are NOT in the band: coalesce keeps them
+          // (bare NOT(NULL) is NULL and the filter would drop survivors)
+          .filter(!coalesce(col(statCol) >= lo && col(statCol) <= hi, lit(false))))
     // rebase across disjoint concurrent commits; a concurrent file
     // overlapping [lo, hi] would hold victims this delete never saw
     val version = commitCow(base, touched, entries, "delete",
@@ -982,11 +1064,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (touched, kept) = base.files.partition(bandsIntersect(bands))
     val (covered, straddling) =
       if (residual || bands.isEmpty) (Seq.empty[FileEntry], touched)
-      else touched.partition { f =>
-        bands.forall { case (p, (lo, hi)) =>
-          f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
-        }
-      }
+      else touched.partition(f =>
+        bands.forall { case (p, (lo, hi)) => f.provablyAllIn(p, lo, hi) })
     val entries =
       if (straddling.isEmpty) Nil
       else {
@@ -1091,9 +1170,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
     require(base.version > 0, "overwrite into an empty table: use append")
     val replacement = writeDataFiles(spark, df)
-    val escapees = replacement.filter { e =>
-      !(e.mins.get(p).exists(_ >= lo) && e.maxs.get(p).exists(_ <= hi))
-    }
+    // provablyAllIn: range inside the band AND zero nulls — a NULL-keyed
+    // replacement row lies outside every band and must be rejected too
+    val escapees = replacement.filterNot(_.provablyAllIn(p, lo, hi))
     if (escapees.nonEmpty) {
       replacement.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
       throw new IllegalArgumentException(
@@ -1105,14 +1184,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (touched, kept) = base.files.partition { f =>
       f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
-    val (covered, straddling) = touched.partition { f =>
-      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
-    }
+    val (covered, straddling) = touched.partition(_.provablyAllIn(p, lo, hi))
     val rewrites =
       if (straddling.isEmpty) Nil
       else writeDataFiles(spark,
         readFiles(spark, straddling, base.colMap) // DV-aware: never resurrect
-          .filter(!(col(statCol) >= lo && col(statCol) <= hi)))
+          // NULL statCol rows are NOT in the band: coalesce keeps them
+          // (bare NOT(NULL) is NULL and the filter would drop survivors)
+          .filter(!coalesce(col(statCol) >= lo && col(statCol) <= hi, lit(false))))
     val version = commitCow(base, touched, rewrites ++ replacement,
       "overwriteWhere", Some((p, lo, hi)))
     DeleteResult(version, droppedFiles = covered.size,
@@ -1145,17 +1224,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (touched, kept) = base.files.partition { f =>
       f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
     }
-    val (covered, straddling) = touched.partition { f =>
-      f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
-    }
+    val (covered, straddling) = touched.partition(_.provablyAllIn(p, lo, hi))
     val entries =
       if (straddling.isEmpty) Nil
       else {
-        val victims = spark.read.option("mergeSchema", "true")
-          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
-          .filter(col(p) >= lo && col(p) <= hi) // raw files carry PHYSICAL names
-          .select(col("_metadata.file_name").as("file"),
-            col("_metadata.row_index").as("pos"))
+        val victims = readWithPositions(spark, straddling, base)
+          .filter(col(statCol) >= lo && col(statCol) <= hi) // logical names
+          .select(col("__file").as("file"), col("__pos").as("pos"))
         val oldDvs = straddling.flatMap(_.dv).distinct
         val allVictims =
           if (oldDvs.isEmpty) victims
@@ -1201,25 +1276,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val (touched, kept) = base.files.partition(bandsIntersect(bands))
     val (covered, straddling) =
       if (residual || bands.isEmpty) (Seq.empty[FileEntry], touched)
-      else touched.partition { f =>
-        bands.forall { case (p, (lo, hi)) =>
-          f.mins.get(p).exists(lo <= _) && f.maxs.get(p).exists(_ <= hi)
-        }
-      }
+      else touched.partition(f =>
+        bands.forall { case (p, (lo, hi)) => f.provablyAllIn(p, lo, hi) })
     val entries =
       if (straddling.isEmpty) Nil
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(straddling.map(f => dataDir.resolve(f.path).toString): _*)
-        val tagged = raw
-          .withColumn("__file", col("_metadata.file_name"))
-          .withColumn("__pos", col("_metadata.row_index"))
-        val renames = base.colMap.collect {
-          case (l, p) if l != p && !l.startsWith("-") => p -> l
-        }
-        val logical =
-          if (renames.isEmpty) tagged else tagged.withColumnsRenamed(renames)
-        val victims = logical
+        val victims = readWithPositions(spark, straddling, base)
           .filter(coalesce(expr(predicateSql), lit(false)))
           .select(col("__file").as("file"), col("__pos").as("pos"))
         val oldDvs = straddling.flatMap(_.dv).distinct
@@ -1769,7 +1831,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       def statsOf(prefix: String): Map[String, Long] = pcols.flatMap { c =>
         Option(r.getAs[java.lang.Long](s"${prefix}_$c")).map(v => c -> v.longValue)
       }.toMap
-      f.copy(mins = f.mins ++ statsOf("__min"), maxs = f.maxs ++ statsOf("__max"))
+      f.copy(mins = f.mins ++ statsOf("__min"), maxs = f.maxs ++ statsOf("__max"),
+        nonNull = f.nonNull ++ pcols.map(c => c -> r.getAs[Long](s"__nn_$c")))
     }
     try commitOnce(base, op = "evolve-stats") { _ => evolved }
     catch {
@@ -2106,7 +2169,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
       FileEntry(fresh, r.getAs[Long]("__rows"),
         statsOf("__min"), statsOf("__max"),
         blooms = bloomCols.flatMap(c =>
-          bloomsByCol.getOrElse(c, Map.empty).get(uri).map(c -> _)).toMap)
+          bloomsByCol.getOrElse(c, Map.empty).get(uri).map(c -> _)).toMap,
+        // count() is never null (0 for an all-null column) — always recorded
+        nonNull = statCols.map(c => c -> r.getAs[Long](s"__nn_$c")).toMap)
     }.toSeq
     // the stage dir now holds only _SUCCESS/metadata droppings
     rm(stage.toFile)
@@ -2148,7 +2213,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def flatStats(cols: Seq[String]) =
     cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"__min_$c"),
-      max(col(c)).cast("long").as(s"__max_$c")))
+      max(col(c)).cast("long").as(s"__max_$c"),
+      // non-null count: the zero-null witness metadata-only drops demand
+      // (min/max alone are blind to NULLs in the column)
+      count(col(c)).as(s"__nn_$c")))
 
   /** One commit attempt on top of `base`: stage a DELTA manifest (the
     * entry-level diff of the new file list against `base` — O(changed
@@ -2405,11 +2473,25 @@ object TxTable {
     * read time (merge-on-read), so a positional delete rewrites
     * nothing. `blooms` carries per-column bloom bitsets for equality
     * pruning. Stats and blooms stay sound as superset bounds (a DV'd or
-    * merged-away row may still test present — never the reverse). */
+    * merged-away row may still test present — never the reverse).
+    * `nonNull` records the NON-NULL value count per stat column: min/max
+    * are computed over non-null values only, so an interval alone can
+    * never prove "every row matches" for a file holding NULLs in the
+    * column (a NULL predicate row must SURVIVE an ANSI DELETE). A file
+    * qualifies for a metadata-only drop only when nonNull(c) == rows for
+    * every band column; absent counts (legacy manifests) degrade to the
+    * always-sound rewrite class. */
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
       dv: Option[String] = None,
-      blooms: Map[String, Seq[Long]] = Map.empty)
+      blooms: Map[String, Seq[Long]] = Map.empty,
+      nonNull: Map[String, Long] = Map.empty) {
+    /** Stats prove every physical row satisfies `lo <= c <= hi`: range
+      * inside the band AND zero nulls (count recorded and == rows). */
+    def provablyAllIn(c: String, lo: Long, hi: Long): Boolean =
+      mins.get(c).exists(lo <= _) && maxs.get(c).exists(_ <= hi) &&
+        nonNull.get(c).contains(rows)
+  }
 
   /** A version's full state: its file list, the per-stream exactly-once
     * watermarks (appId → last committed micro-batch id), the declared
@@ -2569,7 +2651,9 @@ object TxTable {
     val dvTok = f.dv.map(d => s"dv:$d\t").getOrElse("")
     val bloomTok = f.blooms.keys.toSeq.sorted
       .map(c => s"bloom:$c:${encodeBloom(f.blooms(c))}\t").mkString
-    s"$tag\t${f.path}\t${f.rows}\t$dvTok$bloomTok$stats"
+    val nnTok = f.nonNull.keys.toSeq.sorted
+      .map(c => s"nn:$c:${f.nonNull(c)}\t").mkString
+    s"$tag\t${f.path}\t${f.rows}\t$dvTok$bloomTok$nnTok$stats"
   }
 
   private def parseFileLine(parts: Array[String]): FileEntry = {
@@ -2577,17 +2661,24 @@ object TxTable {
     val dv = afterDv.headOption.filter(_.startsWith("dv:"))
       .map(_.stripPrefix("dv:"))
     val rest = if (dv.isDefined) afterDv.drop(1) else afterDv
-    val (bloomParts, statParts) = rest.span(_.startsWith("bloom:"))
+    val (bloomParts, afterBloom) = rest.span(_.startsWith("bloom:"))
     val blooms = bloomParts.map { tok =>
       val Array(_, c, payload) = tok.split(":", 3)
       c -> decodeBloom(payload)
+    }.toMap
+    // nn:<col>:<count> — absent in pre-round-12 manifests; missing counts
+    // parse to an empty map and the coverage gates degrade to rewrite
+    val (nnParts, statParts) = afterBloom.span(_.startsWith("nn:"))
+    val nonNull = nnParts.map { tok =>
+      val Array(_, c, n) = tok.split(":", 3)
+      c -> n.toLong
     }.toMap
     val stats = statParts.grouped(3).map {
       case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
     }.toSeq
     FileEntry(parts(1), parts(2).toLong,
       stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
-      dv, blooms)
+      dv, blooms, nonNull)
   }
 
   /** Parse a FULL (v1/checkpoint) manifest; rejects deltas. */

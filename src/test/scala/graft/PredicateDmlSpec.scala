@@ -122,6 +122,55 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
     assert(content(t) == rows.filterNot(x => x._1 == 30 || x._1 == 40).toSet)
   }
 
+  /** Two files, one holding NULLs in the stat column: file A = k in
+    * [10, 19] plus 3 NULL-k rows (non-null range INSIDE the band), file
+    * B = k in [50, 59] (disjoint). min/max alone would class A fully
+    * covered and silently delete the NULL rows a TRUE-only ANSI DELETE
+    * must keep — the round-11 advisory's high finding. */
+  private def nullFixture(): (TxTable, Long) = {
+    val t = new TxTable(
+      Files.createTempDirectory("graft_preddml_null").toString, Seq("k"))
+    val a = (10L to 19L).map(k => (Some(k), k * 2)) ++
+      Seq((None, 1000L), (None, 1001L), (None, 1002L))
+    val b = (50L to 59L).map(k => (Some(k), k * 2))
+    t.append(spark, a.toDF("k", "v").coalesce(1))
+    t.append(spark, b.toDF("k", "v").coalesce(1))
+    (t, 3L)
+  }
+
+  test("NULL-stat rows survive deleteWhere: no metadata-only drop of a NULL-holding file") {
+    val (t, nNull) = nullFixture()
+    val r = t.deleteWhere(spark, "k BETWEEN 0 AND 30")
+    // file A's non-null range [10,19] is inside the band, but its NULL
+    // rows make full coverage unprovable: it must REWRITE, not drop
+    assert(r.droppedFiles == 0 && r.rewrittenFiles == 1 && r.keptFiles == 1,
+      s"NULL-holding file must take the rewrite path, got $r")
+    val left = t.read(spark)
+    assert(left.filter(col("k").isNull).count() == nNull,
+      "rows where the predicate evaluates NULL must survive an ANSI DELETE")
+    assert(left.count() == nNull + 10)
+  }
+
+  test("NULL-stat rows survive the banded delete and deletePositionalWhere") {
+    val (t1, nNull) = nullFixture()
+    t1.delete(spark, "k", 0L, 30L)
+    assert(t1.read(spark).filter(col("k").isNull).count() == nNull,
+      "banded delete rewrite must keep NULL-band rows (coalesce, not bare NOT)")
+    val (t2, _) = nullFixture()
+    val r2 = t2.deletePositionalWhere(spark, "k BETWEEN 0 AND 30")
+    assert(r2.droppedFiles == 0,
+      s"positional delete must not metadata-drop the NULL-holding file, got $r2")
+    assert(t2.read(spark).collect().toSet ==
+      t1.read(spark).collect().toSet, "CoW and MoR must agree under NULLs")
+  }
+
+  test("zero-null files still earn the metadata-only drop (non-null witness)") {
+    val (t, _) = fresh(new scala.util.Random(5L)) // 4 range files, no NULLs
+    val r = t.deleteWhere(spark, "k BETWEEN 0 AND 49")
+    assert(r.droppedFiles == 2 && r.rewrittenFiles == 0 && r.keptFiles == 2,
+      s"recorded nonNull == rows must keep the zero-I/O drop class, got $r")
+  }
+
   test("the three mutation flavors agree with each other on the same predicate") {
     val rnd = new scala.util.Random(424242L)
     for (_ <- 1 to 3) {

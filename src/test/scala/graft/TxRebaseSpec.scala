@@ -150,6 +150,46 @@ class TxRebaseSpec extends AnyFunSuite with SparkFixture {
     assert(got == ((0L until 40L) ++ (900L until 910L)))
   }
 
+  test("non-stat merge key: all files are candidates, result matches the stat-keyed path") {
+    // the same data merged twice — once on the stat column k, once on a
+    // duplicate column k2 with NO stats. The non-stat path must degrade
+    // (every file a rewrite candidate, keptFiles == 0), never refuse,
+    // and produce identical content.
+    import spark.implicits._
+    def data = spark.range(0, 100).toDF("k")
+      .withColumn("k2", col("k")).withColumn("v", col("k") * 10)
+      .repartitionByRange(4, col("k"))
+    val a = fresh(); a.append(spark, data)
+    val b = fresh(); b.append(spark, data)
+    val src = spark.range(0, 5).toDF("k")
+      .withColumn("k2", col("k")).withColumn("v", lit(-1L))
+    val ra = a.merge(spark, src, "k")   // stat-pruned: 3 of 4 files kept
+    val rb = b.merge(spark, src, "k2")  // degraded: every file rewritten
+    assert(ra.keptFiles == 3 && ra.rewrittenFiles == 1, s"stat path: $ra")
+    assert(rb.keptFiles == 0 && rb.rewrittenFiles == 4,
+      s"non-stat key must class EVERY file a candidate, got $rb")
+    assert(a.read(spark).collect().toSet == b.read(spark).collect().toSet,
+      "degraded and pruned merges must agree on content")
+  }
+
+  test("non-stat merge key: every concurrent append conflicts (no interval, no rebase)") {
+    import spark.implicits._
+    val t = fresh()
+    t.append(spark, spark.range(0, 100).toDF("k")
+      .withColumn("k2", col("k")).withColumn("v", col("k") * 10)
+      .repartitionByRange(2, col("k")))
+    val src = spark.range(0, 5).toDF("k")
+      .withColumn("k2", col("k")).withColumn("v", lit(-1L))
+    val stale = t.snapshot()
+    // concurrent append with keys FAR from the source's — still conflicts:
+    // k2 carries no stats, nothing proves the fresh file disjoint
+    t.append(spark, spark.range(900, 910).toDF("k")
+      .withColumn("k2", col("k")).withColumn("v", col("k") * 10))
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeFrom(spark, stale, src, "k2")
+    }
+  }
+
   test("statless concurrent files conservatively conflict with a keyed rewrite") {
     // a concurrent append with NO stats for the merge key proves nothing
     // about its key range — the rebase must refuse, not guess
