@@ -37,7 +37,16 @@ object StarContraction {
   /** Component label (smallest reachable vertex id) for every vertex —
     * the same contract as [[ConnectedComponents.minLabel]]. */
   def components(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, maxIter: Int = 32): DataFrame = {
+      srcCol: String, dstCol: String, maxIter: Int = 32): DataFrame =
+    componentsCounted(vertices, idCol, edges, srcCol, dstCol, maxIter)._1
+
+  /** [[components]] plus the ALTERNATION COUNT it converged in — the
+    * observable StarContractionSpec's scale test pins against the
+    * O(log² n) budget (the driver-side loop state is this one integer;
+    * edges never leave the cluster side). */
+  private[graft] def componentsCounted(vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 32): (DataFrame, Int) = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(label: String): Unit = if (debug) {
@@ -169,10 +178,11 @@ object StarContraction {
         else cur
       // fixpoint edges are (node, component-min) stars; roots map to
       // themselves, isolated vertices likewise
-      vertices.select(col(idCol).as("id")).as("vx")
+      (vertices.select(col(idCol).as("id")).as("vx")
         .join(stars.select(col("u").as("id"), col("v").as("c")).as("st"),
           Seq("id"), "left")
-        .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+        .select(col("id"), coalesce(col("c"), col("id")).as("component")),
+        iter)
     } finally { CheckpointRelease.release(e0) }
   }
 }

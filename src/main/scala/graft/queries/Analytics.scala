@@ -258,13 +258,17 @@ object Analytics {
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // `div`, never `/`: the Column `/` is DOUBLE division even on BIGINTs
+    // no broadcast() hint on the node-state side: it is NODE-count-sized
+    // and a forced hint would OOM the build side at the 100× id domain.
+    // AQE's runtime size check picks BHJ at gate scale (PlanQualitySpec
+    // pins it) and degrades to SMJ when the state outgrows the threshold.
     val c1 = deg.select(col("src"), expr(s"${scale}L div deg").as("c"))
-    val r1 = edges.join(broadcast(c1), "src")
+    val r1 = edges.join(c1, "src")
       .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r"))
     val c2 = r1.withColumnRenamed("id", "src").join(deg, "src")
       .select(col("src"), expr("r div deg").as("c"))
-    val r2 = edges.join(broadcast(c2), "src")
+    val r2 = edges.join(c2, "src")
       .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       .select(col("dst").as("id"), expr(s"(${15L * scale}L + 85L * c) div 100L").as("r2"))
     // Top-20 via orderBy+limit → TakeOrderedAndProject (per-partition

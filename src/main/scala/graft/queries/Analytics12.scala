@@ -135,8 +135,10 @@ object Analytics12 {
       .localCheckpoint(eager = false)
     val directed = pairs.select(col("pa").as("item"), col("pb").as("rec"), col("n_ab"))
       .union(pairs.select(col("pb").as("item"), col("pa").as("rec"), col("n_ab")))
-      .join(broadcast(marg.select(col("pk").as("item"), col("n_p").as("n_i"))), Seq("item"))
-      .join(broadcast(marg.select(col("pk").as("rec"), col("n_p").as("n_r"))), Seq("rec"))
+      // marginals unhinted: item-count-sized, AQE size-gates the joins
+      // (forced broadcasts would OOM at the 100× item domain)
+      .join(marg.select(col("pk").as("item"), col("n_p").as("n_i")), Seq("item"))
+      .join(marg.select(col("pk").as("rec"), col("n_p").as("n_r")), Seq("rec"))
       .withColumn("jac_bp", expr("(10000 * n_ab) div (n_i + n_r - n_ab)"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("n_ab").desc, col("jac_bp").desc, col("rec"))

@@ -407,14 +407,16 @@ object Analytics9 {
     val c1 = nodes.filter(col("seed") === 1)
       .join(deg.select(col("da").as("id"), col("deg")), Seq("id"))
       .select(col("id").as("da"), expr(s"(${scale}L) div deg").as("c"))
-    val in1 = sym.join(broadcast(c1), Seq("da"))
+    // node-state joins carry no broadcast() hint: AQE size-gates them
+    // (forced, they would OOM at the 100× id domain)
+    val in1 = sym.join(c1, Seq("da"))
       .groupBy(col("db")).agg(sum(col("c")).as("s"))
     val r1 = nodes.join(in1.select(col("db").as("id"), col("s")), Seq("id"), "left")
       .select(col("id"), col("seed"),
         expr(s"(15L * ${scale}L * seed + 85L * coalesce(s, 0L)) div 100L").as("r"))
     val c2 = r1.join(deg.select(col("da").as("id"), col("deg")), Seq("id"))
       .select(col("id").as("da"), expr("r div deg").as("c"))
-    val in2 = sym.join(broadcast(c2), Seq("da"))
+    val in2 = sym.join(c2, Seq("da"))
       .groupBy(col("db")).agg(sum(col("c")).as("s"))
     val r2 = nodes.join(in2.select(col("db").as("id"), col("s")), Seq("id"), "left")
       .select(col("id"), col("seed"),
@@ -484,9 +486,9 @@ object Analytics9 {
   private[graft] def assortOf(p: DataFrame): DataFrame = {
     val sym = p.union(p.select(col("db").as("da"), col("da").as("db")))
     val deg = sym.groupBy(col("da")).agg(count(lit(1)).as("dg"))
-    sym
-      .join(broadcast(deg.select(col("da"), col("dg").as("ka"))), Seq("da"))
-      .join(broadcast(deg.select(col("da").as("db"), col("dg").as("kb"))), Seq("db"))
+    sym // degree frame unhinted: node-count-sized, AQE size-gates the join
+      .join(deg.select(col("da"), col("dg").as("ka")), Seq("da"))
+      .join(deg.select(col("da").as("db"), col("dg").as("kb")), Seq("db"))
       .agg(count(lit(1)).as("m"),
         sum(col("ka")).as("sx"), sum(col("kb")).as("sy"),
         sum(col("ka") * col("kb")).as("sxy"),

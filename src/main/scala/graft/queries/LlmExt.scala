@@ -745,31 +745,27 @@ object LlmExt {
     * executors. Exact-integer arithmetic end to end (micro-quantized
     * components, integer squared-L2, packed argmin), so the DuckDB
     * oracle reproduces it bit-for-bit. */
-  def q_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val dims = e
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("label"),
-        (col("pos").cast("long") / lit(8)).cast("long").as("sub"),
-        pmod(col("pos").cast("long"), lit(8)).as("dim"),
-        floor(lit(1000000.0) * col("x").cast("double")).as("qv"))
-    // codebook: per (subspace, codeword, dim) floored mean — trained per
-    // label exactly as q_ann_pq's (`cw` IS the training label there)
-    val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
-      .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
-    // per (vector, subspace, codeword) exact squared-L2, the vector's own
-    // CELL carried through — it becomes the inverted-list key below
-    val sdist = dims.join(broadcast(cb), Seq("sub", "dim"))
+  /** (vec_id, label, sub, dim, qv): quantized per-dimension values in 8-dim
+    * subspaces — the shared front of PQ encode and query-LUT build. */
+  private def pqDims(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("label").cast("long").as("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    .select(col("vec_id"), col("label"),
+      (col("pos").cast("long") / lit(8)).cast("long").as("sub"),
+      pmod(col("pos").cast("long"), lit(8)).as("dim"),
+      floor(lit(1000000.0) * col("x").cast("double")).as("qv"))
+
+  /** Per (vector, subspace, codeword) exact squared-L2 against the
+    * codebook, the vector's own CELL carried through. */
+  private def pqSdist(dims: DataFrame, cb: DataFrame): DataFrame =
+    dims.join(broadcast(cb), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("label"), col("sub"), col("cw"))
       .agg(sum((col("qv") - col("c")) * (col("qv") - col("c"))).as("dist"))
-    val enc = sdist.groupBy(col("vec_id"), col("label"), col("sub"))
-      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
-      .select(col("vec_id").as("b_id"), col("label").as("lb"),
-        col("sub"), col("code"))
-    val lut = sdist.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("a_id"), col("label").as("la"),
-        col("sub").as("lsub"), col("cw"), col("dist").as("qdist"))
+
+  /** ADC serve over an encoded corpus: query LUT joined to the inverted
+    * lists ON (cell, subspace, codeword) — the tail q_ann_ivfpq and its
+    * stored-index twin share verbatim. */
+  private def pqServe(enc: DataFrame, lut: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("a_id")).orderBy(col("adc"), col("b_id"))
     enc.join(broadcast(lut),
         col("lb") === col("la") && // the IVF cell prune, ON the join keys
@@ -781,6 +777,61 @@ object LlmExt {
       .filter(col("rn") <= 3)
       .select(col("a_id"), col("b_id"), col("adc"), col("rn"))
       .orderBy(col("a_id"), col("rn"))
+  }
+
+  def q_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val dims = pqDims(Tables.embeddings(spark, dir))
+    // codebook: per (subspace, codeword, dim) floored mean — trained per
+    // label exactly as q_ann_pq's (`cw` IS the training label there)
+    val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+    val sdist = pqSdist(dims, cb)
+    val enc = sdist.groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("sub"), col("code"))
+    val lut = sdist.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("label").as("la"),
+        col("sub").as("lsub"), col("cw"), col("dist").as("qdist"))
+    pqServe(enc, lut)
+  }
+
+  /** PERSISTED ANN index (round-11 verdict #4): the PQ codebook and the
+    * encoded inverted lists are built ONCE (publishOnce discipline) and
+    * stored as TxTables — codes range-laid-out by IVF cell with stats on
+    * `lb`, so a cell-targeted probe prunes at the manifest; the SERVE
+    * plan reads the stored index, builds the query LUT from the QUERY
+    * vectors only (pushed `vec_id < 10` scan), and never re-encodes the
+    * corpus (PqSpec pins exactly one Generate — the query-side explode —
+    * in the executed plan). This is the production serve shape at 100 TB:
+    * encode is ingest, the index is a table, a query costs a LUT build
+    * plus one join against the lists. Same ADC oracle as q_ann_ivfpq. */
+  def q_ann_ivfpq_indexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.TxTable
+    val fp = Tables.sourceFingerprint(dir, "embeddings.parquet")
+    val root = Tables.publishOnce(s"graft_ivfpq_index_$fp") { tmp =>
+      val dims = pqDims(Tables.embeddings(spark, dir))
+      val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
+        .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+      val enc = pqSdist(dims, cb)
+        .groupBy(col("vec_id"), col("label"), col("sub"))
+        .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+        .select(col("vec_id").as("b_id"), col("label").as("lb"),
+          col("sub"), col("code"))
+      new TxTable(s"$tmp/codes", Seq("lb"))
+        .append(spark, enc.repartitionByRange(4, col("lb")))
+      new TxTable(s"$tmp/codebook", Seq("sub"))
+        .append(spark, cb.repartition(1))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
+    }
+    val codes = TxTable.open(s"$root/codes").read(spark)
+    val cb = TxTable.open(s"$root/codebook").read(spark)
+    val qdims = pqDims(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < 10) // query vectors only — pushed to the scan
+    val lut = pqSdist(qdims, cb)
+      .select(col("vec_id").as("a_id"), col("label").as("la"),
+        col("sub").as("lsub"), col("cw"), col("dist").as("qdist"))
+    pqServe(codes, lut)
   }
 
   /** Shard packing — the webdataset-creation step of a training pipeline:
@@ -848,6 +899,7 @@ object LlmExt {
     "q_ann_ivf" -> q_ann_ivf _,
     "q_ann_pq" -> q_ann_pq _,
     "q_ann_ivfpq" -> q_ann_ivfpq _,
+    "q_ann_ivfpq_indexed" -> q_ann_ivfpq_indexed _,
     "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_minhash_sparse" -> q_dedup_minhash_sparse _,
@@ -865,7 +917,7 @@ object LlmExt {
   )
 
   // q_dedup_minhash / q_dedup_simhash: no oracle (xxhash64 engine-specific).
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // the planted sparse LSH gate: 1000 arithmetic pairs (20r, 20r+1) —
     // no hash function is shared with the engine
     "q_dedup_minhash_sparse" ->
@@ -1225,4 +1277,9 @@ object LlmExt {
         |  array_to_string(list_transform(range(1, 9), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS VARCHAR)), ',') AS byte_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  // the stored-index serve path computes the SAME ADC answer — it earns
+  // q_ann_ivfpq's oracle verbatim
+  val oracle: Map[String, String] =
+    oracleBase + ("q_ann_ivfpq_indexed" -> oracleBase("q_ann_ivfpq"))
 }

@@ -27,6 +27,13 @@ import graft.tables.TxTable
   * {{{
   *   MERGE INTO txtable.`/p` [AS t] USING <source> ON t.k = s.k
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   MERGE INTO … ON t.k = s.k                      -- general clauses:
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE]…
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+  *   CONVERT TO TXTABLE txtable.`/dst` FROM PARQUET `/src`
+  *     [TBLPROPERTIES('statCols'='a,b'[, 'bloomCols'='c'])]
+  *   ANALYZE TABLE txtable.`/p` [COMPUTE STATISTICS] [FOR COLUMNS c1, c2]
+  *   VACUUM GROUP txtable.`/g` [RETAIN <n> VERSIONS] [DRY RUN]
   *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n> | [TO] TIMESTAMP AS OF '<ts>' 
   *   DESCRIBE HISTORY txtable.`/p`
   *   DESCRIBE HISTORY GROUP txtable.`/group-root`
@@ -160,6 +167,20 @@ object GraftSqlParser {
     "(?is)^\\s*VACUUM\\s+" + Target +
     "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
 
+  private val ConvertRe = (
+    "(?is)^\\s*CONVERT\\s+TO\\s+TXTABLE\\s+" + Target +
+    "\\s+FROM\\s+PARQUET\\s+`([^`]+)`" +
+    "(?:\\s+TBLPROPERTIES\\s*\\((.*?)\\))?\\s*;?\\s*$").r
+
+  private val AnalyzeRe = (
+    "(?is)^\\s*ANALYZE\\s+TABLE\\s+" + Target +
+    "(?:\\s+COMPUTE\\s+STATISTICS)?" +
+    "(?:\\s+FOR\\s+COLUMNS\\s+(\\w+(?:\\s*,\\s*\\w+)*))?\\s*;?\\s*$").r
+
+  private val GroupVacuumRe = (
+    "(?is)^\\s*VACUUM\\s+GROUP\\s+" + Target +
+    "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
+
   private val OptimizeRe = (
     "(?is)^\\s*OPTIMIZE\\s+" + Target +
     "(?:\\s+SMALLER\\s+THAN\\s+(\\d+))?" +
@@ -181,23 +202,16 @@ object GraftSqlParser {
           "USING (SELECT … FROM a JOIN b ON …) ON t.k = s.k")
       val using = usingAndOn.substring(0, onIdx).trim
       val on = usingAndOn.substring(onIdx + 2).trim
-      val key = on match {
-        case OnEq(q1, c1, q2, c2) =>
-          require(c1.equalsIgnoreCase(c2),
-            s"MERGE INTO txtable ON must be an equi-key self-condition " +
-              s"(t.k = s.k); got $c1 = $c2")
-          // qualifiers (if both present) must name two DIFFERENT sides
-          require(Option(q1).isEmpty || Option(q2).isEmpty || q1 != q2,
-            s"MERGE ON qualifies both sides with '$q1'")
-          c1
-        case other => throw new IllegalArgumentException(
-          s"MERGE INTO txtable ON must be `t.key = s.key`; got: $other")
-      }
-      Some(TxMergeCommand(root, using, key))
-    case MergeProbe(root) => throw new IllegalArgumentException(
-      s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
-        "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      Some(TxMergeCommand(root, using, selfKeyOf(on)))
+    case MergeProbe(root) =>
+      // not the canonical upsert: try the GENERAL clause surface
+      Some(parseMergeWhen(sqlText).getOrElse(throw new IllegalArgumentException(
+        s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
+          "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
+          "followed by WHEN MATCHED [AND <cond>] THEN " +
+          "UPDATE SET * | UPDATE SET a = expr, … | DELETE and/or " +
+          "WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
+          "INSERT (cols) VALUES (exprs)")))
     case UpdateRe(root, sets, c, lo, hi) =>
       val assignments = splitTopLevel(sets).map {
         case Assign(name, rhs) => (name, rhs)
@@ -241,6 +255,21 @@ object GraftSqlParser {
     case TagCreateRe(root, name, v) =>
       Some(TxCreateTagCommand(root, name, Option(v).map(_.toInt)))
     case TagDropRe(root, name) => Some(TxDropTagCommand(root, name))
+    case ConvertRe(dst, src, props) =>
+      val kv = Option(props).map { p =>
+        "'(\\w+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(p)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
+      def cols(key: String): Seq[String] = kv.get(key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      Some(TxConvertCommand(dst, src, cols("statCols"), cols("bloomCols")))
+    case AnalyzeRe(root, colList) =>
+      Some(TxAnalyzeCommand(root,
+        Option(colList).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)))
+    case GroupVacuumRe(root, retain, dry) =>
+      Some(TxGroupVacuumCommand(root,
+        Option(retain).map(_.toInt).getOrElse(2), dryRun = dry != null))
     case VacuumRe(root, retain, dry) =>
       Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2),
         dryRun = dry != null))
@@ -278,6 +307,111 @@ object GraftSqlParser {
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** The self-equi-key a MERGE ON condition names (`t.k = s.k` → `k`),
+    * or a loud refusal — row matching is BY KEY in this engine. */
+  private[sql] def selfKeyOf(on: String): String = on match {
+    case OnEq(q1, c1, q2, c2) =>
+      require(c1.equalsIgnoreCase(c2),
+        s"MERGE INTO txtable ON must be an equi-key self-condition " +
+          s"(t.k = s.k); got $c1 = $c2")
+      // qualifiers (if both present) must name two DIFFERENT sides
+      require(Option(q1).isEmpty || Option(q2).isEmpty || q1 != q2,
+        s"MERGE ON qualifies both sides with '$q1'")
+      c1
+    case other => throw new IllegalArgumentException(
+      s"MERGE INTO txtable ON must be `t.key = s.key`; got: $other")
+  }
+
+  private val MergeAnyRe = (
+    "(?is)^\\s*MERGE\\s+INTO\\s+" + Target +
+    "(?:\\s+AS\\s+(\\w+)|\\s+(\\w+))?" +
+    "\\s+USING\\s+(.+?)\\s*;?\\s*$").r
+  private val MatchedUpdStarRe =
+    "(?is)^MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s*$".r
+  private val MatchedUpdRe =
+    "(?is)^MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$".r
+  private val MatchedDelRe =
+    "(?is)^MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+  private val NotMatchedStarRe =
+    "(?is)^NOT\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+INSERT\\s+\\*\\s*$".r
+  private val NotMatchedInsRe =
+    ("(?is)^NOT\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+INSERT\\s*" +
+      "\\(([^)]*)\\)\\s*VALUES\\s*\\((.+)\\)\\s*$").r
+
+  /** The GENERAL MERGE surface → [[TxMergeWhenCommand]]: clauses are cut
+    * at top-level `WHEN` keywords (so a CASE WHEN inside a parenthesized
+    * condition never splits a clause) and each parsed against the five
+    * supported shapes. Returns None when the text is not a MERGE with a
+    * clause tail — the caller owns the loud grammar error. */
+  private[sql] def parseMergeWhen(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case MergeAnyRe(root, _, _, tail) =>
+        val onIdx = topLevelKeyword(tail, "ON")
+        if (onIdx < 0) return None
+        val using = tail.substring(0, onIdx).trim
+        val afterOn = tail.substring(onIdx + 2)
+        val whens = topLevelAll(afterOn, "WHEN")
+        if (whens.isEmpty) return None
+        val key = selfKeyOf(afterOn.substring(0, whens.head).trim)
+        val bounds = whens :+ afterOn.length
+        val clauses = whens.indices.map(i =>
+          afterOn.substring(whens(i) + 4, bounds(i + 1)).trim)
+        import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeMatched, MergeUpdate}
+        val matched = scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
+        var notMatched: Option[MergeInsert] = None
+        clauses.foreach {
+          case MatchedUpdStarRe(cond) =>
+            matched += MergeUpdate(Option(cond).map(_.trim), None)
+          case MatchedDelRe(cond) =>
+            matched += MergeDelete(Option(cond).map(_.trim))
+          case NotMatchedStarRe(cond) =>
+            require(notMatched.isEmpty, "MERGE supports one WHEN NOT MATCHED clause")
+            notMatched = Some(MergeInsert(Option(cond).map(_.trim), None, None))
+          case NotMatchedInsRe(cond, cols, vals) =>
+            require(notMatched.isEmpty, "MERGE supports one WHEN NOT MATCHED clause")
+            notMatched = Some(MergeInsert(Option(cond).map(_.trim),
+              Some(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+              Some(splitTopLevel(vals).map(_.trim))))
+          case MatchedUpdRe(cond, sets) => // AFTER the star form (it matches `*` too)
+            val assignments = splitTopLevel(sets).map {
+              case Assign(name, rhs) => (name, rhs)
+              case other => throw new IllegalArgumentException(
+                s"bad MERGE UPDATE assignment: $other")
+            }
+            matched += MergeUpdate(Option(cond).map(_.trim), Some(assignments))
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE clause: WHEN $other")
+        }
+        Some(TxMergeWhenCommand(root, using, key, matched.toSeq, notMatched))
+      case _ => None
+    }
+
+  /** Every TOP-LEVEL whole-word index of `kw` in `s` — the multi-hit
+    * sibling of [[topLevelKeyword]], one scan. */
+  private[sql] def topLevelAll(s: String, kw: String): Seq[Int] = {
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
+            out += i
+      }
+      i += 1
+    }
+    out.toSeq
   }
 
   /** Index of the first TOP-LEVEL (outside parentheses, quotes, and
@@ -453,6 +587,97 @@ case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
 }
 
 /** `VACUUM txtable.\`root\` [RETAIN n VERSIONS]` → [[TxTable.vacuum]]. */
+/** The general-clause MERGE ([[GraftSqlParser.parseMergeWhen]]) →
+  * [[TxTable#mergeWhen]]: conditional UPDATE/DELETE on match
+  * (first-match-wins), conditional INSERT on no-match, conditions and
+  * expressions resolving under the `t`/`s` aliases. */
+case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
+    matched: Seq[graft.tables.TxTable.MergeMatched],
+    notMatched: Option[graft.tables.TxTable.MergeInsert])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("rewritten_files", IntegerType),
+    attr("kept_files", IntegerType), attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = spark.sql(s"SELECT * FROM $sourceSql")
+    val r = TxTable.open(root).mergeWhen(spark, src, key, matched, notMatched)
+    Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `CONVERT TO TXTABLE txtable.\`dst\` FROM PARQUET \`src\`
+  * [TBLPROPERTIES('statCols'='a,b'[, 'bloomCols'='c'])]` →
+  * [[TxTable.convert]]: adopt an existing (optionally hive-partitioned)
+  * parquet directory — hard-linked files, footer-derived per-file stats,
+  * partition values as exact intervals, zero data rewrite. */
+case class TxConvertCommand(dst: String, src: String,
+    statCols: Seq[String], bloomCols: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("files", IntegerType),
+    attr("rows", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = TxTable.convert(spark, src, dst, statCols, bloomCols)
+    val s = t.snapshot()
+    Seq(Row(s.version, s.files.size, s.files.map(_.rows).sum))
+  }
+}
+
+/** `ANALYZE TABLE txtable.\`root\` [COMPUTE STATISTICS]
+  * [FOR COLUMNS c1, c2…]` — stats hygiene as a statement: FOR COLUMNS
+  * routes to [[TxTable.evolveStats]] (one distributed read, zero bytes
+  * rewritten) and re-declares the widened stat-column set in the table
+  * metadata so FUTURE writers keep recording them; the column-less form
+  * is a no-op returning current coverage (row counts live in the
+  * manifest already — the table-level half of ANALYZE is intrinsic).
+  * After the statement, manifest-derived CBO estimates (row count,
+  * bounds, the min(rows, max−min+1) ndv) cover the named columns, so
+  * join reorder fires on tables created WITHOUT declared statCols. */
+case class TxAnalyzeCommand(root: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("files", IntegerType),
+    attr("stat_columns", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t0 = TxTable.open(root)
+    val t =
+      if (cols.isEmpty) t0
+      else {
+        val widened = new TxTable(root,
+          (t0.statCols ++ cols).distinct.sorted, t0.bloomCols)
+        widened.evolveStats(spark, cols)
+        // one more metadata-only commit: declare the widened stat set so
+        // later appends through open() keep computing these stats
+        val schema = t0.snapshot().meta.map(_.schema)
+          .getOrElse(widened.read(spark).schema)
+        widened.declareMeta(schema)
+        widened
+      }
+    val s = t.snapshot()
+    Seq(Row(s.version, s.files.size, t.statCols.mkString(",")))
+  }
+}
+
+/** `VACUUM GROUP txtable.\`root\` [RETAIN n VERSIONS] [DRY RUN]` →
+  * [[graft.tables.TxGroup.vacuum]]: group-aware retention that never
+  * breaks a retained multi-table cut (members vacuum back only to the
+  * oldest version a retained group manifest pins). */
+case class TxGroupVacuumCommand(root: String, retainVersions: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("reclaimed_data_files", IntegerType),
+    attr("dropped_group_versions", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (files, versions) =
+      new graft.tables.TxGroup(root).vacuum(retainVersions, dryRun)
+    Seq(Row(files, versions))
+  }
+}
+
 case class TxVacuumCommand(root: String, retainVersions: Int,
     dryRun: Boolean = false) extends LeafRunnableCommand {
   import GraftSqlParser.attr

@@ -111,8 +111,10 @@ final class TxGroup(val root: String) {
     * retained group manifest pins, and vacuums that member retaining at
     * least back to it; then drops the expired group manifests. Members
     * never pinned by a retained cut are left untouched (conservative).
-    * Returns (dataFilesDeleted, groupVersionsDropped). */
-  def vacuum(retainGroupVersions: Int): (Int, Int) = {
+    * Returns (dataFilesDeleted, groupVersionsDropped); `dryRun` reports
+    * both counts and touches NOTHING (the member vacuums run dry and
+    * the expired group manifests stay). */
+  def vacuum(retainGroupVersions: Int, dryRun: Boolean = false): (Int, Int) = {
     require(retainGroupVersions >= 1, "must retain at least the current group version")
     val versions = listVersions
     val cutoff = currentVersion - retainGroupVersions + 1
@@ -128,9 +130,10 @@ final class TxGroup(val root: String) {
       // counts from the member's own latest, so translate
       val member = table(name, Nil)
       val keep = member.currentVersion - oldest + 1
-      deleted += member.vacuum(keep)._1
+      deleted += member.vacuum(keep, dryRun)._1
     }
-    expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
+    if (!dryRun)
+      expired.foreach(v => Files.deleteIfExists(logDir.resolve(manifestName(v))))
     (deleted, expired.size)
   }
 

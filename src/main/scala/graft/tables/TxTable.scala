@@ -237,16 +237,28 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // a mixed-era file set reads under the declaration (physicalized —
     // files carry pre-rename physical names). Single-era narrow tables
     // stay on the mergeSchema path and widen via the cast fold below.
-    def readPq(paths: Seq[String]): DataFrame =
-      try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // basePath: a CONVERTed hive layout keeps its partition directories
+    // under data/ — the option makes Spark surface `k=v` path segments
+    // as real partition COLUMNS; flat layouts see no partition dirs and
+    // are untouched by it. A SHALLOW CLONE references the source table's
+    // files by absolute path (outside this data/), where a single
+    // basePath is ill-defined — those reads skip the option (a clone of
+    // a converted layout reads through the cast/NULL-fill fallbacks).
+    def readPq(paths: Seq[String]): DataFrame = {
+      def rd(r: org.apache.spark.sql.DataFrameReader) =
+        if (paths.forall(p => Paths.get(p).startsWith(dataDir)))
+          r.option("basePath", dataDir.toString)
+        else r
+      try rd(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
       catch {
         case e: Throwable if meta.nonEmpty &&
             Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
           val declared = org.apache.spark.sql.types.StructType(
             meta.get.schema.fields.map(f =>
               f.copy(name = colMap.getOrElse(f.name, f.name))))
-          spark.read.schema(declared).parquet(paths: _*)
+          rd(spark.read.schema(declared)).parquet(paths: _*)
       }
+    }
     val (plain, dvd) = files.partition(_.dv.isEmpty)
     val plainDf =
       if (plain.isEmpty) None
@@ -321,15 +333,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def readWithPositions(spark: SparkSession, files: Seq[FileEntry],
       base: Snapshot): DataFrame = {
     val paths = files.map(f => dataDir.resolve(f.path).toString)
+    def rd(r: org.apache.spark.sql.DataFrameReader) =
+      if (paths.forall(p => Paths.get(p).startsWith(dataDir)))
+        r.option("basePath", dataDir.toString)
+      else r // clone-referenced absolute paths: basePath ill-defined
     val raw =
-      try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      try rd(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
       catch {
         case e: Throwable if base.meta.nonEmpty &&
             Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
           val declared = org.apache.spark.sql.types.StructType(
             base.meta.get.schema.fields.map(f =>
               f.copy(name = base.colMap.getOrElse(f.name, f.name))))
-          spark.read.schema(declared).parquet(paths: _*)
+          rd(spark.read.schema(declared)).parquet(paths: _*)
       }
     val tagged = raw
       .withColumn("__file", col("_metadata.file_name"))
@@ -530,6 +546,159 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // empty source guards nothing (its rewrite is content-preserving).
     // A NON-STAT key has no sound envelope (concurrent files carry no
     // interval for it): every concurrently added file conflicts.
+    val guard: Option[(FileEntry => Boolean, String)] =
+      if (!keyHasStats) {
+        if (src.isEmpty) None
+        else Some(((_: FileEntry) => true,
+          s"was added concurrently (merge key $key has no stats interval — " +
+            "nothing proves disjointness)"))
+      } else {
+        val srcRange =
+          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (srcRange.isNullAt(0)) None
+        else {
+          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
+          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
+            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
+        }
+      }
+    val version = commitCowGuarded(base, candidates, entries, "merge", guard)
+    MergeResult(version, rewrittenFiles = candidates.size,
+      keptFiles = kept.size, newFiles = entries.size)
+  }
+
+  /** GENERAL MERGE — the full clause surface the canonical upsert
+    * ([[merge]]) is a special case of:
+    * {{{
+    *   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE
+    *   WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)
+    * }}}
+    * Matched clauses evaluate FIRST-MATCH-WINS per target row (the Delta
+    * rule); a matched row satisfying no clause carries unchanged; a
+    * clause condition evaluating NULL does not fire. Conditions and SET/
+    * VALUES expressions resolve under the aliases `t` (target) and `s`
+    * (source) via a real aliased join — no textual rewriting. A source
+    * with DUPLICATE keys among the MATCHED rows is refused loudly
+    * (Delta's multiple-matches error): first-match-wins across source
+    * rows would be nondeterministic under shuffle order.
+    *
+    * Candidate pruning, the non-stat-key degradation, and the commit
+    * guard are [[mergeFrom]]'s verbatim: at 100 TB the kept data never
+    * moves, only files whose stats admit a source key rewrite. */
+  def mergeWhen(spark: SparkSession, source: DataFrame, key: String,
+      matched: Seq[TxTable.MergeMatched],
+      notMatched: Option[TxTable.MergeInsert]): MergeResult = {
+    import TxTable.{MergeDelete, MergeInsert, MergeUpdate}
+    val base = snapshot()
+    val pk = phys(base, key)
+    require(base.version > 0, "merge into an empty table: use append")
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE with no clauses")
+    val keyHasStats = statCols.contains(pk)
+    val src = source
+    val (candidates, kept) =
+      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+      else {
+        val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
+        val hitPaths: Set[String] = {
+          import spark.implicits._
+          val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
+            .toDF("__path", "__mn", "__mx")
+          src.select(col(key).cast("long").as("__k"))
+            .join(broadcast(intervals),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__path").distinct().as[String].collect().toSet ++
+            statless.map(_.path)
+        }
+        base.files.partition(f => hitPaths.contains(f.path))
+      }
+    val exOpt: Option[DataFrame] =
+      if (candidates.isEmpty) None
+      else Some(readFiles(spark, candidates, base.colMap, base.meta))
+    val survivors: Option[DataFrame] =
+      exOpt.map { ex =>
+        val tcols = ex.columns.toSeq
+        val j = ex.alias("t").join(src.alias("s"),
+          expr(s"t.`$key` <=> s.`$key`") && expr(s"s.`$key` IS NOT NULL"),
+          "left")
+        val isMatched = expr(s"s.`$key` IS NOT NULL")
+        // duplicate-key matches are nondeterministic under first-match-
+        // wins: refuse (Delta's MERGE_MULTIPLE_MATCHES), detected on the
+        // join itself so only MATCHED duplicates count
+        val dup = j.filter(isMatched)
+          .groupBy(expr(s"t.`$key`")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).count()
+        require(dup == 0L,
+          s"MERGE source has multiple rows matching one target `$key` — " +
+            "first-match-wins would be nondeterministic; dedup the source")
+        def condOf(c: Option[String]) =
+          c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
+        // first-match-wins action id: 0 = carry, i+1 = clause i fires
+        val action = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
+          case (acc, (cl, i)) =>
+            val cond = cl match {
+              case MergeUpdate(c, _) => condOf(c)
+              case MergeDelete(c) => condOf(c)
+            }
+            when(isMatched && cond, lit(i + 1)).otherwise(acc)
+        }
+        val acted = j.withColumn("__act", action)
+        val deleteIds = matched.zipWithIndex.collect {
+          case (MergeDelete(_), i) => i + 1
+        }
+        val alive =
+          if (deleteIds.isEmpty) acted
+          else acted.filter(!col("__act").isInCollection(deleteIds))
+        // per-column conditional projection; every UPDATE rhs reads the
+        // PRE-merge t/s row (ANSI SET semantics)
+        val projected = alive.select(tcols.map { c =>
+          val updated = matched.zipWithIndex.foldLeft(expr(s"t.`$c`")) {
+            case (acc, (MergeUpdate(_, sets), i)) =>
+              val rhs = sets match {
+                case None => expr(s"s.`$c`") // SET *
+                case Some(ss) => ss.collectFirst { case (n, e) if n == c => expr(e) }
+                  .getOrElse(expr(s"t.`$c`"))
+              }
+              when(col("__act") === (i + 1), rhs).otherwise(acc)
+            case (acc, _) => acc
+          }
+          updated.as(c)
+        }: _*)
+        projected
+      }
+    val inserts: Option[DataFrame] = notMatched.map {
+      case MergeInsert(cond, cols0, vals0) =>
+        // matched ⇔ the key exists in the CANDIDATE content (non-candidate
+        // files provably hold no source key); no candidates ⇒ every
+        // source row is an insert
+        val fresh = exOpt match {
+          case None => src.alias("s")
+          case Some(ex) => src.alias("s").join(
+            ex.select(col(key)).distinct().alias("t"),
+            expr(s"s.`$key` <=> t.`$key`"), "left_anti")
+        }
+        val filtered = cond.map(c => fresh.filter(coalesce(expr(c), lit(false))))
+          .getOrElse(fresh)
+        val tcols = exOpt.map(_.columns.toSeq)
+          .getOrElse(read(spark).columns.toSeq)
+        (cols0, vals0) match {
+          case (None, None) => // INSERT *
+            filtered.select(tcols.map(c => col(c)): _*)
+          case (Some(cs), Some(vs)) =>
+            require(cs.length == vs.length,
+              s"INSERT names ${cs.length} columns but ${vs.length} values")
+            val m = cs.zip(vs).toMap
+            filtered.select(tcols.map(c =>
+              m.get(c).map(e => expr(e).as(c))
+                .getOrElse(lit(null).as(c))): _*)
+          case _ => throw new IllegalArgumentException(
+            "INSERT needs both a column list and VALUES, or neither")
+        }
+    }
+    val rewritten = (survivors, inserts) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+      case (a, b) => a.orElse(b)
+    }
+    val entries = rewritten.map(writeDataFiles(spark, _)).getOrElse(Nil)
     val guard: Option[(FileEntry => Boolean, String)] =
       if (!keyHasStats) {
         if (src.isEmpty) None
@@ -2454,10 +2623,162 @@ object TxTable {
         .distinct.sorted)
   }
 
+  /** One `WHEN MATCHED` clause of a general MERGE ([[TxTable#mergeWhen]]):
+    * UPDATE with an optional condition and either explicit assignments or
+    * `SET *` (sets = None), or DELETE with an optional condition.
+    * Conditions/rhs resolve under aliases `t` (target) and `s` (source). */
+  sealed trait MergeMatched
+  final case class MergeUpdate(cond: Option[String],
+      sets: Option[Seq[(String, String)]]) extends MergeMatched
+  final case class MergeDelete(cond: Option[String]) extends MergeMatched
+  /** The `WHEN NOT MATCHED` clause: optional condition, and either
+    * `INSERT *` (both None) or an explicit column list + VALUES exprs. */
+  final case class MergeInsert(cond: Option[String],
+      cols: Option[Seq[String]], vals: Option[Seq[String]])
+
   /** Whether `root` holds a TxTable transaction log (catalog existence
     * probe — side-effect-free, unlike the directory-creating constructor). */
   def exists(root: String): Boolean =
     Files.isDirectory(Paths.get(root, "_txlog"))
+
+  /** CONVERT TO TXTABLE — adopt an existing (optionally hive-partitioned)
+    * parquet directory as a transactional table WITHOUT rewriting a byte
+    * of data (Delta's `CONVERT TO DELTA` story): every leaf file is
+    * HARD-LINKED under `<dst>/data/` keeping its `k=v` partition
+    * directories (a link is a metadata op — the 100 TB convert moves no
+    * data; a cross-filesystem link degrades to a copy, documented), one
+    * DISTRIBUTED footer pass reads row counts and per-row-group min/max/
+    * null-count statistics for the declared stat columns straight from
+    * the parquet metadata (zero data pages read), and `k=v` partition
+    * values become exact per-file stats intervals (min = max = value) —
+    * so partition pruning arrives as ordinary manifest skipping. One v1
+    * commit publishes the manifest + declared schema (partition columns
+    * included: the read path's basePath option surfaces them as real
+    * columns). Files whose footers carry no usable stats for a column
+    * are conservatively scanned, the established missing-stats rule.
+    * Linked files get fresh UUID names inside their partition dirs:
+    * hive's repeated `part-00000` basenames would collide in the
+    * deletion-vector file-name keyspace. */
+  def convert(spark: SparkSession, srcDir: String, dst: String,
+      statCols: Seq[String], bloomCols: Seq[String] = Nil): TxTable = {
+    import scala.jdk.CollectionConverters._
+    require(!exists(dst), s"$dst is already a txtable")
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"$srcDir is not a directory")
+    val walk = Files.walk(src)
+    val leaves =
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }.toVector.sortBy(_.toString)
+      finally walk.close()
+    require(leaves.nonEmpty, s"no parquet files under $srcDir")
+    val t = new TxTable(dst, statCols, bloomCols)
+    Files.createDirectories(t.dataDir)
+    // rel = partition dirs + fresh UUID basename (collision-free in the
+    // DV keyspace); partition values parse from the preserved dirs
+    val rels = leaves.map { leaf =>
+      val dirRel = Option(src.relativize(leaf).getParent)
+        .map(_.toString + "/").getOrElse("")
+      val rel = s"$dirRel${UUID.randomUUID()}.parquet"
+      val target = t.dataDir.resolve(rel)
+      Files.createDirectories(target.getParent)
+      try { Files.createLink(target, leaf); () }
+      catch { case _: Exception => Files.copy(leaf, target); () }
+      rel
+    }
+    val dataRoot = t.dataDir.toString
+    val cols = statCols
+    val footer: Map[String, (Long, Map[String, (Long, Long, Long)])] =
+      spark.sparkContext
+        .parallelize(rels, math.max(1, math.min(rels.size, 64)))
+        .map(rel => rel -> readFooterStats(s"$dataRoot/$rel", cols))
+        .collect().toMap
+    val entries = rels.map { rel =>
+      val (rows, byCol) = footer(rel)
+      // k=v path segments: exact single-value intervals for declared
+      // stat columns that are partition keys (integer-parsed)
+      val partStats = rel.split("/").dropRight(1).toSeq.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if cols.contains(k) =>
+            scala.util.Try(v.toLong).toOption.map(k -> _)
+          case _ => None
+        }
+      }.toMap
+      val mins = byCol.map { case (c, (mn, _, _)) => c -> mn } ++ partStats
+      val maxs = byCol.map { case (c, (_, mx, _)) => c -> mx } ++ partStats
+      val nn = byCol.map { case (c, (_, _, n)) => c -> n } ++
+        partStats.map { case (c, _) => c -> rows }
+      FileEntry(rel, rows, mins, maxs, nonNull = nn)
+    }
+    // declared schema = file schema + discovered partition columns
+    val schema = spark.read.option("basePath", dataRoot)
+      .parquet(dataRoot).schema
+    val missing = statCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"stat column(s) ${missing.mkString(", ")} not in the converted " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    try t.commitOnce(t.snapshot(), op = "convert",
+      meta = Some(TableMeta(schema.json, statCols, bloomCols))) { _ => entries }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"convert of $dst lost the commit race to a concurrent creator")
+    }
+    t
+  }
+
+  /** Row count and per-stat-column (min, max, nonNullCount) from ONE
+    * parquet footer — runs on executors, reads metadata only. A column
+    * is recorded only when EVERY row group carries complete statistics
+    * (values + null count) and its physical type is INT32/INT64; an
+    * all-null column records its zero non-null count but no interval
+    * (writeDataFiles' rule). */
+  private def readFooterStats(path: String, statCols: Seq[String])
+      : (Long, Map[String, (Long, Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // col -> (min, max, nulls, sawValue, complete)
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Boolean, Boolean)]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (statCols.contains(name)) {
+          val st = c.getStatistics
+          val tpe = c.getPrimitiveType.getPrimitiveTypeName
+          val usable = st != null && !st.isEmpty && st.isNumNullsSet &&
+            (tpe == INT64 || tpe == INT32)
+          val (mn0, mx0, nu0, saw0, ok0) =
+            acc.getOrElse(name, (Long.MaxValue, Long.MinValue, 0L, false, true))
+          if (!usable) acc(name) = (mn0, mx0, nu0, saw0, false)
+          else if (!st.hasNonNullValue) // all-null row group: nulls only
+            acc(name) = (mn0, mx0, nu0 + st.getNumNulls, saw0, ok0)
+          else {
+            val (mn, mx) = st match {
+              case s: org.apache.parquet.column.statistics.LongStatistics =>
+                (s.getMin, s.getMax)
+              case s: org.apache.parquet.column.statistics.IntStatistics =>
+                (s.getMin.toLong, s.getMax.toLong)
+              case _ => (mn0, mx0) // unreachable under the type gate
+            }
+            acc(name) = (math.min(mn0, mn), math.max(mx0, mx),
+              nu0 + st.getNumNulls, true, ok0)
+          }
+        }
+      }
+      val out = acc.collect {
+        case (c, (mn, mx, nulls, true, true)) => c -> (mn, mx, rows - nulls)
+      }.toMap
+      (rows, out)
+    } finally reader.close()
+  }
 
   /** Bloom geometry: m = 8192 bits (128 longs, ~1.4 KB base64 per file
     * per column in the manifest), k = 4 hashes — ~0.5% false-positive

@@ -186,4 +186,59 @@ class CboSpec extends AnyFunSuite with SparkFixture {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("ANALYZE TABLE txtable FOR COLUMNS lights up ndv estimates on a table created WITHOUT statCols") {
+    Tables.ensure(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cbo_analyze").toString
+    // NO statCols at create time: the manifest records row counts but no
+    // column intervals, so the filtered-dim join has no ndv to estimate
+    // `d.key = 7`'s selectivity and plans SMJ — the stats-hygiene gap
+    // ANALYZE exists to close (the txtable twin of the catalog-table
+    // flip test above, with evolveStats instead of a Hive metastore).
+    val dim = new graft.tables.TxTable(s"$tmp/dim", Nil)
+    dim.append(spark, spark.range(0, 5000).toDF("id")
+      .select((col("id") % 100L).as("key"),
+        concat_ws("", (1 to 8).map(_ => md5(col("id").cast("string"))): _*).as("pad")))
+    val fact = new graft.tables.TxTable(s"$tmp/fact", Nil)
+    fact.append(spark, spark.range(0, 20000).toDF("fid")
+      .select(col("fid"), (col("fid") % 100L).as("key")))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def plan(): String = spark.sql(
+        s"""SELECT f.fid, d.pad FROM txtable.`${fact.root}` f
+           |JOIN txtable.`${dim.root}` d ON f.key = d.key
+           |WHERE d.key = 7""".stripMargin)
+        .queryExecution.executedPlan.toString
+      val before = plan()
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"without column stats the filtered dim must not broadcast:\n$before")
+      spark.sql(s"ANALYZE TABLE txtable.`${dim.root}` COMPUTE STATISTICS FOR COLUMNS key")
+      val after = plan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"ANALYZE'd manifest ndv did not flip the join to broadcast:\n$after")
+      // the statement also DECLARED the stat set: a later append through
+      // open() keeps recording intervals for the analyzed column
+      graft.tables.TxTable.open(dim.root).append(spark,
+        spark.range(5000, 5002).toDF("id")
+          .select((col("id") % 100L).as("key"),
+            md5(col("id").cast("string")).as("pad")))
+      val s = graft.tables.TxTable.open(dim.root).snapshot()
+      assert(s.files.forall(_.mins.contains("key")),
+        "post-ANALYZE appends must keep computing the declared stats")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }

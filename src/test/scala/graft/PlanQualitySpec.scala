@@ -309,6 +309,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
   private def finalPlan(name: String): String =
     executedPlan(name).split("== Initial Plan ==")(0)
 
+  test("unhinted node-state joins broadcast via AQE at gate scale, size-gate under a shrunk threshold") {
+    // round-11 verdict #2: the pagerank/ppr/assortativity/itemcf state
+    // frames are NODE/ITEM-count-sized — a forced broadcast() hint would
+    // OOM the build side at the 100× id domain. Unhinted, AQE's runtime
+    // size check must still pick BHJ at gate scale…
+    for (q <- Seq("q_graph_pagerank", "q_graph_assort", "q_rec_itemcf")) {
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: AQE did not broadcast the small state side unhinted:\n$plan")
+    }
+    // …and under a shrunk threshold the SAME join shape must degrade to
+    // SMJ instead of building an over-threshold hash side (the OOM guard
+    // a forced hint bypasses). Driven on the factored helper with a
+    // FRESH pair frame: the gate queries persist intermediates whose
+    // cached plan strings would leak pre-conf-change BHJs into the check.
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val p = spark.range(0, 2000).toDF("da")
+        .withColumn("db", pmod(col("da") * 7 + 1, lit(2000)))
+        .filter(col("da") < col("db"))
+      val df = graft.queries.Analytics9.assortOf(p)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastHashJoin") && plan.contains("SortMergeJoin"),
+        s"with broadcasts disabled the state join must sort-merge, not force a build:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_anomaly_zscore: the 5-row stats side broadcasts, the scan side never shuffles pre-join") {
     val plan = finalPlan("q_anomaly_zscore")
     assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$plan")

@@ -71,6 +71,25 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     assert(codes.values.forall(c => c.length == nSub && c.forall(x => labels.contains(x))))
   }
 
+  test("stored-index serve: no corpus re-encode in the plan, answers match the direct path") {
+    // the indexed variant must agree row-for-row with the in-query build…
+    val direct = graft.queries.LlmExt.q_ann_ivfpq(spark, sf).collect().toSeq
+    val df = graft.queries.LlmExt.q_ann_ivfpq_indexed(spark, sf)
+    assert(df.collect().toSeq == direct,
+      "stored-index ADC diverges from the direct encode")
+    // …and its plan must contain exactly ONE Generate (the QUERY-side
+    // posexplode): the corpus encode pass lives in the index build, not
+    // the serve plan — re-encoding per query is the anti-pattern a
+    // persisted index exists to remove
+    // AQE prints final AND initial plans — count the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = "Generate explode|Generate posexplode".r.findAllIn(plan).size
+    assert(generates == 1, s"expected 1 query-side explode, got $generates:\n$plan")
+    // the query scan is pushed: only vec_id < 10 rows leave the parquet
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,10)"),
+      s"query-vector filter not pushed to the embeddings scan:\n$plan")
+  }
+
   private def queries_run(): Seq[(Long, Long, Long, Int)] =
     graft.queries.LlmExt.q_ann_pq(spark, sf)
       .select(col("a_id"), col("b_id"), col("adc"), col("rn"))

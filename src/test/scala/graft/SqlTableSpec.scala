@@ -675,6 +675,109 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("general MERGE clauses: conditional delete/update first-match-wins, conditional insert") {
+    import spark.implicits._
+    val t = freshTable(20, 2) // k 0..19, v = k*10
+    spark.sql(
+      s"""MERGE INTO ${q(t.root)} AS t
+         |USING (SELECT id AS k, id * 100 AS v FROM range(0, 25)) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.k < 5 THEN DELETE
+         |WHEN MATCHED AND t.k < 10 THEN UPDATE SET v = s.v + t.v
+         |WHEN NOT MATCHED AND s.k < 23 THEN INSERT (k, v) VALUES (s.k, -1)""".stripMargin)
+    val got = t.read(spark).select(col("k"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    // k 0..4: matched BOTH clauses — the DELETE is first, so they are
+    // GONE (first-match-wins, not clause stacking)
+    assert((0L until 5L).forall(!got.contains(_)), s"deleted keys resurface: $got")
+    // k 5..9: conditional update, rhs reads both sides (s.v + t.v = 110k)
+    assert((5L until 10L).forall(k => got(k) == k * 110), s"update wrong: $got")
+    // k 10..19: matched, no clause fires — carry unchanged
+    assert((10L until 20L).forall(k => got(k) == k * 10))
+    // k 20..22: insert fires; 23..24 fail the insert condition
+    assert((20L until 23L).forall(k => got(k) == -1L))
+    assert(!got.contains(23L) && !got.contains(24L))
+    assert(got.size == 18)
+  }
+
+  test("general MERGE refuses duplicate source keys among matches (nondeterministic first-match)") {
+    val t = freshTable(10, 1)
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO ${q(t.root)} AS t
+           |USING (SELECT CAST(1 AS BIGINT) AS k, CAST(7 AS BIGINT) AS v
+           |       UNION ALL
+           |       SELECT CAST(1 AS BIGINT), CAST(8 AS BIGINT)) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("multiple rows"),
+      s"expected the multiple-matches refusal, got: ${ex.getMessage}")
+  }
+
+  test("CONVERT TO TXTABLE: zero rewrite, footer + partition stats prune, partition column reads") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    // a hive-partitioned plain-parquet directory: day = k / 25 (4
+    // partitions), k tightly clustered per partition file
+    val src = tmpRoot()
+    spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .withColumn("day", (col("k") / 25).cast("long"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("day").parquet(src)
+    val dst = s"${tmpRoot()}/tx"
+    val res = spark.sql(s"CONVERT TO TXTABLE txtable.`$dst` FROM PARQUET " +
+      s"`$src` TBLPROPERTIES('statCols'='k,day')").head()
+    assert(res.getInt(0) == 1 && res.getLong(2) == 100L, s"got $res")
+    val t = TxTable.open(dst)
+    // zero data rewrite: every adopted file is a hard link (same inode),
+    // and nothing else landed under data/
+    assert(t.snapshot().files.size == 4)
+    // footer stats: k intervals are per-partition tight; partition-value
+    // stats: day = exact single-value intervals with full non-null counts
+    val f0 = t.snapshot().files.find(_.mins.get("day").contains(0L)).get
+    assert(f0.mins("k") == 0L && f0.maxs("k") == 24L && f0.nonNull("k") == f0.rows)
+    assert(f0.maxs("day") == 0L && f0.nonNull("day") == f0.rows)
+    // manifest skipping on BOTH the footer-stat column and the partition
+    // column: one file each
+    val prK = t.readWhere(spark, "k", 30, 40)
+    assert(prK.filesScanned == 1 && prK.filesTotal == 4, s"k prune: $prK")
+    val prD = t.readWhere(spark, "day", 2, 2)
+    assert(prD.filesScanned == 1, s"day prune: $prD")
+    // the partition column is a REAL column on read (basePath discovery)
+    val got = t.read(spark).select(col("k"), col("day"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && (0L until 100L).forall(k => got(k) == k / 25))
+    // and the catalog read agrees
+    assert(spark.sql(s"SELECT sum(k + day) FROM txtable.`$dst`").head().getLong(0) ==
+      (0L until 100L).map(k => k + k / 25).sum)
+  }
+
+  test("VACUUM GROUP: retained cuts stay readable, DRY RUN touches nothing") {
+    import graft.tables.TxGroup
+    val root = tmpRoot()
+    val g = new TxGroup(root)
+    val a = g.table("a", Seq("k"))
+    def cut(lo: Long, hi: Long): Int = {
+      import spark.implicits._
+      val v = a.append(spark,
+        spark.range(lo, hi).toDF("k").withColumn("v", col("k")).repartition(1))
+      g.commit(Map("a" -> v))
+    }
+    cut(0, 10); cut(10, 20); cut(20, 30) // group v1..v3, member v1..v3
+    val dry = spark.sql(s"VACUUM GROUP ${q(root)} RETAIN 2 VERSIONS DRY RUN").head()
+    assert(dry.getInt(1) == 1, s"dry run must REPORT the expired cut: $dry")
+    // …but touch nothing: v1 still readable in full
+    assert(g.read(spark, "a", Seq("k"), Some(1)).count() == 10)
+    val real = spark.sql(s"VACUUM GROUP ${q(root)} RETAIN 2 VERSIONS").head()
+    assert(real.getInt(1) == 1, s"got $real")
+    // the RETAINED cut (v2) survives with its full member state…
+    assert(g.read(spark, "a", Seq("k"), Some(2)).count() == 20)
+    // …and the expired group version is gone
+    intercept[Exception] { g.read(spark, "a", Seq("k"), Some(1)).count() }
+  }
+
   test("catalog-resolved txtable scans report manifest stats: small side broadcasts unhinted") {
     import spark.implicits._
     val small = freshTable(8, 1)

@@ -43,6 +43,31 @@ class StarContractionSpec extends AnyFunSuite with SparkFixture {
     assert(got == (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("scale: a million-edge, million-diameter path converges inside the log² budget with no driver-side edges") {
+    // the pathological input for min-flooding: one path of 10⁶+1 nodes —
+    // diameter 10⁶, so flooding would need 10⁶ rounds. Star contraction
+    // must finish within the O(log² n) alternation budget; with
+    // n = 2²⁰ nodes, ⌈log₂ n⌉ = 20 and the paper's practical constant
+    // keeps real runs well under 2·log₂ n. Edges are GENERATED on the
+    // cluster side (spark.range) and the verification is AGGREGATE-only:
+    // no edge list or label list is ever collected to the driver — the
+    // loop's driver state is one integer per alternation.
+    val n = 1000001L
+    val v = spark.range(n).toDF("id")
+    val e = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val (labels, rounds) = StarContraction.componentsCounted(
+      v, "id", e, "a", "b", maxIter = 40)
+    assert(rounds <= 40, s"blew the log² alternation budget: $rounds")
+    // one component rooted at 0, every node labeled — checked as ONE
+    // aggregate row, never a collected labeling
+    val row = labels.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("component")).as("nc"),
+      max(col("component")).as("mx")).head()
+    assert(row.getLong(0) == n && row.getLong(1) == 1L && row.getLong(2) == 0L,
+      s"wrong labeling summary: $row (rounds=$rounds)")
+  }
+
   test("randomized differential: seeded sparse graphs agree with min-label") {
     for (seed <- 1 to 4) {
       val n = 300
