@@ -185,6 +185,14 @@ object Bench {
     // work); the timed queries measure the schema'd text READ
     warm("q_source_csv") { queries.Analytics7.q_source_csv(spark, sfDir).count() }
     warm("q_source_jsonl") { queries.Analytics7.q_source_jsonl(spark, sfDir).count() }
+    // round-12 publishOnce builds: the stored ANN index, the incremental-
+    // dedup standing index, the partitioned convert source, and the
+    // non-stat merge base are INGEST — build them untimed so the timed
+    // gates measure the serve/merge work (the uniform warm-up policy)
+    warm("q_ann_ivfpq_indexed") { queries.LlmExt.q_ann_ivfpq_indexed(spark, sfDir).count() }
+    warm("q_dedup_incremental") { queries.Analytics15.q_dedup_incremental(spark, sfDir).count() }
+    warm("q_sql_table_convert") { queries.SqlTableOps.q_sql_table_convert(spark, sfDir).count() }
+    warm("q_sql_table_merge_nonstat") { queries.SqlTableOps.q_sql_table_merge_nonstat(spark, sfDir).count() }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite
@@ -229,7 +237,13 @@ object Bench {
       "q_sql_table_merge", "q_ann_ivfpq", "q_sql_table_addcol",
       "q_table_replica", "q_graph_lpa", "q_survival_hazard",
       "q_tile_pyramid", "q_freq_pairs", "q_table_replace",
-      "q_table_clone", "q_graph_linkpred").zipWithIndex.toMap
+      "q_table_clone", "q_graph_linkpred",
+      // round-12 additions: the new DML/DDL gates mutate private table
+      // copies (many small jobs — JVM-state-sensitive like the other
+      // SQL-table gates), and the indexed ANN gate builds its stored
+      // index on first run
+      "q_sql_table_merge_clauses", "q_sql_table_merge_nonstat",
+      "q_sql_table_convert", "q_ann_ivfpq_indexed").zipWithIndex.toMap
     val selected = SparkEntry.queries
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .toSeq.sortBy { case (k, _) => (heavyFirst.getOrElse(k, Int.MaxValue), k) }

@@ -97,6 +97,28 @@ object SqlTableOps {
     }
   }
 
+  /** COPY INTO — idempotent bulk file loading: the FIRST statement loads
+    * the events file, the IDENTICAL SECOND statement is a recorded
+    * no-op (0 files — the loaded-file registry in the manifest), and the
+    * aggregate over the table earns the plain-events oracle. The shape a
+    * scheduler-retried daily ingest takes: re-running never duplicates. */
+  def q_sql_table_copyinto(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_q_copyinto")
+    val root = s"$work/tx"
+    try {
+      val stmt = s"COPY INTO ${q(root)} FROM `$dir` " +
+        "PATTERN = 'events.parquet' TBLPROPERTIES('statCols'='user_id')"
+      val first = spark.sql(stmt).head()
+      require(first.getInt(0) == 1, s"first COPY must load the file: $first")
+      val second = spark.sql(stmt).head()
+      require(second.getInt(0) == 0 && second.getLong(1) == 0L,
+        s"re-run COPY must be a no-op: $second")
+      val df = spark.sql(eventAgg.format(q(root)))
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally TableOps.deleteTree(work.toString)
+  }
+
   /** GENERAL-CLAUSE MERGE — the full statement surface beyond the
     * canonical upsert: conditional DELETE and conditional UPDATE on
     * match (FIRST-MATCH-WINS: a key satisfying both takes the delete),
@@ -502,6 +524,7 @@ object SqlTableOps {
     "q_sql_table_merge_nonstat" -> q_sql_table_merge_nonstat _,
     "q_sql_table_convert" -> q_sql_table_convert _,
     "q_sql_table_merge_clauses" -> q_sql_table_merge_clauses _,
+    "q_sql_table_copyinto" -> q_sql_table_copyinto _,
     "q_sql_table_delete" -> q_sql_table_delete _,
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
@@ -594,6 +617,11 @@ object SqlTableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_copyinto" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_merge_clauses" ->
       """WITH survivors AS (
         |  SELECT o_orderkey,

@@ -33,13 +33,16 @@ import graft.tables.TxTable
   *   CONVERT TO TXTABLE txtable.`/dst` FROM PARQUET `/src`
   *     [TBLPROPERTIES('statCols'='a,b'[, 'bloomCols'='c'])]
   *   ANALYZE TABLE txtable.`/p` [COMPUTE STATISTICS] [FOR COLUMNS c1, c2]
+  *   COPY INTO txtable.`/p` FROM `/dir` [FILEFORMAT = PARQUET]
+  *     [PATTERN = '<glob>'] [TBLPROPERTIES('statCols'='a,b')]
   *   VACUUM GROUP txtable.`/g` [RETAIN <n> VERSIONS] [DRY RUN]
   *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n> | [TO] TIMESTAMP AS OF '<ts>' 
   *   DESCRIBE HISTORY txtable.`/p`
   *   DESCRIBE HISTORY GROUP txtable.`/group-root`
   *   RESTORE GROUP txtable.`/group-root` [TO] VERSION AS OF <n>
   *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS] [DRY RUN]
-  *   OPTIMIZE txtable.`/p` [SMALLER THAN <rows>] [ZORDER BY (c1, c2[, c3]) [INTO <n> FILES]]
+  *   OPTIMIZE txtable.`/p` [WHERE c BETWEEN lo AND hi] [SMALLER THAN <rows>]
+  *     [ZORDER BY (c1, c2[, c3]) [INTO <n> FILES]]   -- WHERE and ZORDER exclusive
   *   CREATE GROUP txtable.`/g`; ALTER GROUP … ADD TABLE …; COMMIT GROUP …
   *   CREATE TABLE txtable.`/dst` SHALLOW CLONE txtable.`/src`
   *   ALTER TABLE txtable.`/p` CREATE TAG <name> [AS OF VERSION <n>]
@@ -177,12 +180,20 @@ object GraftSqlParser {
     "(?:\\s+COMPUTE\\s+STATISTICS)?" +
     "(?:\\s+FOR\\s+COLUMNS\\s+(\\w+(?:\\s*,\\s*\\w+)*))?\\s*;?\\s*$").r
 
+  private val CopyIntoRe = (
+    "(?is)^\\s*COPY\\s+INTO\\s+" + Target +
+    "\\s+FROM\\s+`([^`]+)`" +
+    "(?:\\s+FILEFORMAT\\s*=\\s*PARQUET)?" +
+    "(?:\\s+PATTERN\\s*=\\s*'([^']+)')?" +
+    "(?:\\s+TBLPROPERTIES\\s*\\((.*?)\\))?\\s*;?\\s*$").r
+
   private val GroupVacuumRe = (
     "(?is)^\\s*VACUUM\\s+GROUP\\s+" + Target +
     "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
 
   private val OptimizeRe = (
     "(?is)^\\s*OPTIMIZE\\s+" + Target +
+    "(?:\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+))?" +
     "(?:\\s+SMALLER\\s+THAN\\s+(\\d+))?" +
     "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*(\\w+(?:\\s*,\\s*\\w+){1,2})\\s*\\)?" +
     "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?)?\\s*;?\\s*$").r
@@ -263,6 +274,15 @@ object GraftSqlParser {
       def cols(key: String): Seq[String] = kv.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       Some(TxConvertCommand(dst, src, cols("statCols"), cols("bloomCols")))
+    case CopyIntoRe(root, src, pattern, props) =>
+      val kv = Option(props).map { p =>
+        "'(\\w+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(p)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
+      def cols(key: String): Seq[String] = kv.get(key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      Some(TxCopyIntoCommand(root, src, Option(pattern),
+        cols("statCols"), cols("bloomCols")))
     case AnalyzeRe(root, colList) =>
       Some(TxAnalyzeCommand(root,
         Option(colList).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -273,11 +293,15 @@ object GraftSqlParser {
     case VacuumRe(root, retain, dry) =>
       Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2),
         dryRun = dry != null))
-    case OptimizeRe(root, smallRows, zcols, zFiles) =>
+    case OptimizeRe(root, wcol, wlo, whi, smallRows, zcols, zFiles) =>
+      val band = Option(wcol).map(c => (c, wlo.toLong, whi.toLong))
+      require(band.isEmpty || zcols == null,
+        "OPTIMIZE WHERE (band-scoped compaction) and ZORDER BY are separate " +
+          "maintenance ops — run them as two statements")
       Some(TxOptimizeCommand(root,
         Option(smallRows).map(_.toLong),
         Option(zcols).map(cs => (cs.split(",").map(_.trim).toSeq,
-          Option(zFiles).map(_.toInt).getOrElse(8)))))
+          Option(zFiles).map(_.toInt).getOrElse(8))), band))
     case OptimizeProbe(root) => throw new IllegalArgumentException(
       s"unsupported OPTIMIZE form for txtable.`$root` — supported: " +
         "OPTIMIZE txtable.`root` [SMALLER THAN <rows>] " +
@@ -625,6 +649,27 @@ case class TxConvertCommand(dst: String, src: String,
   }
 }
 
+/** `COPY INTO txtable.\`root\` FROM \`dir\` [FILEFORMAT = PARQUET]
+  * [PATTERN = '<glob>'] [TBLPROPERTIES('statCols'='…')]` →
+  * [[TxTable#copyInto]]: idempotent bulk load — only files the table has
+  * not loaded yet land, in one commit carrying the loaded-file registry.
+  * A missing table is created with the declared stat/bloom columns (the
+  * bootstrap-day shape). */
+case class TxCopyIntoCommand(root: String, src: String,
+    pattern: Option[String], statCols: Seq[String], bloomCols: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("files_loaded", IntegerType), attr("rows_loaded", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t =
+      if (TxTable.exists(root)) TxTable.open(root)
+      else new TxTable(root, statCols, bloomCols)
+    val (files, rows) = t.copyInto(spark, src, pattern)
+    Seq(Row(files, rows))
+  }
+}
+
 /** `ANALYZE TABLE txtable.\`root\` [COMPUTE STATISTICS]
   * [FOR COLUMNS c1, c2…]` — stats hygiene as a statement: FOR COLUMNS
   * routes to [[TxTable.evolveStats]] (one distributed read, zero bytes
@@ -839,16 +884,19 @@ case class TxCommitGroupCommand(root: String) extends LeafRunnableCommand {
   * [INTO n FILES]]` → [[TxTable.compact]] (bin-pack small files) or
   * [[TxTable.clusterZorder]] (Morton-curve rewrite). */
 case class TxOptimizeCommand(root: String, smallRows: Option[Long],
-    zorder: Option[(Seq[String], Int)]) extends LeafRunnableCommand {
+    zorder: Option[(Seq[String], Int)],
+    band: Option[(String, Long, Long)] = None) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(
     attr("version", IntegerType), attr("rewritten_files", IntegerType),
     attr("kept_files", IntegerType), attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val t = TxTable.open(root)
-    val r = zorder match {
-      case Some((cols, files)) => t.clusterZorder(spark, cols, files)
-      case None => t.compact(spark, smallRows.getOrElse(Long.MaxValue))
+    val r = (zorder, band) match {
+      case (Some((cols, files)), _) => t.clusterZorder(spark, cols, files)
+      case (None, Some((c, lo, hi))) =>
+        t.compactWhere(spark, c, lo, hi, smallRows.getOrElse(Long.MaxValue))
+      case (None, None) => t.compact(spark, smallRows.getOrElse(Long.MaxValue))
     }
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }

@@ -1531,6 +1531,36 @@ final class TxTable(val root: String, val statCols: Seq[String],
       keptFiles = large.size, newFiles = entries.size)
   }
 
+  /** BAND-SCOPED compaction (`OPTIMIZE … WHERE statCol BETWEEN lo AND
+    * hi`): [[compact]] restricted to small files whose stats INTERSECT
+    * the band — the 100 TB maintenance shape, where you bin-pack
+    * yesterday's ingest partition and never touch (or even list-filter
+    * beyond the manifest) the other petabytes. Files outside the band,
+    * and large files inside it, carry BY NAME; missing stats
+    * conservatively include (the file may hold band rows — compaction
+    * is content-preserving either way). Content-preserving rewrite:
+    * concurrent appends never conflict. */
+  def compactWhere(spark: SparkSession, statCol: String, lo: Long, hi: Long,
+      smallRows: Long): MergeResult = {
+    val base = snapshot()
+    val p = phys(base, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
+    require(base.version > 0, "compact an empty table?")
+    val (inBand, outside) = base.files.partition { f =>
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
+    }
+    val small = inBand.filter(_.rows < smallRows)
+    if (small.size < 2)
+      return MergeResult(base.version, 0, base.files.size, 0)
+    val packed = readFiles(spark, small, base.colMap, base.meta)
+      .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
+    val entries = writeDataFiles(spark, packed)
+    val version = commitCow(base, small, entries, "compaction", None)
+    MergeResult(version, rewrittenFiles = small.size,
+      keptFiles = outside.size + (inBand.size - small.size),
+      newFiles = entries.size)
+  }
+
   /** Z-order clustering (OPTIMIZE ZORDER BY): rewrite the table with
     * files laid out along the Morton curve of two stat columns, so
     * BOTH dimensions' per-file [min,max] become tight and `readWhere`
@@ -2578,6 +2608,64 @@ final class TxTable(val root: String, val statCols: Seq[String],
       }
     }
     false // unreachable
+  }
+
+  /** COPY INTO — idempotent BULK FILE LOAD (the Delta statement): load
+    * every parquet file under `srcDir` (optionally matching `pattern`, a
+    * glob over the srcDir-relative path) that this table has NOT loaded
+    * yet, in ONE commit that also records the loaded identities — a
+    * crash-retried or daily re-run COPY loads only the new files. The
+    * loaded-file registry rides the manifest txn map streaming
+    * idempotence uses (`copy:<relpath>` entries: O(loaded files)
+    * driver-side metadata, carried through checkpoints and vacuum), and
+    * data lands through the normal write path — stats/bloom pass,
+    * constraints, optimized write — so a COPY-loaded table prunes and
+    * validates exactly like an appended one. Returns
+    * (filesLoaded, rowsLoaded); (0, 0) = everything was already in. */
+  def copyInto(spark: SparkSession, srcDir: String,
+      pattern: Option[String] = None): (Int, Long) = {
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"$srcDir is not a directory")
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+    val walk = Files.walk(src)
+    val leaves =
+      try walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_") &&
+          matcher.forall(_.matches(src.relativize(p)))
+      }.toVector.sortBy(_.toString)
+      finally walk.close()
+    def freshOf(s: Snapshot): Seq[Path] =
+      leaves.filterNot(p => s.txns.contains(s"copy:${src.relativize(p)}"))
+    val fresh = freshOf(snapshot())
+    if (fresh.isEmpty) return (0, 0L)
+    val entries = writeDataFiles(spark,
+      spark.read.option("mergeSchema", "true")
+        .parquet(fresh.map(_.toString): _*))
+    val txns = fresh.map(p => s"copy:${src.relativize(p)}" -> 1L).toMap
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      if (freshOf(base).toSet != fresh.toSet) {
+        // a concurrent COPY landed part of our file set between staging
+        // and commit: discard the staged data (loading it again would
+        // duplicate rows) and let the caller re-run for the remainder
+        entries.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
+        throw new java.util.ConcurrentModificationException(
+          s"COPY INTO $root raced a concurrent COPY of overlapping files; re-run")
+      }
+      try {
+        commitOnce(base, txns, op = "copy-into") { _ => base.files ++ entries }
+        return (fresh.size, entries.map(_.rows).sum)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1 // rebase (disjoint concurrent commit) and re-check
+      }
+    }
+    (0, 0L) // unreachable
   }
 }
 

@@ -132,11 +132,15 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
 
   test("MERGE INTO with an unsupported clause form fails loudly at parse") {
     val t = freshTable()
+    // WHEN MATCHED THEN DELETE is a supported general clause since round
+    // 12 — the loud-refusal contract now pins a genuinely unsupported
+    // shape (NOT MATCHED BY SOURCE is not implemented)
     val e = intercept[Exception] {
       spark.sql(s"MERGE INTO ${q(t.root)} USING src ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE")
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
-    assert(e.getMessage.contains("unsupported MERGE INTO form"))
+    assert(e.getMessage.contains("unsupported MERGE clause") ||
+      e.getMessage.contains("unsupported MERGE INTO form"), e.getMessage)
   }
 
   test("RESTORE TABLE … VERSION AS OF undoes a bad commit; DESCRIBE HISTORY shows the chain") {
@@ -752,6 +756,37 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     // and the catalog read agrees
     assert(spark.sql(s"SELECT sum(k + day) FROM txtable.`$dst`").head().getLong(0) ==
       (0L until 100L).map(k => k + k / 25).sum)
+    // DML composes: a banded delete on the partition column drops its
+    // file METADATA-ONLY — the footer pass recorded the zero-null
+    // witness, so the retention-delete story works on ADOPTED data too
+    val del = t.delete(spark, "day", 3, 3)
+    assert(del.droppedFiles == 1 && del.rewrittenFiles == 0 && del.keptFiles == 3,
+      s"partition-band delete on a converted table must be metadata-only: $del")
+    assert(t.read(spark).count() == 75)
+  }
+
+  test("OPTIMIZE WHERE: band-scoped compaction rewrites only the band's small files") {
+    import spark.implicits._
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    // 8 small range files over k 0..79 (10 rows each)
+    t.append(spark, spark.range(80).toDF("k").withColumn("v", col("k") * 2)
+      .repartitionByRange(8, col("k")))
+    val before = t.snapshot().files.map(f => f.path -> f).toMap
+    val res = spark.sql(
+      s"OPTIMIZE ${q(t.root)} WHERE k BETWEEN 0 AND 39 SMALLER THAN 1000").head()
+    // exactly the 4 band files compacted into 1; the other 4 carry BY NAME
+    assert(res.getInt(1) == 4 && res.getInt(2) == 4, s"got $res")
+    val after = t.snapshot().files
+    val carried = after.map(_.path).filter(before.contains)
+    assert(carried.size == 4 &&
+      carried.forall(p => before(p).mins("k") >= 40L),
+      "only files OUTSIDE the band may carry by name")
+    assert(t.read(spark).count() == 80, "compaction is content-preserving")
+    // WHERE + ZORDER in one statement refuses loudly
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE ${q(t.root)} WHERE k BETWEEN 0 AND 9 ZORDER BY (k, v)")
+    }
   }
 
   test("VACUUM GROUP: retained cuts stay readable, DRY RUN touches nothing") {
