@@ -97,6 +97,34 @@ object SqlTableOps {
     }
   }
 
+  /** FULL-SYNC MERGE — `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
+    * the table EXACTLY mirror the source in one atomic statement: upsert
+    * for named keys, delete for everything the source stopped naming
+    * (the replication / dimension-refresh shape). After the statement
+    * the table IS the source, so the oracle is the source query itself. */
+  def q_sql_table_merge_sync(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("graft_sqlmerge_sync_orders")
+    val published = TableOps.mergeBaseRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_merge_sync") { root =>
+      spark.sql(
+        s"""MERGE INTO ${q(root)} AS t
+           |USING (SELECT o_orderkey, concat('S-', o_orderpriority) AS o_orderpriority
+           |         FROM graft_sqlmerge_sync_orders
+           |        WHERE o_orderkey % 3 = 0) AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           |FROM ${q(root)}
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  }
+
   /** COPY INTO — idempotent bulk file loading: the FIRST statement loads
     * the events file, the IDENTICAL SECOND statement is a recorded
     * no-op (0 files — the loaded-file registry in the manifest), and the
@@ -525,6 +553,7 @@ object SqlTableOps {
     "q_sql_table_convert" -> q_sql_table_convert _,
     "q_sql_table_merge_clauses" -> q_sql_table_merge_clauses _,
     "q_sql_table_copyinto" -> q_sql_table_copyinto _,
+    "q_sql_table_merge_sync" -> q_sql_table_merge_sync _,
     "q_sql_table_delete" -> q_sql_table_delete _,
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
@@ -617,6 +646,11 @@ object SqlTableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_merge_sync" ->
+      """SELECT concat('S-', o_orderpriority) AS o_orderpriority,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_sql_table_copyinto" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

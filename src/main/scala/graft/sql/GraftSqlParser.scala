@@ -30,6 +30,7 @@ import graft.tables.TxTable
   *   MERGE INTO … ON t.k = s.k                      -- general clauses:
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE]…
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+  *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE]…
   *   CONVERT TO TXTABLE txtable.`/dst` FROM PARQUET `/src`
   *     [TBLPROPERTIES('statCols'='a,b'[, 'bloomCols'='c'])]
   *   ANALYZE TABLE txtable.`/p` [COMPUTE STATISTICS] [FOR COLUMNS c1, c2]
@@ -220,9 +221,10 @@ object GraftSqlParser {
         s"unsupported MERGE INTO form for txtable.`$root` — supported: " +
           "MERGE INTO txtable.`root` [AS t] USING <src> ON t.k = s.k " +
           "followed by WHEN MATCHED [AND <cond>] THEN " +
-          "UPDATE SET * | UPDATE SET a = expr, … | DELETE and/or " +
+          "UPDATE SET * | UPDATE SET a = expr, … | DELETE, " +
           "WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
-          "INSERT (cols) VALUES (exprs)")))
+          "INSERT (cols) VALUES (exprs), and/or " +
+          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE")))
     case UpdateRe(root, sets, c, lo, hi) =>
       val assignments = splitTopLevel(sets).map {
         case Assign(name, rhs) => (name, rhs)
@@ -358,6 +360,11 @@ object GraftSqlParser {
     "(?is)^MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$".r
   private val MatchedDelRe =
     "(?is)^MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+  private val BySourceUpdRe =
+    ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE(?:\\s+AND\\s+(.+?))?" +
+      "\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$").r
+  private val BySourceDelRe =
+    "(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
   private val NotMatchedStarRe =
     "(?is)^NOT\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+INSERT\\s+\\*\\s*$".r
   private val NotMatchedInsRe =
@@ -384,12 +391,22 @@ object GraftSqlParser {
           afterOn.substring(whens(i) + 4, bounds(i + 1)).trim)
         import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeMatched, MergeUpdate}
         val matched = scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
+        val bySource = scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
         var notMatched: Option[MergeInsert] = None
         clauses.foreach {
           case MatchedUpdStarRe(cond) =>
             matched += MergeUpdate(Option(cond).map(_.trim), None)
           case MatchedDelRe(cond) =>
             matched += MergeDelete(Option(cond).map(_.trim))
+          case BySourceDelRe(cond) =>
+            bySource += MergeDelete(Option(cond).map(_.trim))
+          case BySourceUpdRe(cond, sets) =>
+            val assignments = splitTopLevel(sets).map {
+              case Assign(name, rhs) => (name, rhs)
+              case other => throw new IllegalArgumentException(
+                s"bad MERGE UPDATE assignment: $other")
+            }
+            bySource += MergeUpdate(Option(cond).map(_.trim), Some(assignments))
           case NotMatchedStarRe(cond) =>
             require(notMatched.isEmpty, "MERGE supports one WHEN NOT MATCHED clause")
             notMatched = Some(MergeInsert(Option(cond).map(_.trim), None, None))
@@ -408,7 +425,8 @@ object GraftSqlParser {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause: WHEN $other")
         }
-        Some(TxMergeWhenCommand(root, using, key, matched.toSeq, notMatched))
+        Some(TxMergeWhenCommand(root, using, key, matched.toSeq, notMatched,
+          bySource.toSeq))
       case _ => None
     }
 
@@ -617,7 +635,8 @@ case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
   * expressions resolving under the `t`/`s` aliases. */
 case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
     matched: Seq[graft.tables.TxTable.MergeMatched],
-    notMatched: Option[graft.tables.TxTable.MergeInsert])
+    notMatched: Option[graft.tables.TxTable.MergeInsert],
+    bySource: Seq[graft.tables.TxTable.MergeMatched] = Nil)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(
@@ -625,7 +644,8 @@ case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
     attr("kept_files", IntegerType), attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val src = spark.sql(s"SELECT * FROM $sourceSql")
-    val r = TxTable.open(root).mergeWhen(spark, src, key, matched, notMatched)
+    val r = TxTable.open(root)
+      .mergeWhen(spark, src, key, matched, notMatched, bySource)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }

@@ -572,7 +572,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * {{{
     *   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE
     *   WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)
+    *   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE
     * }}}
+    * BY SOURCE clauses govern target rows the source does not name (the
+    * full-sync shape — `… THEN DELETE` makes the table exactly mirror
+    * the source); they force every file into the candidate set and every
+    * concurrent append into a conflict, because no key probe can prune
+    * rows by their ABSENCE from the source.
     * Matched clauses evaluate FIRST-MATCH-WINS per target row (the Delta
     * rule); a matched row satisfying no clause carries unchanged; a
     * clause condition evaluating NULL does not fire. Conditions and SET/
@@ -587,16 +593,23 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * moves, only files whose stats admit a source key rewrite. */
   def mergeWhen(spark: SparkSession, source: DataFrame, key: String,
       matched: Seq[TxTable.MergeMatched],
-      notMatched: Option[TxTable.MergeInsert]): MergeResult = {
+      notMatched: Option[TxTable.MergeInsert],
+      bySource: Seq[TxTable.MergeMatched] = Nil): MergeResult = {
     import TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     val base = snapshot()
     val pk = phys(base, key)
     require(base.version > 0, "merge into an empty table: use append")
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE with no clauses")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE with no clauses")
     val keyHasStats = statCols.contains(pk)
     val src = source
+    // WHEN NOT MATCHED BY SOURCE governs rows the source does NOT name:
+    // no key probe can prune them, so every file is a candidate — the
+    // full-sync shape, where the rewrite IS the point (a band refinement
+    // from the clause conditions is possible future pruning)
     val (candidates, kept) =
-      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+      if (bySource.nonEmpty) (base.files, Seq.empty[FileEntry])
+      else if (!keyHasStats) (base.files, Seq.empty[FileEntry])
       else {
         val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
         val hitPaths: Set[String] = {
@@ -632,27 +645,32 @@ final class TxTable(val root: String, val statCols: Seq[String],
             "first-match-wins would be nondeterministic; dedup the source")
         def condOf(c: Option[String]) =
           c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
-        // first-match-wins action id: 0 = carry, i+1 = clause i fires
-        val action = matched.zipWithIndex.reverse.foldLeft(lit(0)) {
-          case (acc, (cl, i)) =>
+        // first-match-wins action id: 0 = carry, i+1 = clause i fires.
+        // Matched clauses gate on isMatched; BY SOURCE clauses (ids
+        // continue after them) gate on NOT matched.
+        val all = matched.map((_, true)) ++ bySource.map((_, false))
+        val action = all.zipWithIndex.reverse.foldLeft(lit(0)) {
+          case (acc, ((cl, onMatch), i)) =>
             val cond = cl match {
               case MergeUpdate(c, _) => condOf(c)
               case MergeDelete(c) => condOf(c)
             }
-            when(isMatched && cond, lit(i + 1)).otherwise(acc)
+            val gate = if (onMatch) isMatched else !isMatched
+            when(gate && cond, lit(i + 1)).otherwise(acc)
         }
         val acted = j.withColumn("__act", action)
-        val deleteIds = matched.zipWithIndex.collect {
-          case (MergeDelete(_), i) => i + 1
+        val deleteIds = all.zipWithIndex.collect {
+          case ((MergeDelete(_), _), i) => i + 1
         }
         val alive =
           if (deleteIds.isEmpty) acted
           else acted.filter(!col("__act").isInCollection(deleteIds))
         // per-column conditional projection; every UPDATE rhs reads the
-        // PRE-merge t/s row (ANSI SET semantics)
+        // PRE-merge t/s row (ANSI SET semantics). BY SOURCE update rhs
+        // sees the all-NULL s side — it updates from the target row.
         val projected = alive.select(tcols.map { c =>
-          val updated = matched.zipWithIndex.foldLeft(expr(s"t.`$c`")) {
-            case (acc, (MergeUpdate(_, sets), i)) =>
+          val updated = all.zipWithIndex.foldLeft(expr(s"t.`$c`")) {
+            case (acc, ((MergeUpdate(_, sets), _), i)) =>
               val rhs = sets match {
                 case None => expr(s"s.`$c`") // SET *
                 case Some(ss) => ss.collectFirst { case (n, e) if n == c => expr(e) }
@@ -700,7 +718,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val entries = rewritten.map(writeDataFiles(spark, _)).getOrElse(Nil)
     val guard: Option[(FileEntry => Boolean, String)] =
-      if (!keyHasStats) {
+      if (bySource.nonEmpty)
+        // a concurrently appended row is NOT MATCHED BY SOURCE and this
+        // merge never saw it: every fresh file conflicts
+        Some(((_: FileEntry) => true,
+          "was added concurrently (NOT MATCHED BY SOURCE clauses govern " +
+            "every target row)"))
+      else if (!keyHasStats) {
         if (src.isEmpty) None
         else Some(((_: FileEntry) => true,
           s"was added concurrently (merge key $key has no stats interval — " +

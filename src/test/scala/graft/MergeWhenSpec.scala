@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.TxTable
+import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeMatched, MergeUpdate}
+
+/** Randomized differential for the GENERAL MERGE ([[TxTable#mergeWhen]]):
+  * every trial draws a random clause set — conditional matched
+  * UPDATE/DELETE (first-match-wins), an optional conditional INSERT, an
+  * optional NOT-MATCHED-BY-SOURCE clause — with each condition rendered
+  * BOTH as SQL for the engine and as a Scala closure for the model, so
+  * the aliased-join projection, the action chain, the delete filter, and
+  * the insert anti-join are all checked against a ground truth sharing
+  * none of their code (the PredicateDmlSpec discipline, applied to the
+  * merge surface). */
+class MergeWhenSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private case class Row3(k: Long, v: Long, s: Long)
+
+  // a condition = SQL text over t/s aliases + the equivalent closure
+  // over (target row, matched source row — None when evaluating insert
+  // conditions is impossible: insert conds only reference s)
+  private case class Cond(sql: String, f: (Row3, Option[Row3]) => Boolean)
+
+  private def matchedCond(rnd: scala.util.Random): Option[Cond] =
+    rnd.nextInt(4) match {
+      case 0 => None // unconditional
+      case 1 => Some(Cond("t.v % 2 = 0", (t, _) => t.v % 2 == 0))
+      case 2 => Some(Cond("s.v > t.v", (t, s) => s.exists(_.v > t.v)))
+      case 3 => Some(Cond("t.s = 3", (t, _) => t.s == 3))
+    }
+
+  private def bySourceCond(rnd: scala.util.Random): Option[Cond] =
+    rnd.nextInt(3) match {
+      case 0 => None
+      case 1 => Some(Cond("t.k >= 40", (t, _) => t.k >= 40))
+      case 2 => Some(Cond("t.v % 3 = 1", (t, _) => t.v % 3 == 1))
+    }
+
+  private def fresh(): (TxTable, Seq[Row3]) = {
+    val rows = (0L until 60L).map(k => Row3(k, k * 3 % 17, k % 5))
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mergewhen").toString, Seq("k"))
+    t.append(spark, rows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s").repartitionByRange(3, col("k")))
+    (t, rows)
+  }
+
+  private def content(t: TxTable): Set[Row3] =
+    t.read(spark).select(col("k"), col("v"), col("s"))
+      .collect().map(r => Row3(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("randomized clause sets equal the closure model") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 8) {
+      val (t, rows) = fresh()
+      // source: every 4th key in [20, 100) — overlaps and extends the
+      // target's [0, 60) key domain
+      val srcRows = (20L until 100L by 4L).map(k => Row3(k, k * 7 % 23, k % 4))
+      val srcByK = srcRows.map(r => r.k -> r).toMap
+
+      // matched clauses: 0–2 drawn from {conditional update, delete}
+      val nM = rnd.nextInt(3)
+      val matchedSpec: Seq[(MergeMatched, (Row3, Option[Row3]) => Boolean, String)] =
+        (0 until nM).map { _ =>
+          val c = matchedCond(rnd)
+          if (rnd.nextBoolean()) {
+            val upd: MergeMatched =
+              if (rnd.nextBoolean()) MergeUpdate(c.map(_.sql), None) // SET *
+              else MergeUpdate(c.map(_.sql), Some(Seq("v" -> "s.v + t.v")))
+            (upd, c.map(_.f).getOrElse((_: Row3, _: Option[Row3]) => true),
+              if (upd.asInstanceOf[MergeUpdate].sets.isEmpty) "star" else "expr")
+          } else {
+            (MergeDelete(c.map(_.sql)): MergeMatched,
+              c.map(_.f).getOrElse((_: Row3, _: Option[Row3]) => true), "del")
+          }
+        }
+      // by-source clause: 0–1 delete or update
+      val bySpec: Seq[(MergeMatched, (Row3, Option[Row3]) => Boolean, String)] =
+        if (!rnd.nextBoolean()) Nil
+        else {
+          val c = bySourceCond(rnd)
+          val cf = c.map(_.f).getOrElse((_: Row3, _: Option[Row3]) => true)
+          if (rnd.nextBoolean())
+            Seq((MergeDelete(c.map(_.sql)), cf, "del"))
+          else
+            Seq((MergeUpdate(c.map(_.sql), Some(Seq("v" -> "0 - t.k"))), cf, "neg"))
+        }
+      // insert clause: 0–1, conditional on the source row
+      val insertCond = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(Cond("s.k % 2 = 1", (_, s) => s.exists(_.k % 2 == 1)))
+        case 2 => Some(Cond("s.v > 10", (_, s) => s.exists(_.v > 10)))
+      }
+      val notMatched =
+        // an all-empty draw would (correctly) be refused by the engine —
+        // keep at least one clause in play
+        if (rnd.nextBoolean() || (matchedSpec.isEmpty && bySpec.isEmpty))
+          Some(MergeInsert(insertCond.map(_.sql), None, None)) // INSERT *
+        else None
+
+      t.mergeWhen(spark, srcRows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"), "k",
+        matchedSpec.map(_._1), notMatched, bySpec.map(_._1))
+
+      // ----- the closure model -----
+      val survived = rows.flatMap { r =>
+        val m = srcByK.get(r.k)
+        val pool = if (m.isDefined) matchedSpec else bySpec
+        pool.find(_._2(r, m)) match {
+          case None => Some(r) // no clause fires: carry
+          case Some((_, _, "del")) => None
+          case Some((_, _, "star")) => m // SET * replaces with the source row
+          case Some((_, _, "expr")) => Some(r.copy(v = m.get.v + r.v))
+          case Some((_, _, "neg")) => Some(r.copy(v = -r.k))
+          case Some((_, _, x)) => throw new IllegalStateException(x)
+        }
+      }
+      val inserted =
+        if (notMatched.isEmpty) Nil
+        else srcRows.filter(sr => !rows.exists(_.k == sr.k))
+          .filter(sr => insertCond.forall(_.f(sr, Some(sr))))
+      val want = (survived ++ inserted).toSet
+      assert(content(t) == want,
+        s"trial $trial matched=$matchedSpec bySource=$bySpec insert=$notMatched")
+    }
+  }
+
+  test("full-sync shape: upsert + BY SOURCE DELETE makes the table mirror the source") {
+    val (t, _) = fresh()
+    val src = (0L until 90L by 3L).map(k => Row3(k, k + 1000, 9))
+    t.mergeWhen(spark, src.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"), "k",
+      Seq(MergeUpdate(None, None)), Some(MergeInsert(None, None, None)),
+      Seq(MergeDelete(None)))
+    assert(content(t) == src.toSet, "table must exactly mirror the source")
+  }
+
+  test("BY SOURCE clauses force the all-files candidate class and the all-conflict guard") {
+    val (t, _) = fresh()
+    val r = t.mergeWhen(spark, Seq((0L, 0L, 0L)).toDF("k", "v", "s"), "k",
+      Nil, None, Seq(MergeDelete(Some("t.k >= 55"))))
+    assert(r.rewrittenFiles == 3 && r.keptFiles == 0,
+      s"BY SOURCE must class every file a candidate, got $r")
+    assert(t.read(spark).count() == 55) // k 55..59 deleted; k=0 matched, carried
+  }
+}

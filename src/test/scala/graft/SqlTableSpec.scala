@@ -132,12 +132,12 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
 
   test("MERGE INTO with an unsupported clause form fails loudly at parse") {
     val t = freshTable()
-    // WHEN MATCHED THEN DELETE is a supported general clause since round
-    // 12 — the loud-refusal contract now pins a genuinely unsupported
-    // shape (NOT MATCHED BY SOURCE is not implemented)
+    // conditional DELETE/UPDATE/INSERT and BY SOURCE clauses are all
+    // supported since round 12 — the loud-refusal contract now pins a
+    // genuinely unsupported verb
     val e = intercept[Exception] {
       spark.sql(s"MERGE INTO ${q(t.root)} USING src ON t.k = s.k " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN MATCHED THEN ESCALATE")
     }
     assert(e.getMessage.contains("unsupported MERGE clause") ||
       e.getMessage.contains("unsupported MERGE INTO form"), e.getMessage)
