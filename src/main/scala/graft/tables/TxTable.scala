@@ -576,9 +576,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * }}}
     * BY SOURCE clauses govern target rows the source does not name (the
     * full-sync shape — `… THEN DELETE` makes the table exactly mirror
-    * the source); they force every file into the candidate set and every
-    * concurrent append into a conflict, because no key probe can prune
-    * rows by their ABSENCE from the source.
+    * the source). Absence from the source is unprunable by the key
+    * probe, but each clause's own CONDITION prunes: files provably
+    * disjoint from the condition's stat-column bands carry by name, so
+    * a conditional retention sync (`BY SOURCE AND t.day < x THEN
+    * DELETE`) rewrites only the governed band. An unconditional (or
+    * band-less) BY SOURCE clause forces every file and every concurrent
+    * append into a conflict.
     * Matched clauses evaluate FIRST-MATCH-WINS per target row (the Delta
     * rule); a matched row satisfying no clause carries unchanged; a
     * clause condition evaluating NULL does not fire. Conditions and SET/
@@ -603,12 +607,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
       "MERGE with no clauses")
     val keyHasStats = statCols.contains(pk)
     val src = source
-    // WHEN NOT MATCHED BY SOURCE governs rows the source does NOT name:
-    // no key probe can prune them, so every file is a candidate — the
-    // full-sync shape, where the rewrite IS the point (a band refinement
-    // from the clause conditions is possible future pruning)
+    // WHEN NOT MATCHED BY SOURCE governs rows the source does NOT name —
+    // no key probe can prune by ABSENCE — but each clause's own
+    // condition can: a file provably disjoint from a clause condition's
+    // stat-column bands ([[predicateBands]] under the `t` alias) holds
+    // no row that clause could fire on (band pruning is sound under
+    // residual conjuncts). A clause with no derivable band forces every
+    // file. Returns None = all files, Some(test) = banded membership.
+    val bySourceTest: Option[Option[FileEntry => Boolean]] =
+      if (bySource.isEmpty) None
+      else Some {
+        val perClause = bySource.map {
+          case MergeUpdate(c, _) => c
+          case MergeDelete(c) => c
+        }.map {
+          case None => None // unconditional clause: every file
+          case Some(cond) =>
+            val (bands, _) = predicateBands(spark, cond, base, Some("t"))
+            if (bands.isEmpty) None else Some(bands)
+        }
+        if (perClause.exists(_.isEmpty)) None
+        else Some((f: FileEntry) =>
+          perClause.flatten.exists(b => bandsIntersect(b)(f)))
+      }
     val (candidates, kept) =
-      if (bySource.nonEmpty) (base.files, Seq.empty[FileEntry])
+      if (bySourceTest.contains(None)) (base.files, Seq.empty[FileEntry])
       else if (!keyHasStats) (base.files, Seq.empty[FileEntry])
       else {
         val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
@@ -622,7 +645,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
             .select("__path").distinct().as[String].collect().toSet ++
             statless.map(_.path)
         }
-        base.files.partition(f => hitPaths.contains(f.path))
+        // candidate = key-probe hit OR inside some BY SOURCE clause band
+        val bandHit = bySourceTest.flatten.getOrElse((_: FileEntry) => false)
+        base.files.partition(f => hitPaths.contains(f.path) || bandHit(f))
       }
     val exOpt: Option[DataFrame] =
       if (candidates.isEmpty) None
@@ -718,13 +743,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val entries = rewritten.map(writeDataFiles(spark, _)).getOrElse(Nil)
     val guard: Option[(FileEntry => Boolean, String)] =
-      if (bySource.nonEmpty)
-        // a concurrently appended row is NOT MATCHED BY SOURCE and this
-        // merge never saw it: every fresh file conflicts
-        Some(((_: FileEntry) => true,
-          "was added concurrently (NOT MATCHED BY SOURCE clauses govern " +
-            "every target row)"))
-      else if (!keyHasStats) {
+      if (bySource.nonEmpty) {
+        // a concurrently appended row this merge never saw is NOT
+        // MATCHED BY SOURCE: it conflicts when some clause band admits
+        // it (or always, when a clause has no derivable band / the key
+        // carries no stats — the source-key envelope is folded in for
+        // the matched/insert clauses)
+        (bySourceTest.flatten, keyHasStats) match {
+          case (Some(bandHit), true) =>
+            val srcRange = src.agg(min(col(key).cast("long")),
+              max(col(key).cast("long"))).head()
+            val keyHit: FileEntry => Boolean =
+              if (srcRange.isNullAt(0)) _ => false
+              else { f =>
+                f.mins.get(pk).forall(_ <= srcRange.getLong(1)) &&
+                  f.maxs.get(pk).forall(_ >= srcRange.getLong(0))
+              }
+            Some(((f: FileEntry) => keyHit(f) || bandHit(f),
+              "overlaps the merge key envelope or a NOT MATCHED BY " +
+                "SOURCE clause band"))
+          case _ =>
+            Some(((_: FileEntry) => true,
+              "was added concurrently (NOT MATCHED BY SOURCE clauses " +
+                "govern every target row)"))
+        }
+      } else if (!keyHasStats) {
         if (src.isEmpty) None
         else Some(((_: FileEntry) => true,
           s"was added concurrently (merge key $key has no stats interval — " +
@@ -1158,7 +1201,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * columns whose PHYSICAL name is a declared stat column; anything
     * else is residual. */
   private[graft] def predicateBands(spark: SparkSession, predicateSql: String,
-      base: Snapshot): (Map[String, (Long, Long)], Boolean) = {
+      base: Snapshot, alias: Option[String] = None): (Map[String, (Long, Long)], Boolean) = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
       case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -1175,6 +1218,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           if a.nameParts.length == 1 =>
         Some(phys(base, a.nameParts.head)).filter(statCols.contains)
+      // alias-qualified form (`t.k`) — the MERGE clause conditions'
+      // spelling; only the DECLARED alias qualifies (an s.-qualified
+      // source attribute must stay residual)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 2 &&
+            alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        Some(phys(base, a.nameParts(1))).filter(statCols.contains)
       case _ => None
     }
     def longOf(e: ce.Expression): Option[Long] = e match {

@@ -138,12 +138,21 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     assert(content(t) == src.toSet, "table must exactly mirror the source")
   }
 
-  test("BY SOURCE clauses force the all-files candidate class and the all-conflict guard") {
+  test("BY SOURCE conditions band-prune candidates; band-less clauses force every file") {
+    // 3 range files over k 0..59. A BY SOURCE DELETE conditioned on
+    // `t.k >= 55` governs only the third file's band; the key probe for
+    // source key 0 adds the first — the middle file must carry BY NAME.
     val (t, _) = fresh()
     val r = t.mergeWhen(spark, Seq((0L, 0L, 0L)).toDF("k", "v", "s"), "k",
       Nil, None, Seq(MergeDelete(Some("t.k >= 55"))))
-    assert(r.rewrittenFiles == 3 && r.keptFiles == 0,
-      s"BY SOURCE must class every file a candidate, got $r")
+    assert(r.rewrittenFiles == 2 && r.keptFiles == 1,
+      s"banded BY SOURCE must prune the disjoint file, got $r")
     assert(t.read(spark).count() == 55) // k 55..59 deleted; k=0 matched, carried
+    // a condition on a NON-stat column derives no band: every file
+    val (t2, _) = fresh()
+    val r2 = t2.mergeWhen(spark, Seq((0L, 0L, 0L)).toDF("k", "v", "s"), "k",
+      Nil, None, Seq(MergeDelete(Some("t.v % 3 = 1"))))
+    assert(r2.rewrittenFiles == 3 && r2.keptFiles == 0,
+      s"band-less BY SOURCE must class every file a candidate, got $r2")
   }
 }
