@@ -243,7 +243,8 @@ object Bench {
       // SQL-table gates), and the indexed ANN gate builds its stored
       // index on first run
       "q_sql_table_merge_clauses", "q_sql_table_merge_nonstat",
-      "q_sql_table_convert", "q_ann_ivfpq_indexed").zipWithIndex.toMap
+      "q_sql_table_convert", "q_ann_ivfpq_indexed",
+      "q_sql_table_merge_sync", "q_sql_table_copyinto").zipWithIndex.toMap
     val selected = SparkEntry.queries
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .toSeq.sortBy { case (k, _) => (heavyFirst.getOrElse(k, Int.MaxValue), k) }

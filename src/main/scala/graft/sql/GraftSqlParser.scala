@@ -392,7 +392,7 @@ object GraftSqlParser {
         import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeMatched, MergeUpdate}
         val matched = scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
         val bySource = scala.collection.mutable.ArrayBuffer.empty[MergeMatched]
-        var notMatched: Option[MergeInsert] = None
+        val notMatched = scala.collection.mutable.ArrayBuffer.empty[MergeInsert]
         clauses.foreach {
           case MatchedUpdStarRe(cond) =>
             matched += MergeUpdate(Option(cond).map(_.trim), None)
@@ -408,13 +408,11 @@ object GraftSqlParser {
             }
             bySource += MergeUpdate(Option(cond).map(_.trim), Some(assignments))
           case NotMatchedStarRe(cond) =>
-            require(notMatched.isEmpty, "MERGE supports one WHEN NOT MATCHED clause")
-            notMatched = Some(MergeInsert(Option(cond).map(_.trim), None, None))
+            notMatched += MergeInsert(Option(cond).map(_.trim), None, None)
           case NotMatchedInsRe(cond, cols, vals) =>
-            require(notMatched.isEmpty, "MERGE supports one WHEN NOT MATCHED clause")
-            notMatched = Some(MergeInsert(Option(cond).map(_.trim),
+            notMatched += MergeInsert(Option(cond).map(_.trim),
               Some(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-              Some(splitTopLevel(vals).map(_.trim))))
+              Some(splitTopLevel(vals).map(_.trim)))
           case MatchedUpdRe(cond, sets) => // AFTER the star form (it matches `*` too)
             val assignments = splitTopLevel(sets).map {
               case Assign(name, rhs) => (name, rhs)
@@ -425,8 +423,8 @@ object GraftSqlParser {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause: WHEN $other")
         }
-        Some(TxMergeWhenCommand(root, using, key, matched.toSeq, notMatched,
-          bySource.toSeq))
+        Some(TxMergeWhenCommand(root, using, key, matched.toSeq,
+          notMatched.toSeq, bySource.toSeq))
       case _ => None
     }
 
@@ -635,7 +633,7 @@ case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
   * expressions resolving under the `t`/`s` aliases. */
 case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
     matched: Seq[graft.tables.TxTable.MergeMatched],
-    notMatched: Option[graft.tables.TxTable.MergeInsert],
+    notMatched: Seq[graft.tables.TxTable.MergeInsert],
     bySource: Seq[graft.tables.TxTable.MergeMatched] = Nil)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr

@@ -570,10 +570,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
   /** GENERAL MERGE — the full clause surface the canonical upsert
     * ([[merge]]) is a special case of:
     * {{{
-    *   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE
-    *   WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)
-    *   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE
+    *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET a = expr, … | UPDATE SET * | DELETE]…
+    *   [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)]…
+    *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE]…
     * }}}
+    * Every clause group evaluates FIRST-MATCH-WINS, insert clauses
+    * included (a source row claimed by no insert clause is dropped).
     * BY SOURCE clauses govern target rows the source does not name (the
     * full-sync shape — `… THEN DELETE` makes the table exactly mirror
     * the source). Absence from the source is unprunable by the key
@@ -597,7 +599,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * moves, only files whose stats admit a source key rewrite. */
   def mergeWhen(spark: SparkSession, source: DataFrame, key: String,
       matched: Seq[TxTable.MergeMatched],
-      notMatched: Option[TxTable.MergeInsert],
+      notMatched: Seq[TxTable.MergeInsert],
       bySource: Seq[TxTable.MergeMatched] = Nil): MergeResult = {
     import TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     val base = snapshot()
@@ -708,8 +710,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
         }: _*)
         projected
       }
-    val inserts: Option[DataFrame] = notMatched.map {
-      case MergeInsert(cond, cols0, vals0) =>
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
         // matched ⇔ the key exists in the CANDIDATE content (non-candidate
         // files provably hold no source key); no candidates ⇒ every
         // source row is an insert
@@ -719,24 +722,40 @@ final class TxTable(val root: String, val statCols: Seq[String],
             ex.select(col(key)).distinct().alias("t"),
             expr(s"s.`$key` <=> t.`$key`"), "left_anti")
         }
-        val filtered = cond.map(c => fresh.filter(coalesce(expr(c), lit(false))))
-          .getOrElse(fresh)
-        val tcols = exOpt.map(_.columns.toSeq)
-          .getOrElse(read(spark).columns.toSeq)
-        (cols0, vals0) match {
-          case (None, None) => // INSERT *
-            filtered.select(tcols.map(c => col(c)): _*)
+        val tschema = exOpt.map(_.schema).getOrElse(read(spark).schema)
+        val tcols = tschema.fieldNames.toSeq
+        // FIRST-MATCH-WINS across the insert clauses, mirroring the
+        // matched chain: __ins = 0 ⇒ no clause claims the row (dropped),
+        // i+1 ⇒ clause i's projection applies
+        def condOf(c: Option[String]) =
+          c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
+        val act = notMatched.zipWithIndex.reverse.foldLeft(lit(0)) {
+          case (acc, (MergeInsert(c, _, _), i)) =>
+            when(condOf(c), lit(i + 1)).otherwise(acc)
+        }
+        val claimed = fresh.withColumn("__ins", act).filter(col("__ins") > 0)
+        def projOf(cl: MergeInsert, c: String) = (cl.cols, cl.vals) match {
+          case (None, None) => expr(s"s.`$c`") // INSERT *
           case (Some(cs), Some(vs)) =>
             require(cs.length == vs.length,
               s"INSERT names ${cs.length} columns but ${vs.length} values")
-            val m = cs.zip(vs).toMap
-            filtered.select(tcols.map(c =>
-              m.get(c).map(e => expr(e).as(c))
-                .getOrElse(lit(null).as(c))): _*)
+            cs.zip(vs).collectFirst { case (n, e) if n == c => expr(e) }
+              .getOrElse(lit(null))
           case _ => throw new IllegalArgumentException(
             "INSERT needs both a column list and VALUES, or neither")
         }
-    }
+        // cast to the TABLE's column types: VALUES literals land as their
+        // parsed types (an integer literal is INT, a bare NULL is VOID)
+        // and an insert-only merge writes them verbatim otherwise —
+        // poisoning the file set for every later mergeSchema read
+        Some(claimed.select(tcols.map { c =>
+          notMatched.zipWithIndex.reverse
+            .foldLeft(lit(null): org.apache.spark.sql.Column) {
+              case (acc, (cl, i)) =>
+                when(col("__ins") === (i + 1), projOf(cl, c)).otherwise(acc)
+            }.cast(tschema(c).dataType).as(c)
+        }: _*))
+      }
     val rewritten = (survivors, inserts) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
       case (a, b) => a.orElse(b)

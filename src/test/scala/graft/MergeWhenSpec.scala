@@ -100,8 +100,8 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
         // an all-empty draw would (correctly) be refused by the engine —
         // keep at least one clause in play
         if (rnd.nextBoolean() || (matchedSpec.isEmpty && bySpec.isEmpty))
-          Some(MergeInsert(insertCond.map(_.sql), None, None)) // INSERT *
-        else None
+          Seq(MergeInsert(insertCond.map(_.sql), None, None)) // INSERT *
+        else Nil
 
       t.mergeWhen(spark, srcRows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"), "k",
         matchedSpec.map(_._1), notMatched, bySpec.map(_._1))
@@ -129,11 +129,32 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("multiple insert clauses: first-match-wins, unclaimed source rows drop") {
+    val (t, _) = fresh() // keys 0..59
+    // source keys 60..69; clause 1 claims evens with v = -1, clause 2
+    // claims k < 66 with v = -2; 60,62,64 → -1 (clause 1 first), 61,63,65
+    // → -2, 66,68 → -1, 67,69 → unclaimed (dropped)
+    val src = (60L until 70L).map(k => (k, k, 0L))
+    t.mergeWhen(spark, src.toDF("k", "v", "s"), "k",
+      Nil, Seq(
+        MergeInsert(Some("s.k % 2 = 0"), Some(Seq("k", "v")),
+          Some(Seq("s.k", "-1"))),
+        MergeInsert(Some("s.k < 66"), Some(Seq("k", "v")),
+          Some(Seq("s.k", "-2")))), Nil)
+    // inserted rows carry NULL s (unnamed column): read k/v only
+    val got = t.read(spark).filter(col("k") >= 60)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(60L -> -1L, 62L -> -1L, 64L -> -1L, 66L -> -1L,
+      68L -> -1L, 61L -> -2L, 63L -> -2L, 65L -> -2L), s"got $got")
+    assert(t.read(spark).filter(col("k") >= 60 && col("s").isNull).count() == 8)
+  }
+
   test("full-sync shape: upsert + BY SOURCE DELETE makes the table mirror the source") {
     val (t, _) = fresh()
     val src = (0L until 90L by 3L).map(k => Row3(k, k + 1000, 9))
     t.mergeWhen(spark, src.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"), "k",
-      Seq(MergeUpdate(None, None)), Some(MergeInsert(None, None, None)),
+      Seq(MergeUpdate(None, None)), Seq(MergeInsert(None, None, None)),
       Seq(MergeDelete(None)))
     assert(content(t) == src.toSet, "table must exactly mirror the source")
   }
@@ -144,14 +165,14 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     // source key 0 adds the first — the middle file must carry BY NAME.
     val (t, _) = fresh()
     val r = t.mergeWhen(spark, Seq((0L, 0L, 0L)).toDF("k", "v", "s"), "k",
-      Nil, None, Seq(MergeDelete(Some("t.k >= 55"))))
+      Nil, Nil, Seq(MergeDelete(Some("t.k >= 55"))))
     assert(r.rewrittenFiles == 2 && r.keptFiles == 1,
       s"banded BY SOURCE must prune the disjoint file, got $r")
     assert(t.read(spark).count() == 55) // k 55..59 deleted; k=0 matched, carried
     // a condition on a NON-stat column derives no band: every file
     val (t2, _) = fresh()
     val r2 = t2.mergeWhen(spark, Seq((0L, 0L, 0L)).toDF("k", "v", "s"), "k",
-      Nil, None, Seq(MergeDelete(Some("t.v % 3 = 1"))))
+      Nil, Nil, Seq(MergeDelete(Some("t.v % 3 = 1"))))
     assert(r2.rewrittenFiles == 3 && r2.keptFiles == 0,
       s"band-less BY SOURCE must class every file a candidate, got $r2")
   }
