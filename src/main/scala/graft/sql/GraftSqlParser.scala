@@ -706,19 +706,9 @@ case class TxAnalyzeCommand(root: String, cols: Seq[String])
     attr("stat_columns", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val t0 = TxTable.open(root)
-    val t =
-      if (cols.isEmpty) t0
-      else {
-        val widened = new TxTable(root,
-          (t0.statCols ++ cols).distinct.sorted, t0.bloomCols)
-        widened.evolveStats(spark, cols)
-        // one more metadata-only commit: declare the widened stat set so
-        // later appends through open() keep computing these stats
-        val schema = t0.snapshot().meta.map(_.schema)
-          .getOrElse(widened.read(spark).schema)
-        widened.declareMeta(schema)
-        widened
-      }
+    // stats pass + widened stat-set declaration in ONE commit
+    if (cols.nonEmpty) t0.analyzeColumns(spark, cols)
+    val t = TxTable.open(root)
     val s = t.snapshot()
     Seq(Row(s.version, s.files.size, t.statCols.mkString(",")))
   }

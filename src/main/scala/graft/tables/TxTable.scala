@@ -2096,7 +2096,18 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * treat missing stats as "cannot prune"). A lost commit race ABORTS
     * like merge — the stats were computed against a snapshot that no
     * longer exists. */
-  def evolveStats(spark: SparkSession, cols: Seq[String]): Int = {
+  def evolveStats(spark: SparkSession, cols: Seq[String]): Int =
+    evolveStatsImpl(spark, cols, declare = false)
+
+  /** ANALYZE TABLE … FOR COLUMNS: [[evolveStats]]' distributed pass plus
+    * a re-DECLARATION of the widened stat-column set in the SAME commit —
+    * one version, one audit row, and future writers discovered through
+    * [[TxTable.open]] keep computing the analyzed columns' stats. */
+  def analyzeColumns(spark: SparkSession, cols: Seq[String]): Int =
+    evolveStatsImpl(spark, cols, declare = true)
+
+  private def evolveStatsImpl(spark: SparkSession, cols: Seq[String],
+      declare: Boolean): Int = {
     val base = snapshot()
     require(base.version > 0, "evolve an empty table?")
     require(cols.nonEmpty, "no columns to evolve")
@@ -2126,7 +2137,21 @@ final class TxTable(val root: String, val statCols: Seq[String],
       f.copy(mins = f.mins ++ statsOf("__min"), maxs = f.maxs ++ statsOf("__max"),
         nonNull = f.nonNull ++ pcols.map(c => c -> r.getAs[Long](s"__nn_$c")))
     }
-    try commitOnce(base, op = "evolve-stats") { _ => evolved }
+    // declare = ANALYZE: the widened stat set rides the SAME commit as
+    // the stats themselves (one version, one audit row); physical names,
+    // the writeDataFiles convention
+    val meta =
+      if (!declare) None
+      else {
+        val widened = (statCols ++ base.meta.toSeq.flatMap(_.statCols) ++ pcols)
+          .distinct.sorted
+        val schema = base.meta.map(_.schema).getOrElse(
+          readFiles(spark, base.files, base.colMap, base.meta).schema)
+        Some(TableMeta(schema.json, widened,
+          (bloomCols ++ base.meta.toSeq.flatMap(_.bloomCols)).distinct.sorted))
+      }
+    try commitOnce(base, op = if (declare) "analyze" else "evolve-stats",
+      meta = meta) { _ => evolved }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(

@@ -129,6 +129,57 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SQL-rendered clause sets parse to the API path's exact results") {
+    // the regex clause parser is the most fragile layer of the general
+    // MERGE: render random clause sets as statement TEXT and pin the
+    // statement's outcome row-identical to the API call on a twin table
+    val rnd = new scala.util.Random(777L)
+    def render(m: MergeMatched): String = m match {
+      case MergeUpdate(c, None) =>
+        s"WHEN MATCHED${c.map(" AND " + _).getOrElse("")} THEN UPDATE SET *"
+      case MergeUpdate(c, Some(ss)) =>
+        s"WHEN MATCHED${c.map(" AND " + _).getOrElse("")} THEN UPDATE SET " +
+          ss.map { case (n, e) => s"$n = $e" }.mkString(", ")
+      case MergeDelete(c) =>
+        s"WHEN MATCHED${c.map(" AND " + _).getOrElse("")} THEN DELETE"
+    }
+    def renderBySource(m: MergeMatched): String =
+      render(m).replace("WHEN MATCHED", "WHEN NOT MATCHED BY SOURCE")
+    for (trial <- 1 to 5) {
+      val (ta, _) = fresh()
+      val (tb, _) = fresh()
+      val matched: Seq[MergeMatched] = Seq(
+        MergeUpdate(Some("t.v % 2 = 0"), Some(Seq("v" -> "s.v + t.v"))),
+        MergeDelete(Some("t.s = 3")),
+        MergeUpdate(None, None)).take(1 + rnd.nextInt(3))
+      val inserts = Seq(
+        MergeInsert(Some("s.k % 2 = 1"), Some(Seq("k", "v")), Some(Seq("s.k", "-7"))),
+        MergeInsert(None, None, None)).take(rnd.nextInt(3))
+      val bySource: Seq[MergeMatched] =
+        if (rnd.nextBoolean()) Seq(MergeDelete(Some("t.k >= 50"))) else Nil
+      val srcSql = "(SELECT id AS k, id * 7 % 23 AS v, id % 4 AS s " +
+        "FROM range(20, 100, 4))"
+      val stmt = (Seq(s"MERGE INTO txtable.`${ta.root}` AS t USING $srcSql AS s",
+        "ON t.k = s.k") ++ matched.map(render) ++
+        inserts.map(i => i match {
+          case MergeInsert(c, None, None) =>
+            s"WHEN NOT MATCHED${c.map(" AND " + _).getOrElse("")} THEN INSERT *"
+          case MergeInsert(c, Some(cs), Some(vs)) =>
+            s"WHEN NOT MATCHED${c.map(" AND " + _).getOrElse("")} THEN INSERT " +
+              s"(${cs.mkString(", ")}) VALUES (${vs.mkString(", ")})"
+          case _ => throw new IllegalStateException
+        }) ++ bySource.map(renderBySource)).mkString("\n")
+      if (matched.nonEmpty || inserts.nonEmpty || bySource.nonEmpty) {
+        spark.sql(stmt)
+        val src = spark.sql(s"SELECT * FROM $srcSql")
+        tb.mergeWhen(spark, src, "k", matched, inserts, bySource)
+        val a = ta.read(spark).collect().map(_.toSeq).toSet
+        val b = tb.read(spark).collect().map(_.toSeq).toSet
+        assert(a == b, s"trial $trial SQL vs API diverge for:\n$stmt")
+      }
+    }
+  }
+
   test("multiple insert clauses: first-match-wins, unclaimed source rows drop") {
     val (t, _) = fresh() // keys 0..59
     // source keys 60..69; clause 1 claims evens with v = -1, clause 2
