@@ -118,7 +118,8 @@ class TxBatchSource extends TableProvider with DataSourceRegister
     def cols(key: String): Seq[String] =
       parameters.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-    new TxStreamSink(root, appId, cols("statCols"), cols("bloomCols"))
+    new TxStreamSink(root, appId, cols("statCols"), cols("bloomCols"),
+      parameters.get("mergeKey"))
   }
 }
 
@@ -131,7 +132,8 @@ class TxBatchSource extends TableProvider with DataSourceRegister
   * governing this stream's stats pass; a FIRST write to a brand-new
   * root takes them from sink options instead. */
 class TxStreamSink(root: String, appId: String,
-    statCols: Seq[String], bloomCols: Seq[String])
+    statCols: Seq[String], bloomCols: Seq[String],
+    mergeKey: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t =
@@ -140,10 +142,16 @@ class TxStreamSink(root: String, appId: String,
     // a streaming-planned frame refuses batch writes; re-wrap its planned
     // rows (the ForeachBatchSink pattern) before the transactional append
     val batch = org.apache.spark.sql.classic.GraftSqlInternal.ofBatch(data)
-    t.appendBatch(batch.sparkSession, batch, appId, batchId)
+    mergeKey match {
+      // option("mergeKey", c): exactly-once streaming UPSERT — each
+      // micro-batch merges on the key instead of appending
+      case Some(k) => t.mergeBatch(batch.sparkSession, batch, appId, batchId, k)
+      case None => t.appendBatch(batch.sparkSession, batch, appId, batchId)
+    }
     ()
   }
-  override def toString: String = s"TxStreamSink[$root, appId=$appId]"
+  override def toString: String =
+    s"TxStreamSink[$root, appId=$appId${mergeKey.fold("")(k => s", mergeKey=$k")}]"
 }
 
 object TxSqlTable {

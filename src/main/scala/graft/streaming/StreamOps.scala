@@ -928,6 +928,22 @@ object StreamOps {
         ()
       }
 
+  /** Exactly-once STREAMING UPSERT sink: each micro-batch lands through
+    * [[graft.tables.TxTable#mergeBatch]] — keyed copy-on-write merge
+    * with the batch watermark riding the merge commit, so at-least-once
+    * redelivery never double-applies and a key appearing in many batches
+    * converges to its LATEST batch's row (the CDC-consumer shape:
+    * readStream a change feed, foldLeft it into a serving table). */
+  def txTableMergeSink(df: DataFrame, table: graft.tables.TxTable,
+      queryName: String, checkpoint: String, key: String) =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.mergeBatch(batch.sparkSession, batch, queryName, batchId, key)
+        ()
+      }
+
   /** One micro-batch of the MULTI-TABLE exactly-once sink: each member
     * transform's output lands via the member's idempotent `appendBatch`
     * (per-member (queryName/member → batchId) watermarks, so a replayed

@@ -493,7 +493,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
   /** Merge against an explicit base snapshot — the seam that lets a spec
     * interleave a competing commit between base-read and publish. */
   private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
-      source: DataFrame, key: String): MergeResult = {
+      source: DataFrame, key: String,
+      txns: Map[String, Long] = Map.empty): MergeResult = {
     val pk = phys(base, key)
     require(base.version > 0, "merge into an empty table: use append")
     // A key WITHOUT declared stats (any column, any type — not just the
@@ -562,9 +563,30 @@ final class TxTable(val root: String, val statCols: Seq[String],
             f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
         }
       }
-    val version = commitCowGuarded(base, candidates, entries, "merge", guard)
+    val version = commitCowGuarded(base, candidates, entries, "merge", guard,
+      txns = txns)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
+  }
+
+  /** STREAMING UPSERT — the exactly-once micro-batch face of [[merge]]:
+    * a batch merges only if `batchId` is newer than the stream's
+    * recorded watermark (the [[appendBatch]] idempotence contract), and
+    * the merge commit carries the advanced watermark in the SAME
+    * manifest — a crash between merge and watermark is impossible by
+    * construction, so an at-least-once foreachBatch redelivery is
+    * recognized and skipped, never double-applied. Batch 0 against an
+    * EMPTY table bootstraps via [[appendBatch]] (merge requires
+    * content). Single active writer per appId (the streaming engine's
+    * own checkpoint contract); concurrent DISJOINT commits rebase
+    * underneath like any merge. Returns true iff this call committed. */
+  def mergeBatch(spark: SparkSession, df: DataFrame, appId: String,
+      batchId: Long, key: String): Boolean = {
+    val base = snapshot()
+    if (base.txns.get(appId).exists(_ >= batchId)) return false
+    if (base.version == 0) return appendBatch(spark, df, appId, batchId)
+    mergeFrom(spark, base, df, key, txns = Map(appId -> batchId))
+    true
   }
 
   /** GENERAL MERGE — the full clause surface the canonical upsert

@@ -269,4 +269,54 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark, versionAsOf = Some(2)).count() == 20)
     assert(t.read(spark).count() == 30)
   }
+
+  test("mergeBatch: exactly-once streaming UPSERT — replay skipped, keys converge to the latest batch") {
+    val t = freshTable()
+    def batch(lo: Long, hi: Long, tag: Long) =
+      spark.range(lo, hi).toDF("user_id").withColumn("v", col("user_id") * 10 + tag)
+    // batch 0 bootstraps the empty table via append
+    assert(t.mergeBatch(spark, batch(0, 50, 0), "up_q", 0L, "user_id"))
+    // batch 1 overlaps [30, 50) and extends to 70 — overlapped keys must
+    // take batch 1's values, the rest carry
+    assert(t.mergeBatch(spark, batch(30, 70, 1), "up_q", 1L, "user_id"))
+    // crash replay of batch 1: recognized from the manifest, no-op
+    assert(!t.mergeBatch(spark, batch(30, 70, 1), "up_q", 1L, "user_id"))
+    val got = t.read(spark).select(col("user_id"), col("v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 70, s"upsert must not duplicate keys: ${got.size}")
+    assert((0L until 30L).forall(u => got(u) == u * 10))
+    assert((30L until 70L).forall(u => got(u) == u * 10 + 1),
+      "overlapped keys must converge to the LATEST batch")
+    // the watermark rode the merge commit itself
+    assert(t.snapshot().txns == Map("up_q" -> 1L))
+  }
+
+  test("format(\"txtable\") with option(\"mergeKey\") streams an upsert end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Long]
+    val root = Files.createTempDirectory("graft_txsinkup").toString
+    val ckpt = Files.createTempDirectory("graft_txsinkup_ckpt").toString
+    val q = source.toDF().select(col("value").as("user_id"),
+        (col("value") * 3).as("v"))
+      .writeStream.format("txtable")
+      .option("checkpointLocation", ckpt)
+      .option("statCols", "user_id")
+      .option("mergeKey", "user_id")
+      .start(root)
+    // two SEPARATE micro-batches (AvailableNow would fold both adds into
+    // one batch and the overlap would bootstrap-append): batch 0 = keys
+    // [0, 40), batch 1 overlaps [20, 50)
+    source.addData(0L until 40L: _*)
+    q.processAllAvailable()
+    source.addData(20L until 50L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val t = TxTable.open(root)
+    // overlap [20, 40) merged, never appended: 50 distinct keys
+    assert(t.read(spark).count() == 50,
+      "the upsert sink must converge overlapping keys, not append them")
+    assert(t.read(spark).agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 50L).map(_ * 3).sum)
+  }
 }
