@@ -97,6 +97,24 @@ object SqlTableOps {
     }
   }
 
+  /** `INSERT INTO … REPLACE WHERE` — q_table_replace's atomic band
+    * restatement (user_id 3–7 swapped for a doubled-value recompute in
+    * ONE commit) expressed as the Delta statement; earns the same
+    * oracle. The backfill shape: a recomputed day swaps in atomically,
+    * never exposing a half-replaced band. */
+  def q_sql_table_replace(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_sqlreplace_events")
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_replace") { root =>
+      spark.sql(
+        s"""INSERT INTO ${q(root)} REPLACE WHERE user_id BETWEEN 3 AND 7
+           |SELECT user_id, event_type, value * 2 AS value
+           |FROM graft_sqlreplace_events WHERE user_id BETWEEN 3 AND 7""".stripMargin)
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** FULL-SYNC MERGE — `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
     * the table EXACTLY mirror the source in one atomic statement: upsert
     * for named keys, delete for everything the source stopped naming
@@ -554,6 +572,7 @@ object SqlTableOps {
     "q_sql_table_merge_clauses" -> q_sql_table_merge_clauses _,
     "q_sql_table_copyinto" -> q_sql_table_copyinto _,
     "q_sql_table_merge_sync" -> q_sql_table_merge_sync _,
+    "q_sql_table_replace" -> q_sql_table_replace _,
     "q_sql_table_delete" -> q_sql_table_delete _,
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
@@ -646,6 +665,14 @@ object SqlTableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_replace" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7
+        |                 THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_merge_sync" ->
       """SELECT concat('S-', o_orderpriority) AS o_orderpriority,
         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum

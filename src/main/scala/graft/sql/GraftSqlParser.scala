@@ -36,6 +36,7 @@ import graft.tables.TxTable
   *   ANALYZE TABLE txtable.`/p` [COMPUTE STATISTICS] [FOR COLUMNS c1, c2]
   *   COPY INTO txtable.`/p` FROM `/dir` [FILEFORMAT = PARQUET]
   *     [PATTERN = '<glob>'] [TBLPROPERTIES('statCols'='a,b')]
+  *   INSERT INTO txtable.`/p` REPLACE WHERE c BETWEEN lo AND hi <select>
   *   VACUUM GROUP txtable.`/g` [RETAIN <n> VERSIONS] [DRY RUN]
   *   RESTORE TABLE txtable.`/p` [TO] VERSION AS OF <n> | [TO] TIMESTAMP AS OF '<ts>' 
   *   DESCRIBE HISTORY txtable.`/p`
@@ -181,6 +182,15 @@ object GraftSqlParser {
     "(?:\\s+COMPUTE\\s+STATISTICS)?" +
     "(?:\\s+FOR\\s+COLUMNS\\s+(\\w+(?:\\s*,\\s*\\w+)*))?\\s*;?\\s*$").r
 
+  // Delta's `INSERT INTO … REPLACE WHERE`: atomic band overwrite — the
+  // backfill statement. Only the BETWEEN band form is accepted (the
+  // band is what makes the swap validated and metadata-prunable); plain
+  // INSERT INTO txtable falls through to the DSv2 insert path.
+  private val InsertReplaceRe = (
+    "(?is)^\\s*INSERT\\s+INTO\\s+" + Target +
+    "\\s+REPLACE\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+)" +
+    "\\s+(SELECT.+)$").r
+
   private val CopyIntoRe = (
     "(?is)^\\s*COPY\\s+INTO\\s+" + Target +
     "\\s+FROM\\s+`([^`]+)`" +
@@ -276,6 +286,8 @@ object GraftSqlParser {
       def cols(key: String): Seq[String] = kv.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       Some(TxConvertCommand(dst, src, cols("statCols"), cols("bloomCols")))
+    case InsertReplaceRe(root, c, lo, hi, select) =>
+      Some(TxReplaceWhereCommand(root, c, lo.toLong, hi.toLong, select.trim))
     case CopyIntoRe(root, src, pattern, props) =>
       val kv = Option(props).map { p =>
         "'(\\w+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(p)
@@ -664,6 +676,26 @@ case class TxConvertCommand(dst: String, src: String,
     val t = TxTable.convert(spark, src, dst, statCols, bloomCols)
     val s = t.snapshot()
     Seq(Row(s.version, s.files.size, s.files.map(_.rows).sum))
+  }
+}
+
+/** `INSERT INTO txtable.\`root\` REPLACE WHERE c BETWEEN lo AND hi
+  * <select>` → [[TxTable#overwriteWhere]]: in ONE commit, band rows are
+  * replaced by the query's result — readers see the old band or the new
+  * band, never a mix; replacement rows escaping the declared band (or
+  * carrying NULL keys) refuse before anything becomes visible. */
+case class TxReplaceWhereCommand(root: String, statCol: String,
+    lo: Long, hi: Long, selectSql: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(selectSql)
+    val r = TxTable.open(root).overwriteWhere(spark, statCol, lo, hi, df)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
+      r.newFiles))
   }
 }
 
