@@ -217,7 +217,12 @@ class CboSpec extends AnyFunSuite with SparkFixture {
       val before = plan()
       assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
         s"without column stats the filtered dim must not broadcast:\n$before")
+      val vBefore = dim.currentVersion
       spark.sql(s"ANALYZE TABLE txtable.`${dim.root}` COMPUTE STATISTICS FOR COLUMNS key")
+      // stats pass + widened declaration land as ONE commit, one audit row
+      assert(graft.tables.TxTable.open(dim.root).currentVersion == vBefore + 1,
+        "ANALYZE must publish exactly one version")
+      assert(graft.tables.TxTable.open(dim.root).history().head.operation == "analyze")
       val after = plan()
       assert(after.contains("BroadcastHashJoin"),
         s"ANALYZE'd manifest ndv did not flip the join to broadcast:\n$after")
