@@ -2778,6 +2778,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
           matcher.forall(_.matches(src.relativize(p)))
       }.toVector.sortBy(_.toString)
       finally walk.close()
+    // the registry key rides a tab-separated manifest line: a control
+    // character in a file name would corrupt it — refuse loudly
+    leaves.foreach(p => require(!src.relativize(p).toString.exists(_ < ' '),
+      s"COPY INTO cannot register a file whose path holds control characters: $p"))
     def freshOf(s: Snapshot): Seq[Path] =
       leaves.filterNot(p => s.txns.contains(s"copy:${src.relativize(p)}"))
     val fresh = freshOf(snapshot())
