@@ -198,6 +198,44 @@ object SqlTableOps {
     }
   }
 
+  /** MERGE SCHEMA EVOLUTION (round-12 verdict #1) — the first wall every
+    * CDC-ingest user hits: the source carries a column the table never
+    * declared (`o_score`), and the star actions (`UPDATE SET *` /
+    * `INSERT *`) WIDEN the schema in the SAME commit instead of silently
+    * dropping it — updated and inserted rows carry real values, every
+    * untouched row reads NULL there (metadata-only backfill, zero
+    * rewrites of kept files). The conditional INSERT routes this through
+    * the general clause surface ([[graft.tables.TxTable#mergeWhen]]);
+    * MergeWhenSpec pins evolution on both clause directions, the
+    * widened declaration, and the loud refusal on a type CONFLICT. */
+  def q_sql_table_merge_evolve(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("graft_sqlmerge_ev_orders")
+    val published = TableOps.mergeBaseRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_merge_evolve") { root =>
+      spark.sql(
+        s"""MERGE INTO ${q(root)} AS t
+           |USING (SELECT o_orderkey, '0-MERGED' AS o_orderpriority,
+           |              CAST(o_orderkey * 10 AS BIGINT) AS o_score
+           |         FROM graft_sqlmerge_ev_orders WHERE o_orderkey <= 300
+           |       UNION ALL
+           |       SELECT CAST(-(id + 1) AS BIGINT), '9-INSERTED',
+           |              CAST(-(id + 1) * 10 AS BIGINT) FROM range(10)) AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.o_orderkey >= -5 THEN INSERT *""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  CAST(sum(coalesce(o_score, -1)) AS BIGINT) AS score_sum,
+           |  CAST(sum(CASE WHEN o_score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nullscore
+           |FROM ${q(root)}
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }
+  }
+
   /** CONVERT TO TXTABLE (round-11 verdict #3) — adopt a hive-partitioned
     * plain-parquet directory as a transactional table with ZERO data
     * rewrite: files hard-link in, footer metadata becomes per-file
@@ -352,6 +390,28 @@ object SqlTableOps {
     val published = TableOps.eventsTableRoot(spark, dir)
     TableOps.mutatedAggregate(spark, published, "graft_q_sql_table_delpred") { root =>
       spark.sql(s"DELETE FROM ${q(root)} WHERE user_id % 3 = 0 AND user_id <= 7")
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
+  /** SUBQUERY-PREDICATE DELETE (round-12 verdict #2) — `DELETE FROM t
+    * WHERE user_id IN (SELECT …)`: the GDPR/erasure shape, where the
+    * victim list IS a query result. The subquery materializes once
+    * through the session SQL pipeline; candidates come from the per-key
+    * manifest interval probe (merge's broadcast discipline — never one
+    * global envelope), survivors from a broadcast anti-join
+    * ([[graft.tables.TxTable#deleteWhereIn]]). PredicateDmlSpec extends
+    * the randomized differential with subquery predicates (IN and NOT
+    * IN, NULL keys included). */
+  def q_sql_table_delete_subq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_subqdel_events")
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_delete_subq") { root =>
+      spark.sql(
+        s"""DELETE FROM ${q(root)} WHERE user_id IN
+           |  (SELECT user_id FROM graft_subqdel_events
+           |   WHERE value > 0.5 AND user_id BETWEEN 2 AND 6)""".stripMargin)
       spark.sql(eventAgg.format(q(root)))
     }
   }
@@ -570,6 +630,7 @@ object SqlTableOps {
     "q_sql_table_merge_nonstat" -> q_sql_table_merge_nonstat _,
     "q_sql_table_convert" -> q_sql_table_convert _,
     "q_sql_table_merge_clauses" -> q_sql_table_merge_clauses _,
+    "q_sql_table_merge_evolve" -> q_sql_table_merge_evolve _,
     "q_sql_table_copyinto" -> q_sql_table_copyinto _,
     "q_sql_table_merge_sync" -> q_sql_table_merge_sync _,
     "q_sql_table_replace" -> q_sql_table_replace _,
@@ -582,6 +643,7 @@ object SqlTableOps {
     "q_sql_table_optimize" -> q_sql_table_optimize _,
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
+    "q_sql_table_delete_subq" -> q_sql_table_delete_subq _,
     "q_sql_table_update_pred" -> q_sql_table_update_pred _,
     "q_sql_table_detail" -> q_sql_table_detail _,
     "q_source_txtable" -> q_source_txtable _,
@@ -697,6 +759,27 @@ object SqlTableOps {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, '0-MERGED' AS o_orderpriority,
+        |         CAST(o_orderkey * 10 AS BIGINT) AS o_score
+        |  FROM orders WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT CAST(-(r + 1) AS BIGINT), '9-INSERTED',
+        |         CAST(-(r + 1) * 10 AS BIGINT) FROM range(10) t(r)),
+        |merged AS (
+        |  SELECT * FROM src WHERE o_orderkey >= 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS o_score
+        |  FROM orders WHERE o_orderkey > 300
+        |  UNION ALL
+        |  SELECT * FROM src WHERE o_orderkey < 0 AND o_orderkey >= -5)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(coalesce(o_score, -1)) AS BIGINT) AS score_sum,
+        |  CAST(sum(CASE WHEN o_score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullscore
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_table_convert" ->
       """SELECT user_id % 7 AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
@@ -742,6 +825,14 @@ object SqlTableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE NOT (user_id % 3 = 0 AND user_id <= 7)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_delete_subq" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT IN
+        |  (SELECT user_id FROM events
+        |   WHERE "value" > 0.5 AND user_id BETWEEN 2 AND 6)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_update_pred" ->
       """SELECT event_type, count(*) AS n,

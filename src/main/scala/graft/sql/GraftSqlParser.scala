@@ -60,13 +60,19 @@ import graft.tables.TxTable
   * "row-level operations" analysis error). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // view EXPANSION happens here, before delegation: every txtable.`/p`
+  // reference whose path stores a VIEW definition becomes the
+  // parenthesized stored query (recursively — views compose; non-view
+  // references pass through to the catalog untouched). Graft statements
+  // are matched FIRST so view DDL is never self-expanded.
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.parseGraft(sqlText)
+      .getOrElse(delegate.parsePlan(ViewStore.expand(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
     GraftSqlParser.parseGraft(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(delegate.parsePlanWithParameters(ViewStore.expand(sqlText), ctx))
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -111,6 +117,14 @@ object GraftSqlParser {
     "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val UpdateProbe = ("(?is)^\\s*UPDATE\\s+" + Target + ".*").r
   private val Assign = "(?s)^\\s*(\\w+)\\s*=\\s*(.+?)\\s*$".r
+
+  // `DELETE FROM t WHERE c [NOT] IN (SELECT …)` — the subquery-predicate
+  // DML form (round-12 verdict #2); matched BEFORE the general WHERE so
+  // the subquery is materialized once through the session SQL pipeline
+  // instead of failing inside a Dataset-filter expression
+  private val DeleteInSubqRe = (
+    "(?is)^\\s*DELETE\\s+FROM\\s+" + Target +
+    "\\s+WHERE\\s+(\\w+)\\s+(NOT\\s+)?IN\\s*\\(\\s*(SELECT\\b.+)\\)\\s*;?\\s*$").r
 
   // WHERE-ful DELETE takes the arbitrary-predicate copy-on-write path
   // (TxTable.deleteWhere); DELETE without WHERE stays with the DSv2
@@ -202,6 +216,24 @@ object GraftSqlParser {
     "(?is)^\\s*VACUUM\\s+GROUP\\s+" + Target +
     "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
 
+  // VIEWS (round-12 verdict #4): CREATE [OR REPLACE] [TEMP] VIEW /
+  // DROP VIEW [IF EXISTS] over path-named definitions; MATERIALIZED
+  // VIEW + REFRESH with CDF-incremental maintenance. Matched before
+  // the clone/CTAS forms never see them (distinct keywords).
+  private val ViewCreateRe = (
+    "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(TEMP(?:ORARY)?\\s+)?VIEW\\s+" +
+    Target + "\\s+AS\\s+(SELECT\\b.+)$").r
+  private val ViewDropRe = (
+    "(?is)^\\s*DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?" + Target + "\\s*;?\\s*$").r
+  private val MviewCreateRe = (
+    "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" + Target +
+    "(?:\\s+TBLPROPERTIES\\s*\\((.*?)\\))?" +
+    "\\s+AS\\s+(SELECT\\b.+)$").r
+  private val MviewRefreshRe = (
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" + Target + "\\s*;?\\s*$").r
+  private val MviewDropRe = (
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+" + Target + "\\s*;?\\s*$").r
+
   private val OptimizeRe = (
     "(?is)^\\s*OPTIMIZE\\s+" + Target +
     "(?:\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+))?" +
@@ -252,6 +284,8 @@ object GraftSqlParser {
     case UpdateProbe(root) => throw new IllegalArgumentException(
       s"unsupported UPDATE form for txtable.`$root` — supported: " +
         "UPDATE txtable.`root` SET col = <expr>[, …] WHERE <predicate>")
+    case DeleteInSubqRe(root, column, not, sub) =>
+      Some(TxDeleteSubqCommand(root, column, sub.trim, negated = not != null))
     case DeleteWhereRe(root, pred) => Some(TxDeleteWhereCommand(root, pred))
     case RestoreRe(root, v) => Some(TxRestoreCommand(root, v.toInt))
     case RestoreTsRe(root, ts) => Some(TxRestoreTimestampCommand(root, ts))
@@ -318,8 +352,9 @@ object GraftSqlParser {
           Option(zFiles).map(_.toInt).getOrElse(8))), band))
     case OptimizeProbe(root) => throw new IllegalArgumentException(
       s"unsupported OPTIMIZE form for txtable.`$root` — supported: " +
-        "OPTIMIZE txtable.`root` [SMALLER THAN <rows>] " +
-        "[ZORDER BY (c1, c2) [INTO <n> FILES]]")
+        "OPTIMIZE txtable.`root` [WHERE c BETWEEN lo AND hi] " +
+        "[SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]] " +
+        "(WHERE and ZORDER BY are exclusive)")
     case _ => None
   }
 
@@ -586,6 +621,31 @@ case class TxDeleteWhereCommand(root: String, predicateSql: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val r = TxTable.open(root).deleteWhere(spark, predicateSql)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
+  }
+}
+
+/** `DELETE FROM txtable.\`root\` WHERE c [NOT] IN (SELECT …)` — the
+  * subquery-predicate DML form: the subquery is materialized ONCE
+  * through the full session SQL pipeline (views, joins, aggregates —
+  * anything `spark.sql` resolves), then [[TxTable#deleteWhereIn]]
+  * applies the predicate-DML rewrite discipline: per-key manifest
+  * interval probe for candidate files, broadcast anti/semi-join
+  * survivors, ANSI NULL semantics (`NOT IN` with a NULL key deletes
+  * nothing, NULL-column rows always survive). An equality-correlated
+  * `EXISTS (SELECT 1 FROM x WHERE x.a = t.c)` is the same statement
+  * as `c IN (SELECT a FROM x)` — write it in the IN form. */
+case class TxDeleteSubqCommand(root: String, column: String,
+    subquerySql: String, negated: Boolean) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = spark.sql(subquerySql)
+    val r = TxTable.open(root).deleteWhereIn(spark, column, keys, negated)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
+      r.newFiles))
   }
 }
 

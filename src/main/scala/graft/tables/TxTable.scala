@@ -225,6 +225,52 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def droppedPhys(colMap: Map[String, String]): Set[String] =
     colMap.collect { case (l, p) if l == "-" + p => p }.toSet
 
+  /** Raw parquet read of resolved data-file paths under the mixed-layout
+    * discipline: paths inside `data/` that sit under a SUBDIRECTORY are
+    * a converted table's `k=v` partition-dir files (read with basePath
+    * so the partition values surface as columns); paths directly in
+    * `data/` (every native write) and clone-referenced absolute paths
+    * read WITHOUT basePath. The two groups union by name — reading a
+    * mix under one basePath would let partition discovery silently drop
+    * the flat files (round-12 ADVICE high). The declared-schema
+    * fallback handles mixed-era (type-widened) file sets per group.
+    * `withPos` tags `__file`/`__pos` from `_metadata` PER GROUP —
+    * hidden metadata columns resolve only directly above a scan, never
+    * through the union. */
+  private def rawRead(spark: SparkSession, paths: Seq[String],
+      colMap: Map[String, String], meta: Option[TableMeta],
+      withPos: Boolean): DataFrame = {
+    def one(group: Seq[String]): DataFrame = {
+      def rd(r: org.apache.spark.sql.DataFrameReader) =
+        if (group.forall(p => Paths.get(p).startsWith(dataDir)))
+          r.option("basePath", dataDir.toString)
+        else r // clone-referenced absolute paths: basePath ill-defined
+      val df =
+        try rd(spark.read.option("mergeSchema", "true")).parquet(group: _*)
+        catch {
+          case e: Throwable if meta.nonEmpty &&
+              Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+            val declared = org.apache.spark.sql.types.StructType(
+              meta.get.schema.fields.map(f =>
+                f.copy(name = colMap.getOrElse(f.name, f.name))))
+            rd(spark.read.schema(declared)).parquet(group: _*)
+        }
+      if (withPos) df
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      else df
+    }
+    val (parted, flat) = paths.partition { p =>
+      val pp = Paths.get(p)
+      pp.startsWith(dataDir) && pp.getParent != dataDir
+    }
+    (parted, flat) match {
+      case (ps, Nil) => one(ps)
+      case (Nil, fs) => one(fs)
+      case (ps, fs) => one(ps).unionByName(one(fs), allowMissingColumns = true)
+    }
+  }
+
   private def readFiles(spark: SparkSession, files: Seq[FileEntry],
       colMap: Map[String, String] = Map.empty,
       meta: Option[TableMeta] = None): DataFrame = {
@@ -244,33 +290,26 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // files by absolute path (outside this data/), where a single
     // basePath is ill-defined — those reads skip the option (a clone of
     // a converted layout reads through the cast/NULL-fill fallbacks).
-    def readPq(paths: Seq[String]): DataFrame = {
-      def rd(r: org.apache.spark.sql.DataFrameReader) =
-        if (paths.forall(p => Paths.get(p).startsWith(dataDir)))
-          r.option("basePath", dataDir.toString)
-        else r
-      try rd(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
-      catch {
-        case e: Throwable if meta.nonEmpty &&
-            Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
-          val declared = org.apache.spark.sql.types.StructType(
-            meta.get.schema.fields.map(f =>
-              f.copy(name = colMap.getOrElse(f.name, f.name))))
-          rd(spark.read.schema(declared)).parquet(paths: _*)
-      }
-    }
+    //
+    // MIXED layouts read as TWO groups unioned by name (rawRead): after
+    // any rewrite on a converted table the new files land FLAT in data/
+    // while the adopted files keep their partition dirs — one basePath
+    // read over the mix would let Spark's partition discovery list only
+    // the files under partition directories and SILENTLY DROP the flat
+    // ones (round-12 ADVICE, high). Flat rewrites carry the partition
+    // columns as ordinary data columns, so the union aligns.
     val (plain, dvd) = files.partition(_.dv.isEmpty)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(readPq(plain.map(f => dataDir.resolve(f.path).toString)))
+      else Some(rawRead(spark, plain.map(f => dataDir.resolve(f.path).toString),
+        colMap, meta, withPos = false))
     val dvDf =
       if (dvd.isEmpty) None
       else {
-        val data = readPq(dvd.map(f => dataDir.resolve(f.path).toString))
-        val cols = data.columns.toSeq
-        val tagged = data
-          .withColumn("__file", col("_metadata.file_name"))
-          .withColumn("__pos", col("_metadata.row_index"))
+        val tagged = rawRead(spark,
+          dvd.map(f => dataDir.resolve(f.path).toString),
+          colMap, meta, withPos = true)
+        val cols = tagged.columns.toSeq.filterNot(c => c == "__file" || c == "__pos")
         val dvs = spark.read.parquet(
           dvd.flatMap(_.dv).distinct.map(d => dataDir.resolve(d).toString): _*)
         Some(tagged.join(dvs,
@@ -332,24 +371,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * must count PHYSICAL rows anyway. */
   private def readWithPositions(spark: SparkSession, files: Seq[FileEntry],
       base: Snapshot): DataFrame = {
-    val paths = files.map(f => dataDir.resolve(f.path).toString)
-    def rd(r: org.apache.spark.sql.DataFrameReader) =
-      if (paths.forall(p => Paths.get(p).startsWith(dataDir)))
-        r.option("basePath", dataDir.toString)
-      else r // clone-referenced absolute paths: basePath ill-defined
-    val raw =
-      try rd(spark.read.option("mergeSchema", "true")).parquet(paths: _*)
-      catch {
-        case e: Throwable if base.meta.nonEmpty &&
-            Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
-          val declared = org.apache.spark.sql.types.StructType(
-            base.meta.get.schema.fields.map(f =>
-              f.copy(name = base.colMap.getOrElse(f.name, f.name))))
-          rd(spark.read.schema(declared)).parquet(paths: _*)
-      }
-    val tagged = raw
-      .withColumn("__file", col("_metadata.file_name"))
-      .withColumn("__pos", col("_metadata.row_index"))
+    val tagged = rawRead(spark, files.map(f => dataDir.resolve(f.path).toString),
+      base.colMap, base.meta, withPos = true)
     val renames = base.colMap.collect {
       case (l, p) if l != p && !l.startsWith("-") => p -> l
     }
@@ -458,8 +481,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * so rebasing onto the new latest snapshot is always safe. Returns the
     * committed version. */
   def append(spark: SparkSession, df: DataFrame): Int = {
+    // SCHEMA EVOLUTION on the insert path: a declared table appending
+    // new columns (or lossless widenings) re-declares the widened schema
+    // in the SAME commit — partial reads NULL-backfill old rows
+    // deterministically, and a type conflict refuses before staging.
+    // Undeclared tables keep the mergeSchema-at-read contract unchanged.
+    val s0 = snapshot()
+    val evolvedMeta = s0.meta.flatMap(m => evolveForSource(s0, m.schema, df.schema))
     val entries = writeDataFiles(spark, df)
-    commitWithRetry(maxRetries = 10, op = "append") { base => base.files ++ entries }
+    commitWithRetry(maxRetries = 10, op = "append",
+      meta = evolvedMeta) { base => base.files ++ entries }
   }
 
   /** Replace the whole table content (same durability rules as append). */
@@ -490,6 +521,53 @@ final class TxTable(val root: String, val statCols: Seq[String],
   def merge(spark: SparkSession, source: DataFrame, key: String): MergeResult =
     mergeFrom(spark, snapshot(), source, key)
 
+  /** MERGE-path SCHEMA EVOLUTION (Delta's autoMerge): the declared
+    * schema widened by the source's NEW columns (appended, nullable —
+    * existing rows read NULL there) and by provably-lossless type
+    * WIDENINGS where the source carries the wider type of a shared
+    * column. Any other shared-column type mismatch REFUSES loudly — a
+    * silent coercion corrupts, and a narrowing would need a rewrite.
+    * Returns None when the source introduces nothing (the steady-state
+    * case — zero cost, no commit change); the Some rides the SAME
+    * commit as the merged rows, so a CDC-ingest pipeline picking up a
+    * new upstream column lands schema + data atomically. New names
+    * respect the column-mapping reservations (a dropped physical name
+    * can never resurrect; a renamed column's physical identity is
+    * taken) — [[addColumn]]'s rules, enforced at the merge door too. */
+  private def evolveForSource(base: Snapshot,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      srcSchema: org.apache.spark.sql.types.StructType): Option[TableMeta] = {
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    val newCols = srcSchema.fields.filterNot(f => byName.contains(f.name)).toSeq
+    val widened = srcSchema.fields.flatMap { sf =>
+      byName.get(sf.name).flatMap { tf =>
+        if (tf.dataType == sf.dataType) None
+        else if (TxTable.widens(sf.dataType, tf.dataType)) None // src casts up
+        else if (TxTable.widens(tf.dataType, sf.dataType)) Some(sf.name -> sf.dataType)
+        else throw new IllegalArgumentException(
+          s"merge schema conflict on column ${sf.name}: table declares " +
+            s"${tf.dataType.simpleString}, source carries ${sf.dataType.simpleString} " +
+            "— not a lossless widening; cast the source explicitly or " +
+            "evolve via a new column")
+      }
+    }.toMap
+    if (newCols.isEmpty && widened.isEmpty) None
+    else {
+      newCols.foreach { f =>
+        require(!droppedPhys(base.colMap).contains(f.name),
+          s"column name ${f.name} is reserved by a dropped column — " +
+            "its physical name can never be reused")
+        require(!base.colMap.exists { case (l, p) => p == f.name && l != f.name },
+          s"column name ${f.name} is taken by a renamed column's physical name")
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        tableSchema.fields.map(f =>
+          widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)) ++
+          newCols.map(_.copy(nullable = true)))
+      Some(TableMeta(evolved.json, statCols, bloomCols))
+    }
+  }
+
   /** Merge against an explicit base snapshot — the seam that lets a spec
     * interleave a competing commit between base-read and publish. */
   private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
@@ -497,6 +575,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
       txns: Map[String, Long] = Map.empty): MergeResult = {
     val pk = phys(base, key)
     require(base.version > 0, "merge into an empty table: use append")
+    // SCHEMA EVOLUTION: on tables with declared metadata, new source
+    // columns (and lossless widenings) re-declare the schema in the SAME
+    // commit — so a later partial read (CDF align, candidate subsets)
+    // NULL-backfills them deterministically, and a type conflict refuses
+    // HERE instead of as a union analysis error. Tables without declared
+    // metadata keep the original contract: the new columns land in the
+    // rewritten files and mergeSchema surfaces them at read.
+    val evolvedMeta = base.meta.flatMap(m =>
+      evolveForSource(base, m.schema, source.schema))
     // A key WITHOUT declared stats (any column, any type — not just the
     // long-typed stat set) degrades with the predicate-DML discipline:
     // no interval is derivable, so EVERY file is a rewrite candidate and
@@ -564,7 +651,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         }
       }
     val version = commitCowGuarded(base, candidates, entries, "merge", guard,
-      txns = txns)
+      txns = txns, meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
   }
@@ -673,21 +760,54 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val bandHit = bySourceTest.flatten.getOrElse((_: FileEntry) => false)
         base.files.partition(f => hitPaths.contains(f.path) || bandHit(f))
       }
-    val exOpt: Option[DataFrame] =
+    val exOpt0: Option[DataFrame] =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, candidates, base.colMap, base.meta))
+    // SCHEMA EVOLUTION fires only when a star action can carry new
+    // source columns (UPDATE SET * / INSERT * — Delta's autoMerge rule);
+    // explicit-assignment clauses never widen the schema implicitly.
+    // The widened declaration rides the SAME commit as the merged rows.
+    val starred = matched.exists {
+      case MergeUpdate(_, None) => true
+      case _ => false
+    } || notMatched.exists(cl => cl.cols.isEmpty && cl.vals.isEmpty)
+    val tableSchema = base.meta.map(_.schema).getOrElse(
+      exOpt0.map(_.schema).getOrElse(read(spark, Some(base.version)).schema))
+    val evolvedMeta =
+      if (!starred) None else evolveForSource(base, tableSchema, src.schema)
+    val newFields = evolvedMeta.map(_.schema.fields.toSeq
+      .filterNot(f => tableSchema.fieldNames.contains(f.name))).getOrElse(Nil)
+    // candidate content aligned to the evolved width: new columns read
+    // NULL on every existing row, so `t.<new>` resolves in clause
+    // conditions/rhs and carries NULL through unclaimed rows
+    val exOpt: Option[DataFrame] = exOpt0.map(ex =>
+      newFields.foldLeft(ex)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))))
+    // the table's logical schema for insert projection/casting — the
+    // evolved declaration when a star action widened it
+    val tschema: org.apache.spark.sql.types.StructType =
+      evolvedMeta.map(_.schema).getOrElse(
+        exOpt.map(_.schema).getOrElse(read(spark).schema))
+    // source rows tagged with a per-row id so the multiple-matches
+    // refusal counts DISTINCT SOURCE ROWS per key: duplicate keys in the
+    // TARGET are legal (appends never enforced uniqueness — each dup
+    // target row takes the same source row deterministically), only
+    // duplicate SOURCE rows among the matches are nondeterministic
+    // under first-match-wins (round-12 ADVICE medium)
+    val srcTagged = src.withColumn("__sid", monotonically_increasing_id())
     val survivors: Option[DataFrame] =
       exOpt.map { ex =>
         val tcols = ex.columns.toSeq
-        val j = ex.alias("t").join(src.alias("s"),
+        val j = ex.alias("t").join(srcTagged.alias("s"),
           expr(s"t.`$key` <=> s.`$key`") && expr(s"s.`$key` IS NOT NULL"),
           "left")
         val isMatched = expr(s"s.`$key` IS NOT NULL")
-        // duplicate-key matches are nondeterministic under first-match-
-        // wins: refuse (Delta's MERGE_MULTIPLE_MATCHES), detected on the
-        // join itself so only MATCHED duplicates count
+        // duplicate SOURCE-row matches are nondeterministic under first-
+        // match-wins: refuse (Delta's MERGE_MULTIPLE_MATCHES), detected
+        // on the join itself so only MATCHED duplicates count
         val dup = j.filter(isMatched)
-          .groupBy(expr(s"t.`$key`")).agg(count(lit(1)).as("c"))
+          .groupBy(expr(s"t.`$key`"))
+          .agg(countDistinct(col("__sid")).as("c"))
           .filter(col("c") > 1).limit(1).count()
         require(dup == 0L,
           s"MERGE source has multiple rows matching one target `$key` — " +
@@ -737,14 +857,18 @@ final class TxTable(val root: String, val statCols: Seq[String],
       else {
         // matched ⇔ the key exists in the CANDIDATE content (non-candidate
         // files provably hold no source key); no candidates ⇒ every
-        // source row is an insert
+        // source row is an insert. PLAIN equality, not null-safe: a
+        // NULL-key source row matches nothing under ON-equality
+        // semantics, so it falls through to the insert clauses instead
+        // of silently vanishing against a NULL-key target row (round-12
+        // ADVICE low — the matched join gates on s.key IS NOT NULL, and
+        // this anti-join must agree with it)
         val fresh = exOpt match {
           case None => src.alias("s")
           case Some(ex) => src.alias("s").join(
             ex.select(col(key)).distinct().alias("t"),
-            expr(s"s.`$key` <=> t.`$key`"), "left_anti")
+            expr(s"s.`$key` = t.`$key`"), "left_anti")
         }
-        val tschema = exOpt.map(_.schema).getOrElse(read(spark).schema)
         val tcols = tschema.fieldNames.toSeq
         // FIRST-MATCH-WINS across the insert clauses, mirroring the
         // matched chain: __ins = 0 ⇒ no clause claims the row (dropped),
@@ -823,7 +947,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
             f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
         }
       }
-    val version = commitCowGuarded(base, candidates, entries, "merge", guard)
+    val version = commitCowGuarded(base, candidates, entries, "merge", guard,
+      meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
   }
@@ -1364,6 +1489,108 @@ final class TxTable(val root: String, val statCols: Seq[String],
     DeleteResult(version, droppedFiles = covered.size,
       rewrittenFiles = straddling.size, keptFiles = kept.size,
       newFiles = entries.size)
+  }
+
+  /** Copy-on-write DELETE of rows whose `column` value appears in (IN) —
+    * or, `negate`, does NOT appear in (NOT IN) — a KEY FRAME: the
+    * execution of `DELETE FROM t WHERE c IN (SELECT …)`. The subquery is
+    * materialized ONCE by the caller; this method never re-runs it.
+    *
+    * IN semantics (ANSI: delete only where the predicate is TRUE):
+    * NULL `column` rows survive (NULL IN anything is never TRUE), and
+    * candidate files come from the SAME broadcast stats-interval probe
+    * MERGE uses — each distinct key joined against the manifest
+    * intervals, so a 100 TB table rewrites only the files whose range
+    * admits some key, never the table, and never one global envelope a
+    * single outlier key would inflate. No file ever drops metadata-only
+    * (a key set has gaps; only a scan can prove full coverage).
+    * Survivors are the anti-join of candidate content against the keys —
+    * the keys frame is (subquery-result)-sized and broadcasts.
+    *
+    * NOT IN semantics: `c NOT IN (keys)` is TRUE only when `c` is
+    * non-NULL, the key set holds NO NULL, and nothing matches — so a
+    * NULL in the subquery result makes the statement a LOUD no-op
+    * (committed as metadata so the intent is auditable would be noise —
+    * we return a zero result instead), and survivors are the NULL-`c`
+    * rows plus the semi-join matches. Absence is unprunable: every file
+    * is a candidate and every concurrent append conflicts.
+    *
+    * Commit guard: the keys' [min,max] envelope for IN (a concurrent
+    * file provably outside it holds no deletable row); the
+    * always-conflict guard for NOT IN. */
+  def deleteWhereIn(spark: SparkSession, column: String, keys: DataFrame,
+      negate: Boolean = false): DeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "delete from an empty table?")
+    val p = phys(base, column)
+    require(keys.schema.length == 1,
+      s"IN-subquery must project exactly one column, got ${keys.schema.length}")
+    val k = keys.toDF("__k").persist()
+    try {
+      // one job answers everything: count, null presence, long envelope
+      val head = k.agg(count(lit(1)), sum(when(col("__k").isNull, 1L).otherwise(0L)),
+        min(col("__k").cast("long")), max(col("__k").cast("long"))).head()
+      val nKeys = head.getLong(0)
+      val nNullKeys = if (nKeys == 0) 0L else head.getLong(1)
+      if (!negate && nKeys == 0L)
+        return DeleteResult(base.version, 0, 0, base.files.size, 0)
+      if (negate && nNullKeys > 0L)
+        // `c NOT IN (…, NULL)` is never TRUE: ANSI says delete nothing
+        return DeleteResult(base.version, 0, 0, base.files.size, 0)
+      val keyHasStats = statCols.contains(p) && !negate
+      val (candidates, kept) =
+        if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+        else {
+          val (statless, statful) = base.files.partition(f => f.mins.get(p).isEmpty)
+          val hitPaths: Set[String] = {
+            import spark.implicits._
+            val intervals = statful.map(f => (f.path, f.mins(p), f.maxs(p)))
+              .toDF("__path", "__mn", "__mx")
+            k.select(col("__k").cast("long").as("__kl"))
+              .join(broadcast(intervals),
+                col("__kl") >= col("__mn") && col("__kl") <= col("__mx"))
+              .select("__path").distinct().as[String].collect().toSet ++
+              statless.map(_.path)
+          }
+          base.files.partition(f => hitPaths.contains(f.path))
+        }
+      val entries =
+        if (candidates.isEmpty) Nil
+        else {
+          val cand = readFiles(spark, candidates, base.colMap, base.meta)
+          val survivors =
+            if (!negate) // NULL c and unmatched rows survive the anti-join
+              cand.join(broadcast(k), cand(column) === k("__k"), "left_anti")
+            else // survivors: NULL c, or c matching some key
+              cand.filter(col(column).isNull)
+                .unionByName(cand.join(broadcast(k),
+                  cand(column) === k("__k"), "left_semi"))
+          if (survivors.isEmpty) Nil else writeDataFiles(spark, survivors)
+        }
+      val guard: Option[(FileEntry => Boolean, String)] =
+        if (negate)
+          Some(((_: FileEntry) => true,
+            s"was added concurrently (NOT IN governs every row of $column)"))
+        else if (head.isNullAt(2) && keyHasStats)
+          // keys exist but none casts to long: the interval probe saw
+          // nothing, but equality on a non-numeric stat column is
+          // unprovable — conservative all-conflict
+          Some(((_: FileEntry) => true, "was added concurrently (IN keys " +
+            s"carry no $p interval — nothing proves disjointness)"))
+        else if (!keyHasStats)
+          Some(((_: FileEntry) => true,
+            s"was added concurrently (delete key $column has no stats " +
+              "interval — nothing proves disjointness)"))
+        else {
+          val (mn, mx) = (head.getLong(2), head.getLong(3))
+          Some(((f: FileEntry) => f.mins.get(p).forall(_ <= mx) &&
+            f.maxs.get(p).forall(_ >= mn), s"overlap $p in [$mn, $mx]"))
+        }
+      val version = commitCowGuarded(base, candidates, entries, "delete", guard)
+      DeleteResult(version, droppedFiles = 0,
+        rewrittenFiles = candidates.size, keptFiles = kept.size,
+        newFiles = entries.size)
+    } finally { k.unpersist(blocking = false); () }
   }
 
   /** Copy-on-write UPDATE under an ARBITRARY predicate: [[deleteWhere]]'s
@@ -2614,12 +2841,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
     finally { Files.deleteIfExists(tmp); () }
   }
 
-  private def commitWithRetry(maxRetries: Int, op: String = "write")(
+  private def commitWithRetry(maxRetries: Int, op: String = "write",
+      meta: Option[TableMeta] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
     var attempt = 0
     while (true) {
       val base = snapshot()
-      try return commitOnce(base, op = op)(next)
+      try return commitOnce(base, op = op, meta = meta)(next)
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < maxRetries =>
           attempt += 1 // rebase onto the new latest and try again
@@ -2677,14 +2905,16 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def commitCowGuarded(base: Snapshot, candidates: Seq[FileEntry],
       entries: Seq[FileEntry], what: String,
       guard: Option[(FileEntry => Boolean, String)],
-      txns: Map[String, Long] = Map.empty): Int = {
+      txns: Map[String, Long] = Map.empty,
+      meta: Option[TableMeta] = None): Int = {
     val candIds = candidates.map(f => (f.path, f.dv)).toSet
     val baseIds = base.files.map(f => (f.path, f.dv)).toSet
     var attempt = base
     var rebases = 0
     while (true) {
       val kept = attempt.files.filterNot(f => candIds.contains((f.path, f.dv)))
-      try return commitOnce(attempt, txns, op = what) { _ => kept ++ entries }
+      try return commitOnce(attempt, txns, op = what,
+        meta = meta) { _ => kept ++ entries }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           rebases += 1
@@ -2727,7 +2957,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * vacuum. Returns true iff this call committed. */
   def appendBatch(spark: SparkSession, df: DataFrame,
       appId: String, batchId: Long): Boolean = {
-    if (snapshot().txns.get(appId).exists(_ >= batchId)) return false
+    val s0 = snapshot()
+    if (s0.txns.get(appId).exists(_ >= batchId)) return false
+    // streaming-ingest schema evolution: a batch carrying new columns
+    // widens a declared schema in the same exactly-once commit (append's
+    // rule — the CDC-ingest shape where upstream adds a field mid-stream)
+    val evolvedMeta = s0.meta.flatMap(m => evolveForSource(s0, m.schema, df.schema))
     val entries = writeDataFiles(spark, df)
     var attempt = 0
     while (true) {
@@ -2740,7 +2975,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       }
       try {
         commitOnce(base, Map(appId -> batchId),
-          op = "stream-append") { _ => base.files ++ entries }
+          op = "stream-append", meta = evolvedMeta) { _ => base.files ++ entries }
         return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>

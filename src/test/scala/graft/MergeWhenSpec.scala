@@ -210,6 +210,82 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     assert(content(t) == src.toSet, "table must exactly mirror the source")
   }
 
+  test("schema evolution: star actions widen the schema; old rows NULL-backfill") {
+    val (t, _) = fresh() // k 0..59, columns (k, v, s)
+    val src = Seq((10L, 1L, 0L, 111L), (100L, 2L, 0L, 222L))
+      .toDF("k", "v", "s", "w") // w: a column the table never declared
+    t.mergeWhen(spark, src, "k",
+      Seq(MergeUpdate(None, None)), Seq(MergeInsert(None, None, None)), Nil)
+    val df = t.read(spark)
+    assert(df.columns.contains("w"), "the new source column must survive the merge")
+    val byK = df.select(col("k"), col("w")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byK(10L).contains(111L), "UPDATE SET * carries the new column")
+    assert(byK(100L).contains(222L), "INSERT * carries the new column")
+    assert(byK(0L).isEmpty && byK(59L).isEmpty,
+      "untouched rows NULL-backfill the evolved column")
+    // the widened schema is DECLARED in the SAME commit (the CDC-ingest
+    // atomicity promise: schema + data land together)
+    assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("w")),
+      "the evolved schema must be declared in the merge commit")
+  }
+
+  test("schema evolution refuses a non-widening type conflict loudly") {
+    val (t, _) = fresh()
+    val src = Seq((10L, "bad", 0L)).toDF("k", "v", "s") // v: STRING vs BIGINT
+    val e = intercept[IllegalArgumentException] {
+      t.mergeWhen(spark, src, "k", Seq(MergeUpdate(None, None)), Nil, Nil)
+    }
+    assert(e.getMessage.contains("schema conflict"), e.getMessage)
+  }
+
+  test("explicit-assignment clauses never widen implicitly") {
+    val (t, _) = fresh()
+    val src = Seq((10L, 5L, 0L, 7L)).toDF("k", "v", "s", "w")
+    t.mergeWhen(spark, src, "k",
+      Seq(MergeUpdate(None, Some(Seq("v" -> "s.v")))), Nil, Nil)
+    assert(!t.read(spark).columns.contains("w"),
+      "a non-star clause set must ignore undeclared source columns")
+  }
+
+  test("duplicate TARGET keys are legal; duplicate SOURCE matches refuse") {
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mw_dupt").toString, Seq("k"))
+    t.append(spark,
+      Seq((1L, 10L, 0L), (1L, 11L, 0L), (2L, 20L, 0L)).toDF("k", "v", "s"))
+    // one source row, two same-key target rows: each target row takes
+    // the same source update deterministically — NOT a multiple-matches
+    // violation (only SOURCE-side duplicates are nondeterministic)
+    t.mergeWhen(spark, Seq((1L, 100L, 9L)).toDF("k", "v", "s"), "k",
+      Seq(MergeUpdate(None, None)), Nil, Nil)
+    val got = t.read(spark).select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 100L), (1L, 100L), (2L, 20L)), s"got $got")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeWhen(spark, Seq((2L, 1L, 0L), (2L, 2L, 0L)).toDF("k", "v", "s"),
+        "k", Seq(MergeUpdate(None, None)), Nil, Nil)
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+  }
+
+  test("NULL-key source rows fall through to the insert clauses") {
+    val (t, _) = fresh()
+    // a NULL-key TARGET row too: ON-equality must not pair the two NULLs
+    t.append(spark, spark.sql(
+      "SELECT CAST(NULL AS BIGINT) AS k, CAST(888 AS BIGINT) AS v, CAST(0 AS BIGINT) AS s"))
+    val src = spark.sql(
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(100 AS BIGINT) AS v, CAST(0 AS BIGINT) AS s " +
+        "UNION ALL " +
+        "SELECT CAST(NULL AS BIGINT), CAST(777 AS BIGINT), CAST(0 AS BIGINT)")
+    t.mergeWhen(spark, src, "k",
+      Seq(MergeUpdate(None, None)), Seq(MergeInsert(None, None, None)), Nil)
+    val nullVs = t.read(spark).filter(col("k").isNull)
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+    assert(nullVs == Set(888L, 777L),
+      s"the NULL-key source row must INSERT (and never erase the NULL-key target row): $nullVs")
+    assert(t.read(spark).count() == 62) // 60 base + null target + null insert
+  }
+
   test("BY SOURCE conditions band-prune candidates; band-less clauses force every file") {
     // 3 range files over k 0..59. A BY SOURCE DELETE conditioned on
     // `t.k >= 55` governs only the third file's band; the key probe for

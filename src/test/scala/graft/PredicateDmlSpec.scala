@@ -171,6 +171,64 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
       s"recorded nonNull == rows must keep the zero-I/O drop class, got $r")
   }
 
+  test("randomized subquery deletes (deleteWhereIn) equal the set model") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 6) {
+      val (t, rows) = fresh(rnd)
+      // key frame: a random subset of [0, 120) — some keys miss the
+      // table entirely — plus sometimes a NULL (the ANSI NOT IN trap)
+      val ks = Seq.fill(5 + rnd.nextInt(20))(rnd.nextInt(120).toLong).distinct
+      val withNull = rnd.nextBoolean()
+      val keyDf =
+        if (!withNull) ks.toDF("u")
+        else ks.toDF("u").unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS u"))
+      val negate = rnd.nextBoolean()
+      t.deleteWhereIn(spark, "k", keyDf, negate)
+      val want =
+        if (!negate) rows.filterNot(x => ks.contains(x._1)).toSet
+        else if (withNull) rows.toSet // NOT IN with a NULL key is never TRUE
+        else rows.filter(x => ks.contains(x._1)).toSet
+      assert(content(t) == want,
+        s"trial $trial negate=$negate withNull=$withNull keys=$ks")
+    }
+  }
+
+  test("IN-subquery candidates prune per key; NULL-column rows survive") {
+    // keys inside one range file's band: the other three carry BY NAME
+    val (t, _) = fresh(new scala.util.Random(7L))
+    val r = t.deleteWhereIn(spark, "k", Seq(3L, 7L).toDF("u"))
+    assert(r.rewrittenFiles == 1 && r.keptFiles == 3,
+      s"per-key interval probe must prune disjoint files, got $r")
+    assert(t.read(spark).count() == 98)
+    // NULL column values: never IN anything, always survive; NOT IN
+    // deletes only non-NULL non-matches
+    val tn = new TxTable(
+      Files.createTempDirectory("graft_subqnull").toString, Seq("k"))
+    tn.append(spark, spark.sql(
+      "SELECT CAST(id AS BIGINT) AS k, id AS v, id AS s FROM range(10) " +
+        "UNION ALL SELECT CAST(NULL AS BIGINT), CAST(99 AS BIGINT), CAST(0 AS BIGINT)"))
+    tn.deleteWhereIn(spark, "k", Seq(1L, 2L).toDF("u"))
+    assert(tn.read(spark).count() == 9, "NULL k must survive an IN delete")
+    tn.deleteWhereIn(spark, "k", Seq(0L, 3L).toDF("u"), negate = true)
+    val left = tn.read(spark).select(col("k")).collect()
+      .map(r0 => Option(r0.get(0))).toSet
+    assert(left == Set(Some(0L), Some(3L), None),
+      s"NOT IN must keep NULLs and matches only, got $left")
+  }
+
+  test("SQL DELETE ... WHERE k IN (SELECT ...) routes through the subquery path") {
+    val (t, rows) = fresh(new scala.util.Random(11L))
+    spark.sql(
+      s"DELETE FROM txtable.`${t.root}` WHERE k IN (SELECT id * 10 FROM range(5))")
+    val want = rows.filterNot(x => x._1 % 10 == 0 && x._1 < 50).toSet
+    assert(content(t) == want, "statement must delete exactly the subquery keys")
+    // NOT IN form through SQL too
+    val (t2, rows2) = fresh(new scala.util.Random(12L))
+    spark.sql(
+      s"DELETE FROM txtable.`${t2.root}` WHERE k NOT IN (SELECT id FROM range(90))")
+    assert(content(t2) == rows2.filter(_._1 < 90).toSet)
+  }
+
   test("the three mutation flavors agree with each other on the same predicate") {
     val rnd = new scala.util.Random(424242L)
     for (_ <- 1 to 3) {

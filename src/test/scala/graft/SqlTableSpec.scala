@@ -768,6 +768,46 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 75)
   }
 
+  test("converted tables read mixed partitioned + flat layouts after a rewrite") {
+    // round-12 ADVICE (high): a rewrite on a CONVERTed table lands FLAT
+    // files in data/ while kept files stay under k=v partition dirs —
+    // one basePath read over the mix let partition discovery silently
+    // drop the flat files. The read path now splits the groups and
+    // unions by name; this pins full-row survival through merge, the
+    // positional-delete victim scan, and a predicate UPDATE.
+    import spark.implicits._
+    Tables.ensure(spark)
+    val src = tmpRoot()
+    spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 10)
+      .withColumn("day", (col("k") / 25).cast("long"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("day").parquet(src)
+    val dst = s"${tmpRoot()}/tx"
+    spark.sql(s"CONVERT TO TXTABLE txtable.`$dst` FROM PARQUET `$src` " +
+      "TBLPROPERTIES('statCols'='k,day')")
+    val t = TxTable.open(dst)
+    // the merge rewrites day=1's file (k 25..49) into FLAT files; the
+    // other three partitions carry BY NAME inside their partition dirs
+    t.merge(spark, Seq((30L, -1L, 1L)).toDF("k", "v", "day"), "k")
+    val all = t.read(spark).select(col("k"), col("v"), col("day"))
+      .as[(Long, Long, Long)].collect()
+    assert(all.length == 100, s"mixed-layout read lost rows: ${all.length}")
+    val got = all.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(30L) == ((-1L, 1L)), s"merged row wrong: ${got(30L)}")
+    assert(got(26L) == ((260L, 1L)) && got(70L) == ((700L, 2L)),
+      "carried rows must keep data AND partition values on both layouts")
+    // the DV victim scan (readWithPositions) sees both layouts too
+    t.deletePositionalWhere(spark, "k % 10 = 5")
+    assert(t.read(spark).count() == 90,
+      "positional delete over the mixed layout must hit exactly the victims")
+    // predicate UPDATE over a partition band composes on top of the DVs
+    t.updateWhere(spark, "day = 0", Seq("v" -> "v + 1"))
+    assert(t.read(spark).count() == 90)
+    assert(t.read(spark).filter(col("k") === 3).head().getAs[Long]("v") == 31L,
+      "banded update must apply on the partition-dir file")
+  }
+
   test("OPTIMIZE WHERE: band-scoped compaction rewrites only the band's small files") {
     import spark.implicits._
     Tables.ensure(spark)
