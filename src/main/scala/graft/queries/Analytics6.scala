@@ -330,12 +330,97 @@ object Analytics6 {
     * the spec can run constructed micro-corpora. Returns one row per
     * merge: (rank, x, y, merged, n = weighted pair count at merge
     * time). */
+  /** BPE training, two-tier by VOCABULARY size (round-12 verdict #7 —
+    * the k-bound, documented either way):
+    *
+    *  - **Dictionary-resident (the default, the production shape)**:
+    *    BPE state is the (word, freq) DICTIONARY, which is Zipf-bounded
+    *    — at ANY corpus size the distinct-word count grows ~O(corpusᵝ),
+    *    β≈0.5, so a 100 TB corpus still counts ~10⁷–10⁸ dictionary rows
+    *    (GBs). ONE distributed job does the corpus-sized work (the word
+    *    count); the k-merge Sennrich loop then runs driver-side on the
+    *    collected dictionary with ZERO further cluster jobs — exactly
+    *    how production tokenizer trainers structure it. Driver jobs are
+    *    O(1) in k (the collect), so a k=64 train costs the same handful
+    *    of jobs as k=12 (BpeSpec pins the job count).
+    *
+    *  - **Distributed EXACT-BATCHED rounds** (when the dictionary
+    *    exceeds `localVocabBudget`): per round, ONE count job collects
+    *    the top pair candidates and the driver accepts the longest
+    *    PREFIX that is provably the sequential algorithm's own next
+    *    picks — each accepted pair symbol-DISJOINT from the batch so
+    *    far (disjoint merges can't change each other's counts or
+    *    occurrences), and its count STRICTLY above every bound on a
+    *    pair the earlier merges could create or keep (new pairs involve
+    *    a merged token, so their counts are ≤ the old count of a
+    *    progenitor pair ending in an accepted x or starting with an
+    *    accepted y; the collection horizon bounds everything below the
+    *    collected list). Prefix + domination make the batch EXACTLY the
+    *    sequential merge sequence — ties included — never an
+    *    approximation; batch size is therefore corpus-dependent
+    *    (skewed pair counts batch well, letter-soup corpora degrade
+    *    toward 1 merge/round, the documented bound N ≤ k rounds). */
   private[graft] def bpeTrain(spark: SparkSession, corpus: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, localVocabBudget: Int = 1 << 22): DataFrame = {
     val words = corpus
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val dict =
+      if (localVocabBudget <= 0) Array.empty[org.apache.spark.sql.Row]
+      else words.take(localVocabBudget + 1)
+    val merges =
+      if (localVocabBudget > 0 && dict.length <= localVocabBudget)
+        bpeTrainLocal(dict.map(r => (r.getString(0), r.getLong(1))), k)
+      else bpeTrainDistributed(spark, words, k)
+    import spark.implicits._
+    merges.toDF("rank", "x", "y", "n")
+      .select(col("rank"), col("x"), col("y"),
+        concat(col("x"), col("y")).as("merged"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  /** The dictionary-resident Sennrich loop: count adjacent pairs
+    * weighted by word frequency, merge the (count DESC, pair ASC)
+    * argmax greedily left-to-right, stop below count 2 — the exact
+    * sequential semantics, on dictionary-sized driver compute. */
+  private def bpeTrainLocal(dict: Array[(String, Long)],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    var state: Array[(Array[String], Long)] =
+      dict.map { case (w, f) => (w.map(_.toString).toArray :+ "</w>", f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- state; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) =
+          counts.getOrElse((syms(j), syms(j + 1)), 0L) + f
+      val best = counts.minByOption { case ((x, y), n) => (-n, x, y) }
+      best match {
+        case Some(((x, y), n)) if n >= 2 =>
+          out += ((rank, x, y, n))
+          state = state.map { case (syms, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (acc.nonEmpty && acc.last == x && s == y) acc(acc.length - 1) = x + y
+              else acc += s
+            }
+            (acc.toArray, f)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed EXACT-BATCHED merge rounds (contract documented on
+    * [[bpeTrain]]): one count job per round, up to 8 provably-sequential
+    * merges accepted from its top-256 list, applied as chained folds in
+    * one pass over the symbol state. */
+  private def bpeTrainDistributed(spark: SparkSession, words: DataFrame,
+      k: Int): Seq[(Int, String, String, Long)] = {
     var state = words.select(col("freq"),
         concat(
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
@@ -343,7 +428,8 @@ object Analytics6 {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
-    for (rank <- 1 to k if !done) {
+    val B = 256
+    while (merges.size < k && !done) {
       val top = state
         .select(col("freq"), explode(expr(
           """zip_with(slice(syms, 1, size(syms) - 1),
@@ -352,30 +438,58 @@ object Analytics6 {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("x"), col("y"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < 2) done = true // nothing left worth merging
+        .limit(B).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // everything below the collected horizon is bounded by the last
+      // collected count (a full page means more pairs may sit at it)
+      val horizon = if (top.length == B) top.last._3 else 0L
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val accSyms = scala.collection.mutable.Set.empty[String]
+      val accX = scala.collection.mutable.Set.empty[String]
+      val accY = scala.collection.mutable.Set.empty[String]
+      var stop = false
+      for ((x, y, n) <- top if !stop) {
+        if (n < 2 || merges.size + accepted.size >= k || accepted.size >= 8) stop = true
+        else if (accepted.isEmpty) {
+          accepted += ((x, y, n)); accSyms ++= Seq(x, y, x + y); accX += x; accY += y
+        } else {
+          // PREFIX rule: the first non-provable candidate ends the batch
+          // (skipping would leave a pair the sequential algorithm could
+          // still pick next — not provably exact)
+          val disjoint = !accSyms.contains(x) && !accSyms.contains(y)
+          // any pair the earlier merges can create involves a merged
+          // token and is count-bounded by a progenitor ending in an
+          // accepted x or starting with an accepted y
+          val newPairBound = (top.iterator
+            .filter { case (px, py, _) => accY.contains(px) || accX.contains(py) }
+            .map(_._3) ++ Iterator.single(horizon)).max
+          if (disjoint && n > newPairBound) {
+            accepted += ((x, y, n)); accSyms ++= Seq(x, y, x + y); accX += x; accY += y
+          } else stop = true
+        }
+      }
+      if (accepted.isEmpty) done = true
       else {
-        val (x, y, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, x, y, n))
-        // greedy left-to-right merge: a fold, not a UDF — the merged
-        // token is strictly longer than x, so it can never re-match as
-        // the x of an immediately following pair (standard BPE pass)
-        val mergedSyms = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, s) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(x) && s === lit(y),
-            concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(x + y))))
-            .otherwise(concat(acc, array(s))))
+        accepted.foreach { case (x, y, n) =>
+          merges += ((merges.size + 1, x, y, n))
+        }
+        // chained greedy folds, one pass: disjoint merges can't interact,
+        // and each fold alone is the standard left-to-right BPE pass
+        val mergedSyms = accepted.foldLeft(col("syms")) { case (syms, (x, y, _)) =>
+          aggregate(syms,
+            array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(x) && s === lit(y),
+              concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(x + y))))
+              .otherwise(concat(acc, array(s))))
+        }
         val prev = state
         state = state.select(col("freq"), mergedSyms.as("syms")).localCheckpoint()
         prev.unpersist(blocking = false) // keep only the latest round's blocks
+        if (accepted.exists(_._3 < 2)) done = true
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "x", "y", "n")
-      .select(col("rank"), col("x"), col("y"),
-        concat(col("x"), col("y")).as("merged"), col("n"))
-      .orderBy(col("rank"))
+    merges.toSeq
   }
 
   /** BPE ENCODING with the learned merge table — the half of the

@@ -263,18 +263,48 @@ object LlmExt {
       .groupBy(col("doc_id"))
       .agg(SimHashSig.simhash64(col("word")).as("simhash"))
       .persist()
-    val chunks = sig.withColumn("c", explode(typedLit((0 until 4).toArray)))
-      .withColumn("chunk", expr("(simhash >> (16 * c)) & 65535"))
-    val pairs = chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-    pairs
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 3)
-      .select(col("da"), col("db"), col("hamming"))
+    graft.operators.SimHashDedup
+      .pairsFromSignatures(sig, "doc_id", "simhash")
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash-LSH with a PLANTED-TWIN ORACLE (round-12 verdict #6 — the
+    * last LSH family promoted from spec-pinned to oracle-checked, the
+    * [[q_dedup_minhash_sparse]] discipline): 20k generated docs of 40
+    * words from a 50k vocabulary — random cross-pair signatures are
+    * ~independent 64-bit values, so P(hamming ≤ 3) ≈ 2⁻⁴⁸ per pair and
+    * the fixed corpus deterministically yields ZERO unplanned pairs —
+    * with every 20th doc given a twin holding the SAME WORD SET in
+    * reverse order with the lead word doubled. SimHash is an
+    * order/multiplicity-blind SET signature (array_distinct feeds the
+    * sign-vote Aggregator), so each twin's signature is BIT-IDENTICAL
+    * (hamming 0) BY CONSTRUCTION, not by probability — the planted
+    * pair set is pure arithmetic, (20r, 20r+1, 0), and DuckDB
+    * reconstructs it without sharing a hash function with the engine.
+    * Any quadratic leakage, chunk-banding bug, recall miss, or a
+    * signature that sneaks order-sensitivity in lands on a row or hash
+    * mismatch. SimHashBandSpec pins the nonzero-hamming band edges
+    * (recall at exactly 3, exclusion at 4) on constructed signatures. */
+  def q_dedup_simhash_planted(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val corpus = spark.range(20000L).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ',
+        |  CASE WHEN id % 20 = 1 THEN array(concat('w', CAST(pmod(xxhash64(id - 1, 39), 50000) AS STRING)))
+        |       ELSE array() END,
+        |  transform(sequence(0, 39), i ->
+        |    concat('w', CAST(pmod(xxhash64(
+        |      CAST(CASE WHEN id % 20 = 1 THEN id - 1 ELSE id END AS BIGINT),
+        |      CASE WHEN id % 20 = 1 THEN 39 - i ELSE i END), 50000) AS STRING)))
+        |) AS text""".stripMargin)
+    val words = corpus
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sig = words
+      .groupBy(col("doc_id"))
+      .agg(SimHashSig.simhash64(col("word")).as("simhash"))
+      .persist()
+    graft.operators.SimHashDedup
+      .pairsFromSignatures(sig, "doc_id", "simhash")
       .orderBy(col("da"), col("db"))
   }
 
@@ -805,25 +835,84 @@ object LlmExt {
     * corpus (PqSpec pins exactly one Generate — the query-side explode —
     * in the executed plan). This is the production serve shape at 100 TB:
     * encode is ingest, the index is a table, a query costs a LUT build
-    * plus one join against the lists. Same ADC oracle as q_ann_ivfpq. */
-  def q_ann_ivfpq_indexed(spark: SparkSession, dir: String): DataFrame = {
+    * plus one join against the lists. Same ADC oracle as q_ann_ivfpq.
+    * The index build now lands its TAIL BATCH through [[refreshPqIndex]]
+    * (see [[ivfpqIndexRoot]]) so the gate's oracle also covers the
+    * incremental-maintenance path. */
+  /** INCREMENTAL ANN index maintenance (round-12 verdict #3): encode
+    * ONLY `delta` (newly arrived or re-embedded vectors) against the
+    * STORED codebook — held FIXED, the FAISS production rule: per-batch
+    * retraining would shift every centroid and force a full corpus
+    * re-encode, so drift is handled by scheduled rebuilds, never by
+    * ingest — and MERGE the fresh codes into the stored inverted lists
+    * keyed by `b_id`. Re-embedded vectors replace their old codes
+    * copy-on-write; appended vectors land as inserts; and because codes
+    * files carry `b_id` stats, a monotone-id ingest (the streaming
+    * shape) rewrites ZERO stored list files — the merge's interval
+    * probe proves every old file disjoint from the new ids (PqSpec pins
+    * rewrittenFiles == 0 and the delta-only encode cost). At 100 TB a
+    * batch costs encoding |delta| vectors plus appending |delta| code
+    * rows; the standing lists never move. */
+  def refreshPqIndex(spark: SparkSession, indexRoot: String,
+      delta: DataFrame): graft.tables.TxTable.MergeResult = {
+    import graft.tables.TxTable
+    val cb = TxTable.open(s"$indexRoot/codebook").read(spark)
+    val enc = pqSdist(pqDims(delta), cb)
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("sub"), col("code"))
+    TxTable.open(s"$indexRoot/codes").merge(spark, enc, "b_id")
+  }
+
+  /** The published base+refresh index build behind
+    * [[q_ann_ivfpq_indexed]], exposed so PqSpec can pin the refresh
+    * accounting: the LAST 50 vectors arrive through
+    * [[refreshPqIndex]] as a later ingest batch (delta-only encode +
+    * merge), the rest through the initial build. The codebook is
+    * trained once on the full corpus — the "day-0 training" stand-in
+    * that keeps the DuckDB oracle exact; production trains on a sample
+    * and the refresh path is identical. Returns (root, refresh result). */
+  private[graft] def ivfpqIndexRoot(spark: SparkSession, dir: String)
+      : (String, Option[graft.tables.TxTable.MergeResult]) = {
     import graft.tables.TxTable
     val fp = Tables.sourceFingerprint(dir, "embeddings.parquet")
-    val root = Tables.publishOnce(s"graft_ivfpq_index_$fp") { tmp =>
-      val dims = pqDims(Tables.embeddings(spark, dir))
+    var refreshed: Option[TxTable.MergeResult] = None
+    val root = Tables.publishOnce(s"graft_ivfpq_index2_$fp") { tmp =>
+      val all = Tables.embeddings(spark, dir)
+      val splitId = all.agg(max(col("vec_id"))).head().getLong(0) - 49L
+      val dims = pqDims(all)
       val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
         .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
-      val enc = pqSdist(dims, cb)
+      val encBase = pqSdist(dims.filter(col("vec_id") < splitId), cb)
         .groupBy(col("vec_id"), col("label"), col("sub"))
         .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
         .select(col("vec_id").as("b_id"), col("label").as("lb"),
           col("sub"), col("code"))
-      new TxTable(s"$tmp/codes", Seq("lb"))
-        .append(spark, enc.repartitionByRange(4, col("lb")))
+      // b_id rides the stat set so the refresh merge can prove stored
+      // list files disjoint from a monotone ingest's new ids
+      new TxTable(s"$tmp/codes", Seq("lb", "b_id"))
+        .append(spark, encBase.repartitionByRange(4, col("lb")))
       new TxTable(s"$tmp/codebook", Seq("sub"))
         .append(spark, cb.repartition(1))
+      // the tail batch lands through the INCREMENTAL path
+      refreshed = Some(refreshPqIndex(spark, tmp,
+        all.filter(col("vec_id") >= splitId)))
       java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
     }
+    (root, refreshed)
+  }
+
+  // spec seams: the private PQ stages, exposed so PqSpec can rebuild a
+  // PRIVATE index copy and pin the refresh accounting without touching
+  // the shared published root
+  private[graft] def pqDimsForSpec(e: DataFrame): DataFrame = pqDims(e)
+  private[graft] def pqSdistForSpec(dims: DataFrame, cb: DataFrame): DataFrame =
+    pqSdist(dims, cb)
+
+  def q_ann_ivfpq_indexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.TxTable
+    val root = ivfpqIndexRoot(spark, dir)._1
     val codes = TxTable.open(s"$root/codes").read(spark)
     val cb = TxTable.open(s"$root/codebook").read(spark)
     val qdims = pqDims(Tables.embeddings(spark, dir))
@@ -904,6 +993,7 @@ object LlmExt {
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_minhash_sparse" -> q_dedup_minhash_sparse _,
     "q_dedup_simhash" -> q_dedup_simhash _,
+    "q_dedup_simhash_planted" -> q_dedup_simhash_planted _,
     "q_dedup_cluster" -> q_dedup_cluster _,
     "q_dedup_semantic" -> q_dedup_semantic _,
     "q_kmeans_lloyd" -> q_kmeans_lloyd _,
@@ -922,6 +1012,12 @@ object LlmExt {
     // no hash function is shared with the engine
     "q_dedup_minhash_sparse" ->
       """SELECT CAST(20 * r AS BIGINT) AS da, CAST(20 * r + 1 AS BIGINT) AS db
+        |FROM range(1000) t(r) ORDER BY da, db""".stripMargin,
+    // simhash planted twins: identical word SETS ⇒ bit-identical
+    // signatures ⇒ hamming 0, pure arithmetic — no shared hash function
+    "q_dedup_simhash_planted" ->
+      """SELECT CAST(20 * r AS BIGINT) AS da, CAST(20 * r + 1 AS BIGINT) AS db,
+        |  CAST(0 AS BIGINT) AS hamming
         |FROM range(1000) t(r) ORDER BY da, db""".stripMargin,
     "q_text_pii" ->
       """SELECT c_custkey,

@@ -431,6 +431,71 @@ object SqlTableOps {
     }
   }
 
+  /** SQL VIEWS (round-12 verdict #4) — `CREATE VIEW … AS SELECT` over a
+    * TxTable, then a query THROUGH the view composed with its own
+    * filter and aggregation: the stored definition expands at parse
+    * time (late binding — the full Spark SQL surface works over it),
+    * so the filter through the view's WHERE and the outer residual both
+    * reach the manifest-pruned catalog scan. SqlTableSpec pins
+    * view-over-view, TEMP shadowing, and DROP VIEW. */
+  def q_sql_table_view(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val tableRoot = TableOps.eventsTableRoot(spark, dir) // read-only share
+    val work = java.nio.file.Files.createTempDirectory("graft_q_sql_view")
+    val v = s"$work/v"
+    try {
+      spark.sql(s"CREATE VIEW txtable.`$v` AS " +
+        s"SELECT user_id, event_type, value FROM ${q(tableRoot)} " +
+        "WHERE user_id BETWEEN 2 AND 6")
+      val df = spark.sql(
+        s"""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM txtable.`$v` WHERE user_id <> 4
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      spark.createDataFrame(df.collectAsList(), df.schema)
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS txtable.`$v`")
+      TableOps.deleteTree(work.toString)
+    }
+  }
+
+  /** MATERIALIZED VIEW + CDF-INCREMENTAL REFRESH (round-12 verdict #4
+    * stretch): a select/project view over an events TxTable
+    * materializes as a real TxTable; an append lands on the SOURCE, and
+    * `REFRESH MATERIALIZED VIEW` replays ONLY the source's row-level
+    * change feed for the new versions (mode = 'incremental' — asserted
+    * here, cost ∝ changed files) into the materialization through the
+    * exactly-once CDC fold. The aggregate over the refreshed view earns
+    * a DuckDB oracle reconstructing both eras. */
+  def q_sql_table_mview(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_v")
+      val mv = s"$work/mv"
+      try {
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          s"SELECT user_id, event_type, value FROM ${q(root)} " +
+          "WHERE user_id <= 6")
+        spark.sql(
+          s"""INSERT INTO ${q(root)} VALUES
+             |  (CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)),
+             |  (CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))""".stripMargin)
+        val mode = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(mode.getString(0) == "incremental",
+          s"select/project refresh must take the CDF path, got $mode")
+        // materialize BEFORE the finally tears the MV's storage down
+        val df = spark.sql(eventAgg.format(s"txtable.`$mv`"))
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** SQL OPTIMIZE + VACUUM — compaction and retention as statements on
     * the 16-file events table: OPTIMIZE bin-packs everything, VACUUM
     * drops the superseded files past a 1-version retention, and the
@@ -641,6 +706,8 @@ object SqlTableOps {
     "q_sql_table_insert" -> q_sql_table_insert _,
     "q_sql_table_ctas" -> q_sql_table_ctas _,
     "q_sql_table_optimize" -> q_sql_table_optimize _,
+    "q_sql_table_view" -> q_sql_table_view _,
+    "q_sql_table_mview" -> q_sql_table_mview _,
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
     "q_sql_table_delete_subq" -> q_sql_table_delete_subq _,
@@ -847,6 +914,21 @@ object SqlTableOps {
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_view" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id BETWEEN 2 AND 6 AND user_id <> 4
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_mview" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id, event_type, "value" FROM events
+        |      WHERE user_id <= 6
+        |      UNION ALL
+        |      SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_insert" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,

@@ -518,6 +518,79 @@ class TxV1Scan(tx: TxTable, files: Seq[TxTable.FileEntry],
 
   override def readSchema(): StructType = required
 
+  /** CDF-weighted merge of the surviving files' per-file EQUI-DEPTH
+    * bucket bounds into ONE 8-bucket histogram for CBO: each file's CDF
+    * is piecewise-linear through its 9 manifest bounds with bucket mass
+    * nonNull/8, the merged CDF is their sum, and the merged bounds
+    * solve CDF(x) = j·total/8 by bisection — O(files × 8) driver-side
+    * arithmetic, zero data I/O. This is what lets a 99%-one-key column
+    * estimate a range filter from where the mass SITS instead of the
+    * min/max uniform assumption (the skew lie CboSpec pins). None when
+    * any surviving file predates histogram recording — estimation
+    * degrades to min/max, never guesses. */
+  private def mergedHistogram(p: String)
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    val hs = files.map(f =>
+      f.hists.get(p).map(bs => (bs, f.nonNull.getOrElse(p, f.rows))))
+    if (files.isEmpty || hs.exists(_.isEmpty)) None
+    else {
+      val fh = hs.flatten.filter { case (bs, n) => n > 0 && bs.length == 9 }
+      if (fh.isEmpty) None
+      else {
+        val total = fh.map(_._2).sum.toDouble
+        def cdf(x: Double): Double = fh.iterator.map { case (bs, n) =>
+          val mass = n.toDouble / 8.0
+          var acc = 0.0
+          var i = 0
+          while (i < 8) {
+            val lo = bs(i).toDouble
+            val hi = bs(i + 1).toDouble
+            if (x >= hi) acc += mass
+            else if (x > lo && hi > lo) acc += mass * (x - lo) / (hi - lo)
+            i += 1
+          }
+          acc
+        }.sum
+        val gLo = fh.map(_._1.head).min.toDouble
+        val gHi = fh.map(_._1.last).max.toDouble
+        val bounds = new Array[Double](9)
+        bounds(0) = gLo
+        bounds(8) = gHi
+        var j = 1
+        while (j < 8) {
+          val target = total * j / 8.0
+          var lo = gLo
+          var hi = gHi
+          var it = 0
+          while (hi - lo > 1e-6 && it < 64) {
+            val m = (lo + hi) / 2
+            if (cdf(m) < target) lo = m else hi = m
+            it += 1
+          }
+          bounds(j) = (lo + hi) / 2
+          j += 1
+        }
+        val h = total / 8.0
+        val binArr = Array.tabulate(8) { i =>
+          val l = bounds(i)
+          val hb = bounds(i + 1)
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo: Double = l
+            override def hi: Double = hb
+            override def ndv: Long =
+              math.max(1L, math.min(math.max(1L, h.toLong),
+                (hb - l).toLong + 1L))
+          }
+        }
+        Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+          override def height: Double = h
+          override def bins: Array[
+            org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+        })
+      }
+    }
+  }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       private val rows = files.map(_.rows).sum
@@ -563,10 +636,25 @@ class TxV1Scan(tx: TxTable, files: Seq[TxTable.FileEntry],
                     java.util.Optional.of(bLo)
                   override def max(): java.util.Optional[Object] =
                     java.util.Optional.of(bHi)
+                  override def nullCount(): java.util.OptionalLong = {
+                    // exact when every file recorded the witness
+                    val nns = files.flatMap(_.nonNull.get(p))
+                    if (nns.size == files.size)
+                      java.util.OptionalLong.of(rows - nns.sum)
+                    else java.util.OptionalLong.empty()
+                  }
                   override def avgLen(): java.util.OptionalLong =
                     java.util.OptionalLong.of(field.dataType.defaultSize.toLong)
                   override def maxLen(): java.util.OptionalLong =
                     java.util.OptionalLong.of(field.dataType.defaultSize.toLong)
+                  // equi-depth histogram merged from the manifests —
+                  // range selectivity sees SKEW, not the uniform lie
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    mergedHistogram(p) match {
+                      case Some(hg) => java.util.Optional.of(hg)
+                      case None => java.util.Optional.empty()
+                    }
                 })
               ()
             }

@@ -45,6 +45,12 @@ import graft.tables.TxTable
   *   VACUUM txtable.`/p` [RETAIN <n> VERSIONS] [DRY RUN]
   *   OPTIMIZE txtable.`/p` [WHERE c BETWEEN lo AND hi] [SMALLER THAN <rows>]
   *     [ZORDER BY (c1, c2[, c3]) [INTO <n> FILES]]   -- WHERE and ZORDER exclusive
+  *   DELETE FROM txtable.`/p` WHERE c [NOT] IN (SELECT …)
+  *   CREATE [OR REPLACE] [TEMP] VIEW txtable.`/v` AS <query>
+  *   DROP VIEW [IF EXISTS] txtable.`/v`
+  *   CREATE MATERIALIZED VIEW txtable.`/mv`
+  *     [TBLPROPERTIES('statCols'='…')] AS <query>
+  *   REFRESH MATERIALIZED VIEW txtable.`/mv`; DROP MATERIALIZED VIEW …
   *   CREATE GROUP txtable.`/g`; ALTER GROUP … ADD TABLE …; COMMIT GROUP …
   *   CREATE TABLE txtable.`/dst` SHALLOW CLONE txtable.`/src`
   *   ALTER TABLE txtable.`/p` CREATE TAG <name> [AS OF VERSION <n>]
@@ -306,6 +312,22 @@ object GraftSqlParser {
       Some(TxGroupAddTableCommand(root, name, schema.trim,
         cols("statCols"), cols("bloomCols")))
     case GroupCommitRe(root) => Some(TxCommitGroupCommand(root))
+    case MviewCreateRe(root, props, defn) =>
+      val kv = Option(props).map { p =>
+        "'(\\w+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(p)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
+      def cols(key: String): Seq[String] = kv.get(key)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      Some(TxCreateMviewCommand(root, defn.trim,
+        cols("statCols"), cols("bloomCols")))
+    case MviewRefreshRe(root) => Some(TxRefreshMviewCommand(root))
+    case MviewDropRe(root) => Some(TxDropMviewCommand(root))
+    case ViewCreateRe(orReplace, temp, root, defn) =>
+      Some(TxCreateViewCommand(root, defn.trim,
+        replace = orReplace != null, temp = temp != null))
+    case ViewDropRe(ifExists, root) =>
+      Some(TxDropViewCommand(root, ifExists = ifExists != null))
     case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
     case DetailRe(root) => Some(TxDescribeDetailCommand(root))
     case CloneRe(dst, src) => Some(TxCloneCommand(src, dst))
@@ -977,6 +999,164 @@ case class TxCommitGroupCommand(root: String) extends LeafRunnableCommand {
     require(pins.nonEmpty, s"group at $root has no members to pin")
     val v = g.commit(pins)
     Seq(Row(v, pins.toSeq.sorted.map { case (n, mv) => s"$n=$mv" }.mkString(",")))
+  }
+}
+
+/** `CREATE [OR REPLACE] [TEMP] VIEW txtable.\`root\` AS <query>` —
+  * path-named SQL views over the lakehouse tier ([[ViewStore]]):
+  * persisted definitions live at `<root>/_view/definition.sql` (any
+  * later session resolves them), TEMP definitions in process memory
+  * (shadowing, Spark's temp-view precedence). The definition is
+  * ANALYZED before it is stored — a view that cannot resolve today
+  * must not be creatable — but resolution stays LATE-BOUND: the stored
+  * text re-expands at every read, so redefining an inner view or
+  * evolving the underlying table is visible immediately. */
+case class TxCreateViewCommand(root: String, viewSql: String,
+    replace: Boolean, temp: Boolean) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("view", StringType), attr("temp", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    // validation = one analysis pass (no job): parse + resolve the
+    // EXPANDED definition against the current catalog
+    spark.sql(ViewStore.expand(viewSql)).schema
+    ViewStore.create(root, viewSql, replace, temp)
+    Seq(Row(root, temp))
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] txtable.\`root\`` → [[ViewStore.drop]]. */
+case class TxDropViewCommand(root: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val existed = ViewStore.drop(root)
+    require(existed || ifExists, s"no view at txtable.`$root`")
+    Seq(Row(existed))
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW txtable.\`root\`
+  * [TBLPROPERTIES('statCols'='…')] AS <query>` — the definition is
+  * stored, the query's result materialized into an ordinary TxTable at
+  * `root` (stats/bloom pass, constraints — it prunes like any table),
+  * and the applied-through version of the query's single TxTable source
+  * rides the SAME commit as the rows ([[ViewStore.MviewAppId]] txn
+  * watermark). Source references are PINNED (`VERSION AS OF`) to the
+  * recorded watermark, so a racing source commit lands in the next
+  * refresh, never lost or doubled. */
+case class TxCreateMviewCommand(root: String, defnSql: String,
+    statCols: Seq[String], bloomCols: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("source_version", IntegerType), attr("rows", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcs = ViewStore.txtableRefs(defnSql).filter(TxTable.exists)
+    val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
+    val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defnSql, pins)))
+    ViewStore.createMview(root, defnSql)
+    val t = new TxTable(root, statCols, bloomCols)
+    // the refresh watermark tracks the SINGLE TxTable source (the
+    // incrementally maintainable shape); multi-source definitions
+    // refresh by full recompute and keep watermark 0
+    val wm = if (srcs.size == 1) pins(srcs.head).toLong else 0L
+    t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm))
+    Seq(Row(wm.toInt, t.snapshot().files.map(_.rows).sum))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW txtable.\`root\`` — CDF-INCREMENTAL
+  * maintenance where the definition allows it: for a single-source
+  * select/project view (`SELECT <list> FROM txtable.\`src\` [WHERE …]`,
+  * no aggregate/join/distinct) whose output carries the materialized
+  * table's lead stat column, the refresh replays the SOURCE's row-level
+  * change feed for exactly (lastApplied, current] — cost proportional
+  * to the CHANGED files, never either table — filters/projects the
+  * change rows through the view's own predicate and select list, and
+  * folds them in via the exactly-once CDC apply (one commit: rows +
+  * watermark; an UPDATE whose new image leaves the view's WHERE band
+  * nets to a pure delete, and vice versa). Any other shape — or a
+  * vacuumed-away change range — falls back to a FULL recompute pinned
+  * at the current source version; the returned `mode` column says
+  * which path ran. A replayed/idle refresh is a recognized no-op. */
+case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("mode", StringType), attr("source_version", IntegerType))
+
+  private val SimpleSelect = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+" +
+    "txtable\\s*\\.\\s*`([^`]+)`(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+  // anything that breaks per-row maintenance (aggregation, windows, set
+  // ops, joins) blocks the incremental path; a false positive (e.g. a
+  // column literally named "max") just takes the always-sound full
+  // recompute, reported in the `mode` column — never a silent wrong
+  private val Blockers =
+    Seq("GROUP", "JOIN", "DISTINCT", "UNION", "ORDER", "LIMIT", "HAVING",
+      "OVER", "EXCEPT", "INTERSECT", "COUNT", "SUM", "MIN", "MAX", "AVG")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val defn = ViewStore.mviewDefinition(root).getOrElse(
+      throw new IllegalArgumentException(s"no materialized view at txtable.`$root`"))
+    val t = TxTable.open(root)
+    val last = t.snapshot().txns.getOrElse(ViewStore.MviewAppId, 0L).toInt
+    val srcs = ViewStore.txtableRefs(defn).filter(TxTable.exists)
+    def full(pinsTo: Long): Seq[Row] = {
+      val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
+      val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defn, pins)))
+      t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> pinsTo))
+      Seq(Row("full", pinsTo.toInt))
+    }
+    if (srcs.size != 1) return full(0L)
+    val src = TxTable.open(srcs.head)
+    val srcV = src.currentVersion
+    if (srcV <= last) return Seq(Row("noop", last))
+    val incremental: Option[Seq[Row]] = defn match {
+      case SimpleSelect(selectList, srcRoot, pred)
+          if srcRoot == srcs.head && last > 0 &&
+            !Blockers.exists(b => GraftSqlParser.topLevelKeyword(defn, b) >= 0) &&
+            t.statCols.nonEmpty =>
+        val key = t.statCols.head
+        try {
+          val ch = src.rowChangesBetween(spark, last, srcV)
+          val filtered = Option(pred)
+            .map(p => ch.filter(coalesce(expr(p), lit(false))))
+            .getOrElse(ch)
+          val projected =
+            if (selectList.trim == "*") filtered
+            else filtered.selectExpr(GraftSqlParser.splitTopLevel(selectList) ++
+              Seq("_change_type", "_commit_version"): _*)
+          if (!projected.columns.contains(key)) None
+          else {
+            t.applyChangeRows(spark, projected, ViewStore.MviewAppId,
+              srcV.toLong, key)
+            Some(Seq(Row("incremental", srcV)))
+          }
+        } catch {
+          // a vacuumed-away range (or an unexpected shape) degrades to
+          // the always-sound full recompute, reported as such
+          case scala.util.control.NonFatal(_) => None
+        }
+      case _ => None
+    }
+    incremental.getOrElse(full(srcV.toLong))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW txtable.\`root\`` — removes the definition;
+  * the materialized TxTable (data + history) stays on disk for the
+  * operator to vacuum or delete, like dropping an external table. */
+case class TxDropMviewCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(ViewStore.mviewDefinition(root).isDefined,
+      s"no materialized view at txtable.`$root`")
+    val p = java.nio.file.Paths.get(root, "_view", "mview.sql")
+    java.nio.file.Files.deleteIfExists(p)
+    Seq(Row(true))
   }
 }
 

@@ -70,14 +70,17 @@ object ViewStore {
       else None
     }
 
-  /** Drop a view (temp first, then persisted). Returns whether one
-    * existed. */
+  /** Drop ONE layer of a view: the temp entry if present (unshadowing a
+    * persisted definition — Spark's own temp-view drop rule), else the
+    * persisted definition. Returns whether anything existed. */
   def drop(root: String): Boolean = {
-    val t = temps.remove(root).isDefined
-    val p = defPath(root)
-    val d = Files.deleteIfExists(p)
-    if (d) Files.deleteIfExists(p.getParent) // _view dir, if now empty
-    t || d
+    if (temps.remove(root).isDefined) true
+    else {
+      val p = defPath(root)
+      val d = Files.deleteIfExists(p)
+      if (d) Files.deleteIfExists(p.getParent) // _view dir, if now empty
+      d
+    }
   }
 
   // ------------------------------------------------------ materialized
@@ -110,6 +113,23 @@ object ViewStore {
           case None => m.matched
         }))
   }
+
+  /** Every distinct `txtable.`/p`` path a query text references, in
+    * order of first appearance — the refresh planner's source list. */
+  def txtableRefs(sql: String): Seq[String] =
+    TargetRef.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct
+
+  /** Pin the named table references to explicit versions (`… VERSION AS
+    * OF v`) — the initial-materialization race guard: the watermark is
+    * recorded for EXACTLY the version the recompute read, so a source
+    * commit racing the refresh lands in the next increment, never lost
+    * or doubled (the snapshot-bootstrap discipline, applied textually). */
+  def pinVersions(sql: String, pins: Map[String, Int]): String =
+    TargetRef.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        pins.get(m.group(1))
+          .map(v => s"${m.matched} VERSION AS OF $v")
+          .getOrElse(m.matched)))
 
   private val TargetRef = "txtable\\s*\\.\\s*`([^`]+)`".r
 }

@@ -991,6 +991,48 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(txGroupBatch(group, members, queryName) _)
 
+  /** One micro-batch of the GROUP-ATOMIC STREAMING UPSERT (round-12
+    * verdict #8) — [[txGroupBatch]] with each member landing through the
+    * keyed copy-on-write [[graft.tables.TxTable.mergeBatch]] instead of
+    * a plain append: the fact-plus-index shape, where a batch upserts
+    * rows into one member and the derived index entries into another
+    * and a group reader must never see the batch applied to one but not
+    * the other. Per-member watermarks (`queryName/member` → batchId)
+    * make each member's fold exactly-once under at-least-once delivery
+    * — a crash BETWEEN the member merges replays into per-member skips
+    * for what landed plus real merges for what didn't — and the single
+    * put-if-absent group publish is the all-or-nothing visibility
+    * point, re-issued idempotently if the crash fell between the last
+    * member merge and the publish. */
+  private[graft] def txGroupMergeBatch(group: graft.tables.TxGroup,
+      members: Seq[(String, String, DataFrame => DataFrame)],
+      queryName: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val pins = members.map { case (name, key, f) =>
+        val t = group.table(name, Seq(key))
+        t.mergeBatch(spark, f(batch), s"$queryName/$name", batchId, key)
+        name -> t.currentVersion
+      }.toMap
+      val cur = group.snapshot()
+      if (pins.exists { case (n, v) => !cur.get(n).contains(v) })
+        group.commit(pins)
+      ()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** The writeStream face of [[txGroupMergeBatch]]: exactly-once
+    * multi-table streaming UPSERT — `members` maps each group member to
+    * its merge key and its per-batch transform of the input frame. */
+  def txGroupMergeSink(df: DataFrame, group: graft.tables.TxGroup,
+      members: Seq[(String, String, DataFrame => DataFrame)],
+      queryName: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(txGroupMergeBatch(group, members, queryName) _)
+
   /** CONTINUOUS CDC-apply replication — the streaming face of
     * [[graft.tables.TxTable.applyChangesFrom]]: `cdf` is the source
     * table read as a row-level change stream

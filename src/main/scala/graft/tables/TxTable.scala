@@ -499,6 +499,26 @@ final class TxTable(val root: String, val statCols: Seq[String],
     commitWithRetry(maxRetries = 10, op = "overwrite") { _ => entries }
   }
 
+  /** Overwrite + txn watermark in ONE commit — the materialized-view
+    * full-refresh seam: the recomputed rows and the applied-through
+    * source version publish atomically, so a crashed refresh is either
+    * fully applied or invisible, never a torn state the next refresh
+    * would double-count. */
+  private[graft] def overwriteTagged(spark: SparkSession, df: DataFrame,
+      txns: Map[String, Long]): Int = {
+    val entries = writeDataFiles(spark, df)
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      try return commitOnce(base, txns, op = "mview-refresh") { _ => entries }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1 // overwrite declares the whole table: rebase, retry
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Copy-on-write MERGE (upsert): rows of `source` replace same-`key`
     * rows of the table; source keys present in no file are inserts.
     *
@@ -1558,12 +1578,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
         if (candidates.isEmpty) Nil
         else {
           val cand = readFiles(spark, candidates, base.colMap, base.meta)
+          // no forced broadcast on the key frame: a subquery result can
+          // be arbitrarily large (a forced build side is the OOM class
+          // round 12 removed) — AQE size-gates the strategy instead
           val survivors =
             if (!negate) // NULL c and unmatched rows survive the anti-join
-              cand.join(broadcast(k), cand(column) === k("__k"), "left_anti")
+              cand.join(k, cand(column) === k("__k"), "left_anti")
             else // survivors: NULL c, or c matching some key
               cand.filter(col(column).isNull)
-                .unionByName(cand.join(broadcast(k),
+                .unionByName(cand.join(k,
                   cand(column) === k("__k"), "left_semi"))
           if (survivors.isEmpty) Nil else writeDataFiles(spark, survivors)
         }
@@ -2383,8 +2406,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
       def statsOf(prefix: String): Map[String, Long] = pcols.flatMap { c =>
         Option(r.getAs[java.lang.Long](s"${prefix}_$c")).map(v => c -> v.longValue)
       }.toMap
+      val histsOf: Map[String, Seq[Long]] = pcols.flatMap { c =>
+        Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$c"))
+          .map(bs => c -> bs.map(d => math.floor(d).toLong).toSeq)
+      }.toMap
       f.copy(mins = f.mins ++ statsOf("__min"), maxs = f.maxs ++ statsOf("__max"),
-        nonNull = f.nonNull ++ pcols.map(c => c -> r.getAs[Long](s"__nn_$c")))
+        nonNull = f.nonNull ++ pcols.map(c => c -> r.getAs[Long](s"__nn_$c")),
+        hists = f.hists ++ histsOf)
     }
     // declare = ANALYZE: the widened stat set rides the SAME commit as
     // the stats themselves (one version, one audit row); physical names,
@@ -2732,12 +2760,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
       def statsOf(prefix: String): Map[String, Long] = statCols.flatMap { c =>
         Option(r.getAs[java.lang.Long](s"${prefix}_$c")).map(v => c -> v.longValue)
       }.toMap
+      // all-null columns record no histogram (like min/max); bounds
+      // floor to the manifest's integer domain
+      val hists: Map[String, Seq[Long]] = statCols.flatMap { c =>
+        Option(r.getAs[scala.collection.Seq[Double]](s"__hist_$c"))
+          .map(bs => c -> bs.map(d => math.floor(d).toLong).toSeq)
+      }.toMap
       FileEntry(fresh, r.getAs[Long]("__rows"),
         statsOf("__min"), statsOf("__max"),
         blooms = bloomCols.flatMap(c =>
           bloomsByCol.getOrElse(c, Map.empty).get(uri).map(c -> _)).toMap,
         // count() is never null (0 for an all-null column) — always recorded
-        nonNull = statCols.map(c => c -> r.getAs[Long](s"__nn_$c")).toMap)
+        nonNull = statCols.map(c => c -> r.getAs[Long](s"__nn_$c")).toMap,
+        hists = hists)
     }.toSeq
     // the stage dir now holds only _SUCCESS/metadata droppings
     rm(stage.toFile)
@@ -2782,7 +2817,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
       max(col(c)).cast("long").as(s"__max_$c"),
       // non-null count: the zero-null witness metadata-only drops demand
       // (min/max alone are blind to NULLs in the column)
-      count(col(c)).as(s"__nn_$c")))
+      count(col(c)).as(s"__nn_$c"),
+      // 9 EXACT percentile bounds = 8 equi-depth buckets per file — the
+      // skew signal for CBO ([[TxTable.FileEntry.hists]]). Exact, not
+      // approx: the sketch mergers are merge-order-dependent and would
+      // break run-to-run determinism; the exact aggregate costs one
+      // value→count map per (file, column), bounded by per-file
+      // distincts — a write-side cost that buys plan-time selectivity
+      // with no ANALYZE pass over the table
+      expr(s"percentile(cast(`$c` as bigint), " +
+        "array(0.0D,0.125D,0.25D,0.375D,0.5D,0.625D,0.75D,0.875D,1.0D))")
+        .as(s"__hist_$c")))
 
   /** One commit attempt on top of `base`: stage a DELTA manifest (the
     * entry-level diff of the new file list against `base` — O(changed
@@ -3269,11 +3314,21 @@ object TxTable {
     * qualifies for a metadata-only drop only when nonNull(c) == rows for
     * every band column; absent counts (legacy manifests) degrade to the
     * always-sound rewrite class. */
+  /** `hists` carries per-stat-column EQUI-DEPTH bucket bounds
+    * (`hist:<col>:<b0,…,b8>` manifest token — 9 bounds = 8 equal-mass
+    * buckets over the file's non-null values, exact percentiles from
+    * the same staged-stats pass): the skew signal min/max/ndv cannot
+    * express. Scan-time they merge across surviving files into one
+    * CDF-weighted histogram for CBO ([[graft.sources.TxV1Scan]]), so a
+    * 99%-one-key column estimates range selectivity from where the
+    * mass actually sits. Absent in pre-round-13 manifests — estimation
+    * degrades to the min/max uniform assumption, never an error. */
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
       dv: Option[String] = None,
       blooms: Map[String, Seq[Long]] = Map.empty,
-      nonNull: Map[String, Long] = Map.empty) {
+      nonNull: Map[String, Long] = Map.empty,
+      hists: Map[String, Seq[Long]] = Map.empty) {
     /** Stats prove every physical row satisfies `lo <= c <= hi`: range
       * inside the band AND zero nulls (count recorded and == rows). */
     def provablyAllIn(c: String, lo: Long, hi: Long): Boolean =
@@ -3441,7 +3496,9 @@ object TxTable {
       .map(c => s"bloom:$c:${encodeBloom(f.blooms(c))}\t").mkString
     val nnTok = f.nonNull.keys.toSeq.sorted
       .map(c => s"nn:$c:${f.nonNull(c)}\t").mkString
-    s"$tag\t${f.path}\t${f.rows}\t$dvTok$bloomTok$nnTok$stats"
+    val histTok = f.hists.keys.toSeq.sorted
+      .map(c => s"hist:$c:${f.hists(c).mkString(",")}\t").mkString
+    s"$tag\t${f.path}\t${f.rows}\t$dvTok$bloomTok$nnTok$histTok$stats"
   }
 
   private def parseFileLine(parts: Array[String]): FileEntry = {
@@ -3456,17 +3513,24 @@ object TxTable {
     }.toMap
     // nn:<col>:<count> — absent in pre-round-12 manifests; missing counts
     // parse to an empty map and the coverage gates degrade to rewrite
-    val (nnParts, statParts) = afterBloom.span(_.startsWith("nn:"))
+    val (nnParts, afterNn) = afterBloom.span(_.startsWith("nn:"))
     val nonNull = nnParts.map { tok =>
       val Array(_, c, n) = tok.split(":", 3)
       c -> n.toLong
+    }.toMap
+    // hist:<col>:<b0,…,b8> — absent pre-round-13; estimation falls back
+    // to the min/max uniform assumption
+    val (histParts, statParts) = afterNn.span(_.startsWith("hist:"))
+    val hists = histParts.map { tok =>
+      val Array(_, c, bs) = tok.split(":", 3)
+      c -> bs.split(",").map(_.toLong).toSeq
     }.toMap
     val stats = statParts.grouped(3).map {
       case Array(c, mn, mx) => (c, mn.toLong, mx.toLong)
     }.toSeq
     FileEntry(parts(1), parts(2).toLong,
       stats.map(s => s._1 -> s._2).toMap, stats.map(s => s._1 -> s._3).toMap,
-      dv, blooms, nonNull)
+      dv, blooms, nonNull, hists)
   }
 
   /** Parse a FULL (v1/checkpoint) manifest; rejects deltas. */

@@ -141,6 +141,72 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       "encoded token count must be below the raw symbol count")
   }
 
+  test("k=64 on sf0.01: exact vs the reference, O(1) driver jobs (dictionary path)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("text").as[String].collect().toSeq
+    val want = refBpe(corpus, 64)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val df = Analytics6.bpeTrain(spark,
+          Tables.documents(spark, "/root/testdata/sf0.01").select(col("text")), 64)
+        val rows = df.collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+        // listener delivery is async: wait until the count stops moving
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val cur = jobs.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        rows
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.size == 64 && got == want,
+      s"k=64 train must equal the sequential reference\ngot:  ${got.take(5)}…")
+    // the corpus-sized work is ONE word count; the 64-merge loop runs on
+    // the Zipf-bounded dictionary — k/4 = 16 driver jobs is generous
+    assert(jobs.get() <= 16, s"k=64 must train under 16 driver jobs, ran ${jobs.get()}")
+  }
+
+  test("distributed exact-batched rounds equal the reference (oversize-vocab path)") {
+    import spark.implicits._
+    // force the distributed tier (vocab budget 0) on both the chained
+    // micro-corpus and the real sf0.001 docs: batches must be provably
+    // sequential — ties, chained merges, stop rule included
+    val micro = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val gotMicro = Analytics6.bpeTrain(spark, micro.toDF("text"), 10,
+        localVocabBudget = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(gotMicro == refBpe(micro, 10), s"micro diverged:\n$gotMicro")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val got = Analytics6.bpeTrain(spark,
+        Tables.documents(spark, "/root/testdata/sf0.001").select(col("text")), 12,
+        localVocabBudget = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == refBpe(corpus, 12),
+      "exact-batched distributed rounds must equal the sequential reference")
+    // the overlap fixture (aaaa): greedy one-pass semantics inside a batch
+    val aa = Seq("aaaa aaaa aaaa")
+    val gotAa = Analytics6.bpeTrain(spark, aa.toDF("text"), 2,
+        localVocabBudget = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(gotAa == refBpe(aa, 2), s"aaaa fixture diverged: $gotAa")
+  }
+
   test("training stops when no pair repeats, instead of minting count-1 merges") {
     val corpus = Seq("ab cd ef") // every pair unique
     val got = trained(corpus, 5)

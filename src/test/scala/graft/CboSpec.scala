@@ -187,6 +187,76 @@ class CboSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("manifest equi-depth histograms expose skew: the range-filtered join flips SMJ to BHJ") {
+    import java.nio.file.{Files, Paths}
+    Tables.ensure(spark)
+    val tmp = Files.createTempDirectory("graft_cbo_hist").toString
+    // dim: 99% of rows carry ONE key in the middle of a wide domain —
+    // min/max+ndv say "uniform over [0, 980000]" (the skew lie), the
+    // manifest's 8-bucket equi-depth bounds say where the mass SITS
+    val dim = new graft.tables.TxTable(s"$tmp/dim", Seq("key"))
+    dim.append(spark, spark.range(0, 5000).toDF("id")
+      .select(when(col("id") < 50, col("id") * 20000L)
+          .otherwise(500000L).as("key"),
+        md5(col("id").cast("string")).as("pad")))
+    val fact = new graft.tables.TxTable(s"$tmp/fact", Seq("key"))
+    fact.append(spark, spark.range(0, 20000).toDF("fid")
+      .select(col("fid"), (col("fid") % 50L * 20000L).as("key")))
+    // LEGACY twin: byte-identical data, `hist:` tokens stripped from the
+    // manifest — exactly what a pre-histogram writer left behind; also
+    // pins that old manifests keep parsing and estimation degrades to
+    // the min/max uniform assumption instead of erroring
+    val legacy = s"$tmp/dim0"
+    def copyTree(src: String, dst: String): Unit = {
+      val s = Paths.get(src)
+      val walk = Files.walk(s)
+      try walk.forEach { p =>
+        val t = Paths.get(dst).resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+        ()
+      } finally walk.close()
+    }
+    copyTree(s"$tmp/dim", legacy)
+    val logDir = Paths.get(legacy, "_txlog")
+    val logs = Files.list(logDir).iterator()
+    while (logs.hasNext) {
+      val p = logs.next()
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      Files.write(p, txt.replaceAll("hist:[^\\t]*\\t", "").getBytes("UTF-8"))
+    }
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false", // the decision must be static
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "8192")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def plan(dimRoot: String): String = spark.sql(
+        s"""SELECT f.fid, d.pad FROM txtable.`${fact.root}` f
+           |JOIN txtable.`$dimRoot` d ON f.key = d.key
+           |WHERE d.key >= 900000""".stripMargin)
+        .queryExecution.executedPlan.toString
+      // uniform assumption: ~8% of 5000 rows ⇒ over the 8 KB threshold
+      val before = plan(legacy)
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"without histograms the skewed dim must plan SMJ:\n$before")
+      // histogram: the tail band holds ~2% of the mass ⇒ broadcastable
+      val after = plan(dim.root)
+      assert(after.contains("BroadcastHashJoin"),
+        s"manifest histograms did not flip the skewed range join to BHJ:\n$after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("ANALYZE TABLE txtable FOR COLUMNS lights up ndv estimates on a table created WITHOUT statCols") {
     Tables.ensure(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft_cbo_analyze").toString

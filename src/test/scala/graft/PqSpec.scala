@@ -90,6 +90,57 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       s"query-vector filter not pushed to the embeddings scan:\n$plan")
   }
 
+  test("incremental refresh: delta-only encode, stored lists never rewrite on monotone ids") {
+    import graft.tables.TxTable
+    import org.apache.spark.sql.functions._
+    // a private index copy (never the shared published root): base =
+    // all but the last 50 vectors, codebook trained on the full corpus
+    val all = graft.Tables.embeddings(spark, sf)
+    val splitId = all.agg(max(col("vec_id"))).head().getLong(0) - 49L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_refresh").toString
+    val dims = graft.queries.LlmExt.pqDimsForSpec(all)
+    val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
+      .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+    val encBase = graft.queries.LlmExt.pqSdistForSpec(
+        dims.filter(col("vec_id") < splitId), cb)
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("sub"), col("code"))
+    new TxTable(s"$tmp/codes", Seq("lb", "b_id"))
+      .append(spark, encBase.repartitionByRange(4, col("lb")))
+    new TxTable(s"$tmp/codebook", Seq("sub")).append(spark, cb.repartition(1))
+    val baseFiles = TxTable.open(s"$tmp/codes").snapshot().files.map(_.path).toSet
+    // MONOTONE ingest: the tail batch's ids sit above every stored
+    // file's b_id interval — the refresh must append without rewriting
+    // a single stored list file
+    val r = graft.queries.LlmExt.refreshPqIndex(spark, tmp,
+      all.filter(col("vec_id") >= splitId))
+    assert(r.rewrittenFiles == 0 && r.newFiles >= 1,
+      s"monotone-id refresh must be pure insert, got $r")
+    val afterFiles = TxTable.open(s"$tmp/codes").snapshot().files.map(_.path).toSet
+    assert(baseFiles.subsetOf(afterFiles), "stored list files must carry BY NAME")
+    // refreshed index codes == full-corpus one-shot encode, row for row
+    val oneShot = graft.queries.LlmExt.pqSdistForSpec(dims, cb)
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
+      .select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("sub"), col("code"))
+      .collect().map(_.toSeq).toSet
+    val refreshed = TxTable.open(s"$tmp/codes").read(spark)
+      .select(col("b_id"), col("lb"), col("sub"), col("code"))
+      .collect().map(_.toSeq).toSet
+    assert(refreshed == oneShot, "refresh path must converge to the one-shot encode")
+    // a RE-EMBEDDED vector (overlapping id) re-codes copy-on-write:
+    // only files whose b_id interval admits it rewrite
+    val r2 = graft.queries.LlmExt.refreshPqIndex(spark, tmp,
+      all.filter(col("vec_id") === 3L))
+    assert(r2.rewrittenFiles >= 1 && r2.keptFiles >= 1,
+      s"overlap refresh must rewrite only the admitting files, got $r2")
+    assert(TxTable.open(s"$tmp/codes").read(spark)
+      .filter(col("b_id") === 3L).count() == 8, "re-code must not duplicate")
+  }
+
   private def queries_run(): Seq[(Long, Long, Long, Int)] =
     graft.queries.LlmExt.q_ann_pq(spark, sf)
       .select(col("a_id"), col("b_id"), col("adc"), col("rn"))

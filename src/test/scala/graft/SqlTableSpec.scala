@@ -768,6 +768,78 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 75)
   }
 
+  test("views: persistence, view-over-view, TEMP shadowing, DROP") {
+    val t = freshTable(40, 4) // (k, v = k*10)
+    val v1 = s"${tmpRoot()}/v1"
+    val v2 = s"${tmpRoot()}/v2"
+    spark.sql(s"CREATE VIEW ${q(v1)} AS SELECT k, v FROM ${q(t.root)} WHERE k < 20")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(v1)}").head().getLong(0) == 20)
+    // view-over-view: composes and stays LATE-BOUND
+    spark.sql(s"CREATE VIEW ${q(v2)} AS SELECT k, v FROM ${q(v1)} WHERE k % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(v2)}").head().getLong(0) == 10)
+    // redefining the INNER view is visible through the outer one
+    spark.sql(s"CREATE OR REPLACE VIEW ${q(v1)} AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k < 10")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(v2)}").head().getLong(0) == 5,
+      "view expansion must be late-bound")
+    // the underlying table's DML is visible through the views
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 0 AND 3")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(v2)}").head().getLong(0) == 3)
+    // TEMP shadows the persisted definition while present
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW ${q(v1)} AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k >= 30")
+    assert(spark.sql(s"SELECT min(k) FROM ${q(v1)}").head().getLong(0) == 30)
+    spark.sql(s"DROP VIEW ${q(v1)}") // drops the temp layer first
+    assert(spark.sql(s"SELECT max(k) FROM ${q(v1)}").head().getLong(0) == 9,
+      "dropping the temp view must unshadow the persisted one")
+    spark.sql(s"DROP VIEW ${q(v1)}")
+    intercept[Exception] { spark.sql(s"SELECT * FROM ${q(v1)}").collect() }
+    spark.sql(s"DROP VIEW IF EXISTS ${q(v1)}") // no-op, no refusal
+    intercept[Exception] { spark.sql(s"DROP VIEW ${q(v1)}") }
+    // CREATE without OR REPLACE refuses over an existing definition
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW ${q(v2)} AS SELECT 1 AS x")
+    }
+    // a view must not shadow a real table
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW ${q(t.root)} AS SELECT 1 AS x")
+    }
+  }
+
+  test("materialized view: CDF-incremental refresh applies only the delta") {
+    val t = freshTable(40, 4)
+    val mv = s"${tmpRoot()}/mv"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} " +
+      s"TBLPROPERTIES('statCols'='k') AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k < 30")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(mv)}").head().getLong(0) == 30)
+    // idle refresh: recognized no-op
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head().getString(0) == "noop")
+    // source mutations: an insert inside the view band, one outside it,
+    // and a delete — the refresh must net exactly the in-band changes
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(100 AS BIGINT), CAST(1 AS BIGINT))," +
+      " (CAST(25 AS BIGINT), CAST(-1 AS BIGINT))")
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k BETWEEN 0 AND 4")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"got $r")
+    val got = spark.sql(s"SELECT k FROM ${q(mv)} ORDER BY k").collect().map(_.getLong(0))
+    assert(got.toSeq == ((5L until 30L) :+ 25L).sorted,
+      s"delta fold wrong: ${got.mkString(",")}")
+    // the fold is the exactly-once CDC apply: audit trail says so
+    val ops = graft.tables.TxTable.open(mv).history().map(_.operation)
+    assert(ops.contains("CDC apply"), s"ops: $ops")
+    // an aggregate definition falls back to FULL recompute, loudly
+    val mv2 = s"${tmpRoot()}/mv2"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} " +
+      s"TBLPROPERTIES('statCols'='n') AS " +
+      s"SELECT count(*) AS n FROM ${q(t.root)}")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES (CAST(101 AS BIGINT), CAST(1 AS BIGINT))")
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r2.getString(0) == "full", s"aggregates must take the full path: $r2")
+    // 40 base + 2 inserts − 5 deletes + 1 insert = 38 source rows
+    assert(spark.sql(s"SELECT n FROM ${q(mv2)}").head().getLong(0) == 38)
+  }
+
   test("converted tables read mixed partitioned + flat layouts after a rewrite") {
     // round-12 ADVICE (high): a rewrite on a CONVERTed table lands FLAT
     // files in data/ while kept files stay under k=v partition dirs —

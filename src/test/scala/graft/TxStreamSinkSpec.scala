@@ -291,6 +291,55 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.snapshot().txns == Map("up_q" -> 1L))
   }
 
+  test("group-atomic streaming upsert: a crash between member merges never tears a group read") {
+    import org.apache.spark.sql.DataFrame
+    val g = new graft.tables.TxGroup(
+      Files.createTempDirectory("graft_gmerge").toString)
+    val members = Seq[(String, String, DataFrame => DataFrame)](
+      ("fact", "user_id", b => b),
+      ("idx", "user_id",
+        (b: DataFrame) => b.select(col("user_id"), (col("v") % 10).as("bucket"))))
+    def deliver(batch: DataFrame, id: Long): Unit =
+      StreamOps.txGroupMergeBatch(g, members, "q")(batch, id)
+    // the whole-cut invariant: at EVERY group version, fact and idx
+    // carry the same key set — the thing per-table exactly-once alone
+    // cannot give
+    def cutConsistent(v: Int): Unit = {
+      val f = g.read(spark, "fact", Seq("user_id"), Some(v))
+        .select(col("user_id")).collect().map(_.getLong(0)).toSet
+      val ix = g.read(spark, "idx", Seq("user_id"), Some(v))
+        .select(col("user_id")).collect().map(_.getLong(0)).toSet
+      assert(f == ix, s"torn cut at group version $v: fact=$f idx=$ix")
+    }
+    deliver(rows(0, 10), 0L) // batch 0 bootstraps both members
+    assert(g.currentVersion == 1)
+    cutConsistent(1)
+    // CRASH WINDOW: batch 1 lands on the fact member ONLY — the partial
+    // write a crash between member merges leaves behind
+    val b1 = rows(5, 15).withColumn("v", col("user_id") * 1000L)
+    g.table("fact", Seq("user_id")).mergeBatch(spark, b1, "q/fact", 1L, "user_id")
+    assert(g.currentVersion == 1, "no group publish: the cut must not move")
+    cutConsistent(1) // group readers still see the whole OLD cut
+    // redelivery: fact recognizes its watermark and skips, idx applies,
+    // ONE group publish makes the batch visible on both members together
+    deliver(b1, 1L)
+    assert(g.currentVersion == 2)
+    cutConsistent(2)
+    val factV5 = g.read(spark, "fact", Seq("user_id"), Some(2))
+      .filter(col("user_id") === 5L).head().getAs[Long]("v")
+    assert(factV5 == 5000L, "overlapping keys must converge to the latest batch")
+    // full redelivery AFTER publish: recognized everywhere, nothing moves
+    val before = (g.currentVersion,
+      g.table("fact", Seq("user_id")).currentVersion,
+      g.table("idx", Seq("user_id")).currentVersion)
+    deliver(b1, 1L)
+    val after = (g.currentVersion,
+      g.table("fact", Seq("user_id")).currentVersion,
+      g.table("idx", Seq("user_id")).currentVersion)
+    assert(before == after, s"replayed batch must be a no-op: $before -> $after")
+    (1 to g.currentVersion).foreach(cutConsistent)
+  }
+
   test("format(\"txtable\") with option(\"mergeKey\") streams an upsert end to end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
