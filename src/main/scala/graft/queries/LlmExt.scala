@@ -177,6 +177,46 @@ object LlmExt {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** IVF with nprobe = 2 — the FAISS recall knob single-probe
+    * [[q_ann_ivf]] lacks: a query whose true neighbors straddle a cell
+    * boundary misses them when only its own cell is scanned, so the
+    * serve ranks ALL cells by exact query→centroid distance (integer
+    * squared-L2 over the micro-quantized dims — the per-cell centroid is
+    * [[q_vec_centroid]]'s floored mean) and scans the TWO nearest.
+    * Catalyst shape: centroids are |cells|×dims tiny (broadcast), the
+    * probe set is queries×2 rows (broadcast with the query vectors), and
+    * the candidate join stays EQUI on the cell key — at 100 TB the
+    * corpus stays partitioned by cell and nprobe multiplies per-query
+    * candidates, never the shuffle pattern. Exact-integer arithmetic end
+    * to end, so DuckDB reproduces the probe RANKING bit-for-bit. */
+  def q_ann_ivf_nprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(lit(1000000.0) * col("v").cast("double")).as("q"))
+    val cent = dims.groupBy(col("label").as("cl"), col("pos"))
+      .agg(floor(sum(col("q")) / count(lit(1))).as("c"))
+    val cellDist = dims.filter(col("vec_id") < 10)
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id").as("a_id"), col("cl"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("cd"))
+    val wp = Window.partitionBy(col("a_id")).orderBy(col("cd"), col("cl"))
+    val probes = cellDist.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 2).select(col("a_id"), col("cl"))
+    val a = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"),
+      col("embedding").as("vb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim_bp").desc, col("b_id"))
+    broadcast(a.join(probes, "a_id")).join(b,
+        col("cl") === col("lb") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), floor(lit(10000.0) * dotExpr).as("sim_bp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** Per-cell centroid accumulation — the k-means/IVF TRAINING step that
     * produces the coarse quantizer [[q_ann_ivf]] probes: per (label, dim),
     * the exact sum of micro-quantized components and the member count
@@ -986,6 +1026,7 @@ object LlmExt {
     "q_ngram_jaccard" -> q_ngram_jaccard _,
     "q_embed_neardup" -> q_embed_neardup _,
     "q_ann_ivf" -> q_ann_ivf _,
+    "q_ann_ivf_nprobe" -> q_ann_ivf_nprobe _,
     "q_ann_pq" -> q_ann_pq _,
     "q_ann_ivfpq" -> q_ann_ivfpq _,
     "q_ann_ivfpq_indexed" -> q_ann_ivfpq_indexed _,
@@ -1166,6 +1207,39 @@ object LlmExt {
         |         t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
         |  FROM embeddings a JOIN embeddings b
         |    ON a.vec_id < 10 AND a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT a_id, b_id, sim_bp, rn FROM (
+        |  SELECT a_id, b_id, sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn
+        |  FROM d)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_ann_ivf_nprobe" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, ord AS pos,
+        |    CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+        |cent AS (
+        |  SELECT label AS cl, pos, CAST(floor(sum(q) / count(*)) AS BIGINT) AS c
+        |  FROM dims GROUP BY label, pos),
+        |cd AS (
+        |  SELECT d.vec_id AS a_id, cent.cl,
+        |    sum((d.q - cent.c) * (d.q - cent.c)) AS cd
+        |  FROM dims d JOIN cent ON d.pos = cent.pos
+        |  WHERE d.vec_id < 10 GROUP BY d.vec_id, cent.cl),
+        |probes AS (
+        |  SELECT a_id, cl FROM (
+        |    SELECT a_id, cl,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY cd, cl) AS pr
+        |    FROM cd)
+        |  WHERE pr <= 2),
+        |d AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(floor(10000.0 * list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |         t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))) AS BIGINT) AS sim_bp
+        |  FROM embeddings a
+        |  JOIN probes p ON p.a_id = a.vec_id
+        |  JOIN embeddings b ON b.label = p.cl AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
         |SELECT a_id, b_id, sim_bp, rn FROM (
         |  SELECT a_id, b_id, sim_bp,
         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim_bp DESC, b_id) AS INT) AS rn

@@ -416,6 +416,25 @@ object SqlTableOps {
     }
   }
 
+  /** SUBQUERY-PREDICATE UPDATE — the update face of
+    * [[q_sql_table_delete_subq]]: `UPDATE … SET value = value * 2 WHERE
+    * user_id IN (SELECT …)`, the "flag/backfill exactly these keys"
+    * shape. Same per-key candidate probe, one conditional projection
+    * with pre-update-row SET semantics
+    * ([[graft.tables.TxTable#updateWhereIn]]). */
+  def q_sql_table_update_subq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_subqupd_events")
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_upd_subq") { root =>
+      spark.sql(
+        s"""UPDATE ${q(root)} SET value = value * 2 WHERE user_id IN
+           |  (SELECT user_id FROM graft_subqupd_events
+           |   WHERE value > 0.5 AND user_id BETWEEN 2 AND 6)""".stripMargin)
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** SQL UPDATE with an ARBITRARY predicate (round-10 verdict missing
     * #1, update half): candidates selected by the banded conjunct,
     * matching ROWS rewritten under a conditional projection with ANSI
@@ -711,6 +730,7 @@ object SqlTableOps {
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
     "q_sql_table_delete_subq" -> q_sql_table_delete_subq _,
+    "q_sql_table_update_subq" -> q_sql_table_update_subq _,
     "q_sql_table_update_pred" -> q_sql_table_update_pred _,
     "q_sql_table_detail" -> q_sql_table_detail _,
     "q_source_txtable" -> q_source_txtable _,
@@ -900,6 +920,16 @@ object SqlTableOps {
         |FROM events WHERE user_id NOT IN
         |  (SELECT user_id FROM events
         |   WHERE "value" > 0.5 AND user_id BETWEEN 2 AND 6)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_update_subq" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id IN
+        |      (SELECT user_id FROM events
+        |       WHERE "value" > 0.5 AND user_id BETWEEN 2 AND 6)
+        |    THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_update_pred" ->
       """SELECT event_type, count(*) AS n,

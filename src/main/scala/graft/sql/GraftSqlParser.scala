@@ -110,6 +110,13 @@ object GraftSqlParser {
   private val OnEq =
     "(?s)^\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*=\\s*(?:(\\w+)\\s*\\.\\s*)?(\\w+)\\s*$".r
 
+  // `UPDATE t SET … WHERE c [NOT] IN (SELECT …)` — the update face of
+  // the subquery-predicate DML; matched before the band/general forms
+  private val UpdateInSubqRe = (
+    "(?is)^\\s*UPDATE\\s+" + Target +
+    "\\s+SET\\s+(.+?)" +
+    "\\s+WHERE\\s+(\\w+)\\s+(NOT\\s+)?IN\\s*\\(\\s*(SELECT\\b.+)\\)\\s*;?\\s*$").r
+
   private val UpdateRe = (
     "(?is)^\\s*UPDATE\\s+" + Target +
     "\\s+SET\\s+(.+?)" +
@@ -273,6 +280,14 @@ object GraftSqlParser {
           "WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
           "INSERT (cols) VALUES (exprs), and/or " +
           "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET … | DELETE")))
+    case UpdateInSubqRe(root, sets, column, not, sub) =>
+      val assignments = splitTopLevel(sets).map {
+        case Assign(name, rhs) => (name, rhs)
+        case other => throw new IllegalArgumentException(
+          s"bad UPDATE assignment: $other")
+      }
+      Some(TxUpdateSubqCommand(root, assignments, column, sub.trim,
+        negated = not != null))
     case UpdateRe(root, sets, c, lo, hi) =>
       val assignments = splitTopLevel(sets).map {
         case Assign(name, rhs) => (name, rhs)
@@ -666,6 +681,28 @@ case class TxDeleteSubqCommand(root: String, column: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val keys = spark.sql(subquerySql)
     val r = TxTable.open(root).deleteWhereIn(spark, column, keys, negated)
+    Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
+      r.newFiles))
+  }
+}
+
+/** `UPDATE txtable.\`root\` SET … WHERE c [NOT] IN (SELECT …)` — the
+  * update face of subquery-predicate DML ([[TxTable#updateWhereIn]]):
+  * subquery materialized once, per-key manifest interval probe for
+  * candidates, one conditional projection with ANSI pre-update-row SET
+  * semantics, ANSI NULL rules (`NOT IN` with a NULL key updates
+  * nothing; NULL-column rows carry unchanged). */
+case class TxUpdateSubqCommand(root: String, sets: Seq[(String, String)],
+    column: String, subquerySql: String, negated: Boolean)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("dropped_files", IntegerType),
+    attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
+    attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = spark.sql(subquerySql)
+    val r = TxTable.open(root).updateWhereIn(spark, column, keys, sets, negated)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
       r.newFiles))
   }

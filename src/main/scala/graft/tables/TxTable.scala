@@ -1560,20 +1560,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       val keyHasStats = statCols.contains(p) && !negate
       val (candidates, kept) =
         if (!keyHasStats) (base.files, Seq.empty[FileEntry])
-        else {
-          val (statless, statful) = base.files.partition(f => f.mins.get(p).isEmpty)
-          val hitPaths: Set[String] = {
-            import spark.implicits._
-            val intervals = statful.map(f => (f.path, f.mins(p), f.maxs(p)))
-              .toDF("__path", "__mn", "__mx")
-            k.select(col("__k").cast("long").as("__kl"))
-              .join(broadcast(intervals),
-                col("__kl") >= col("__mn") && col("__kl") <= col("__mx"))
-              .select("__path").distinct().as[String].collect().toSet ++
-              statless.map(_.path)
-          }
-          base.files.partition(f => hitPaths.contains(f.path))
-        }
+        else inListCandidates(spark, base, p, k)
       val entries =
         if (candidates.isEmpty) Nil
         else {
@@ -1610,6 +1597,96 @@ final class TxTable(val root: String, val statCols: Seq[String],
             f.maxs.get(p).forall(_ >= mn), s"overlap $p in [$mn, $mx]"))
         }
       val version = commitCowGuarded(base, candidates, entries, "delete", guard)
+      DeleteResult(version, droppedFiles = 0,
+        rewrittenFiles = candidates.size, keptFiles = kept.size,
+        newFiles = entries.size)
+    } finally { k.unpersist(blocking = false); () }
+  }
+
+  /** Candidate files for a key-FRAME membership probe: each distinct key
+    * joined against the broadcast manifest intervals (merge's
+    * discipline — per-key, never one global envelope), statless files
+    * unconditional candidates. Returns (candidates, kept-by-name). */
+  private def inListCandidates(spark: SparkSession, base: Snapshot,
+      p: String, k: DataFrame): (Seq[FileEntry], Seq[FileEntry]) = {
+    val (statless, statful) = base.files.partition(f => f.mins.get(p).isEmpty)
+    val hitPaths: Set[String] = {
+      import spark.implicits._
+      val intervals = statful.map(f => (f.path, f.mins(p), f.maxs(p)))
+        .toDF("__path", "__mn", "__mx")
+      k.select(col("__k").cast("long").as("__kl"))
+        .join(broadcast(intervals),
+          col("__kl") >= col("__mn") && col("__kl") <= col("__mx"))
+        .select("__path").distinct().as[String].collect().toSet ++
+        statless.map(_.path)
+    }
+    base.files.partition(f => hitPaths.contains(f.path))
+  }
+
+  /** Copy-on-write UPDATE of rows whose `column` appears (IN) — or,
+    * `negate`, does NOT appear (NOT IN) — in a KEY FRAME: the execution
+    * of `UPDATE t SET … WHERE c [NOT] IN (SELECT …)`, the "flag these
+    * users" erasure/backfill shape. Candidates, ANSI NULL semantics and
+    * the commit guard are [[deleteWhereIn]]'s; matched rows pass through
+    * ONE conditional projection (`WHEN member THEN rhs ELSE old`, every
+    * rhs reading the PRE-update row — ANSI SET), unmatched and
+    * NULL-`column` rows carry byte-identical, and `NOT IN` with a NULL
+    * key updates nothing (never TRUE). Membership is a left join against
+    * the DISTINCT key frame (no forced broadcast — AQE size-gates). */
+  def updateWhereIn(spark: SparkSession, column: String, keys: DataFrame,
+      sets: Seq[(String, String)], negate: Boolean = false): DeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "update of an empty table?")
+    val p = phys(base, column)
+    require(keys.schema.length == 1,
+      s"IN-subquery must project exactly one column, got ${keys.schema.length}")
+    val names = sets.map(_._1)
+    require(names.distinct.length == names.length,
+      s"UPDATE SET assigns ${names.diff(names.distinct).distinct.mkString(", ")} more than once")
+    val k = keys.toDF("__k").distinct().persist()
+    try {
+      val head = k.agg(count(lit(1)),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)),
+        min(col("__k").cast("long")), max(col("__k").cast("long"))).head()
+      val nKeys = head.getLong(0)
+      val nNullKeys = if (nKeys == 0) 0L else head.getLong(1)
+      if (!negate && nKeys == 0L)
+        return DeleteResult(base.version, 0, 0, base.files.size, 0)
+      if (negate && nNullKeys > 0L)
+        return DeleteResult(base.version, 0, 0, base.files.size, 0)
+      val keyHasStats = statCols.contains(p) && !negate
+      val (candidates, kept) =
+        if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+        else inListCandidates(spark, base, p, k)
+      val entries =
+        if (candidates.isEmpty) Nil
+        else {
+          val cand = readFiles(spark, candidates, base.colMap, base.meta)
+          names.foreach(n => require(cand.columns.contains(n),
+            s"UPDATE SET names unknown column $n (have ${cand.columns.mkString(", ")})"))
+          val joined = cand.join(k, cand(column) === k("__k"), "left")
+          val member =
+            if (!negate) col("__k").isNotNull
+            else cand(column).isNotNull && col("__k").isNull
+          val setMap = sets.toMap
+          val updated = joined.select(cand.columns.toSeq.map { c =>
+            setMap.get(c)
+              .map(rhs => when(member, expr(rhs)).otherwise(cand(c)).as(c))
+              .getOrElse(cand(c))
+          }: _*)
+          writeDataFiles(spark, updated)
+        }
+      val guard: Option[(FileEntry => Boolean, String)] =
+        if (negate || !keyHasStats || head.isNullAt(2))
+          Some(((_: FileEntry) => true,
+            s"was added concurrently ($column membership is unprovable " +
+              "for the new file)"))
+        else {
+          val (mn, mx) = (head.getLong(2), head.getLong(3))
+          Some(((f: FileEntry) => f.mins.get(p).forall(_ <= mx) &&
+            f.maxs.get(p).forall(_ >= mn), s"overlap $p in [$mn, $mx]"))
+        }
+      val version = commitCowGuarded(base, candidates, entries, "update", guard)
       DeleteResult(version, droppedFiles = 0,
         rewrittenFiles = candidates.size, keptFiles = kept.size,
         newFiles = entries.size)
@@ -1962,23 +2039,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
     require(base.version > 0, "cluster an empty table?")
     // The 16-bit interleave is only meaningful on [0, 2^16): a negative
     // or wider value contributes just its low 16 bits (sign bits
-    // included), producing a useless Morton order — content would stay
-    // correct but the advertised readWhere pruning would silently
-    // vanish. The manifest stats already hold every file's min/max, so
-    // enforce the domain loudly here instead of degrading.
-    for (c <- physCols) {
-      val mns = base.files.flatMap(_.mins.get(c))
-      val mxs = base.files.flatMap(_.maxs.get(c))
-      require(mns.size == base.files.size,
-        s"some files carry no stats for $c; run evolveStats(Seq($c)) first")
-      val mn = mns.min; val mx = mxs.max
-      require(mn >= 0L && mx < 65536L,
-        s"z-order column $c has range [$mn, $mx] outside [0, 65536); " +
-          "quantile-bucket it to 16 bits before clustering")
-    }
+    // included), producing a useless Morton order. Columns OUTSIDE the
+    // domain are QUANTIZED to 16 bits from the manifest's own [min,max]
+    // (round-13: the refusal became a degrade-free rescale) — the
+    // mapping is monotone, so file [min,max] tightness in quantized
+    // space IS tightness in raw space and readWhere pruning on the raw
+    // values survives; content is untouched (the z value is dropped
+    // after layout). Uniform rescale, not quantile: a heavily skewed
+    // column wastes some bucket codes (documented; locality degrades
+    // toward the skew mass, never correctness).
+    val quant: Map[String, org.apache.spark.sql.Column] = cols.zip(physCols).map {
+      case (c, p) =>
+        val mns = base.files.flatMap(_.mins.get(p))
+        val mxs = base.files.flatMap(_.maxs.get(p))
+        require(mns.size == base.files.size,
+          s"some files carry no stats for $p; run evolveStats(Seq($p)) first")
+        val mn = mns.min; val mx = mxs.max
+        val q =
+          if (mn >= 0L && mx < 65536L) col(c)
+          else floor((col(c) - lit(mn)).cast("double") *
+            (65535.0 / math.max(1L, mx - mn))).cast("long")
+        c -> q
+    }.toMap
     val n = cols.size
     val z = (for { k <- 0 until 16; (c, i) <- cols.zipWithIndex } yield
-      shiftleft(shiftright(col(c), k).bitwiseAND(lit(1L)), n * k + i)).reduce(_ + _)
+      shiftleft(shiftright(quant(c), k).bitwiseAND(lit(1L)), n * k + i)).reduce(_ + _)
     val clustered = read(spark)
       .withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

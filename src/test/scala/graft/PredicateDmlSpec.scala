@@ -216,6 +216,44 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
       s"NOT IN must keep NULLs and matches only, got $left")
   }
 
+  test("randomized subquery updates (updateWhereIn) equal the projection model") {
+    val rnd = new scala.util.Random(31337L)
+    for (trial <- 1 to 5) {
+      val (t, rows) = fresh(rnd)
+      val ks = Seq.fill(5 + rnd.nextInt(20))(rnd.nextInt(120).toLong).distinct
+      val withNull = rnd.nextBoolean()
+      val keyDf =
+        if (!withNull) ks.toDF("u")
+        else ks.toDF("u").unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS u"))
+      val negate = rnd.nextBoolean()
+      t.updateWhereIn(spark, "k", keyDf, Seq("v" -> "v + 1000", "s" -> "0 - s"), negate)
+      def hit(k: Long): Boolean =
+        if (!negate) ks.contains(k)
+        else if (withNull) false // NOT IN with a NULL key is never TRUE
+        else !ks.contains(k)
+      val want = rows.map { case (k, v, s) =>
+        if (hit(k)) (k, v + 1000, -s) else (k, v, s)
+      }.toSet
+      assert(content(t) == want,
+        s"trial $trial negate=$negate withNull=$withNull keys=$ks")
+    }
+  }
+
+  test("SQL UPDATE ... WHERE k IN (SELECT ...) routes through the subquery path") {
+    val (t, rows) = fresh(new scala.util.Random(21L))
+    spark.sql(s"UPDATE txtable.`${t.root}` SET v = v + 1 " +
+      "WHERE k IN (SELECT id * 10 FROM range(5))")
+    val want = rows.map { case (k, v, s) =>
+      if (k % 10 == 0 && k < 50) (k, v + 1, s) else (k, v, s)
+    }.toSet
+    assert(content(t) == want)
+    // per-key candidate pruning holds on the update face too
+    val (t2, _) = fresh(new scala.util.Random(22L))
+    val r2 = t2.updateWhereIn(spark, "k", Seq(3L, 7L).toDF("u"), Seq("v" -> "0"))
+    assert(r2.rewrittenFiles == 1 && r2.keptFiles == 3,
+      s"update-IN must prune disjoint files, got $r2")
+  }
+
   test("SQL DELETE ... WHERE k IN (SELECT ...) routes through the subquery path") {
     val (t, rows) = fresh(new scala.util.Random(11L))
     spark.sql(

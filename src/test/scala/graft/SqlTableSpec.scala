@@ -806,6 +806,21 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a view's WHERE reaches the underlying scan's manifest prune") {
+    // expansion is pure text, so the view's predicate must flow into the
+    // catalog scan like any inline filter — at 100 TB a view over a
+    // banded table prunes files, it never re-scans the world
+    val t = freshTable(80, 16) // 16 range files over k 0..79
+    val v = s"${tmpRoot()}/vp"
+    spark.sql(s"CREATE VIEW ${q(v)} AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k BETWEEN 10 AND 14")
+    val n = spark.sql(s"SELECT count(*) FROM ${q(v)} WHERE k <> 12").head().getLong(0)
+    assert(n == 4)
+    val (kept, total) = graft.sources.TxBatchSource.pruneOf(t.root).get
+    assert(total == 16 && kept <= 3,
+      s"the view's band must prune the manifest, scanned $kept/$total files")
+  }
+
   test("materialized view: CDF-incremental refresh applies only the delta") {
     val t = freshTable(40, 4)
     val mv = s"${tmpRoot()}/mv"

@@ -196,6 +196,33 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark, versionAsOf = Some(1)).count() == 1024)
   }
 
+  test("z-order quantizes wide-domain columns from manifest stats instead of refusing") {
+    import spark.implicits._
+    val t = new TxTable(Files.createTempDirectory("graft_zwide").toString,
+      Seq("a", "b"))
+    // a: millions-wide domain (outside [0, 2^16)); b: in-domain, spread
+    // across the 16-bit space (a column squeezed into a tiny corner of
+    // the domain has constant high interleave bits — nothing to split)
+    t.append(spark, spark.range(0, 4000).toDF("id")
+      .select((col("id") * 1000000L).as("a"),
+        (col("id") % 500L * 131L).as("b"),
+        col("id").as("payload"))
+      .repartitionByRange(8, col("a")))
+    val before = t.read(spark).collect().map(_.toSeq).toSet
+    val r = t.clusterZorder(spark, "a", "b", files = 8)
+    assert(r.newFiles == 8)
+    assert(t.read(spark).collect().map(_.toSeq).toSet == before,
+      "z-order must preserve content bit-exactly")
+    // the monotone rescale keeps BOTH dimensions' file stats tight: a
+    // band probe on the RAW wide column prunes files post-cluster
+    val pr = t.readWhere(spark, "a", 1000000000L, 1200000000L)
+    assert(pr.filesScanned < pr.filesTotal,
+      s"wide-column prune must survive quantization: $pr")
+    val prB = t.readWhere(spark, "b", 1000, 4000)
+    assert(prB.filesScanned < prB.filesTotal,
+      s"in-domain column must prune too: $prB")
+  }
+
   test("schema evolution: new columns appear without rewriting history; merge crosses schemas") {
     val t = freshTable()
     t.append(spark, rows(0, 10).coalesce(1)) // old schema: (user_id, v)
