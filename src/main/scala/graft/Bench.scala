@@ -125,9 +125,13 @@ object Bench {
     // same per-row scale; no testdata is read.
     warm("ngramPlan") {
       import org.apache.spark.sql.functions._
-      val docs = spark.range(200).toDF("doc_id")
+      // 220 words/doc ≈ the real corpus's gram-array scale: the merge
+      // pass's inner loops tier-compile only at realistic array sizes
+      // (round-13: the 60-word warm-up left q_ngram_jaccard reading
+      // 5 s first-run vs 2.2 s steady — same plan, HotSpot ramp)
+      val docs = spark.range(300).toDF("doc_id")
         .withColumn("text", concat_ws(" ",
-          (0 until 60).map(i =>
+          (0 until 220).map(i =>
             concat(lit(s"wrd$i"), col("doc_id") % (i + 2))): _*))
       val sets = docs.select(col("doc_id"),
         expr("char_ngram_hashes(text, 3)").as("ws"))

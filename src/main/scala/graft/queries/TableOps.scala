@@ -238,6 +238,55 @@ object TableOps {
     }
   }
 
+  /** MERGE-ON-READ upsert ([[graft.tables.TxTable#mergePositional]]):
+    * q_table_merge's exact scenario through the DV-based write path —
+    * matched rows tombstone by position, the whole source appends,
+    * ZERO candidate files rewritten (asserted in-gate: the physical
+    * claim IS the operator). Earns q_table_merge's oracle verbatim —
+    * same answer, different write amplification; at 100 TB this is the
+    * steady-state CDC-upsert shape with compaction folding vectors in
+    * on schedule. */
+  def q_table_merge_mor(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val published = mergeBaseRoot(spark, dir)
+    mutatedAggregate(spark, published, "graft_q_table_merge_mor") { root =>
+      val t = new TxTable(root, Seq("o_orderkey"))
+      val updates = base.filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"))
+      val inserts = spark.range(10)
+        .select((-col("id") - 1).as("o_orderkey"),
+          lit("9-INSERTED").as("o_orderpriority"))
+      val r = t.mergePositional(spark, updates.unionByName(inserts), "o_orderkey")
+      require(r.rewrittenFiles == 0,
+        s"merge-on-read must rewrite no candidate file: $r")
+      t.read(spark)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderpriority"))
+    }
+  }
+
+  /** MERGE-ON-READ UPDATE ([[graft.tables.TxTable#updatePositionalWhere]]):
+    * the band-doubling restatement through DV tombstones + appended
+    * updated images — a k-row update costs O(k) positions and O(k) new
+    * rows, never a candidate-file rewrite. Earns q_table_replace's
+    * oracle (the same restated band). */
+  def q_table_update_mor(spark: SparkSession, dir: String): DataFrame = {
+    val published = eventsTableRoot(spark, dir)
+    mutatedAggregate(spark, published, "graft_q_table_update_mor") { root =>
+      val t = new TxTable(root, Seq("user_id"))
+      t.updatePositionalWhere(spark, "user_id BETWEEN 3 AND 7",
+        Seq("value" -> "value * 2"))
+      t.read(spark)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   def q_table_merge(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
@@ -879,6 +928,8 @@ object TableOps {
     "q_table_replica" -> q_table_replica _,
     "q_table_replica_stream" -> q_table_replica_stream _,
     "q_table_merge" -> q_table_merge _,
+    "q_table_merge_mor" -> q_table_merge_mor _,
+    "q_table_update_mor" -> q_table_update_mor _,
     "q_table_delete" -> q_table_delete _,
     "q_table_changes" -> q_table_changes _,
     "q_table_timetravel" -> q_table_timetravel _,
@@ -892,7 +943,13 @@ object TableOps {
     "q_source_log" -> q_source_log _,
   )
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = oracleBase ++ Map(
+    // the merge-on-read twins compute the SAME answers — they earn the
+    // copy-on-write gates' oracles verbatim
+    "q_table_merge_mor" -> oracleBase("q_table_merge"),
+    "q_table_update_mor" -> oracleBase("q_table_replace"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q_table_history" ->
       """SELECT CAST(v AS BIGINT) AS version, op AS operation, m AS meta_only
         |FROM (VALUES (2, 'delete', false),

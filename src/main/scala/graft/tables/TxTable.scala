@@ -1920,6 +1920,154 @@ final class TxTable(val root: String, val statCols: Seq[String],
       dvFiles = straddling.size, keptFiles = kept.size)
   }
 
+  /** MERGE-ON-READ UPDATE (Delta's DV-based UPDATE): rows matching the
+    * predicate are TOMBSTONED by position in a deletion vector and their
+    * UPDATED IMAGES appended as new files — ONE commit, zero candidate
+    * files rewritten. Copy-on-write [[updateWhere]] re-copies every
+    * touched file's untouched rows; here a k-row update costs one
+    * victim scan + O(k) positions + O(k) new rows — the GDPR/backfill
+    * shape at 100 TB when the matched set is small and scattered. The
+    * read side needs nothing new: the DV anti-join hides the old
+    * images, the appended file carries the new ones. Already-DV'd rows
+    * are excluded from image generation (re-updating a deleted row
+    * would resurrect it as a fresh image); existing vectors union
+    * forward. SET semantics, NULL-predicate survival, and the banded
+    * candidate prune are [[updateWhere]]'s; compaction or
+    * [[materializeDeletes]] later folds the debt flat. */
+  def updatePositionalWhere(spark: SparkSession, predicateSql: String,
+      sets: Seq[(String, String)]): PositionalDeleteResult = {
+    val base = snapshot()
+    require(base.version > 0, "update of an empty table?")
+    val names = sets.map(_._1)
+    require(names.distinct.length == names.length,
+      s"UPDATE SET assigns ${names.diff(names.distinct).distinct.mkString(", ")} more than once")
+    val (bands, _) = predicateBands(spark, predicateSql, base)
+    val (touched, kept) = base.files.partition(bandsIntersect(bands))
+    val entries =
+      if (touched.isEmpty) Nil
+      else {
+        val raw = readWithPositions(spark, touched, base)
+        names.foreach(n => require(raw.columns.contains(n),
+          s"UPDATE SET names unknown column $n"))
+        val matching = raw.filter(coalesce(expr(predicateSql), lit(false)))
+        val oldDvs = touched.flatMap(_.dv).distinct
+        // rows already tombstoned must not re-image
+        val alive =
+          if (oldDvs.isEmpty) matching
+          else {
+            val dvs = spark.read.parquet(
+              oldDvs.map(d => dataDir.resolve(d).toString): _*)
+            matching.join(dvs,
+              matching("__file") === dvs("file") && matching("__pos") === dvs("pos"),
+              "left_anti")
+          }
+        val alivePersisted = alive.persist()
+        try {
+          val victims = alivePersisted
+            .select(col("__file").as("file"), col("__pos").as("pos"))
+          val allVictims =
+            if (oldDvs.isEmpty) victims
+            else victims.unionByName(spark.read.parquet(
+              oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
+          val dvName = s"dv-${UUID.randomUUID()}.parquet"
+          val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
+          allVictims.coalesce(1).write.parquet(stage.toString)
+          val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("dv write produced no file"))
+          Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stage.toFile)
+          // updated IMAGES of the tombstoned rows — one projection, every
+          // rhs reading the PRE-update row (ANSI SET)
+          val setMap = sets.toMap
+          val dataCols = raw.columns.toSeq.filterNot(c => c == "__file" || c == "__pos")
+          val images = alivePersisted.select(dataCols.map { c =>
+            setMap.get(c).map(rhs => expr(rhs).as(c)).getOrElse(col(c))
+          }: _*)
+          val imageEntries = writeDataFiles(spark, images)
+          touched.map(_.copy(dv = Some(dvName))) ++ imageEntries
+        } finally { alivePersisted.unpersist(blocking = false); () }
+      }
+    val version = commitCowGuarded(base, touched, entries, "update",
+      Some((bandsIntersect(bands) _,
+        s"may hold rows matching `$predicateSql`")))
+    PositionalDeleteResult(version, droppedFiles = 0,
+      dvFiles = touched.size, keptFiles = kept.size)
+  }
+
+  /** MERGE-ON-READ upsert (DV-based MERGE — the Delta deletion-vector
+    * merge / Iceberg MoR write path): matched target rows are
+    * TOMBSTONED by position, the ENTIRE source appends as new files
+    * (matched keys' replacement images and fresh inserts alike), ONE
+    * commit. Candidate selection (per-key broadcast interval probe),
+    * semantics (NULL-key sources insert, duplicate source keys land
+    * verbatim) and the conflict guard are [[merge]]'s EXACTLY — same
+    * answer, different physical shape: copy-on-write rewrites every
+    * candidate file, merge-on-read costs a candidate victim scan plus
+    * O(|source|) appended rows. The steady-state CDC-upsert shape at
+    * 100 TB, with compaction folding the vectors in on schedule. */
+  def mergePositional(spark: SparkSession, source: DataFrame,
+      key: String): MergeResult = {
+    val base = snapshot()
+    val pk = phys(base, key)
+    require(base.version > 0, "merge into an empty table: use append")
+    val keyHasStats = statCols.contains(pk)
+    val src = source
+    val (candidates, kept) =
+      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
+      else inListCandidates(spark, base, pk, src.select(col(key).as("__k")))
+    val dvEntries =
+      if (candidates.isEmpty) Nil
+      else {
+        val raw = readWithPositions(spark, candidates, base)
+        val oldDvs = candidates.flatMap(_.dv).distinct
+        val matched = raw.join(src.select(col(key).as("__mk")).distinct(),
+          raw(key) === col("__mk"), "left_semi")
+        val victims = matched
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+        val allVictims =
+          if (oldDvs.isEmpty) victims
+          else victims.unionByName(spark.read.parquet(
+            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
+        val dvName = s"dv-${UUID.randomUUID()}.parquet"
+        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
+        allVictims.coalesce(1).write.parquet(stage.toString)
+        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("dv write produced no file"))
+        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(stage.toFile)
+        candidates.map(_.copy(dv = Some(dvName)))
+      }
+    val srcEntries = writeDataFiles(spark, src)
+    val guard: Option[(FileEntry => Boolean, String)] =
+      if (!keyHasStats) {
+        if (src.isEmpty) None
+        else Some(((_: FileEntry) => true,
+          s"was added concurrently (merge key $key has no stats interval — " +
+            "nothing proves disjointness)"))
+      } else {
+        val srcRange =
+          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+        if (srcRange.isNullAt(0)) None
+        else {
+          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
+          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
+            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
+        }
+      }
+    val version = commitCowGuarded(base, candidates,
+      dvEntries ++ srcEntries, "merge", guard)
+    MergeResult(version, rewrittenFiles = 0,
+      keptFiles = kept.size + candidates.size, newFiles = srcEntries.size)
+  }
+
   /** Fold every deletion vector back into plain files: rewrite ONLY the
     * DV'd entries (via the DV-aware read, so victims stay gone), carry
     * the rest by name. The maintenance op that converts merge-on-read

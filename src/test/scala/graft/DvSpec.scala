@@ -142,4 +142,50 @@ class DvSpec extends AnyFunSuite with SparkFixture {
     assert(r.droppedFiles + r.dvFiles + r.keptFiles >= 8, s"expected a many-file table, got $r")
     assert(r.droppedFiles == 0, s"no file is fully covered by a user band in this layout, got $r")
   }
+
+  test("merge-on-read upsert equals copy-on-write merge; zero rewrites; compaction folds") {
+    import spark.implicits._
+    val cow = freshTable(); val mor = freshTable()
+    cow.append(spark, keyed(0, 100, 10))
+    mor.append(spark, keyed(0, 100, 10))
+    // upsert: replace v for k 20..39, insert k 200..204
+    val src = ((20L until 40L) ++ (200L until 205L))
+      .map(k => (k, k * 1000)).toDF("k", "v")
+    cow.merge(spark, src, "k")
+    val r = mor.mergePositional(spark, src, "k")
+    assert(r.rewrittenFiles == 0, s"merge-on-read must rewrite nothing: $r")
+    val a = cow.read(spark).collect().map(_.toSeq).toSet
+    val b = mor.read(spark).collect().map(_.toSeq).toSet
+    assert(a == b, "CoW and MoR merges must agree row-for-row")
+    // the candidate files carry vectors; untouched files carry clean
+    val snap = mor.snapshot()
+    assert(snap.files.count(_.dv.isDefined) == 2,
+      s"exactly the two key-range candidate files get vectors: " +
+        snap.files.filter(_.dv.isDefined).map(_.path))
+    // folding the debt flat preserves content
+    mor.materializeDeletes(spark)
+    assert(mor.read(spark).collect().map(_.toSeq).toSet == a)
+    assert(mor.snapshot().files.forall(_.dv.isEmpty))
+  }
+
+  test("merge-on-read update equals copy-on-write update; stacked updates compose") {
+    import spark.implicits._
+    val cow = freshTable(); val mor = freshTable()
+    cow.append(spark, keyed(0, 100, 10))
+    mor.append(spark, keyed(0, 100, 10))
+    cow.updateWhere(spark, "k BETWEEN 15 AND 24", Seq("v" -> "v + 7"))
+    val r = mor.updatePositionalWhere(spark, "k BETWEEN 15 AND 24", Seq("v" -> "v + 7"))
+    assert(r.dvFiles == 2 && r.droppedFiles == 0, s"got $r")
+    assert(cow.read(spark).collect().map(_.toSeq).toSet ==
+      mor.read(spark).collect().map(_.toSeq).toSet,
+      "CoW and MoR updates must agree row-for-row")
+    // a SECOND MoR update over the same band must see the first's
+    // images (not the tombstoned originals) and never resurrect
+    mor.updatePositionalWhere(spark, "k BETWEEN 20 AND 29", Seq("v" -> "v * 2"))
+    val got = mor.read(spark).select(col("k"), col("v")).collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+    assert(got.size == 100, s"row count drifted: ${got.size}")
+    assert(got(15L) == 157 && got(20L) == (207 * 2) && got(25L) == 500 && got(30L) == 300,
+      s"stacked MoR updates composed wrong: 15->${got(15L)} 20->${got(20L)} 25->${got(25L)}")
+  }
 }

@@ -281,13 +281,24 @@ class TxTableSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(999L))
   }
 
-  test("clusterZorder refuses columns outside [0, 2^16) instead of silently degrading") {
+  test("clusterZorder quantizes columns outside [0, 2^16) content-preservingly") {
+    // round-13: the former loud refusal became a 16-bit rescale from
+    // the manifest's own min/max (monotone, so raw-value pruning
+    // survives — TxStreamSinkSpec pins that); negative domains included
     val t = freshTable(Seq("k", "v"))
     t.append(spark, keyed(-50, 50, 2)) // v = k*10 spans [-500, 490]
+    val before = t.read(spark).collect().map(_.toSeq).toSet
+    val r = t.clusterZorder(spark, "k", "v", 2)
+    assert(r.newFiles == 2)
+    assert(t.read(spark).collect().map(_.toSeq).toSet == before,
+      "quantized z-order must preserve content bit-exactly")
+    // missing stats still refuse: quantization needs the interval
+    val t2 = freshTable(Seq("k"))
+    t2.append(spark, keyed(0, 50, 1))
     val e = intercept[IllegalArgumentException] {
-      t.clusterZorder(spark, "k", "v", 2)
+      t2.clusterZorder(spark, "k", "v", 2) // v is not a stat column
     }
-    assert(e.getMessage.contains("outside [0, 65536)"))
+    assert(e.getMessage.contains("stat columns"))
   }
 
   test("CHECK constraints: declared once, enforced by every writer, violations leave the table whole") {
