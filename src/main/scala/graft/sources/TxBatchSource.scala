@@ -119,7 +119,16 @@ class TxBatchSource extends TableProvider with DataSourceRegister
       parameters.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
     new TxStreamSink(root, appId, cols("statCols"), cols("bloomCols"),
-      parameters.get("mergeKey"))
+      parameters.get("mergeKey"),
+      // option("mergeMode", "mor"): upserts take the deletion-vector
+      // write path (tombstone + append) instead of copy-on-write
+      mor = parameters.get("mergeMode") match {
+        case Some(m) if m.equalsIgnoreCase("mor") => true
+        case Some(m) if m.equalsIgnoreCase("cow") => false
+        case Some(m) => throw new IllegalArgumentException(
+          s"mergeMode must be 'cow' or 'mor', got '$m'")
+        case None => false
+      })
   }
 }
 
@@ -133,7 +142,7 @@ class TxBatchSource extends TableProvider with DataSourceRegister
   * root takes them from sink options instead. */
 class TxStreamSink(root: String, appId: String,
     statCols: Seq[String], bloomCols: Seq[String],
-    mergeKey: Option[String] = None)
+    mergeKey: Option[String] = None, mor: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t =
@@ -144,14 +153,16 @@ class TxStreamSink(root: String, appId: String,
     val batch = org.apache.spark.sql.classic.GraftSqlInternal.ofBatch(data)
     mergeKey match {
       // option("mergeKey", c): exactly-once streaming UPSERT — each
-      // micro-batch merges on the key instead of appending
-      case Some(k) => t.mergeBatch(batch.sparkSession, batch, appId, batchId, k)
+      // micro-batch merges on the key instead of appending; mergeMode
+      // 'mor' routes it through the deletion-vector write path
+      case Some(k) => t.mergeBatch(batch.sparkSession, batch, appId, batchId, k, mor)
       case None => t.appendBatch(batch.sparkSession, batch, appId, batchId)
     }
     ()
   }
   override def toString: String =
-    s"TxStreamSink[$root, appId=$appId${mergeKey.fold("")(k => s", mergeKey=$k")}]"
+    s"TxStreamSink[$root, appId=$appId${mergeKey.fold("")(k => s", mergeKey=$k")}" +
+      s"${if (mor) ", mor" else ""}]"
 }
 
 object TxSqlTable {

@@ -688,11 +688,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * own checkpoint contract); concurrent DISJOINT commits rebase
     * underneath like any merge. Returns true iff this call committed. */
   def mergeBatch(spark: SparkSession, df: DataFrame, appId: String,
-      batchId: Long, key: String): Boolean = {
+      batchId: Long, key: String, mor: Boolean = false): Boolean = {
     val base = snapshot()
     if (base.txns.get(appId).exists(_ >= batchId)) return false
     if (base.version == 0) return appendBatch(spark, df, appId, batchId)
-    mergeFrom(spark, base, df, key, txns = Map(appId -> batchId))
+    // mor: the deletion-vector write path — tombstone matched rows,
+    // append the batch, zero candidate rewrites (the steady-state
+    // streaming-upsert shape; compaction folds the vectors on schedule)
+    if (mor) mergePositionalFrom(spark, base, df, key, txns = Map(appId -> batchId))
+    else mergeFrom(spark, base, df, key, txns = Map(appId -> batchId))
     true
   }
 
@@ -2010,8 +2014,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * O(|source|) appended rows. The steady-state CDC-upsert shape at
     * 100 TB, with compaction folding the vectors in on schedule. */
   def mergePositional(spark: SparkSession, source: DataFrame,
-      key: String): MergeResult = {
-    val base = snapshot()
+      key: String): MergeResult =
+    mergePositionalFrom(spark, snapshot(), source, key)
+
+  /** Merge-on-read against an explicit base snapshot, optionally
+    * carrying stream txn watermarks in the same commit — the seam
+    * [[mergeBatch]]'s MoR flavor and specs drive (mergeFrom precedent). */
+  private[graft] def mergePositionalFrom(spark: SparkSession, base: Snapshot,
+      source: DataFrame, key: String,
+      txns: Map[String, Long] = Map.empty): MergeResult = {
     val pk = phys(base, key)
     require(base.version > 0, "merge into an empty table: use append")
     val keyHasStats = statCols.contains(pk)
@@ -2063,7 +2074,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         }
       }
     val version = commitCowGuarded(base, candidates,
-      dvEntries ++ srcEntries, "merge", guard)
+      dvEntries ++ srcEntries, "merge", guard, txns = txns)
     MergeResult(version, rewrittenFiles = 0,
       keptFiles = kept.size + candidates.size, newFiles = srcEntries.size)
   }

@@ -318,6 +318,35 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     assert(t.snapshot().txns == Map("up_q" -> 1L))
   }
 
+  test("mergeBatch mor=true: exactly-once MoR upsert — zero rewrites, replay skipped, CoW-identical") {
+    import spark.implicits._
+    val cow = freshTable(); val mor = freshTable()
+    Seq(cow, mor).foreach(_.appendBatch(spark, rows(0, 50), "q", 0L))
+    val b1 = rows(20, 60).withColumn("v", col("user_id") * 100L)
+    assert(cow.mergeBatch(spark, b1, "q", 1L, "user_id"))
+    assert(mor.mergeBatch(spark, b1, "q", 1L, "user_id", mor = true))
+    assert(cow.read(spark).collect().map(_.toSeq).toSet ==
+      mor.read(spark).collect().map(_.toSeq).toSet,
+      "CoW and MoR streaming upserts must agree row-for-row")
+    // the MoR batch landed as tombstones + appends: base files carried
+    val mSnap = mor.snapshot()
+    assert(mSnap.files.exists(_.dv.isDefined),
+      "matched base rows must be tombstoned, not rewritten")
+    // replayed batch: recognized from the watermark, nothing moves
+    val v = mor.currentVersion
+    assert(!mor.mergeBatch(spark, b1, "q", 1L, "user_id", mor = true))
+    assert(mor.currentVersion == v)
+    // the format-string face validates mergeMode loudly
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.TxBatchSource().createSink(
+        spark.sqlContext,
+        Map("path" -> mor.root, "appId" -> "q2", "mergeKey" -> "user_id",
+          "mergeMode" -> "sideways"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("mergeMode"), e.getMessage)
+  }
+
   test("group-atomic streaming upsert: a crash between member merges never tears a group read") {
     import org.apache.spark.sql.DataFrame
     val g = new graft.tables.TxGroup(
