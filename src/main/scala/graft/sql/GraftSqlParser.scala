@@ -334,12 +334,12 @@ object GraftSqlParser {
       }.getOrElse(Map.empty[String, String])
       def cols(key: String): Seq[String] = kv.get(key)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      Some(TxCreateMviewCommand(root, defn.trim,
+      Some(TxCreateMviewCommand(root, stripStatementTail(defn),
         cols("statCols"), cols("bloomCols")))
     case MviewRefreshRe(root) => Some(TxRefreshMviewCommand(root))
     case MviewDropRe(root) => Some(TxDropMviewCommand(root))
     case ViewCreateRe(orReplace, temp, root, defn) =>
-      Some(TxCreateViewCommand(root, defn.trim,
+      Some(TxCreateViewCommand(root, stripStatementTail(defn),
         replace = orReplace != null, temp = temp != null))
     case ViewDropRe(ifExists, root) =>
       Some(TxDropViewCommand(root, ifExists = ifExists != null))
@@ -418,6 +418,13 @@ object GraftSqlParser {
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.filter(_.trim.nonEmpty)
   }
+
+  /** Trailing `;`/whitespace off a captured statement TAIL: the view
+    * regexes capture to end-of-text, and a stored definition ending in
+    * a semicolon would break every later parenthesized EXPANSION
+    * (`(SELECT …;)` is a parse error even though `SELECT …;` is not). */
+  private[sql] def stripStatementTail(s: String): String =
+    s.replaceAll("[;\\s]+$", "").trim
 
   /** The self-equi-key a MERGE ON condition names (`t.k = s.k` → `k`),
     * or a loud refusal — row matching is BY KEY in this engine. */

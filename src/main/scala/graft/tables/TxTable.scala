@@ -557,13 +557,20 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private def evolveForSource(base: Snapshot,
       tableSchema: org.apache.spark.sql.types.StructType,
       srcSchema: org.apache.spark.sql.types.StructType): Option[TableMeta] = {
-    val byName = tableSchema.fields.map(f => f.name -> f).toMap
-    val newCols = srcSchema.fields.filterNot(f => byName.contains(f.name)).toSeq
+    // CASE-INSENSITIVE matching: Spark's resolver treats `V` and `v` as
+    // the same column (default caseSensitive=false) — exact-name
+    // matching here would declare a phantom duplicate the union had
+    // already merged, and every later read would NULL-fill a column
+    // that never exists in any file
+    val byName = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val newCols =
+      srcSchema.fields.filterNot(f => byName.contains(f.name.toLowerCase)).toSeq
     val widened = srcSchema.fields.flatMap { sf =>
-      byName.get(sf.name).flatMap { tf =>
+      byName.get(sf.name.toLowerCase).flatMap { tf =>
         if (tf.dataType == sf.dataType) None
         else if (TxTable.widens(sf.dataType, tf.dataType)) None // src casts up
-        else if (TxTable.widens(tf.dataType, sf.dataType)) Some(sf.name -> sf.dataType)
+        // keyed by the TABLE's spelling: the declaration keeps its names
+        else if (TxTable.widens(tf.dataType, sf.dataType)) Some(tf.name -> sf.dataType)
         else throw new IllegalArgumentException(
           s"merge schema conflict on column ${sf.name}: table declares " +
             s"${tf.dataType.simpleString}, source carries ${sf.dataType.simpleString} " +
@@ -2025,6 +2032,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       txns: Map[String, Long] = Map.empty): MergeResult = {
     val pk = phys(base, key)
     require(base.version > 0, "merge into an empty table: use append")
+    // same schema-evolution declaration as the copy-on-write twin: a
+    // declared table's new source columns widen the schema in the same
+    // commit (the appended batch carries them; tombstoned history
+    // NULL-backfills), type conflicts refuse before any tombstone lands
+    val evolvedMeta = base.meta.flatMap(m =>
+      evolveForSource(base, m.schema, source.schema))
     val keyHasStats = statCols.contains(pk)
     val src = source
     val (candidates, kept) =
@@ -2074,7 +2087,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         }
       }
     val version = commitCowGuarded(base, candidates,
-      dvEntries ++ srcEntries, "merge", guard, txns = txns)
+      dvEntries ++ srcEntries, "merge", guard, txns = txns, meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = 0,
       keptFiles = kept.size + candidates.size, newFiles = srcEntries.size)
   }

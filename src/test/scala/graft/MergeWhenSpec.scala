@@ -230,6 +230,33 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
       "the evolved schema must be declared in the merge commit")
   }
 
+  test("schema evolution matches column names case-insensitively (no phantom columns)") {
+    // Spark's resolver treats `V` and `v` as one column; the evolution
+    // check must agree or it declares a duplicate no file ever carries
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mw_case").toString, Seq("k"))
+    t.append(spark, Seq((1L, 10L)).toDF("k", "v"))
+    t.declareMeta(t.read(spark).schema)
+    t.merge(spark, Seq((2L, 20L)).toDF("K", "V"), "k")
+    val cols = t.read(spark).columns.toSeq
+    assert(cols.map(_.toLowerCase).sorted == Seq("k", "v"),
+      s"case-variant source names must not mint phantom columns: $cols")
+    assert(t.read(spark).count() == 2)
+  }
+
+  test("merge-on-read upsert declares evolved schemas like its CoW twin") {
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mw_morevo").toString, Seq("k"))
+    t.append(spark, Seq((1L, 10L)).toDF("k", "v"))
+    t.declareMeta(t.read(spark).schema)
+    t.mergePositional(spark, Seq((1L, 11L, 7L)).toDF("k", "v", "w"), "k")
+    assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("w")),
+      "MoR merge must declare the widened schema in its commit")
+    val byK = t.read(spark).select(col("k"), col("w")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byK(1L).contains(7L))
+  }
+
   test("schema evolution refuses a non-widening type conflict loudly") {
     val (t, _) = fresh()
     val src = Seq((10L, "bad", 0L)).toDF("k", "v", "s") // v: STRING vs BIGINT

@@ -806,6 +806,15 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("view definitions ending in a semicolon expand cleanly") {
+    val t = freshTable(10, 1)
+    val v = s"${tmpRoot()}/vsemi"
+    // the stored text must shed the trailing `;` — a parenthesized
+    // expansion of `(SELECT …;)` is a parse error
+    spark.sql(s"CREATE VIEW ${q(v)} AS SELECT k, v FROM ${q(t.root)} WHERE k < 5;")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(v)}").head().getLong(0) == 5)
+  }
+
   test("a view's WHERE reaches the underlying scan's manifest prune") {
     // expansion is pure text, so the view's predicate must flow into the
     // catalog scan like any inline filter — at 100 TB a view over a
