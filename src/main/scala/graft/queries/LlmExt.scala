@@ -918,12 +918,19 @@ object LlmExt {
     import graft.tables.TxTable
     val fp = Tables.sourceFingerprint(dir, "embeddings.parquet")
     var refreshed: Option[TxTable.MergeResult] = None
-    val root = Tables.publishOnce(s"graft_ivfpq_index2_$fp") { tmp =>
+    val root = Tables.publishOnce(s"graft_ivfpq_index3_$fp") { tmp =>
       val all = Tables.embeddings(spark, dir)
       val splitId = all.agg(max(col("vec_id"))).head().getLong(0) - 49L
       val dims = pqDims(all)
       val cb = dims.groupBy(col("sub"), col("label").as("cw"), col("dim"))
         .agg(floor(sum(col("qv")) / count(lit(1))).as("c"))
+      // COARSE centroids (per cell × dim, exact floored means) are part
+      // of the stored index too — the nprobe serve ranks cells against
+      // them instead of re-deriving anything from the corpus; like the
+      // codebook they are trained at build and held FIXED across
+      // refreshes (the FAISS coarse-quantizer contract)
+      val cent = dims.groupBy(col("label").as("cl"), col("sub"), col("dim"))
+        .agg(floor(sum(col("qv")) / count(lit(1))).as("cc"))
       val encBase = pqSdist(dims.filter(col("vec_id") < splitId), cb)
         .groupBy(col("vec_id"), col("label"), col("sub"))
         .agg(pmod(min(col("dist") * lit(16L) + col("cw")), lit(16L)).as("code"))
@@ -935,6 +942,8 @@ object LlmExt {
         .append(spark, encBase.repartitionByRange(4, col("lb")))
       new TxTable(s"$tmp/codebook", Seq("sub"))
         .append(spark, cb.repartition(1))
+      new TxTable(s"$tmp/centroids", Seq("cl"))
+        .append(spark, cent.repartition(1))
       // the tail batch lands through the INCREMENTAL path
       refreshed = Some(refreshPqIndex(spark, tmp,
         all.filter(col("vec_id") >= splitId)))
@@ -960,6 +969,42 @@ object LlmExt {
     val lut = pqSdist(qdims, cb)
       .select(col("vec_id").as("a_id"), col("label").as("la"),
         col("sub").as("lsub"), col("cw"), col("dist").as("qdist"))
+    pqServe(codes, lut)
+  }
+
+  /** nprobe = 2 over the PERSISTED IVF-PQ index (round-13 verdict #4):
+    * the production vector-serving shape — [[q_ann_ivfpq_indexed]]
+    * scans one cell per query; here the STORED coarse centroids rank
+    * every cell by exact integer query→centroid squared-L2, the TWO
+    * nearest cells' stored inverted lists are ADC-scored against the
+    * query LUT built from the STORED codebook, and the corpus is never
+    * re-encoded: per query the serve costs a tiny LUT (query rows only,
+    * pushed scan) plus one equi join into the pruned lists. Centroids,
+    * codebook, and lists all read from the index root; nprobe
+    * multiplies per-query candidates, never the shuffle pattern (the
+    * candidate join stays EQUI on the cell key). PqSpec pins the
+    * query-side-only explode count, the pushed query filter, and that
+    * the serve commits nothing to the stored tables. */
+  def q_ann_ivfpq_nprobe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.tables.TxTable
+    val root = ivfpqIndexRoot(spark, dir)._1
+    val codes = TxTable.open(s"$root/codes").read(spark)
+    val cb = TxTable.open(s"$root/codebook").read(spark)
+    val cent = TxTable.open(s"$root/centroids").read(spark)
+    val qdims = pqDims(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < 10) // query vectors only — pushed to the scan
+    val cellDist = qdims.join(broadcast(cent), Seq("sub", "dim"))
+      .groupBy(col("vec_id").as("a_id"), col("cl"))
+      .agg(sum((col("qv") - col("cc")) * (col("qv") - col("cc"))).as("cd"))
+    val wp = Window.partitionBy(col("a_id")).orderBy(col("cd"), col("cl"))
+    val probes = cellDist.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 2).select(col("a_id").as("p_id"), col("cl"))
+    val lut = pqSdist(qdims, cb)
+      .select(col("vec_id").as("a_id"), col("sub").as("lsub"),
+        col("cw"), col("dist").as("qdist"))
+      .join(broadcast(probes), col("a_id") === col("p_id"))
+      .select(col("a_id"), col("cl").as("la"), col("lsub"), col("cw"),
+        col("qdist"))
     pqServe(codes, lut)
   }
 
@@ -1030,6 +1075,7 @@ object LlmExt {
     "q_ann_pq" -> q_ann_pq _,
     "q_ann_ivfpq" -> q_ann_ivfpq _,
     "q_ann_ivfpq_indexed" -> q_ann_ivfpq_indexed _,
+    "q_ann_ivfpq_nprobe" -> q_ann_ivfpq_nprobe _,
     "q_vec_centroid" -> q_vec_centroid _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_minhash_sparse" -> q_dedup_minhash_sparse _,
@@ -1301,6 +1347,54 @@ object LlmExt {
         |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
         |  FROM enc e JOIN lut l
         |    ON e.lb = l.la AND e.sub = l.sub AND e.code = l.cw
+        |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id)
+        |SELECT a_id, b_id, adc, rn FROM (
+        |  SELECT a_id, b_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY adc, b_id) AS INT) AS rn
+        |  FROM adc)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_ann_ivfpq_nprobe" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    (ord - 1) // 8 AS sub, (ord - 1) % 8 AS dim,
+        |    CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+        |cb AS (
+        |  SELECT sub, label AS cw, dim, CAST(floor(sum(qv) / count(*)) AS BIGINT) AS c
+        |  FROM dims GROUP BY sub, label, dim),
+        |cent AS (
+        |  SELECT label AS cl, sub, dim,
+        |    CAST(floor(sum(qv) / count(*)) AS BIGINT) AS cc
+        |  FROM dims GROUP BY label, sub, dim),
+        |cd AS (
+        |  SELECT d.vec_id AS a_id, cent.cl,
+        |    sum((d.qv - cent.cc) * (d.qv - cent.cc)) AS cd
+        |  FROM dims d JOIN cent ON d.sub = cent.sub AND d.dim = cent.dim
+        |  WHERE d.vec_id < 10 GROUP BY d.vec_id, cent.cl),
+        |probes AS (
+        |  SELECT a_id, cl FROM (
+        |    SELECT a_id, cl,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY cd, cl) AS pr
+        |    FROM cd)
+        |  WHERE pr <= 2),
+        |sdist AS (
+        |  SELECT d.vec_id, d.label, d.sub, cb.cw,
+        |    CAST(sum((d.qv - cb.c) * (d.qv - cb.c)) AS BIGINT) AS dist
+        |  FROM dims d JOIN cb ON d.sub = cb.sub AND d.dim = cb.dim
+        |  GROUP BY d.vec_id, d.label, d.sub, cb.cw),
+        |enc AS (
+        |  SELECT vec_id AS b_id, label AS lb, sub,
+        |    min(dist * 16 + cw) % 16 AS code
+        |  FROM sdist GROUP BY vec_id, label, sub),
+        |lut AS (
+        |  SELECT vec_id AS a_id, sub, cw, dist AS qdist
+        |  FROM sdist WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT l.a_id, e.b_id, CAST(sum(l.qdist) AS BIGINT) AS adc
+        |  FROM enc e
+        |  JOIN probes p ON e.lb = p.cl
+        |  JOIN lut l ON l.a_id = p.a_id AND e.sub = l.sub AND e.code = l.cw
         |  WHERE e.b_id <> l.a_id GROUP BY l.a_id, e.b_id)
         |SELECT a_id, b_id, adc, rn FROM (
         |  SELECT a_id, b_id, adc,

@@ -54,6 +54,37 @@ object SqlTableOps {
     }
   }
 
+  /** COMPOSITE-KEY MERGE (round-13 verdict #1): the canonical upsert
+    * keyed ON `t.user_id = s.user_id AND t.event_type = s.event_type` —
+    * the first CDC shape every multi-tenant/per-day table hits, and the
+    * first refusal the single-key surface produced. Matching requires
+    * equality on EVERY component; candidate pruning INTERSECTS the
+    * per-component interval probes, so the stat-carrying user_id
+    * component prunes files here while the string event_type component
+    * degrades gracefully (no interval — prunes nothing, refuses
+    * nothing). The oracle replays the NOT-EXISTS-on-both-columns model
+    * in DuckDB; MergeWhenSpec pins the composite dup refusal and
+    * NULL-component insert routing. */
+  def q_sql_table_merge_multikey(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_sqlmerge_mk_events")
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_merge_multikey") { root =>
+      spark.sql(
+        s"""MERGE INTO ${q(root)} AS t
+           |USING (SELECT DISTINCT user_id, event_type,
+           |              CAST(-1.0 AS DOUBLE) AS value
+           |         FROM graft_sqlmerge_mk_events WHERE user_id <= 5
+           |       UNION ALL
+           |       SELECT CAST(-(id + 1) AS BIGINT), 'm-inserted',
+           |              CAST(id AS DOUBLE) FROM range(3)) AS s
+           |ON t.user_id = s.user_id AND t.event_type = s.event_type
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** MERGE INTO on a NON-STAT key (round-11 verdict #1): the merge key
     * is a STRING column with no declared stats — no interval is
     * derivable, so the engine degrades to the predicate-DML discipline
@@ -515,6 +546,50 @@ object SqlTableOps {
     }
   }
 
+  /** INCREMENTAL AGGREGATE materialized view (round-13 verdict #2):
+    * `SELECT g…, count(*), sum(x) … GROUP BY g…` refreshed by the
+    * classic GROUP-BY delta rule — the CDC feed folds as insert →
+    * +1/+x, delete → −1/−x per group, the group deltas MERGE into the
+    * materialization on the COMPOSITE group key (net-count-0 groups
+    * DELETE, touched groups update arithmetically, net-new groups
+    * insert — one commit, watermark included), cost ∝ the CHANGED
+    * files, never source or view. Sums ride exact DECIMAL arithmetic
+    * (order-free), avg is the sum/count recipe. The gate ASSERTS
+    * mode='incremental' — a silent full recompute fails the run — and
+    * exercises both group REMOVAL (a band delete empties users 0–2)
+    * and group BIRTH (an insert mints a new (user, type) pair). */
+  def q_sql_table_mview_agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_agg") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_agg_v")
+      val mv = s"$work/mva"
+      try {
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, event_type, count(*) AS n, " +
+          "sum(CAST(value AS DECIMAL(18,2))) AS v_sum " +
+          s"FROM ${q(root)} WHERE user_id <= 20 GROUP BY user_id, event_type")
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 0 AND 2")
+        val mode = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(mode.getString(0) == "incremental",
+          s"aggregate refresh must take the GROUP-BY delta path, got $mode")
+        val df = spark.sql(
+          s"""SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+             |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
+             |FROM txtable.`$mv`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** SQL OPTIMIZE + VACUUM — compaction and retention as statements on
     * the 16-file events table: OPTIMIZE bin-packs everything, VACUUM
     * drops the superseded files past a 1-version retention, and the
@@ -712,6 +787,7 @@ object SqlTableOps {
     "q_table_group_history" -> q_table_group_history _,
     "q_sql_table_merge" -> q_sql_table_merge _,
     "q_sql_table_merge_nonstat" -> q_sql_table_merge_nonstat _,
+    "q_sql_table_merge_multikey" -> q_sql_table_merge_multikey _,
     "q_sql_table_convert" -> q_sql_table_convert _,
     "q_sql_table_merge_clauses" -> q_sql_table_merge_clauses _,
     "q_sql_table_merge_evolve" -> q_sql_table_merge_evolve _,
@@ -727,6 +803,7 @@ object SqlTableOps {
     "q_sql_table_optimize" -> q_sql_table_optimize _,
     "q_sql_table_view" -> q_sql_table_view _,
     "q_sql_table_mview" -> q_sql_table_mview _,
+    "q_sql_table_mview_agg" -> q_sql_table_mview_agg _,
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
     "q_sql_table_delete_subq" -> q_sql_table_delete_subq _,
@@ -814,6 +891,37 @@ object SqlTableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_mview_agg" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         sum(CAST("value" AS DECIMAL(18,2))) AS v_sum
+        |  FROM (
+        |    SELECT user_id, event_type, "value" FROM events
+        |    WHERE user_id NOT BETWEEN 0 AND 2
+        |    UNION ALL
+        |    SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE))
+        |  WHERE user_id <= 20
+        |  GROUP BY user_id, event_type)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_merge_multikey" ->
+      """WITH src AS (
+        |  SELECT DISTINCT user_id, event_type, CAST(-1.0 AS DOUBLE) AS "value"
+        |  FROM events WHERE user_id <= 5
+        |  UNION ALL
+        |  SELECT CAST(-(r + 1) AS BIGINT), 'm-inserted', CAST(r AS DOUBLE)
+        |  FROM range(3) t(r)),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT user_id, event_type, "value" FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s
+        |    WHERE s.user_id = e.user_id AND s.event_type = e.event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_replace" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 7

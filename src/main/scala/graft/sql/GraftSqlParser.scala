@@ -253,6 +253,12 @@ object GraftSqlParser {
     "(?:\\s+SMALLER\\s+THAN\\s+(\\d+))?" +
     "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*(\\w+(?:\\s*,\\s*\\w+){1,2})\\s*\\)?" +
     "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?)?\\s*;?\\s*$").r
+  // OPTIMIZE … MATERIALIZE DELETES [THRESHOLD f] — fold deletion-vector
+  // debt back into plain files (all vectors, or only files past a
+  // vectored-row fraction)
+  private val OptimizeMatDelRe = (
+    "(?is)^\\s*OPTIMIZE\\s+" + Target +
+    "\\s+MATERIALIZE\\s+DELETES(?:\\s+THRESHOLD\\s+(0?\\.\\d+|0|1))?\\s*;?\\s*$").r
   private val OptimizeProbe = ("(?is)^\\s*OPTIMIZE\\s+" + Target + ".*").r
 
   /** The graft statement in `sqlText`, if it targets a txtable root. */
@@ -269,7 +275,7 @@ object GraftSqlParser {
           "USING (SELECT … FROM a JOIN b ON …) ON t.k = s.k")
       val using = usingAndOn.substring(0, onIdx).trim
       val on = usingAndOn.substring(onIdx + 2).trim
-      Some(TxMergeCommand(root, using, selfKeyOf(on)))
+      Some(TxMergeCommand(root, using, selfKeysOf(on)))
     case MergeProbe(root) =>
       // not the canonical upsert: try the GENERAL clause surface
       Some(parseMergeWhen(sqlText).getOrElse(throw new IllegalArgumentException(
@@ -378,6 +384,9 @@ object GraftSqlParser {
     case VacuumRe(root, retain, dry) =>
       Some(TxVacuumCommand(root, Option(retain).map(_.toInt).getOrElse(2),
         dryRun = dry != null))
+    case OptimizeMatDelRe(root, threshold) =>
+      Some(TxMaterializeDeletesCommand(root,
+        Option(threshold).map(_.toDouble).getOrElse(0.0)))
     case OptimizeRe(root, wcol, wlo, whi, smallRows, zcols, zFiles) =>
       val band = Option(wcol).map(c => (c, wlo.toLong, whi.toLong))
       require(band.isEmpty || zcols == null,
@@ -391,7 +400,8 @@ object GraftSqlParser {
       s"unsupported OPTIMIZE form for txtable.`$root` — supported: " +
         "OPTIMIZE txtable.`root` [WHERE c BETWEEN lo AND hi] " +
         "[SMALLER THAN <rows>] [ZORDER BY (c1, c2) [INTO <n> FILES]] " +
-        "(WHERE and ZORDER BY are exclusive)")
+        "(WHERE and ZORDER BY are exclusive), or " +
+        "OPTIMIZE txtable.`root` MATERIALIZE DELETES [THRESHOLD <f>]")
     case _ => None
   }
 
@@ -426,19 +436,95 @@ object GraftSqlParser {
   private[sql] def stripStatementTail(s: String): String =
     s.replaceAll("[;\\s]+$", "").trim
 
-  /** The self-equi-key a MERGE ON condition names (`t.k = s.k` → `k`),
-    * or a loud refusal — row matching is BY KEY in this engine. */
-  private[sql] def selfKeyOf(on: String): String = on match {
-    case OnEq(q1, c1, q2, c2) =>
-      require(c1.equalsIgnoreCase(c2),
-        s"MERGE INTO txtable ON must be an equi-key self-condition " +
-          s"(t.k = s.k); got $c1 = $c2")
-      // qualifiers (if both present) must name two DIFFERENT sides
-      require(Option(q1).isEmpty || Option(q2).isEmpty || q1 != q2,
-        s"MERGE ON qualifies both sides with '$q1'")
-      c1
-    case other => throw new IllegalArgumentException(
-      s"MERGE INTO txtable ON must be `t.key = s.key`; got: $other")
+  /** Txn-map key for the aggregate-mview NULL-sum safety flag: 1 = the
+    * materialized source slice held NO NULL summed value (verified at
+    * create/full-recompute time), so the GROUP-BY delta arithmetic is
+    * exact; 0/absent = unknown or unsafe — refreshes full-recompute.
+    * NULLs ARRIVING later ride change rows, which the incremental path
+    * inspects per refresh, so the invariant holds inductively. */
+  private[sql] val MviewNullsafeKey = "mview:nullsafe"
+
+  /** `SELECT <list> FROM txtable.\`src\` [WHERE p] GROUP BY <keys>` —
+    * the incrementally maintainable aggregate-view shape. */
+  private[sql] val MviewAggSelect = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+" +
+    "txtable\\s*\\.\\s*`([^`]+)`(?:\\s+WHERE\\s+(.+?))?" +
+    "\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*$").r
+
+  private val MviewCountStar = "(?is)^count\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val MviewSumAs = "(?is)^sum\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+
+  /** Parse an aggregate view's select list against its GROUP BY into
+    * (groupCols, countAlias, (sumExpr, alias)…) — the shape whose
+    * refresh folds as pure GROUP-BY delta arithmetic (insert → +1/+x,
+    * delete → −1/−x, drop at net count 0). Requires: simple-name group
+    * columns all projected, a `count(*) AS n` (the group liveness
+    * witness), and only `sum(<expr>) AS a` beyond that — `avg` is the
+    * documented sum/count recipe, `min`/`max` are NOT delta-foldable
+    * under deletes. None ⇒ the always-sound full recompute. */
+  private[sql] def parseAggView(selectList: String, groupBy: String)
+      : Option[(Seq[String], String, Seq[(String, String)])] = {
+    val groups = splitTopLevel(groupBy).map(_.trim)
+    if (groups.isEmpty || !groups.forall(_.matches("\\w+"))) return None
+    var countAlias: Option[String] = None
+    val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val seenGroups = scala.collection.mutable.ArrayBuffer.empty[String]
+    splitTopLevel(selectList).map(_.trim).foreach {
+      case g if g.matches("\\w+") && groups.contains(g) => seenGroups += g; ()
+      case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
+      case MviewSumAs(e, a) => sums += ((e, a)); ()
+      case _ => return None
+    }
+    if (countAlias.isEmpty || seenGroups.sorted.toSeq != groups.sorted) None
+    else Some((seenGroups.toSeq, countAlias.get, sums.toSeq))
+  }
+
+  /** The NULL-sum safety txn entry a create/full materialization should
+    * carry: verifies (one count job over the PINNED source slice) that
+    * no summed expression is NULL anywhere under the view's predicate —
+    * the license for later delta-arithmetic refreshes. Empty map when
+    * the definition is not the aggregate shape. */
+  private[sql] def mviewNullsafeTxn(spark: SparkSession, defn: String,
+      src: String, ver: Int): Map[String, Long] =
+    (defn match {
+      case MviewAggSelect(selectList, srcRoot, pred, groupBy) if srcRoot == src =>
+        parseAggView(selectList, groupBy).map { case (_, _, sums) =>
+          if (sums.isEmpty) 1L
+          else {
+            val cond = sums.map { case (e, _) => s"($e) IS NULL" }.mkString(" OR ")
+            val w = Option(pred).map(p => s" WHERE $p").getOrElse("")
+            val bad = spark.sql(
+              s"SELECT count(*) FROM (SELECT * FROM txtable.`$src` " +
+                s"VERSION AS OF $ver$w) WHERE $cond").head().getLong(0)
+            if (bad == 0L) 1L else 0L
+          }
+        }
+      case _ => None
+    }).map(v => Map(MviewNullsafeKey -> v)).getOrElse(Map.empty)
+
+  /** The self-equi-key COMPONENTS a MERGE ON condition names —
+    * `t.k = s.k` → Seq(k), `t.a = s.a AND t.b = s.b` → Seq(a, b) — or a
+    * loud refusal: row matching is BY (composite) KEY in this engine,
+    * so every top-level conjunct must be an equi-key self-condition. */
+  private[sql] def selfKeysOf(on: String): Seq[String] = {
+    val cuts = topLevelAll(on, "AND")
+    val conjuncts = (0 +: cuts.map(_ + 3)).zip(cuts :+ on.length).map {
+      case (b, e) => on.substring(b, e).trim
+    }
+    val keys = conjuncts.map {
+      case OnEq(q1, c1, q2, c2) =>
+        require(c1.equalsIgnoreCase(c2),
+          s"MERGE INTO txtable ON must be equi-key self-conditions " +
+            s"(t.k = s.k [AND t.k2 = s.k2] …); got $c1 = $c2")
+        // qualifiers (if both present) must name two DIFFERENT sides
+        require(Option(q1).isEmpty || Option(q2).isEmpty || q1 != q2,
+          s"MERGE ON qualifies both sides with '$q1'")
+        c1
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO txtable ON must be `t.key = s.key [AND …]`; got: $other")
+    }
+    require(keys.map(_.toLowerCase).distinct.length == keys.length,
+      s"MERGE ON repeats a key column: ${keys.mkString(", ")}")
+    keys
   }
 
   private val MergeAnyRe = (
@@ -476,7 +562,7 @@ object GraftSqlParser {
         val afterOn = tail.substring(onIdx + 2)
         val whens = topLevelAll(afterOn, "WHEN")
         if (whens.isEmpty) return None
-        val key = selfKeyOf(afterOn.substring(0, whens.head).trim)
+        val keys = selfKeysOf(afterOn.substring(0, whens.head).trim)
         val bounds = whens :+ afterOn.length
         val clauses = whens.indices.map(i =>
           afterOn.substring(whens(i) + 4, bounds(i + 1)).trim)
@@ -514,7 +600,7 @@ object GraftSqlParser {
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause: WHEN $other")
         }
-        Some(TxMergeWhenCommand(root, using, key, matched.toSeq,
+        Some(TxMergeWhenCommand(root, using, keys, matched.toSeq,
           notMatched.toSeq, bySource.toSeq))
       case _ => None
     }
@@ -580,7 +666,7 @@ object GraftSqlParser {
   * interval candidate pruning, file-level conflict detection). The
   * source clause is any table reference or parenthesized subquery;
   * it is evaluated through the full session SQL pipeline. */
-case class TxMergeCommand(root: String, sourceSql: String, key: String)
+case class TxMergeCommand(root: String, sourceSql: String, keys: Seq[String])
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(
@@ -588,7 +674,7 @@ case class TxMergeCommand(root: String, sourceSql: String, key: String)
     attr("kept_files", IntegerType), attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val src = spark.sql(s"SELECT * FROM $sourceSql")
-    val r = TxTable.open(root).merge(spark, src, key)
+    val r = TxTable.open(root).merge(spark, src, keys)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
@@ -769,7 +855,8 @@ case class TxDescribeDetailCommand(root: String) extends LeafRunnableCommand {
   * [[TxTable#mergeWhen]]: conditional UPDATE/DELETE on match
   * (first-match-wins), conditional INSERT on no-match, conditions and
   * expressions resolving under the `t`/`s` aliases. */
-case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
+case class TxMergeWhenCommand(root: String, sourceSql: String,
+    keys: Seq[String],
     matched: Seq[graft.tables.TxTable.MergeMatched],
     notMatched: Seq[graft.tables.TxTable.MergeInsert],
     bySource: Seq[graft.tables.TxTable.MergeMatched] = Nil)
@@ -781,7 +868,7 @@ case class TxMergeWhenCommand(root: String, sourceSql: String, key: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val src = spark.sql(s"SELECT * FROM $sourceSql")
     val r = TxTable.open(root)
-      .mergeWhen(spark, src, key, matched, notMatched, bySource)
+      .mergeWhen(spark, src, keys, matched, notMatched, bySource, Map.empty)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
@@ -1106,7 +1193,12 @@ case class TxCreateMviewCommand(root: String, defnSql: String,
     // incrementally maintainable shape); multi-source definitions
     // refresh by full recompute and keep watermark 0
     val wm = if (srcs.size == 1) pins(srcs.head).toLong else 0L
-    t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm))
+    // aggregate views: verify the pinned slice holds no NULL summed
+    // value — the license for delta-arithmetic refreshes (same commit)
+    val safety = if (srcs.size == 1)
+      GraftSqlParser.mviewNullsafeTxn(spark, defnSql, srcs.head, pins(srcs.head))
+    else Map.empty[String, Long]
+    t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm) ++ safety)
     Seq(Row(wm.toInt, t.snapshot().files.map(_.rows).sum))
   }
 }
@@ -1147,13 +1239,23 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     val t = TxTable.open(root)
     val last = t.snapshot().txns.getOrElse(ViewStore.MviewAppId, 0L).toInt
     val srcs = ViewStore.txtableRefs(defn).filter(TxTable.exists)
-    def full(pinsTo: Long): Seq[Row] = {
+    // the watermark is the version the recompute ACTUALLY pinned — a
+    // source commit racing between an earlier currentVersion read and
+    // the pin read here is materialized AND covered, so the next
+    // incremental refresh never replays it (ADVICE r13)
+    def full(): Seq[Row] = {
       val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
       val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defn, pins)))
-      t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> pinsTo))
-      Seq(Row("full", pinsTo.toInt))
+      val wm = if (srcs.size == 1) pins(srcs.head).toLong else 0L
+      // re-establish (or revoke) the NULL-sum safety license for the
+      // aggregate delta path against the slice actually pinned
+      val safety = if (srcs.size == 1)
+        GraftSqlParser.mviewNullsafeTxn(spark, defn, srcs.head, pins(srcs.head))
+      else Map.empty[String, Long]
+      t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm) ++ safety)
+      Seq(Row("full", wm.toInt))
     }
-    if (srcs.size != 1) return full(0L)
+    if (srcs.size != 1) return full()
     val src = TxTable.open(srcs.head)
     val srcV = src.currentVersion
     if (srcV <= last) return Seq(Row("noop", last))
@@ -1183,9 +1285,70 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
           // the always-sound full recompute, reported as such
           case scala.util.control.NonFatal(_) => None
         }
+      // GROUP-BY aggregate views (round-13 verdict #2): the classic
+      // delta rule — fold the CDC feed as insert → +1/+x, delete →
+      // −1/−x per group, MERGE the group deltas into the
+      // materialization (composite-key mergeWhen: DELETE at net count
+      // 0, arithmetic UPDATE, conditional INSERT — watermark in the
+      // SAME commit), avg via the sum/count recipe. Sum maintenance is
+      // licensed by the NULL-safety flag the create/full paths verify;
+      // a NULL group key or summed value ARRIVING in the delta (or any
+      // unexpected failure) degrades to the full recompute, loudly.
+      case GraftSqlParser.MviewAggSelect(selectList, srcRoot, pred, groupBy)
+          if srcRoot == srcs.head && last > 0 =>
+        GraftSqlParser.parseAggView(selectList, groupBy).flatMap {
+          case (groups, countAlias, sums) =>
+            val nullsafe = sums.isEmpty ||
+              t.snapshot().txns.get(GraftSqlParser.MviewNullsafeKey).contains(1L)
+            if (!nullsafe) None
+            else try {
+              val ch = src.rowChangesBetween(spark, last, srcV)
+              val filtered = Option(pred)
+                .map(p => ch.filter(coalesce(expr(p), lit(false))))
+                .getOrElse(ch).persist()
+              try {
+                import org.apache.spark.sql.functions.col
+                val unsafeCols = groups.map(g => col(g).isNull) ++
+                  sums.map { case (e, _) => expr(e).isNull }
+                if (filtered.filter(unsafeCols.reduce(_ || _))
+                    .limit(1).count() > 0) None
+                else {
+                  import org.apache.spark.sql.functions.{sum, when}
+                  val sign = when(expr("_change_type = 'insert'"), lit(1L))
+                    .otherwise(lit(-1L))
+                  val aggCols = sum(sign).as("__dn") +:
+                    sums.map { case (e, a) => sum(expr(e) * sign).as(s"__d_$a") }
+                  val delta = filtered
+                    .groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
+                    .agg(aggCols.head, aggCols.tail: _*)
+                  if (delta.isEmpty) Some(Seq(Row("noop", last)))
+                  else {
+                    import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
+                    val matched = Seq(
+                      MergeDelete(Some(s"t.`$countAlias` + s.`__dn` = 0")),
+                      MergeUpdate(None, Some(
+                        (countAlias -> s"t.`$countAlias` + s.`__dn`") +:
+                          sums.map { case (_, a) =>
+                            a -> s"coalesce(t.`$a` + s.`__d_$a`, t.`$a`, s.`__d_$a`)"
+                          })))
+                    val insCols = groups ++ Seq(countAlias) ++ sums.map(_._2)
+                    val insVals = groups.map(g => s"s.`$g`") ++
+                      Seq("s.`__dn`") ++ sums.map { case (_, a) => s"s.`__d_$a`" }
+                    val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
+                      Some(insCols), Some(insVals)))
+                    t.mergeWhen(spark, delta, groups, matched, notMatched, Nil,
+                      Map(ViewStore.MviewAppId -> srcV.toLong))
+                    Some(Seq(Row("incremental", srcV)))
+                  }
+                }
+              } finally { filtered.unpersist(blocking = false); () }
+            } catch {
+              case scala.util.control.NonFatal(_) => None
+            }
+        }
       case _ => None
     }
-    incremental.getOrElse(full(srcV.toLong))
+    incremental.getOrElse(full())
   }
 }
 
@@ -1201,6 +1364,24 @@ case class TxDropMviewCommand(root: String) extends LeafRunnableCommand {
     val p = java.nio.file.Paths.get(root, "_view", "mview.sql")
     java.nio.file.Files.deleteIfExists(p)
     Seq(Row(true))
+  }
+}
+
+/** `OPTIMIZE txtable.\`root\` MATERIALIZE DELETES [THRESHOLD f]` →
+  * [[TxTable.materializeDeletes]]: fold deletion-vector debt back into
+  * plain files — every vectored file by default, or only those whose
+  * vectored-row fraction strictly exceeds the threshold. Plain
+  * `OPTIMIZE` (compaction) also auto-folds any file past
+  * [[TxTable.DvFoldThreshold]] regardless of size. */
+case class TxMaterializeDeletesCommand(root: String, threshold: Double)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("rewritten_files", IntegerType),
+    attr("kept_files", IntegerType), attr("new_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxTable.open(root).materializeDeletes(spark, threshold)
+    Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
 

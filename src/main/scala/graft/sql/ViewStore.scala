@@ -86,6 +86,8 @@ object ViewStore {
   // ------------------------------------------------------ materialized
 
   def createMview(root: String, sql: String): Unit = {
+    require(!graft.tables.TxTable.exists(root),
+      s"$root already holds a TxTable — a materialized view cannot overwrite it")
     require(definition(root).isEmpty,
       s"$root already holds a view — a materialized view cannot shadow it")
     val p = mviewPath(root)

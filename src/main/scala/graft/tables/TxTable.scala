@@ -580,11 +580,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }.toMap
     if (newCols.isEmpty && widened.isEmpty) None
     else {
+      // the reservation checks are case-INSENSITIVE too: the resolver
+      // matches columns that way, so a name differing only in case from
+      // a dropped/renamed physical name is the SAME name to every read
+      val droppedLower = droppedPhys(base.colMap).map(_.toLowerCase)
       newCols.foreach { f =>
-        require(!droppedPhys(base.colMap).contains(f.name),
+        val fl = f.name.toLowerCase
+        require(!droppedLower.contains(fl),
           s"column name ${f.name} is reserved by a dropped column — " +
             "its physical name can never be reused")
-        require(!base.colMap.exists { case (l, p) => p == f.name && l != f.name },
+        require(!base.colMap.exists { case (l, p) =>
+            p.toLowerCase == fl && l.toLowerCase != fl },
           s"column name ${f.name} is taken by a renamed column's physical name")
       }
       val evolved = org.apache.spark.sql.types.StructType(
@@ -595,12 +601,94 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
   }
 
+  /** Canonical upsert on a COMPOSITE key — `merge` generalized to
+    * `keys`: a target row matches a source row only when EVERY key
+    * component is equal (ANSI ON-equality: NULL in any component never
+    * matches, the row routes to insert). Candidate pruning is the
+    * per-component interval probe INTERSECTED across stat-carrying
+    * components (a match needs all components, so any one provably
+    * key-free component excuses a file); the commit guard conflicts a
+    * fresh file only when every stat component's envelope overlaps it. */
+  def merge(spark: SparkSession, source: DataFrame,
+      keys: Seq[String]): MergeResult =
+    mergeFrom(spark, snapshot(), source, keys, Map.empty)
+
   /** Merge against an explicit base snapshot — the seam that lets a spec
     * interleave a competing commit between base-read and publish. */
   private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
       source: DataFrame, key: String,
-      txns: Map[String, Long] = Map.empty): MergeResult = {
-    val pk = phys(base, key)
+      txns: Map[String, Long] = Map.empty): MergeResult =
+    mergeFrom(spark, base, source, Seq(key), txns)
+
+  /** Per-component manifest-interval candidate probe for a composite
+    * merge key: the hit set is the INTERSECTION over stat-carrying
+    * components of each component's per-key interval probe (files
+    * lacking stats for a component count as hits there — no interval
+    * proves them key-free). None = no component carries stats, every
+    * file is a candidate (the predicate-DML degradation). */
+  private def multiKeyHitPaths(spark: SparkSession, base: Snapshot,
+      source: DataFrame, keys: Seq[String]): Option[Set[String]] = {
+    val statKeys = keys.filter(k => statCols.contains(phys(base, k)))
+    if (statKeys.isEmpty) None
+    else Some(statKeys.map { k =>
+      val pk = phys(base, k)
+      val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
+      import spark.implicits._
+      val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
+        .toDF("__path", "__mn", "__mx")
+      source.select(col(k).cast("long").as("__k"))
+        .join(broadcast(intervals),
+          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .select("__path").distinct().as[String].collect().toSet ++
+        statless.map(_.path).toSet
+    }.reduce(_ intersect _))
+  }
+
+  /** Fresh-file conflict guard for a composite-key merge: a concurrent
+    * file conflicts only if EVERY stat component's source envelope
+    * overlaps it (a match needs equality on all components, so one
+    * provably disjoint component clears the file). No stat component ⇒
+    * every fresh file conflicts (nothing proves disjointness); an empty
+    * source — or one whose values are all NULL on some stat component,
+    * which can therefore match nothing — guards nothing. */
+  private def multiKeyGuard(spark: SparkSession, base: Snapshot,
+      source: DataFrame,
+      keys: Seq[String]): Option[(FileEntry => Boolean, String)] = {
+    val statKeys = keys.filter(k => statCols.contains(phys(base, k)))
+    if (statKeys.isEmpty) {
+      if (source.isEmpty) None
+      else Some(((_: FileEntry) => true,
+        s"was added concurrently (merge key ${keys.mkString(", ")} has no " +
+          "stats interval — nothing proves disjointness)"))
+    } else {
+      // one job answers every component's [min,max] envelope
+      val aggs = statKeys.flatMap(k =>
+        Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
+      val row = source.agg(aggs.head, aggs.tail: _*).head()
+      val envs = statKeys.zipWithIndex.map { case (k, i) =>
+        if (row.isNullAt(2 * i)) None
+        else Some((phys(base, k), row.getLong(2 * i), row.getLong(2 * i + 1)))
+      }
+      // a component with NO non-NULL source value can match nothing:
+      // the whole merge is a pure insert, no fresh file conflicts
+      if (envs.exists(_.isEmpty)) None
+      else {
+        val bands = envs.flatten
+        Some(((f: FileEntry) => bands.forall { case (pk, mn, mx) =>
+          f.mins.get(pk).forall(_ <= mx) && f.maxs.get(pk).forall(_ >= mn)
+        }, bands.map { case (pk, mn, mx) => s"overlap $pk in [$mn, $mx]" }
+          .mkString(" and ")))
+      }
+    }
+  }
+
+  private[graft] def mergeFrom(spark: SparkSession, base: Snapshot,
+      source: DataFrame, keys: Seq[String],
+      txns: Map[String, Long]): MergeResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct.length == keys.length,
+      s"merge keys repeat a column: ${keys.mkString(", ")}")
+    keys.foreach(phys(base, _)) // every component must resolve
     require(base.version > 0, "merge into an empty table: use append")
     // SCHEMA EVOLUTION: on tables with declared metadata, new source
     // columns (and lossless widenings) re-declare the schema in the SAME
@@ -617,27 +705,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // the commit guard treats every concurrently added file as a
     // conflict (nothing proves it key-disjoint). Correct first, pruned
     // when the table's layout allows it — not a refusal.
-    val keyHasStats = statCols.contains(pk)
-    val (candidates, kept) =
-      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
-      else {
-        // Files without recorded stats for the key (possible after a stats
-        // evolution widened the column set mid-history) are unconditional
-        // rewrite candidates — no interval can prove them key-free.
-        val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
-        val hitPaths: Set[String] = {
-          import spark.implicits._
-          val intervals = statful
-            .map(f => (f.path, f.mins(pk), f.maxs(pk)))
-            .toDF("__path", "__mn", "__mx")
-          source.select(col(key).cast("long").as("__k"))
-            .join(broadcast(intervals),
-              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-            .select("__path").distinct().as[String].collect().toSet ++
-            statless.map(_.path)
-        }
-        base.files.partition(f => hitPaths.contains(f.path))
-      }
+    val (candidates, kept) = multiKeyHitPaths(spark, base, source, keys) match {
+      case None => (base.files, Seq.empty[FileEntry])
+      case Some(hits) => base.files.partition(f => hits.contains(f.path))
+    }
     val src = source
     val existing =
       if (candidates.isEmpty) None
@@ -646,37 +717,26 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // through; source keys absent everywhere are inserts. The anti joins
     // broadcast the (batch-sized) source — the 100 TB merge never
     // shuffles the kept data at all and only joins the candidate files.
+    // Plain AND-of-equalities: a NULL in ANY component matches nothing
+    // (ANSI), so NULL-keyed source rows insert and NULL-keyed target
+    // rows always survive.
     val rewritten = existing match {
       case None => src
       case Some(ex) =>
-        val notMatched = ex.join(broadcast(src), ex(key) === src(key), "left_anti")
+        val cond = keys.map(k => ex(k) === src(k)).reduce(_ && _)
+        val notMatched = ex.join(broadcast(src), cond, "left_anti")
         // allowMissingColumns: a schema-evolved source (or table) merges
         // cleanly — the absent side reads NULL, same rule as read()
         notMatched.unionByName(src, allowMissingColumns = true)
     }
     val entries = writeDataFiles(spark, rewritten)
-    // conflict guard = the source's key envelope: every source key lies
-    // inside it, so a concurrent file proven outside it could not have
-    // changed this merge's candidate selection or match results. An
-    // empty source guards nothing (its rewrite is content-preserving).
-    // A NON-STAT key has no sound envelope (concurrent files carry no
-    // interval for it): every concurrently added file conflicts.
-    val guard: Option[(FileEntry => Boolean, String)] =
-      if (!keyHasStats) {
-        if (src.isEmpty) None
-        else Some(((_: FileEntry) => true,
-          s"was added concurrently (merge key $key has no stats interval — " +
-            "nothing proves disjointness)"))
-      } else {
-        val srcRange =
-          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (srcRange.isNullAt(0)) None
-        else {
-          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
-          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
-            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
-        }
-      }
+    // conflict guard = the source's per-component key envelopes: every
+    // source key lies inside them, so a concurrent file proven outside
+    // ANY component's envelope could not have changed this merge's
+    // candidate selection or match results. An empty source guards
+    // nothing (its rewrite is content-preserving); a key with no stat
+    // component has no sound envelope — every fresh file conflicts.
+    val guard = multiKeyGuard(spark, base, src, keys)
     val version = commitCowGuarded(base, candidates, entries, "merge", guard,
       txns = txns, meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = candidates.size,
@@ -740,14 +800,32 @@ final class TxTable(val root: String, val statCols: Seq[String],
   def mergeWhen(spark: SparkSession, source: DataFrame, key: String,
       matched: Seq[TxTable.MergeMatched],
       notMatched: Seq[TxTable.MergeInsert],
-      bySource: Seq[TxTable.MergeMatched] = Nil): MergeResult = {
+      bySource: Seq[TxTable.MergeMatched] = Nil): MergeResult =
+    mergeWhen(spark, source, Seq(key), matched, notMatched, bySource, Map.empty)
+
+  /** [[mergeWhen]] on a COMPOSITE key: matching requires equality on
+    * EVERY component (NULL in any source component routes the row to
+    * the insert clauses — ANSI ON-equality), the duplicate-source-match
+    * refusal counts distinct source rows per composite key, candidate
+    * pruning intersects the per-component interval probes, and the
+    * commit guard conflicts a fresh file only when every stat
+    * component's envelope overlaps it. `txns` watermarks ride the same
+    * commit (the incremental-mview refresh folds its group deltas and
+    * advances its applied-through version atomically). */
+  def mergeWhen(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      matched: Seq[TxTable.MergeMatched],
+      notMatched: Seq[TxTable.MergeInsert],
+      bySource: Seq[TxTable.MergeMatched],
+      txns: Map[String, Long]): MergeResult = {
     import TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     val base = snapshot()
-    val pk = phys(base, key)
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct.length == keys.length,
+      s"merge keys repeat a column: ${keys.mkString(", ")}")
+    keys.foreach(phys(base, _)) // every component must resolve
     require(base.version > 0, "merge into an empty table: use append")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE with no clauses")
-    val keyHasStats = statCols.contains(pk)
     val src = source
     // WHEN NOT MATCHED BY SOURCE governs rows the source does NOT name —
     // no key probe can prune by ABSENCE — but each clause's own
@@ -774,22 +852,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       }
     val (candidates, kept) =
       if (bySourceTest.contains(None)) (base.files, Seq.empty[FileEntry])
-      else if (!keyHasStats) (base.files, Seq.empty[FileEntry])
-      else {
-        val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
-        val hitPaths: Set[String] = {
-          import spark.implicits._
-          val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
-            .toDF("__path", "__mn", "__mx")
-          src.select(col(key).cast("long").as("__k"))
-            .join(broadcast(intervals),
-              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-            .select("__path").distinct().as[String].collect().toSet ++
-            statless.map(_.path)
-        }
-        // candidate = key-probe hit OR inside some BY SOURCE clause band
-        val bandHit = bySourceTest.flatten.getOrElse((_: FileEntry) => false)
-        base.files.partition(f => hitPaths.contains(f.path) || bandHit(f))
+      else multiKeyHitPaths(spark, base, src, keys) match {
+        case None => (base.files, Seq.empty[FileEntry])
+        case Some(hitPaths) =>
+          // candidate = key-probe hit OR inside some BY SOURCE clause band
+          val bandHit = bySourceTest.flatten.getOrElse((_: FileEntry) => false)
+          base.files.partition(f => hitPaths.contains(f.path) || bandHit(f))
       }
     val exOpt0: Option[DataFrame] =
       if (candidates.isEmpty) None
@@ -829,20 +897,28 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val survivors: Option[DataFrame] =
       exOpt.map { ex =>
         val tcols = ex.columns.toSeq
-        val j = ex.alias("t").join(srcTagged.alias("s"),
-          expr(s"t.`$key` <=> s.`$key`") && expr(s"s.`$key` IS NOT NULL"),
-          "left")
-        val isMatched = expr(s"s.`$key` IS NOT NULL")
+        // null-safe equality per component keeps the join equi-plannable;
+        // the IS NOT NULL gates restore ANSI semantics (NULL in ANY
+        // source component matches nothing, the row inserts)
+        val joinCond = keys.map(k =>
+          expr(s"t.`$k` <=> s.`$k`") && expr(s"s.`$k` IS NOT NULL"))
+          .reduce(_ && _)
+        val j = ex.alias("t").join(srcTagged.alias("s"), joinCond, "left")
+        // a matched row always carries the source's non-NULL row id; an
+        // unmatched left row reads NULL there
+        val isMatched = expr("s.`__sid` IS NOT NULL")
         // duplicate SOURCE-row matches are nondeterministic under first-
         // match-wins: refuse (Delta's MERGE_MULTIPLE_MATCHES), detected
-        // on the join itself so only MATCHED duplicates count
+        // on the join itself so only MATCHED duplicates count — per
+        // COMPOSITE key
         val dup = j.filter(isMatched)
-          .groupBy(expr(s"t.`$key`"))
+          .groupBy(keys.map(k => expr(s"t.`$k`")): _*)
           .agg(countDistinct(col("__sid")).as("c"))
           .filter(col("c") > 1).limit(1).count()
         require(dup == 0L,
-          s"MERGE source has multiple rows matching one target `$key` — " +
-            "first-match-wins would be nondeterministic; dedup the source")
+          s"MERGE source has multiple rows matching one target " +
+            s"`${keys.mkString(", ")}` — first-match-wins would be " +
+            "nondeterministic; dedup the source")
         def condOf(c: Option[String]) =
           c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
         // first-match-wins action id: 0 = carry, i+1 = clause i fires.
@@ -879,7 +955,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
               when(col("__act") === (i + 1), rhs).otherwise(acc)
             case (acc, _) => acc
           }
-          updated.as(c)
+          // ANSI store assignment: the SET value is cast to the COLUMN's
+          // (evolved) type — without it, arithmetic rhs like
+          // `t.sum + s.delta` widens decimal precision per refresh and
+          // the rewritten files' schema drifts away from the kept ones'
+          (if (tschema.fieldNames.contains(c)) updated.cast(tschema(c).dataType)
+           else updated).as(c)
         }: _*)
         projected
       }
@@ -897,8 +978,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val fresh = exOpt match {
           case None => src.alias("s")
           case Some(ex) => src.alias("s").join(
-            ex.select(col(key)).distinct().alias("t"),
-            expr(s"s.`$key` = t.`$key`"), "left_anti")
+            ex.select(keys.map(col): _*).distinct().alias("t"),
+            keys.map(k => expr(s"s.`$k` = t.`$k`")).reduce(_ && _),
+            "left_anti")
         }
         val tcols = tschema.fieldNames.toSeq
         // FIRST-MATCH-WINS across the insert clauses, mirroring the
@@ -938,6 +1020,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
       case (a, b) => a.orElse(b)
     }
     val entries = rewritten.map(writeDataFiles(spark, _)).getOrElse(Nil)
+    val keyGuard = multiKeyGuard(spark, base, src, keys)
     val guard: Option[(FileEntry => Boolean, String)] =
       if (bySource.nonEmpty) {
         // a concurrently appended row this merge never saw is NOT
@@ -945,41 +1028,22 @@ final class TxTable(val root: String, val statCols: Seq[String],
         // it (or always, when a clause has no derivable band / the key
         // carries no stats — the source-key envelope is folded in for
         // the matched/insert clauses)
-        (bySourceTest.flatten, keyHasStats) match {
-          case (Some(bandHit), true) =>
-            val srcRange = src.agg(min(col(key).cast("long")),
-              max(col(key).cast("long"))).head()
-            val keyHit: FileEntry => Boolean =
-              if (srcRange.isNullAt(0)) _ => false
-              else { f =>
-                f.mins.get(pk).forall(_ <= srcRange.getLong(1)) &&
-                  f.maxs.get(pk).forall(_ >= srcRange.getLong(0))
-              }
+        bySourceTest.flatten match {
+          case Some(bandHit) =>
+            // keyGuard None = the source can match nothing (empty, or a
+            // component all-NULL): only the clause bands conflict
+            val keyHit = keyGuard.map(_._1).getOrElse((_: FileEntry) => false)
             Some(((f: FileEntry) => keyHit(f) || bandHit(f),
               "overlaps the merge key envelope or a NOT MATCHED BY " +
                 "SOURCE clause band"))
-          case _ =>
+          case None =>
             Some(((_: FileEntry) => true,
               "was added concurrently (NOT MATCHED BY SOURCE clauses " +
                 "govern every target row)"))
         }
-      } else if (!keyHasStats) {
-        if (src.isEmpty) None
-        else Some(((_: FileEntry) => true,
-          s"was added concurrently (merge key $key has no stats interval — " +
-            "nothing proves disjointness)"))
-      } else {
-        val srcRange =
-          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (srcRange.isNullAt(0)) None
-        else {
-          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
-          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
-            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
-        }
-      }
+      } else keyGuard
     val version = commitCowGuarded(base, candidates, entries, "merge", guard,
-      meta = evolvedMeta)
+      txns = txns, meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = candidates.size,
       keptFiles = kept.size, newFiles = entries.size)
   }
@@ -1582,6 +1646,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
           val survivors =
             if (!negate) // NULL c and unmatched rows survive the anti-join
               cand.join(k, cand(column) === k("__k"), "left_anti")
+            else if (nKeys == 0L)
+              // `c NOT IN (empty)` is TRUE for EVERY row, NULL c
+              // included (the quantified comparison over zero elements
+              // — ANSI and Spark agree): nothing survives
+              cand.filter(lit(false))
             else // survivors: NULL c, or c matching some key
               cand.filter(col(column).isNull)
                 .unionByName(cand.join(k,
@@ -1678,6 +1747,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
           val joined = cand.join(k, cand(column) === k("__k"), "left")
           val member =
             if (!negate) col("__k").isNotNull
+            else if (nKeys == 0L) lit(true) // NOT IN (empty) is always TRUE
             else cand(column).isNotNull && col("__k").isNull
           val setMap = sets.toMap
           val updated = joined.select(cand.columns.toSeq.map { c =>
@@ -1821,6 +1891,64 @@ final class TxTable(val root: String, val statCols: Seq[String],
       newFiles = rewrites.size + replacement.size)
   }
 
+  /** PER-FILE deletion-vector writer — the distributed replacement for
+    * the one-task `coalesce(1)` funnel (round-13 verdict #3): the
+    * victim frame (file, pos) shuffles ONE PARTITION PER CANDIDATE FILE
+    * (explicit partition count — AQE never re-coalesces an explicit
+    * repartition back into a funnel), each file's positions land as
+    * that file's OWN dv parquet via a partitioned staging write, prior
+    * vectors union forward per file (a shared legacy vector splits into
+    * per-file shards on its next touch), and a candidate with no
+    * victims and no prior vector carries UNSTAMPED — its reads pay no
+    * anti-join. Write parallelism rides the victim scan: at 100 TB a
+    * merge matching 10⁹ rows writes its vectors with the scan's task
+    * fan-out, never through one writer, and no two files ever share a
+    * vector (the shared-DV read amplification is gone). Returns the
+    * re-stamped candidate entries. */
+  private def writeDvEntries(spark: SparkSession, candidates: Seq[FileEntry],
+      victims: DataFrame): Seq[FileEntry] = {
+    val oldDvs = candidates.flatMap(_.dv).distinct
+    val all =
+      if (oldDvs.isEmpty) victims
+      else victims.unionByName(spark.read.parquet(
+        oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
+    val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
+    // __pfile rides the partition PATH; (file, pos) stay data columns
+    // for the read-side anti-join
+    all.withColumn("__pfile", col("file"))
+      .repartition(math.max(1, candidates.size), col("file"))
+      .write.partitionBy("__pfile").parquet(stage.toString)
+    val dvByName: Map[String, String] =
+      Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("__pfile="))
+        .map { d =>
+          val src = java.net.URLDecoder.decode(
+            d.getName.stripPrefix("__pfile="), "UTF-8")
+          val parts = Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+          // hash repartition on the file name puts every row of a file
+          // in ONE task — exactly one part per shard, movable as-is
+          require(parts.length == 1,
+            s"dv shard for $src staged ${parts.length} parts (expected 1)")
+          val dvName = s"dv-${UUID.randomUUID()}.parquet"
+          Files.move(parts.head.toPath, dataDir.resolve(dvName),
+            StandardCopyOption.ATOMIC_MOVE)
+          src -> dvName
+        }.toMap
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(stage.toFile)
+    candidates.map { f =>
+      dvByName.get(Paths.get(f.path).getFileName.toString) match {
+        case Some(dv) => f.copy(dv = Some(dv))
+        // no victims ever (a prior vector would have re-sharded here):
+        // clear a stale shared-vector reference, else carry untouched
+        case None => if (f.dv.isEmpty) f else f.copy(dv = None)
+      }
+    }
+  }
+
   /** POSITIONAL delete (merge-on-read — Delta deletion vectors /
     * Iceberg positional deletes): like [[delete]], manifest stats
     * classify files three ways, but straddlers are NOT rewritten —
@@ -1853,23 +1981,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val victims = readWithPositions(spark, straddling, base)
           .filter(col(statCol) >= lo && col(statCol) <= hi) // logical names
           .select(col("__file").as("file"), col("__pos").as("pos"))
-        val oldDvs = straddling.flatMap(_.dv).distinct
-        val allVictims =
-          if (oldDvs.isEmpty) victims
-          else victims.unionByName(spark.read.parquet(
-            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
-        val dvName = s"dv-${UUID.randomUUID()}.parquet"
-        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-        allVictims.coalesce(1).write.parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("dv write produced no file"))
-        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(stage.toFile)
-        straddling.map(_.copy(dv = Some(dvName)))
+        writeDvEntries(spark, straddling, victims)
       }
     val version = commitCow(base, touched, entries, "positional delete",
       Some((p, lo, hi)))
@@ -1906,23 +2018,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val victims = readWithPositions(spark, straddling, base)
           .filter(coalesce(expr(predicateSql), lit(false)))
           .select(col("__file").as("file"), col("__pos").as("pos"))
-        val oldDvs = straddling.flatMap(_.dv).distinct
-        val allVictims =
-          if (oldDvs.isEmpty) victims
-          else victims.unionByName(spark.read.parquet(
-            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
-        val dvName = s"dv-${UUID.randomUUID()}.parquet"
-        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-        allVictims.coalesce(1).write.parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("dv write produced no file"))
-        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(stage.toFile)
-        straddling.map(_.copy(dv = Some(dvName)))
+        writeDvEntries(spark, straddling, victims)
       }
     val version = commitCowGuarded(base, touched, entries, "positional delete",
       Some((bandsIntersect(bands) _,
@@ -1976,21 +2072,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         try {
           val victims = alivePersisted
             .select(col("__file").as("file"), col("__pos").as("pos"))
-          val allVictims =
-            if (oldDvs.isEmpty) victims
-            else victims.unionByName(spark.read.parquet(
-              oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
-          val dvName = s"dv-${UUID.randomUUID()}.parquet"
-          val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-          allVictims.coalesce(1).write.parquet(stage.toString)
-          val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("dv write produced no file"))
-          Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(stage.toFile)
+          val dvEntries = writeDvEntries(spark, touched, victims)
           // updated IMAGES of the tombstoned rows — one projection, every
           // rhs reading the PRE-update row (ANSI SET)
           val setMap = sets.toMap
@@ -1999,7 +2081,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
             setMap.get(c).map(rhs => expr(rhs).as(c)).getOrElse(col(c))
           }: _*)
           val imageEntries = writeDataFiles(spark, images)
-          touched.map(_.copy(dv = Some(dvName))) ++ imageEntries
+          dvEntries ++ imageEntries
         } finally { alivePersisted.unpersist(blocking = false); () }
       }
     val version = commitCowGuarded(base, touched, entries, "update",
@@ -2024,13 +2106,28 @@ final class TxTable(val root: String, val statCols: Seq[String],
       key: String): MergeResult =
     mergePositionalFrom(spark, snapshot(), source, key)
 
+  /** [[mergePositional]] on a COMPOSITE key (the [[merge]] keys
+    * contract: all-component equality, NULL never matches, intersected
+    * per-component candidate probe, all-components-overlap guard). */
+  def mergePositional(spark: SparkSession, source: DataFrame,
+      keys: Seq[String]): MergeResult =
+    mergePositionalFrom(spark, snapshot(), source, keys, Map.empty)
+
   /** Merge-on-read against an explicit base snapshot, optionally
     * carrying stream txn watermarks in the same commit — the seam
     * [[mergeBatch]]'s MoR flavor and specs drive (mergeFrom precedent). */
   private[graft] def mergePositionalFrom(spark: SparkSession, base: Snapshot,
       source: DataFrame, key: String,
-      txns: Map[String, Long] = Map.empty): MergeResult = {
-    val pk = phys(base, key)
+      txns: Map[String, Long] = Map.empty): MergeResult =
+    mergePositionalFrom(spark, base, source, Seq(key), txns)
+
+  private[graft] def mergePositionalFrom(spark: SparkSession, base: Snapshot,
+      source: DataFrame, keys: Seq[String],
+      txns: Map[String, Long]): MergeResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct.length == keys.length,
+      s"merge keys repeat a column: ${keys.mkString(", ")}")
+    keys.foreach(phys(base, _)) // every component must resolve
     require(base.version > 0, "merge into an empty table: use append")
     // same schema-evolution declaration as the copy-on-write twin: a
     // declared table's new source columns widen the schema in the same
@@ -2038,54 +2135,26 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // NULL-backfills), type conflicts refuse before any tombstone lands
     val evolvedMeta = base.meta.flatMap(m =>
       evolveForSource(base, m.schema, source.schema))
-    val keyHasStats = statCols.contains(pk)
     val src = source
-    val (candidates, kept) =
-      if (!keyHasStats) (base.files, Seq.empty[FileEntry])
-      else inListCandidates(spark, base, pk, src.select(col(key).as("__k")))
+    val (candidates, kept) = multiKeyHitPaths(spark, base, src, keys) match {
+      case None => (base.files, Seq.empty[FileEntry])
+      case Some(hits) => base.files.partition(f => hits.contains(f.path))
+    }
     val dvEntries =
       if (candidates.isEmpty) Nil
       else {
         val raw = readWithPositions(spark, candidates, base)
-        val oldDvs = candidates.flatMap(_.dv).distinct
-        val matched = raw.join(src.select(col(key).as("__mk")).distinct(),
-          raw(key) === col("__mk"), "left_semi")
+        val srcKeys = src.select(keys.zipWithIndex.map { case (k, i) =>
+          col(k).as(s"__mk$i") }: _*).distinct()
+        val matched = raw.join(srcKeys,
+          keys.indices.map(i => raw(keys(i)) === col(s"__mk$i")).reduce(_ && _),
+          "left_semi")
         val victims = matched
           .select(col("__file").as("file"), col("__pos").as("pos"))
-        val allVictims =
-          if (oldDvs.isEmpty) victims
-          else victims.unionByName(spark.read.parquet(
-            oldDvs.map(d => dataDir.resolve(d).toString): _*)).distinct()
-        val dvName = s"dv-${UUID.randomUUID()}.parquet"
-        val stage = dataDir.resolve(s".stage-${UUID.randomUUID()}")
-        allVictims.coalesce(1).write.parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("dv write produced no file"))
-        Files.move(part.toPath, dataDir.resolve(dvName), StandardCopyOption.ATOMIC_MOVE)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(stage.toFile)
-        candidates.map(_.copy(dv = Some(dvName)))
+        writeDvEntries(spark, candidates, victims)
       }
     val srcEntries = writeDataFiles(spark, src)
-    val guard: Option[(FileEntry => Boolean, String)] =
-      if (!keyHasStats) {
-        if (src.isEmpty) None
-        else Some(((_: FileEntry) => true,
-          s"was added concurrently (merge key $key has no stats interval — " +
-            "nothing proves disjointness)"))
-      } else {
-        val srcRange =
-          src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-        if (srcRange.isNullAt(0)) None
-        else {
-          val (mn, mx) = (srcRange.getLong(0), srcRange.getLong(1))
-          Some(((f: FileEntry) => f.mins.get(pk).forall(_ <= mx) &&
-            f.maxs.get(pk).forall(_ >= mn), s"overlap $pk in [$mn, $mx]"))
-        }
-      }
+    val guard = multiKeyGuard(spark, base, src, keys)
     val version = commitCowGuarded(base, candidates,
       dvEntries ++ srcEntries, "merge", guard, txns = txns, meta = evolvedMeta)
     MergeResult(version, rewrittenFiles = 0,
@@ -2097,16 +2166,53 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * the rest by name. The maintenance op that converts merge-on-read
     * debt back to zero read-side cost; vacuum reclaims the old files
     * and vectors past the retention horizon. */
-  def materializeDeletes(spark: SparkSession): MergeResult = {
+  def materializeDeletes(spark: SparkSession): MergeResult =
+    materializeDeletes(spark, 0.0)
+
+  /** [[materializeDeletes]] folding only files whose vectored fraction
+    * STRICTLY exceeds `minDvFraction` (0.0 = every vectored file, the
+    * full fold) — the targeted debt collector: fold the files whose
+    * read-side anti-join no longer pays, keep cheap vectors riding.
+    * Fraction is decided from one tiny job over the vector parquets;
+    * no data file is read to plan. */
+  def materializeDeletes(spark: SparkSession,
+      minDvFraction: Double): MergeResult = {
     val base = snapshot()
     require(base.version > 0, "materialize on an empty table?")
-    val (dvd, plain) = base.files.partition(_.dv.nonEmpty)
-    if (dvd.isEmpty) return MergeResult(base.version, 0, plain.size, 0)
+    val (dvdAll, plain) = base.files.partition(_.dv.nonEmpty)
+    val dvd =
+      if (minDvFraction <= 0.0) dvdAll
+      else {
+        val heavy = dvHeavyFiles(spark, base, minDvFraction)
+        dvdAll.filter(f => heavy.contains(f.path))
+      }
+    if (dvd.isEmpty)
+      return MergeResult(base.version, 0, base.files.size, 0)
     val entries = writeDataFiles(spark, readFiles(spark, dvd, base.colMap))
     // content-preserving rewrite: concurrent appends never conflict
     val version = commitCow(base, dvd, entries, "materializeDeletes", None)
     MergeResult(version, rewrittenFiles = dvd.size,
-      keptFiles = plain.size, newFiles = entries.size)
+      keptFiles = base.files.size - dvd.size, newFiles = entries.size)
+  }
+
+  /** Files whose deletion-vector debt STRICTLY exceeds `threshold` as a
+    * fraction of their physical rows — automatic fold candidates
+    * regardless of size: past [[TxTable.DvFoldThreshold]] dead rows the
+    * per-read anti-join outweighs the rewrite it deferred. One tiny job
+    * over the (per-file) vector parquets; zero data-file I/O. */
+  private def dvHeavyFiles(spark: SparkSession, base: Snapshot,
+      threshold: Double): Set[String] = {
+    val dvd = base.files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) return Set.empty
+    val counts = spark.read.parquet(
+      dvd.flatMap(_.dv).distinct.map(d => dataDir.resolve(d).toString): _*)
+      .groupBy(col("file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dvd.filter { f =>
+      val name = Paths.get(f.path).getFileName.toString
+      f.rows > 0 &&
+        counts.getOrElse(name, 0L).toDouble / f.rows > threshold
+    }.map(_.path).toSet
   }
 
   // -------------------------------------------------------------- maintenance
@@ -2134,8 +2240,15 @@ final class TxTable(val root: String, val statCols: Seq[String],
   private[graft] def compactFrom(spark: SparkSession, base: Snapshot,
       smallRows: Long): MergeResult = {
     require(base.version > 0, "compact an empty table?")
-    val (small, large) = base.files.partition(_.rows < smallRows)
-    if (small.size < 2) return MergeResult(base.version, 0, base.files.size, 0)
+    // AUTO-FOLD: a file whose deletion-vector debt exceeds the fold
+    // threshold is a compaction candidate REGARDLESS of size — past
+    // ~50% dead rows the per-read anti-join outweighs the rewrite it
+    // deferred, so scheduled OPTIMIZE keeps MoR debt bounded per file
+    val dvHeavy = dvHeavyFiles(spark, base, TxTable.DvFoldThreshold)
+    val (small, large) = base.files.partition(f =>
+      f.rows < smallRows || dvHeavy.contains(f.path))
+    if (small.size < 2 && dvHeavy.isEmpty)
+      return MergeResult(base.version, 0, base.files.size, 0)
     val packed = readFiles(spark, small, base.colMap) // DV-aware: compaction materializes deletes
       .coalesce(math.max(1, (small.map(_.rows).sum / smallRows).toInt))
     val entries = writeDataFiles(spark, packed)
@@ -3229,6 +3342,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
           if (cur.constraints != base.constraints)
             conflict("the constraint set changed (staged files were not " +
               "validated against it)")
+          // an evolved declaration was derived from base's meta; a
+          // concurrent metadata-only change (addColumn, rename) adds no
+          // files, so the fresh-file guard can't see it — re-committing
+          // the stale evolution would silently clobber it (ADVICE r13)
+          if (meta.isDefined && cur.meta != base.meta)
+            conflict("the declared schema changed concurrently (this " +
+              "operation's schema evolution was derived from the old " +
+              "declaration)")
           val curIds = cur.files.map(f => (f.path, f.dv)).toSet
           if (!candIds.subsetOf(curIds))
             conflict("file(s) this operation read were rewritten, deleted, " +
@@ -3263,8 +3384,9 @@ final class TxTable(val root: String, val statCols: Seq[String],
     if (s0.txns.get(appId).exists(_ >= batchId)) return false
     // streaming-ingest schema evolution: a batch carrying new columns
     // widens a declared schema in the same exactly-once commit (append's
-    // rule — the CDC-ingest shape where upstream adds a field mid-stream)
-    val evolvedMeta = s0.meta.flatMap(m => evolveForSource(s0, m.schema, df.schema))
+    // rule — the CDC-ingest shape where upstream adds a field mid-stream).
+    // Computed BEFORE staging so a type conflict refuses without writing.
+    s0.meta.foreach(m => evolveForSource(s0, m.schema, df.schema))
     val entries = writeDataFiles(spark, df)
     var attempt = 0
     while (true) {
@@ -3275,6 +3397,11 @@ final class TxTable(val root: String, val statCols: Seq[String],
         entries.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
         return false
       }
+      // the evolution is RE-DERIVED against each attempt's snapshot: a
+      // concurrent metadata-only change (addColumn) adds no files, so a
+      // stale evolved meta would silently clobber it (ADVICE r13)
+      val evolvedMeta = base.meta.flatMap(m =>
+        evolveForSource(base, m.schema, df.schema))
       try {
         commitOnce(base, Map(appId -> batchId),
           op = "stream-append", meta = evolvedMeta) { _ => base.files ++ entries }
@@ -3674,6 +3801,13 @@ object TxTable {
     * handful of tiny file reads, large enough that steady-state commit
     * cost is the delta write, not the checkpoint. */
   private[tables] val CheckpointInterval = 10
+
+  /** Vectored-row fraction above which maintenance folds a file plain
+    * (the Delta `maxDeletedRowRatio` shape): past ~50% dead rows the
+    * per-read anti-join outweighs the rewrite it deferred, so plain
+    * OPTIMIZE treats the file as a compaction candidate regardless of
+    * size — merge-on-read debt stays bounded per file. */
+  val DvFoldThreshold: Double = 0.5
 
   /** One parsed DELTA manifest: what a single commit changed. */
   private final case class DeltaRecord(adds: Seq[FileEntry],

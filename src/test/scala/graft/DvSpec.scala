@@ -168,6 +168,84 @@ class DvSpec extends AnyFunSuite with SparkFixture {
     assert(mor.snapshot().files.forall(_.dv.isEmpty))
   }
 
+  // round-14 (verdict #3): DISTRIBUTED per-file deletion vectors — no
+  // shared vector, no one-task write funnel, and the SQL fold surface.
+
+  test("per-file vectors: no two files share a vector; untouched candidates stay clean") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10))
+    val r = t.deletePositional(spark, "k", 35, 54) // straddlers [30,39] + [50,59]
+    assert(r.dvFiles == 2)
+    val dvs = t.snapshot().files.flatMap(_.dv)
+    assert(dvs.size == 2 && dvs.distinct.size == 2,
+      s"each straddler must carry ITS OWN vector, got $dvs")
+    // each vector holds ONLY its file's positions (the read-side
+    // anti-join never scans other files' victims)
+    dvs.foreach { d =>
+      val files = spark.read.parquet(s"${t.root}/data/$d")
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSeq
+      assert(files.size == 1, s"vector $d spans files $files")
+    }
+    // a later touch stamps only the file it actually hits
+    val r2 = t.deletePositionalWhere(spark, "k = 61")
+    assert(r2.dvFiles == 1, s"got $r2")
+    assert(t.snapshot().files.count(_.dv.nonEmpty) == 3)
+    assert(keysOf(t) == (0L until 100L)
+      .filterNot(k => k >= 35 && k <= 54).filterNot(_ == 61L))
+  }
+
+  test("the vector write fans out one task per candidate file — never a funnel") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10))
+    val stages = scala.collection.mutable.Set[Int]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += s.stageInfo.numTasks; ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // a perpendicular predicate: every one of the 10 files straddles
+      t.deletePositionalWhere(spark, "k % 10 = 3")
+      Thread.sleep(500) // listener bus drain
+      assert(stages.contains(10),
+        s"the dv write must run one task per candidate file (10), saw stages $stages")
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(t.snapshot().files.flatMap(_.dv).distinct.size == 10)
+    assert(keysOf(t) == (0L until 100L).filterNot(_ % 10 == 3))
+  }
+
+  test("OPTIMIZE MATERIALIZE DELETES folds debt; THRESHOLD folds only heavy files") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 10))
+    t.deletePositional(spark, "k", 12, 17) // [10,19]: 6/10 vectored — heavy
+    t.deletePositional(spark, "k", 35, 36) // [30,39]: 2/10 vectored — light
+    val expect = (0L until 100L)
+      .filterNot(k => k >= 12 && k <= 17).filterNot(k => k >= 35 && k <= 36)
+    val r = spark.sql(
+      s"OPTIMIZE txtable.`${t.root}` MATERIALIZE DELETES THRESHOLD 0.5").head()
+    assert(r.getInt(1) == 1, s"only the >50%-vectored file folds: $r")
+    assert(t.snapshot().files.count(_.dv.nonEmpty) == 1)
+    assert(keysOf(t) == expect)
+    val r2 = spark.sql(
+      s"OPTIMIZE txtable.`${t.root}` MATERIALIZE DELETES").head()
+    assert(r2.getInt(1) == 1, s"the bare statement folds the rest: $r2")
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(keysOf(t) == expect)
+  }
+
+  test("plain OPTIMIZE auto-folds a LARGE file past the DV debt threshold") {
+    val t = freshTable()
+    t.append(spark, keyed(0, 100, 2)) // two 50-row files, both "large"
+    t.deletePositional(spark, "k", 0, 30) // [0,49]: 31/50 = 62% vectored
+    val m = t.compact(spark, smallRows = 10) // size alone nominates nothing
+    assert(m.rewrittenFiles == 1,
+      s"the dv-heavy file must fold regardless of size: $m")
+    assert(t.snapshot().files.forall(_.dv.isEmpty))
+    assert(keysOf(t) == (31L until 100L))
+  }
+
   test("merge-on-read update equals copy-on-write update; stacked updates compose") {
     import spark.implicits._
     val cow = freshTable(); val mor = freshTable()

@@ -244,6 +244,23 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     assert(t.read(spark).count() == 2)
   }
 
+  test("schema evolution honors dropped-name reservations case-insensitively") {
+    // the resolver matches columns case-insensitively, so a source
+    // column differing only in case from a dropped physical IS that
+    // name to every read — the never-resurrect rule must see it too
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mw_caseres").toString, Seq("k"))
+    t.append(spark, Seq((1L, 10L, 5L)).toDF("k", "v", "note"))
+    t.dropColumn("note")
+    // declared AFTER the drop: the schema lacks `note`, so a case-variant
+    // source column is a NEW column — the reservation check's territory
+    t.declareMeta(t.read(spark).schema)
+    val e = intercept[IllegalArgumentException] {
+      t.merge(spark, Seq((2L, 20L, 9L)).toDF("k", "v", "NOTE"), "k")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("merge-on-read upsert declares evolved schemas like its CoW twin") {
     val t = new TxTable(
       Files.createTempDirectory("graft_mw_morevo").toString, Seq("k"))
@@ -329,5 +346,88 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
       Nil, Nil, Seq(MergeDelete(Some("t.v % 3 = 1"))))
     assert(r2.rewrittenFiles == 3 && r2.keptFiles == 0,
       s"band-less BY SOURCE must class every file a candidate, got $r2")
+  }
+
+  // ------------------------------------------------------ composite keys
+  // round-13 verdict #1: merge keyed on MULTIPLE columns — matching
+  // requires equality on EVERY component, NULL in any component routes
+  // to insert, dup refusal counts distinct source rows per FULL key,
+  // and candidate pruning intersects the per-component probes.
+
+  test("composite-key canonical merge: all-component equality; NULL component inserts") {
+    val (t, rows) = fresh() // (k, v, s) with s = k % 5; keyed on (k, s)
+    val src = spark.sql(
+      "SELECT CAST(0 AS BIGINT) k, CAST(-1 AS BIGINT) v, CAST(0 AS BIGINT) s " +
+        "UNION ALL SELECT 1, -2, 4 " +    // k=1 exists but s=1 ≠ 4 → INSERT
+        "UNION ALL SELECT 200, -3, 2 " +  // fresh k → INSERT
+        "UNION ALL SELECT NULL, -4, 0")   // NULL component → INSERT
+    val r = t.merge(spark, src, Seq("k", "s"))
+    // per-component probe: k-intervals admit only the first range file
+    // (k 0..19; 200 and NULL hit nothing); s carries no stats — prunes
+    // nothing, refuses nothing. Intersection = 1 candidate of 3.
+    assert(r.rewrittenFiles == 1 && r.keptFiles == 2,
+      s"per-component interval probes must intersect, got $r")
+    val got = t.read(spark).select(col("k"), col("v"), col("s")).collect()
+      .map(x => (Option(x.get(0)).map(_.asInstanceOf[Long]),
+        x.getLong(1), x.getLong(2))).toSet
+    val want = rows.filterNot(_.k == 0L)
+      .map(x => (Option(x.k), x.v, x.s)).toSet ++
+      Set((Option(0L), -1L, 0L), (Option(1L), -2L, 4L),
+        (Option(200L), -3L, 2L), (Option.empty[Long], -4L, 0L))
+    assert(got == want)
+  }
+
+  test("composite-key mergeWhen: dup refusal counts distinct source rows per FULL key") {
+    val (t, _) = fresh()
+    // two source rows sharing k but differing in s: NOT duplicates —
+    // (2, 2) matches target k=2 (s = 2), (2, 3) matches nothing
+    t.mergeWhen(spark, Seq((2L, -1L, 2L), (2L, -2L, 3L)).toDF("k", "v", "s"),
+      Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty)
+    assert(content(t).contains(Row3(2L, -1L, 2L)))
+    // two source rows agreeing on the FULL composite key: refused
+    val e = intercept[IllegalArgumentException] {
+      t.mergeWhen(spark, Seq((3L, -1L, 3L), (3L, -9L, 3L)).toDF("k", "v", "s"),
+        Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty)
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+  }
+
+  test("composite-key mergeWhen: NULL component falls through to insert clauses") {
+    val (t, _) = fresh()
+    val src = spark.sql(
+      "SELECT CAST(2 AS BIGINT) k, CAST(-5 AS BIGINT) v, CAST(NULL AS BIGINT) s")
+    t.mergeWhen(spark, src, Seq("k", "s"),
+      Seq(MergeUpdate(None, None)), Seq(MergeInsert(None, None, None)), Nil,
+      Map.empty)
+    // target row (2, 6, 2) untouched; the NULL-s source row inserted
+    assert(t.read(spark).filter(col("k") === 2 && col("s") === 2)
+      .select(col("v")).head().getLong(0) == 2L * 3 % 17)
+    val inserted = t.read(spark).filter(col("s").isNull)
+      .select(col("v")).collect().map(_.getLong(0)).toSet
+    assert(inserted == Set(-5L))
+  }
+
+  test("composite-key evolution: star actions widen the schema") {
+    val (t, _) = fresh()
+    t.declareMeta(t.read(spark).schema)
+    t.mergeWhen(spark, Seq((2L, -1L, 2L, 7L)).toDF("k", "v", "s", "w"),
+      Seq("k", "s"), Seq(MergeUpdate(None, None)),
+      Seq(MergeInsert(None, None, None)), Nil, Map.empty)
+    assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("w")),
+      "the composite-key merge must declare the widened schema")
+    val got = t.read(spark).filter(col("k") === 2 && col("s") === 2)
+      .select(col("v"), col("w")).head()
+    assert(got.getLong(0) == -1L && got.getLong(1) == 7L)
+  }
+
+  test("composite-key merge-on-read agrees with the CoW twin; zero rewrites") {
+    val (t1, _) = fresh()
+    val (t2, _) = fresh()
+    val src = Seq((0L, -1L, 0L), (200L, -3L, 2L)).toDF("k", "v", "s")
+    t1.merge(spark, src, Seq("k", "s"))
+    val r2 = t2.mergePositional(spark, src, Seq("k", "s"))
+    assert(r2.rewrittenFiles == 0, s"MoR must rewrite nothing, got $r2")
+    assert(content(t1) == content(t2),
+      "merge-on-read and copy-on-write must produce identical content")
   }
 }

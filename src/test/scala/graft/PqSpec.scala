@@ -90,6 +90,26 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       s"query-vector filter not pushed to the embeddings scan:\n$plan")
   }
 
+  test("nprobe serve rides the STORED index: query-side-only explodes, zero index writes") {
+    import graft.tables.TxTable
+    val root = graft.queries.LlmExt.ivfpqIndexRoot(spark, sf)._1
+    val parts = Seq("codes", "codebook", "centroids")
+    val before = parts.map(p => TxTable.open(s"$root/$p").currentVersion)
+    val df = graft.queries.LlmExt.q_ann_ivfpq_nprobe(spark, sf)
+    assert(df.collect().length == 30) // 10 queries × top-3
+    // both explodes are QUERY-side (cell ranking + LUT — each over the
+    // pushed vec_id < 10 scan); a corpus re-encode would add a third,
+    // unpushed one — the anti-pattern the persisted index removes
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = "Generate explode|Generate posexplode".r.findAllIn(plan).size
+    assert(generates <= 2, s"expected ≤2 query-side explodes, got $generates:\n$plan")
+    assert(plan.contains("LessThan(vec_id,10)"),
+      s"query-vector filter not pushed to the embeddings scan:\n$plan")
+    // the serve is read-only on every stored index table
+    val after = parts.map(p => TxTable.open(s"$root/$p").currentVersion)
+    assert(before == after, s"the serve must not write the index: $before -> $after")
+  }
+
   test("incremental refresh: delta-only encode, stored lists never rewrite on monotone ids") {
     import graft.tables.TxTable
     import org.apache.spark.sql.functions._

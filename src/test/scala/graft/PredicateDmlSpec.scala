@@ -216,6 +216,31 @@ class PredicateDmlSpec extends AnyFunSuite with SparkFixture {
       s"NOT IN must keep NULLs and matches only, got $left")
   }
 
+  test("empty subquery: IN deletes nothing, NOT IN deletes EVERYTHING (NULLs too)") {
+    // `c NOT IN (empty)` is the quantified comparison over zero elements
+    // — TRUE for every row, NULL c included (ANSI and Spark agree); the
+    // randomized trials always draw 5+ keys, so this edge is pinned here
+    val empty = spark.sql("SELECT CAST(NULL AS BIGINT) AS u WHERE 1 = 0")
+    val (t1, rows) = fresh(new scala.util.Random(91L))
+    val r1 = t1.deleteWhereIn(spark, "k", empty)
+    assert(r1.rewrittenFiles == 0 && content(t1) == rows.toSet,
+      "IN (empty) must be a zero-I/O no-op")
+    val tn = new TxTable(
+      Files.createTempDirectory("graft_subqempty").toString, Seq("k"))
+    tn.append(spark, spark.sql(
+      "SELECT CAST(id AS BIGINT) AS k, id AS v, id AS s FROM range(10) " +
+        "UNION ALL SELECT CAST(NULL AS BIGINT), CAST(99 AS BIGINT), CAST(0 AS BIGINT)"))
+    tn.deleteWhereIn(spark, "k", empty, negate = true)
+    assert(tn.snapshot().files.map(_.rows).sum == 0L,
+      "NOT IN (empty) must delete every row, NULL-k rows included")
+    // the update face: NOT IN (empty) updates every row, NULLs included
+    val (t2, rows2) = fresh(new scala.util.Random(92L))
+    t2.updateWhereIn(spark, "k", empty, Seq("v" -> "v + 1000"), negate = true)
+    assert(content(t2) == rows2.map { case (k, v, s) => (k, v + 1000, s) }.toSet)
+    val r3 = t2.updateWhereIn(spark, "k", empty, Seq("v" -> "v + 1"))
+    assert(r3.rewrittenFiles == 0, "IN (empty) update must be a zero-I/O no-op")
+  }
+
   test("randomized subquery updates (updateWhereIn) equal the projection model") {
     val rnd = new scala.util.Random(31337L)
     for (trial <- 1 to 5) {

@@ -830,6 +830,19 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
       s"the view's band must prune the manifest, scanned $kept/$total files")
   }
 
+  test("a materialized view must not overwrite an existing TxTable") {
+    // createMview materializes via overwriteTagged — without the guard a
+    // CREATE MATERIALIZED VIEW aimed at a table path silently replaces
+    // that table's content (ADVICE r13)
+    val t = freshTable(10, 1)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW ${q(t.root)} AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("TxTable"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM ${q(t.root)}").head().getLong(0) == 10,
+      "the table's rows must be untouched")
+  }
+
   test("materialized view: CDF-incremental refresh applies only the delta") {
     val t = freshTable(40, 4)
     val mv = s"${tmpRoot()}/mv"
@@ -862,6 +875,56 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getString(0) == "full", s"aggregates must take the full path: $r2")
     // 40 base + 2 inserts − 5 deletes + 1 insert = 38 source rows
     assert(spark.sql(s"SELECT n FROM ${q(mv2)}").head().getLong(0) == 38)
+  }
+
+  test("aggregate mview: delta fold, group death & birth, avg recipe, NULL degrade") {
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(40).toDF("k")
+      .withColumn("g", col("k") % 4)
+      .withColumn("x", col("k") * 1L)
+      .repartitionByRange(4, col("k")))
+    val mv = s"${tmpRoot()}/mva"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} TBLPROPERTIES('statCols'='g') AS " +
+      s"SELECT g, count(*) AS n, sum(x) AS sx FROM ${q(t.root)} GROUP BY g")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(mv)}").head().getLong(0) == 4)
+    // kill group 3 entirely, mint group 9 — one refresh folds both
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k % 4 = 3")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(9 AS BIGINT), CAST(5 AS BIGINT)), " +
+      "(CAST(101 AS BIGINT), CAST(9 AS BIGINT), CAST(7 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"got $r")
+    val got = spark.sql(s"SELECT g, n, sx FROM ${q(mv)} ORDER BY g").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    def gsum(g: Long) = (g until 40L by 4).sum
+    assert(got == Seq((0L, 10L, gsum(0)), (1L, 10L, gsum(1)),
+      (2L, 10L, gsum(2)), (9L, 2L, 12L)),
+      s"net-to-zero group must DROP, net-new group must INSERT: $got")
+    // avg is the sum/count recipe over the maintained pair
+    assert(spark.sql(s"SELECT CAST(sx AS DOUBLE) / n AS a FROM ${q(mv)} " +
+      "WHERE g = 9").head().getDouble(0) == 6.0)
+    // a NULL summed value ARRIVING in the delta degrades to full — and
+    // the full recompute REVOKES the delta license while NULLs persist
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(102 AS BIGINT), CAST(9 AS BIGINT), CAST(NULL AS BIGINT))")
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r2.getString(0) == "full", s"a NULL sum value must degrade: $r2")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(103 AS BIGINT), CAST(9 AS BIGINT), CAST(1 AS BIGINT))")
+    val r3 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r3.getString(0) == "full", s"the revoked license must stick: $r3")
+    val g9 = spark.sql(s"SELECT n, sx FROM ${q(mv)} WHERE g = 9").head()
+    assert(g9.getLong(0) == 4L && g9.getLong(1) == 13L,
+      "sum semantics must stay exact through the degrade (NULL ignored)")
+    // min/max are NOT delta-foldable under deletes: always full
+    val mv2 = s"${tmpRoot()}/mvmx"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} TBLPROPERTIES('statCols'='g') AS " +
+      s"SELECT g, count(*) AS n, max(x) AS mx FROM ${q(t.root)} GROUP BY g")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(104 AS BIGINT), CAST(9 AS BIGINT), CAST(50 AS BIGINT))")
+    val r4 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r4.getString(0) == "full", s"max must never take the delta path: $r4")
+    assert(spark.sql(s"SELECT mx FROM ${q(mv2)} WHERE g = 9").head().getLong(0) == 50L)
   }
 
   test("converted tables read mixed partitioned + flat layouts after a rewrite") {

@@ -117,6 +117,33 @@ class TxRebaseSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("constraint"))
   }
 
+  test("an evolving merge aborts when the declared schema changed concurrently") {
+    // a metadata-only addColumn adds no files, so the fresh-file guard
+    // can't see it — re-committing an evolution derived from the stale
+    // declaration would silently clobber the concurrent ADD COLUMN
+    val t = fresh()
+    import spark.implicits._
+    t.append(spark, keyed(0, 100, 2))
+    t.declareMeta(t.read(spark).schema)
+    val stale = t.snapshot()
+    t.addColumn(spark, "note", org.apache.spark.sql.types.LongType) // no files
+    val src = spark.range(200, 205).toDF("k")
+      .withColumn("v", lit(1L)).withColumn("w", lit(2L)) // forces evolution
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.mergeFrom(spark, stale, src, "k")
+    }
+    assert(ex.getMessage.contains("schema"), ex.getMessage)
+    assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("note")),
+      "the concurrent ADD COLUMN must survive")
+    // a NON-evolving merge (meta = None) still rebases straight through
+    val stale2 = t.snapshot()
+    t.addColumn(spark, "note2", org.apache.spark.sql.types.LongType)
+    val r = t.mergeFrom(spark, stale2,
+      spark.range(300, 305).toDF("k").withColumn("v", lit(1L)), "k")
+    assert(r.version > 0)
+    assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("note2")))
+  }
+
   test("delete rebases across a disjoint concurrent append") {
     val t = fresh()
     t.append(spark, keyed(0, 100, 2))
