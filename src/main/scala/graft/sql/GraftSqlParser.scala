@@ -260,6 +260,13 @@ object GraftSqlParser {
     "(?is)^\\s*OPTIMIZE\\s+" + Target +
     "\\s+MATERIALIZE\\s+DELETES(?:\\s+THRESHOLD\\s+(0?\\.\\d+|0|1))?\\s*;?\\s*$").r
   private val OptimizeProbe = ("(?is)^\\s*OPTIMIZE\\s+" + Target + ".*").r
+  // INSERT resolves through the catalog AFTER view expansion — which
+  // would garble a view target into a subquery; probe it here so a
+  // view/mview target refuses TYPED before expansion runs
+  private val InsertProbe =
+    ("(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE)\\s+" + Target + ".*").r
+  private val ShowViewsRe =
+    ("(?is)^\\s*SHOW\\s+VIEWS\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
 
   /** The graft statement in `sqlText`, if it targets a txtable root. */
   def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -350,7 +357,11 @@ object GraftSqlParser {
     case ViewDropRe(ifExists, root) =>
       Some(TxDropViewCommand(root, ifExists = ifExists != null))
     case HistoryRe(root) => Some(TxDescribeHistoryCommand(root))
+    case DetailRe(root) if ViewStore.definition(root).isDefined ||
+        ViewStore.mviewDefinition(root).isDefined =>
+      Some(TxDescribeViewCommand(root))
     case DetailRe(root) => Some(TxDescribeDetailCommand(root))
+    case ShowViewsRe(prefix) => Some(TxShowViewsCommand(prefix))
     case CloneRe(dst, src) => Some(TxCloneCommand(src, dst))
     case TagCreateRe(root, name, v) =>
       Some(TxCreateTagCommand(root, name, Option(v).map(_.toInt)))
@@ -365,6 +376,9 @@ object GraftSqlParser {
       Some(TxConvertCommand(dst, src, cols("statCols"), cols("bloomCols")))
     case InsertReplaceRe(root, c, lo, hi, select) =>
       Some(TxReplaceWhereCommand(root, c, lo.toLong, hi.toLong, select.trim))
+    case InsertProbe(root) if ViewStore.definition(root).isDefined ||
+        ViewStore.mviewDefinition(root).isDefined =>
+      viewDmlTarget(root, "INSERT", routable = false); None // always throws
     case CopyIntoRe(root, src, pattern, props) =>
       val kv = Option(props).map { p =>
         "'(\\w+)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(p)
@@ -435,6 +449,46 @@ object GraftSqlParser {
     * (`(SELECT …;)` is a parse error even though `SELECT …;` is not). */
   private[sql] def stripStatementTail(s: String): String =
     s.replaceAll("[;\\s]+$", "").trim
+
+  /** DML-THROUGH-VIEW contract (round-13 verdict #6): a view path used
+    * as a DML target either ROUTES to its base table — the classic
+    * updatable-view rule, restricted to `SELECT * FROM base [WHERE p]`
+    * views (every base column visible; the caller conjoins `p` so the
+    * statement governs exactly the rows the view exposes) — or REFUSES
+    * with a typed message naming the base table(s). Returns None when
+    * `root` holds a real table (the ordinary path), Some((base,
+    * viewPredicate)) when the statement should route. `routable =
+    * false` (MERGE, INSERT, subquery DML — shapes with no sound
+    * predicate-conjoin rewrite) always refuses on a view. */
+  private[sql] def viewDmlTarget(root: String, verb: String,
+      routable: Boolean): Option[(String, Option[String])] = {
+    def bases(defn: String): String = {
+      val bs = ViewStore.txtableRefs(defn)
+      if (bs.isEmpty) "its base query"
+      else bs.map(b => s"txtable.`$b`").mkString(", ")
+    }
+    ViewStore.mviewDefinition(root).foreach { defn =>
+      throw new IllegalArgumentException(
+        s"$verb targets MATERIALIZED VIEW txtable.`$root` — mutate its " +
+          s"base (${bases(defn)}) and run REFRESH MATERIALIZED VIEW instead")
+    }
+    ViewStore.definition(root).map { defn =>
+      val Star = ("(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+" +
+        "txtable\\s*\\.\\s*`([^`]+)`(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
+      defn match {
+        case Star(base, pred) if routable &&
+            ViewStore.definition(base).isEmpty &&
+            ViewStore.mviewDefinition(base).isEmpty &&
+            graft.tables.TxTable.exists(base) =>
+          (base, Option(pred))
+        case _ => throw new IllegalArgumentException(
+          s"$verb targets VIEW txtable.`$root`, which is not updatable " +
+            "here (only `SELECT * FROM base [WHERE …]` views route " +
+            s"UPDATE/DELETE to their base) — run the $verb against " +
+            bases(defn))
+      }
+    }
+  }
 
   /** Txn-map key for the aggregate-mview NULL-sum safety flag: 1 = the
     * materialized source slice held NO NULL summed value (verified at
@@ -673,6 +727,7 @@ case class TxMergeCommand(root: String, sourceSql: String, keys: Seq[String])
     attr("version", IntegerType), attr("rewritten_files", IntegerType),
     attr("kept_files", IntegerType), attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "MERGE", routable = false)
     val src = spark.sql(s"SELECT * FROM $sourceSql")
     val r = TxTable.open(root).merge(spark, src, keys)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
@@ -698,6 +753,14 @@ case class TxUpdateCommand(root: String, sets: Seq[(String, String)],
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, expr}
+    GraftSqlParser.viewDmlTarget(root, "UPDATE", routable = true).foreach {
+      case (b, vp) => // view target: the band becomes a general predicate
+        val band = s"$statCol BETWEEN $lo AND $hi"
+        val pred = vp.map(p => s"($band) AND ($p)").getOrElse(band)
+        val r = TxTable.open(b).updateWhere(spark, pred, sets)
+        return Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles,
+          r.keptFiles, r.newFiles))
+    }
     val t = TxTable.open(root)
     val band = t.readWhere(spark, statCol, lo, hi).df
     val names = sets.map(_._1)
@@ -732,7 +795,15 @@ case class TxUpdateWhereCommand(root: String, sets: Seq[(String, String)],
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = TxTable.open(root).updateWhere(spark, predicateSql, sets)
+    // updatable-view routing: conjoin the view's own predicate so the
+    // UPDATE governs exactly the rows the view exposes
+    val (target, pred) =
+      GraftSqlParser.viewDmlTarget(root, "UPDATE", routable = true) match {
+        case Some((b, vp)) =>
+          (b, vp.map(p => s"($predicateSql) AND ($p)").getOrElse(predicateSql))
+        case None => (root, predicateSql)
+      }
+    val r = TxTable.open(target).updateWhere(spark, pred, sets)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
@@ -749,7 +820,13 @@ case class TxDeleteWhereCommand(root: String, predicateSql: String)
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = TxTable.open(root).deleteWhere(spark, predicateSql)
+    val (target, pred) =
+      GraftSqlParser.viewDmlTarget(root, "DELETE", routable = true) match {
+        case Some((b, vp)) =>
+          (b, vp.map(p => s"($predicateSql) AND ($p)").getOrElse(predicateSql))
+        case None => (root, predicateSql)
+      }
+    val r = TxTable.open(target).deleteWhere(spark, pred)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
@@ -772,6 +849,7 @@ case class TxDeleteSubqCommand(root: String, column: String,
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "DELETE", routable = false)
     val keys = spark.sql(subquerySql)
     val r = TxTable.open(root).deleteWhereIn(spark, column, keys, negated)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
@@ -794,6 +872,7 @@ case class TxUpdateSubqCommand(root: String, sets: Seq[(String, String)],
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "UPDATE", routable = false)
     val keys = spark.sql(subquerySql)
     val r = TxTable.open(root).updateWhereIn(spark, column, keys, sets, negated)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
@@ -866,6 +945,7 @@ case class TxMergeWhenCommand(root: String, sourceSql: String,
     attr("version", IntegerType), attr("rewritten_files", IntegerType),
     attr("kept_files", IntegerType), attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "MERGE", routable = false)
     val src = spark.sql(s"SELECT * FROM $sourceSql")
     val r = TxTable.open(root)
       .mergeWhen(spark, src, keys, matched, notMatched, bySource, Map.empty)
@@ -905,6 +985,7 @@ case class TxReplaceWhereCommand(root: String, statCol: String,
     attr("rewritten_files", IntegerType), attr("kept_files", IntegerType),
     attr("new_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "INSERT", routable = false)
     val df = spark.sql(selectSql)
     val r = TxTable.open(root).overwriteWhere(spark, statCol, lo, hi, df)
     Seq(Row(r.version, r.droppedFiles, r.rewrittenFiles, r.keptFiles,
@@ -1364,6 +1445,68 @@ case class TxDropMviewCommand(root: String) extends LeafRunnableCommand {
     val p = java.nio.file.Paths.get(root, "_view", "mview.sql")
     java.nio.file.Files.deleteIfExists(p)
     Seq(Row(true))
+  }
+}
+
+/** `DESCRIBE DETAIL` on a VIEW or MATERIALIZED VIEW path (round-13
+  * verdict #7): reports the object KIND (TEMP VIEW / VIEW /
+  * MATERIALIZED VIEW), the stored definition text, and — for a
+  * materialized view — the applied-through source version its last
+  * refresh recorded. Keeps the catalog surface honest now that three
+  * object kinds share the path namespace. */
+case class TxDescribeViewCommand(root: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("kind", StringType), attr("definition", StringType),
+    attr("applied_through", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    ViewStore.mviewDefinition(root) match {
+      case Some(defn) =>
+        val wm = TxTable.open(root).snapshot()
+          .txns.getOrElse(ViewStore.MviewAppId, 0L).toInt
+        Seq(Row("MATERIALIZED VIEW", defn, wm))
+      case None =>
+        val defn = ViewStore.definition(root).getOrElse(
+          throw new IllegalArgumentException(s"no view at txtable.`$root`"))
+        val kind = if (ViewStore.isTemp(root)) "TEMP VIEW" else "VIEW"
+        Seq(Row(kind, defn, null))
+    }
+  }
+}
+
+/** `SHOW VIEWS IN txtable.\`prefix\`` — every persisted view and
+  * materialized view stored UNDER the prefix directory (filesystem
+  * walk for `_view/definition.sql` / `_view/mview.sql` markers — the
+  * same convention resolution uses) plus this process's TEMP views
+  * whose path starts with the prefix; sorted by path. */
+case class TxShowViewsCommand(prefix: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("path", StringType), attr("kind", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(prefix)
+    val persisted: Seq[(String, String)] =
+      if (!java.nio.file.Files.isDirectory(p)) Nil
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.flatMap { f =>
+          val n = f.getFileName.toString
+          if (!java.nio.file.Files.isRegularFile(f) ||
+              f.getParent == null ||
+              f.getParent.getFileName.toString != "_view") None
+          else if (n == "definition.sql")
+            Some(f.getParent.getParent.toString -> "VIEW")
+          else if (n == "mview.sql")
+            Some(f.getParent.getParent.toString -> "MATERIALIZED VIEW")
+          else None
+        }.toVector
+        finally walk.close()
+      }
+    val temps = ViewStore.tempPaths.filter(_.startsWith(prefix))
+      .map(_ -> "TEMP VIEW")
+    (persisted ++ temps).sortBy(x => (x._1, x._2))
+      .map { case (path, kind) => Row(path, kind) }
   }
 }
 

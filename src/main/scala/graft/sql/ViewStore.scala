@@ -62,6 +62,13 @@ object ViewStore {
     }
   }
 
+  /** Whether `root` currently resolves to a TEMP definition (shadowing
+    * or standalone) — the catalog-surface kind discriminator. */
+  def isTemp(root: String): Boolean = temps.contains(root)
+
+  /** Every live TEMP view path in this process. */
+  def tempPaths: Seq[String] = temps.keys.toSeq
+
   /** The stored definition, temp entries shadowing persisted ones. */
   def definition(root: String): Option[String] =
     temps.get(root).orElse {

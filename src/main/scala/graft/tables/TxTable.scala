@@ -755,15 +755,21 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * own checkpoint contract); concurrent DISJOINT commits rebase
     * underneath like any merge. Returns true iff this call committed. */
   def mergeBatch(spark: SparkSession, df: DataFrame, appId: String,
-      batchId: Long, key: String, mor: Boolean = false): Boolean = {
+      batchId: Long, key: String, mor: Boolean = false): Boolean =
+    mergeBatch(spark, df, appId, batchId, Seq(key), mor)
+
+  /** [[mergeBatch]] on a COMPOSITE key — the streaming face of the
+    * multi-column upsert ([[merge]]'s keys contract). */
+  def mergeBatch(spark: SparkSession, df: DataFrame, appId: String,
+      batchId: Long, keys: Seq[String], mor: Boolean): Boolean = {
     val base = snapshot()
     if (base.txns.get(appId).exists(_ >= batchId)) return false
     if (base.version == 0) return appendBatch(spark, df, appId, batchId)
     // mor: the deletion-vector write path — tombstone matched rows,
     // append the batch, zero candidate rewrites (the steady-state
     // streaming-upsert shape; compaction folds the vectors on schedule)
-    if (mor) mergePositionalFrom(spark, base, df, key, txns = Map(appId -> batchId))
-    else mergeFrom(spark, base, df, key, txns = Map(appId -> batchId))
+    if (mor) mergePositionalFrom(spark, base, df, keys, txns = Map(appId -> batchId))
+    else mergeFrom(spark, base, df, keys, txns = Map(appId -> batchId))
     true
   }
 
@@ -2313,7 +2319,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * most-probed column last. File boundaries come from sampled range
     * partitioning (Delta's OPTIMIZE ZORDER trade): pruning is
     * statistical, not block-exact. */
-  def clusterZorder(spark: SparkSession, cols: Seq[String], files: Int): MergeResult = {
+  def clusterZorder(spark: SparkSession, cols: Seq[String],
+      files: Int): MergeResult =
+    clusterZorder(spark, cols, files, quantileCodes = true)
+
+  /** [[clusterZorder]] with the wide-domain code derivation explicit:
+    * `quantileCodes = false` forces the legacy uniform min/max rescale
+    * (the spec seam that lets the histogram-quantile improvement be
+    * measured against its predecessor; operators can use it to pin the
+    * old layout). */
+  def clusterZorder(spark: SparkSession, cols: Seq[String], files: Int,
+      quantileCodes: Boolean): MergeResult = {
     require(cols.size >= 2 && cols.size <= 3,
       s"z-order takes 2-3 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, s"duplicate z-order column in $cols")
@@ -2325,14 +2341,17 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // The 16-bit interleave is only meaningful on [0, 2^16): a negative
     // or wider value contributes just its low 16 bits (sign bits
     // included), producing a useless Morton order. Columns OUTSIDE the
-    // domain are QUANTIZED to 16 bits from the manifest's own [min,max]
-    // (round-13: the refusal became a degrade-free rescale) — the
-    // mapping is monotone, so file [min,max] tightness in quantized
-    // space IS tightness in raw space and readWhere pruning on the raw
-    // values survives; content is untouched (the z value is dropped
-    // after layout). Uniform rescale, not quantile: a heavily skewed
-    // column wastes some bucket codes (documented; locality degrades
-    // toward the skew mass, never correctness).
+    // domain are QUANTIZED to 16 bits — preferentially from the
+    // manifest's own EQUI-DEPTH HISTOGRAMS (round-14: the CDF-merged
+    // quantile codes spread the SKEW MASS across the code space, where
+    // the round-13 uniform rescale collapsed a 99%-head column to one
+    // code and its files' intervals to the whole head), falling back to
+    // the uniform min/max rescale when any file predates histograms.
+    // Both mappings are MONOTONE, so file [min,max] tightness in
+    // quantized space IS tightness in raw space and readWhere pruning
+    // on the raw values survives; content is untouched (the z value is
+    // dropped after layout).
+    val segments = 64
     val quant: Map[String, org.apache.spark.sql.Column] = cols.zip(physCols).map {
       case (c, p) =>
         val mns = base.files.flatMap(_.mins.get(p))
@@ -2342,8 +2361,30 @@ final class TxTable(val root: String, val statCols: Seq[String],
         val mn = mns.min; val mx = mxs.max
         val q =
           if (mn >= 0L && mx < 65536L) col(c)
-          else floor((col(c) - lit(mn)).cast("double") *
-            (65535.0 / math.max(1L, mx - mn))).cast("long")
+          else {
+            val quantiles =
+              if (quantileCodes) mergedQuantileBounds(base.files, p, segments)
+              else None
+            quantiles match {
+              case Some(bs) =>
+                // piecewise-linear CDF code: i = the value's histogram
+                // segment, frac = its position inside it — monotone,
+                // continuous, clamped to [0, 65535]
+                val bArr = array(bs.map(lit): _*)
+                val v = col(c).cast("double")
+                val i = greatest(lit(0), least(lit(segments - 1),
+                  size(filter(bArr, bb => bb <= v)) - 1))
+                val lo = element_at(bArr, i + 1) // element_at is 1-based
+                val hi = element_at(bArr, i + 2)
+                val frac = when(hi > lo, greatest(lit(0.0),
+                  least(lit(1.0), (v - lo) / (hi - lo)))).otherwise(lit(0.0))
+                floor((i.cast("double") + frac) * (65535.0 / segments))
+                  .cast("long")
+              case None =>
+                floor((col(c) - lit(mn)).cast("double") *
+                  (65535.0 / math.max(1L, mx - mn))).cast("long")
+            }
+          }
         c -> q
     }.toMap
     val n = cols.size
@@ -2360,6 +2401,41 @@ final class TxTable(val root: String, val statCols: Seq[String],
     val version = commitCow(base, base.files, entries, "z-order rewrite", None)
     MergeResult(version, rewrittenFiles = base.files.size,
       keptFiles = 0, newFiles = entries.size)
+  }
+
+  /** `segments`+1 global EQUAL-MASS boundaries for physical column `p`,
+    * merged from the per-file equi-depth histograms: each file's 8
+    * buckets contribute nonNull/8 mass uniform on [bᵢ, bᵢ₊₁], the
+    * global CDF is evaluated at every bucket endpoint, and the equal-
+    * mass targets invert by linear interpolation. O(files) driver-side
+    * metadata, zero data I/O. None when any file predates histograms —
+    * the caller degrades to the uniform min/max rescale, never errs. */
+  private def mergedQuantileBounds(files: Seq[FileEntry], p: String,
+      segments: Int): Option[Seq[Double]] = {
+    if (files.exists(f => f.hists.get(p).isEmpty)) return None
+    val pieces: Seq[(Double, Double, Double)] = files.flatMap { f =>
+      val bs = f.hists(p)
+      val m = f.nonNull.getOrElse(p, f.rows).toDouble / (bs.size - 1)
+      bs.sliding(2).map(w => (w(0).toDouble, w(1).toDouble, m)).toSeq
+    }
+    val total = pieces.map(_._3).sum
+    if (total <= 0) return None
+    def cdf(x: Double): Double = pieces.map { case (lo, hi, m) =>
+      if (x <= lo) 0.0
+      else if (x >= hi) m
+      else m * (x - lo) / (hi - lo)
+    }.sum
+    val xs = pieces.flatMap(pc => Seq(pc._1, pc._2)).distinct.sorted
+    val fx = xs.map(x => (x, cdf(x)))
+    Some((0 to segments).map { k =>
+      val t = total * k / segments
+      val i = fx.indexWhere(_._2 >= t)
+      if (i <= 0) fx.head._1
+      else {
+        val (x0, c0) = fx(i - 1); val (x1, c1) = fx(i)
+        if (c1 > c0) x0 + (x1 - x0) * (t - c0) / (c1 - c0) else x1
+      }
+    })
   }
 
   /** Declare a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`

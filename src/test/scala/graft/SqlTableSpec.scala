@@ -877,6 +877,85 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT n FROM ${q(mv2)}").head().getLong(0) == 38)
   }
 
+  test("DML through views: star views route UPDATE/DELETE; all else refuses typed") {
+    val t = freshTable(40, 4) // k 0..39, v = k*10
+    val v = s"${tmpRoot()}/vproj"
+    spark.sql(s"CREATE VIEW ${q(v)} AS SELECT k, v FROM ${q(t.root)} WHERE k < 20")
+    // a PROJECTED view is not updatable: all four verbs refuse, typed,
+    // naming the base table
+    val stmts = Seq(
+      s"UPDATE ${q(v)} SET v = 0 WHERE k BETWEEN 1 AND 2",
+      s"UPDATE ${q(v)} SET v = 0 WHERE k % 7 = 1",
+      s"DELETE FROM ${q(v)} WHERE k = 1",
+      s"DELETE FROM ${q(v)} WHERE k IN (SELECT 1)",
+      s"MERGE INTO ${q(v)} AS t USING (SELECT CAST(1 AS BIGINT) AS k, " +
+        "CAST(2 AS BIGINT) AS v) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      s"INSERT INTO ${q(v)} VALUES (CAST(100 AS BIGINT), CAST(0 AS BIGINT))")
+    stmts.foreach { stmt =>
+      val e = intercept[Exception] { spark.sql(stmt) }
+      assert(e.getMessage.contains("VIEW") && e.getMessage.contains(t.root),
+        s"$stmt must refuse typed, naming the base; got: ${e.getMessage}")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM ${q(t.root)}").head().getLong(0) == 40)
+    // a SELECT * view routes UPDATE/DELETE with its predicate CONJOINED
+    val vs = s"${tmpRoot()}/vstar"
+    spark.sql(s"CREATE VIEW ${q(vs)} AS SELECT * FROM ${q(t.root)} WHERE k < 20")
+    spark.sql(s"UPDATE ${q(vs)} SET v = v + 1 WHERE k >= 15") // 15..19 only
+    spark.sql(s"DELETE FROM ${q(vs)} WHERE k >= 18")          // 18, 19 only
+    val got = spark.sql(s"SELECT k, v FROM ${q(t.root)}").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 38 && !got.contains(18L) && !got.contains(19L),
+      s"the view DELETE must govern only exposed rows: ${got.size}")
+    assert(got(15L) == 151 && got(17L) == 171,
+      "the view UPDATE must hit the exposed band")
+    assert(got(25L) == 250 && got(39L) == 390,
+      "rows OUTSIDE the view must never be touched")
+    // even a star view refuses MERGE — no sound predicate rewrite exists
+    val e2 = intercept[Exception] {
+      spark.sql(s"MERGE INTO ${q(vs)} AS t USING (SELECT CAST(1 AS BIGINT) " +
+        "AS k, CAST(2 AS BIGINT) AS v) AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+    // a materialized view refuses with the refresh recipe
+    val mv = s"${tmpRoot()}/vmat"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k < 5")
+    val e3 = intercept[Exception] {
+      spark.sql(s"DELETE FROM ${q(mv)} WHERE k = 1")
+    }
+    assert(e3.getMessage.contains("MATERIALIZED VIEW") &&
+      e3.getMessage.contains("REFRESH"), e3.getMessage)
+  }
+
+  test("SHOW VIEWS lists all three kinds under a prefix; DESCRIBE DETAIL reports them") {
+    val dirRoot = tmpRoot()
+    val t = freshTable(10, 1)
+    spark.sql(s"CREATE VIEW txtable.`$dirRoot/a/v1` AS SELECT * FROM ${q(t.root)}")
+    spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$dirRoot/b/mv1` AS " +
+      s"SELECT k, v FROM ${q(t.root)} WHERE k < 5")
+    spark.sql(s"CREATE TEMP VIEW txtable.`$dirRoot/c/tv1` AS SELECT 1 AS x")
+    try {
+      val rows = spark.sql(s"SHOW VIEWS IN txtable.`$dirRoot`").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        (s"$dirRoot/a/v1", "VIEW"),
+        (s"$dirRoot/b/mv1", "MATERIALIZED VIEW"),
+        (s"$dirRoot/c/tv1", "TEMP VIEW")), rows.toString)
+      val d1 = spark.sql(s"DESCRIBE DETAIL txtable.`$dirRoot/a/v1`").head()
+      assert(d1.getString(0) == "VIEW" &&
+        d1.getString(1).toUpperCase.contains("SELECT"))
+      val d2 = spark.sql(s"DESCRIBE DETAIL txtable.`$dirRoot/b/mv1`").head()
+      assert(d2.getString(0) == "MATERIALIZED VIEW" && d2.getInt(2) >= 1,
+        "an mview DESCRIBE must report its applied-through version")
+      val d3 = spark.sql(s"DESCRIBE DETAIL txtable.`$dirRoot/c/tv1`").head()
+      assert(d3.getString(0) == "TEMP VIEW")
+    } finally {
+      spark.sql(s"DROP VIEW txtable.`$dirRoot/c/tv1`"); ()
+    }
+  }
+
   test("aggregate mview: delta fold, group death & birth, avg recipe, NULL degrade") {
     val t = new TxTable(tmpRoot(), Seq("k"))
     t.append(spark, spark.range(40).toDF("k")

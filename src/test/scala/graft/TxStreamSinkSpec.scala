@@ -223,6 +223,44 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
       s"in-domain column must prune too: $prB")
   }
 
+  test("z-order derives QUANTILE codes from manifest histograms on skewed columns") {
+    import spark.implicits._
+    // 90% of the mass sits in [0, 7200), a thin tail runs to 4×10⁹: the
+    // uniform min/max rescale maps the ENTIRE head to code 0 (7200 /
+    // (4e9/65535) < 1), so head files' intervals all span the head and a
+    // head-band probe scans them all; the CDF-merged quantile codes
+    // spread the head across ~90% of the code space instead
+    def mk(): TxTable = {
+      val t = new TxTable(Files.createTempDirectory("graft_zskew").toString,
+        Seq("a", "b"))
+      t.append(spark, spark.range(0, 4000).toDF("id")
+        .select(when(col("id") < 3600, col("id") * 2L)
+            .otherwise((col("id") - 3599L) * 10000000L).as("a"),
+          (col("id") % 500L * 131L).as("b"),
+          col("id").as("payload"))
+        .repartitionByRange(8, col("a")))
+      t
+    }
+    val tq = mk(); val tu = mk()
+    tq.clusterZorder(spark, Seq("a", "b"), files = 8)
+    tu.clusterZorder(spark, Seq("a", "b"), files = 8, quantileCodes = false)
+    val contentQ = tq.read(spark).collect().map(_.toSeq).toSet
+    assert(contentQ == tu.read(spark).collect().map(_.toSeq).toSet,
+      "code derivation must never change content")
+    // a narrow band INSIDE the skew mass: quantile layout must scan
+    // STRICTLY fewer files than the uniform rescale's
+    val q = tq.readWhere(spark, "a", 1000, 2000)
+    val u = tu.readWhere(spark, "a", 1000, 2000)
+    assert(q.filesScanned < u.filesScanned,
+      s"quantile codes must beat the uniform rescale inside the skew " +
+        s"mass: quantile ${q.filesScanned}/${q.filesTotal} vs " +
+        s"uniform ${u.filesScanned}/${u.filesTotal}")
+    // and the tail still prunes under quantile codes
+    val qt = tq.readWhere(spark, "a", 3000000000L, 4000000000L)
+    assert(qt.filesScanned < qt.filesTotal,
+      s"tail band must still prune under quantile codes: $qt")
+  }
+
   test("schema evolution: new columns appear without rewriting history; merge crosses schemas") {
     val t = freshTable()
     t.append(spark, rows(0, 10).coalesce(1)) // old schema: (user_id, v)
@@ -423,5 +461,38 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
       "the upsert sink must converge overlapping keys, not append them")
     assert(t.read(spark).agg(sum(col("v"))).head().getLong(0) ==
       (0L until 50L).map(_ * 3).sum)
+  }
+
+  test("option(\"mergeKey\", \"a,b\") streams a COMPOSITE-key upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Long]
+    val root = Files.createTempDirectory("graft_txsinkmk").toString
+    val ckpt = Files.createTempDirectory("graft_txsinkmk_ckpt").toString
+    // key = (u, d): u = value % 20, d = (value / 20) % 4, payload v = value
+    val q = source.toDF().select((col("value") % 20).as("u"),
+        expr("(value div 20) % 4").as("d"), col("value").as("v"))
+      .writeStream.format("txtable")
+      .option("checkpointLocation", ckpt)
+      .option("statCols", "u")
+      .option("mergeKey", "u, d")
+      .start(root)
+    source.addData(0L until 40L: _*)   // batch 0: 40 distinct (u, d 0/1)
+    q.processAllAvailable()
+    // batch 1: values 100..109 re-key (u 0..9, d=1) with v = 100+u;
+    // values 40..44 mint NEW pairs (u 0..4, d=2)
+    source.addData((100L until 110L) ++ (40L until 45L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val t = TxTable.open(root)
+    val got = t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 45, s"40 + 5 new (u, d) pairs, got ${got.size}")
+    // (u, 1) replaced via BOTH key components — (u, 0) rows share u and
+    // must be untouched
+    assert((0L until 10L).forall(u => got((u, 1L)) == u + 100L),
+      s"overlapping composite keys must merge: $got")
+    assert((0L until 10L).forall(u => got((u, 0L)) == u),
+      "same-u rows on another day must never be touched")
   }
 }
