@@ -887,6 +887,11 @@ class TxTableCatalog extends TableCatalog
     if (TxTable.exists(root))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catName, root))
+    // one path, one object: a table must not clobber a (materialized)
+    // view's definition directory (the mirror of ViewStore's own guards)
+    require(graft.sql.ViewStore.definition(root).isEmpty &&
+      graft.sql.ViewStore.mviewDefinition(root).isEmpty,
+      s"$root already holds a view — CREATE TABLE cannot shadow it")
     def cols(key: String): Seq[String] =
       Option(properties.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)

@@ -264,7 +264,8 @@ object GraftSqlParser {
   // would garble a view target into a subquery; probe it here so a
   // view/mview target refuses TYPED before expansion runs
   private val InsertProbe =
-    ("(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE)\\s+" + Target + ".*").r
+    ("(?is)^\\s*INSERT\\s+(?:INTO|OVERWRITE)\\s+(?:TABLE\\s+)?" +
+      Target + ".*").r
   private val ShowViewsRe =
     ("(?is)^\\s*SHOW\\s+VIEWS\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
 
@@ -481,11 +482,15 @@ object GraftSqlParser {
             ViewStore.mviewDefinition(base).isEmpty &&
             graft.tables.TxTable.exists(base) =>
           (base, Option(pred))
-        case _ => throw new IllegalArgumentException(
-          s"$verb targets VIEW txtable.`$root`, which is not updatable " +
-            "here (only `SELECT * FROM base [WHERE …]` views route " +
-            s"UPDATE/DELETE to their base) — run the $verb against " +
-            bases(defn))
+        case _ =>
+          val why =
+            if (routable)
+              "which is not updatable (only `SELECT * FROM base " +
+                "[WHERE …]` views route UPDATE/DELETE to their base)"
+            else s"and this statement form never routes through a view"
+          throw new IllegalArgumentException(
+            s"$verb targets VIEW txtable.`$root`, $why — run the $verb " +
+              s"against ${bases(defn)}")
       }
     }
   }
@@ -1006,6 +1011,7 @@ case class TxCopyIntoCommand(root: String, src: String,
   override val output: Seq[Attribute] = Seq(
     attr("files_loaded", IntegerType), attr("rows_loaded", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "COPY INTO", routable = false)
     val t =
       if (TxTable.exists(root)) TxTable.open(root)
       else new TxTable(root, statCols, bloomCols)
@@ -1503,7 +1509,9 @@ case class TxShowViewsCommand(prefix: String) extends LeafRunnableCommand {
         }.toVector
         finally walk.close()
       }
-    val temps = ViewStore.tempPaths.filter(_.startsWith(prefix))
+    // path-segment prefix: /a matches /a/x but never /ab/x
+    val temps = ViewStore.tempPaths
+      .filter(t => t == prefix || t.startsWith(prefix + "/"))
       .map(_ -> "TEMP VIEW")
     (persisted ++ temps).sortBy(x => (x._1, x._2))
       .map { case (path, kind) => Row(path, kind) }

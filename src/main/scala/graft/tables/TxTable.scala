@@ -1924,22 +1924,31 @@ final class TxTable(val root: String, val statCols: Seq[String],
     all.withColumn("__pfile", col("file"))
       .repartition(math.max(1, candidates.size), col("file"))
       .write.partitionBy("__pfile").parquet(stage.toString)
+    // only CANDIDATE files' shards promote out of the stage: a legacy
+    // SHARED vector can carry positions of files this operation never
+    // touched — those keep referencing the old vector, and their staged
+    // shards die with the stage dir instead of leaking as orphans
+    val candNames = candidates.map(f =>
+      Paths.get(f.path).getFileName.toString).toSet
     val dvByName: Map[String, String] =
       Option(stage.toFile.listFiles()).getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("__pfile="))
-        .map { d =>
+        .flatMap { d =>
           val src = java.net.URLDecoder.decode(
             d.getName.stripPrefix("__pfile="), "UTF-8")
-          val parts = Option(d.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet"))
-          // hash repartition on the file name puts every row of a file
-          // in ONE task — exactly one part per shard, movable as-is
-          require(parts.length == 1,
-            s"dv shard for $src staged ${parts.length} parts (expected 1)")
-          val dvName = s"dv-${UUID.randomUUID()}.parquet"
-          Files.move(parts.head.toPath, dataDir.resolve(dvName),
-            StandardCopyOption.ATOMIC_MOVE)
-          src -> dvName
+          if (!candNames.contains(src)) None
+          else {
+            val parts = Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet"))
+            // hash repartition on the file name puts every row of a file
+            // in ONE task — exactly one part per shard, movable as-is
+            require(parts.length == 1,
+              s"dv shard for $src staged ${parts.length} parts (expected 1)")
+            val dvName = s"dv-${UUID.randomUUID()}.parquet"
+            Files.move(parts.head.toPath, dataDir.resolve(dvName),
+              StandardCopyOption.ATOMIC_MOVE)
+            Some(src -> dvName)
+          }
         }.toMap
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -2420,17 +2429,39 @@ final class TxTable(val root: String, val statCols: Seq[String],
     }
     val total = pieces.map(_._3).sum
     if (total <= 0) return None
-    def cdf(x: Double): Double = pieces.map { case (lo, hi, m) =>
-      if (x <= lo) 0.0
-      else if (x >= hi) m
-      else m * (x - lo) / (hi - lo)
-    }.sum
-    val xs = pieces.flatMap(pc => Seq(pc._1, pc._2)).distinct.sorted
-    val fx = xs.map(x => (x, cdf(x)))
+    // ONE LINE SWEEP evaluates the global CDF at every endpoint —
+    // between endpoints F is linear (slope = Σ active pieces' density),
+    // so naive per-endpoint summation would be O(files²); the sweep is
+    // O(files log files), which is what keeps this planning step driver-
+    // cheap at millions of files
+    val slopeEv = scala.collection.mutable.Map.empty[Double, Double]
+      .withDefaultValue(0.0)
+    val stepEv = scala.collection.mutable.Map.empty[Double, Double]
+      .withDefaultValue(0.0)
+    pieces.foreach { case (lo, hi, m) =>
+      if (hi > lo) {
+        val sl = m / (hi - lo)
+        slopeEv(lo) = slopeEv(lo) + sl
+        slopeEv(hi) = slopeEv(hi) - sl
+      } else stepEv(lo) = stepEv(lo) + m // single-value bucket: mass step
+    }
+    val xs = (slopeEv.keys ++ stepEv.keys).toSeq.distinct.sorted
+    var f = 0.0
+    var slope = 0.0
+    var prev = xs.head
+    val fx = xs.map { x =>
+      f += slope * (x - prev)
+      f += stepEv(x) // a point mass lands AT its value
+      slope += slopeEv(x)
+      prev = x
+      (x, f)
+    }
+    // invert at the equal-mass targets with one forward pointer
+    var i = 0
     Some((0 to segments).map { k =>
-      val t = total * k / segments
-      val i = fx.indexWhere(_._2 >= t)
-      if (i <= 0) fx.head._1
+      val t = total * k.toDouble / segments
+      while (i < fx.length && fx(i)._2 < t) i += 1
+      if (i <= 0 || i >= fx.length) fx(math.min(i, fx.length - 1))._1
       else {
         val (x0, c0) = fx(i - 1); val (x1, c1) = fx(i)
         if (c1 > c0) x0 + (x1 - x0) * (t - c0) / (c1 - c0) else x1
