@@ -1315,9 +1315,23 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
   // ops, joins) blocks the incremental path; a false positive (e.g. a
   // column literally named "max") just takes the always-sound full
   // recompute, reported in the `mode` column — never a silent wrong
+  // structural keywords block per-row maintenance as bare WORDS;
+  // aggregate names block only as CALLS (`max(`) — a COLUMN named `max`
+  // is just a column, and forcing it to full recompute was the round-13
+  // watch item (sound but wasteful)
   private val Blockers =
     Seq("GROUP", "JOIN", "DISTINCT", "UNION", "ORDER", "LIMIT", "HAVING",
-      "OVER", "EXCEPT", "INTERSECT", "COUNT", "SUM", "MIN", "MAX", "AVG")
+      "OVER", "EXCEPT", "INTERSECT")
+  private val AggBlockers = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+  /** Whether `kw` appears top-level in `s` AS A FUNCTION CALL — the
+    * word followed (spaces allowed) by an open paren. */
+  private def topLevelCall(s: String, kw: String): Boolean =
+    GraftSqlParser.topLevelAll(s, kw).exists { i =>
+      var j = i + kw.length
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      j < s.length && s.charAt(j) == '('
+    }
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
@@ -1350,6 +1364,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       case SimpleSelect(selectList, srcRoot, pred)
           if srcRoot == srcs.head && last > 0 &&
             !Blockers.exists(b => GraftSqlParser.topLevelKeyword(defn, b) >= 0) &&
+            !AggBlockers.exists(topLevelCall(defn, _)) &&
             t.statCols.nonEmpty =>
         val key = t.statCols.head
         try {

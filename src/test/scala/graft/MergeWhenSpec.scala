@@ -354,6 +354,66 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
   // to insert, dup refusal counts distinct source rows per FULL key,
   // and candidate pruning intersects the per-component probes.
 
+  test("randomized COMPOSITE-key clause sets equal the closure model") {
+    // the single-key randomized differential, rerun with a target whose
+    // k is DUPLICATED across s values — so a match requires BOTH
+    // components and any single-component shortcut shows up as a diff
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 6) {
+      val rows = (for { k <- 0L until 30L; s <- 0L to 1L }
+        yield Row3(k, (k * 7 + s * 3) % 19, s)).toSeq
+      val t = new TxTable(
+        Files.createTempDirectory("graft_mwmk").toString, Seq("k"))
+      t.append(spark, rows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s")
+        .repartitionByRange(3, col("k")))
+      // source: every 3rd k in [10, 50), s drawn from {0, 1, 2} — some
+      // rows match (k, s), some share only k (must NOT match), some are
+      // entirely fresh
+      val srcRows = (10L until 50L by 3L).map(k =>
+        Row3(k, (k * 11) % 23, rnd.nextInt(3).toLong))
+      val srcByKey = srcRows.map(r => (r.k, r.s) -> r).toMap
+      val matchedSpec: Seq[(MergeMatched, (Row3, Option[Row3]) => Boolean, String)] =
+        (0 until rnd.nextInt(3)).map { _ =>
+          val c = matchedCond(rnd)
+          val cf = c.map(_.f).getOrElse((_: Row3, _: Option[Row3]) => true)
+          if (rnd.nextBoolean()) {
+            val upd: MergeMatched =
+              if (rnd.nextBoolean()) MergeUpdate(c.map(_.sql), None) // SET *
+              else MergeUpdate(c.map(_.sql), Some(Seq("v" -> "s.v + t.v")))
+            (upd, cf,
+              if (upd.asInstanceOf[MergeUpdate].sets.isEmpty) "star" else "expr")
+          } else (MergeDelete(c.map(_.sql)): MergeMatched, cf, "del")
+        }
+      val insertCond =
+        if (rnd.nextBoolean()) None
+        else Some(Cond("s.v > 10", (_, s) => s.exists(_.v > 10)))
+      val notMatched =
+        if (rnd.nextBoolean() || matchedSpec.isEmpty)
+          Seq(MergeInsert(insertCond.map(_.sql), None, None))
+        else Nil
+      t.mergeWhen(spark, srcRows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"),
+        Seq("k", "s"), matchedSpec.map(_._1), notMatched, Nil, Map.empty)
+      val survived = rows.flatMap { r =>
+        val m = srcByKey.get((r.k, r.s))
+        val pool = if (m.isDefined) matchedSpec else Nil
+        pool.find(_._2(r, m)) match {
+          case None => Some(r)
+          case Some((_, _, "del")) => None
+          case Some((_, _, "star")) => m
+          case Some((_, _, "expr")) => Some(r.copy(v = m.get.v + r.v))
+          case Some((_, _, x)) => throw new IllegalStateException(x)
+        }
+      }
+      val inserted =
+        if (notMatched.isEmpty) Nil
+        else srcRows
+          .filter(sr => !rows.exists(x => x.k == sr.k && x.s == sr.s))
+          .filter(sr => insertCond.forall(_.f(sr, Some(sr))))
+      assert(content(t) == (survived ++ inserted).toSet,
+        s"trial $trial matched=$matchedSpec insert=$notMatched")
+    }
+  }
+
   test("composite-key canonical merge: all-component equality; NULL component inserts") {
     val (t, rows) = fresh() // (k, v, s) with s = k % 5; keyed on (k, s)
     val src = spark.sql(

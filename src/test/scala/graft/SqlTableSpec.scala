@@ -1006,6 +1006,36 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT mx FROM ${q(mv2)} WHERE g = 9").head().getLong(0) == 50L)
   }
 
+  test("a COLUMN literally named `max` doesn't force mview full recompute") {
+    // round-13 watch item: the blocker scan treated any aggregate NAME
+    // as blocking; aggregates now block only as CALLS (`max(`), so a
+    // plain column named like one stays on the incremental path
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(30).toDF("k")
+      .withColumn("max", col("k") * 2).repartitionByRange(2, col("k")))
+    val mv = s"${tmpRoot()}/mvmaxcol"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} TBLPROPERTIES('statCols'='k') " +
+      s"AS SELECT k, max FROM ${q(t.root)} WHERE k < 20")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(7 AS BIGINT)), " +
+      "(CAST(5 AS BIGINT), CAST(-1 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental",
+      s"a COLUMN named max must not block the CDF path: $r")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(mv)}").head().getLong(0) == 21)
+    assert(spark.sql(s"SELECT sum(max) FROM ${q(mv)}").head().getLong(0) ==
+      (0L until 30L).filter(_ < 20).map(_ * 2).sum - 1)
+    // a real max(...) CALL still blocks — always-sound full recompute
+    val mv2 = s"${tmpRoot()}/mvmaxcall"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} AS " +
+      s"SELECT max(k) AS mk FROM ${q(t.root)}")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(200 AS BIGINT), CAST(0 AS BIGINT))")
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r2.getString(0) == "full", s"max( must still block: $r2")
+    assert(spark.sql(s"SELECT mk FROM ${q(mv2)}").head().getLong(0) == 200L)
+  }
+
   test("converted tables read mixed partitioned + flat layouts after a rewrite") {
     // round-12 ADVICE (high): a rewrite on a CONVERTed table lands FLAT
     // files in data/ while kept files stay under k=v partition dirs —
