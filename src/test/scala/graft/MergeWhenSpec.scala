@@ -480,6 +480,20 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     assert(got.getLong(0) == -1L && got.getLong(1) == 7L)
   }
 
+  test("composite keys survive a column RENAME: logical match, physical-stat prune") {
+    // the key components arrive as LOGICAL names; the interval probe
+    // must reach the PHYSICAL stats recorded under the pre-rename name
+    val (t, _) = fresh()
+    t.renameColumn("k", "id")
+    val r = t.merge(spark, Seq((0L, -1L, 0L)).toDF("id", "v", "s"),
+      Seq("id", "s"))
+    assert(r.rewrittenFiles == 1 && r.keptFiles == 2,
+      s"the renamed component must still prune via its physical stats: $r")
+    val got = t.read(spark).filter(col("id") === 0 && col("s") === 0)
+      .select(col("v")).head().getLong(0)
+    assert(got == -1L)
+  }
+
   test("composite-key merge-on-read agrees with the CoW twin; zero rewrites") {
     val (t1, _) = fresh()
     val (t2, _) = fresh()
