@@ -444,6 +444,18 @@ object GraftSqlParser {
     out.toSeq.filter(_.trim.nonEmpty)
   }
 
+  /** Best-effort recursive delete — the failed-CREATE cleanup path
+    * (never data-plane; the tree is this statement's own staging). */
+  private[sql] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
   /** Trailing `;`/whitespace off a captured statement TAIL: the view
     * regexes capture to end-of-text, and a stored definition ending in
     * a semicolon would break every later parenthesized EXPANSION
@@ -512,6 +524,40 @@ object GraftSqlParser {
   private val MviewCountStar = "(?is)^count\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val MviewSumAs = "(?is)^sum\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
 
+  /** Whether `kw` appears top-level in `s` AS A FUNCTION CALL — the
+    * word followed (spaces allowed) by an open paren. */
+  private[sql] def topLevelCall(s: String, kw: String): Boolean =
+    topLevelAll(s, kw).exists { i =>
+      var j = i + kw.length
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      j < s.length && s.charAt(j) == '('
+    }
+
+  /** Whether a `sum(<body>)` body extracted by the GREEDY [[MviewSumAs]]
+    * regex is a delta-foldable scalar. A compound select item
+    * (`sum(a) + sum(b) AS c`) extracts a paren-UNBALANCED slice, and
+    * `sum(DISTINCT x)` / an aggregate-bearing body are not foldable as
+    * ±x arithmetic — all must fall to the always-sound full recompute
+    * instead of reaching the delta (or the NULL-probe) SQL, where they
+    * used to throw AnalysisException mid-statement (ADVICE r14). */
+  private[sql] def sumBodyFoldable(e: String): Boolean = {
+    var depth = 0
+    var balanced = true
+    var quote: Char = 0
+    e.foreach { ch =>
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) balanced = false
+        case _ => ()
+      }
+    }
+    balanced && depth == 0 && quote == 0 &&
+      !e.trim.matches("(?is)^DISTINCT[\\s(].*") &&
+      !Seq("COUNT", "SUM", "MIN", "MAX", "AVG").exists(topLevelCall(e, _))
+  }
+
   /** Parse an aggregate view's select list against its GROUP BY into
     * (groupCols, countAlias, (sumExpr, alias)…) — the shape whose
     * refresh folds as pure GROUP-BY delta arithmetic (insert → +1/+x,
@@ -530,7 +576,7 @@ object GraftSqlParser {
     splitTopLevel(selectList).map(_.trim).foreach {
       case g if g.matches("\\w+") && groups.contains(g) => seenGroups += g; ()
       case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
-      case MviewSumAs(e, a) => sums += ((e, a)); ()
+      case MviewSumAs(e, a) if sumBodyFoldable(e) => sums += ((e, a)); ()
       case _ => return None
     }
     if (countAlias.isEmpty || seenGroups.sorted.toSeq != groups.sorted) None
@@ -542,23 +588,231 @@ object GraftSqlParser {
     * no summed expression is NULL anywhere under the view's predicate —
     * the license for later delta-arithmetic refreshes. Empty map when
     * the definition is not the aggregate shape. */
+  /** Whether every field is a type whose `sum` folds EXACTLY as ±x
+    * arithmetic: integral (wrap-stable, associative) or decimal
+    * (exact). float/double sums are non-associative — a +x/−x replay
+    * drifts from the full recompute — so they never earn the
+    * incremental license (ADVICE r14). */
+  private[sql] def deltaFoldableTypes(
+      fields: Seq[org.apache.spark.sql.types.StructField]): Boolean = {
+    import org.apache.spark.sql.types._
+    fields.forall(_.dataType match {
+      case _: DecimalType => true
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
   private[sql] def mviewNullsafeTxn(spark: SparkSession, defn: String,
       src: String, ver: Int): Map[String, Long] =
     (defn match {
       case MviewAggSelect(selectList, srcRoot, pred, groupBy) if srcRoot == src =>
         parseAggView(selectList, groupBy).map { case (_, _, sums) =>
           if (sums.isEmpty) 1L
-          else {
-            val cond = sums.map { case (e, _) => s"($e) IS NULL" }.mkString(" OR ")
+          else try {
             val w = Option(pred).map(p => s" WHERE $p").getOrElse("")
-            val bad = spark.sql(
-              s"SELECT count(*) FROM (SELECT * FROM txtable.`$src` " +
-                s"VERSION AS OF $ver$w) WHERE $cond").head().getLong(0)
-            if (bad == 0L) 1L else 0L
+            // license only EXACT sum result types (integral/decimal):
+            // float/double ±x folding is non-associative and drifts
+            // from the recompute (schema-only probe, no job)
+            val typed = spark.sql(
+              sums.map { case (e, a) => s"sum($e) AS `$a`" }
+                .mkString("SELECT ", ", ", "") +
+                s" FROM (SELECT * FROM txtable.`$src` VERSION AS OF $ver$w)")
+            if (!deltaFoldableTypes(typed.schema.fields.toSeq)) 0L
+            else {
+              val cond = sums.map { case (e, _) => s"($e) IS NULL" }.mkString(" OR ")
+              val bad = spark.sql(
+                s"SELECT count(*) FROM (SELECT * FROM txtable.`$src` " +
+                  s"VERSION AS OF $ver$w) WHERE $cond").head().getLong(0)
+              if (bad == 0L) 1L else 0L
+            }
+          } catch {
+            // a probe mishap (an expression this parser admitted but
+            // Spark refuses) must degrade the LICENSE, never fail the
+            // CREATE/REFRESH statement it rides (ADVICE r14)
+            case scala.util.control.NonFatal(_) => 0L
           }
         }
       case _ => None
     }).map(v => Map(MviewNullsafeKey -> v)).getOrElse(Map.empty)
+
+  /** `SELECT <list> FROM txtable.\`a\` [AS] x [INNER] JOIN txtable.\`b\`
+    * [AS] y ON <equi> [WHERE p] GROUP BY <keys>` — the incrementally
+    * maintainable two-table JOIN-aggregate shape (r14 verdict #1: the
+    * fact⋈dim rollup, the single most materialized view in practice).
+    * Outer joins never match (the alias guard below refuses LEFT/RIGHT/
+    * FULL/CROSS captured as an "alias") — they full-recompute. */
+  private[sql] val MviewJoinAggSelect = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+" +
+    "txtable\\s*\\.\\s*`([^`]+)`\\s+(?:AS\\s+)?(\\w+)\\s+(?:INNER\\s+)?JOIN\\s+" +
+    "txtable\\s*\\.\\s*`([^`]+)`\\s+(?:AS\\s+)?(\\w+)\\s+ON\\s+(.+?)" +
+    "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*$").r
+
+  /** Join-type words the [[MviewJoinAggSelect]] alias slot can capture
+    * when the join is NOT inner — any of these refuses the parse. */
+  private val JoinWords =
+    Set("LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "SEMI", "ANTI", "NATURAL")
+
+  /** Parse a join-aggregate view: the ON must be all top-level equi
+    * conjuncts `x.c1 = y.c2` (each side qualified, naming the two
+    * DIFFERENT aliases — any other shape returns None → full recompute),
+    * group select items must be `alias.col [AS name]` matching the
+    * GROUP BY list, plus `count(*) AS n` and only foldable `sum(e) AS a`
+    * beyond that. Returns (groups as (qualified expr, output name),
+    * countAlias, sums as (expr, alias)). */
+  private[sql] def parseJoinAggView(selectList: String, on: String,
+      groupBy: String, aliasA: String, aliasB: String)
+      : Option[(Seq[(String, String)], String, Seq[(String, String)])] = {
+    if (JoinWords.contains(aliasA.toUpperCase) ||
+      JoinWords.contains(aliasB.toUpperCase) || aliasA == aliasB) return None
+    // every ON conjunct: qualified equi condition across the two aliases
+    val cuts = topLevelAll(on, "AND")
+    val conjuncts = (0 +: cuts.map(_ + 3)).zip(cuts :+ on.length).map {
+      case (b, e) => on.substring(b, e).trim
+    }
+    val onOk = conjuncts.forall {
+      case OnEq(q1, _, q2, _) =>
+        val qs = Set(Option(q1), Option(q2)).flatten
+        qs == Set(aliasA, aliasB)
+      case _ => false
+    }
+    if (!onOk) return None
+    val QualGroup = "(?is)^(\\w+)\\s*\\.\\s*(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
+    val groupRefs = splitTopLevel(groupBy).map(_.trim).map {
+      case QualGroup(q, c, null) if q == aliasA || q == aliasB => s"$q.$c"
+      case _ => return None
+    }
+    var countAlias: Option[String] = None
+    val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    splitTopLevel(selectList).map(_.trim).foreach {
+      case QualGroup(q, c, as) if (q == aliasA || q == aliasB) &&
+          groupRefs.contains(s"$q.$c") =>
+        groups += ((s"$q.$c", Option(as).getOrElse(c))); ()
+      case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
+      case MviewSumAs(e, a) if sumBodyFoldable(e) => sums += ((e, a)); ()
+      case _ => return None
+    }
+    if (countAlias.isEmpty ||
+      groups.map(_._1).sorted.toSeq != groupRefs.sorted ||
+      groups.map(_._2).distinct.size != groups.size) None
+    else Some((groups.toSeq, countAlias.get, sums.toSeq))
+  }
+
+  /** Per-source watermark txn key for MULTI-source materialized views
+    * (`mview:src:<i>` by position in the definition's reference order);
+    * single-source views keep the plain [[ViewStore.MviewAppId]]. */
+  private[sql] def mviewSrcKey(i: Int): String = s"mview:src:$i"
+
+  /** NULL-sum safety + exact-type license for a JOIN-aggregate view,
+    * verified over the PINNED joined slice (the [[mviewNullsafeTxn]]
+    * contract lifted to two sources). Empty map when the definition is
+    * not the join-aggregate shape. */
+  private[sql] def mviewJoinNullsafeTxn(spark: SparkSession, defn: String,
+      srcs: Seq[String], pins: Map[String, Int]): Map[String, Long] =
+    (defn match {
+      case MviewJoinAggSelect(selectList, rootA, aliasA, rootB, aliasB,
+          on, pred, groupBy) if srcs.size == 2 &&
+          rootA == srcs.head && rootB == srcs(1) =>
+        parseJoinAggView(selectList, on, groupBy, aliasA, aliasB).map {
+          case (_, _, sums) =>
+            if (sums.isEmpty) 1L
+            else try {
+              import org.apache.spark.sql.functions.{coalesce, expr, lit, sum}
+              val a = graft.tables.TxTable.open(rootA)
+                .read(spark, Some(pins(rootA))).as(aliasA)
+              val b = graft.tables.TxTable.open(rootB)
+                .read(spark, Some(pins(rootB))).as(aliasB)
+              val j0 = a.join(b, expr(on), "inner")
+              val j = Option(pred)
+                .map(p => j0.filter(coalesce(expr(p), lit(false))))
+                .getOrElse(j0)
+              val typed = j.groupBy()
+                .agg(sum(expr(sums.head._1)).as(sums.head._2),
+                  sums.tail.map { case (e, al) => sum(expr(e)).as(al) }: _*)
+              if (!deltaFoldableTypes(typed.schema.fields.toSeq)) 0L
+              else {
+                val bad = j.filter(
+                  sums.map { case (e, _) => expr(e).isNull }.reduce(_ || _))
+                  .limit(1).count()
+                if (bad == 0L) 1L else 0L
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => 0L
+            }
+        }
+      case _ => None
+    }).map(v => Map(MviewNullsafeKey -> v)).getOrElse(Map.empty)
+
+  /** The full txn map a materialized view's create/full-recompute commit
+    * carries for the pins it actually read: the single-source watermark
+    * + NULL-sum license, or — for the two-source JOIN-aggregate shape —
+    * per-source watermarks + the join license (any other multi-source
+    * definition records only the full-recompute marker). */
+  private[sql] def mviewCommitTxns(spark: SparkSession, defn: String,
+      srcs: Seq[String], pins: Map[String, Int]): Map[String, Long] = {
+    if (srcs.size == 1)
+      Map(ViewStore.MviewAppId -> pins(srcs.head).toLong) ++
+        mviewNullsafeTxn(spark, defn, srcs.head, pins(srcs.head))
+    else if (srcs.size == 2)
+      Map(ViewStore.MviewAppId -> 0L,
+        mviewSrcKey(0) -> pins(srcs.head).toLong,
+        mviewSrcKey(1) -> pins(srcs(1)).toLong) ++
+        mviewJoinNullsafeTxn(spark, defn, srcs, pins)
+    else Map(ViewStore.MviewAppId -> 0L)
+  }
+
+  /** Whether the EXACT additions a group-delta merge is about to run
+    * would produce NULL from a non-NULL pair — the decimal-overflow
+    * fault probe (ADVICE r14: under the nullsafe license such a NULL is
+    * a fault that forces full recompute, never a papered-over stale
+    * value). Delta-sized join against the current materialization; only
+    * runs when a decimal sum column exists (integral sums wrap, they
+    * never NULL). */
+  private[sql] def mergeOverflows(spark: SparkSession,
+      t: graft.tables.TxTable, delta: org.apache.spark.sql.DataFrame,
+      groups: Seq[String], sumAliases: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val dFields = delta.schema.fields.filter(_.name.startsWith("__d_"))
+    val hasDecimal = dFields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    if (!hasDecimal || sumAliases.isEmpty) false
+    else {
+      val cur = t.read(spark).as("t")
+      val j = cur.join(delta.as("s"),
+        groups.map(g => col(s"t.$g") <=> col(s"s.$g")).reduce(_ && _))
+      val bad = sumAliases.map { a =>
+        col(s"t.$a").isNotNull && col(s"s.__d_$a").isNotNull &&
+          (col(s"t.$a") + col(s"s.__d_$a")).isNull
+      }.reduce(_ || _)
+      j.filter(bad).limit(1).count() > 0
+    }
+  }
+
+  /** MERGE a signed GROUP-BY delta frame (`__dn` + `__d_<alias>`
+    * columns alongside the group keys) into the materialization on the
+    * composite group key: net-count-0 groups DELETE, touched groups
+    * update arithmetically (plain addition — the license guarantees
+    * non-NULL operands, [[mergeOverflows]] guards the decimal fault),
+    * net-new groups INSERT; `txns` (the watermarks) ride the SAME
+    * commit. */
+  private[sql] def mergeGroupDelta(spark: SparkSession,
+      t: graft.tables.TxTable, delta: org.apache.spark.sql.DataFrame,
+      groups: Seq[String], countAlias: String, sumAliases: Seq[String],
+      txns: Map[String, Long]): Unit = {
+    import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
+    val matched = Seq(
+      MergeDelete(Some(s"t.`$countAlias` + s.`__dn` = 0")),
+      MergeUpdate(None, Some(
+        (countAlias -> s"t.`$countAlias` + s.`__dn`") +:
+          sumAliases.map(a => a -> s"t.`$a` + s.`__d_$a`"))))
+    val insCols = groups ++ Seq(countAlias) ++ sumAliases
+    val insVals = groups.map(g => s"s.`$g`") ++
+      Seq("s.`__dn`") ++ sumAliases.map(a => s"s.`__d_$a`")
+    val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
+      Some(insCols), Some(insVals)))
+    t.mergeWhen(spark, delta, groups, matched, notMatched, Nil, txns)
+    ()
+  }
 
   /** The self-equi-key COMPONENTS a MERGE ON condition names —
     * `t.k = s.k` → Seq(k), `t.a = s.a AND t.b = s.b` → Seq(a, b) — or a
@@ -1271,21 +1525,35 @@ case class TxCreateMviewCommand(root: String, defnSql: String,
   override val output: Seq[Attribute] = Seq(
     attr("source_version", IntegerType), attr("rows", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    // pre-checks BEFORE any work; registration only AFTER the
+    // materialization succeeds — a definition Spark refuses must not
+    // leave a half-created view whose path refuses retries (ADVICE r14)
+    ViewStore.requireMviewCreatable(root)
     val srcs = ViewStore.txtableRefs(defnSql).filter(TxTable.exists)
     val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
     val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defnSql, pins)))
-    ViewStore.createMview(root, defnSql)
     val t = new TxTable(root, statCols, bloomCols)
-    // the refresh watermark tracks the SINGLE TxTable source (the
-    // incrementally maintainable shape); multi-source definitions
-    // refresh by full recompute and keep watermark 0
-    val wm = if (srcs.size == 1) pins(srcs.head).toLong else 0L
-    // aggregate views: verify the pinned slice holds no NULL summed
-    // value — the license for delta-arithmetic refreshes (same commit)
-    val safety = if (srcs.size == 1)
-      GraftSqlParser.mviewNullsafeTxn(spark, defnSql, srcs.head, pins(srcs.head))
-    else Map.empty[String, Long]
-    t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm) ++ safety)
+    val wm =
+      try {
+        // single-source views track the source version under MviewAppId;
+        // the two-source JOIN-aggregate shape tracks BOTH pins under
+        // per-source keys (r14 verdict #1); any other multi-source
+        // definition refreshes by full recompute and keeps watermark 0.
+        // Aggregate shapes also verify the NULL-sum/type license for
+        // delta-arithmetic refreshes — all in the SAME commit.
+        val txns = GraftSqlParser.mviewCommitTxns(spark, defnSql, srcs, pins)
+        t.overwriteTagged(spark, df, txns)
+        txns(ViewStore.MviewAppId)
+      } catch {
+        case e: Throwable =>
+          // un-create the table artifacts this attempt staged (the
+          // pre-check proved the path held nothing) so a corrected
+          // CREATE retry is not refused
+          GraftSqlParser.deleteRecursively(java.nio.file.Paths.get(root, "_txlog"))
+          GraftSqlParser.deleteRecursively(java.nio.file.Paths.get(root, "data"))
+          throw e
+      }
+    ViewStore.registerMview(root, defnSql)
     Seq(Row(wm.toInt, t.snapshot().files.map(_.rows).sum))
   }
 }
@@ -1324,14 +1592,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       "OVER", "EXCEPT", "INTERSECT")
   private val AggBlockers = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
 
-  /** Whether `kw` appears top-level in `s` AS A FUNCTION CALL — the
-    * word followed (spaces allowed) by an open paren. */
   private def topLevelCall(s: String, kw: String): Boolean =
-    GraftSqlParser.topLevelAll(s, kw).exists { i =>
-      var j = i + kw.length
-      while (j < s.length && s.charAt(j).isWhitespace) j += 1
-      j < s.length && s.charAt(j) == '('
-    }
+    GraftSqlParser.topLevelCall(s, kw)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
@@ -1347,15 +1609,16 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     def full(): Seq[Row] = {
       val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
       val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defn, pins)))
-      val wm = if (srcs.size == 1) pins(srcs.head).toLong else 0L
-      // re-establish (or revoke) the NULL-sum safety license for the
-      // aggregate delta path against the slice actually pinned
-      val safety = if (srcs.size == 1)
-        GraftSqlParser.mviewNullsafeTxn(spark, defn, srcs.head, pins(srcs.head))
-      else Map.empty[String, Long]
-      t.overwriteTagged(spark, df, Map(ViewStore.MviewAppId -> wm) ++ safety)
+      // re-establish (or revoke) watermark(s) + the NULL-sum safety
+      // license against the slice(s) actually pinned
+      val txns = GraftSqlParser.mviewCommitTxns(spark, defn, srcs, pins)
+      t.overwriteTagged(spark, df, txns)
+      val wm = if (srcs.size == 2)
+        txns(GraftSqlParser.mviewSrcKey(0)) else txns(ViewStore.MviewAppId)
       Seq(Row("full", wm.toInt))
     }
+    if (srcs.size == 2)
+      return incrementalJoin(spark, t, defn, srcs).getOrElse(full())
     if (srcs.size != 1) return full()
     val src = TxTable.open(srcs.head)
     val srcV = src.currentVersion
@@ -1423,22 +1686,33 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                   val delta = filtered
                     .groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
                     .agg(aggCols.head, aggCols.tail: _*)
-                  if (delta.isEmpty) Some(Seq(Row("noop", last)))
-                  else {
-                    import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
-                    val matched = Seq(
-                      MergeDelete(Some(s"t.`$countAlias` + s.`__dn` = 0")),
-                      MergeUpdate(None, Some(
-                        (countAlias -> s"t.`$countAlias` + s.`__dn`") +:
-                          sums.map { case (_, a) =>
-                            a -> s"coalesce(t.`$a` + s.`__d_$a`, t.`$a`, s.`__d_$a`)"
-                          })))
-                    val insCols = groups ++ Seq(countAlias) ++ sums.map(_._2)
-                    val insVals = groups.map(g => s"s.`$g`") ++
-                      Seq("s.`__dn`") ++ sums.map { case (_, a) => s"s.`__d_$a`" }
-                    val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
-                      Some(insCols), Some(insVals)))
-                    t.mergeWhen(spark, delta, groups, matched, notMatched, Nil,
+                  // the delta's own sum types must be exactly foldable
+                  // too (a widening evolution could drift them past the
+                  // licensed create-time types) — schema-only, no job
+                  val dFields = delta.schema.fields.filter(_.name.startsWith("__d_"))
+                  if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
+                  else if (delta.isEmpty) {
+                    // all source changes fell outside the view — commit
+                    // the watermark txn-only or every later refresh
+                    // re-reads this same change range forever (ADVICE r14)
+                    t.commitTxns(Map(ViewStore.MviewAppId -> srcV.toLong),
+                      "mview-watermark")
+                    Some(Seq(Row("noop", srcV)))
+                  } else if (GraftSqlParser.mergeOverflows(spark, t, delta,
+                      groups, sums.map(_._2))) {
+                    // decimal sums can overflow to NULL under non-ANSI
+                    // arithmetic; under the nullsafe license that is a
+                    // FAULT — full-recompute instead of papering over
+                    // it (ADVICE r14)
+                    None
+                  } else {
+                    // plain addition, NO coalesce: under the license
+                    // t.sum and s.__d are provably non-NULL, and a NULL
+                    // arithmetic result is a fault the overflow probe
+                    // catches — silently keeping the stale value was
+                    // the bug (ADVICE r14)
+                    GraftSqlParser.mergeGroupDelta(spark, t, delta, groups,
+                      countAlias, sums.map(_._2),
                       Map(ViewStore.MviewAppId -> srcV.toLong))
                     Some(Seq(Row("incremental", srcV)))
                   }
@@ -1451,6 +1725,105 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       case _ => None
     }
     incremental.getOrElse(full())
+  }
+
+  /** The two-source JOIN-aggregate incremental path (r14 verdict #1) —
+    * the classic delta-join rule with the overlap term folded in:
+    * ΔJ = ΔA ⋈ B@curB  ∪  A@lastA ⋈ ΔB (signs ride the delta side;
+    * ΔA⋈ΔB is INSIDE the first term because B@curB already contains
+    * ΔB — the telescoping that makes two joins exact). Each term joins
+    * a changed-files-sized delta against one pinned snapshot (skipped
+    * entirely when that side is idle), the signed group deltas fold as
+    * ±1/±x and MERGE on the composite group key with BOTH advanced
+    * watermarks in the same commit. Any obstacle — unparseable shape,
+    * outer join, missing/revoked license, NULL group key or summed
+    * value in a delta, non-foldable sum type, decimal overflow,
+    * vacuumed change range, restored (rewound) source — returns None →
+    * the always-sound full recompute, reported in `mode`. */
+  private def incrementalJoin(spark: SparkSession, t: TxTable,
+      defn: String, srcs: Seq[String]): Option[Seq[Row]] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+    defn match {
+      case GraftSqlParser.MviewJoinAggSelect(selectList, rootA, aliasA,
+          rootB, aliasB, on, pred, groupBy)
+          if rootA == srcs.head && rootB == srcs(1) =>
+        GraftSqlParser.parseJoinAggView(selectList, on, groupBy, aliasA, aliasB)
+          .flatMap { case (groups, countAlias, sums) =>
+            val txns = t.snapshot().txns
+            val lastA = txns.getOrElse(GraftSqlParser.mviewSrcKey(0), 0L).toInt
+            val lastB = txns.getOrElse(GraftSqlParser.mviewSrcKey(1), 0L).toInt
+            val nullsafe = sums.isEmpty ||
+              txns.get(GraftSqlParser.MviewNullsafeKey).contains(1L)
+            if (lastA <= 0 || lastB <= 0 || !nullsafe) None
+            else {
+              val ta = TxTable.open(rootA); val tb = TxTable.open(rootB)
+              val curA = ta.currentVersion; val curB = tb.currentVersion
+              if (curA < lastA || curB < lastB) None // rewound source
+              else if (curA == lastA && curB == lastB)
+                Some(Seq(Row("noop", lastA)))
+              else try {
+                val groupAliases = groups.map(_._2)
+                val sumAliases = sums.map(_._2)
+                val projCols = groups.map { case (g, a) => expr(g).as(a) } ++
+                  sums.map { case (e, a) => expr(e).as(s"__v_$a") }
+                def term(delta: org.apache.spark.sql.DataFrame,
+                    dAlias: String, other: org.apache.spark.sql.DataFrame,
+                    oAlias: String): org.apache.spark.sql.DataFrame = {
+                  val sign = when(
+                    col(s"$dAlias._change_type") === "insert", lit(1L))
+                    .otherwise(lit(-1L))
+                  val j0 = delta.as(dAlias).join(other.as(oAlias),
+                    expr(on), "inner")
+                  val j = Option(pred)
+                    .map(p => j0.filter(coalesce(expr(p), lit(false))))
+                    .getOrElse(j0)
+                  j.select(projCols :+ sign.as("__sign"): _*)
+                }
+                val terms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+                if (curA > lastA)
+                  terms += term(ta.rowChangesBetween(spark, lastA, curA),
+                    aliasA, tb.read(spark, Some(curB)), aliasB)
+                if (curB > lastB)
+                  terms += term(tb.rowChangesBetween(spark, lastB, curB),
+                    aliasB, ta.read(spark, Some(lastA)), aliasA)
+                val joined = terms.result().reduce(_ unionByName _).persist()
+                try {
+                  val unsafe = groupAliases.map(col(_).isNull) ++
+                    sumAliases.map(a => col(s"__v_$a").isNull)
+                  if (joined.filter(unsafe.reduce(_ || _))
+                      .limit(1).count() > 0) None
+                  else {
+                    val aggCols = sum(col("__sign")).as("__dn") +:
+                      sumAliases.map(a =>
+                        sum(col(s"__v_$a") * col("__sign")).as(s"__d_$a"))
+                    val delta = joined.groupBy(groupAliases.map(col): _*)
+                      .agg(aggCols.head, aggCols.tail: _*)
+                    val dFields =
+                      delta.schema.fields.filter(_.name.startsWith("__d_"))
+                    val wm = Map(ViewStore.MviewAppId -> 0L,
+                      GraftSqlParser.mviewSrcKey(0) -> curA.toLong,
+                      GraftSqlParser.mviewSrcKey(1) -> curB.toLong)
+                    if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
+                    else if (delta.isEmpty) {
+                      // watermarks must still advance (ADVICE r14)
+                      t.commitTxns(wm, "mview-watermark")
+                      Some(Seq(Row("noop", curA)))
+                    } else if (GraftSqlParser.mergeOverflows(spark, t, delta,
+                        groupAliases, sumAliases)) None
+                    else {
+                      GraftSqlParser.mergeGroupDelta(spark, t, delta,
+                        groupAliases, countAlias, sumAliases, wm)
+                      Some(Seq(Row("incremental", curA)))
+                    }
+                  }
+                } finally { joined.unpersist(blocking = false); () }
+              } catch {
+                case scala.util.control.NonFatal(_) => None
+              }
+            }
+          }
+      case _ => None
+    }
   }
 }
 

@@ -93,10 +93,28 @@ object ViewStore {
   // ------------------------------------------------------ materialized
 
   def createMview(root: String, sql: String): Unit = {
+    requireMviewCreatable(root)
+    registerMview(root, sql)
+  }
+
+  /** The one-path-one-object pre-checks for CREATE MATERIALIZED VIEW,
+    * split from registration so the definition can be written only
+    * AFTER the materialization succeeds — a failed (e.g. unparseable)
+    * definition must not leave a half-created view whose path then
+    * refuses every corrected retry (ADVICE r14). */
+  def requireMviewCreatable(root: String): Unit = {
     require(!graft.tables.TxTable.exists(root),
       s"$root already holds a TxTable — a materialized view cannot overwrite it")
     require(definition(root).isEmpty,
       s"$root already holds a view — a materialized view cannot shadow it")
+    require(!Files.exists(mviewPath(root)),
+      s"materialized view txtable.`$root` already exists")
+  }
+
+  /** Write the definition file — the registration half of
+    * [[createMview]]; call only after [[requireMviewCreatable]] and a
+    * successful materialization. */
+  def registerMview(root: String, sql: String): Unit = {
     val p = mviewPath(root)
     require(!Files.exists(p), s"materialized view txtable.`$root` already exists")
     Files.createDirectories(p.getParent)

@@ -625,23 +625,80 @@ final class TxTable(val root: String, val statCols: Seq[String],
     * components of each component's per-key interval probe (files
     * lacking stats for a component count as hits there — no interval
     * proves them key-free). None = no component carries stats, every
-    * file is a candidate (the predicate-DML degradation). */
-  private def multiKeyHitPaths(spark: SparkSession, base: Snapshot,
+    * file is a candidate (the predicate-DML degradation).
+    *
+    * ONE Spark job + ONE driver collect regardless of component count
+    * (r14 verdict #6 — the old per-component loop was k sequential jobs
+    * per merge, per MICRO-BATCH in the streaming path): the manifest's
+    * component-tagged intervals ship as a plain driver broadcast
+    * (O(files·k), manifest-sized — no broadcast-exchange job), ONE scan
+    * of the source buffers each partition's key columns as primitive
+    * arrays, sorts them, and answers every interval with a binary
+    * search ("any key in [mn, mx]?") — O(n·k log n + F·k log n) per
+    * partition, no shuffle, no per-component re-scan. A file is a hit
+    * iff its matched-component count equals the number of components it
+    * carries stats for — statless components are hits by construction,
+    * settled driver-side from the manifest, costing the job nothing. */
+  private[graft] def multiKeyHitPaths(spark: SparkSession, base: Snapshot,
       source: DataFrame, keys: Seq[String]): Option[Set[String]] = {
     val statKeys = keys.filter(k => statCols.contains(phys(base, k)))
     if (statKeys.isEmpty) None
-    else Some(statKeys.map { k =>
-      val pk = phys(base, k)
-      val (statless, statful) = base.files.partition(f => f.mins.get(pk).isEmpty)
-      import spark.implicits._
-      val intervals = statful.map(f => (f.path, f.mins(pk), f.maxs(pk)))
-        .toDF("__path", "__mn", "__mx")
-      source.select(col(k).cast("long").as("__k"))
-        .join(broadcast(intervals),
-          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-        .select("__path").distinct().as[String].collect().toSet ++
-        statless.map(_.path).toSet
-    }.reduce(_ intersect _))
+    else {
+      // components each file must match = those it carries stats for
+      val needed: Map[String, Int] = base.files.map(f =>
+        f.path -> statKeys.count(k => f.mins.contains(phys(base, k)))).toMap
+      val unproven = base.files.filter(f => needed(f.path) == 0).map(_.path)
+      val comps: Array[(Array[Long], Array[Long], Array[String])] =
+        statKeys.map { k =>
+          val pk = phys(base, k)
+          val iv = base.files
+            .flatMap(f => f.mins.get(pk).map(mn => (mn, f.maxs(pk), f.path)))
+            .toArray
+          (iv.map(_._1), iv.map(_._2), iv.map(_._3))
+        }.toArray
+      val bc = spark.sparkContext.broadcast(comps)
+      val nComp = statKeys.length
+      val probe = source.select(statKeys.map(k => col(k).cast("long")): _*)
+      val matched = probe.rdd.mapPartitions { it =>
+        val cs = bc.value
+        val bufs = Array.fill(nComp)(new scala.collection.mutable.ArrayBuilder.ofLong)
+        it.foreach { r =>
+          var c = 0
+          while (c < nComp) {
+            if (!r.isNullAt(c)) bufs(c) += r.getLong(c)
+            c += 1
+          }
+        }
+        val hit = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.BitSet]
+        var c = 0
+        while (c < nComp) {
+          val ks = bufs(c).result()
+          java.util.Arrays.sort(ks)
+          val (mns, mxs, paths) = cs(c)
+          var i = 0
+          while (i < mns.length) {
+            val p = java.util.Arrays.binarySearch(ks, mns(i))
+            val lo = if (p >= 0) p else -(p + 1) // first idx with ks(idx) >= mn
+            if (lo < ks.length && ks(lo) <= mxs(i))
+              hit.getOrElseUpdate(paths(i),
+                new scala.collection.mutable.BitSet) += c
+            i += 1
+          }
+          c += 1
+        }
+        Iterator.single(hit)
+      }.fold(scala.collection.mutable.Map.empty) { (a, b) =>
+        b.foreach { case (p, bs) =>
+          a.getOrElseUpdate(p, new scala.collection.mutable.BitSet) |= bs; ()
+        }
+        a
+      }
+      bc.destroy()
+      Some(matched.collect {
+        case (p, bs) if bs.size == needed(p) => p
+      }.toSet ++ unproven)
+    }
   }
 
   /** Fresh-file conflict guard for a composite-key merge: a concurrent
@@ -2219,8 +2276,13 @@ final class TxTable(val root: String, val statCols: Seq[String],
       threshold: Double): Set[String] = {
     val dvd = base.files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) return Set.empty
+    // dedup (file, pos) BEFORE counting: legacy shared vectors from a
+    // partial re-shard can carry the same position in several parquets,
+    // and double-counting would fold files below the intended threshold
+    // — the writer itself dedups, so the reader must too (ADVICE r14)
     val counts = spark.read.parquet(
       dvd.flatMap(_.dv).distinct.map(d => dataDir.resolve(d).toString): _*)
+      .select(col("file"), col("pos")).distinct()
       .groupBy(col("file")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     dvd.filter { f =>
@@ -3363,6 +3425,25 @@ final class TxTable(val root: String, val statCols: Seq[String],
     finally { Files.deleteIfExists(tmp); () }
   }
 
+  /** Publish a TXN-ONLY (metadata) commit: the file set carries forward
+    * untouched, only the txn watermark map advances — the shape a
+    * nets-to-nothing incremental refresh needs so its applied-through
+    * version still moves (ADVICE r14: without it the same change range
+    * is re-read forever). Never conflicts: it reads nothing. */
+  private[graft] def commitTxns(txns: Map[String, Long],
+      op: String = "txn"): Int = {
+    var attempt = 0
+    while (true) {
+      val base = snapshot()
+      try return commitOnce(base, txns, op = op)(_ => base.files)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   private def commitWithRetry(maxRetries: Int, op: String = "write",
       meta: Option[TableMeta] = None)(
       next: Snapshot => Seq[FileEntry]): Int = {
@@ -3495,30 +3576,41 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // Computed BEFORE staging so a type conflict refuses without writing.
     s0.meta.foreach(m => evolveForSource(s0, m.schema, df.schema))
     val entries = writeDataFiles(spark, df)
-    var attempt = 0
-    while (true) {
-      val base = snapshot()
-      if (base.txns.get(appId).exists(_ >= batchId)) {
-        // a concurrent worker landed this very batch between our staging
-        // and commit: discard our staged files, nothing to do
-        entries.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
-        return false
+    // any non-retryable exit below (a type-conflicting concurrent schema
+    // change surfacing in the re-derived evolution, or the publish race
+    // lost 10 times) must reclaim the staged parquets before propagating
+    // — mirroring the duplicate-batch cleanup, else they leak as orphans
+    // (ADVICE r14)
+    try {
+      var attempt = 0
+      while (true) {
+        val base = snapshot()
+        if (base.txns.get(appId).exists(_ >= batchId)) {
+          // a concurrent worker landed this very batch between our staging
+          // and commit: discard our staged files, nothing to do
+          entries.foreach(e => Files.deleteIfExists(dataDir.resolve(e.path)))
+          return false
+        }
+        // the evolution is RE-DERIVED against each attempt's snapshot: a
+        // concurrent metadata-only change (addColumn) adds no files, so a
+        // stale evolved meta would silently clobber it (ADVICE r13)
+        val evolvedMeta = base.meta.flatMap(m =>
+          evolveForSource(base, m.schema, df.schema))
+        try {
+          commitOnce(base, Map(appId -> batchId),
+            op = "stream-append", meta = evolvedMeta) { _ => base.files ++ entries }
+          return true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
+            attempt += 1 // rebase and re-check the txn watermark
+        }
       }
-      // the evolution is RE-DERIVED against each attempt's snapshot: a
-      // concurrent metadata-only change (addColumn) adds no files, so a
-      // stale evolved meta would silently clobber it (ADVICE r13)
-      val evolvedMeta = base.meta.flatMap(m =>
-        evolveForSource(base, m.schema, df.schema))
-      try {
-        commitOnce(base, Map(appId -> batchId),
-          op = "stream-append", meta = evolvedMeta) { _ => base.files ++ entries }
-        return true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
-          attempt += 1 // rebase and re-check the txn watermark
-      }
+      false // unreachable
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        entries.foreach(en => Files.deleteIfExists(dataDir.resolve(en.path)))
+        throw e
     }
-    false // unreachable
   }
 
   /** COPY INTO — idempotent BULK FILE LOAD (the Delta statement): load

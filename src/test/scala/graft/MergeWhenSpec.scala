@@ -414,6 +414,57 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("composite-key probe: ONE job at 3 stat components; per-component reference set") {
+    // r14 verdict #6: the candidate probe must answer EVERY key
+    // component in a single Spark job (the old per-component loop was k
+    // sequential jobs + k collects per merge — per MICRO-BATCH latency
+    // in the streaming upsert path). Differential: the returned hit set
+    // must equal the intersection of per-component interval probes
+    // recomputed here from the manifest, over randomized sources.
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (for { k <- 0L until 40L; s <- 0L to 1L }
+      yield Row3(k, (k * 7 + s * 3) % 19, s)).toSeq
+    val t = new TxTable(
+      Files.createTempDirectory("graft_mk1job").toString, Seq("k", "v", "s"))
+    t.append(spark, rows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s")
+      .repartitionByRange(4, col("k")))
+    val base = t.snapshot()
+    for (trial <- 1 to 4) {
+      val srcRows = (1 to 6).map(_ =>
+        (rnd.nextLong(60L), rnd.nextLong(25L), rnd.nextLong(4L)))
+      val src = srcRows.toDF("k", "v", "s")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val got =
+        try t.multiKeyHitPaths(spark, base, src, Seq("k", "v", "s")).get
+        finally {
+          // listener delivery is async: wait until the count stops moving
+          var last = -1
+          while (jobs.get != last) { last = jobs.get; Thread.sleep(50) }
+          spark.sparkContext.removeSparkListener(listener)
+        }
+      assert(jobs.get == 1,
+        s"trial $trial: 3-component probe must run ONE job, ran ${jobs.get}")
+      // reference: intersection of per-component interval hits (files
+      // statless on a component count as hits there)
+      val want = Seq("k", "v", "s").map { c =>
+        base.files.filter(f => f.mins.get(c) match {
+          case None => true
+          case Some(mn) => srcRows.map {
+            case (k, v, s) => Map("k" -> k, "v" -> v, "s" -> s)(c)
+          }.exists(x => x >= mn && x <= f.maxs(c))
+        }).map(_.path).toSet
+      }.reduce(_ intersect _)
+      assert(got == want, s"trial $trial: probe hit set diverged")
+    }
+  }
+
   test("composite-key canonical merge: all-component equality; NULL component inserts") {
     val (t, rows) = fresh() // (k, v, s) with s = k % 5; keyed on (k, s)
     val src = spark.sql(
