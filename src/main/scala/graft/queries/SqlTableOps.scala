@@ -590,6 +590,108 @@ object SqlTableOps {
     }
   }
 
+  /** MIN/MAX materialized view maintenance (round-14 verdict #2):
+    * insert-only deltas fold MONOTONICALLY (min' = least(min, Δmin),
+    * max' = greatest(max, Δmax) — comparison, not arithmetic, so no
+    * type/NULL license is needed), and a delete — which can evict the
+    * stored extremum, unrepairable by any fold — re-aggregates ONLY the
+    * groups the delta names (per-column IN-lists push into the manifest
+    * probe; cost ∝ touched groups, never the view). The gate ASSERTS
+    * both modes: 'incremental' after the append, 'incremental-recheck'
+    * after a delete that both empties groups 0–2 and evicts user 4's
+    * planted minimum. */
+  def q_sql_table_mview_minmax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_mm") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_mm_v")
+      val mv = s"$work/mvm"
+      try {
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, count(*) AS n, " +
+          "min(CAST(value AS DECIMAL(18,2))) AS v_min, " +
+          "max(CAST(value AS DECIMAL(18,2))) AS v_max " +
+          s"FROM ${q(root)} WHERE user_id <= 20 GROUP BY user_id")
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(-7.25 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(1.0 AS DOUBLE))")
+        val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(r1.getString(0) == "incremental",
+          s"insert-only min/max must fold monotonically, got $r1")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id <= 2 OR value < 0")
+        val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(r2.getString(0) == "incremental-recheck",
+          s"a delete under min/max must recheck touched groups, got $r2")
+        val df = spark.sql(
+          s"""SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_total,
+             |  CAST(sum(v_min) AS DOUBLE) AS min_sum,
+             |  CAST(sum(v_max) AS DOUBLE) AS max_sum
+             |FROM txtable.`$mv`""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
+  /** INCREMENTAL JOIN-aggregate materialized view (round-14 verdict #1
+    * — the fact⋈dim rollup, the single most materialized shape in
+    * practice): `SELECT d.seg, count(*), sum(x) FROM fact f JOIN dim d
+    * ON f.k = d.k WHERE p GROUP BY d.seg` refreshes by the delta-join
+    * rule ΔJ = ΔA⋈B@cur ∪ A@last⋈ΔB (the ΔA⋈ΔB overlap term rides the
+    * first join because B@cur already contains ΔB), folded as signed
+    * group deltas and MERGEd on the group key — BOTH source watermarks
+    * advance in the same commit. The gate mutates BOTH sides (fact:
+    * insert + band delete; dim: member delete + new-member insert) and
+    * plants the overlap: event AND dim row for user 9000001 both land
+    * inside the refresh window, so their pair exists ONLY through
+    * ΔA⋈ΔB. ASSERTS mode='incremental' — a silent full recompute fails
+    * the run. */
+  def q_sql_table_mview_join(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_join") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_join_v")
+      val dim = s"$work/dim"
+      val mv = s"$work/mvj"
+      try {
+        spark.sql(s"CREATE TABLE txtable.`$dim` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, user_id % 5 AS seg " +
+          s"FROM (SELECT DISTINCT user_id FROM ${q(root)})")
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          "TBLPROPERTIES('statCols'='seg') AS " +
+          "SELECT d.seg AS seg, count(*) AS n, " +
+          "sum(CAST(f.value AS DECIMAL(18,2))) AS v_sum " +
+          s"FROM ${q(root)} f JOIN txtable.`$dim` d ON f.user_id = d.user_id " +
+          "WHERE f.user_id <= 9000001 GROUP BY d.seg")
+        // fact-side deltas: a new event for an existing dim member, a
+        // brand-new user's event, a band delete
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 0 AND 2")
+        // dim-side deltas: a member leaves; the NEW user joins — its
+        // fact row pairs ONLY through the ΔA⋈ΔB overlap term
+        spark.sql(s"DELETE FROM txtable.`$dim` WHERE user_id = 5")
+        spark.sql(s"INSERT INTO txtable.`$dim` VALUES " +
+          "(CAST(9000001 AS BIGINT), CAST(1 AS BIGINT))")
+        val mode = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(mode.getString(0) == "incremental",
+          s"join-aggregate refresh must take the delta-join path, got $mode")
+        val df = spark.sql(
+          s"""SELECT seg, CAST(n AS BIGINT) AS n, CAST(v_sum AS DOUBLE) AS v_sum
+             |FROM txtable.`$mv` ORDER BY seg""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** DML THROUGH AN UPDATABLE VIEW (round-13 verdict #6, stretch): an
     * UPDATE whose target is a `SELECT * FROM base WHERE p` view ROUTES
     * to the base table with the view's predicate CONJOINED — the
@@ -831,6 +933,8 @@ object SqlTableOps {
     "q_sql_table_view" -> q_sql_table_view _,
     "q_sql_table_mview" -> q_sql_table_mview _,
     "q_sql_table_mview_agg" -> q_sql_table_mview_agg _,
+    "q_sql_table_mview_join" -> q_sql_table_mview_join _,
+    "q_sql_table_mview_minmax" -> q_sql_table_mview_minmax _,
     "q_sql_table_view_update" -> q_sql_table_view_update _,
     "q_sql_table_update" -> q_sql_table_update _,
     "q_sql_table_delete_pred" -> q_sql_table_delete_pred _,
@@ -941,6 +1045,41 @@ object SqlTableOps {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
         |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_mview_minmax" ->
+      """WITH src AS (
+        |  SELECT user_id, event_type, "value" FROM (
+        |    SELECT user_id, event_type, "value" FROM events
+        |    UNION ALL SELECT CAST(4 AS BIGINT), 'zz-new', CAST(-7.25 AS DOUBLE)
+        |    UNION ALL SELECT CAST(9000001 AS BIGINT), 'zz-new', CAST(1.0 AS DOUBLE))
+        |  WHERE NOT (user_id <= 2 OR "value" < 0)),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |         min(CAST("value" AS DECIMAL(18,2))) AS v_min,
+        |         max(CAST("value" AS DECIMAL(18,2))) AS v_max
+        |  FROM src WHERE user_id <= 20 GROUP BY user_id)
+        |SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(v_min) AS DOUBLE) AS min_sum,
+        |  CAST(sum(v_max) AS DOUBLE) AS max_sum
+        |FROM m""".stripMargin,
+    "q_sql_table_mview_join" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, "value" FROM events
+        |  WHERE user_id NOT BETWEEN 0 AND 2
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE)),
+        |d AS (
+        |  SELECT user_id, user_id % 5 AS seg
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  WHERE user_id <> 5
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), CAST(1 AS BIGINT)),
+        |m AS (
+        |  SELECT d.seg AS seg, count(*) AS n,
+        |         sum(CAST(f."value" AS DECIMAL(18,2))) AS v_sum
+        |  FROM f JOIN d ON f.user_id = d.user_id
+        |  WHERE f.user_id <= 9000001
+        |  GROUP BY d.seg)
+        |SELECT seg, CAST(n AS BIGINT) AS n, CAST(v_sum AS DOUBLE) AS v_sum
+        |FROM m ORDER BY seg""".stripMargin,
     "q_sql_table_merge_multikey" ->
       """WITH src AS (
         |  SELECT DISTINCT user_id, event_type, CAST(-1.0 AS DOUBLE) AS "value"

@@ -486,6 +486,14 @@ class TxScanBuilder(tx: TxTable, snap: TxTable.Snapshot, fullSchema: StructType)
       case f @ LessThan(c, v) => longOf(v).filter(_ > Long.MinValue).foreach { l =>
         tighten(phys(c), Long.MinValue, l - 1); pruneUsed :+= f
       }
+      // an IN-list folds to its [min, max] envelope for the manifest
+      // prune; the exact membership test stays residual (the mview
+      // touched-group recheck pushes its group keys through this)
+      case f @ In(c, vs) if vs.nonEmpty =>
+        val ls = vs.flatMap(v => longOf(v).toSeq)
+        if (ls.length == vs.length) {
+          tighten(phys(c), ls.min, ls.max); pruneUsed :+= f
+        }
       case _ => // not prune-usable; Catalyst evaluates it (it's residual)
     }
     filters // ALL residual: file stats admit false positives, never negatives

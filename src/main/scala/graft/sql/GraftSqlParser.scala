@@ -523,6 +523,15 @@ object GraftSqlParser {
 
   private val MviewCountStar = "(?is)^count\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
   private val MviewSumAs = "(?is)^sum\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+  private val MviewMinAs = "(?is)^min\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+  private val MviewMaxAs = "(?is)^max\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+
+  /** The parsed shape of a maintainable GROUP-BY aggregate view:
+    * group columns, the `count(*)` liveness alias, and the sum/min/max
+    * items as (expression, output alias). */
+  private[sql] case class AggView(groups: Seq[String], countAlias: String,
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)])
 
   /** Whether `kw` appears top-level in `s` AS A FUNCTION CALL — the
     * word followed (spaces allowed) by an open paren. */
@@ -558,29 +567,38 @@ object GraftSqlParser {
       !Seq("COUNT", "SUM", "MIN", "MAX", "AVG").exists(topLevelCall(e, _))
   }
 
-  /** Parse an aggregate view's select list against its GROUP BY into
-    * (groupCols, countAlias, (sumExpr, alias)…) — the shape whose
-    * refresh folds as pure GROUP-BY delta arithmetic (insert → +1/+x,
-    * delete → −1/−x, drop at net count 0). Requires: simple-name group
-    * columns all projected, a `count(*) AS n` (the group liveness
-    * witness), and only `sum(<expr>) AS a` beyond that — `avg` is the
-    * documented sum/count recipe, `min`/`max` are NOT delta-foldable
-    * under deletes. None ⇒ the always-sound full recompute. */
+  /** Parse an aggregate view's select list against its GROUP BY into an
+    * [[AggView]] — the shape whose refresh folds as pure GROUP-BY delta
+    * arithmetic (insert → +1/+x, delete → −1/−x, drop at net count 0).
+    * Requires: simple-name group columns all projected, a `count(*) AS
+    * n` (the group liveness witness), and only `sum/min/max(<expr>) AS
+    * a` beyond that — `avg` is the documented sum/count recipe. min/max
+    * fold monotonically on insert-only deltas (least/greatest) and
+    * force a TOUCHED-GROUP recheck under deletes (r14 verdict #2).
+    * None ⇒ the always-sound full recompute. */
   private[sql] def parseAggView(selectList: String, groupBy: String)
-      : Option[(Seq[String], String, Seq[(String, String)])] = {
+      : Option[AggView] = {
     val groups = splitTopLevel(groupBy).map(_.trim)
     if (groups.isEmpty || !groups.forall(_.matches("\\w+"))) return None
     var countAlias: Option[String] = None
     val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val mins = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val maxs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val seenGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     splitTopLevel(selectList).map(_.trim).foreach {
       case g if g.matches("\\w+") && groups.contains(g) => seenGroups += g; ()
       case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
       case MviewSumAs(e, a) if sumBodyFoldable(e) => sums += ((e, a)); ()
+      case MviewMinAs(e, a) if sumBodyFoldable(e) => mins += ((e, a)); ()
+      case MviewMaxAs(e, a) if sumBodyFoldable(e) => maxs += ((e, a)); ()
       case _ => return None
     }
-    if (countAlias.isEmpty || seenGroups.sorted.toSeq != groups.sorted) None
-    else Some((seenGroups.toSeq, countAlias.get, sums.toSeq))
+    val aliases = seenGroups ++ countAlias.toSeq ++
+      (sums ++ mins ++ maxs).map(_._2)
+    if (countAlias.isEmpty || seenGroups.sorted.toSeq != groups.sorted ||
+      aliases.map(_.toLowerCase).distinct.size != aliases.size) None
+    else Some(AggView(seenGroups.toSeq, countAlias.get,
+      sums.toSeq, mins.toSeq, maxs.toSeq))
   }
 
   /** The NULL-sum safety txn entry a create/full materialization should
@@ -607,7 +625,7 @@ object GraftSqlParser {
       src: String, ver: Int): Map[String, Long] =
     (defn match {
       case MviewAggSelect(selectList, srcRoot, pred, groupBy) if srcRoot == src =>
-        parseAggView(selectList, groupBy).map { case (_, _, sums) =>
+        parseAggView(selectList, groupBy).map { case AggView(_, _, sums, _, _) =>
           if (sums.isEmpty) 1L
           else try {
             val w = Option(pred).map(p => s" WHERE $p").getOrElse("")
@@ -798,16 +816,27 @@ object GraftSqlParser {
   private[sql] def mergeGroupDelta(spark: SparkSession,
       t: graft.tables.TxTable, delta: org.apache.spark.sql.DataFrame,
       groups: Seq[String], countAlias: String, sumAliases: Seq[String],
-      txns: Map[String, Long]): Unit = {
+      txns: Map[String, Long], minAliases: Seq[String] = Nil,
+      maxAliases: Seq[String] = Nil): Unit = {
     import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
+    // min/max sets only arrive on INSERT-ONLY deltas (the monotone
+    // fold: least/greatest against the delta's own extrema — both skip
+    // NULL operands, so an all-NULL delta extremum keeps the stored
+    // value and a NULL stored value adopts the delta's, exactly the
+    // min()-ignores-NULLs recompute semantics); deltas carrying deletes
+    // take the touched-group recheck instead (r14 verdict #2)
     val matched = Seq(
       MergeDelete(Some(s"t.`$countAlias` + s.`__dn` = 0")),
       MergeUpdate(None, Some(
         (countAlias -> s"t.`$countAlias` + s.`__dn`") +:
-          sumAliases.map(a => a -> s"t.`$a` + s.`__d_$a`"))))
-    val insCols = groups ++ Seq(countAlias) ++ sumAliases
+          (sumAliases.map(a => a -> s"t.`$a` + s.`__d_$a`") ++
+            minAliases.map(a => a -> s"least(t.`$a`, s.`__mn_$a`)") ++
+            maxAliases.map(a => a -> s"greatest(t.`$a`, s.`__mx_$a`)")))))
+    val insCols = groups ++ Seq(countAlias) ++ sumAliases ++
+      minAliases ++ maxAliases
     val insVals = groups.map(g => s"s.`$g`") ++
-      Seq("s.`__dn`") ++ sumAliases.map(a => s"s.`__d_$a`")
+      Seq("s.`__dn`") ++ sumAliases.map(a => s"s.`__d_$a`") ++
+      minAliases.map(a => s"s.`__mn_$a`") ++ maxAliases.map(a => s"s.`__mx_$a`")
     val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
       Some(insCols), Some(insVals)))
     t.mergeWhen(spark, delta, groups, matched, notMatched, Nil, txns)
@@ -1662,7 +1691,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       case GraftSqlParser.MviewAggSelect(selectList, srcRoot, pred, groupBy)
           if srcRoot == srcs.head && last > 0 =>
         GraftSqlParser.parseAggView(selectList, groupBy).flatMap {
-          case (groups, countAlias, sums) =>
+          case GraftSqlParser.AggView(groups, countAlias, sums, mins, maxs) =>
             val nullsafe = sums.isEmpty ||
               t.snapshot().txns.get(GraftSqlParser.MviewNullsafeKey).contains(1L)
             if (!nullsafe) None
@@ -1673,16 +1702,31 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                 .getOrElse(ch).persist()
               try {
                 import org.apache.spark.sql.functions.col
+                // min/max values may be NULL in the delta — least/
+                // greatest and min()/max() all skip NULLs identically,
+                // so only group keys and SUMMED values are unsafe
                 val unsafeCols = groups.map(g => col(g).isNull) ++
                   sums.map { case (e, _) => expr(e).isNull }
                 if (filtered.filter(unsafeCols.reduce(_ || _))
                     .limit(1).count() > 0) None
-                else {
-                  import org.apache.spark.sql.functions.{sum, when}
+                // a delete can evict the current extremum — min/max
+                // views recheck exactly the groups the delta names,
+                // cost ∝ touched groups, never the view (r14 verdict #2)
+                else if ((mins.nonEmpty || maxs.nonEmpty) &&
+                    filtered.filter(col("_change_type") === "delete")
+                      .limit(1).count() > 0) {
+                  recheckTouchedGroups(spark, t, srcs.head, srcV, filtered,
+                    groups, countAlias, sums, mins, maxs, pred)
+                } else {
+                  import org.apache.spark.sql.functions.{max, min, sum, when}
                   val sign = when(expr("_change_type = 'insert'"), lit(1L))
                     .otherwise(lit(-1L))
-                  val aggCols = sum(sign).as("__dn") +:
-                    sums.map { case (e, a) => sum(expr(e) * sign).as(s"__d_$a") }
+                  // insert-only where min/max are present (checked
+                  // above), so the delta extrema fold monotonically
+                  val aggCols = (sum(sign).as("__dn") +:
+                    sums.map { case (e, a) => sum(expr(e) * sign).as(s"__d_$a") }) ++
+                    mins.map { case (e, a) => min(expr(e)).as(s"__mn_$a") } ++
+                    maxs.map { case (e, a) => max(expr(e)).as(s"__mx_$a") }
                   val delta = filtered
                     .groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
                     .agg(aggCols.head, aggCols.tail: _*)
@@ -1713,7 +1757,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                     // the bug (ADVICE r14)
                     GraftSqlParser.mergeGroupDelta(spark, t, delta, groups,
                       countAlias, sums.map(_._2),
-                      Map(ViewStore.MviewAppId -> srcV.toLong))
+                      Map(ViewStore.MviewAppId -> srcV.toLong),
+                      mins.map(_._2), maxs.map(_._2))
                     Some(Seq(Row("incremental", srcV)))
                   }
                 }
@@ -1725,6 +1770,60 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       case _ => None
     }
     incremental.getOrElse(full())
+  }
+
+  /** TOUCHED-GROUP RECHECK (r14 verdict #2): a delete can evict a
+    * group's current min/max, which no ±x arithmetic can repair — but
+    * only for the groups the delta NAMES. Re-aggregate exactly those
+    * groups from the pinned source (per-column IN-lists push down and
+    * fold to manifest [min,max] bands, so a group-banded layout scans
+    * only the touched files; the exact tuple membership rides the
+    * left-join below) and MERGE: a recomputed group updates to its
+    * exact values, a vanished group deletes, a group born in this very
+    * delta inserts. Cost ∝ touched groups — never the view, never the
+    * source. Over ~10k touched tuples the IN-list (and the driver-side
+    * tuple set) stops being cheap: full recompute. */
+  private def recheckTouchedGroups(spark: SparkSession, t: TxTable,
+      srcRoot: String, srcV: Int,
+      filtered: org.apache.spark.sql.DataFrame, groups: Seq[String],
+      countAlias: String, sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)],
+      pred: String): Option[Seq[Row]] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
+      max, min, sum}
+    import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
+    val touched = filtered.select(groups.map(col): _*).distinct()
+      .limit(10001).collect()
+    if (touched.length > 10000) return None
+    val base = spark.sql(s"SELECT * FROM txtable.`$srcRoot` VERSION AS OF $srcV")
+    val withPred = Option(pred)
+      .map(p => base.filter(coalesce(expr(p), lit(false)))).getOrElse(base)
+    val inCols = groups.zipWithIndex.map { case (g, i) =>
+      col(g).isin(touched.map(_.get(i)).distinct.toSeq: _*)
+    }
+    val aggCols = (count(lit(1)).as(countAlias) +:
+      sums.map { case (e, a) => sum(expr(e)).as(a) }) ++
+      mins.map { case (e, a) => min(expr(e)).as(a) } ++
+      maxs.map { case (e, a) => max(expr(e)).as(a) }
+    val recomputed = withPred.filter(inCols.reduce(_ && _))
+      .groupBy(groups.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val touchedDf = spark.createDataFrame(
+      java.util.Arrays.asList(touched: _*),
+      org.apache.spark.sql.types.StructType(
+        groups.map(g => filtered.schema(g))))
+    // NULL countAlias after the left join ⇔ the touched group vanished
+    val mergeSource = touchedDf.join(recomputed, groups, "left")
+    val aggAliases = Seq(countAlias) ++ (sums ++ mins ++ maxs).map(_._2)
+    val matched = Seq(
+      MergeDelete(Some(s"s.`$countAlias` IS NULL")),
+      MergeUpdate(None, Some(aggAliases.map(a => a -> s"s.`$a`"))))
+    val notMatched = Seq(MergeInsert(Some(s"s.`$countAlias` IS NOT NULL"),
+      Some(groups ++ aggAliases),
+      Some((groups ++ aggAliases).map(a => s"s.`$a`"))))
+    t.mergeWhen(spark, mergeSource, groups, matched, notMatched, Nil,
+      Map(ViewStore.MviewAppId -> srcV.toLong))
+    Some(Seq(Row("incremental-recheck", srcV)))
   }
 
   /** The two-source JOIN-aggregate incremental path (r14 verdict #1) —

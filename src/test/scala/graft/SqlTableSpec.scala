@@ -957,6 +957,7 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("aggregate mview: delta fold, group death & birth, avg recipe, NULL degrade") {
+    Tables.ensure(spark)
     val t = new TxTable(tmpRoot(), Seq("k"))
     t.append(spark, spark.range(40).toDF("k")
       .withColumn("g", col("k") % 4)
@@ -995,15 +996,104 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     val g9 = spark.sql(s"SELECT n, sx FROM ${q(mv)} WHERE g = 9").head()
     assert(g9.getLong(0) == 4L && g9.getLong(1) == 13L,
       "sum semantics must stay exact through the degrade (NULL ignored)")
-    // min/max are NOT delta-foldable under deletes: always full
+    // min/max fold MONOTONICALLY on an insert-only delta (r14 verdict
+    // #2): mx' = greatest(mx, Δmx), no recompute, mode=incremental —
+    // and NULL extremum values need no license (least/greatest skip
+    // NULLs exactly like min()/max() do)
     val mv2 = s"${tmpRoot()}/mvmx"
     spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} TBLPROPERTIES('statCols'='g') AS " +
       s"SELECT g, count(*) AS n, max(x) AS mx FROM ${q(t.root)} GROUP BY g")
     spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
       "(CAST(104 AS BIGINT), CAST(9 AS BIGINT), CAST(50 AS BIGINT))")
     val r4 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
-    assert(r4.getString(0) == "full", s"max must never take the delta path: $r4")
+    assert(r4.getString(0) == "incremental",
+      s"insert-only max must fold monotonically: $r4")
     assert(spark.sql(s"SELECT mx FROM ${q(mv2)} WHERE g = 9").head().getLong(0) == 50L)
+    // a delete that evicts the extremum forces the TOUCHED-GROUP
+    // recheck: only the groups the delta names re-aggregate (mode says
+    // so), untouched groups never move
+    val before0 = spark.sql(s"SELECT n, mx FROM ${q(mv2)} WHERE g = 0").head()
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k = 104")
+    val r5 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r5.getString(0) == "incremental-recheck",
+      s"a delete under max must recheck the touched groups: $r5")
+    val g9b = spark.sql(s"SELECT n, mx FROM ${q(mv2)} WHERE g = 9").head()
+    assert(g9b.getLong(0) == 4L && g9b.getLong(1) == 7L,
+      s"the evicted max must restore to the runner-up: $g9b")
+    assert(spark.sql(s"SELECT n, mx FROM ${q(mv2)} WHERE g = 0").head() == before0)
+    // a recheck that KILLS a touched group deletes it from the view
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE g = 9")
+    val r6 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r6.getString(0) == "incremental-recheck", s"got $r6")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(mv2)} WHERE g = 9")
+      .head().getLong(0) == 0L, "a vanished touched group must DELETE")
+  }
+
+  test("join-agg mview: both-side deltas, ΔA⋈ΔB overlap, outer/non-equi/float full") {
+    // r14 verdict #1: ΔJ = ΔA⋈B@cur ∪ A@last⋈ΔB. This drives BOTH
+    // sides in one window — fact insert + fact band delete + dim member
+    // delete + dim insert — and plants the overlap pair (fact row AND
+    // dim row for k=100 both land inside the window, so it exists only
+    // through ΔA⋈ΔB, which rides the first term because B@cur already
+    // contains ΔB).
+    Tables.ensure(spark)
+    val fa = new TxTable(tmpRoot(), Seq("k"))
+    fa.append(spark, spark.range(40).toDF("k")
+      .withColumn("x", col("k") * 1L).repartitionByRange(4, col("k")))
+    val db = new TxTable(tmpRoot(), Seq("k"))
+    db.append(spark, spark.range(40).toDF("k")
+      .withColumn("g", col("k") % 4).repartitionByRange(2, col("k")))
+    val mv = s"${tmpRoot()}/mvj"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} TBLPROPERTIES('statCols'='g') AS " +
+      s"SELECT d.g AS g, count(*) AS n, sum(f.x) AS sx " +
+      s"FROM ${q(fa.root)} f JOIN ${q(db.root)} d ON f.k = d.k GROUP BY d.g")
+    assert(spark.sql(s"SELECT count(*) FROM ${q(mv)}").head().getLong(0) == 4)
+    spark.sql(s"INSERT INTO ${q(fa.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(5 AS BIGINT))")
+    spark.sql(s"DELETE FROM ${q(fa.root)} WHERE k < 4")
+    spark.sql(s"DELETE FROM ${q(db.root)} WHERE k BETWEEN 4 AND 7")
+    spark.sql(s"INSERT INTO ${q(db.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(9 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"got $r")
+    val got = spark.sql(s"SELECT g, n, sx FROM ${q(mv)} ORDER BY g").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // surviving pairs: k ∈ {8..39} (fact lost 0..3, dim lost 4..7) plus
+    // the overlap pair (100, g=9, x=5)
+    def gOf(g: Long) = (8L until 40L).filter(_ % 4 == g)
+    val want = (0L to 3L).map(g => (g, gOf(g).size.toLong, gOf(g).sum)) :+
+      ((9L, 1L, 5L))
+    assert(got == want, s"got $got")
+    // an idle window is a recognized noop
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+      .getString(0) == "noop")
+    // outer join: never the delta path — always-sound full
+    val mv2 = s"${tmpRoot()}/mvjo"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} AS " +
+      s"SELECT d.g AS g, count(*) AS n " +
+      s"FROM ${q(fa.root)} LEFT JOIN ${q(db.root)} d ON x = d.k GROUP BY d.g")
+    spark.sql(s"INSERT INTO ${q(fa.root)} VALUES " +
+      "(CAST(101 AS BIGINT), CAST(1 AS BIGINT))")
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r2.getString(0) == "full", s"outer join must full-recompute: $r2")
+    // non-equi ON: refused to full
+    val mv3 = s"${tmpRoot()}/mvjr"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv3)} AS " +
+      s"SELECT d.g AS g, count(*) AS n " +
+      s"FROM ${q(fa.root)} f JOIN ${q(db.root)} d ON f.k >= d.k GROUP BY d.g")
+    spark.sql(s"INSERT INTO ${q(fa.root)} VALUES " +
+      "(CAST(102 AS BIGINT), CAST(1 AS BIGINT))")
+    val r3 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv3)}").head()
+    assert(r3.getString(0) == "full", s"non-equi ON must full-recompute: $r3")
+    // a float sum never earns the license (±x folding drifts): full
+    val mv4 = s"${tmpRoot()}/mvjf"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv4)} AS " +
+      s"SELECT d.g AS g, count(*) AS n, sum(CAST(f.x AS DOUBLE)) AS sx " +
+      s"FROM ${q(fa.root)} f JOIN ${q(db.root)} d ON f.k = d.k GROUP BY d.g")
+    spark.sql(s"INSERT INTO ${q(fa.root)} VALUES " +
+      "(CAST(103 AS BIGINT), CAST(1 AS BIGINT))")
+    val r4 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv4)}").head()
+    assert(r4.getString(0) == "full", s"a DOUBLE sum must full-recompute: $r4")
   }
 
   test("a COLUMN literally named `max` doesn't force mview full recompute") {
