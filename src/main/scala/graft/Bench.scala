@@ -205,6 +205,19 @@ object Bench {
     // non-stat merge base are INGEST — build them untimed so the timed
     // gates measure the serve/merge work (the uniform warm-up policy)
     warm("q_ann_ivfpq_indexed") { queries.LlmExt.q_ann_ivfpq_indexed(spark, sfDir).count() }
+    // JIT the P6-decode → luma → dHash → banding pipeline on a small
+    // slice so q_mm_neardup's timed run measures the work, not class
+    // compilation (the ngramExactPlan discipline)
+    warm("mmNeardupPlan") {
+      import spark.implicits._
+      val m = spark.range(200L).map { boxed =>
+        val id: Long = boxed
+        graft.operators.Multimodal.MediaRow(id,
+          graft.operators.Multimodal.syntheticPpm(id, 32, 24, comment = false),
+          "ppm")
+      }
+      graft.operators.Multimodal.imageNearDup(m).count()
+    }
     warm("q_dedup_incremental") { queries.Analytics15.q_dedup_incremental(spark, sfDir).count() }
     warm("q_sql_table_convert") { queries.SqlTableOps.q_sql_table_convert(spark, sfDir).count() }
     warm("q_sql_table_merge_nonstat") { queries.SqlTableOps.q_sql_table_merge_nonstat(spark, sfDir).count() }

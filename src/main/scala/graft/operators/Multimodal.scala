@@ -218,6 +218,52 @@ object Multimodal {
           "ppm, jpeg, png, bmp, gif, and wav decode natively")
     }
 
+    /** Decode to PIXELS (the near-dup path needs the raster, not the
+      * summary features) — same codec dispatch and loud-failure seam as
+      * [[decode]]. */
+    def decodeImage(media: Array[Byte], format: String): PpmImage = format match {
+      case "ppm" => decodePpm(media)
+      case "jpeg" | "jpg" | "png" | "bmp" | "gif" => decodeImageIo(media)
+      case other => throw new NotImplementedError(
+        s"no '$other' image codec in this container; ppm, jpeg, png, bmp, gif decode natively")
+    }
+
+    /** 9×8 luma grid of an image: nearest-neighbor thumbnail through the
+      * real resize path, then integer BT.601 luma (299r + 587g + 114b —
+      * NO division, so the grid is exact integer arithmetic and
+      * partitioning-stable; one "gray level" ≈ 1000 units). */
+    def lumaGrid9x8(img: PpmImage): Array[Int] = {
+      val t = resizePpm(img, 9, 8)
+      val out = new Array[Int](72)
+      var i = 0
+      while (i < 72) {
+        out(i) = 299 * (t.rgb(3 * i) & 0xff) +
+          587 * (t.rgb(3 * i + 1) & 0xff) + 114 * (t.rgb(3 * i + 2) & 0xff)
+        i += 1
+      }
+      out
+    }
+
+    /** 64-bit dHash over a 9×8 luma grid: bit(y,x) = luma(x+1,y) >
+      * luma(x,y) — the sign of the horizontal gradient, the classic
+      * perceptual hash that survives re-encoding, scaling, and small
+      * brightness shifts (the gradient comparison cancels global
+      * offsets). Pure integer pipeline end-to-end: the same pixels
+      * always produce the same 64 bits, on any partitioning. */
+    def dHash64(grid: Array[Int]): Long = {
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (grid(y * 9 + x + 1) > grid(y * 9 + x)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
     /** Deterministic fake: 8 features from byte statistics. Stable across
       * partitionings and engines (pure integer math until the final cast). */
     def fakeDecode(media: Array[Byte]): Array[Float] = {
@@ -300,6 +346,69 @@ object Multimodal {
           r.media.take(4), MediaDecoder.fakeDecode(r.media))
       }
     }
+  }
+
+  /** IMAGE NEAR-DUP DEDUP (r14 verdict #3 — the pixel tier of the dedup
+    * stack, beside text MinHash/SimHash and embedding-cosine): decode →
+    * 9×8 luma thumbnail → 64-bit dHash, all exact integer arithmetic,
+    * as ONE narrow mapPartitions pass (decode parallelism rides the
+    * media table's partitioning — the 100 TB shape); candidates come
+    * from the SAME 16-bit-chunk pigeonhole banding SimHash dedup uses
+    * (recall-complete for hamming ≤ 3, never all-pairs), and each
+    * candidate pair is CONFIRMED against the actual luma grids (total
+    * abs-diff budget — re-encodes land at 0, unrelated images that
+    * collide in a band are rejected by pixels, not by hash luck).
+    * Returns (da, db, hamming, px_diff). */
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxLumaDiff: Long = 144000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.mapPartitions { rows =>
+      rows.map { r =>
+        val grid = MediaDecoder.lumaGrid9x8(
+          MediaDecoder.decodeImage(r.media, r.format))
+        (r.doc_id, MediaDecoder.dHash64(grid), grid)
+      }
+    }.toDF("doc_id", "dhash", "luma")
+      // the chunk self-join consumes the decode on both sides; without
+      // the cache the whole decode pipeline runs twice (the SimHash
+      // signature-build precedent)
+      .persist()
+    val pairs = SimHashDedup.pairsFromSignatures(hashed.select(
+      col("doc_id"), col("dhash")), "doc_id", "dhash", maxHamming)
+    val la = hashed.select(col("doc_id").as("da"), col("luma").as("__la"))
+    val lb = hashed.select(col("doc_id").as("db"), col("luma").as("__lb"))
+    pairs.join(la, "da").join(lb, "db")
+      .withColumn("px_diff", expr(
+        "aggregate(zip_with(__la, __lb, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"))
+      .filter(col("px_diff") <= maxLumaDiff)
+      .select(col("da"), col("db"), col("hamming"),
+        col("px_diff").cast("long").as("px_diff"))
+  }
+
+  /** Deterministic synthetic P6 image: every pixel is an integer hash of
+    * (seed, index) — two images share pixels iff they share `seed`, and
+    * distinct seeds give effectively independent 64-bit dHashes (the
+    * planted-twin oracle's zero-unplanned-pairs argument). `comment`
+    * injects a netpbm header comment so a twin's BYTES differ while its
+    * pixels are identical — the re-encode shape. */
+  def syntheticPpm(seed: Long, w: Int, h: Int, comment: Boolean): Array[Byte] = {
+    val header = (s"P6\n${if (comment) "# twin re-encode\n" else ""}$w $h\n255\n")
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    val n = w * h * 3
+    while (i < n) {
+      // splitmix64-style integer mix of (seed, i) — deterministic on
+      // any JVM, no RNG state
+      var z = seed * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(header.length + i) = ((z >>> 33) & 0xff).toByte
+      i += 1
+    }
+    out
   }
 
   /** Same stage, REAL format-dispatched decode ([[MediaDecoder.decode]]):

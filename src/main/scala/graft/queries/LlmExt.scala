@@ -649,6 +649,36 @@ object LlmExt {
       .orderBy(col("doc_id"))
   }
 
+  /** IMAGE NEAR-DUP with a PLANTED-TWIN ORACLE (r14 verdict #3 — the
+    * pixel tier of the dedup stack, the [[q_dedup_simhash_planted]]
+    * discipline lifted to real image decode): 4000 generated 32×24 P6
+    * images whose pixels are integer hashes of (seed, index), with
+    * every 20th image given a twin that holds the SAME PIXELS under
+    * DIFFERENT BYTES (a netpbm header comment — the re-encode shape).
+    * The pipeline is the real one: P6 decode → 9×8 luma thumbnail →
+    * 64-bit dHash (pure integer end-to-end) → 16-bit-chunk pigeonhole
+    * banding (recall-complete for hamming ≤ 3, never all-pairs) → exact
+    * luma-grid confirm. Twins hash BIT-IDENTICALLY by construction
+    * (same pixels), distinct seeds give ~independent 64-bit hashes
+    * (P(hamming ≤ 3) ≈ 2⁻⁴⁶ per pair — zero unplanned pairs on the
+    * fixed corpus), so the result is pure arithmetic a DuckDB range()
+    * reconstructs without sharing one line of decode or hash code.
+    * MultimodalSpec drives re-encoded and 1-px-shifted pairs through
+    * the same distributed path. */
+  def q_mm_neardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.range(4000L).map { boxed =>
+      val id: Long = boxed
+      val twin = id % 20 == 1
+      val seed = if (twin) id - 1 else id
+      graft.operators.Multimodal.MediaRow(id,
+        graft.operators.Multimodal.syntheticPpm(seed, 32, 24, comment = twin),
+        "ppm")
+    }
+    graft.operators.Multimodal.imageNearDup(media)
+      .orderBy(col("da"))
+  }
+
   /** PII redaction — the scrub step of a training-data pipeline: mask
     * digit runs with a placeholder token and count what was removed, so
     * downstream audits can reconcile redaction volume. Pure per-row regex
@@ -905,20 +935,43 @@ object LlmExt {
     TxTable.open(s"$indexRoot/codes").merge(spark, enc, "b_id")
   }
 
+  /** ANN INDEX TAKEDOWN (r14 verdict #4 — the GDPR/opt-out shape): stop
+    * serving a band of vector ids from the PERSISTED index WITHOUT a
+    * corpus re-encode or a list rebuild. Routes through the codes
+    * TxTable's POSITIONAL delete on `b_id` (a stat column): files whose
+    * id interval is provably all-in the band DROP metadata-only, files
+    * provably disjoint carry BY NAME (zero rewrites — the common case,
+    * since ingest batches land id-banded code files), and stragglers
+    * get their row positions tombstoned in a deletion vector. Every
+    * serve path ([[q_ann_ivfpq_indexed]] / [[q_ann_ivfpq_nprobe]])
+    * reads the codes table DV-aware, so a deleted id stops serving at
+    * the next read — the stored lists never move, the codebook and
+    * centroids never retrain. PqSpec pins the zero-rewrite accounting
+    * and the serve exclusion. */
+  def deletePqIndex(spark: SparkSession, indexRoot: String,
+      loId: Long, hiId: Long): graft.tables.TxTable.PositionalDeleteResult =
+    graft.tables.TxTable.open(s"$indexRoot/codes")
+      .deletePositional(spark, "b_id", loId, hiId)
+
   /** The published base+refresh index build behind
     * [[q_ann_ivfpq_indexed]], exposed so PqSpec can pin the refresh
     * accounting: the LAST 50 vectors arrive through
     * [[refreshPqIndex]] as a later ingest batch (delta-only encode +
-    * merge), the rest through the initial build. The codebook is
-    * trained once on the full corpus — the "day-0 training" stand-in
-    * that keeps the DuckDB oracle exact; production trains on a sample
-    * and the refresh path is identical. Returns (root, refresh result). */
+    * merge), the rest through the initial build, and the lineage ends
+    * with a real TAKEDOWN — 50 synthetic vectors ingested incrementally
+    * then deleted by id band ([[deletePqIndex]]), so the published
+    * index history carries append + delete while the FINAL state stays
+    * exactly the corpus (the serve gates' DuckDB oracles hold
+    * unchanged). The codebook is trained once on the full corpus — the
+    * "day-0 training" stand-in that keeps the DuckDB oracle exact;
+    * production trains on a sample and the refresh path is identical.
+    * Returns (root, refresh result). */
   private[graft] def ivfpqIndexRoot(spark: SparkSession, dir: String)
       : (String, Option[graft.tables.TxTable.MergeResult]) = {
     import graft.tables.TxTable
     val fp = Tables.sourceFingerprint(dir, "embeddings.parquet")
     var refreshed: Option[TxTable.MergeResult] = None
-    val root = Tables.publishOnce(s"graft_ivfpq_index3_$fp") { tmp =>
+    val root = Tables.publishOnce(s"graft_ivfpq_index4_$fp") { tmp =>
       val all = Tables.embeddings(spark, dir)
       val splitId = all.agg(max(col("vec_id"))).head().getLong(0) - 49L
       val dims = pqDims(all)
@@ -947,6 +1000,14 @@ object LlmExt {
       // the tail batch lands through the INCREMENTAL path
       refreshed = Some(refreshPqIndex(spark, tmp,
         all.filter(col("vec_id") >= splitId)))
+      // TAKEDOWN lineage (r14 verdict #4): 50 synthetic vectors arrive
+      // incrementally, then delete by id band — monotone ids land in
+      // their own code files, so the delete drops them METADATA-ONLY
+      // (zero list rewrites) and the final state equals the corpus
+      val maxId = splitId + 49L
+      refreshPqIndex(spark, tmp, all.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + lit(maxId + 1L)))
+      deletePqIndex(spark, tmp, maxId + 1L, maxId + 50L)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS")); ()
     }
     (root, refreshed)
@@ -1057,6 +1118,7 @@ object LlmExt {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_neardup" -> q_mm_neardup _,
     "q_text_pii" -> q_text_pii _,
     "q_sample_stratified" -> q_sample_stratified _,
     "q_shard_pack" -> q_shard_pack _,
@@ -1540,6 +1602,13 @@ object LlmExt {
         |  CAST(ascii(text) AS INT) AS first_byte,
         |  array_to_string(list_transform(range(1, 9), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS VARCHAR)), ',') AS byte_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted-twin pair set is pure arithmetic: ids (20r, 20r+1)
+    // share pixels (hamming 0, px_diff 0), everything else is an
+    // independent 64-bit dHash (P(hamming ≤ 3) ≈ 2⁻⁴⁶ per pair)
+    "q_mm_neardup" ->
+      """SELECT CAST(20 * r AS BIGINT) AS da, CAST(20 * r + 1 AS BIGINT) AS db,
+        |  CAST(0 AS BIGINT) AS hamming, CAST(0 AS BIGINT) AS px_diff
+        |FROM range(200) t(r) ORDER BY da""".stripMargin,
   )
 
   // the stored-index serve path computes the SAME ADC answer — it earns

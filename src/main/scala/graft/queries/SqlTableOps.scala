@@ -311,6 +311,34 @@ object SqlTableOps {
     }
   }
 
+  /** DML DRY RUN (round-14 verdict #6): `EXPLAIN DELETE …` previews the
+    * manifest classification — candidates / metadata-only covered /
+    * straddling rewrites / kept, and the prune class — WITHOUT
+    * committing (the gate requires the table version unchanged), then
+    * the REAL statement runs and the gate REQUIRES its result
+    * accounting to equal the preview exactly: dropped == covered,
+    * rewritten == straddling, kept == kept. On a 100 TB table this is
+    * how an operator bounds a retention delete's cost before paying it.
+    * The readback earns the standard events oracle. */
+  def q_sql_table_dryrun(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_dryrun") { root =>
+      val v0 = graft.tables.TxTable.open(root).currentVersion
+      val dry = spark.sql(
+        s"EXPLAIN DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7").head()
+      require(graft.tables.TxTable.open(root).currentVersion == v0,
+        "a dry run must not write a version")
+      val real = spark.sql(
+        s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 3 AND 7").head()
+      require(dry.getInt(3) == real.getInt(1) && // covered == dropped
+        dry.getInt(4) == real.getInt(2) && // straddling == rewritten
+        dry.getInt(5) == real.getInt(3), // kept == kept
+        s"dry-run classification must equal the real run: $dry vs $real")
+      spark.sql(eventAgg.format(q(root)))
+    }
+  }
+
   /** SQL RESTORE — q_table_restore's bad-delete-then-undo, with both the
     * delete and the restore as statements; earns the same oracle. */
   def q_sql_table_restore(spark: SparkSession, dir: String): DataFrame = {
@@ -924,6 +952,7 @@ object SqlTableOps {
     "q_sql_table_merge_sync" -> q_sql_table_merge_sync _,
     "q_sql_table_replace" -> q_sql_table_replace _,
     "q_sql_table_delete" -> q_sql_table_delete _,
+    "q_sql_table_dryrun" -> q_sql_table_dryrun _,
     "q_sql_table_restore" -> q_sql_table_restore _,
     "q_sql_table_timetravel" -> q_sql_table_timetravel _,
     "q_sql_table_history" -> q_sql_table_history _,
@@ -1156,6 +1185,14 @@ object SqlTableOps {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, event_type ORDER BY day, event_type""".stripMargin,
     "q_sql_table_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id NOT BETWEEN 3 AND 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same restatement as q_sql_table_delete — the dry run changes
+    // nothing about the final state, by construction
+    "q_sql_table_dryrun" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
         |  count(DISTINCT user_id) AS n_users

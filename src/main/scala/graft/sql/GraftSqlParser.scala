@@ -269,8 +269,32 @@ object GraftSqlParser {
   private val ShowViewsRe =
     ("(?is)^\\s*SHOW\\s+VIEWS\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
 
+  private val ExplainDmlRe =
+    "(?is)^\\s*EXPLAIN\\s+((?:MERGE|UPDATE|DELETE)\\s+.+)$".r
+
   /** The graft statement in `sqlText`, if it targets a txtable root. */
   def parseGraft(sqlText: String): Option[LogicalPlan] = sqlText match {
+    // DML DRY RUN (r14 verdict #6): `EXPLAIN MERGE/UPDATE/DELETE …` on a
+    // txtable target returns the manifest classification the real
+    // statement would act on — candidates/covered/straddling/kept and
+    // the prune class — committing NOTHING. A non-txtable target parses
+    // to None here and falls through to Spark's own EXPLAIN.
+    case ExplainDmlRe(inner) =>
+      parseGraft(inner).map {
+        case TxMergeCommand(root, sourceSql, keys) =>
+          TxDryRunCommand(root, "merge", Some(sourceSql), keys, None, None)
+        case TxMergeWhenCommand(root, sourceSql, keys, _, _, _) =>
+          TxDryRunCommand(root, "merge", Some(sourceSql), keys, None, None)
+        case TxUpdateCommand(root, _, c, lo, hi) =>
+          TxDryRunCommand(root, "update", None, Nil, Some((c, lo, hi)), None)
+        case TxUpdateWhereCommand(root, _, pred) =>
+          TxDryRunCommand(root, "update", None, Nil, None, Some(pred))
+        case TxDeleteWhereCommand(root, pred) =>
+          TxDryRunCommand(root, "delete", None, Nil, None, Some(pred))
+        case other => throw new IllegalArgumentException(
+          "EXPLAIN (dry run) supports MERGE INTO, UPDATE … WHERE, and " +
+            s"DELETE FROM … WHERE on txtable targets; got ${other.getClass.getSimpleName}")
+      }
     case MergeRe(root, _, _, usingAndOn) =>
       // the merge condition starts at the first TOP-LEVEL ` ON ` — an ON
       // inside a parenthesized USING subquery (a JOIN … ON inside the
@@ -1008,6 +1032,39 @@ object GraftSqlParser {
   * interval candidate pruning, file-level conflict detection). The
   * source clause is any table reference or parenthesized subquery;
   * it is evaluated through the full session SQL pipeline. */
+/** `EXPLAIN MERGE/UPDATE/DELETE …` → the DRY-RUN manifest
+  * classification (r14 verdict #6): one row of accounting — what the
+  * real statement would drop metadata-only, rewrite, and keep, plus the
+  * prune class that decided — computed from the SAME factored probes
+  * the real run uses ([[graft.tables.TxTable#dryRunMerge]] /
+  * `dryRunBand` / `dryRunWhere`) and committing NOTHING (SqlTableSpec
+  * pins version-before == version-after and dry-run counts == the
+  * subsequent real run's result counts). */
+case class TxDryRunCommand(root: String, kind: String,
+    sourceSql: Option[String], keys: Seq[String],
+    band: Option[(String, Long, Long)], pred: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("operation", StringType), attr("files_total", IntegerType),
+    attr("candidates", IntegerType), attr("covered", IntegerType),
+    attr("straddling", IntegerType), attr("kept", IntegerType),
+    attr("prune_class", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.viewDmlTarget(root, "EXPLAIN (dry run)", routable = false)
+    val t = TxTable.open(root)
+    val d = (sourceSql, band, pred) match {
+      case (Some(src), _, _) =>
+        t.dryRunMerge(spark, spark.sql(s"SELECT * FROM $src"), keys)
+      case (_, Some((c, lo, hi)), _) => t.dryRunBand(kind, c, lo, hi)
+      case (_, _, Some(p)) => t.dryRunWhere(spark, kind, p)
+      case _ => throw new IllegalStateException("empty dry-run spec")
+    }
+    Seq(Row(d.operation, d.filesTotal, d.candidates, d.covered,
+      d.straddling, d.kept, d.pruneClass))
+  }
+}
+
 case class TxMergeCommand(root: String, sourceSql: String, keys: Seq[String])
     extends LeafRunnableCommand {
   import GraftSqlParser.attr

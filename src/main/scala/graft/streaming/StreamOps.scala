@@ -1033,6 +1033,59 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(txGroupMergeBatch(group, members, queryName) _)
 
+  /** CONTINUOUS AGGREGATE MATERIALIZED VIEW (r14 verdict #7):
+    * [[txGroupMergeBatch]] extended with dependent mview maintenance —
+    * after the member upserts land, each named mview member (a
+    * MATERIALIZED VIEW whose TxTable lives at the group's member path
+    * and whose definition reads group members) REFRESHES through the
+    * standard command (the GROUP-BY delta fold where licensed — cost ∝
+    * this micro-batch's changed files — the always-sound full recompute
+    * otherwise), and its new version rides the SAME group commit as the
+    * base tables it reads: one atomic cut pins facts AND their
+    * aggregate view, so a group reader can never see a view ahead of or
+    * behind its base. Crash-safe at every point BY COMPOSITION: member
+    * merges are batchId-idempotent, the refresh is source-version-
+    * idempotent (a replay no-ops at srcV ≤ watermark), and the group
+    * publish is all-or-nothing (TxStreamSinkSpec pins mid-batch-crash
+    * replays — member-only and refresh-only — converging to the
+    * recompute). */
+  private[graft] def txGroupMergeMviewBatch(group: graft.tables.TxGroup,
+      members: Seq[(String, String, DataFrame => DataFrame)],
+      mviewNames: Seq[String], queryName: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val pins = members.map { case (name, key, f) =>
+        val t = group.table(name, Seq(key))
+        t.mergeBatch(spark, f(batch), s"$queryName/$name", batchId, key)
+        name -> t.currentVersion
+      }.toMap
+      val mvPins = mviewNames.map { mv =>
+        val mvRoot = java.nio.file.Paths.get(group.root, "tables", mv).toString
+        graft.sql.TxRefreshMviewCommand(mvRoot).run(spark)
+        mv -> graft.tables.TxTable.open(mvRoot).currentVersion
+      }.toMap
+      val all = pins ++ mvPins
+      val cur = group.snapshot()
+      if (all.exists { case (n, v) => !cur.get(n).contains(v) })
+        group.commit(all)
+      ()
+    } finally { batch.unpersist(); () }
+  }
+
+  /** The writeStream face of [[txGroupMergeMviewBatch]] — the
+    * continuous-materialized-view sink: exactly-once multi-table
+    * streaming upsert with dependent aggregate views maintained in the
+    * same group cut. */
+  def txGroupMergeMviewSink(df: DataFrame, group: graft.tables.TxGroup,
+      members: Seq[(String, String, DataFrame => DataFrame)],
+      mviewNames: Seq[String], queryName: String, checkpoint: String) =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(txGroupMergeMviewBatch(group, members, mviewNames, queryName) _)
+
   /** CONTINUOUS CDC-apply replication — the streaming face of
     * [[graft.tables.TxTable.applyChangesFrom]]: `cdf` is the source
     * table read as a row-level change stream

@@ -1649,6 +1649,67 @@ final class TxTable(val root: String, val statCols: Seq[String],
       newFiles = entries.size)
   }
 
+  /** DRY-RUN manifest classification of a canonical MERGE (r14 verdict
+    * #6): the EXACT candidate split [[mergeFrom]] would compute — the
+    * same [[multiKeyHitPaths]] probe — with ZERO writes and ZERO
+    * commits, so an operator can preview what an upsert will rewrite on
+    * a 100 TB table before running it. One source-scan job (the probe),
+    * nothing else. */
+  def dryRunMerge(spark: SparkSession, source: DataFrame,
+      keys: Seq[String]): TxTable.DmlDryRun = {
+    val base = snapshot()
+    keys.foreach(phys(base, _))
+    val (candidates, kept) = multiKeyHitPaths(spark, base, source, keys) match {
+      case None => (base.files, Seq.empty[FileEntry])
+      case Some(hits) => base.files.partition(f => hits.contains(f.path))
+    }
+    val statKeys = keys.filter(k => statCols.contains(phys(base, k)))
+    // a merge rewrites every candidate (CoW) — no metadata-only class
+    TxTable.DmlDryRun("merge", base.files.size, candidates.size,
+      covered = 0, straddling = candidates.size, kept = kept.size,
+      pruneClass =
+        if (statKeys.isEmpty) "none:no-stat-key-component"
+        else s"interval-intersect:${statKeys.mkString(",")}")
+  }
+
+  /** DRY-RUN classification of a banded UPDATE/DELETE — [[deleteFrom]]'s
+    * exact partition (touched by [min,max] overlap, covered by
+    * provably-all-in), committed never. */
+  def dryRunBand(operation: String, statCol: String, lo: Long,
+      hi: Long): TxTable.DmlDryRun = {
+    val base = snapshot()
+    val p = phys(base, statCol)
+    require(statCols.contains(p), s"$statCol is not a stat column ($statCols)")
+    val (touched, kept) = base.files.partition { f =>
+      f.maxs.get(p).forall(_ >= lo) && f.mins.get(p).forall(_ <= hi)
+    }
+    val (covered, straddling) = touched.partition(_.provablyAllIn(p, lo, hi))
+    TxTable.DmlDryRun(operation, base.files.size, touched.size,
+      covered.size, straddling.size, kept.size, s"band:$statCol[$lo,$hi]")
+  }
+
+  /** DRY-RUN classification of a predicate UPDATE/DELETE —
+    * [[deleteWhere]]'s exact partition through [[predicateBands]]
+    * (residual conjuncts disqualify the covered class, exactly as the
+    * real run refuses metadata-only drops it cannot prove). */
+  def dryRunWhere(spark: SparkSession, operation: String,
+      predicateSql: String): TxTable.DmlDryRun = {
+    val base = snapshot()
+    val (bands, residual) = predicateBands(spark, predicateSql, base)
+    val (touched, kept) = base.files.partition(bandsIntersect(bands))
+    val (covered, straddling) =
+      if (residual || bands.isEmpty) (Seq.empty[FileEntry], touched)
+      else touched.partition(f =>
+        bands.forall { case (p, (lo, hi)) => f.provablyAllIn(p, lo, hi) })
+    val cls =
+      if (bands.isEmpty) "none:no-stat-conjunct"
+      else bands.toSeq.sortBy(_._1).map { case (p, (lo, hi)) =>
+        s"band:$p[$lo,$hi]"
+      }.mkString("+") + (if (residual) "+residual" else "")
+    TxTable.DmlDryRun(operation, base.files.size, touched.size,
+      covered.size, straddling.size, kept.size, cls)
+  }
+
   /** Copy-on-write DELETE of rows whose `column` value appears in (IN) —
     * or, `negate`, does NOT appear in (NOT IN) — a KEY FRAME: the
     * execution of `DELETE FROM t WHERE c IN (SELECT …)`. The subquery is
@@ -3730,6 +3791,14 @@ object TxTable {
     * `INSERT *` (both None) or an explicit column list + VALUES exprs. */
   final case class MergeInsert(cond: Option[String],
       cols: Option[Seq[String]], vals: Option[Seq[String]])
+
+  /** One DML dry-run classification row (r14 verdict #6): what the
+    * statement WOULD touch, per the manifest — candidates split into
+    * the metadata-only (covered) and rewrite (straddling) classes, the
+    * provably-untouched kept class, and the prune rule that decided. */
+  final case class DmlDryRun(operation: String, filesTotal: Int,
+      candidates: Int, covered: Int, straddling: Int, kept: Int,
+      pruneClass: String)
 
   /** Whether `root` holds a TxTable transaction log (catalog existence
     * probe — side-effect-free, unlike the directory-creating constructor). */

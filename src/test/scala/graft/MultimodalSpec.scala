@@ -221,6 +221,54 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("image near-dup: re-encode and 1-px shift pair through the distributed path") {
+    import spark.implicits._
+    // a SMOOTH image (constant positive horizontal gradient) so a 1-px
+    // crop shift perturbs the 9×8 luma thumbnail minimally — the shape
+    // dHash is built to survive; noise images (below) must NOT pair
+    def smoothPpm(w: Int, h: Int, xOff: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until h; x <- 0 until w) {
+        // gradient 1/px: a 1-px shift moves every luma cell by exactly
+        // one gray level (72 × 1000 total — inside the confirm budget)
+        val v = ((x + xOff + y) % 256).toByte
+        val d = header.length + (y * w + x) * 3
+        out(d) = v; out(d + 1) = v; out(d + 2) = v
+      }
+      out
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(0L, Multimodal.syntheticPpm(0L, 32, 24, comment = false), "ppm"),
+      // re-encode: same pixels, different bytes (header comment)
+      Multimodal.MediaRow(1L, Multimodal.syntheticPpm(0L, 32, 24, comment = true), "ppm"),
+      // 1-px shift of a smooth gradient
+      Multimodal.MediaRow(2L, smoothPpm(32, 24, 0), "ppm"),
+      Multimodal.MediaRow(3L, smoothPpm(32, 24, 1), "ppm"),
+      // unrelated noise — must never pair with anything
+      Multimodal.MediaRow(4L, Multimodal.syntheticPpm(99L, 32, 24, comment = false), "ppm"))
+    val got = Multimodal.imageNearDup(rows.toDS().repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L), (2L, 3L)),
+      s"re-encode and shifted pairs only, got $got")
+    val reenc = got.find(p => p._1 == 0L).get
+    assert(reenc._3 == 0L && reenc._4 == 0L,
+      s"a re-encode is pixel-identical: hamming 0, px_diff 0, got $reenc")
+    val shifted = got.find(p => p._1 == 2L).get
+    assert(shifted._3 <= 3L,
+      s"a 1-px shift of a smooth image stays within the hamming budget: $shifted")
+    // distributed dHash == the driver-side reference, any partitioning
+    val refHash = Multimodal.MediaDecoder.dHash64(
+      Multimodal.MediaDecoder.lumaGrid9x8(
+        Multimodal.MediaDecoder.decodePpm(rows.head.media)))
+    val twinHash = Multimodal.MediaDecoder.dHash64(
+      Multimodal.MediaDecoder.lumaGrid9x8(
+        Multimodal.MediaDecoder.decodePpm(rows(1).media)))
+    assert(refHash == twinHash, "identical pixels must hash identically")
+  }
+
   test("ImageIO-decoded pixels feed the shared resize path") {
     val img = Multimodal.MediaDecoder.decodeImageIo(imageBytes(5L, 8, 8, "png"))
     val small = Multimodal.MediaDecoder.resizePpm(img, 4, 4)

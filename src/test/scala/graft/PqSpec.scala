@@ -159,6 +159,20 @@ class PqSpec extends AnyFunSuite with SparkFixture {
       s"overlap refresh must rewrite only the admitting files, got $r2")
     assert(TxTable.open(s"$tmp/codes").read(spark)
       .filter(col("b_id") === 3L).count() == 8, "re-code must not duplicate")
+    // TAKEDOWN (r14 verdict #4): tombstone the tail batch by id band.
+    // Its monotone-ingest code files hold ONLY band ids (b_id stats
+    // prove it), so the delete drops WHOLE FILES metadata-only — zero
+    // list rewrites, zero deletion vectors — and the serve-side read
+    // excludes the ids immediately, with no corpus re-encode anywhere
+    val nBefore = TxTable.open(s"$tmp/codes").read(spark).count()
+    val d = graft.queries.LlmExt.deletePqIndex(spark, tmp, splitId, splitId + 49L)
+    assert(d.droppedFiles >= 1 && d.dvFiles == 0,
+      s"a band-aligned takedown must drop whole files with no vectors, got $d")
+    val served = TxTable.open(s"$tmp/codes").read(spark)
+    assert(served.filter(col("b_id") >= splitId).count() == 0,
+      "deleted ids must stop serving")
+    assert(served.count() == nBefore - 50L * 8L,
+      "every non-deleted code row must keep serving")
   }
 
   private def queries_run(): Seq[(Long, Long, Long, Int)] =

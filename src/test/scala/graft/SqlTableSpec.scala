@@ -1029,6 +1029,50 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
       .head().getLong(0) == 0L, "a vanished touched group must DELETE")
   }
 
+  test("EXPLAIN DML dry run: classification == the real run, zero commits") {
+    // r14 verdict #6: the preview must come from the SAME probes the
+    // real statement uses — assert count-for-count equality against
+    // the real run's accounting, and that the dry run writes nothing
+    val t = freshTable() // 40 rows, 4 range-partitioned files on k
+    val v0 = t.currentVersion
+    val mergeTail = s"USING (SELECT CAST(5 AS BIGINT) AS k, " +
+      s"CAST(-1 AS BIGINT) AS v) AS s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    val dm = spark.sql(s"EXPLAIN MERGE INTO ${q(t.root)} AS t $mergeTail").head()
+    assert(t.currentVersion == v0, "a dry run must not commit")
+    assert(dm.getString(0) == "merge" && dm.getInt(1) == 4 &&
+      dm.getInt(2) == 1 && dm.getInt(5) == 3 &&
+      dm.getString(6).startsWith("interval-intersect"),
+      s"one of four range files admits k=5: $dm")
+    val rm = spark.sql(s"MERGE INTO ${q(t.root)} AS t $mergeTail").head()
+    assert(dm.getInt(4) == rm.getInt(1) && dm.getInt(5) == rm.getInt(2),
+      s"dry-run straddling/kept must equal the real rewrite/kept: $dm vs $rm")
+    // banded UPDATE: covered files are replaced wholesale (the real
+    // run's dropped class), stragglers rewrite in place
+    val du = spark.sql(s"EXPLAIN UPDATE ${q(t.root)} SET v = v + 1 " +
+      "WHERE k BETWEEN 0 AND 9").head()
+    val ru = spark.sql(s"UPDATE ${q(t.root)} SET v = v + 1 " +
+      "WHERE k BETWEEN 0 AND 9").head()
+    assert(du.getString(0) == "update" && du.getInt(3) == ru.getInt(1) &&
+      du.getInt(4) == ru.getInt(2) && du.getInt(5) == ru.getInt(3),
+      s"got $du vs $ru")
+    // predicate DELETE with a residual conjunct: no covered class
+    val dd = spark.sql(s"EXPLAIN DELETE FROM ${q(t.root)} " +
+      "WHERE k BETWEEN 0 AND 9 AND v % 2 = 0").head()
+    assert(dd.getInt(3) == 0 && dd.getString(6).endsWith("+residual"),
+      s"a residual conjunct must disqualify metadata-only drops: $dd")
+    val rd = spark.sql(s"DELETE FROM ${q(t.root)} " +
+      "WHERE k BETWEEN 0 AND 9 AND v % 2 = 0").head()
+    assert(dd.getInt(4) == rd.getInt(2) && dd.getInt(5) == rd.getInt(3),
+      s"got $dd vs $rd")
+    // Spark's own EXPLAIN is untouched
+    assert(spark.sql("EXPLAIN SELECT 1").collect().nonEmpty)
+    // unsupported dry-run forms refuse loudly
+    val e = intercept[Exception](spark.sql(
+      s"EXPLAIN DELETE FROM ${q(t.root)} WHERE k IN (SELECT 1)"))
+    assert(e.getMessage.contains("EXPLAIN (dry run) supports"))
+  }
+
   test("join-agg mview: both-side deltas, ΔA⋈ΔB overlap, outer/non-equi/float full") {
     // r14 verdict #1: ΔJ = ΔA⋈B@cur ∪ A@last⋈ΔB. This drives BOTH
     // sides in one window — fact insert + fact band delete + dim member

@@ -434,6 +434,71 @@ class TxStreamSinkSpec extends AnyFunSuite with SparkFixture {
     (1 to g.currentVersion).foreach(cutConsistent)
   }
 
+  test("continuous aggregate mview: refresh rides the SAME group cut; crash replays converge") {
+    // r14 verdict #7: an upsert micro-batch refreshes a dependent
+    // aggregate mview and the group cut pins base AND view together —
+    // a group reader can never see one without the other. Both crash
+    // windows replay to convergence: member-merged-only (A) and
+    // member-merged-plus-refreshed-but-unpublished (B).
+    import org.apache.spark.sql.DataFrame
+    Tables.ensure(spark)
+    val g = new graft.tables.TxGroup(
+      Files.createTempDirectory("graft_gmv").toString)
+    val members = Seq[(String, String, DataFrame => DataFrame)](
+      ("ev", "user_id", b => b.withColumn("g", expr("v % 4"))))
+    def deliver(mvs: Seq[String])(batch: DataFrame, id: Long): Unit =
+      StreamOps.txGroupMergeMviewBatch(g, members, mvs, "q")(batch, id)
+    deliver(Nil)(rows(0, 10), 0L) // bootstrap the member before the view
+    val evRoot = s"${g.root}/tables/ev"
+    val mvRoot = s"${g.root}/tables/mv"
+    spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mvRoot` " +
+      "TBLPROPERTIES('statCols'='g') AS " +
+      s"SELECT g, count(*) AS n, sum(v) AS sv FROM txtable.`$evRoot` GROUP BY g")
+    def viewEqualsRecompute(groupV: Int): Unit = {
+      val cut = g.snapshot(Some(groupV))
+      val got = graft.tables.TxTable.open(mvRoot).read(spark, cut.get("mv"))
+        .select(col("g"), col("n"), col("sv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.tables.TxTable.open(evRoot).read(spark, cut.get("ev"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"view diverged from its base at group cut $groupV")
+    }
+    deliver(Seq("mv"))(rows(5, 20), 1L)
+    val v1 = g.currentVersion
+    assert(g.snapshot().contains("mv"), "the cut must pin the view")
+    viewEqualsRecompute(v1)
+    // CRASH A: member merged, refresh and publish never ran — replay
+    val b2 = rows(15, 30).withColumn("v", col("user_id") * 7)
+    g.table("ev", Seq("user_id"))
+      .mergeBatch(spark, members.head._3(b2), "q/ev", 2L, "user_id")
+    assert(g.currentVersion == v1, "a torn batch must stay invisible")
+    deliver(Seq("mv"))(b2, 2L)
+    val v2 = g.currentVersion
+    assert(v2 == v1 + 1)
+    viewEqualsRecompute(v2)
+    // CRASH B: member merged AND view refreshed, publish never ran
+    val b3 = rows(0, 5).withColumn("v", col("user_id") * 11)
+    g.table("ev", Seq("user_id"))
+      .mergeBatch(spark, members.head._3(b3), "q/ev", 3L, "user_id")
+    spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mvRoot`")
+    assert(g.currentVersion == v2, "a torn batch must stay invisible")
+    deliver(Seq("mv"))(b3, 3L)
+    val v3 = g.currentVersion
+    assert(v3 == v2 + 1)
+    viewEqualsRecompute(v3)
+    // full replay after publish: recognized everywhere, nothing moves
+    def state() = (g.currentVersion,
+      graft.tables.TxTable.open(evRoot).currentVersion,
+      graft.tables.TxTable.open(mvRoot).currentVersion)
+    val before = state()
+    deliver(Seq("mv"))(b3, 3L)
+    assert(state() == before, s"replayed batch must be a no-op: $before -> ${state()}")
+    // every retained historical cut stays view-consistent
+    (v1 to v3).foreach(viewEqualsRecompute)
+  }
+
   test("format(\"txtable\") with option(\"mergeKey\") streams an upsert end to end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
