@@ -221,6 +221,16 @@ object Bench {
     warm("q_dedup_incremental") { queries.Analytics15.q_dedup_incremental(spark, sfDir).count() }
     warm("q_sql_table_convert") { queries.SqlTableOps.q_sql_table_convert(spark, sfDir).count() }
     warm("q_sql_table_merge_nonstat") { queries.SqlTableOps.q_sql_table_merge_nonstat(spark, sfDir).count() }
+    // the mview family's machinery (parser → ViewStore → CDC feed →
+    // delta fold → composite-key MERGE) is ~2× slower on its first trip
+    // through the JVM than steady-state (13 s vs 6.5 s for the agg gate
+    // at sf0.1) — the ngramExactPlan discipline applies: run ONE
+    // single-source and ONE two-source cycle untimed so the four timed
+    // gates measure maintenance work, not HotSpot's ramp. Each timed
+    // gate still does its own full create/mutate/refresh on a private
+    // copy — nothing the timed run measures is precomputed here.
+    warm("mviewMachinery") { queries.SqlTableOps.q_sql_table_mview_agg(spark, sfDir).count() }
+    warm("mviewJoinMachinery") { queries.SqlTableOps.q_sql_table_mview_join(spark, sfDir).count() }
     // a throwing query must surface as an err entry, never as a fast
     // timing with rc 0 (a regression could hide as a speedup)
     // dev escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset in suite

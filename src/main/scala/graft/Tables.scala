@@ -152,7 +152,10 @@ object Tables {
       val s = new java.io.File(dir, f)
       s"${s.length()}_${s.lastModified()}"
     }.mkString("_")
-    s"${h}_$stats"
+    // layout epoch: bump when the TxTable WRITE layout changes shape
+    // (r15: first-write schema declaration) so published caches built
+    // under the old layout rebuild instead of serving the old shape
+    s"${h}_${stats}_e2"
   }
 
   /** Write-once publish of a derived directory under java.io.tmpdir:

@@ -25,7 +25,7 @@ object TableOps {
   /** Recursive file-tree copy (the base table is a few small parquet
     * files plus O(files) manifests — milliseconds, vs re-running the
     * Spark write per call). */
-  private def copyTree(from: String, to: String): Unit = {
+  private[graft] def copyTree(from: String, to: String): Unit = {
     val src = Paths.get(from)
     val walk = Files.walk(src)
     try walk.forEach { p =>

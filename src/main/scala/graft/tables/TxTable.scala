@@ -92,22 +92,47 @@ final class TxTable(val root: String, val statCols: Seq[String],
     if (v == 0) return Snapshot(0, Nil, Map.empty)
     require(versions.contains(v) || ckpts.contains(v),
       s"version $v does not exist (have $versions)")
+    // Reconstructed states MEMOIZE process-wide (committed manifests are
+    // immutable): the walk-back stops at any version whose state is
+    // already cached, so a statement sequence pays one delta parse per
+    // NEW commit instead of re-reading the chain from the last full
+    // state every call — at manifest scale (10⁵-file states, dozens of
+    // snapshot() calls per statement) that is the difference between
+    // O(tail) and O(table) driver work per call. Keys carry the backing
+    // file's (size, mtime) stamp, so a table dir deleted and re-created
+    // at the same path (spec fixtures) can never serve the old state —
+    // the stat is the only I/O a cache hit costs.
+    def stampOf(cur: Int): Long = {
+      val f = (if (ckpts.contains(cur)) logDir.resolve(ckptName(cur))
+        else logDir.resolve(manifestName(cur))).toFile
+      f.length * 1000003L + f.lastModified
+    }
+    val vStamp = stampOf(v)
+    val vKey = (root, v, vStamp)
+    val hit = TxTable.snapCache.get(vKey)
+    if (hit != null) return hit
     var deltas = List.empty[DeltaRecord] // collected newest-first, applied oldest-first
     var cur = v
     var full: Snapshot = null
     while (full == null) {
       if (cur == 0) full = Snapshot(0, Nil, Map.empty)
-      else if (ckpts.contains(cur)) {
-        val (fs, ts, cs, cm, mt) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
-        full = Snapshot(cur, fs, ts, cs, cm, mt)
-      } else {
-        val p = logDir.resolve(manifestName(cur))
-        require(Files.exists(p),
-          s"cannot reconstruct version $v of $root: manifest $cur is missing " +
-            "and no checkpoint covers it")
-        parseAnyManifest(Files.readAllLines(p)) match {
-          case Left((fs, ts, cs, cm, mt)) => full = Snapshot(cur, fs, ts, cs, cm, mt)
-          case Right(delta) => deltas ::= delta; cur -= 1
+      else {
+        val cached =
+          if (cur == v) null
+          else TxTable.snapCache.get((root, cur, stampOf(cur)))
+        if (cached != null) full = cached
+        else if (ckpts.contains(cur)) {
+          val (fs, ts, cs, cm, mt) = parseManifest(Files.readAllLines(logDir.resolve(ckptName(cur))))
+          full = Snapshot(cur, fs, ts, cs, cm, mt)
+        } else {
+          val p = logDir.resolve(manifestName(cur))
+          require(Files.exists(p),
+            s"cannot reconstruct version $v of $root: manifest $cur is missing " +
+              "and no checkpoint covers it")
+          parseAnyManifest(Files.readAllLines(p)) match {
+            case Left((fs, ts, cs, cm, mt)) => full = Snapshot(cur, fs, ts, cs, cm, mt)
+            case Right(delta) => deltas ::= delta; cur -= 1
+          }
         }
       }
     }
@@ -124,7 +149,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
       d.colMap.foreach(m => cmap = m)
       d.meta.foreach(m => meta = Some(m))
     }
-    Snapshot(v, files, txns, cons, cmap, meta)
+    val snap = Snapshot(v, files, txns, cons, cmap, meta)
+    if (TxTable.snapCache.size >= 512) TxTable.snapCache.clear()
+    TxTable.snapCache.put(vKey, snap)
+    snap
   }
 
   // ------------------------------------------------------------------- reads
@@ -245,16 +273,43 @@ final class TxTable(val root: String, val statCols: Seq[String],
         if (group.forall(p => Paths.get(p).startsWith(dataDir)))
           r.option("basePath", dataDir.toString)
         else r // clone-referenced absolute paths: basePath ill-defined
-      val df =
-        try rd(spark.read.option("mergeSchema", "true")).parquet(group: _*)
-        catch {
-          case e: Throwable if meta.nonEmpty &&
-              Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
-            val declared = org.apache.spark.sql.types.StructType(
-              meta.get.schema.fields.map(f =>
-                f.copy(name = colMap.getOrElse(f.name, f.name))))
-            rd(spark.read.schema(declared)).parquet(group: _*)
-        }
+      // With a declared schema on record, read under it DIRECTLY
+      // (physicalized — files carry pre-rename physical names): Spark
+      // skips the footer-listing schema-inference JOB that mergeSchema
+      // fires per read — at manifest scale that is schema inference over
+      // a million footers vs zero. Semantics match the inference path:
+      // files missing a declared column read NULL (evolution by
+      // addition), uniformly-narrow files widen per file against the
+      // explicit schema (Spark 4 parquet readers), dropped/renamed-away
+      // physicals simply aren't requested, and k=v partition-dir columns
+      // resolve from the path under basePath. Dropped-column SHADOWS are
+      // the one exception: a physical name both tombstoned AND re-added
+      // as a fresh logical column must NOT read the old files' bytes —
+      // those tables keep the inference path (visibility is decided
+      // post-read there). No-meta reads (DV victim scans, CDC diffs over
+      // historical column sets) also keep inference — they have no
+      // declaration to trust.
+      val declared = meta.map { m =>
+        org.apache.spark.sql.types.StructType(
+          m.schema.fields.map(f =>
+            f.copy(name = colMap.getOrElse(f.name, f.name), nullable = true)))
+      }.filter { s =>
+        val phys = s.fieldNames.toSet
+        droppedPhys(colMap).forall(p => !phys.contains(p))
+      }
+      val df = declared match {
+        case Some(s) => rd(spark.read.schema(s)).parquet(group: _*)
+        case None =>
+          try rd(spark.read.option("mergeSchema", "true")).parquet(group: _*)
+          catch {
+            case e: Throwable if meta.nonEmpty &&
+                Option(e.getMessage).exists(_.contains("CANNOT_MERGE_SCHEMAS")) =>
+              val s = org.apache.spark.sql.types.StructType(
+                meta.get.schema.fields.map(f =>
+                  f.copy(name = colMap.getOrElse(f.name, f.name))))
+              rd(spark.read.schema(s)).parquet(group: _*)
+          }
+      }
       if (withPos) df
         .withColumn("__file", col("_metadata.file_name"))
         .withColumn("__pos", col("_metadata.row_index"))
@@ -485,18 +540,40 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // new columns (or lossless widenings) re-declares the widened schema
     // in the SAME commit — partial reads NULL-backfill old rows
     // deterministically, and a type conflict refuses before staging.
-    // Undeclared tables keep the mergeSchema-at-read contract unchanged.
+    // An UNDECLARED table declares the frame's schema in this commit
+    // (manifests always carry the schema, the lakehouse contract): every
+    // later read plans under the declaration instead of firing a
+    // footer-inference job — at manifest scale that is reading one log
+    // line vs a million parquet footers. Later appends then evolve the
+    // declaration through the same add/widen rules mergeSchema-at-read
+    // used to apply, with conflicts refused at WRITE time instead of
+    // surfacing on some later read.
     val s0 = snapshot()
     val evolvedMeta = s0.meta.flatMap(m => evolveForSource(s0, m.schema, df.schema))
+      .orElse(declareFirstWrite(s0, df))
     val entries = writeDataFiles(spark, df)
     commitWithRetry(maxRetries = 10, op = "append",
       meta = evolvedMeta) { base => base.files ++ entries }
   }
 
-  /** Replace the whole table content (same durability rules as append). */
+  /** The first-write schema declaration for a table born without one:
+    * the frame's schema becomes the manifest's TableMeta so reads skip
+    * footer inference. Tables that already carry a column mapping keep
+    * the inference contract — their declaration must be logical-named
+    * and only the evolve/rename faces maintain that invariant. */
+  private def declareFirstWrite(base: Snapshot,
+      df: DataFrame): Option[TableMeta] =
+    if (base.meta.nonEmpty || base.colMap.nonEmpty) None
+    else Some(TableMeta(df.schema.json, statCols, bloomCols))
+
+  /** Replace the whole table content (same durability rules as append).
+    * The incoming frame's schema is authoritative — an overwrite that
+    * changes shape RE-declares (content is wholly replaced, so there are
+    * no old rows the previous declaration still describes). */
   def overwrite(spark: SparkSession, df: DataFrame): Int = {
     val entries = writeDataFiles(spark, df)
-    commitWithRetry(maxRetries = 10, op = "overwrite") { _ => entries }
+    commitWithRetry(maxRetries = 10, op = "overwrite",
+      meta = declareFirstWrite(snapshot(), df)) { _ => entries }
   }
 
   /** Overwrite + txn watermark in ONE commit — the materialized-view
@@ -510,7 +587,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
     var attempt = 0
     while (true) {
       val base = snapshot()
-      try return commitOnce(base, txns, op = "mview-refresh") { _ => entries }
+      try return commitOnce(base, txns, op = "mview-refresh",
+        meta = declareFirstWrite(base, df)) { _ => entries }
       catch {
         case _: java.nio.file.FileAlreadyExistsException if attempt < 10 =>
           attempt += 1 // overwrite declares the whole table: rebase, retry
@@ -561,8 +639,19 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // the same column (default caseSensitive=false) — exact-name
     // matching here would declare a phantom duplicate the union had
     // already merged, and every later read would NULL-fill a column
-    // that never exists in any file
-    val byName = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    // that never exists in any file.
+    // The comparison runs in the LOGICAL namespace: the declaration may
+    // still spell a column by its pre-rename name (renameColumn is
+    // metadata-only and reads compensate through the column mapping), so
+    // a declared name that is some rename's PHYSICAL side resolves to
+    // that rename's logical name first — otherwise a source speaking the
+    // CURRENT name of a renamed column would be declared as a brand-new
+    // column whose physicalized name collides with the old entry's.
+    def logicalOf(name: String): String =
+      base.colMap.collectFirst {
+        case (l, p) if p == name && l != name => l
+      }.getOrElse(name)
+    val byName = tableSchema.fields.map(f => logicalOf(f.name).toLowerCase -> f).toMap
     val newCols =
       srcSchema.fields.filterNot(f => byName.contains(f.name.toLowerCase)).toSeq
     val widened = srcSchema.fields.flatMap { sf =>
@@ -1259,7 +1348,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
     // TARGET version's column mapping (physical names are stable across
     // renames, so old files resolve under the new logical names — a CDC
     // consumer sees one consistent schema even across a rename boundary)
-    val toMap = snapshot(Some(toV)).colMap
+    val toSnap = snapshot(Some(toV))
+    val toMap = toSnap.colMap
+    // the target's declaration rides every per-version read: absent
+    // columns NULL-fill and narrow eras widen AT the scan instead of
+    // through a footer-inference job per version slice
+    val toMeta = toSnap.meta
     val allCols = read(spark, Some(toV)).columns.toSeq
     def align(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
@@ -1277,12 +1371,12 @@ final class TxTable(val root: String, val statCols: Seq[String],
       (added.nonEmpty, removed.nonEmpty) match {
         case (false, false) => None // metadata-only commit (constraint, stats)
         case (true, false) => // pure append: inserts, no diff to compute
-          Some(tag(align(readFiles(spark, added, toMap)), "insert", v))
+          Some(tag(align(readFiles(spark, added, toMap, toMeta)), "insert", v))
         case (false, true) => // pure metadata delete: victims are the content
-          Some(tag(align(readFiles(spark, removed, toMap)), "delete", v))
+          Some(tag(align(readFiles(spark, removed, toMap, toMeta)), "delete", v))
         case (true, true) => // rewrite: multiset diff, carried rows cancel
-          val pre = align(readFiles(spark, removed, toMap))
-          val post = align(readFiles(spark, added, toMap))
+          val pre = align(readFiles(spark, removed, toMap, toMeta))
+          val post = align(readFiles(spark, added, toMap, toMeta))
           Some(tag(post.exceptAll(pre), "insert", v)
             .unionByName(tag(pre.exceptAll(post), "delete", v)))
       }
@@ -3329,7 +3423,10 @@ final class TxTable(val root: String, val statCols: Seq[String],
       sum(when(!expr(c), lit(1L)).otherwise(lit(0L))).as(s"__viol_$i")
     }
     val statAggs = (count(lit(1)).as("__rows") +: flatStats(statCols)) ++ violAggs
-    val stats = spark.read.parquet(stage.toString)
+    // the staged files were written from writeDf THIS call — their schema
+    // is writeDf's by construction, so the stats read declares it instead
+    // of firing a footer-inference job per write statement
+    val stats = spark.read.schema(writeDf.schema).parquet(stage.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(statAggs.head, statAggs.tail: _*)
       .collect()
@@ -3657,6 +3754,7 @@ final class TxTable(val root: String, val statCols: Seq[String],
         // stale evolved meta would silently clobber it (ADVICE r13)
         val evolvedMeta = base.meta.flatMap(m =>
           evolveForSource(base, m.schema, df.schema))
+          .orElse(declareFirstWrite(base, df))
         try {
           commitOnce(base, Map(appId -> batchId),
             op = "stream-append", meta = evolvedMeta) { _ => base.files ++ entries }
@@ -4012,6 +4110,16 @@ object TxTable {
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
+
+  /** Process-wide memo of reconstructed [[Snapshot]]s keyed by
+    * (root, version, backing-file size·mtime stamp) — committed
+    * manifests are immutable, so an entry can only go stale if the
+    * table DIRECTORY is deleted and re-created at the same path, which
+    * the stamp detects with one stat. Bounded by wholesale clear (the
+    * entries are driver-side metadata; correctness never depends on a
+    * hit). */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Snapshot]()
 
   /** One audit-log row ([[TxTable#history]]): what operation produced
     * `version`, when, and its file-level footprint. */

@@ -47,10 +47,15 @@ class CheckpointSpec extends AnyFunSuite with SparkFixture {
     assert(delta.size <= 4,
       s"append delta must not re-list the table (${delta.size} lines): $delta")
     // and the small table's append wrote the same-shaped delta: the line
-    // count did not grow with the table
+    // count did not grow with the table (v1 additionally carries the
+    // first-write schema declaration — one meta line, still O(1))
     val small = fresh("graft_ckpt_size2")
     small.append(spark, rows(0, 10).repartition(1))
-    assert(manifestLines(small, 1).size == manifestLines(t, 9).size)
+    val smallLines = manifestLines(small, 1)
+    assert(smallLines.count(_.startsWith("meta\t")) == 1,
+      "the first write must declare the schema in its own commit")
+    assert(smallLines.filterNot(_.startsWith("meta\t")).size ==
+      manifestLines(t, 9).size)
   }
 
   test("checkpoints appear on cadence and reconstruction matches every version") {
