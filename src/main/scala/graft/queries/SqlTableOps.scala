@@ -720,6 +720,59 @@ object SqlTableOps {
     }
   }
 
+  /** MVIEW-ON-MVIEW CHAINING (round-15 stretch): a materialized view
+    * whose SOURCE is another materialized view refreshes incrementally
+    * through the SAME machinery — a mview IS a TxTable whose merge
+    * commits produce an exact row-level CDC feed (a group's update
+    * surfaces as delete(old)+insert(new), and the downstream ±x fold
+    * nets them correctly), so the child replays only the parent's
+    * CHANGED GROUPS, cost ∝ touched groups at every tier of the
+    * pyramid. The gate builds source → parent (per-(user, type)
+    * rollup) → child (per-user rollup), mutates the SOURCE, refreshes
+    * parent then child, and ASSERTS both took mode='incremental' — the
+    * multi-tier aggregation-pyramid shape (hourly → daily → monthly)
+    * every warehouse materializes. */
+  def q_sql_table_mview_chain(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_chain") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_chain_v")
+      val parent = s"$work/mvp"
+      val child = s"$work/mvc"
+      try {
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$parent` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, event_type, count(*) AS n, " +
+          "sum(CAST(value AS DECIMAL(18,2))) AS v_sum " +
+          s"FROM ${q(root)} WHERE user_id <= 20 GROUP BY user_id, event_type")
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$child` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, count(*) AS n_types, sum(n) AS n_total, " +
+          "sum(v_sum) AS v_total " +
+          s"FROM txtable.`$parent` GROUP BY user_id")
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 0 AND 2")
+        val m1 = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$parent`").head()
+        require(m1.getString(0) == "incremental",
+          s"parent refresh must take the GROUP-BY delta path, got $m1")
+        val m2 = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$child`").head()
+        require(m2.getString(0) == "incremental",
+          s"child refresh must replay the parent's CDC feed, got $m2")
+        val df = spark.sql(
+          s"""SELECT user_id, CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(n_total AS BIGINT) AS n, CAST(v_total AS DOUBLE) AS v
+             |FROM txtable.`$child` ORDER BY user_id""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$child`")
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$parent`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** DML THROUGH AN UPDATABLE VIEW (round-13 verdict #6, stretch): an
     * UPDATE whose target is a `SELECT * FROM base WHERE p` view ROUTES
     * to the base table with the view's predicate CONJOINED — the
@@ -962,6 +1015,7 @@ object SqlTableOps {
     "q_sql_table_view" -> q_sql_table_view _,
     "q_sql_table_mview" -> q_sql_table_mview _,
     "q_sql_table_mview_agg" -> q_sql_table_mview_agg _,
+    "q_sql_table_mview_chain" -> q_sql_table_mview_chain _,
     "q_sql_table_mview_join" -> q_sql_table_mview_join _,
     "q_sql_table_mview_minmax" -> q_sql_table_mview_minmax _,
     "q_sql_table_view_update" -> q_sql_table_view_update _,
@@ -1074,6 +1128,24 @@ object SqlTableOps {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
         |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_mview_chain" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         sum(CAST("value" AS DECIMAL(18,2))) AS v_sum
+        |  FROM (
+        |    SELECT user_id, event_type, "value" FROM events
+        |    WHERE user_id NOT BETWEEN 0 AND 2
+        |    UNION ALL
+        |    SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE))
+        |  WHERE user_id <= 20
+        |  GROUP BY user_id, event_type),
+        |c AS (
+        |  SELECT user_id, count(*) AS n_types, sum(n) AS n_total,
+        |         sum(v_sum) AS v_total
+        |  FROM m GROUP BY user_id)
+        |SELECT user_id, CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_total AS BIGINT) AS n, CAST(v_total AS DOUBLE) AS v
+        |FROM c ORDER BY user_id""".stripMargin,
     "q_sql_table_mview_minmax" ->
       """WITH src AS (
         |  SELECT user_id, event_type, "value" FROM (

@@ -1140,6 +1140,52 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(r4.getString(0) == "full", s"a DOUBLE sum must full-recompute: $r4")
   }
 
+  test("mview-on-mview chain: child replays the parent's merge CDC incrementally") {
+    // r15 stretch: a mview IS a TxTable whose merge commits emit exact
+    // row-level CDC (update = delete(old)+insert(new)), so a child
+    // aggregate over it folds touched groups only. Pins: child-before-
+    // parent refresh is a recognized noop (the parent hasn't moved);
+    // after the parent's incremental merge the child is incremental too
+    // and equals the from-scratch recompute, including a group the
+    // parent DELETED (net-zero) and a group it BIRTHED.
+    Tables.ensure(spark)
+    val src = new TxTable(tmpRoot(), Seq("k"))
+    src.append(spark, spark.range(30).toDF("k")
+      .withColumn("t", col("k") % 3).withColumn("x", col("k") * 2L)
+      .repartitionByRange(4, col("k")))
+    val parent = s"${tmpRoot()}/mvp"
+    val child = s"${tmpRoot()}/mvc"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(parent)} TBLPROPERTIES('statCols'='k') AS " +
+      s"SELECT k, t, count(*) AS n, sum(x) AS sx FROM ${q(src.root)} " +
+      "WHERE k <= 40 GROUP BY k, t")
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(child)} TBLPROPERTIES('statCols'='t') AS " +
+      s"SELECT t, count(*) AS nk, sum(n) AS n_total, sum(sx) AS x_total " +
+      s"FROM ${q(parent)} GROUP BY t")
+    // child refresh with an idle parent: noop, not a spurious replay
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(child)}").head()
+      .getString(0) == "noop")
+    // mutate the SOURCE: delete kills parent groups k∈{0,1}, the insert
+    // births k=35 and fattens k=5
+    spark.sql(s"DELETE FROM ${q(src.root)} WHERE k <= 1")
+    spark.sql(s"INSERT INTO ${q(src.root)} VALUES " +
+      "(CAST(35 AS BIGINT), CAST(2 AS BIGINT), CAST(70 AS BIGINT)), " +
+      "(CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(11 AS BIGINT))")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(parent)}").head()
+      .getString(0) == "incremental")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(child)}").head()
+      .getString(0) == "incremental")
+    val got = spark.sql(
+      s"SELECT t, nk, n_total, x_total FROM ${q(child)} ORDER BY t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = spark.sql(
+      s"""SELECT t, count(*) AS nk, sum(n) AS n_total, sum(sx) AS x_total
+         |FROM (SELECT k, t, count(*) AS n, sum(x) AS sx
+         |      FROM ${q(src.root)} WHERE k <= 40 GROUP BY k, t)
+         |GROUP BY t ORDER BY t""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"chain drifted from recompute: $got vs $want")
+  }
+
   test("a COLUMN literally named `max` doesn't force mview full recompute") {
     // round-13 watch item: the blocker scan treated any aggregate NAME
     // as blocking; aggregates now block only as CALLS (`max(`), so a
