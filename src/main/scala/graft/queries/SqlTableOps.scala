@@ -720,6 +720,60 @@ object SqlTableOps {
     }
   }
 
+  /** MAINTAINED AVG in aggregate mviews (round-15 stretch): `avg(e) AS
+    * a` is admitted when the view ALSO carries `sum(e)` (count(*) is
+    * already required) — the refresh re-derives a as newSum/newCount
+    * with Spark's own divide-then-cast shape over the maintained
+    * columns, so the stored avg is BIT-IDENTICAL to a recompute,
+    * deletes included (avg is a ratio of maintained state; unlike
+    * min/max a delete never strands it — no recheck needed). The gate
+    * REQUIRES mode='incremental' AND zero drift between the maintained
+    * avg column and a from-scratch recompute of the definition; the
+    * oracle checks the group/count/sum surface (avg VALUES stay out of
+    * the cross-engine hash — DuckDB's avg is double where Spark's is
+    * DECIMAL(p+4,s+4), the documented rounding seam). */
+  def q_sql_table_mview_avg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_avg") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_avg_v")
+      val mv = s"$work/mvavg"
+      val defn = "SELECT user_id, event_type, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS v_sum, " +
+        "avg(CAST(value AS DECIMAL(18,2))) AS v_avg " +
+        s"FROM ${q(root)} WHERE user_id <= 20 GROUP BY user_id, event_type"
+      try {
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          s"TBLPROPERTIES('statCols'='user_id') AS $defn")
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 0 AND 2")
+        val mode = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(mode.getString(0) == "incremental",
+          s"avg with companion sum/count must take the delta path, got $mode")
+        // the maintained avg must be BIT-IDENTICAL to the recompute —
+        // <=> is false on any value drift, NULL-safe on group drift
+        val drift = spark.sql(
+          s"""SELECT count(*) FROM (SELECT * FROM txtable.`$mv`) m
+             |FULL JOIN ($defn) r
+             |ON m.user_id <=> r.user_id AND m.event_type <=> r.event_type
+             |WHERE NOT (m.n <=> r.n AND m.v_sum <=> r.v_sum
+             |  AND m.v_avg <=> r.v_avg)""".stripMargin).head().getLong(0)
+        require(drift == 0L, s"maintained avg drifted on $drift group(s)")
+        val df = spark.sql(
+          s"""SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+             |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
+             |FROM txtable.`$mv`
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** MVIEW-ON-MVIEW CHAINING (round-15 stretch): a materialized view
     * whose SOURCE is another materialized view refreshes incrementally
     * through the SAME machinery — a mview IS a TxTable whose merge
@@ -1015,6 +1069,7 @@ object SqlTableOps {
     "q_sql_table_view" -> q_sql_table_view _,
     "q_sql_table_mview" -> q_sql_table_mview _,
     "q_sql_table_mview_agg" -> q_sql_table_mview_agg _,
+    "q_sql_table_mview_avg" -> q_sql_table_mview_avg _,
     "q_sql_table_mview_chain" -> q_sql_table_mview_chain _,
     "q_sql_table_mview_join" -> q_sql_table_mview_join _,
     "q_sql_table_mview_minmax" -> q_sql_table_mview_minmax _,
@@ -1115,6 +1170,20 @@ object SqlTableOps {
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_table_mview_agg" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         sum(CAST("value" AS DECIMAL(18,2))) AS v_sum
+        |  FROM (
+        |    SELECT user_id, event_type, "value" FROM events
+        |    WHERE user_id NOT BETWEEN 0 AND 2
+        |    UNION ALL
+        |    SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE))
+        |  WHERE user_id <= 20
+        |  GROUP BY user_id, event_type)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_mview_avg" ->
       """WITH m AS (
         |  SELECT user_id, event_type, count(*) AS n,
         |         sum(CAST("value" AS DECIMAL(18,2))) AS v_sum

@@ -549,13 +549,21 @@ object GraftSqlParser {
   private val MviewSumAs = "(?is)^sum\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val MviewMinAs = "(?is)^min\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
   private val MviewMaxAs = "(?is)^max\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
+  private val MviewAvgAs = "(?is)^avg\\s*\\((.+)\\)\\s+AS\\s+(\\w+)$".r
 
   /** The parsed shape of a maintainable GROUP-BY aggregate view:
-    * group columns, the `count(*)` liveness alias, and the sum/min/max
-    * items as (expression, output alias). */
+    * group columns, the `count(*)` liveness alias, and the
+    * sum/min/max/avg items as (expression, output alias). An avg is
+    * admitted only with COMPANION columns — the view must also carry
+    * `sum(<same expr>)` (and count(*) is already required), because avg
+    * alone is not delta-foldable: the refresh re-derives it from the
+    * maintained sum and count with Spark's own divide-then-cast
+    * semantics, so the maintained value is bit-identical to a
+    * recompute. `avgs` records (expression, sum alias it rides on,
+    * output alias). */
   private[sql] case class AggView(groups: Seq[String], countAlias: String,
       sums: Seq[(String, String)], mins: Seq[(String, String)],
-      maxs: Seq[(String, String)])
+      maxs: Seq[(String, String)], avgs: Seq[(String, String, String)] = Nil)
 
   /** Whether `kw` appears top-level in `s` AS A FUNCTION CALL — the
     * word followed (spaces allowed) by an open paren. */
@@ -595,10 +603,13 @@ object GraftSqlParser {
     * [[AggView]] — the shape whose refresh folds as pure GROUP-BY delta
     * arithmetic (insert → +1/+x, delete → −1/−x, drop at net count 0).
     * Requires: simple-name group columns all projected, a `count(*) AS
-    * n` (the group liveness witness), and only `sum/min/max(<expr>) AS
-    * a` beyond that — `avg` is the documented sum/count recipe. min/max
-    * fold monotonically on insert-only deltas (least/greatest) and
-    * force a TOUCHED-GROUP recheck under deletes (r14 verdict #2).
+    * n` (the group liveness witness), and only `sum/min/max/avg(<expr>)
+    * AS a` beyond that. min/max fold monotonically on insert-only
+    * deltas (least/greatest) and force a TOUCHED-GROUP recheck under
+    * deletes (r14 verdict #2). avg (r15) is admitted when the view ALSO
+    * sums the same expression — the refresh re-derives it as
+    * newSum/newCount with Spark's own divide-then-cast shape, deletes
+    * included; an avg without its companion sum falls to full.
     * None ⇒ the always-sound full recompute. */
   private[sql] def parseAggView(selectList: String, groupBy: String)
       : Option[AggView] = {
@@ -608,21 +619,34 @@ object GraftSqlParser {
     val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val mins = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val maxs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val avgExprs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val seenGroups = scala.collection.mutable.ArrayBuffer.empty[String]
     splitTopLevel(selectList).map(_.trim).foreach {
       case g if g.matches("\\w+") && groups.contains(g) => seenGroups += g; ()
       case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
+      case MviewAvgAs(e, a) if sumBodyFoldable(e) => avgExprs += ((e, a)); ()
       case MviewSumAs(e, a) if sumBodyFoldable(e) => sums += ((e, a)); ()
       case MviewMinAs(e, a) if sumBodyFoldable(e) => mins += ((e, a)); ()
       case MviewMaxAs(e, a) if sumBodyFoldable(e) => maxs += ((e, a)); ()
       case _ => return None
     }
+    // an avg is maintainable only from companion columns: resolve each
+    // avg's body to the sum over the SAME expression (whitespace-
+    // normalized); a view averaging something it doesn't sum falls to
+    // the always-sound full recompute
+    def norm(e: String) = e.replaceAll("\\s+", " ").trim.toLowerCase
+    val avgs = avgExprs.map { case (e, a) =>
+      sums.find(s => norm(s._1) == norm(e)) match {
+        case Some((_, sumAlias)) => (e, sumAlias, a)
+        case None => return None
+      }
+    }
     val aliases = seenGroups ++ countAlias.toSeq ++
-      (sums ++ mins ++ maxs).map(_._2)
+      (sums ++ mins ++ maxs ++ avgExprs).map(_._2)
     if (countAlias.isEmpty || seenGroups.sorted.toSeq != groups.sorted ||
       aliases.map(_.toLowerCase).distinct.size != aliases.size) None
     else Some(AggView(seenGroups.toSeq, countAlias.get,
-      sums.toSeq, mins.toSeq, maxs.toSeq))
+      sums.toSeq, mins.toSeq, maxs.toSeq, avgs.toSeq))
   }
 
   /** The NULL-sum safety txn entry a create/full materialization should
@@ -649,7 +673,7 @@ object GraftSqlParser {
       src: String, ver: Int): Map[String, Long] =
     (defn match {
       case MviewAggSelect(selectList, srcRoot, pred, groupBy) if srcRoot == src =>
-        parseAggView(selectList, groupBy).map { case AggView(_, _, sums, _, _) =>
+        parseAggView(selectList, groupBy).map { case AggView(_, _, sums, _, _, _) =>
           if (sums.isEmpty) 1L
           else try {
             val w = Option(pred).map(p => s" WHERE $p").getOrElse("")
@@ -841,26 +865,44 @@ object GraftSqlParser {
       t: graft.tables.TxTable, delta: org.apache.spark.sql.DataFrame,
       groups: Seq[String], countAlias: String, sumAliases: Seq[String],
       txns: Map[String, Long], minAliases: Seq[String] = Nil,
-      maxAliases: Seq[String] = Nil): Unit = {
+      maxAliases: Seq[String] = Nil,
+      avgAliases: Seq[(String, String)] = Nil): Unit = {
     import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     // min/max sets only arrive on INSERT-ONLY deltas (the monotone
     // fold: least/greatest against the delta's own extrema — both skip
     // NULL operands, so an all-NULL delta extremum keeps the stored
     // value and a NULL stored value adopts the delta's, exactly the
     // min()-ignores-NULLs recompute semantics); deltas carrying deletes
-    // take the touched-group recheck instead (r14 verdict #2)
+    // take the touched-group recheck instead (r14 verdict #2).
+    // avgs ((sumAlias, avgAlias) pairs) re-derive from the maintained
+    // sum and count with Spark's own divide-then-cast shape: the stored
+    // sum column has exactly Average's buffer type, so CAST(newSum /
+    // newCount AS <declared avg type>) is the identical computation a
+    // recompute would run — deletes included (an avg is a RATIO of
+    // maintained columns, so unlike min/max a delete never strands it)
+    val schema = if (avgAliases.isEmpty) null else t.read(spark).schema
+    def typOf(a: String) = schema(a).dataType.sql
+    val avgUpd = avgAliases.map { case (s, a) =>
+      a -> (s"CAST((t.`$s` + s.`__d_$s`) / (t.`$countAlias` + s.`__dn`) " +
+        s"AS ${typOf(a)})")
+    }
+    val avgIns = avgAliases.map { case (s, a) =>
+      s"CAST(CAST(s.`__d_$s` AS ${typOf(s)}) / s.`__dn` AS ${typOf(a)})"
+    }
     val matched = Seq(
       MergeDelete(Some(s"t.`$countAlias` + s.`__dn` = 0")),
       MergeUpdate(None, Some(
         (countAlias -> s"t.`$countAlias` + s.`__dn`") +:
           (sumAliases.map(a => a -> s"t.`$a` + s.`__d_$a`") ++
             minAliases.map(a => a -> s"least(t.`$a`, s.`__mn_$a`)") ++
-            maxAliases.map(a => a -> s"greatest(t.`$a`, s.`__mx_$a`)")))))
+            maxAliases.map(a => a -> s"greatest(t.`$a`, s.`__mx_$a`)") ++
+            avgUpd))))
     val insCols = groups ++ Seq(countAlias) ++ sumAliases ++
-      minAliases ++ maxAliases
+      minAliases ++ maxAliases ++ avgAliases.map(_._2)
     val insVals = groups.map(g => s"s.`$g`") ++
       Seq("s.`__dn`") ++ sumAliases.map(a => s"s.`__d_$a`") ++
-      minAliases.map(a => s"s.`__mn_$a`") ++ maxAliases.map(a => s"s.`__mx_$a`")
+      minAliases.map(a => s"s.`__mn_$a`") ++ maxAliases.map(a => s"s.`__mx_$a`") ++
+      avgIns
     val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
       Some(insCols), Some(insVals)))
     t.mergeWhen(spark, delta, groups, matched, notMatched, Nil, txns)
@@ -1748,7 +1790,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       case GraftSqlParser.MviewAggSelect(selectList, srcRoot, pred, groupBy)
           if srcRoot == srcs.head && last > 0 =>
         GraftSqlParser.parseAggView(selectList, groupBy).flatMap {
-          case GraftSqlParser.AggView(groups, countAlias, sums, mins, maxs) =>
+          case GraftSqlParser.AggView(groups, countAlias, sums, mins, maxs,
+              avgs) =>
             val nullsafe = sums.isEmpty ||
               t.snapshot().txns.get(GraftSqlParser.MviewNullsafeKey).contains(1L)
             if (!nullsafe) None
@@ -1773,7 +1816,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                     filtered.filter(col("_change_type") === "delete")
                       .limit(1).count() > 0) {
                   recheckTouchedGroups(spark, t, srcs.head, srcV, filtered,
-                    groups, countAlias, sums, mins, maxs, pred)
+                    groups, countAlias, sums, mins, maxs, pred, avgs)
                 } else {
                   import org.apache.spark.sql.functions.{max, min, sum, when}
                   val sign = when(expr("_change_type = 'insert'"), lit(1L))
@@ -1815,7 +1858,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                     GraftSqlParser.mergeGroupDelta(spark, t, delta, groups,
                       countAlias, sums.map(_._2),
                       Map(ViewStore.MviewAppId -> srcV.toLong),
-                      mins.map(_._2), maxs.map(_._2))
+                      mins.map(_._2), maxs.map(_._2),
+                      avgs.map { case (_, s, a) => (s, a) })
                     Some(Seq(Row("incremental", srcV)))
                   }
                 }
@@ -1845,9 +1889,10 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       filtered: org.apache.spark.sql.DataFrame, groups: Seq[String],
       countAlias: String, sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
-      pred: String): Option[Seq[Row]] = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
-      max, min, sum}
+      pred: String,
+      avgs: Seq[(String, String, String)] = Nil): Option[Seq[Row]] = {
+    import org.apache.spark.sql.functions.{avg, coalesce, col, count, expr,
+      lit, max, min, sum}
     import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     val touched = filtered.select(groups.map(col): _*).distinct()
       .limit(10001).collect()
@@ -1861,7 +1906,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     val aggCols = (count(lit(1)).as(countAlias) +:
       sums.map { case (e, a) => sum(expr(e)).as(a) }) ++
       mins.map { case (e, a) => min(expr(e)).as(a) } ++
-      maxs.map { case (e, a) => max(expr(e)).as(a) }
+      maxs.map { case (e, a) => max(expr(e)).as(a) } ++
+      avgs.map { case (e, _, a) => avg(expr(e)).as(a) }
     val recomputed = withPred.filter(inCols.reduce(_ && _))
       .groupBy(groups.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
@@ -1871,7 +1917,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
         groups.map(g => filtered.schema(g))))
     // NULL countAlias after the left join ⇔ the touched group vanished
     val mergeSource = touchedDf.join(recomputed, groups, "left")
-    val aggAliases = Seq(countAlias) ++ (sums ++ mins ++ maxs).map(_._2)
+    val aggAliases = Seq(countAlias) ++ (sums ++ mins ++ maxs).map(_._2) ++
+      avgs.map(_._3)
     val matched = Seq(
       MergeDelete(Some(s"s.`$countAlias` IS NULL")),
       MergeUpdate(None, Some(aggAliases.map(a => a -> s"s.`$a`"))))

@@ -1186,6 +1186,66 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(got == want, s"chain drifted from recompute: $got vs $want")
   }
 
+  test("mview avg maintenance: companion derivation == recompute, no-sum avg falls to full") {
+    // r15: avg(e) is admitted when the view also carries sum(e) (and
+    // count(*), already required) — the refresh re-derives it as
+    // newSum/newCount with Spark's own divide-then-cast shape, so the
+    // maintained value is BIT-IDENTICAL to a recompute, deletes
+    // included (avg is a ratio of maintained columns; unlike min/max a
+    // delete never strands it). An avg without its companion sum cannot
+    // be maintained and falls loudly to full.
+    Tables.ensure(spark)
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(40).toDF("k")
+      .withColumn("g", col("k") % 4)
+      .withColumn("x", col("k") * 7 % 23)
+      .repartitionByRange(4, col("k")))
+    val mv = s"${tmpRoot()}/mva"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} TBLPROPERTIES('statCols'='g') AS " +
+      "SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(18,2))) AS sx, " +
+      "avg(CAST(x AS DECIMAL(18,2))) AS ax, sum(k) AS sk, avg(k) AS ak " +
+      s"FROM ${q(t.root)} GROUP BY g")
+    // a delete AND inserts in one window: group birth (g inherits no
+    // min/max so this stays the pure delta path), update, and death
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE g = 2") // group death
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(9 AS BIGINT), CAST(5 AS BIGINT)), " +
+      "(CAST(104 AS BIGINT), CAST(9 AS BIGINT), CAST(8 AS BIGINT)), " +
+      "(CAST(101 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"avg with companions must fold: $r")
+    val got = spark.sql(
+      s"SELECT g, n, sx, ax, sk, ak FROM ${q(mv)} ORDER BY g").collect().toSeq
+    val want = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(18,2))) AS sx,
+         |  avg(CAST(x AS DECIMAL(18,2))) AS ax, sum(k) AS sk, avg(k) AS ak
+         |FROM ${q(t.root)} GROUP BY g ORDER BY g""".stripMargin).collect().toSeq
+    assert(got == want, s"maintained avg drifted from recompute:\n$got\n$want")
+    // avg + min/max: a delete takes the touched-group recheck and the
+    // avg recomputes exactly alongside the extrema
+    val mv2 = s"${tmpRoot()}/mvam"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv2)} TBLPROPERTIES('statCols'='g') AS " +
+      "SELECT g, count(*) AS n, sum(k) AS sk, avg(k) AS ak, max(k) AS mk " +
+      s"FROM ${q(t.root)} GROUP BY g")
+    spark.sql(s"DELETE FROM ${q(t.root)} WHERE k >= 100") // evicts g=9's max
+    val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv2)}").head()
+    assert(r2.getString(0) == "incremental-recheck", s"got $r2")
+    val got2 = spark.sql(s"SELECT g, n, sk, ak, mk FROM ${q(mv2)} ORDER BY g")
+      .collect().toSeq
+    val want2 = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(k) AS sk, avg(k) AS ak, max(k) AS mk
+         |FROM ${q(t.root)} GROUP BY g ORDER BY g""".stripMargin).collect().toSeq
+    assert(got2 == want2, s"recheck avg drifted:\n$got2\n$want2")
+    // an avg whose expression the view does not sum: full, always sound
+    val mv3 = s"${tmpRoot()}/mvax"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv3)} AS " +
+      s"SELECT g, count(*) AS n, avg(x) AS ax FROM ${q(t.root)} GROUP BY g")
+    spark.sql(s"INSERT INTO ${q(t.root)} VALUES " +
+      "(CAST(105 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT))")
+    val r3 = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv3)}").head()
+    assert(r3.getString(0) == "full", s"avg without companion sum must full: $r3")
+  }
+
   test("a COLUMN literally named `max` doesn't force mview full recompute") {
     // round-13 watch item: the blocker scan treated any aggregate NAME
     // as blocking; aggregates now block only as CALLS (`max(`), so a
