@@ -723,11 +723,14 @@ object GraftSqlParser {
     * DIFFERENT aliases — any other shape returns None → full recompute),
     * group select items must be `alias.col [AS name]` matching the
     * GROUP BY list, plus `count(*) AS n` and only foldable `sum(e) AS a`
-    * beyond that. Returns (groups as (qualified expr, output name),
-    * countAlias, sums as (expr, alias)). */
+    * — and `avg(e) AS a` riding a companion `sum(e)` (the single-source
+    * recipe lifted to the join shape) — beyond that. Returns (groups as
+    * (qualified expr, output name), countAlias, sums as (expr, alias),
+    * avgs as (expr, sum alias, output alias)). */
   private[sql] def parseJoinAggView(selectList: String, on: String,
       groupBy: String, aliasA: String, aliasB: String)
-      : Option[(Seq[(String, String)], String, Seq[(String, String)])] = {
+      : Option[(Seq[(String, String)], String, Seq[(String, String)],
+        Seq[(String, String, String)])] = {
     if (JoinWords.contains(aliasA.toUpperCase) ||
       JoinWords.contains(aliasB.toUpperCase) || aliasA == aliasB) return None
     // every ON conjunct: qualified equi condition across the two aliases
@@ -749,19 +752,30 @@ object GraftSqlParser {
     }
     var countAlias: Option[String] = None
     val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val avgExprs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     splitTopLevel(selectList).map(_.trim).foreach {
       case QualGroup(q, c, as) if (q == aliasA || q == aliasB) &&
           groupRefs.contains(s"$q.$c") =>
         groups += ((s"$q.$c", Option(as).getOrElse(c))); ()
       case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
+      case MviewAvgAs(e, a) if sumBodyFoldable(e) => avgExprs += ((e, a)); ()
       case MviewSumAs(e, a) if sumBodyFoldable(e) => sums += ((e, a)); ()
       case _ => return None
     }
+    def norm(e: String) = e.replaceAll("\\s+", " ").trim.toLowerCase
+    val avgs = avgExprs.map { case (e, a) =>
+      sums.find(s => norm(s._1) == norm(e)) match {
+        case Some((_, sumAlias)) => (e, sumAlias, a)
+        case None => return None
+      }
+    }
+    val outAliases = groups.map(_._2) ++ countAlias.toSeq ++
+      (sums ++ avgExprs).map(_._2)
     if (countAlias.isEmpty ||
       groups.map(_._1).sorted.toSeq != groupRefs.sorted ||
-      groups.map(_._2).distinct.size != groups.size) None
-    else Some((groups.toSeq, countAlias.get, sums.toSeq))
+      outAliases.map(_.toLowerCase).distinct.size != outAliases.size) None
+    else Some((groups.toSeq, countAlias.get, sums.toSeq, avgs.toSeq))
   }
 
   /** Per-source watermark txn key for MULTI-source materialized views
@@ -780,7 +794,7 @@ object GraftSqlParser {
           on, pred, groupBy) if srcs.size == 2 &&
           rootA == srcs.head && rootB == srcs(1) =>
         parseJoinAggView(selectList, on, groupBy, aliasA, aliasB).map {
-          case (_, _, sums) =>
+          case (_, _, sums, _) =>
             if (sums.isEmpty) 1L
             else try {
               import org.apache.spark.sql.functions.{coalesce, expr, lit, sum}
@@ -1951,7 +1965,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
           rootB, aliasB, on, pred, groupBy)
           if rootA == srcs.head && rootB == srcs(1) =>
         GraftSqlParser.parseJoinAggView(selectList, on, groupBy, aliasA, aliasB)
-          .flatMap { case (groups, countAlias, sums) =>
+          .flatMap { case (groups, countAlias, sums, avgs) =>
             val txns = t.snapshot().txns
             val lastA = txns.getOrElse(GraftSqlParser.mviewSrcKey(0), 0L).toInt
             val lastB = txns.getOrElse(GraftSqlParser.mviewSrcKey(1), 0L).toInt
@@ -2015,7 +2029,8 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                         groupAliases, sumAliases)) None
                     else {
                       GraftSqlParser.mergeGroupDelta(spark, t, delta,
-                        groupAliases, countAlias, sumAliases, wm)
+                        groupAliases, countAlias, sumAliases, wm,
+                        avgAliases = avgs.map { case (_, sa, a) => (sa, a) })
                       Some(Seq(Row("incremental", curA)))
                     }
                   }

@@ -1186,6 +1186,34 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(got == want, s"chain drifted from recompute: $got vs $want")
   }
 
+  test("join-agg mview: maintained avg rides the companion sum") {
+    Tables.ensure(spark)
+    val fa = new TxTable(tmpRoot(), Seq("k"))
+    fa.append(spark, spark.range(40).toDF("k")
+      .withColumn("x", col("k") * 3 % 17).repartitionByRange(4, col("k")))
+    val db = new TxTable(tmpRoot(), Seq("k"))
+    db.append(spark, spark.range(40).toDF("k")
+      .withColumn("g", col("k") % 4).repartitionByRange(2, col("k")))
+    val mv = s"${tmpRoot()}/mvja"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} TBLPROPERTIES('statCols'='g') AS " +
+      s"SELECT d.g AS g, count(*) AS n, sum(f.x) AS sx, avg(f.x) AS ax " +
+      s"FROM ${q(fa.root)} f JOIN ${q(db.root)} d ON f.k = d.k GROUP BY d.g")
+    spark.sql(s"DELETE FROM ${q(fa.root)} WHERE k < 6")
+    spark.sql(s"INSERT INTO ${q(fa.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(5 AS BIGINT))")
+    spark.sql(s"INSERT INTO ${q(db.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(2 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"got $r")
+    val got = spark.sql(s"SELECT g, n, sx, ax FROM ${q(mv)} ORDER BY g")
+      .collect().toSeq
+    val want = spark.sql(
+      s"""SELECT d.g AS g, count(*) AS n, sum(f.x) AS sx, avg(f.x) AS ax
+         |FROM ${q(fa.root)} f JOIN ${q(db.root)} d ON f.k = d.k
+         |GROUP BY d.g ORDER BY g""".stripMargin).collect().toSeq
+    assert(got == want, s"join avg drifted:\n$got\n$want")
+  }
+
   test("mview avg maintenance: companion derivation == recompute, no-sum avg falls to full") {
     // r15: avg(e) is admitted when the view also carries sum(e) (and
     // count(*), already required) — the refresh re-derives it as
