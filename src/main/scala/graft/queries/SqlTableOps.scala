@@ -827,6 +827,63 @@ object SqlTableOps {
     }
   }
 
+  /** N-WAY JOIN-CHAIN incremental mview (round-15: the r14 delta-join
+    * rule generalized to chains): a fact ⋈ dim ⋈ dim star rollup
+    * refreshes by the telescoped rule ΔJ = Σᵢ A₁@last ⋈ … ⋈ ΔAᵢ ⋈ … ⋈
+    * Aₙ@cur — later sources read at CUR so every cross-delta overlap
+    * lands in exactly one term. The gate mutates ALL THREE sides in one
+    * window and plants a pair (new user's event, whose user AND
+    * event-type dim rows also land in the window) that exists only
+    * through the two-dim overlap; ASSERTS mode='incremental'. */
+  def q_sql_table_mview_join3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark)
+    val published = TableOps.eventsTableRoot(spark, dir)
+    TableOps.mutatedAggregate(spark, published, "graft_q_sql_mview_j3") { root =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q_sql_mview_j3_v")
+      val dimU = s"$work/dimu"
+      val dimT = s"$work/dimt"
+      val mv = s"$work/mv3"
+      try {
+        spark.sql(s"CREATE TABLE txtable.`$dimU` " +
+          "TBLPROPERTIES('statCols'='user_id') AS " +
+          "SELECT user_id, user_id % 5 AS seg " +
+          s"FROM (SELECT DISTINCT user_id FROM ${q(root)})")
+        spark.sql(s"CREATE TABLE txtable.`$dimT` AS " +
+          "SELECT event_type, length(event_type) % 3 AS cls " +
+          s"FROM (SELECT DISTINCT event_type FROM ${q(root)})")
+        spark.sql(s"CREATE MATERIALIZED VIEW txtable.`$mv` " +
+          "TBLPROPERTIES('statCols'='seg') AS " +
+          "SELECT d.seg AS seg, c.cls AS cls, count(*) AS n, " +
+          "sum(CAST(f.value AS DECIMAL(18,2))) AS v_sum " +
+          s"FROM ${q(root)} f JOIN txtable.`$dimU` d ON f.user_id = d.user_id " +
+          s"JOIN txtable.`$dimT` c ON f.event_type = c.event_type " +
+          "WHERE f.user_id <= 9000001 GROUP BY d.seg, c.cls")
+        // all three sides move; the new user's 'zz-new' event pairs only
+        // through BOTH dim deltas (user row AND type row land here too)
+        spark.sql(s"INSERT INTO ${q(root)} VALUES " +
+          "(CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)), " +
+          "(CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE))")
+        spark.sql(s"DELETE FROM ${q(root)} WHERE user_id BETWEEN 0 AND 2")
+        spark.sql(s"DELETE FROM txtable.`$dimU` WHERE user_id = 5")
+        spark.sql(s"INSERT INTO txtable.`$dimU` VALUES " +
+          "(CAST(9000001 AS BIGINT), CAST(1 AS BIGINT))")
+        spark.sql(s"INSERT INTO txtable.`$dimT` VALUES ('zz-new', " +
+          "CAST(0 AS BIGINT))")
+        val mode = spark.sql(s"REFRESH MATERIALIZED VIEW txtable.`$mv`").head()
+        require(mode.getString(0) == "incremental",
+          s"3-way chain refresh must telescope, got $mode")
+        val df = spark.sql(
+          s"""SELECT seg, cls, CAST(n AS BIGINT) AS n,
+             |  CAST(v_sum AS DOUBLE) AS v_sum
+             |FROM txtable.`$mv` ORDER BY seg, cls""".stripMargin)
+        spark.createDataFrame(df.collectAsList(), df.schema)
+      } finally {
+        spark.sql(s"DROP MATERIALIZED VIEW txtable.`$mv`")
+        TableOps.deleteTree(work.toString)
+      }
+    }
+  }
+
   /** DML THROUGH AN UPDATABLE VIEW (round-13 verdict #6, stretch): an
     * UPDATE whose target is a `SELECT * FROM base WHERE p` view ROUTES
     * to the base table with the view's predicate CONJOINED — the
@@ -1072,6 +1129,7 @@ object SqlTableOps {
     "q_sql_table_mview_avg" -> q_sql_table_mview_avg _,
     "q_sql_table_mview_chain" -> q_sql_table_mview_chain _,
     "q_sql_table_mview_join" -> q_sql_table_mview_join _,
+    "q_sql_table_mview_join3" -> q_sql_table_mview_join3 _,
     "q_sql_table_mview_minmax" -> q_sql_table_mview_minmax _,
     "q_sql_table_view_update" -> q_sql_table_view_update _,
     "q_sql_table_update" -> q_sql_table_update _,
@@ -1197,6 +1255,30 @@ object SqlTableOps {
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
         |  CAST(sum(v_sum) AS DOUBLE) AS v_total, count(*) AS n_groups
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_table_mview_join3" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, "value" FROM events
+        |  WHERE user_id NOT BETWEEN 0 AND 2
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'zz-new', CAST(1.5 AS DOUBLE)
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), 'zz-new', CAST(2.5 AS DOUBLE)),
+        |d AS (
+        |  SELECT user_id, user_id % 5 AS seg
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  WHERE user_id <> 5
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), CAST(1 AS BIGINT)),
+        |c AS (
+        |  SELECT event_type, length(event_type) % 3 AS cls
+        |  FROM (SELECT DISTINCT event_type FROM events)
+        |  UNION ALL SELECT 'zz-new', CAST(0 AS BIGINT)),
+        |m AS (
+        |  SELECT d.seg AS seg, c.cls AS cls, count(*) AS n,
+        |         sum(CAST(f."value" AS DECIMAL(18,2))) AS v_sum
+        |  FROM f JOIN d ON f.user_id = d.user_id
+        |  JOIN c ON f.event_type = c.event_type
+        |  WHERE f.user_id <= 9000001
+        |  GROUP BY d.seg, c.cls)
+        |SELECT seg, cls, CAST(n AS BIGINT) AS n, CAST(v_sum AS DOUBLE) AS v_sum
+        |FROM m ORDER BY seg, cls""".stripMargin,
     "q_sql_table_mview_chain" ->
       """WITH m AS (
         |  SELECT user_id, event_type, count(*) AS n,

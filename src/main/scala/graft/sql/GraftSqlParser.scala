@@ -702,52 +702,101 @@ object GraftSqlParser {
       case _ => None
     }).map(v => Map(MviewNullsafeKey -> v)).getOrElse(Map.empty)
 
-  /** `SELECT <list> FROM txtable.\`a\` [AS] x [INNER] JOIN txtable.\`b\`
-    * [AS] y ON <equi> [WHERE p] GROUP BY <keys>` — the incrementally
-    * maintainable two-table JOIN-aggregate shape (r14 verdict #1: the
-    * fact⋈dim rollup, the single most materialized view in practice).
-    * Outer joins never match (the alias guard below refuses LEFT/RIGHT/
-    * FULL/CROSS captured as an "alias") — they full-recompute. */
-  private[sql] val MviewJoinAggSelect = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+" +
-    "txtable\\s*\\.\\s*`([^`]+)`\\s+(?:AS\\s+)?(\\w+)\\s+(?:INNER\\s+)?JOIN\\s+" +
-    "txtable\\s*\\.\\s*`([^`]+)`\\s+(?:AS\\s+)?(\\w+)\\s+ON\\s+(.+?)" +
+  /** `SELECT <list> FROM <join chain> [WHERE p] GROUP BY <keys>` where
+    * the chain is `txtable.\`r1\` [AS] a1 ([INNER] JOIN txtable.\`ri\`
+    * [AS] ai ON <equi>)+` — the incrementally maintainable N-way
+    * JOIN-aggregate shape (r14 verdict #1 generalized in r15: the
+    * fact⋈dim rollup and the fact⋈dim⋈dim star rollup alike). The FROM
+    * capture is re-split by [[parseJoinChain]], which refuses anything
+    * but an inner equi chain — outer joins full-recompute. */
+  private[sql] val MviewChainAggSelect = ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+" +
+    "(txtable\\s*\\.\\s*`[^`]+`\\s+.+?JOIN.+?)" +
     "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*$").r
 
-  /** Join-type words the [[MviewJoinAggSelect]] alias slot can capture
-    * when the join is NOT inner — any of these refuses the parse. */
+  /** Join-type words that mark a non-inner join (or would shadow an
+    * alias slot) — any of these in the chain refuses the parse. */
   private val JoinWords =
     Set("LEFT", "RIGHT", "FULL", "OUTER", "CROSS", "SEMI", "ANTI", "NATURAL")
 
-  /** Parse a join-aggregate view: the ON must be all top-level equi
-    * conjuncts `x.c1 = y.c2` (each side qualified, naming the two
-    * DIFFERENT aliases — any other shape returns None → full recompute),
-    * group select items must be `alias.col [AS name]` matching the
-    * GROUP BY list, plus `count(*) AS n` and only foldable `sum(e) AS a`
-    * — and `avg(e) AS a` riding a companion `sum(e)` (the single-source
-    * recipe lifted to the join shape) — beyond that. Returns (groups as
-    * (qualified expr, output name), countAlias, sums as (expr, alias),
-    * avgs as (expr, sum alias, output alias)). */
-  private[sql] def parseJoinAggView(selectList: String, on: String,
-      groupBy: String, aliasA: String, aliasB: String)
+  /** One source in a FROM join chain: txtable root, alias, and — for
+    * every source after the first — the ON that joins it to the chain
+    * built so far. */
+  private[sql] case class JoinSrc(root: String, alias: String, on: Option[String])
+
+  /** Parse the FROM join chain. Every segment must be `txtable.\`r\`
+    * [AS] alias`, each non-first carrying `ON <equi>` whose top-level
+    * conjuncts each equate a column of THIS alias with a column of an
+    * EARLIER alias (both sides qualified). Outer-join words, non-equi
+    * conditions, alias reuse, and a root appearing twice (self-join —
+    * per-source watermarks key by position against the deduped ref
+    * list) all return None → the always-sound full recompute. */
+  private[sql] def parseJoinChain(from: String): Option[Seq[JoinSrc]] = {
+    val cuts = topLevelAll(from, "JOIN")
+    if (cuts.isEmpty) return None
+    val segs = (0 +: cuts.map(_ + 4)).zip(cuts :+ from.length).map {
+      case (b, e) => from.substring(b, e).trim
+    }
+    // a segment BEFORE a JOIN may end in INNER (stripped); any other
+    // join word there marks an outer join — refuse
+    val JoinWordTail = "(?is)^(.*?)\\s+(\\w+)$".r
+    val parts = segs.zipWithIndex.map { case (s0, i) =>
+      if (i == segs.length - 1) Some(s0)
+      else s0 match {
+        case JoinWordTail(body, w) if w.equalsIgnoreCase("INNER") =>
+          Some(body.trim)
+        case JoinWordTail(_, w) if JoinWords.contains(w.toUpperCase) => None
+        case s => Some(s)
+      }
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val First = "(?is)^txtable\\s*\\.\\s*`([^`]+)`(?:\\s+AS)?\\s+(\\w+)$".r
+    val Later = "(?is)^txtable\\s*\\.\\s*`([^`]+)`(?:\\s+AS)?\\s+(\\w+)\\s+ON\\s+(.+)$".r
+    val chain = scala.collection.mutable.ArrayBuffer.empty[JoinSrc]
+    parts.flatten.zipWithIndex.foreach {
+      case (First(r, a), 0) => chain += JoinSrc(r, a, None); ()
+      case (Later(r, a, on), i) if i > 0 =>
+        chain += JoinSrc(r, a, Some(on.trim)); ()
+      case _ => return None
+    }
+    val aliases = chain.map(_.alias)
+    if (aliases.map(_.toLowerCase).distinct.size != aliases.size ||
+      aliases.exists(a => JoinWords.contains(a.toUpperCase)) ||
+      chain.map(_.root).distinct.size != chain.size) return None
+    chain.zipWithIndex.drop(1).foreach { case (src, i) =>
+      val earlier = chain.take(i).map(_.alias).toSet
+      val on = src.on.get
+      val andCuts = topLevelAll(on, "AND")
+      val conjuncts = (0 +: andCuts.map(_ + 3)).zip(andCuts :+ on.length).map {
+        case (b, e) => on.substring(b, e).trim
+      }
+      val ok = conjuncts.nonEmpty && conjuncts.forall {
+        case OnEq(q1, _, q2, _) =>
+          val qs = Seq(Option(q1), Option(q2)).flatten
+          val others = qs.filterNot(_ == src.alias)
+          qs.size == 2 && others.size == 1 && earlier.contains(others.head)
+        case _ => false
+      }
+      if (!ok) return None
+    }
+    Some(chain.toSeq)
+  }
+
+  /** Parse a join-aggregate view's select list against its GROUP BY:
+    * group select items must be `alias.col [AS name]` (alias from the
+    * chain) matching the GROUP BY list, plus `count(*) AS n` and only
+    * foldable `sum(e) AS a` — and `avg(e) AS a` riding a companion
+    * `sum(e)` (the single-source recipe lifted to the join shape) —
+    * beyond that. Returns (groups as (qualified expr, output name),
+    * countAlias, sums as (expr, alias), avgs as (expr, sum alias,
+    * output alias)). */
+  private[sql] def parseJoinAggView(selectList: String,
+      groupBy: String, aliases: Seq[String])
       : Option[(Seq[(String, String)], String, Seq[(String, String)],
         Seq[(String, String, String)])] = {
-    if (JoinWords.contains(aliasA.toUpperCase) ||
-      JoinWords.contains(aliasB.toUpperCase) || aliasA == aliasB) return None
-    // every ON conjunct: qualified equi condition across the two aliases
-    val cuts = topLevelAll(on, "AND")
-    val conjuncts = (0 +: cuts.map(_ + 3)).zip(cuts :+ on.length).map {
-      case (b, e) => on.substring(b, e).trim
-    }
-    val onOk = conjuncts.forall {
-      case OnEq(q1, _, q2, _) =>
-        val qs = Set(Option(q1), Option(q2)).flatten
-        qs == Set(aliasA, aliasB)
-      case _ => false
-    }
-    if (!onOk) return None
+    val aliasSet = aliases.toSet
     val QualGroup = "(?is)^(\\w+)\\s*\\.\\s*(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
     val groupRefs = splitTopLevel(groupBy).map(_.trim).map {
-      case QualGroup(q, c, null) if q == aliasA || q == aliasB => s"$q.$c"
+      case QualGroup(q, c, null) if aliasSet.contains(q) => s"$q.$c"
       case _ => return None
     }
     var countAlias: Option[String] = None
@@ -755,7 +804,7 @@ object GraftSqlParser {
     val avgExprs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val groups = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     splitTopLevel(selectList).map(_.trim).foreach {
-      case QualGroup(q, c, as) if (q == aliasA || q == aliasB) &&
+      case QualGroup(q, c, as) if aliasSet.contains(q) &&
           groupRefs.contains(s"$q.$c") =>
         groups += ((s"$q.$c", Option(as).getOrElse(c))); ()
       case MviewCountStar(a) if countAlias.isEmpty => countAlias = Some(a)
@@ -783,29 +832,44 @@ object GraftSqlParser {
     * single-source views keep the plain [[ViewStore.MviewAppId]]. */
   private[sql] def mviewSrcKey(i: Int): String = s"mview:src:$i"
 
+  /** The PINNED joined frame of a parsed chain — each source read at
+    * its pinned version under its alias, the ON conditions applied in
+    * chain order, the WHERE conjoined NULL-safely. */
+  private[sql] def chainFrame(spark: SparkSession, chain: Seq[JoinSrc],
+      pred: String, frameOf: Int => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val joined = chain.zipWithIndex.map { case (src, i) =>
+      (src, frameOf(i).as(src.alias))
+    }.reduceLeft[(JoinSrc, org.apache.spark.sql.DataFrame)] {
+      case ((_, acc), (src, frame)) =>
+        (src, acc.join(frame, expr(src.on.get), "inner"))
+    }._2
+    Option(pred)
+      .map(p => joined.filter(coalesce(expr(p), lit(false))))
+      .getOrElse(joined)
+  }
+
   /** NULL-sum safety + exact-type license for a JOIN-aggregate view,
     * verified over the PINNED joined slice (the [[mviewNullsafeTxn]]
-    * contract lifted to two sources). Empty map when the definition is
+    * contract lifted to N sources). Empty map when the definition is
     * not the join-aggregate shape. */
   private[sql] def mviewJoinNullsafeTxn(spark: SparkSession, defn: String,
       srcs: Seq[String], pins: Map[String, Int]): Map[String, Long] =
     (defn match {
-      case MviewJoinAggSelect(selectList, rootA, aliasA, rootB, aliasB,
-          on, pred, groupBy) if srcs.size == 2 &&
-          rootA == srcs.head && rootB == srcs(1) =>
-        parseJoinAggView(selectList, on, groupBy, aliasA, aliasB).map {
-          case (_, _, sums, _) =>
+      case MviewChainAggSelect(selectList, fromChain, pred, groupBy) =>
+        parseJoinChain(fromChain)
+          .filter(c => c.map(_.root) == srcs)
+          .flatMap(chain =>
+            parseJoinAggView(selectList, groupBy, chain.map(_.alias))
+              .map(v => (chain, v)))
+          .map { case (chain, (_, _, sums, _)) =>
             if (sums.isEmpty) 1L
             else try {
-              import org.apache.spark.sql.functions.{coalesce, expr, lit, sum}
-              val a = graft.tables.TxTable.open(rootA)
-                .read(spark, Some(pins(rootA))).as(aliasA)
-              val b = graft.tables.TxTable.open(rootB)
-                .read(spark, Some(pins(rootB))).as(aliasB)
-              val j0 = a.join(b, expr(on), "inner")
-              val j = Option(pred)
-                .map(p => j0.filter(coalesce(expr(p), lit(false))))
-                .getOrElse(j0)
+              import org.apache.spark.sql.functions.{expr, sum}
+              val j = chainFrame(spark, chain, pred, i =>
+                graft.tables.TxTable.open(chain(i).root)
+                  .read(spark, Some(pins(chain(i).root))))
               val typed = j.groupBy()
                 .agg(sum(expr(sums.head._1)).as(sums.head._2),
                   sums.tail.map { case (e, al) => sum(expr(e)).as(al) }: _*)
@@ -819,7 +883,7 @@ object GraftSqlParser {
             } catch {
               case scala.util.control.NonFatal(_) => 0L
             }
-        }
+          }
       case _ => None
     }).map(v => Map(MviewNullsafeKey -> v)).getOrElse(Map.empty)
 
@@ -833,10 +897,10 @@ object GraftSqlParser {
     if (srcs.size == 1)
       Map(ViewStore.MviewAppId -> pins(srcs.head).toLong) ++
         mviewNullsafeTxn(spark, defn, srcs.head, pins(srcs.head))
-    else if (srcs.size == 2)
-      Map(ViewStore.MviewAppId -> 0L,
-        mviewSrcKey(0) -> pins(srcs.head).toLong,
-        mviewSrcKey(1) -> pins(srcs(1)).toLong) ++
+    else if (srcs.size >= 2)
+      Map(ViewStore.MviewAppId -> 0L) ++
+        srcs.zipWithIndex.map { case (s, i) =>
+          mviewSrcKey(i) -> pins(s).toLong } ++
         mviewJoinNullsafeTxn(spark, defn, srcs, pins)
     else Map(ViewStore.MviewAppId -> 0L)
   }
@@ -1755,11 +1819,11 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
       // license against the slice(s) actually pinned
       val txns = GraftSqlParser.mviewCommitTxns(spark, defn, srcs, pins)
       t.overwriteTagged(spark, df, txns)
-      val wm = if (srcs.size == 2)
+      val wm = if (srcs.size >= 2)
         txns(GraftSqlParser.mviewSrcKey(0)) else txns(ViewStore.MviewAppId)
       Seq(Row("full", wm.toInt))
     }
-    if (srcs.size == 2)
+    if (srcs.size >= 2)
       return incrementalJoin(spark, t, defn, srcs).getOrElse(full())
     if (srcs.size != 1) return full()
     val src = TxTable.open(srcs.head)
@@ -1944,66 +2008,63 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     Some(Seq(Row("incremental-recheck", srcV)))
   }
 
-  /** The two-source JOIN-aggregate incremental path (r14 verdict #1) —
-    * the classic delta-join rule with the overlap term folded in:
-    * ΔJ = ΔA ⋈ B@curB  ∪  A@lastA ⋈ ΔB (signs ride the delta side;
-    * ΔA⋈ΔB is INSIDE the first term because B@curB already contains
-    * ΔB — the telescoping that makes two joins exact). Each term joins
-    * a changed-files-sized delta against one pinned snapshot (skipped
-    * entirely when that side is idle), the signed group deltas fold as
-    * ±1/±x and MERGE on the composite group key with BOTH advanced
-    * watermarks in the same commit. Any obstacle — unparseable shape,
-    * outer join, missing/revoked license, NULL group key or summed
-    * value in a delta, non-foldable sum type, decimal overflow,
-    * vacuumed change range, restored (rewound) source — returns None →
-    * the always-sound full recompute, reported in `mode`. */
+  /** The N-source JOIN-aggregate incremental path (r14 verdict #1,
+    * generalized to join CHAINS in r15) — the classic delta-join rule,
+    * telescoped: ΔJ = Σᵢ A₁@last ⋈ … ⋈ Aᵢ₋₁@last ⋈ ΔAᵢ ⋈ Aᵢ₊₁@cur ⋈ …
+    * ⋈ Aₙ@cur (signs ride the delta source; every cross-delta overlap
+    * term lands in exactly one summand because the LATER sources are
+    * read at CUR — the telescoping that keeps N terms exact for N
+    * deltas). Idle sources contribute no term; each term joins a
+    * changed-files-sized delta against pinned snapshots, the signed
+    * group deltas fold as ±1/±x and MERGE on the composite group key
+    * with ALL advanced watermarks in the same commit. Any obstacle —
+    * unparseable shape, outer join, self-join, missing/revoked license,
+    * NULL group key or summed value in a delta, non-foldable sum type,
+    * decimal overflow, vacuumed change range, restored (rewound)
+    * source — returns None → the always-sound full recompute, reported
+    * in `mode`. */
   private def incrementalJoin(spark: SparkSession, t: TxTable,
       defn: String, srcs: Seq[String]): Option[Seq[Row]] = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
     defn match {
-      case GraftSqlParser.MviewJoinAggSelect(selectList, rootA, aliasA,
-          rootB, aliasB, on, pred, groupBy)
-          if rootA == srcs.head && rootB == srcs(1) =>
-        GraftSqlParser.parseJoinAggView(selectList, on, groupBy, aliasA, aliasB)
-          .flatMap { case (groups, countAlias, sums, avgs) =>
+      case GraftSqlParser.MviewChainAggSelect(selectList, fromChain, pred,
+          groupBy) =>
+        GraftSqlParser.parseJoinChain(fromChain)
+          .filter(c => c.map(_.root) == srcs)
+          .flatMap(chain =>
+            GraftSqlParser.parseJoinAggView(selectList, groupBy,
+              chain.map(_.alias)).map(v => (chain, v)))
+          .flatMap { case (chain, (groups, countAlias, sums, avgs)) =>
             val txns = t.snapshot().txns
-            val lastA = txns.getOrElse(GraftSqlParser.mviewSrcKey(0), 0L).toInt
-            val lastB = txns.getOrElse(GraftSqlParser.mviewSrcKey(1), 0L).toInt
+            val n = chain.size
+            val last = (0 until n).map(i =>
+              txns.getOrElse(GraftSqlParser.mviewSrcKey(i), 0L).toInt)
             val nullsafe = sums.isEmpty ||
               txns.get(GraftSqlParser.MviewNullsafeKey).contains(1L)
-            if (lastA <= 0 || lastB <= 0 || !nullsafe) None
+            if (last.exists(_ <= 0) || !nullsafe) None
             else {
-              val ta = TxTable.open(rootA); val tb = TxTable.open(rootB)
-              val curA = ta.currentVersion; val curB = tb.currentVersion
-              if (curA < lastA || curB < lastB) None // rewound source
-              else if (curA == lastA && curB == lastB)
-                Some(Seq(Row("noop", lastA)))
+              val tabs = chain.map(c => TxTable.open(c.root))
+              val cur = tabs.map(_.currentVersion)
+              if ((0 until n).exists(i => cur(i) < last(i))) None // rewound
+              else if ((0 until n).forall(i => cur(i) == last(i)))
+                Some(Seq(Row("noop", last.head)))
               else try {
                 val groupAliases = groups.map(_._2)
                 val sumAliases = sums.map(_._2)
                 val projCols = groups.map { case (g, a) => expr(g).as(a) } ++
                   sums.map { case (e, a) => expr(e).as(s"__v_$a") }
-                def term(delta: org.apache.spark.sql.DataFrame,
-                    dAlias: String, other: org.apache.spark.sql.DataFrame,
-                    oAlias: String): org.apache.spark.sql.DataFrame = {
+                def term(i: Int): org.apache.spark.sql.DataFrame = {
                   val sign = when(
-                    col(s"$dAlias._change_type") === "insert", lit(1L))
-                    .otherwise(lit(-1L))
-                  val j0 = delta.as(dAlias).join(other.as(oAlias),
-                    expr(on), "inner")
-                  val j = Option(pred)
-                    .map(p => j0.filter(coalesce(expr(p), lit(false))))
-                    .getOrElse(j0)
+                    col(s"${chain(i).alias}._change_type") === "insert",
+                    lit(1L)).otherwise(lit(-1L))
+                  val j = GraftSqlParser.chainFrame(spark, chain, pred, j =>
+                    if (j == i) tabs(j).rowChangesBetween(spark, last(j), cur(j))
+                    else if (j < i) tabs(j).read(spark, Some(last(j)))
+                    else tabs(j).read(spark, Some(cur(j))))
                   j.select(projCols :+ sign.as("__sign"): _*)
                 }
-                val terms = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-                if (curA > lastA)
-                  terms += term(ta.rowChangesBetween(spark, lastA, curA),
-                    aliasA, tb.read(spark, Some(curB)), aliasB)
-                if (curB > lastB)
-                  terms += term(tb.rowChangesBetween(spark, lastB, curB),
-                    aliasB, ta.read(spark, Some(lastA)), aliasA)
-                val joined = terms.result().reduce(_ unionByName _).persist()
+                val joined = (0 until n).filter(i => cur(i) > last(i))
+                  .map(term).reduce(_ unionByName _).persist()
                 try {
                   val unsafe = groupAliases.map(col(_).isNull) ++
                     sumAliases.map(a => col(s"__v_$a").isNull)
@@ -2017,21 +2078,21 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                       .agg(aggCols.head, aggCols.tail: _*)
                     val dFields =
                       delta.schema.fields.filter(_.name.startsWith("__d_"))
-                    val wm = Map(ViewStore.MviewAppId -> 0L,
-                      GraftSqlParser.mviewSrcKey(0) -> curA.toLong,
-                      GraftSqlParser.mviewSrcKey(1) -> curB.toLong)
+                    val wm = Map(ViewStore.MviewAppId -> 0L) ++
+                      (0 until n).map(i =>
+                        GraftSqlParser.mviewSrcKey(i) -> cur(i).toLong)
                     if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
                     else if (delta.isEmpty) {
                       // watermarks must still advance (ADVICE r14)
                       t.commitTxns(wm, "mview-watermark")
-                      Some(Seq(Row("noop", curA)))
+                      Some(Seq(Row("noop", cur.head)))
                     } else if (GraftSqlParser.mergeOverflows(spark, t, delta,
                         groupAliases, sumAliases)) None
                     else {
                       GraftSqlParser.mergeGroupDelta(spark, t, delta,
                         groupAliases, countAlias, sumAliases, wm,
                         avgAliases = avgs.map { case (_, sa, a) => (sa, a) })
-                      Some(Seq(Row("incremental", curA)))
+                      Some(Seq(Row("incremental", cur.head)))
                     }
                   }
                 } finally { joined.unpersist(blocking = false); () }

@@ -1186,6 +1186,66 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(got == want, s"chain drifted from recompute: $got vs $want")
   }
 
+  test("3-way join chain mview: per-source deltas telescope, all watermarks advance") {
+    // r15: ΔJ = Σᵢ A₁@last ⋈ … ⋈ ΔAᵢ ⋈ … ⋈ Aₙ@cur over a fact ⋈ dim ⋈
+    // dim star chain. All three sources mutate in ONE window — the
+    // refresh must fold every term (including the cross-delta overlaps
+    // riding the @cur tails) and still equal the recompute.
+    Tables.ensure(spark)
+    val fact = new TxTable(tmpRoot(), Seq("k"))
+    fact.append(spark, spark.range(60).toDF("k")
+      .withColumn("u", col("k") % 10).withColumn("p", col("k") % 7)
+      .withColumn("x", col("k") * 3 % 31).repartitionByRange(4, col("k")))
+    val users = new TxTable(tmpRoot(), Seq("u"))
+    users.append(spark, spark.range(10).toDF("u")
+      .withColumn("seg", col("u") % 3).repartitionByRange(2, col("u")))
+    val prods = new TxTable(tmpRoot(), Seq("p"))
+    prods.append(spark, spark.range(7).toDF("p")
+      .withColumn("cat", col("p") % 2).repartitionByRange(2, col("p")))
+    val mv = s"${tmpRoot()}/mv3"
+    val defn = s"SELECT d.seg AS seg, c.cat AS cat, count(*) AS n, " +
+      s"sum(f.x) AS sx, avg(f.x) AS ax " +
+      s"FROM ${q(fact.root)} f JOIN ${q(users.root)} d ON f.u = d.u " +
+      s"JOIN ${q(prods.root)} c ON f.p = c.p " +
+      s"WHERE f.k <= 1000 GROUP BY d.seg, c.cat"
+    spark.sql(s"CREATE MATERIALIZED VIEW ${q(mv)} " +
+      s"TBLPROPERTIES('statCols'='seg') AS $defn")
+    // all three sides move: fact insert (new user 100 AND new product
+    // 100 — pairs exist only through cross-delta overlap terms), fact
+    // band delete, a dim member leaves, both dims gain the new member
+    spark.sql(s"DELETE FROM ${q(fact.root)} WHERE k < 5")
+    spark.sql(s"INSERT INTO ${q(fact.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), " +
+      "CAST(9 AS BIGINT))")
+    spark.sql(s"DELETE FROM ${q(users.root)} WHERE u = 3")
+    spark.sql(s"INSERT INTO ${q(users.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(1 AS BIGINT))")
+    spark.sql(s"INSERT INTO ${q(prods.root)} VALUES " +
+      "(CAST(100 AS BIGINT), CAST(0 AS BIGINT))")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+    assert(r.getString(0) == "incremental", s"3-way chain must telescope: $r")
+    val got = spark.sql(s"SELECT seg, cat, n, sx, ax FROM ${q(mv)} " +
+      "ORDER BY seg, cat").collect().toSeq
+    val want = spark.sql(s"$defn ORDER BY seg, cat").collect().toSeq
+    assert(got == want, s"3-way chain drifted:\n$got\n$want")
+    // idle window: noop; a dim insert matching NO facts nets an empty
+    // delta — the honest mode is noop (with the watermark advanced);
+    // a dim delete that evicts real pairs is incremental
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+      .getString(0) == "noop")
+    spark.sql(s"INSERT INTO ${q(prods.root)} VALUES " +
+      "(CAST(101 AS BIGINT), CAST(1 AS BIGINT))")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+      .getString(0) == "noop")
+    spark.sql(s"DELETE FROM ${q(prods.root)} WHERE p = 2")
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW ${q(mv)}").head()
+      .getString(0) == "incremental")
+    val got2 = spark.sql(s"SELECT seg, cat, n, sx, ax FROM ${q(mv)} " +
+      "ORDER BY seg, cat").collect().toSeq
+    val want2 = spark.sql(s"$defn ORDER BY seg, cat").collect().toSeq
+    assert(got2 == want2)
+  }
+
   test("join-agg mview: maintained avg rides the companion sum") {
     Tables.ensure(spark)
     val fa = new TxTable(tmpRoot(), Seq("k"))
