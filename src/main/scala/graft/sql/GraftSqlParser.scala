@@ -723,6 +723,22 @@ object GraftSqlParser {
     * built so far. */
   private[sql] case class JoinSrc(root: String, alias: String, on: Option[String])
 
+  /** The both-sides-qualified equi conjuncts of an ON condition, as
+    * (qual1, col1, qual2, col2) — the link map the semi-join reduction
+    * in the incremental chain refresh prunes through. Non-conforming
+    * conjuncts are simply skipped (the chain parser has already
+    * validated the condition's overall shape). */
+  private[sql] def onEqConjuncts(on: String): Seq[(String, String, String, String)] = {
+    val cuts = topLevelAll(on, "AND")
+    (0 +: cuts.map(_ + 3)).zip(cuts :+ on.length).flatMap { case (b, e) =>
+      on.substring(b, e).trim match {
+        case OnEq(q1, c1, q2, c2) if q1 != null && q2 != null =>
+          Some((q1, c1, q2, c2))
+        case _ => None
+      }
+    }
+  }
+
   /** Parse the FROM join chain. Every segment must be `txtable.\`r\`
     * [AS] alias`, each non-first carrying `ON <equi>` whose top-level
     * conjuncts each equate a column of THIS alias with a column of an
@@ -2053,14 +2069,53 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                 val sumAliases = sums.map(_._2)
                 val projCols = groups.map { case (g, a) => expr(g).as(a) } ++
                   sums.map { case (e, a) => expr(e).as(s"__v_$a") }
+                // direct equi links between chain members, as
+                // (deltaIdx, otherIdx) -> (deltaCol, otherCol): a pinned
+                // source joining a delta only matches rows whose link-
+                // key value appears in the delta, so its scan can be
+                // SEMI-JOIN REDUCED — manifest-pruned to the files whose
+                // stats admit one of the delta's (≤10k, integral) key
+                // values. Cost ∝ touched files, not the source.
+                val aliasIdx = chain.map(_.alias).zipWithIndex.toMap
+                val links = scala.collection.mutable.Map.empty[(Int, Int), (String, String)]
+                chain.zipWithIndex.drop(1).foreach { case (src, k) =>
+                  GraftSqlParser.onEqConjuncts(src.on.get).foreach {
+                    case (qa, ca, qb, cb) =>
+                      for (ia <- aliasIdx.get(qa); ib <- aliasIdx.get(qb)) {
+                        if (!links.contains((ia, ib))) links((ia, ib)) = (ca, cb)
+                        if (!links.contains((ib, ia))) links((ib, ia)) = (cb, ca)
+                      }
+                  }
+                }
+                val keyCache = scala.collection.mutable.Map.empty[(Int, String), Option[Seq[Long]]]
+                def deltaKeys(i: Int, c: String): Option[Seq[Long]] =
+                  keyCache.getOrElseUpdate((i, c), {
+                    val d = tabs(i).rowChangesBetween(spark, last(i), cur(i))
+                    val integral = d.schema.fields.find(_.name == c).exists(f =>
+                      f.dataType == org.apache.spark.sql.types.LongType ||
+                        f.dataType == org.apache.spark.sql.types.IntegerType)
+                    if (!integral) None
+                    else {
+                      val vs = d.select(col(c).cast("long")).na.drop()
+                        .distinct().limit(10001).collect().map(_.getLong(0)).toSeq
+                      if (vs.size > 10000) None else Some(vs)
+                    }
+                  })
                 def term(i: Int): org.apache.spark.sql.DataFrame = {
                   val sign = when(
                     col(s"${chain(i).alias}._change_type") === "insert",
                     lit(1L)).otherwise(lit(-1L))
                   val j = GraftSqlParser.chainFrame(spark, chain, pred, j =>
                     if (j == i) tabs(j).rowChangesBetween(spark, last(j), cur(j))
-                    else if (j < i) tabs(j).read(spark, Some(last(j)))
-                    else tabs(j).read(spark, Some(cur(j))))
+                    else {
+                      val ver = if (j < i) last(j) else cur(j)
+                      links.get((i, j))
+                        .flatMap { case (dc, oc) =>
+                          deltaKeys(i, dc).map(vs =>
+                            tabs(j).readIn(spark, oc, vs, Some(ver)).df)
+                        }
+                        .getOrElse(tabs(j).read(spark, Some(ver)))
+                    })
                   j.select(projCols :+ sign.as("__sign"): _*)
                 }
                 val joined = (0 until n).filter(i => cur(i) > last(i))

@@ -516,6 +516,45 @@ final class TxTable(val root: String, val statCols: Seq[String],
     PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
   }
 
+  /** Manifest-level IN-list data skipping at a PINNED version — the
+    * semi-join-reduction read the incremental join-mview terms use: a
+    * pinned source joining a small CDC delta only ever matches rows
+    * whose join key appears in the delta, so the scan plans over the
+    * files whose [min,max] admit AT LEAST ONE of the delta's key
+    * values, with the `isin` residual keeping the reduction exact (a
+    * necessary-condition filter — inner-join invariant). Files missing
+    * stats for the column scan unconditionally (the readWhere soundness
+    * rule); a column with no stats at all returns the full pinned read
+    * with the residual only. At 100 TB this is the fact⋈Δdim term
+    * reading touched fact files instead of the fact table. */
+  private[graft] def readIn(spark: SparkSession, column: String,
+      values: Seq[Long], versionAsOf: Option[Int] = None): PrunedRead = {
+    val s = snapshot(versionAsOf)
+    val p = phys(s, column)
+    val sorted = values.distinct.sorted.toIndexedSeq
+    def admits(f: FileEntry): Boolean =
+      (f.mins.get(p), f.maxs.get(p)) match {
+        case (Some(lo), Some(hi)) =>
+          // any value in [lo, hi]? — binary search for the first >= lo
+          val i = {
+            var a = 0; var b = sorted.length
+            while (a < b) { val m = (a + b) >>> 1
+              if (sorted(m) < lo) a = m + 1 else b = m }
+            a
+          }
+          i < sorted.length && sorted(i) <= hi
+        case _ => true // missing stats: cannot prune soundly
+      }
+    val keep =
+      if (!statCols.contains(p)) s.files
+      else s.files.filter(admits)
+    val df =
+      if (keep.isEmpty) read(spark, versionAsOf).filter(lit(false))
+      else readFiles(spark, keep, s.colMap, s.meta)
+        .filter(col(column).isin(sorted: _*))
+    PrunedRead(df, filesScanned = keep.size, filesTotal = s.files.size)
+  }
+
   /** The k bloom bit positions of a probe value, computed by the SAME
     * engine expression the build pass uses (`xxhash64(cast(v as
     * bigint), j) mod m`) — a one-row local projection, so build and

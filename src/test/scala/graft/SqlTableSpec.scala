@@ -1246,6 +1246,23 @@ class SqlTableSpec extends AnyFunSuite with SparkFixture {
     assert(got2 == want2)
   }
 
+  test("chain semi-join reduction: readIn prunes the pinned source to touched files") {
+    // the fact⋈Δdim term's scan shape: 16 range-partitioned files, a
+    // delta naming keys inside ONE band — the pinned read must plan
+    // over the admitting files only, with the isin residual exact
+    val t = new TxTable(tmpRoot(), Seq("k"))
+    t.append(spark, spark.range(160).toDF("k")
+      .withColumn("x", col("k") * 2).repartitionByRange(16, col("k")))
+    val pr = t.readIn(spark, "k", Seq(51L, 53L, 57L))
+    assert(pr.filesTotal == 16, s"layout drifted: ${pr.filesTotal} files")
+    assert(pr.filesScanned <= 2,
+      s"one key band must prune to ~1 file, scanned ${pr.filesScanned}")
+    assert(pr.df.select(sum(col("x"))).head().getLong(0) == (51 + 53 + 57) * 2)
+    // spread keys hit every band — nothing prunable, still exact
+    val spread = t.readIn(spark, "k", (0L until 160L by 10).toSeq)
+    assert(spread.df.count() == 16)
+  }
+
   test("join-agg mview: maintained avg rides the companion sum") {
     Tables.ensure(spark)
     val fa = new TxTable(tmpRoot(), Seq("k"))
