@@ -258,7 +258,17 @@ object Bench {
       // the most JVM-state-sensitive query — 2.2 s steady vs 7 s late-
       // suite on identical plans), then the held-over tail — refreshed
       // per round from the latest artifact.
-      "q_ngram_jaccard", "q_rec_itemcf", "q_graph_pagerank", "q_table_cdf",
+      "q_ngram_jaccard",
+      // round-15: the new mview-maintenance gates are the suite's
+      // heaviest members (many small commits each — the most JVM-state-
+      // sensitive shape: measured 10.8 s late-suite vs ~5 s steady on
+      // identical statements) — schedule them under the SAME
+      // big-jobs-first discipline as the other SQL-table gates, in this
+      // session's measured order
+      "q_sql_table_mview_join", "q_sql_table_mview_join3",
+      "q_sql_table_mview_chain", "q_sql_table_mview_minmax",
+      "q_sql_table_mview_avg", "q_sql_table_mview_agg",
+      "q_rec_itemcf", "q_graph_pagerank", "q_table_cdf",
       "q_table_replica_stream", "q_graph_ppr",
       // star BEFORE q_dedup_cluster: both cluster the SAME pair graph
       // (DedupGraph memo) — whichever runs first builds it. The star

@@ -999,7 +999,10 @@ object GraftSqlParser {
       avgIns
     val notMatched = Seq(MergeInsert(Some("s.`__dn` > 0"),
       Some(insCols), Some(insVals)))
-    t.mergeWhen(spark, delta, groups, matched, notMatched, Nil, txns)
+    // delta is a groupBy output keyed on the merge key: key-distinct by
+    // construction, so the duplicate-source-match probe job is skipped
+    t.mergeWhen(spark, delta, groups, matched, notMatched, Nil, txns,
+      sourceKeyDistinct = true)
     ()
   }
 
@@ -1429,7 +1432,8 @@ case class TxMergeWhenCommand(root: String, sourceSql: String,
     GraftSqlParser.viewDmlTarget(root, "MERGE", routable = false)
     val src = spark.sql(s"SELECT * FROM $sourceSql")
     val r = TxTable.open(root)
-      .mergeWhen(spark, src, keys, matched, notMatched, bySource, Map.empty)
+      .mergeWhen(spark, src, keys, matched, notMatched, bySource, Map.empty,
+        sourceKeyDistinct = false)
     Seq(Row(r.version, r.rewrittenFiles, r.keptFiles, r.newFiles))
   }
 }
@@ -1893,71 +1897,96 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
               val ch = src.rowChangesBetween(spark, last, srcV)
               val filtered = Option(pred)
                 .map(p => ch.filter(coalesce(expr(p), lit(false))))
-                .getOrElse(ch).persist()
+                .getOrElse(ch)
+              import org.apache.spark.sql.functions.{col, max, min, sum, when}
+              // ONE pass over the change feed computes the signed group
+              // deltas AND every safety witness the old path spent a
+              // separate full-CDC-read job each on: per-sum NULL
+              // counters (`__nc_` — sum() skips NULLs, so row-level
+              // NULLs are invisible post-agg without them), the
+              // delete-presence flag (`__del`), and the delta extrema.
+              // Every later check runs against the PERSISTED,
+              // group-count-sized delta — the CDC slice is read once
+              // (opt r15; guide §2.4: do fewer passes, probe the small
+              // frame not the big one).
+              val sign = when(expr("_change_type = 'insert'"), lit(1L))
+                .otherwise(lit(-1L))
+              val aggCols = (sum(sign).as("__dn") +:
+                sums.map { case (e, a) => sum(expr(e) * sign).as(s"__d_$a") }) ++
+                sums.map { case (e, a) =>
+                  sum(when(expr(e).isNull, lit(1L)).otherwise(lit(0L)))
+                    .as(s"__nc_$a") } ++
+                mins.map { case (e, a) => min(expr(e)).as(s"__mn_$a") } ++
+                maxs.map { case (e, a) => max(expr(e)).as(s"__mx_$a") } :+
+                max(when(col("_change_type") === "delete", lit(1L))
+                  .otherwise(lit(0L))).as("__del")
+              // EAGER localCheckpoint, not persist: a persisted frame
+              // still re-ANALYZES its full lineage (CDC union → filter →
+              // agg) on every downstream action — measured as ~60% of
+              // refresh wall time spent between jobs on the driver. The
+              // checkpoint truncates the plan to a scan of the group-
+              // count-sized delta; the per-query unpersist sweep in
+              // Bench/Verify reclaims the blocks (opt r15, guide §3.3)
+              val delta0 = filtered
+                .groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
+                .agg(aggCols.head, aggCols.tail: _*)
+                .localCheckpoint(eager = true)
               try {
-                import org.apache.spark.sql.functions.col
-                // min/max values may be NULL in the delta — least/
-                // greatest and min()/max() all skip NULLs identically,
-                // so only group keys and SUMMED values are unsafe
+                // a NULL group key surfaces as a NULL-keyed delta row;
+                // a NULL summed value as a positive `__nc_` counter —
+                // the same triggers the old per-row probe fired on
                 val unsafeCols = groups.map(g => col(g).isNull) ++
-                  sums.map { case (e, _) => expr(e).isNull }
-                if (filtered.filter(unsafeCols.reduce(_ || _))
+                  sums.map { case (_, a) => col(s"__nc_$a") > 0L }
+                if (delta0.filter(unsafeCols.reduce(_ || _))
                     .limit(1).count() > 0) None
                 // a delete can evict the current extremum — min/max
                 // views recheck exactly the groups the delta names,
                 // cost ∝ touched groups, never the view (r14 verdict #2)
                 else if ((mins.nonEmpty || maxs.nonEmpty) &&
-                    filtered.filter(col("_change_type") === "delete")
+                    delta0.filter(col("__del") === 1L)
                       .limit(1).count() > 0) {
-                  recheckTouchedGroups(spark, t, srcs.head, srcV, filtered,
+                  // delta0's group keys ARE the distinct touched groups
+                  recheckTouchedGroups(spark, t, srcs.head, srcV, delta0,
                     groups, countAlias, sums, mins, maxs, pred, avgs)
                 } else {
-                  import org.apache.spark.sql.functions.{max, min, sum, when}
-                  val sign = when(expr("_change_type = 'insert'"), lit(1L))
-                    .otherwise(lit(-1L))
-                  // insert-only where min/max are present (checked
-                  // above), so the delta extrema fold monotonically
-                  val aggCols = (sum(sign).as("__dn") +:
-                    sums.map { case (e, a) => sum(expr(e) * sign).as(s"__d_$a") }) ++
-                    mins.map { case (e, a) => min(expr(e)).as(s"__mn_$a") } ++
-                    maxs.map { case (e, a) => max(expr(e)).as(s"__mx_$a") }
-                  val delta = filtered
-                    .groupBy(groups.map(org.apache.spark.sql.functions.col): _*)
-                    .agg(aggCols.head, aggCols.tail: _*)
                   // the delta's own sum types must be exactly foldable
                   // too (a widening evolution could drift them past the
                   // licensed create-time types) — schema-only, no job
-                  val dFields = delta.schema.fields.filter(_.name.startsWith("__d_"))
+                  val dFields = delta0.schema.fields.filter(_.name.startsWith("__d_"))
                   if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
-                  else if (delta.isEmpty) {
+                  else if (delta0.isEmpty) {
                     // all source changes fell outside the view — commit
                     // the watermark txn-only or every later refresh
                     // re-reads this same change range forever (ADVICE r14)
                     t.commitTxns(Map(ViewStore.MviewAppId -> srcV.toLong),
                       "mview-watermark")
                     Some(Seq(Row("noop", srcV)))
-                  } else if (GraftSqlParser.mergeOverflows(spark, t, delta,
-                      groups, sums.map(_._2))) {
-                    // decimal sums can overflow to NULL under non-ANSI
-                    // arithmetic; under the nullsafe license that is a
-                    // FAULT — full-recompute instead of papering over
-                    // it (ADVICE r14)
-                    None
                   } else {
-                    // plain addition, NO coalesce: under the license
-                    // t.sum and s.__d are provably non-NULL, and a NULL
-                    // arithmetic result is a fault the overflow probe
-                    // catches — silently keeping the stale value was
-                    // the bug (ADVICE r14)
-                    GraftSqlParser.mergeGroupDelta(spark, t, delta, groups,
-                      countAlias, sums.map(_._2),
-                      Map(ViewStore.MviewAppId -> srcV.toLong),
-                      mins.map(_._2), maxs.map(_._2),
-                      avgs.map { case (_, s, a) => (s, a) })
-                    Some(Seq(Row("incremental", srcV)))
+                    val delta = delta0.drop(
+                      sums.map { case (_, a) => s"__nc_$a" } :+ "__del": _*)
+                    if (GraftSqlParser.mergeOverflows(spark, t, delta,
+                        groups, sums.map(_._2))) {
+                      // decimal sums can overflow to NULL under non-ANSI
+                      // arithmetic; under the nullsafe license that is a
+                      // FAULT — full-recompute instead of papering over
+                      // it (ADVICE r14)
+                      None
+                    } else {
+                      // plain addition, NO coalesce: under the license
+                      // t.sum and s.__d are provably non-NULL, and a NULL
+                      // arithmetic result is a fault the overflow probe
+                      // catches — silently keeping the stale value was
+                      // the bug (ADVICE r14)
+                      GraftSqlParser.mergeGroupDelta(spark, t, delta, groups,
+                        countAlias, sums.map(_._2),
+                        Map(ViewStore.MviewAppId -> srcV.toLong),
+                        mins.map(_._2), maxs.map(_._2),
+                        avgs.map { case (_, s, a) => (s, a) })
+                      Some(Seq(Row("incremental", srcV)))
+                    }
                   }
                 }
-              } finally { filtered.unpersist(blocking = false); () }
+              } finally { delta0.unpersist(blocking = false); () }
             } catch {
               case scala.util.control.NonFatal(_) => None
             }
@@ -1980,7 +2009,9 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     * tuple set) stops being cheap: full recompute. */
   private def recheckTouchedGroups(spark: SparkSession, t: TxTable,
       srcRoot: String, srcV: Int,
-      filtered: org.apache.spark.sql.DataFrame, groups: Seq[String],
+      // the PERSISTED group-delta frame — one row per touched group (a
+      // groupBy output), so its key projection needs no distinct pass
+      groupDelta: org.apache.spark.sql.DataFrame, groups: Seq[String],
       countAlias: String, sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
       pred: String,
@@ -1988,7 +2019,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     import org.apache.spark.sql.functions.{avg, coalesce, col, count, expr,
       lit, max, min, sum}
     import graft.tables.TxTable.{MergeDelete, MergeInsert, MergeUpdate}
-    val touched = filtered.select(groups.map(col): _*).distinct()
+    val touched = groupDelta.select(groups.map(col): _*)
       .limit(10001).collect()
     if (touched.length > 10000) return None
     val base = spark.sql(s"SELECT * FROM txtable.`$srcRoot` VERSION AS OF $srcV")
@@ -2008,7 +2039,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     val touchedDf = spark.createDataFrame(
       java.util.Arrays.asList(touched: _*),
       org.apache.spark.sql.types.StructType(
-        groups.map(g => filtered.schema(g))))
+        groups.map(g => groupDelta.schema(g))))
     // NULL countAlias after the left join ⇔ the touched group vanished
     val mergeSource = touchedDf.join(recomputed, groups, "left")
     val aggAliases = Seq(countAlias) ++ (sums ++ mins ++ maxs).map(_._2) ++
@@ -2019,8 +2050,10 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     val notMatched = Seq(MergeInsert(Some(s"s.`$countAlias` IS NOT NULL"),
       Some(groups ++ aggAliases),
       Some((groups ++ aggAliases).map(a => s"s.`$a`"))))
+    // touchedDf is a collected DISTINCT key set left-joined to a groupBy
+    // output on the same key: key-distinct by construction
     t.mergeWhen(spark, mergeSource, groups, matched, notMatched, Nil,
-      Map(ViewStore.MviewAppId -> srcV.toLong))
+      Map(ViewStore.MviewAppId -> srcV.toLong), sourceKeyDistinct = true)
     Some(Seq(Row("incremental-recheck", srcV)))
   }
 
@@ -2087,10 +2120,19 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                       }
                   }
                 }
+                // each changed source's CDC slice is consumed by the
+                // key-collect probe AND by its delta term — build and
+                // PERSIST it once instead of re-reading the change
+                // range per consumer (opt r15, guide §2.4)
+                val cdcCache = scala.collection.mutable.Map
+                  .empty[Int, org.apache.spark.sql.DataFrame]
+                def cdc(i: Int): org.apache.spark.sql.DataFrame =
+                  cdcCache.getOrElseUpdate(i,
+                    tabs(i).rowChangesBetween(spark, last(i), cur(i)).persist())
                 val keyCache = scala.collection.mutable.Map.empty[(Int, String), Option[Seq[Long]]]
                 def deltaKeys(i: Int, c: String): Option[Seq[Long]] =
                   keyCache.getOrElseUpdate((i, c), {
-                    val d = tabs(i).rowChangesBetween(spark, last(i), cur(i))
+                    val d = cdc(i)
                     val integral = d.schema.fields.find(_.name == c).exists(f =>
                       f.dataType == org.apache.spark.sql.types.LongType ||
                         f.dataType == org.apache.spark.sql.types.IntegerType)
@@ -2106,7 +2148,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                     col(s"${chain(i).alias}._change_type") === "insert",
                     lit(1L)).otherwise(lit(-1L))
                   val j = GraftSqlParser.chainFrame(spark, chain, pred, j =>
-                    if (j == i) tabs(j).rowChangesBetween(spark, last(j), cur(j))
+                    if (j == i) cdc(j)
                     else {
                       val ver = if (j < i) last(j) else cur(j)
                       links.get((i, j))
@@ -2118,39 +2160,62 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                     })
                   j.select(projCols :+ sign.as("__sign"): _*)
                 }
-                val joined = (0 until n).filter(i => cur(i) > last(i))
-                  .map(term).reduce(_ unionByName _).persist()
                 try {
-                  val unsafe = groupAliases.map(col(_).isNull) ++
-                    sumAliases.map(a => col(s"__v_$a").isNull)
-                  if (joined.filter(unsafe.reduce(_ || _))
-                      .limit(1).count() > 0) None
-                  else {
-                    val aggCols = sum(col("__sign")).as("__dn") +:
+                  val joined = (0 until n).filter(i => cur(i) > last(i))
+                    .map(term).reduce(_ unionByName _)
+                  // ONE pass over the delta-join union computes the
+                  // signed group deltas AND the per-sum NULL counters;
+                  // the safety/emptiness/overflow checks then probe the
+                  // PERSISTED group-count-sized delta instead of
+                  // re-running the delta joins per check (opt r15)
+                  val aggCols = sum(col("__sign")).as("__dn") +:
+                    (sumAliases.map(a =>
+                      sum(col(s"__v_$a") * col("__sign")).as(s"__d_$a")) ++
                       sumAliases.map(a =>
-                        sum(col(s"__v_$a") * col("__sign")).as(s"__d_$a"))
-                    val delta = joined.groupBy(groupAliases.map(col): _*)
-                      .agg(aggCols.head, aggCols.tail: _*)
+                        sum(when(col(s"__v_$a").isNull, lit(1L))
+                          .otherwise(lit(0L))).as(s"__nc_$a")))
+                  // EAGER localCheckpoint, not persist: the delta-join
+                  // union's lineage would otherwise be re-ANALYZED by
+                  // every downstream action (measured: ~60% of refresh
+                  // wall time was driver-side planning between jobs) —
+                  // the checkpoint truncates every later plan to a scan
+                  // of the group-count-sized delta (opt r15, guide §3.3)
+                  val delta0 = joined.groupBy(groupAliases.map(col): _*)
+                    .agg(aggCols.head, aggCols.tail: _*)
+                    .localCheckpoint(eager = true)
+                  try {
+                    // NULL group key ⇒ NULL-keyed delta row; NULL summed
+                    // value ⇒ positive `__nc_` counter — the same
+                    // triggers the old per-row probe fired on
+                    val unsafe = groupAliases.map(col(_).isNull) ++
+                      sumAliases.map(a => col(s"__nc_$a") > 0L)
                     val dFields =
-                      delta.schema.fields.filter(_.name.startsWith("__d_"))
+                      delta0.schema.fields.filter(_.name.startsWith("__d_"))
                     val wm = Map(ViewStore.MviewAppId -> 0L) ++
                       (0 until n).map(i =>
                         GraftSqlParser.mviewSrcKey(i) -> cur(i).toLong)
-                    if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
-                    else if (delta.isEmpty) {
+                    if (delta0.filter(unsafe.reduce(_ || _))
+                        .limit(1).count() > 0) None
+                    else if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
+                    else if (delta0.isEmpty) {
                       // watermarks must still advance (ADVICE r14)
                       t.commitTxns(wm, "mview-watermark")
                       Some(Seq(Row("noop", cur.head)))
-                    } else if (GraftSqlParser.mergeOverflows(spark, t, delta,
-                        groupAliases, sumAliases)) None
-                    else {
-                      GraftSqlParser.mergeGroupDelta(spark, t, delta,
-                        groupAliases, countAlias, sumAliases, wm,
-                        avgAliases = avgs.map { case (_, sa, a) => (sa, a) })
-                      Some(Seq(Row("incremental", cur.head)))
+                    } else {
+                      val delta = delta0.drop(sumAliases.map(a => s"__nc_$a"): _*)
+                      if (GraftSqlParser.mergeOverflows(spark, t, delta,
+                          groupAliases, sumAliases)) None
+                      else {
+                        GraftSqlParser.mergeGroupDelta(spark, t, delta,
+                          groupAliases, countAlias, sumAliases, wm,
+                          avgAliases = avgs.map { case (_, sa, a) => (sa, a) })
+                        Some(Seq(Row("incremental", cur.head)))
+                      }
                     }
-                  }
-                } finally { joined.unpersist(blocking = false); () }
+                  } finally { delta0.unpersist(blocking = false); () }
+                } finally {
+                  cdcCache.values.foreach(_.unpersist(blocking = false))
+                }
               } catch {
                 case scala.util.control.NonFatal(_) => None
               }

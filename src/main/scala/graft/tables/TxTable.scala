@@ -992,7 +992,8 @@ final class TxTable(val root: String, val statCols: Seq[String],
       matched: Seq[TxTable.MergeMatched],
       notMatched: Seq[TxTable.MergeInsert],
       bySource: Seq[TxTable.MergeMatched] = Nil): MergeResult =
-    mergeWhen(spark, source, Seq(key), matched, notMatched, bySource, Map.empty)
+    mergeWhen(spark, source, Seq(key), matched, notMatched, bySource,
+      Map.empty, sourceKeyDistinct = false)
 
   /** [[mergeWhen]] on a COMPOSITE key: matching requires equality on
     * EVERY component (NULL in any source component routes the row to
@@ -1007,7 +1008,14 @@ final class TxTable(val root: String, val statCols: Seq[String],
       matched: Seq[TxTable.MergeMatched],
       notMatched: Seq[TxTable.MergeInsert],
       bySource: Seq[TxTable.MergeMatched],
-      txns: Map[String, Long]): MergeResult = {
+      txns: Map[String, Long],
+      // the duplicate-source-match refusal is a per-merge JOB; a caller
+      // whose source is key-distinct BY CONSTRUCTION (a groupBy output
+      // keyed on the merge key — the mview delta folds) may skip it:
+      // the guard is vacuously true, the semantics unchanged. (No
+      // default: the single-key overload already carries defaults and
+      // Scala forbids defaults on two overloads.)
+      sourceKeyDistinct: Boolean): MergeResult = {
     import TxTable.{MergeDelete, MergeInsert, MergeUpdate}
     val base = snapshot()
     require(keys.nonEmpty, "merge needs at least one key column")
@@ -1101,15 +1109,18 @@ final class TxTable(val root: String, val statCols: Seq[String],
         // duplicate SOURCE-row matches are nondeterministic under first-
         // match-wins: refuse (Delta's MERGE_MULTIPLE_MATCHES), detected
         // on the join itself so only MATCHED duplicates count — per
-        // COMPOSITE key
-        val dup = j.filter(isMatched)
-          .groupBy(keys.map(k => expr(s"t.`$k`")): _*)
-          .agg(countDistinct(col("__sid")).as("c"))
-          .filter(col("c") > 1).limit(1).count()
-        require(dup == 0L,
-          s"MERGE source has multiple rows matching one target " +
-            s"`${keys.mkString(", ")}` — first-match-wins would be " +
-            "nondeterministic; dedup the source")
+        // COMPOSITE key. Skipped when the caller PROVES key-distinctness
+        // (the check is then vacuously true — no job spent re-proving it)
+        if (!sourceKeyDistinct) {
+          val dup = j.filter(isMatched)
+            .groupBy(keys.map(k => expr(s"t.`$k`")): _*)
+            .agg(countDistinct(col("__sid")).as("c"))
+            .filter(col("c") > 1).limit(1).count()
+          require(dup == 0L,
+            s"MERGE source has multiple rows matching one target " +
+              s"`${keys.mkString(", ")}` — first-match-wins would be " +
+              "nondeterministic; dedup the source")
+        }
         def condOf(c: Option[String]) =
           c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
         // first-match-wins action id: 0 = carry, i+1 = clause i fires.

@@ -392,7 +392,8 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
           Seq(MergeInsert(insertCond.map(_.sql), None, None))
         else Nil
       t.mergeWhen(spark, srcRows.map(r => (r.k, r.v, r.s)).toDF("k", "v", "s"),
-        Seq("k", "s"), matchedSpec.map(_._1), notMatched, Nil, Map.empty)
+        Seq("k", "s"), matchedSpec.map(_._1), notMatched, Nil, Map.empty,
+        sourceKeyDistinct = false)
       val survived = rows.flatMap { r =>
         val m = srcByKey.get((r.k, r.s))
         val pool = if (m.isDefined) matchedSpec else Nil
@@ -493,12 +494,14 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     // two source rows sharing k but differing in s: NOT duplicates —
     // (2, 2) matches target k=2 (s = 2), (2, 3) matches nothing
     t.mergeWhen(spark, Seq((2L, -1L, 2L), (2L, -2L, 3L)).toDF("k", "v", "s"),
-      Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty)
+      Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty,
+        sourceKeyDistinct = false)
     assert(content(t).contains(Row3(2L, -1L, 2L)))
     // two source rows agreeing on the FULL composite key: refused
     val e = intercept[IllegalArgumentException] {
       t.mergeWhen(spark, Seq((3L, -1L, 3L), (3L, -9L, 3L)).toDF("k", "v", "s"),
-        Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty)
+        Seq("k", "s"), Seq(MergeUpdate(None, None)), Nil, Nil, Map.empty,
+        sourceKeyDistinct = false)
     }
     assert(e.getMessage.contains("multiple rows"), e.getMessage)
   }
@@ -509,7 +512,7 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
       "SELECT CAST(2 AS BIGINT) k, CAST(-5 AS BIGINT) v, CAST(NULL AS BIGINT) s")
     t.mergeWhen(spark, src, Seq("k", "s"),
       Seq(MergeUpdate(None, None)), Seq(MergeInsert(None, None, None)), Nil,
-      Map.empty)
+      Map.empty, sourceKeyDistinct = false)
     // target row (2, 6, 2) untouched; the NULL-s source row inserted
     assert(t.read(spark).filter(col("k") === 2 && col("s") === 2)
       .select(col("v")).head().getLong(0) == 2L * 3 % 17)
@@ -523,7 +526,8 @@ class MergeWhenSpec extends AnyFunSuite with SparkFixture {
     t.declareMeta(t.read(spark).schema)
     t.mergeWhen(spark, Seq((2L, -1L, 2L, 7L)).toDF("k", "v", "s", "w"),
       Seq("k", "s"), Seq(MergeUpdate(None, None)),
-      Seq(MergeInsert(None, None, None)), Nil, Map.empty)
+      Seq(MergeInsert(None, None, None)), Nil, Map.empty,
+      sourceKeyDistinct = false)
     assert(t.snapshot().meta.exists(_.schema.fieldNames.contains("w")),
       "the composite-key merge must declare the widened schema")
     val got = t.read(spark).filter(col("k") === 2 && col("s") === 2)
