@@ -1934,17 +1934,27 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
               try {
                 // a NULL group key surfaces as a NULL-keyed delta row;
                 // a NULL summed value as a positive `__nc_` counter —
-                // the same triggers the old per-row probe fired on
+                // the same triggers the old per-row probe fired on.
+                // ONE aggregate action over the checkpointed delta
+                // answers every control probe (unsafe? any delete?
+                // empty?) — three separate limit/count actions were
+                // three scheduling+planning round-trips (opt r15)
+                import org.apache.spark.sql.functions.count
                 val unsafeCols = groups.map(g => col(g).isNull) ++
                   sums.map { case (_, a) => col(s"__nc_$a") > 0L }
-                if (delta0.filter(unsafeCols.reduce(_ || _))
-                    .limit(1).count() > 0) None
+                val probe = delta0.agg(
+                  count(lit(1)).as("__n"),
+                  max(when(unsafeCols.reduce(_ || _), lit(1L))
+                    .otherwise(lit(0L))).as("__u"),
+                  max(col("__del")).as("__dl")).head()
+                val nGroups = probe.getLong(0)
+                val anyUnsafe = !probe.isNullAt(1) && probe.getLong(1) == 1L
+                val anyDelete = !probe.isNullAt(2) && probe.getLong(2) == 1L
+                if (anyUnsafe) None
                 // a delete can evict the current extremum — min/max
                 // views recheck exactly the groups the delta names,
                 // cost ∝ touched groups, never the view (r14 verdict #2)
-                else if ((mins.nonEmpty || maxs.nonEmpty) &&
-                    delta0.filter(col("__del") === 1L)
-                      .limit(1).count() > 0) {
+                else if ((mins.nonEmpty || maxs.nonEmpty) && anyDelete) {
                   // delta0's group keys ARE the distinct touched groups
                   recheckTouchedGroups(spark, t, srcs.head, srcV, delta0,
                     groups, countAlias, sums, mins, maxs, pred, avgs)
@@ -1954,7 +1964,7 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                   // licensed create-time types) — schema-only, no job
                   val dFields = delta0.schema.fields.filter(_.name.startsWith("__d_"))
                   if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
-                  else if (delta0.isEmpty) {
+                  else if (nGroups == 0L) {
                     // all source changes fell outside the view — commit
                     // the watermark txn-only or every later refresh
                     // re-reads this same change range forever (ADVICE r14)
@@ -2186,18 +2196,26 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
                   try {
                     // NULL group key ⇒ NULL-keyed delta row; NULL summed
                     // value ⇒ positive `__nc_` counter — the same
-                    // triggers the old per-row probe fired on
+                    // triggers the old per-row probe fired on. ONE
+                    // aggregate action answers unsafe? + empty? (opt r15)
+                    import org.apache.spark.sql.functions.count
                     val unsafe = groupAliases.map(col(_).isNull) ++
                       sumAliases.map(a => col(s"__nc_$a") > 0L)
+                    val probe = delta0.agg(
+                      count(lit(1)).as("__n"),
+                      org.apache.spark.sql.functions.max(
+                        when(unsafe.reduce(_ || _), lit(1L))
+                          .otherwise(lit(0L))).as("__u")).head()
+                    val nGroups = probe.getLong(0)
+                    val anyUnsafe = !probe.isNullAt(1) && probe.getLong(1) == 1L
                     val dFields =
                       delta0.schema.fields.filter(_.name.startsWith("__d_"))
                     val wm = Map(ViewStore.MviewAppId -> 0L) ++
                       (0 until n).map(i =>
                         GraftSqlParser.mviewSrcKey(i) -> cur(i).toLong)
-                    if (delta0.filter(unsafe.reduce(_ || _))
-                        .limit(1).count() > 0) None
+                    if (anyUnsafe) None
                     else if (!GraftSqlParser.deltaFoldableTypes(dFields.toSeq)) None
-                    else if (delta0.isEmpty) {
+                    else if (nGroups == 0L) {
                       // watermarks must still advance (ADVICE r14)
                       t.commitTxns(wm, "mview-watermark")
                       Some(Seq(Row("noop", cur.head)))
