@@ -921,6 +921,97 @@ object GraftSqlParser {
     else Map(ViewStore.MviewAppId -> 0L)
   }
 
+  /** The per-source watermark txn entries of a create/full-recompute
+    * commit, WITHOUT the NULL-sum license probe (see
+    * [[materializeMviewWithTxns]], which derives the license from the
+    * materialization pass itself). */
+  private def mviewWatermarkTxns(srcs: Seq[String],
+      pins: Map[String, Int]): Map[String, Long] =
+    if (srcs.size == 1) Map(ViewStore.MviewAppId -> pins(srcs.head).toLong)
+    else if (srcs.size >= 2)
+      Map(ViewStore.MviewAppId -> 0L) ++
+        srcs.zipWithIndex.map { case (s, i) => mviewSrcKey(i) -> pins(s).toLong }
+    else Map(ViewStore.MviewAppId -> 0L)
+
+  /** Materialize a view definition at the given pins AND derive its
+    * commit txn map (watermarks + NULL-sum license) from the SAME scan.
+    *
+    * The old shape ran TWO full passes over the pinned slice: one
+    * license probe (`(e) IS NULL` anywhere?) and one materialization.
+    * For the recognized aggregate shapes this fuses them: the pinned
+    * definition text gets per-sum NULL-counter aggregates appended
+    * (`sum(CASE WHEN (e) IS NULL THEN 1 ELSE 0 END)` — extra aggregates
+    * never change the grouping or the other columns), the fused frame
+    * is checkpointed, the license read from the tiny counter columns,
+    * and the counters DROPPED before the write — one source scan plus a
+    * view-sized probe instead of two source scans (opt r15, guide
+    * §2.4). Identical license semantics: group-level counter > 0
+    * anywhere ⇔ some row's summed expression was NULL; exact-type
+    * licensing checks the SAME sum output fields the probe did. Any
+    * mishap in the fused construction degrades the LICENSE (0L — every
+    * later refresh full-recomputes, always sound), never the statement,
+    * exactly the old probe's NonFatal contract. Non-aggregate or
+    * sum-free shapes keep the single plain materialization pass. */
+  private[sql] def materializeMviewWithTxns(spark: SparkSession,
+      defn: String, srcs: Seq[String], pins: Map[String, Int])
+      : (org.apache.spark.sql.DataFrame, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    val wm = mviewWatermarkTxns(srcs, pins)
+    def plain = spark.sql(ViewStore.expand(ViewStore.pinVersions(defn, pins)))
+    // (selectList, fromTail, pred, groupBy, sums) for the two licensed
+    // aggregate shapes; None for every other definition
+    val aggShape: Option[(String, String, String, String, Seq[(String, String)])] =
+      defn match {
+        case MviewAggSelect(selectList, srcRoot, pred, groupBy)
+            if srcs.size == 1 && srcRoot == srcs.head =>
+          parseAggView(selectList, groupBy).map(v =>
+            (selectList, s"txtable.`$srcRoot`", pred, groupBy, v.sums))
+        case MviewChainAggSelect(selectList, fromChain, pred, groupBy)
+            if srcs.size >= 2 =>
+          parseJoinChain(fromChain)
+            .filter(c => c.map(_.root) == srcs)
+            .flatMap(chain =>
+              parseJoinAggView(selectList, groupBy, chain.map(_.alias))
+                .map { case (_, _, sums, _) =>
+                  (selectList, fromChain, pred, groupBy, sums) })
+        case _ => None
+      }
+    aggShape match {
+      case None => (plain, wm) // no license entry: not an aggregate shape
+      case Some((_, _, _, _, sums)) if sums.isEmpty =>
+        (plain, wm ++ Map(MviewNullsafeKey -> 1L)) // nothing summed: licensed
+      case Some((selectList, fromTail, pred, groupBy, sums)) =>
+        try {
+          val counters = sums.zipWithIndex.map { case ((e, _), i) =>
+            s"sum(CASE WHEN ($e) IS NULL THEN 1 ELSE 0 END) AS `__lic_nc_$i`"
+          }
+          val fusedText = s"SELECT $selectList, ${counters.mkString(", ")} " +
+            s"FROM $fromTail" +
+            Option(pred).map(p => s" WHERE $p").getOrElse("") +
+            s" GROUP BY $groupBy"
+          val fused = spark.sql(
+            ViewStore.expand(ViewStore.pinVersions(fusedText, pins)))
+            .localCheckpoint(eager = true)
+          val sumFields = sums.map { case (_, a) => fused.schema(a) }
+          val lic =
+            if (!deltaFoldableTypes(sumFields)) 0L
+            else {
+              val anyNull = fused.agg(max(when(
+                sums.indices.map(i => col(s"__lic_nc_$i") > 0L)
+                  .reduce(_ || _), lit(1L)).otherwise(lit(0L)))).head()
+              if (!anyNull.isNullAt(0) && anyNull.getLong(0) == 1L) 0L else 1L
+            }
+          val df = fused.drop(sums.indices.map(i => s"__lic_nc_$i"): _*)
+          (df, wm ++ Map(MviewNullsafeKey -> lic))
+        } catch {
+          // a fused-construction mishap degrades the LICENSE, never the
+          // CREATE/REFRESH statement it rides (the old probe's contract)
+          case scala.util.control.NonFatal(_) =>
+            (plain, wm ++ Map(MviewNullsafeKey -> 0L))
+        }
+    }
+  }
+
   /** Whether the EXACT additions a group-delta merge is about to run
     * would produce NULL from a non-NULL pair — the decimal-overflow
     * fault probe (ADVICE r14: under the nullsafe license such a NULL is
@@ -1757,7 +1848,6 @@ case class TxCreateMviewCommand(root: String, defnSql: String,
     ViewStore.requireMviewCreatable(root)
     val srcs = ViewStore.txtableRefs(defnSql).filter(TxTable.exists)
     val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
-    val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defnSql, pins)))
     val t = new TxTable(root, statCols, bloomCols)
     val wm =
       try {
@@ -1766,8 +1856,11 @@ case class TxCreateMviewCommand(root: String, defnSql: String,
         // per-source keys (r14 verdict #1); any other multi-source
         // definition refreshes by full recompute and keeps watermark 0.
         // Aggregate shapes also verify the NULL-sum/type license for
-        // delta-arithmetic refreshes — all in the SAME commit.
-        val txns = GraftSqlParser.mviewCommitTxns(spark, defnSql, srcs, pins)
+        // delta-arithmetic refreshes — derived from the SAME scan that
+        // materializes the view ([[GraftSqlParser.materializeMviewWithTxns]])
+        // and committed with the rows.
+        val (df, txns) =
+          GraftSqlParser.materializeMviewWithTxns(spark, defnSql, srcs, pins)
         t.overwriteTagged(spark, df, txns)
         txns(ViewStore.MviewAppId)
       } catch {
@@ -1834,10 +1927,11 @@ case class TxRefreshMviewCommand(root: String) extends LeafRunnableCommand {
     // incremental refresh never replays it (ADVICE r13)
     def full(): Seq[Row] = {
       val pins = srcs.map(s => s -> TxTable.open(s).currentVersion).toMap
-      val df = spark.sql(ViewStore.expand(ViewStore.pinVersions(defn, pins)))
       // re-establish (or revoke) watermark(s) + the NULL-sum safety
-      // license against the slice(s) actually pinned
-      val txns = GraftSqlParser.mviewCommitTxns(spark, defn, srcs, pins)
+      // license against the slice(s) actually pinned — license derived
+      // from the materialization scan itself, not a second source pass
+      val (df, txns) =
+        GraftSqlParser.materializeMviewWithTxns(spark, defn, srcs, pins)
       t.overwriteTagged(spark, df, txns)
       val wm = if (srcs.size >= 2)
         txns(GraftSqlParser.mviewSrcKey(0)) else txns(ViewStore.MviewAppId)
